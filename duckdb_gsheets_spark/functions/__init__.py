@@ -1,0 +1,3 @@
+from duckdb_gsheets_spark.functions import text, vectors
+
+__all__ = ["text", "vectors"]

@@ -1,0 +1,289 @@
+"""Deduplication operators over the ``documents`` corpus: exact
+(fingerprint groupBy), n-gram Jaccard (inverted-index join), MinHash
+LSH (shingle → signature → band → bucket join) and SimHash (band
+blocking on a 64-bit signature).
+
+Scale design (the point of these ops at 100 TB):
+* Exact dedup is one hash-shuffle on a 32-hex fingerprint — the
+  cheapest possible full-corpus pass.
+* MinHash/SimHash candidate generation never compares all pairs: band
+  buckets bound comparisons to colliding documents only; verification
+  joins are per-candidate-pair, not per-pair-of-corpus.
+* The exact-Jaccard inverted-index join is quadratic in documents per
+  shared token — correct as an oracle-checkable baseline; production
+  runs should fall back to the MinHash path (or filter high-DF tokens)
+  at scale, which is why both are shipped.
+
+All signatures are built from ``xxhash64`` (JVM-side, deterministic,
+seed-stable) — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_gsheets_spark.functions import text as T
+from duckdb_gsheets_spark.operators.registry import QueryDef
+from duckdb_gsheets_spark.plans.catalog import load_table
+
+#: MinHash configuration: 16 permutations in 8 bands of 2 rows.
+MINHASH_PERMS = 16
+MINHASH_BAND_ROWS = 2
+MINHASH_JACCARD_THRESHOLD = 0.5
+
+#: SimHash: 64-bit signature, 4 bands of 16 bits; Hamming ≤ 3 always
+#: collides on ≥1 band (pigeonhole).
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+#: Unigram-Jaccard near-dup threshold for the oracle-checked query.
+NGRAM_JACCARD_THRESHOLD = 0.75
+
+
+def _distinct_tokens(col: Column) -> Column:
+    return F.array_distinct(T.tokens(F.lower(col)))
+
+
+def _shingles(col: Column, n: int = 3) -> Column:
+    """n-word shingles as strings (distinct). JVM-side only."""
+    toks = T.tokens(F.lower(col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by md5(normalized text), keep the lowest
+    doc_id as survivor. One shuffle on the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_ORACLE = f"""
+SELECT
+  {T.oracle_fingerprint()} AS fingerprint,
+  MIN(doc_id) AS survivor_doc_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs via inverted-index join.
+
+    tokens → (token, doc) postings → self-join on token → overlap per
+    pair → |A∪B| = |A|+|B|-overlap. Only documents sharing ≥1 token
+    are ever paired.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_distinct_tokens(F.col("text"))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    pairs = (
+        toks.alias("a")
+        .join(toks.alias("b"), "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("nb")
+    )
+    jaccard = F.round(
+        F.col("overlap").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("overlap")).cast("double"),
+        6,
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+DEDUP_NGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))) AS tok
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(overlap AS DOUBLE) / CAST(sa.n_tokens + sb.n_tokens - overlap AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(overlap AS DOUBLE) / CAST(sa.n_tokens + sb.n_tokens - overlap AS DOUBLE), 6) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + 3-word-shingle MinHash signature (array<long>).
+
+    Each permutation i is xxhash64 with a distinct seed string; the
+    signature element is the min over the document's shingles —
+    computed inside one JVM ``transform``/``array_min`` per
+    permutation, no explode, no shuffle.
+    """
+    sh = _shingles(F.col(text_col)).alias("shingles")
+    def perm_hash(i: int):
+        # Factory (not a default-arg lambda): HOF lambdas must be
+        # unary or PySpark passes the array index as the extra arg.
+        prefix = f"mh{i}|"
+        return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), perm_hash(i)))
+            for i in range(MINHASH_PERMS)
+        ]
+    ).alias("signature")
+    return docs.select("doc_id", sh).select("doc_id", "shingles", sig)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
+
+    shingle → 16-perm signature → 8 band-hashes → bucket self-join →
+    exact verification on candidates only. Non-SQL-expressible
+    (rows-only check); recall is pytest-verified against planted dups.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    n_bands = MINHASH_PERMS // MINHASH_BAND_ROWS
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[b * MINHASH_BAND_ROWS + r]
+                                for r in range(MINHASH_BAND_ROWS)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "shingles", "band.band_idx", "band.band_hash")
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jaccard = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        6,
+    )
+    return (
+        cands.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+    )
+
+
+def simhash_signature(col: Column) -> Column:
+    """64-bit SimHash over word tokens, built bit-by-bit JVM-side:
+    bit k = sign of sum over tokens of ±1 per token-hash bit k."""
+    toks = T.tokens(F.lower(col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(k: int):
+        # Factory, not a default-arg lambda (see minhash_signatures).
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0), bit_vote(k)) for k in range(SIMHASH_BITS)
+    ]
+    sig = F.lit(0).cast("long")
+    for k, vote in enumerate(bit_votes):
+        sig = sig + F.when(vote > 0, F.lit(1).cast("long") * (2**k if k < 63 else -(2**63))).otherwise(0)
+    return sig
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit band blocking guarantees every
+    pair at Hamming ≤ 3 shares a band; verify exact Hamming distance.
+    Rows-only check (bit math is engine-specific)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", simhash_signature(F.col("text")).alias("sig"))
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("sig"), b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.band_val")
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact fingerprint dedup"),
+    QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "token Jaccard pairs"),
+    QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, None, "MinHash LSH near-dup"),
+    QueryDef("dedup_simhash", dedup_simhash, None, "SimHash near-dup"),
+]

@@ -1,0 +1,246 @@
+"""Event-stream analytics over the ``events`` table: time bucketing,
+pivot, sessionization, as-of join, JSON extraction.
+
+These are the batch twins of the Structured Streaming ops in
+``duckdb_gsheets_spark.streaming`` — identical logical shapes, so the
+streaming path can be validated against these oracle-checked results.
+
+Scale notes: sessionization and the as-of join are both expressed as a
+single partition-by-user window pass (no self-join, no range join) —
+the shape that survives 100 TB: one shuffle on user_id, then a linear
+scan per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_gsheets_spark.operators.determinism import dsum, oracle_dsum
+from duckdb_gsheets_spark.operators.registry import QueryDef
+from duckdb_gsheets_spark.plans.catalog import load_table
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+#: 30-minute inactivity gap, in microseconds.
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregate: the batch twin of a streaming window."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_ORACLE = f"""
+SELECT
+  CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS hour_start,
+  event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts to one column per event type, per user."""
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+EVENTS_PIVOT_ORACLE = """
+SELECT
+  user_id,
+  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), one window pass.
+
+    session start flag → running sum = session index → per-session agg.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros needs TIMESTAMP; the NTZ→LTZ cast is exact under the
+    # engine's fixed UTC session timezone.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    with_gap = events.withColumn("prev_us", F.lag(ts_us).over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull() | (ts_us - F.col("prev_us") > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    with_session = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.col("ts")).cast("string").alias("session_start"),
+            F.max(F.col("ts")).cast("string").alias("session_end"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "session_start",
+            "session_end",
+            "session_value",
+        )
+    )
+
+
+EVENTS_SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT
+    user_id, event_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT
+    user_id, event_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  CAST(session_id AS BIGINT) AS session_id,
+  COUNT(*) AS n_events,
+  CAST(MIN(ts) AS VARCHAR) AS session_start,
+  CAST(MAX(ts) AS VARCHAR) AS session_end,
+  {oracle_dsum('value')} AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+"""
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest signup at-or-before it.
+
+    Spark lacks ASOF JOIN; the scalable formulation is a tagged union +
+    one ordered window pass per user (``last(signup_ts, ignorenulls)``)
+    — no range join, no per-key collect. Signup rows sort before event
+    rows at equal timestamps so an event matches its own signup
+    (DuckDB's ``e.ts >= s.ts`` inclusive semantics).
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("timestamp_ntz").alias("signup_ts"),
+    )
+    signups = events.where(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(0).alias("is_event"),
+        F.col("ts").alias("signup_ts"),
+    )
+    unioned = base.unionByName(signups)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn(
+            "last_signup_ts", F.last("signup_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("string").alias("ts"),
+            "event_type",
+            F.col("last_signup_ts").cast("string").alias("last_signup_ts"),
+        )
+    )
+
+
+EVENTS_ASOF_ORACLE = """
+SELECT
+  e.event_id,
+  e.user_id,
+  CAST(e.ts AS VARCHAR) AS ts,
+  e.event_type,
+  CAST(s.ts AS VARCHAR) AS last_signup_ts
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the ``props`` column + aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
+    QueryDef("events_pivot", events_pivot, EVENTS_PIVOT_ORACLE, "pivot by event type"),
+    QueryDef("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_ORACLE, "gap sessionization"),
+    QueryDef("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE, "as-of join"),
+    QueryDef("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE, "JSON extraction"),
+]

@@ -1,0 +1,142 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads with typed
+metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is a
+deterministic fake (documented below) and the REAL parts — binary
+column handling, metadata schema, partition-preserving mapInPandas
+plumbing, batch shapes — are exercised and tested. A production
+deployment swaps ``_decode_payload`` for a real codec; nothing else
+changes.
+
+The payloads here are synthesized from ``documents.text`` (UTF-8
+bytes) since the test corpus ships no real media; at 100 TB the same
+schema holds pointer columns (path/offset/len) instead of inline blobs
+for payloads above a few MB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from duckdb_gsheets_spark.operators.registry import QueryDef
+from duckdb_gsheets_spark.plans.catalog import load_table
+
+FORMATS = ("png", "jpeg", "wav")
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → multimodal table: binary payload + typed metadata.
+
+    Schema: (doc_id, payload binary, format string, meta struct).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.element_at(
+            F.array(*[F.lit(f) for f in FORMATS]),
+            (F.col("doc_id") % len(FORMATS) + 1).cast("int"),
+        ).alias("format"),
+        F.struct(
+            F.length(F.col("text").cast("binary")).alias("byte_len"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata scan over the media table — JVM-only, oracle-checked:
+    proves the binary column + struct plumbing without decoding."""
+    media = media_table(spark, sf_dir)
+    return media.select(
+        "doc_id",
+        "format",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.origin").alias("origin"),
+    )
+
+
+MULTIMODAL_META_ORACLE = f"""
+SELECT
+  doc_id,
+  ['png', 'jpeg', 'wav'][CAST(doc_id % {len(FORMATS)} AS INTEGER) + 1] AS format,
+  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+  source AS origin
+FROM documents
+"""
+
+
+def _decode_payload(payload: bytes, fmt: str) -> tuple[int, int, float, int]:
+    """Deterministic fake decoder: (width, height, mean_byte, n_frames).
+
+    A real deployment replaces this with PIL/libav decoding; the
+    signature and the Spark-side plumbing are the contract. Raises
+    ``NotImplementedError`` for formats outside the fake's domain, the
+    same way a codec-missing build would.
+    """
+    if fmt not in FORMATS:
+        raise NotImplementedError(f"no codec for format {fmt!r}")
+    n = len(payload)
+    width = (n % 64) + 1
+    height = (n // 64) + 1
+    mean_byte = (sum(payload) / n) if n else 0.0
+    n_frames = 1 if fmt in ("png", "jpeg") else (n % 100) + 1
+    return width, height, round(mean_byte, 6), n_frames
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batch in → feature frame out."""
+    for batch in batches:
+        rows = [
+            (int(doc_id), len(payload), *_decode_payload(bytes(payload), fmt))
+            for doc_id, payload, fmt in zip(
+                batch["doc_id"], batch["payload"], batch["format"]
+            )
+        ]
+        out = pd.DataFrame(
+            rows,
+            columns=["doc_id", "byte_len", "width", "height", "mean_byte", "n_frames"],
+        )
+        yield out
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract via Arrow-batched mapInPandas.
+
+    The decode itself is the deterministic fake above (no codecs in
+    this container); the distributed plumbing — binary columns through
+    Arrow, per-partition batch iteration, typed output schema — is
+    real. Rows-only correctness check.
+    """
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "payload", "format").mapInPandas(
+        _decode_batches, schema=DECODE_SCHEMA
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef("multimodal_metadata", multimodal_metadata, MULTIMODAL_META_ORACLE, "binary+struct metadata"),
+    QueryDef("multimodal_decode_features", multimodal_decode_features, None, "mapInPandas decode stub"),
+]

@@ -1,0 +1,241 @@
+"""Similarity search over the ``embeddings`` table (array<float>):
+
+* brute-force cosine top-k (the exact baseline, oracle-checked),
+* random-hyperplane LSH bucketed ANN (the scale path),
+* embedding near-dup pairs (cosine threshold, oracle-checked),
+* per-vector norm statistics (oracle-checked).
+
+Distance math is JVM-side (``zip_with``+``aggregate`` fold — see
+functions.vectors); the LSH plane matrix is a tiny deterministic
+numpy array broadcast into the plan as literals. At 100 TB the
+brute-force scorer is what you run per-bucket AFTER blocking (LSH/IVF)
+bounds the candidate set; both stages ship here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_gsheets_spark.functions.vectors import cosine, norm, to_double
+from duckdb_gsheets_spark.operators.registry import QueryDef
+from duckdb_gsheets_spark.plans.catalog import load_table
+
+TOPK_K = 5
+N_QUERY_VECTORS = 10  # vec_id < 10 are the query set
+NEARDUP_COSINE_THRESHOLD = 0.95
+
+LSH_N_PLANES = 16
+LSH_SEED = 42
+EMBEDDING_DIM = 64
+
+#: DuckDB fragment computing pairwise cosine via positional unnest.
+_ORACLE_VECTOR_CTE = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+)
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: exact ANN baseline.
+
+    Query set (vec_id < N) is broadcast against the corpus; scoring is
+    one codegen'd fold per pair; ranking is a per-query window with a
+    rounded-similarity + vec_id tiebreak so order is engine-stable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("vec_b"), to_double(F.col("embedding")).alias("emb_b")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("vec_a"), to_double(F.col("embedding")).alias("emb_a")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.col("vec_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_K)
+        .select("vec_a", "vec_b", "cos_sim", "rank")
+    )
+
+
+ANN_TOPK_ORACLE = f"""
+{_ORACLE_VECTOR_CTE},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dp
+  FROM v a JOIN v b ON a.i = b.i
+  WHERE a.vec_id < {N_QUERY_VECTORS} AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT vec_a, vec_b, ROUND(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+)
+SELECT vec_a, vec_b, cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {TOPK_K}
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, threshold 0.95).
+
+    O(n²) scorer — the verification stage; production blocking comes
+    from :func:`ann_lsh_buckets` at scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), to_double(F.col("embedding")).alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), to_double(F.col("embedding")).alias("emb_b")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEARDUP_COSINE_THRESHOLD)
+    )
+
+
+NEARDUP_ORACLE = f"""
+{_ORACLE_VECTOR_CTE},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dp
+  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, ROUND(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE ROUND(dp / (na.nrm * nb.nrm), 6) >= {NEARDUP_COSINE_THRESHOLD}
+"""
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics (norms, dims)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = to_double(F.col("embedding"))
+    return (
+        emb.select(
+            "label",
+            F.size("embedding").alias("dim"),
+            F.round(norm(vec), 6).alias("l2_norm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+            F.round(F.min("l2_norm"), 6).alias("min_norm"),
+            F.round(F.max("l2_norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+EMBEDDING_STATS_ORACLE = f"""
+{_ORACLE_VECTOR_CTE},
+per_vec AS (
+  SELECT e.vec_id, e.label, len(e.embedding) AS dim, ROUND(n.nrm, 6) AS l2_norm
+  FROM embeddings e JOIN norms n USING (vec_id)
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(MIN(dim) AS INTEGER) AS min_dim,
+       CAST(MAX(dim) AS INTEGER) AS max_dim,
+       ROUND(MIN(l2_norm), 6) AS min_norm,
+       ROUND(MAX(l2_norm), 6) AS max_norm
+FROM per_vec
+GROUP BY label
+"""
+
+
+def _lsh_planes() -> np.ndarray:
+    """Deterministic random-hyperplane matrix (LSH_N_PLANES × DIM)."""
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((LSH_N_PLANES, EMBEDDING_DIM))
+
+
+def lsh_bucket_column(vec_col, planes: np.ndarray):
+    """Sign-bit bucket id from hyperplane dot products, as a long.
+
+    The plane matrix enters the plan as array literals — evaluated
+    JVM-side per row, no Python, broadcast-equivalent at scale.
+    """
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(w)) for w in plane])
+        dp = F.aggregate(
+            F.zip_with(vec_col, plane_arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dp > 0, F.lit(2**p).cast("long")).otherwise(0)
+    return bucket
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: hyperplane signature → bucket
+    join → exact cosine rerank within bucket.
+
+    The scale path: candidate generation is an equi-join on bucket id
+    (one shuffle, no cross join). Recall vs the exact baseline is
+    pytest-measured; rows-only correctness check (not SQL-expressible).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _lsh_planes()
+    with_bucket = emb.select(
+        "vec_id",
+        to_double(F.col("embedding")).alias("emb"),
+        lsh_bucket_column(to_double(F.col("embedding")), planes).alias("bucket"),
+    )
+    queries = with_bucket.where(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("bucket"),
+    )
+    cands = (
+        F.broadcast(queries)
+        .join(with_bucket, "bucket")
+        .where(F.col("vec_a") != F.col("vec_id"))
+        .select(
+            "vec_a",
+            F.col("vec_id").alias("vec_b"),
+            F.round(cosine(F.col("emb_a"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.col("vec_b"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_K)
+        .select("vec_a", "vec_b", "cos_sim", "rank")
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force cosine top-k"),
+    QueryDef("embedding_neardup_pairs", embedding_neardup_pairs, NEARDUP_ORACLE, "cosine near-dup pairs"),
+    QueryDef("embedding_stats", embedding_stats, EMBEDDING_STATS_ORACLE, "norm/dim stats"),
+    QueryDef("ann_lsh_topk", ann_lsh_topk, None, "LSH-bucketed ANN top-k"),
+]

@@ -1,0 +1,153 @@
+"""Text-analysis operators over the ``documents`` table: statistics,
+language-ID, quality scoring, fingerprinting (SURVEY.md §7 step 8 /
+the training-data-pipeline layer).
+
+All expressions come from ``functions.text`` — pure JVM-side column
+math, no Python UDFs — with matching DuckDB oracle SQL emitted from
+the same constants so the heuristics cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_gsheets_spark.functions import text as T
+from duckdb_gsheets_spark.operators.registry import QueryDef
+from duckdb_gsheets_spark.plans.catalog import load_table
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punct statistics (all exact integers
+    except the rounded mean token length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(c).alias("n_chars_measured"),
+        T.token_count(c).alias("n_tokens"),
+        T.bpe_token_count(c).alias("n_bpe_tokens"),
+        T.punct_count(c).alias("n_punct"),
+        F.round(
+            F.length(F.regexp_replace(c, T.WHITESPACE_SPLIT, "")).cast("double")
+            / T.token_count(c).cast("double"),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+TEXT_STATS_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(LENGTH(text) AS INTEGER) AS n_chars_measured,
+  CAST(len({T.oracle_tokens()}) AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{T.BPE_TOKEN_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(text, '{T.PUNCT_PATTERN}')) AS INTEGER) AS n_punct,
+  ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE)
+        / CAST(len({T.oracle_tokens()}) AS DOUBLE), 6) AS mean_token_len
+FROM documents
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification + per-language scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.language_id(c).alias("detected_lang"),
+        T.marker_hits_distinct(c, "en").alias("score_en"),
+        T.marker_hits_distinct(c, "es").alias("score_es"),
+        T.marker_hits_distinct(c, "de").alias("score_de"),
+        T.marker_hits_distinct(c, "fr").alias("score_fr"),
+    )
+
+
+TEXT_LANG_ORACLE = f"""
+SELECT
+  doc_id,
+  lang,
+  {T.oracle_language_id()} AS detected_lang,
+  CAST({T.oracle_marker_hits_distinct('en')} AS INTEGER) AS score_en,
+  CAST({T.oracle_marker_hits_distinct('es')} AS INTEGER) AS score_es,
+  CAST({T.oracle_marker_hits_distinct('de')} AS INTEGER) AS score_de,
+  CAST({T.oracle_marker_hits_distinct('fr')} AS INTEGER) AS score_fr
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.quality_score(c).alias("quality"),
+        T.stopword_hits_total(c).alias("n_stopwords"),
+    )
+
+
+TEXT_QUALITY_ORACLE = f"""
+SELECT
+  doc_id,
+  ROUND(
+    0.25 * LEAST(1.0, CAST(len({T.oracle_tokens()}) AS DOUBLE) / 100.0)
+    + 0.25 * (1.0 - CAST(len(regexp_extract_all(text, '{T.PUNCT_PATTERN}')) AS DOUBLE)
+                    / CAST(LENGTH(text) AS DOUBLE))
+    + 0.25 * (CAST({T.oracle_stopword_hits_total()} AS DOUBLE)
+              / CAST(len({T.oracle_tokens()}) AS DOUBLE))
+    + 0.25 * LEAST(1.0, (CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE)
+                         / CAST(len({T.oracle_tokens()}) AS DOUBLE)) / 10.0)
+  , 6) AS quality,
+  CAST({T.oracle_stopword_hits_total()} AS INTEGER) AS n_stopwords
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of normalized text (dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+TEXT_FINGERPRINT_ORACLE = f"""
+SELECT doc_id, {T.oracle_fingerprint()} AS fingerprint FROM documents
+"""
+
+
+def text_corpus_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup: doc counts and token volume per (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars")).alias("total_chars"),
+            F.sum(T.token_count(c).cast("long")).alias("total_tokens"),
+        )
+    )
+
+
+TEXT_CORPUS_ORACLE = f"""
+SELECT
+  lang, source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(len({T.oracle_tokens()})) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
+    QueryDef("text_language_id", text_language_id, TEXT_LANG_ORACLE, "marker-word lang-ID"),
+    QueryDef("text_quality_score", text_quality_score, TEXT_QUALITY_ORACLE, "quality heuristic"),
+    QueryDef("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE, "md5 fingerprint"),
+    QueryDef("text_corpus_by_lang", text_corpus_by_lang, TEXT_CORPUS_ORACLE, "corpus rollup"),
+]

@@ -1,0 +1,196 @@
+"""Window-function battery (SURVEY.md §2.2 'Window functions').
+
+All specs partition by a key and order with a unique tiebreak, so
+results are independent of physical partitioning — the property that
+makes them testable and correct on a 1000-executor cluster.  Running
+sums use the decimal-cast trick from operators.determinism so frames
+accumulate exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_gsheets_spark.operators.registry import QueryDef
+from duckdb_gsheets_spark.plans.catalog import load_table
+
+DEC = "decimal(18,2)"
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per customer over order value."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_ties = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    w_total = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+    )
+
+
+WINDOW_RANK_ORACLE = """
+SELECT
+  o_custkey, o_orderkey, o_totalprice,
+  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS rnk,
+  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS drnk
+FROM orders
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer in order-date order (exact frames)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+WINDOW_RUNNING_ORACLE = """
+SELECT
+  o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead of order dates per customer (gap analysis shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.lag("o_orderdate", 1).over(w).cast("string").alias("prev_orderdate"),
+        F.lead("o_orderdate", 1).over(w).cast("string").alias("next_orderdate"),
+    )
+
+
+WINDOW_LAG_ORACLE = """
+SELECT
+  o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+  CAST(LAG(o_orderdate, 1) OVER w AS VARCHAR) AS prev_orderdate,
+  CAST(LEAD(o_orderdate, 1) OVER w AS VARCHAR) AS next_orderdate
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row moving average of event value per user (exact decimal sum)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    moving_sum = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        (moving_sum / n).alias("moving_avg_value"),
+    )
+
+
+WINDOW_MOVAVG_ORACLE = """
+SELECT
+  user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) wealth quartiles over customers (unique total order)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("wealth_quartile"),
+    )
+
+
+WINDOW_NTILE_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS wealth_quartile
+FROM customer
+"""
+
+
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-partition-total (whole-partition frame, no ordering)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_totalprice") / total).alias("share_of_customer"),
+    )
+
+
+WINDOW_SHARE_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS share_of_customer
+FROM orders
+"""
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an explicit full-partition frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("last_orderkey"),
+    ).distinct()
+
+
+WINDOW_FIRSTLAST_ORACLE = """
+SELECT DISTINCT
+  o_custkey, o_orderkey,
+  FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+  LAST_VALUE(o_orderkey) OVER w AS last_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef("window_rank", window_rank, WINDOW_RANK_ORACLE, "row_number/rank/dense_rank"),
+    QueryDef("window_running_sum", window_running_sum, WINDOW_RUNNING_ORACLE, "cumulative sum"),
+    QueryDef("window_lag_lead", window_lag_lead, WINDOW_LAG_ORACLE, "lag/lead"),
+    QueryDef("window_moving_avg", window_moving_avg, WINDOW_MOVAVG_ORACLE, "moving avg frame"),
+    QueryDef("window_ntile", window_ntile, WINDOW_NTILE_ORACLE, "ntile quartiles"),
+    QueryDef("window_share_of_total", window_share_of_total, WINDOW_SHARE_ORACLE, "ratio to total"),
+    QueryDef("window_first_last", window_first_last, WINDOW_FIRSTLAST_ORACLE, "first/last value"),
+]

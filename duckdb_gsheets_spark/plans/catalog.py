@@ -1,0 +1,58 @@
+"""Table catalog over the driver-generated parquet test data.
+
+Tables are the TPC-H-ish star schema plus ``events`` (stream-shaped),
+``documents`` (text corpus) and ``embeddings`` (vector corpus); see
+TESTDATA.md.  At 100 TB these would be partitioned/bucketed external
+tables; the loaders stay pure ``spark.read.parquet`` so Catalyst gets
+predicate pushdown, column pruning and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables that are tiny at every scale factor (fixed-size in
+#: TPC-H: region=5 rows, nation=25 rows). Always broadcast-joinable.
+TINY_DIMS: frozenset[str] = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Plain parquet scan → full pushdown support."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) parquet columns arrive as long (see session.py
+    # nanosAsLong); normalize to timestamp_ntz at micro precision so
+    # downstream plans see one type at every scale factor.
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            # Integer `div` (not `/`): epoch-nanos overflow double
+            # precision, off-by-one-microsecond errors otherwise.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for spark.sql paths)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
