@@ -1,0 +1,113 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full plan into a noop sink (no collect cost,
+no result materialization on the driver) — the number is the
+end-to-end scan→shuffle→agg wall-clock Catalyst actually runs.
+
+Run ``python bench.py --duckdb`` to also time the DuckDB oracle SQL on
+the same machine for a local baseline comparison (not part of the
+driver contract; diagnostic only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline set: the queries whose shapes dominate a real workload —
+#: wide agg, multi-join, window pass, sessionization, dedup, ANN.
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q18_large_orders",
+    "window_running_sum",
+    "events_hourly_agg",
+    "events_sessionize",
+    "events_asof_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "text_language_id",
+    "ann_cosine_topk",
+)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
+    from duckdb_gsheets_spark.operators import all_queries
+    from duckdb_gsheets_spark.plans.session import get_spark
+
+    spark = get_spark("bench")
+    qs = all_queries()
+    # Warm the JVM/session on a tiny plan so query 1 isn't charged
+    # session-start cost.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    timings: dict[str, float] = {}
+    for name in names:
+        df = qs[name].spark_fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def run_duckdb(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
+    """Diagnostic-only local baseline: same oracle SQL, DuckDB engine."""
+    import duckdb
+
+    from duckdb_gsheets_spark.operators import all_queries
+    from duckdb_gsheets_spark.plans.catalog import TABLES
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for name in names:
+        oracle = qs[name].oracle
+        if oracle is None:
+            continue
+        t0 = time.perf_counter()
+        con.execute(oracle).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    timings = run_spark(sf_dir, HEADLINE)
+    result = {
+        "metric": "headline_query_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if "--duckdb" in sys.argv:
+        duck = run_duckdb(sf_dir, HEADLINE)
+        result["duckdb_baseline"] = duck
+        result["duckdb_total"] = round(sum(duck.values()), 3)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

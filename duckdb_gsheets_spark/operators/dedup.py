@@ -46,12 +46,36 @@ def _distinct_tokens(col: Column) -> Column:
     return F.array_distinct(T.tokens(F.lower(col)))
 
 
-def _shingles(col: Column, n: int = 3) -> Column:
-    """n-word shingles as strings (distinct). JVM-side only."""
-    toks = T.tokens(F.lower(col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+def _shingle_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh) rows: distinct hashed 3-word shingles per document.
+
+    posexplode tokens once, assemble shingles with window leads, and
+    represent each shingle as its xxhash64 (a long) — string shingles
+    never materialize, so the downstream signature build, collect_set
+    and Jaccard verification all run on fixed-width longs. (A nested
+    ``transform``+``slice`` formulation inlines the regex split into
+    every slice call — O(tokens²) splits per doc, measured ~20× slower
+    at sf0.1.) Documents shorter than 3 tokens yield one truncated
+    shingle (xxhash64 skips the NULL leads).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    with_leads = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.lead("tok", 1).over(w).alias("t1"),
+        F.lead("tok", 2).over(w).alias("t2"),
+    )
+    return (
+        with_leads.where(F.col("t2").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", F.xxhash64("tok", "t1", "t2").alias("sh"))
+        .distinct()
     )
 
 
@@ -140,27 +164,27 @@ WHERE ROUND(CAST(overlap AS DOUBLE) / CAST(sa.n_tokens + sb.n_tokens - overlap A
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + 3-word-shingle MinHash signature (array<long>).
+    """doc_id + hashed-shingle MinHash signature (array<long>) + shingle set.
 
-    Each permutation i is xxhash64 with a distinct seed string; the
-    signature element is the min over the document's shingles —
-    computed inside one JVM ``transform``/``array_min`` per
-    permutation, no explode, no shuffle.
+    Shape: shingle rows (see _shingle_rows) -> one xxhash64 per
+    (shingle, permutation) -> single groupBy(doc_id) computing all 16
+    mins plus the shingle set. The window pass and the groupBy share
+    the doc_id partitioning, so the whole signature build costs one
+    shuffle.
     """
-    sh = _shingles(F.col(text_col)).alias("shingles")
-    def perm_hash(i: int):
-        # Factory (not a default-arg lambda): HOF lambdas must be
-        # unary or PySpark passes the array index as the extra arg.
-        prefix = f"mh{i}|"
-        return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), perm_hash(i)))
-            for i in range(MINHASH_PERMS)
-        ]
-    ).alias("signature")
-    return docs.select("doc_id", sh).select("doc_id", "shingles", sig)
+    exploded = _shingle_rows(docs, text_col)
+    min_hashes = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    grouped = exploded.groupBy("doc_id").agg(
+        *min_hashes, F.collect_set("sh").alias("shingles")
+    )
+    return grouped.select(
+        "doc_id",
+        "shingles",
+        F.array(*[F.col(f"h{i}") for i in range(MINHASH_PERMS)]).alias("signature"),
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,9 +197,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
     n_bands = MINHASH_PERMS // MINHASH_BAND_ROWS
+    # Slim band rows (no shingle payload): the band self-join shuffles
+    # only (doc_id, band_idx, band_hash); shingle sets are attached
+    # once per surviving candidate pair afterwards.
     bands = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -192,18 +218,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "shingles", "band.band_idx", "band.band_hash")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
     cands = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_idx", "band_hash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
+    )
+    shingle_sets = sigs.select("doc_id", "shingles")
+    with_sets = cands.join(
+        shingle_sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        ),
+        "doc_a",
+    ).join(
+        shingle_sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        ),
+        "doc_b",
     )
     jaccard = F.round(
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -211,30 +246,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        cands.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        with_sets.select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
     )
 
 
-def simhash_signature(col: Column) -> Column:
-    """64-bit SimHash over word tokens, built bit-by-bit JVM-side:
-    bit k = sign of sum over tokens of ±1 per token-hash bit k."""
-    toks = T.tokens(F.lower(col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig): 64-bit SimHash over word tokens.
 
-    def bit_vote(k: int):
-        # Factory, not a default-arg lambda (see minhash_signatures).
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_votes = [
-        F.aggregate(hashes, F.lit(0), bit_vote(k)) for k in range(SIMHASH_BITS)
-    ]
+    bit k of sig = sign of sum over tokens of ±1 per token-hash bit k.
+    Shape: explode tokens → hash once per token → one groupBy(doc_id)
+    with 64 vote sums → assemble the long. Single shuffle; all JVM.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{k}")
+            for k in range(SIMHASH_BITS)
+        ]
+    )
     sig = F.lit(0).cast("long")
-    for k, vote in enumerate(bit_votes):
-        sig = sig + F.when(vote > 0, F.lit(1).cast("long") * (2**k if k < 63 else -(2**63))).otherwise(0)
-    return sig
+    for k in range(SIMHASH_BITS):
+        # k=63 is the two's-complement sign bit: adding -2^63 sets it.
+        weight = 2**k if k < 63 else -(2**63)
+        sig = sig + F.when(F.col(f"v{k}") > 0, F.lit(weight).cast("long")).otherwise(0)
+    return votes.select("doc_id", sig.alias("sig"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,7 +284,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair at Hamming ≤ 3 shares a band; verify exact Hamming distance.
     Rows-only check (bit math is engine-specific)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select("doc_id", simhash_signature(F.col("text")).alias("sig"))
+    sigs = simhash_signatures(docs)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_width) - 1
     bands = sigs.select(
