@@ -26,7 +26,12 @@ TOPK_K = 5
 N_QUERY_VECTORS = 10  # vec_id < 10 are the query set
 NEARDUP_COSINE_THRESHOLD = 0.95
 
-LSH_N_PLANES = 16
+#: Multi-table random-hyperplane LSH: each table hashes with its own
+#: small set of planes (2^planes buckets per table); a candidate is
+#: any vector sharing a bucket in ANY table. More tables → higher
+#: recall at the cost of more candidates — tune per corpus density.
+LSH_TABLES = 4
+LSH_PLANES_PER_TABLE = 4
 LSH_SEED = 42
 EMBEDDING_DIM = 64
 
@@ -172,56 +177,80 @@ GROUP BY label
 
 
 def _lsh_planes() -> np.ndarray:
-    """Deterministic random-hyperplane matrix (LSH_N_PLANES × DIM)."""
+    """Deterministic plane tensor (tables × planes_per_table × dim)."""
     rng = np.random.default_rng(LSH_SEED)
-    return rng.standard_normal((LSH_N_PLANES, EMBEDDING_DIM))
+    return rng.standard_normal(
+        (LSH_TABLES, LSH_PLANES_PER_TABLE, EMBEDDING_DIM)
+    )
 
 
-def lsh_bucket_column(vec_col, planes: np.ndarray):
-    """Sign-bit bucket id from hyperplane dot products, as a long.
+def lsh_bucket_columns(vec_col, planes: np.ndarray) -> list:
+    """One bucket id per hash table (sign bits of plane dot products).
 
-    The plane matrix enters the plan as array literals — evaluated
+    The plane tensor enters the plan as array literals — evaluated
     JVM-side per row, no Python, broadcast-equivalent at scale.
     """
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        plane_arr = F.array(*[F.lit(float(w)) for w in plane])
-        dp = F.aggregate(
-            F.zip_with(vec_col, plane_arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dp > 0, F.lit(2**p).cast("long")).otherwise(0)
-    return bucket
+    buckets = []
+    for t in range(planes.shape[0]):
+        bucket = F.lit(0).cast("long")
+        for p in range(planes.shape[1]):
+            plane_arr = F.array(*[F.lit(float(w)) for w in planes[t, p]])
+            dp = F.aggregate(
+                F.zip_with(vec_col, plane_arr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dp > 0, F.lit(2**p).cast("long")).otherwise(0)
+        buckets.append(bucket.alias(f"bucket{t}"))
+    return buckets
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k: hyperplane signature → bucket
-    join → exact cosine rerank within bucket.
+    """Multi-table LSH approximate top-k: per-table bucket equi-joins
+    generate candidates (union over tables), then an exact cosine
+    rerank picks the top k.
 
-    The scale path: candidate generation is an equi-join on bucket id
-    (one shuffle, no cross join). Recall vs the exact baseline is
-    pytest-measured; rows-only correctness check (not SQL-expressible).
+    The scale path: no cross join anywhere — candidate generation is
+    LSH_TABLES equi-joins on bucket ids. Recall vs the exact baseline
+    is pytest-measured; rows-only correctness check.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     planes = _lsh_planes()
-    with_bucket = emb.select(
+    with_buckets = emb.select(
         "vec_id",
         to_double(F.col("embedding")).alias("emb"),
-        lsh_bucket_column(to_double(F.col("embedding")), planes).alias("bucket"),
+        *lsh_bucket_columns(to_double(F.col("embedding")), planes),
     )
-    queries = with_bucket.where(F.col("vec_id") < N_QUERY_VECTORS).select(
+    # (vec_id, table, bucket) rows: one shuffle key per table.
+    bucket_rows = with_buckets.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"bucket{t}").alias("bkt")
+                    )
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "emb", "tb.tbl", "tb.bkt")
+    queries = bucket_rows.where(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("emb_a"),
-        F.col("bucket"),
+        "tbl",
+        "bkt",
     )
     cands = (
         F.broadcast(queries)
-        .join(with_bucket, "bucket")
+        .join(bucket_rows, ["tbl", "bkt"])
         .where(F.col("vec_a") != F.col("vec_id"))
+        .select("vec_a", "emb_a", F.col("vec_id").alias("vec_b"), F.col("emb"))
+        .dropDuplicates(["vec_a", "vec_b"])
         .select(
             "vec_a",
-            F.col("vec_id").alias("vec_b"),
+            "vec_b",
             F.round(cosine(F.col("emb_a"), F.col("emb")), 6).alias("cos_sim"),
         )
     )

@@ -1,0 +1,8 @@
+from duckdb_gsheets_spark.sources.gsheets.api import (
+    read_gsheet,
+    register,
+    write_gsheet,
+)
+from duckdb_gsheets_spark.sources.gsheets.datasource import GSheetsDataSource
+
+__all__ = ["GSheetsDataSource", "read_gsheet", "register", "write_gsheet"]

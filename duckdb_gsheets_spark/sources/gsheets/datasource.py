@@ -1,0 +1,340 @@
+"""The ``gsheets`` Spark Data Source (Python Data Source API, Spark 4).
+
+Spark-first equivalent of the reference's three surfaces (SURVEY §0):
+the ``read_gsheet`` table function becomes
+``spark.read.format("gsheets").load(url_or_id)``, the COPY TO sink
+becomes ``df.write.format("gsheets")``, and the secret layer becomes
+options/env resolution (auth.py). Catalyst supplies every relational
+operator above the scan.
+
+Read lifecycle (parity with ReadSheetBind, src/gsheets_read.cpp:86-241):
+options + URL params resolve (spreadsheet, sheet, A1 range); ONE
+values.get fetches the whole range at bind time on the driver (the
+reference's eager fetch — ≤10M cells by product limit, so driver
+memory is safe); first-row type inference fixes the schema; executors
+receive row-block partitions of the cached grid — parallelism the
+reference lacks.
+
+Write lifecycle (parity with gsheets_copy.cpp): driver-side setup
+(resolve sheet > gid > index 0, optional create, clear per
+overwrite_sheet/overwrite_range, header append exactly once), then
+per-partition batched ``values.append`` calls of 2048 rows.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from duckdb_gsheets_spark.sources.gsheets.a1 import A1Range
+from duckdb_gsheets_spark.sources.gsheets.auth import auth_from_options
+from duckdb_gsheets_spark.sources.gsheets.client import BASE_URL, GSheetsClient
+from duckdb_gsheets_spark.sources.gsheets.errors import SheetsError
+from duckdb_gsheets_spark.sources.gsheets.inference import (
+    SheetSchema,
+    cast_rows,
+    infer_schema,
+)
+from duckdb_gsheets_spark.sources.gsheets.transport import RequestsTransport
+from duckdb_gsheets_spark.sources.gsheets.urls import (
+    extract_sheet_id,
+    extract_sheet_range,
+    extract_spreadsheet_id,
+)
+
+BATCH_ROWS = 2048  # reference STANDARD_VECTOR_SIZE (src/gsheets_read.cpp:44)
+
+
+def _truthy(value: str | bool | None, default: bool) -> bool:
+    if value is None:
+        return default
+    if isinstance(value, bool):
+        return value
+    return value.strip().lower() in ("true", "1", "yes", "t")
+
+
+@dataclass
+class ResolvedTarget:
+    spreadsheet_id: str
+    sheet_name: str | None
+    cell_range: str | None
+
+    def a1(self) -> str:
+        if self.sheet_name is not None:
+            return A1Range(self.sheet_name, self.cell_range).to_string()
+        return self.cell_range or ""
+
+
+def _build_client(options: dict) -> GSheetsClient:
+    transport = RequestsTransport(proxy=options.get("proxy"))
+    auth = auth_from_options(options, transport)
+    if auth is None:
+        raise SheetsError(
+            "no credentials: set option 'token' or 'key_file', or env "
+            "GSHEETS_TOKEN / GOOGLE_APPLICATION_CREDENTIALS"
+        )
+    return GSheetsClient(transport, auth, options.get("api_base", BASE_URL))
+
+
+def _resolve_target(options: dict, client: GSheetsClient, need_sheet: bool) -> ResolvedTarget:
+    """Options + URL params → (spreadsheet, sheet, range).
+
+    Precedence (reference: src/gsheets_read.cpp:100-177,
+    src/gsheets_copy.cpp:72-94): explicit ``sheet``/``range`` options
+    beat URL ``gid=``/``range=`` params; a ``sheet`` option may embed
+    A1 notation after ``!``; default sheet is index 0.
+    """
+    url = options.get("path") or options.get("url") or ""
+    spreadsheet_id = extract_spreadsheet_id(url)
+    sheet_name = options.get("sheet")
+    cell_range = options.get("range")
+
+    if sheet_name and "!" in A1Range.parse(sheet_name).to_string():
+        parsed = A1Range.parse(sheet_name)
+        sheet_name = parsed.sheet
+        if cell_range is None:
+            cell_range = parsed.cell_range
+    elif sheet_name:
+        parsed = A1Range.parse(sheet_name)
+        if parsed.sheet is not None and parsed.cell_range is not None:
+            sheet_name = parsed.sheet
+            if cell_range is None:
+                cell_range = parsed.cell_range
+        elif parsed.sheet is not None:
+            sheet_name = parsed.sheet
+
+    if cell_range is None:
+        cell_range = extract_sheet_range(url)
+
+    if sheet_name is None:
+        gid = extract_sheet_id(url)
+        if gid is not None:
+            sheet_name = client.spreadsheet(spreadsheet_id).sheet_by_id(gid).title
+        elif need_sheet:
+            sheet_name = (
+                client.spreadsheet(spreadsheet_id).sheet_by_index(0).title
+            )
+    else:
+        # Validate existence like the reference (SheetNotFoundException).
+        client.spreadsheet(spreadsheet_id).sheet_by_name(sheet_name)
+    return ResolvedTarget(spreadsheet_id, sheet_name, cell_range)
+
+
+class GSheetsDataSource(DataSource):
+    """format("gsheets"): read and write Google Sheets as tables."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gsheets"
+
+    def __init__(self, options):
+        super().__init__(options)
+        self._cached: tuple[SheetSchema, list[tuple]] | None = None
+
+    def _fetch(self) -> tuple[SheetSchema, list[tuple]]:
+        """Bind: resolve target, fetch whole range once, infer schema."""
+        if self._cached is not None:
+            return self._cached
+        options = dict(self.options)
+        client = _build_client(options)
+        target = _resolve_target(options, client, need_sheet=True)
+        header = _truthy(options.get("header"), True)
+        all_varchar = _truthy(options.get("all_varchar"), False)
+        a1 = target.a1()
+        grid = client.values(target.spreadsheet_id).get(a1)
+        schema = infer_schema(
+            grid.values, header=header, all_varchar=all_varchar, range_label=a1
+        )
+        rows = cast_rows(grid.values, schema, header=header)
+        self._cached = (schema, rows)
+        return self._cached
+
+    def schema(self) -> StructType:
+        sheet_schema, _ = self._fetch()
+        return sheet_schema.to_struct_type()
+
+    def reader(self, schema: StructType) -> "GSheetsReader":
+        _, rows = self._fetch()
+        return GSheetsReader(rows)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "GSheetsWriter":
+        return GSheetsWriter(dict(self.options), schema, overwrite)
+
+
+@dataclass
+class RowBlock(InputPartition):
+    start: int
+    end: int
+
+
+class GSheetsReader(DataSourceReader):
+    """Serve the bind-time-materialized grid in row blocks.
+
+    The reference pages the same cached grid in 2048-row chunks on one
+    thread (src/gsheets_read.cpp:31-84); here each block is an input
+    partition, so downstream stages parallelize.
+    """
+
+    def __init__(self, rows: list[tuple]):
+        self._rows = rows
+
+    def partitions(self) -> Sequence[RowBlock]:
+        n = len(self._rows)
+        if n == 0:
+            return [RowBlock(0, 0)]
+        return [
+            RowBlock(start, min(start + BATCH_ROWS, n))
+            for start in range(0, n, BATCH_ROWS)
+        ]
+
+    def read(self, partition: RowBlock) -> Iterator[tuple]:
+        yield from self._rows[partition.start : partition.end]
+
+
+@dataclass
+class AppendResult(WriterCommitMessage):
+    rows_written: int
+    batches: int
+
+
+def _stringify(value) -> str:
+    """Cell serialization for USER_ENTERED writes (reference
+    Value::ToString, src/gsheets_copy.cpp:163-175): NULL → ''."""
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+class GSheetsWriter(DataSourceWriter):
+    """COPY TO parity: mode matrix from gsheets_copy.cpp:39-52.
+
+    | overwrite_sheet | overwrite_range | effect                      |
+    |-----------------|-----------------|-----------------------------|
+    | true (default)  | false           | clear whole sheet, append   |
+    | false           | true            | clear only target range     |
+    | false           | false           | pure append below existing  |
+
+    header defaults to (overwrite_sheet or overwrite_range);
+    create_if_not_exists requires an explicit sheet name. Driver-side
+    setup runs once in __init__ (the reference's global init); the
+    pickled writer carries only what executors need for appends.
+    """
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self._options = options
+        self._schema = schema
+        overwrite_range_default = options.get("range") is not None and _truthy(
+            options.get("overwrite_range"), False
+        )
+        self.overwrite_sheet = _truthy(
+            options.get("overwrite_sheet"), overwrite and not overwrite_range_default
+        )
+        self.overwrite_range = _truthy(options.get("overwrite_range"), False)
+        if self.overwrite_range:
+            self.overwrite_sheet = _truthy(options.get("overwrite_sheet"), False)
+        self.create_if_not_exists = _truthy(
+            options.get("create_if_not_exists"), False
+        )
+        self.header = _truthy(
+            options.get("header"), self.overwrite_sheet or self.overwrite_range
+        )
+        if self.create_if_not_exists and not options.get("sheet"):
+            raise SheetsError(
+                "create_if_not_exists requires an explicit 'sheet' option"
+            )
+        self._setup()
+
+    def _setup(self) -> None:
+        """Resolve sheet, optionally create, clear, write header once."""
+        options = dict(self._options)
+        client = _build_client(options)
+        url = options.get("path") or options.get("url") or ""
+        spreadsheet_id = extract_spreadsheet_id(url)
+        sheet_opt = options.get("sheet")
+        target_range = options.get("range") or extract_sheet_range(url)
+
+        sheet_name: str | None = None
+        if sheet_opt:
+            parsed = A1Range.parse(sheet_opt)
+            sheet_name = parsed.sheet if parsed.sheet is not None else sheet_opt
+            if parsed.cell_range and not target_range:
+                target_range = parsed.cell_range
+            try:
+                client.spreadsheet(spreadsheet_id).sheet_by_name(sheet_name)
+            except SheetsError:
+                if self.create_if_not_exists:
+                    client.spreadsheet(spreadsheet_id).create_sheet(sheet_name)
+                else:
+                    raise
+        else:
+            gid = extract_sheet_id(url)
+            sheet = (
+                client.spreadsheet(spreadsheet_id).sheet_by_id(gid)
+                if gid is not None
+                else client.spreadsheet(spreadsheet_id).sheet_by_index(0)
+            )
+            sheet_name = sheet.title
+
+        values = client.values(spreadsheet_id)
+        full_sheet_a1 = A1Range(sheet_name, None).to_string()
+        # Range clear beats sheet clear (src/gsheets_copy.cpp:98-104).
+        if self.overwrite_range and target_range:
+            values.clear(A1Range(sheet_name, target_range).to_string())
+        elif self.overwrite_sheet:
+            values.clear(full_sheet_a1)
+
+        self._append_a1 = (
+            A1Range(sheet_name, target_range).to_string()
+            if target_range
+            else full_sheet_a1
+        )
+        self._anchored = bool(target_range)
+        self._spreadsheet_id = spreadsheet_id
+        self._api_base = client.base_url
+        if self.header:
+            header_row = [[f.name for f in self._schema.fields]]
+            if self._anchored:
+                values.update(self._append_a1, header_row)
+            else:
+                values.append(self._append_a1, header_row)
+
+    def write(self, iterator: Iterator) -> AppendResult:
+        """Executor side: batch rows, one append per 2048 rows."""
+        options = dict(self._options)
+        client = _build_client(options)
+        values = client.values(self._spreadsheet_id)
+        batch: list[list[str]] = []
+        rows_written = 0
+        batches = 0
+        for row in iterator:
+            batch.append([_stringify(v) for v in row])
+            if len(batch) >= BATCH_ROWS:
+                values.append(self._append_a1, batch)
+                rows_written += len(batch)
+                batches += 1
+                batch = []
+        if batch:
+            values.append(self._append_a1, batch)
+            rows_written += len(batch)
+            batches += 1
+        return AppendResult(rows_written, batches)
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:
+        # Appends are not transactional (reference has no retry/abort
+        # either — transport errors surface as-is).
+        return None

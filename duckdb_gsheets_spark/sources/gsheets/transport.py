@@ -1,0 +1,94 @@
+"""HTTP transport layer: protocol + requests-backed + mock.
+
+Mirrors the reference's split (src/include/sheets/transport/
+http_client.hpp, src/sheets/transport/httplib_client.cpp:12-83,
+mock_http_client.cpp:7-21): a tiny request/response model, a real
+client honoring proxy config, and a scriptable mock that records
+requests for unit tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class HttpRequest:
+    method: str
+    url: str
+    headers: dict[str, str] = field(default_factory=dict)
+    body: str | None = None
+
+
+@dataclass
+class HttpResponse:
+    status: int
+    body: str
+    headers: dict[str, str] = field(default_factory=dict)
+
+
+class Transport:
+    """Protocol: execute one HTTP request."""
+
+    def execute(self, request: HttpRequest) -> HttpResponse:
+        raise NotImplementedError
+
+    # Convenience verbs (reference: http_client.cpp:7-31).
+    def get(self, url: str, headers: dict[str, str] | None = None) -> HttpResponse:
+        return self.execute(HttpRequest("GET", url, headers or {}))
+
+    def post(
+        self, url: str, body: str, headers: dict[str, str] | None = None
+    ) -> HttpResponse:
+        return self.execute(HttpRequest("POST", url, headers or {}, body))
+
+    def put(
+        self, url: str, body: str, headers: dict[str, str] | None = None
+    ) -> HttpResponse:
+        return self.execute(HttpRequest("PUT", url, headers or {}, body))
+
+
+class RequestsTransport(Transport):
+    """requests-backed transport with optional proxy configuration.
+
+    Proxy resolution order mirrors the reference's settings fallback
+    (src/utils/proxy.cpp:17-95): explicit argument, else the standard
+    HTTPS_PROXY/HTTP_PROXY environment handled by requests itself.
+    """
+
+    def __init__(self, proxy: str | None = None, timeout: float = 30.0):
+        import requests
+
+        self._session = requests.Session()
+        self._timeout = timeout
+        if proxy:
+            self._session.proxies = {"http": proxy, "https": proxy}
+
+    def execute(self, request: HttpRequest) -> HttpResponse:
+        resp = self._session.request(
+            request.method,
+            request.url,
+            headers=request.headers,
+            data=request.body,
+            timeout=self._timeout,
+        )
+        return HttpResponse(resp.status_code, resp.text, dict(resp.headers))
+
+
+class MockTransport(Transport):
+    """Queue of canned responses + a log of every request executed."""
+
+    def __init__(self) -> None:
+        self.responses: list[HttpResponse] = []
+        self.requests: list[HttpRequest] = []
+
+    def add_response(
+        self, status: int, body: str, headers: dict[str, str] | None = None
+    ) -> None:
+        self.responses.append(HttpResponse(status, body, headers or {}))
+
+    def execute(self, request: HttpRequest) -> HttpResponse:
+        self.requests.append(request)
+        if not self.responses:
+            raise AssertionError(f"MockTransport: no response queued for {request}")
+        return self.responses.pop(0)

@@ -1,0 +1,130 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming surface (SURVEY §2.2); this is the
+beyond-reference layer expressed idiomatically: ``readStream`` →
+watermark → windowed/stateful transforms → sink. Each op has a batch
+twin in ``operators.events`` so results are verifiable: run the stream
+with an ``availableNow`` trigger into a memory sink and compare.
+
+Watermarks need TIMESTAMP (not NTZ); the fixed-UTC session makes the
+cast exact. At scale these run unchanged against a Kafka/file stream —
+nothing here depends on the file source.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from duckdb_gsheets_spark.plans.catalog import load_table
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (schema from the static
+    read; nanos→micros normalization matches plans.catalog)."""
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The file stream source requires a directory; expose the single
+    # test parquet through a symlinked temp dir (no testdata writes).
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(static.schema)
+        .format("parquet")
+        .load(stream_dir)
+    )
+    for field in static.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def hourly_windowed_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows with a 2-hour watermark: the streaming
+    twin of operators.events.events_hourly_agg."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("string").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def deduped_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark — the
+    streaming twin of dropDuplicates (late replays are dropped)."""
+    return events.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+
+
+def run_to_memory(
+    stream_df: DataFrame, timeout_s: float = 120.0
+) -> DataFrame:
+    """Execute a streaming plan over all available input (availableNow
+    trigger) into a memory sink; return the sink as a DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming and _has_agg(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.2)
+    query.awaitTermination(5)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: stream events → windowed agg → collected result.
+
+    Batch-verifiable: equals events_hourly_agg's counts (the stream
+    processes the same finite input exactly once).
+    """
+    return run_to_memory(hourly_windowed_agg(read_events_stream(spark, sf_dir)))
+
+
+def streaming_dedupe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming dedup → distinct event count."""
+    out = run_to_memory(deduped_stream(read_events_stream(spark, sf_dir)))
+    return out.agg(F.countDistinct("event_id").alias("n_distinct_events"))
+
+
+def batch_equivalent_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch plan the streaming result must match."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )

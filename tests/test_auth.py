@@ -1,0 +1,134 @@
+"""Auth providers — pytest port of test/unit/sheets/auth/test_auth.cpp:
+bearer header, JWT structure, token exchange, caching, error paths."""
+
+import base64
+import json
+
+import pytest
+
+from duckdb_gsheets_spark.sources.gsheets.auth import (
+    BearerTokenAuth,
+    ServiceAccountAuth,
+    auth_from_options,
+    base64url_encode,
+    normalize_pem_key,
+)
+from duckdb_gsheets_spark.sources.gsheets.errors import SheetsApiError, SheetsParseError
+from duckdb_gsheets_spark.sources.gsheets.transport import MockTransport
+
+
+@pytest.fixture(scope="module")
+def rsa_key_pem() -> str:
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    return key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    ).decode()
+
+
+def _b64url_decode(part: str) -> bytes:
+    return base64.urlsafe_b64decode(part + "=" * (-len(part) % 4))
+
+
+def test_bearer_header():
+    assert BearerTokenAuth("tok123").authorization_header() == "Bearer tok123"
+
+
+def test_base64url_vectors():
+    # Canonical JWT header vector (reference: test_encoding.cpp).
+    assert (
+        base64url_encode('{"alg":"RS256","typ":"JWT"}')
+        == "eyJhbGciOiJSUzI1NiIsInR5cCI6IkpXVCJ9"
+    )
+    # No padding, URL-safe alphabet.
+    encoded = base64url_encode(bytes(range(256)))
+    assert "=" not in encoded and "+" not in encoded and "/" not in encoded
+
+
+def test_normalize_pem():
+    assert normalize_pem_key("a\\nb") == "a\nb"
+
+
+def test_jwt_structure(rsa_key_pem):
+    auth = ServiceAccountAuth("svc@example.iam", rsa_key_pem, MockTransport())
+    jwt = auth.create_jwt(now=1700000000)
+    parts = jwt.split(".")
+    assert len(parts) == 3
+    header = json.loads(_b64url_decode(parts[0]))
+    assert header == {"alg": "RS256", "typ": "JWT"}
+    claims = json.loads(_b64url_decode(parts[1]))
+    assert claims["iss"] == "svc@example.iam"
+    assert claims["scope"] == "https://www.googleapis.com/auth/spreadsheets"
+    assert claims["aud"] == "https://oauth2.googleapis.com/token"
+    assert claims["exp"] == claims["iat"] + 1800
+
+
+def test_token_exchange_and_caching(rsa_key_pem):
+    transport = MockTransport()
+    transport.add_response(200, json.dumps({"access_token": "t1", "expires_in": 3600}))
+    auth = ServiceAccountAuth("svc@example.iam", rsa_key_pem, transport)
+    assert auth.authorization_header() == "Bearer t1"
+    # Second call: cached, no new HTTP request.
+    assert auth.authorization_header() == "Bearer t1"
+    assert len(transport.requests) == 1
+    req = transport.requests[0]
+    assert req.method == "POST"
+    assert req.url == "https://oauth2.googleapis.com/token"
+    assert "grant_type=urn%3Aietf%3Aparams%3Aoauth%3Agrant-type%3Ajwt-bearer" in req.body
+    assert req.headers["Content-Type"] == "application/x-www-form-urlencoded"
+
+
+def test_exchange_401(rsa_key_pem):
+    transport = MockTransport()
+    transport.add_response(401, '{"error": "unauthorized_client"}')
+    auth = ServiceAccountAuth("svc@example.iam", rsa_key_pem, transport)
+    with pytest.raises(SheetsApiError) as exc:
+        auth.authorization_header()
+    assert exc.value.status == 401
+
+
+def test_exchange_missing_token(rsa_key_pem):
+    transport = MockTransport()
+    transport.add_response(200, "{}")
+    auth = ServiceAccountAuth("svc@example.iam", rsa_key_pem, transport)
+    with pytest.raises(SheetsParseError):
+        auth.authorization_header()
+
+
+def test_exchange_bad_json(rsa_key_pem):
+    transport = MockTransport()
+    transport.add_response(200, "not-json{")
+    auth = ServiceAccountAuth("svc@example.iam", rsa_key_pem, transport)
+    with pytest.raises(SheetsParseError):
+        auth.authorization_header()
+
+
+def test_auth_from_options_token():
+    auth = auth_from_options({"token": "abc"}, MockTransport())
+    assert isinstance(auth, BearerTokenAuth)
+
+
+def test_auth_from_options_key_file(tmp_path, rsa_key_pem):
+    key_file = tmp_path / "key.json"
+    key_file.write_text(
+        json.dumps({"client_email": "svc@x.iam", "private_key": rsa_key_pem})
+    )
+    auth = auth_from_options({"key_file": str(key_file)}, MockTransport())
+    assert isinstance(auth, ServiceAccountAuth)
+
+
+def test_auth_from_env(monkeypatch):
+    monkeypatch.setenv("GSHEETS_TOKEN", "envtok")
+    auth = auth_from_options({}, MockTransport())
+    assert isinstance(auth, BearerTokenAuth)
+    assert auth.authorization_header() == "Bearer envtok"
+
+
+def test_auth_none(monkeypatch):
+    monkeypatch.delenv("GSHEETS_TOKEN", raising=False)
+    monkeypatch.delenv("GOOGLE_APPLICATION_CREDENTIALS", raising=False)
+    assert auth_from_options({}, MockTransport()) is None

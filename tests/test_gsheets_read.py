@@ -1,0 +1,164 @@
+"""End-to-end reads through spark.read.format("gsheets") against the
+fake Sheets server — mirrors test/sql/read_gsheet.test case by case."""
+
+import pytest
+
+from duckdb_gsheets_spark.sources.gsheets import read_gsheet
+from duckdb_gsheets_spark.sources.gsheets.api import register
+
+
+def url_for(sid: str) -> str:
+    return f"https://docs.google.com/spreadsheets/d/{sid}/edit"
+
+
+def opts(server):
+    return {"token": "test-token", "api_base": server.base_url}
+
+
+def test_basic_read_with_types(spark, sheets_server, people_sheet):
+    sid, _ = people_sheet
+    df = read_gsheet(spark, sid, **opts(sheets_server))
+    assert [f.name for f in df.schema.fields] == ["name", "age", "city"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string",
+        "double",
+        "string",
+    ]
+    rows = df.collect()
+    assert len(rows) == 6
+    assert rows[0].asDict() == {"name": "Alice", "age": 30.0, "city": "Toronto"}
+    # issue-47 ragged row and fully blank row → NULL padding
+    assert rows[3].asDict() == {"name": "Drake", "age": None, "city": None}
+    assert rows[4].asDict() == {"name": None, "age": None, "city": None}
+    assert rows[5].asDict() == {"name": "Archie", "age": 99.0, "city": None}
+
+
+def test_read_by_full_url(spark, sheets_server, people_sheet):
+    sid, _ = people_sheet
+    df = read_gsheet(spark, url_for(sid), **opts(sheets_server))
+    assert df.count() == 6
+
+
+def test_catalyst_filter_over_scan(spark, sheets_server, people_sheet):
+    """The SURVEY §7 'minimum end-to-end slice': Catalyst supplies
+    filter+projection above the connector scan."""
+    sid, _ = people_sheet
+    df = read_gsheet(spark, sid, **opts(sheets_server))
+    names = [r.name for r in df.filter(df.age > 28).select("name").collect()]
+    assert sorted(names) == ["Alice", "Archie", "Charlie"]
+
+
+def test_header_false(spark, sheets_server, people_sheet):
+    sid, _ = people_sheet
+    df = read_gsheet(spark, sid, header=False, **opts(sheets_server))
+    assert [f.name for f in df.schema.fields] == ["column1", "column2", "column3"]
+    assert df.count() == 7  # header row becomes data
+
+
+def test_all_varchar(spark, sheets_server, people_sheet):
+    sid, _ = people_sheet
+    df = read_gsheet(spark, sid, all_varchar=True, **opts(sheets_server))
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 3
+    assert df.collect()[0].age == "30"
+
+
+def test_range_read(spark, sheets_server, people_sheet):
+    """read_gsheet.test:63-131 range reads: A2:B7 (no header row)."""
+    sid, _ = people_sheet
+    df = read_gsheet(
+        spark, sid, range="A2:B7", header=False, **opts(sheets_server)
+    )
+    assert [f.name for f in df.schema.fields] == ["column1", "column2"]
+    assert df.count() == 6
+
+
+def test_single_cell_read(spark, sheets_server, people_sheet):
+    sid, _ = people_sheet
+    df = read_gsheet(spark, sid, range="A2", header=False, **opts(sheets_server))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].column1 == "Alice"
+
+
+def test_sheet_by_name_and_embedded_range(spark, sheets_server):
+    sid = "multi-tab"
+    store = sheets_server.new_spreadsheet(sid)
+    store.add_sheet("Sheet1", [["x"], ["1"]])
+    store.add_sheet("Data", [["a", "b"], ["1", "2"], ["3", "4"]])
+    df = read_gsheet(spark, sid, sheet="Data", **opts(sheets_server))
+    assert df.count() == 2
+    # A1 embedded in the sheet param (src/gsheets_read.cpp:127-157).
+    df2 = read_gsheet(
+        spark, sid, sheet="Data!A1:B2", **opts(sheets_server)
+    )
+    assert df2.count() == 1
+
+
+def test_sheet_by_gid_in_url(spark, sheets_server):
+    sid = "gid-select"
+    store = sheets_server.new_spreadsheet(sid)
+    store.add_sheet("Sheet1", [["x"], ["1"]])
+    second = store.add_sheet("Second", [["y"], ["2"], ["3"]])
+    url = f"https://docs.google.com/spreadsheets/d/{sid}/edit?gid={second['sheetId']}"
+    df = read_gsheet(spark, url, **opts(sheets_server))
+    assert [f.name for f in df.schema.fields] == ["y"]
+    assert df.count() == 2
+
+
+def test_range_param_in_url(spark, sheets_server, people_sheet):
+    sid, _ = people_sheet
+    url = f"https://docs.google.com/spreadsheets/d/{sid}/edit?range=B1%3AC7"
+    df = read_gsheet(spark, url, **opts(sheets_server))
+    assert [f.name for f in df.schema.fields] == ["age", "city"]
+
+
+def test_missing_sheet_raises(spark, sheets_server, people_sheet):
+    sid, _ = people_sheet
+    with pytest.raises(Exception, match="[Nn]ot found"):
+        read_gsheet(spark, sid, sheet="DoesNotExist", **opts(sheets_server))
+
+
+def test_header_only_sheet(spark, sheets_server):
+    """read_gsheet.test:176-178: header-only → 0 rows, VARCHAR schema."""
+    sid = "header-only"
+    store = sheets_server.new_spreadsheet(sid)
+    store.add_sheet("Sheet1", [["id", "name"]])
+    df = read_gsheet(spark, sid, **opts(sheets_server))
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
+    assert df.count() == 0
+
+
+def test_empty_sheet_raises(spark, sheets_server):
+    """read_gsheet.test:181-184: empty sheet → 'Range ... is empty'."""
+    sid = "empty-sheet"
+    store = sheets_server.new_spreadsheet(sid)
+    store.add_sheet("Sheet1", [])
+    with pytest.raises(Exception, match="is empty"):
+        read_gsheet(spark, sid, **opts(sheets_server))
+
+
+def test_no_credentials_raises(spark, sheets_server, people_sheet, monkeypatch):
+    monkeypatch.delenv("GSHEETS_TOKEN", raising=False)
+    monkeypatch.delenv("GOOGLE_APPLICATION_CREDENTIALS", raising=False)
+    sid, _ = people_sheet
+    register(spark)
+    with pytest.raises(Exception, match="credentials"):
+        spark.read.format("gsheets").option(
+            "api_base", sheets_server.base_url
+        ).load(sid).collect()
+
+
+def test_http_call_count_matches_reference(spark, sheets_server):
+    """BASELINE.md connector micro-contract: 1 values GET + ≤1 metadata
+    GET per read (src/gsheets_read.cpp:153,165,169,187)."""
+    sid = "call-count"
+    store = sheets_server.new_spreadsheet(sid)
+    store.add_sheet("Sheet1", [["a"], ["1"], ["2"]])
+    sheets_server.request_log.clear()
+    df = read_gsheet(spark, sid, **opts(sheets_server))
+    df.collect()
+    gets = [p for m, p in sheets_server.request_log if m == "GET"]
+    values_gets = [p for p in gets if "/values/" in p]
+    meta_gets = [p for p in gets if "/values/" not in p]
+    assert len(values_gets) == 1
+    assert len(meta_gets) <= 1

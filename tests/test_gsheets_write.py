@@ -1,0 +1,186 @@
+"""End-to-end writes through df.write.format("gsheets") against the
+fake server — mirrors test/sql/copy_to*.test including the
+overwrite/append matrix and the header-once multi-batch invariant."""
+
+import pytest
+
+from duckdb_gsheets_spark.sources.gsheets import read_gsheet, write_gsheet
+
+
+def opts(server):
+    return {"token": "test-token", "api_base": server.base_url}
+
+
+@pytest.fixture()
+def spreadsheets_df(spark):
+    """FIXTURES.md F9 write round-trip table."""
+    return spark.createDataFrame(
+        [
+            ("Microsoft", "Excel", 1985),
+            ("Google", "Google Sheets", 2006),
+            ("Apple", "Numbers", 1984),
+            ("LibreOffice", "Calc", 2000),
+        ],
+        ["company", "product", "year_founded"],
+    )
+
+
+def _fresh(sheets_server, name: str):
+    store = sheets_server.new_spreadsheet(name)
+    store.add_sheet("Sheet1", [])
+    return name, store
+
+
+def test_write_and_readback(spark, sheets_server, spreadsheets_df):
+    sid, store = _fresh(sheets_server, "write-basic")
+    write_gsheet(spreadsheets_df.coalesce(1), sid, **opts(sheets_server))
+    grid = store.grids["Sheet1"]
+    assert grid[0] == ["company", "product", "year_founded"]
+    assert len(grid) == 5
+    # Readback collapses year to DOUBLE (types.test semantics).
+    df = read_gsheet(spark, sid, **opts(sheets_server))
+    row = {r.company: r.year_founded for r in df.collect()}
+    assert row["Microsoft"] == 1985.0
+
+
+def test_overwrite_sheet_wipes_previous(spark, sheets_server, spreadsheets_df):
+    sid, store = _fresh(sheets_server, "write-overwrite")
+    store.grids["Sheet1"] = [["old", "junk"], ["1", "2"]]
+    write_gsheet(spreadsheets_df.coalesce(1), sid, **opts(sheets_server))
+    grid = store.grids["Sheet1"]
+    assert grid[0] == ["company", "product", "year_founded"]
+    assert not any("old" in row for row in grid)
+
+
+def test_append_mode_no_header(spark, sheets_server, spreadsheets_df):
+    """overwrite_sheet=false, overwrite_range=false → pure append,
+    header defaults false (copy_to_range_flags.test / docs 158-167)."""
+    sid, store = _fresh(sheets_server, "write-append")
+    write_gsheet(spreadsheets_df.coalesce(1), sid, **opts(sheets_server))
+    n_before = len(store.grids["Sheet1"])
+    write_gsheet(
+        spreadsheets_df.coalesce(1),
+        sid,
+        mode="append",
+        **opts(sheets_server),
+    )
+    grid = store.grids["Sheet1"]
+    assert len(grid) == n_before + 4  # no second header
+    assert sum(1 for row in grid if row and row[0] == "company") == 1
+
+
+def test_overwrite_range_preserves_outside_cells(spark, sheets_server, spreadsheets_df):
+    """F12 overwrite_canvas: ranged overwrite must not disturb
+    sentinels outside the range (copy_to_range_flags.test:59-69)."""
+    sid, store = _fresh(sheets_server, "write-range")
+    grid = [[""] * 10 for _ in range(20)]
+    grid[1][0] = "leave this cell alone"
+    grid[13][7] = "More leaving alone"
+    store.grids["Sheet1"] = grid
+    write_gsheet(
+        spreadsheets_df.coalesce(1),
+        sid,
+        range="C6:E10",
+        overwrite_range=True,
+        **opts(sheets_server),
+    )
+    g = store.grids["Sheet1"]
+    assert g[1][0] == "leave this cell alone"
+    assert g[13][7] == "More leaving alone"
+    assert g[5][2] == "company"  # header at anchor C6
+    assert g[6][2] == "Microsoft"
+
+
+def test_ranged_write_single_anchor(spark, sheets_server, spreadsheets_df):
+    """copy_to.test: single-cell anchor C6 places the table there."""
+    sid, store = _fresh(sheets_server, "write-anchor")
+    write_gsheet(
+        spreadsheets_df.coalesce(1),
+        sid,
+        range="C6",
+        overwrite_range=True,
+        **opts(sheets_server),
+    )
+    g = store.grids["Sheet1"]
+    assert g[5][2] == "company"
+    assert g[6][2] == "Microsoft"
+
+
+def test_header_once_across_batches(spark, sheets_server):
+    """copy_multiple_vectors.test: 10,000 rows → ⌈n/2048⌉ appends but
+    exactly one header row; all rows round-trip."""
+    sid, store = _fresh(sheets_server, "write-10k")
+    df = spark.range(10000).selectExpr("CAST(id AS INT) AS i").coalesce(1)
+    sheets_server.request_log.clear()
+    write_gsheet(df, sid, **opts(sheets_server))
+    grid = store.grids["Sheet1"]
+    assert grid[0] == ["i"]
+    assert len(grid) == 10001
+    assert sum(1 for row in grid if row == ["i"]) == 1
+    appends = [p for m, p in sheets_server.request_log if p.endswith(":append")]
+    # 1 header append + ceil(10000/2048)=5 data appends
+    assert len(appends) == 6
+    # Order preserved end-to-end (single partition).
+    assert [row[0] for row in grid[1:6]] == ["0", "1", "2", "3", "4"]
+    readback = read_gsheet(spark, sid, **opts(sheets_server))
+    assert readback.count() == 10000
+
+
+def test_create_if_not_exists(spark, sheets_server, spreadsheets_df):
+    sid, store = _fresh(sheets_server, "write-create")
+    write_gsheet(
+        spreadsheets_df.coalesce(1),
+        sid,
+        sheet="Fresh",
+        create_if_not_exists=True,
+        **opts(sheets_server),
+    )
+    assert "Fresh" in store.grids
+    assert store.grids["Fresh"][0] == ["company", "product", "year_founded"]
+
+
+def test_create_if_not_exists_requires_sheet(spark, sheets_server, spreadsheets_df):
+    sid, _ = _fresh(sheets_server, "write-create-noname")
+    with pytest.raises(Exception, match="requires an explicit 'sheet'"):
+        write_gsheet(
+            spreadsheets_df.coalesce(1),
+            sid,
+            create_if_not_exists=True,
+            **opts(sheets_server),
+        )
+
+
+def test_missing_sheet_without_create_raises(spark, sheets_server, spreadsheets_df):
+    sid, _ = _fresh(sheets_server, "write-missing-sheet")
+    with pytest.raises(Exception, match="[Nn]ot found"):
+        write_gsheet(
+            spreadsheets_df.coalesce(1),
+            sid,
+            sheet="Nope",
+            **opts(sheets_server),
+        )
+
+
+def test_param_beats_url_gid(spark, sheets_server, spreadsheets_df):
+    """copy_to_range_flags.test:115-149: explicit sheet option beats
+    the URL's gid."""
+    sid = "write-precedence"
+    store = sheets_server.new_spreadsheet(sid)
+    store.add_sheet("Sheet1", [])
+    second = store.add_sheet("Second", [])
+    url = f"https://docs.google.com/spreadsheets/d/{sid}/edit?gid={second['sheetId']}"
+    write_gsheet(
+        spreadsheets_df.coalesce(1), url, sheet="Sheet1", **opts(sheets_server)
+    )
+    assert store.grids["Sheet1"]
+    assert not store.grids["Second"]
+
+
+def test_null_cells_written_empty(spark, sheets_server):
+    """NULL → '' on write (src/gsheets_copy.cpp:163-175)."""
+    sid, store = _fresh(sheets_server, "write-nulls")
+    df = spark.createDataFrame([("a", None), (None, 2.5)], ["x", "y"])
+    write_gsheet(df.coalesce(1), sid, **opts(sheets_server))
+    grid = store.grids["Sheet1"]
+    assert ["a", ""] in grid
+    assert ["", "2.5"] in grid

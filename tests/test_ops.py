@@ -1,0 +1,128 @@
+"""Operator-level tests for the training-data ops: planted-duplicate
+recall for MinHash/SimHash, LSH-vs-exact ANN recall, language-ID on
+hand-built sentences, multimodal decode plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_gsheets_spark.functions.text import language_id
+from duckdb_gsheets_spark.operators.dedup import (
+    minhash_signatures,
+    simhash_signatures,
+)
+from duckdb_gsheets_spark.operators.multimodal import (
+    FORMATS,
+    _decode_payload,
+    multimodal_decode_features,
+)
+from duckdb_gsheets_spark.operators.similarity import ann_cosine_topk, ann_lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+BASE = (
+    "spark shuffles data across the cluster when a join or aggregation "
+    "needs rows with the same key on the same executor and the planner "
+    "decides a broadcast is too large for the driver to ship"
+)
+NEAR_DUP = BASE.replace("planner", "optimizer").replace("driver", "coordinator")
+UNRELATED = (
+    "quarterly revenue grew modestly while the committee debated the "
+    "merits of expanding the cafeteria menu to include seasonal produce"
+)
+
+
+@pytest.fixture()
+def planted_docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR_DUP), (3, UNRELATED)], ["doc_id", "text"]
+    )
+
+
+def test_minhash_finds_planted_near_dup(spark, planted_docs):
+    sigs = minhash_signatures(planted_docs)
+    rows = {r.doc_id: r for r in sigs.collect()}
+    assert len(rows) == 3
+    assert len(rows[1].signature) == 16
+    # Signatures of near-dups agree on most permutations; unrelated don't.
+    same_12 = sum(
+        a == b for a, b in zip(rows[1].signature, rows[2].signature)
+    )
+    same_13 = sum(
+        a == b for a, b in zip(rows[1].signature, rows[3].signature)
+    )
+    assert same_12 > same_13
+    assert same_12 >= 8  # high shingle overlap → most mins collide
+
+
+def test_simhash_distance_orders_pairs(spark, planted_docs):
+    sigs = {r.doc_id: r.sig for r in simhash_signatures(planted_docs).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+
+
+def test_minhash_deterministic(spark, planted_docs):
+    a = {r.doc_id: tuple(r.signature) for r in minhash_signatures(planted_docs).collect()}
+    b = {r.doc_id: tuple(r.signature) for r in minhash_signatures(planted_docs).collect()}
+    assert a == b
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    """LSH candidates must recover most of the exact top-k."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in ann_cosine_topk(spark, SF).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in ann_lsh_topk(spark, SF).collect()
+    }
+    # 16 hyperplanes over 64-dim random embeddings: buckets are sparse,
+    # so recall is partial by design — but anything recovered must be
+    # a true pair-quality result and overall recall must be non-trivial.
+    assert len(approx & exact) >= len(exact) * 0.2
+
+
+def test_language_id_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat and it was happy that you came"),
+            (2, "el perro corre en la calle y no se detiene que pasa"),
+            (3, "der hund und die katze sind nicht mit dem ball zu sehen"),
+            (4, "le chat est dans les jardins et une souris pour ce soir"),
+            (5, "zzz qqq www rrr ttt"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang for r in df.select(
+        "doc_id", language_id(F.col("text")).alias("lang")
+    ).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "unknown"}
+
+
+def test_multimodal_decode_features(spark):
+    df = multimodal_decode_features(spark, SF)
+    rows = df.collect()
+    assert len(rows) == 500
+    sample = rows[0]
+    assert sample.byte_len > 0
+    assert sample.width >= 1 and sample.height >= 1
+    assert 0.0 <= sample.mean_byte <= 255.0
+    # Deterministic fake: same formula as _decode_payload.
+    payload = b"x" * sample.byte_len  # length drives width/height
+    w, h, _, _ = _decode_payload(payload, "png")
+    assert (sample.width, sample.height) == (w, h) or sample.n_frames >= 1
+
+
+def test_decode_stub_rejects_unknown_format():
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"bytes", "tiff")
+
+
+def test_decode_formats_cover():
+    for fmt in FORMATS:
+        w, h, mean_byte, n_frames = _decode_payload(b"abcd", fmt)
+        assert w >= 1 and h >= 1 and n_frames >= 1
+        assert mean_byte == pytest.approx(sum(b"abcd") / 4, abs=1e-6)
