@@ -15,7 +15,13 @@ from pyspark.sql import functions as F
 from duckdb_gsheets_spark.operators.registry import QueryDef
 from duckdb_gsheets_spark.plans.catalog import load_table
 
-DEC = "decimal(18,2)"
+def _cents_sum_over(col, w):
+    """Deterministic windowed money sum: exact long-cents accumulation
+    (see operators.determinism), then one double division."""
+    return (
+        F.sum(F.round(F.col(col) * F.lit(100.0)).cast("long")).over(w).cast("double")
+        / F.lit(100.0)
+    )
 
 
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,16 +63,16 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.col("o_orderdate").cast("string").alias("o_orderdate"),
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+        _cents_sum_over("o_totalprice", w).alias("running_spend"),
     )
 
 
 WINDOW_RUNNING_ORACLE = """
 SELECT
   o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+  (CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0) AS running_spend
 FROM orders
 """
 
@@ -102,7 +108,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-4, Window.currentRow)
     )
-    moving_sum = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    moving_sum = _cents_sum_over("value", w)
     n = F.count(F.lit(1)).over(w)
     return events.select(
         "user_id",
@@ -114,7 +120,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_MOVAVG_ORACLE = """
 SELECT
   user_id, event_id,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg_value
+  (CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER w AS DOUBLE) / 100.0) / COUNT(*) OVER w AS moving_avg_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
@@ -142,7 +148,7 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-partition-total (whole-partition frame, no ordering)."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
-    total = F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+    total = _cents_sum_over("o_totalprice", w)
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -153,7 +159,7 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_SHARE_ORACLE = """
 SELECT o_custkey, o_orderkey, o_totalprice,
-       o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS share_of_customer
+       o_totalprice / (CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) OVER (PARTITION BY o_custkey) AS DOUBLE) / 100.0) AS share_of_customer
 FROM orders
 """
 
