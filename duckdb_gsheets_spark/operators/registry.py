@@ -8,9 +8,9 @@ DuckDB SQL the driver runs side-by-side as the correctness oracle.
 Determinism contract (this is what makes cross-engine value-hashing
 work — see operators/determinism.py):
 
-* Aggregates over doubles go through DECIMAL casts so the sum is exact
-  integer arithmetic in both engines, then cast back to double (a
-  single correctly-rounded conversion — bitwise identical).
+* Aggregates over doubles go through scaled-long casts so the sum is
+  exact integer arithmetic in both engines, then one correctly-rounded
+  conversion back to double (bitwise identical).
 * Per-row double expressions are written with the same operation order
   on both sides (IEEE 754 is deterministic given identical inputs).
 * Every LIMIT/top-k is preceded by a total order with a unique-key
@@ -46,11 +46,21 @@ def all_queries() -> dict[str, QueryDef]:
         relational,
         similarity,
         text,
+        tpch_extra,
         windows,
     )
 
     merged: dict[str, QueryDef] = {}
-    for module in (relational, windows, events, dedup, similarity, text, multimodal):
+    for module in (
+        relational,
+        tpch_extra,
+        windows,
+        events,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+    ):
         for qd in module.QUERIES:
             if qd.name in merged:
                 raise ValueError(f"duplicate query name {qd.name!r}")

@@ -1,0 +1,447 @@
+"""Extended TPC-H-style battery (SURVEY.md §2.2 'delegated to host').
+
+The driver's testdata is a slimmed TPC-H star schema (no partsupp, no
+l_shipmode/l_commitdate, no comment columns — see TESTDATA.md), so the
+classic queries whose predicates need those columns are adapted to the
+available ones while keeping their *operator shape* intact: the join
+graph, the agg structure, the subquery pattern, and the ordering
+semantics are what each query exercises.
+
+Scale notes follow relational.py: fixed-size dims broadcast, fact-fact
+joins shuffle on natural keys, every top-k has a unique-key tiebreak,
+money aggregates go through operators.determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_gsheets_spark.operators.determinism import (
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+)
+from duckdb_gsheets_spark.operators.registry import QueryDef
+from duckdb_gsheets_spark.plans.catalog import load_table
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two nation lookups on opposite sides of a
+    fact-fact join, nation-pair predicate, per-year revenue."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pair_pred = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair_pred)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(revenue, scale=4).alias("revenue"))
+    )
+
+
+Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {oracle_dsum('l_extendedprice * (1.0 - l_discount)', scale=4)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-share-of-total per year — the
+    supplier nation's revenue fraction among EUROPE-customer orders
+    for one part type."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n_cust = (
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    germany_volume = F.when(F.col("supp_nation") == "NATION_2", volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        lineitem.join(
+            part.where(F.col("p_type") == "ECONOMY"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                dsum(germany_volume, scale=4) / dsum(volume, scale=4)
+            ).alias("mkt_share"),
+            dsum(volume, scale=4).alias("total_volume"),
+        )
+    )
+
+
+Q8_ORACLE = f"""
+SELECT
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+  {oracle_dsum("CASE WHEN n2.n_name = 'NATION_2' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", scale=4)}
+    / {oracle_dsum('l_extendedprice * (1.0 - l_discount)', scale=4)} AS mkt_share,
+  {oracle_dsum('l_extendedprice * (1.0 - l_discount)', scale=4)} AS total_volume
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY'
+  AND c_nationkey IN (
+    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE')
+GROUP BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-(nation, year) profit over a part-name
+    substring filter (no partsupp in the testdata → profit is the
+    discounted revenue)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(
+            part.where(F.col("p_name").like("%red%")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit, scale=4).alias("sum_profit"))
+    )
+
+
+Q9_ORACLE = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       {oracle_dsum('l_extendedprice * (1.0 - l_discount)', scale=4)} AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+GROUP BY n_name, o_year
+"""
+
+
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-class conditional counts over a fact-fact
+    join (l_shipmode → l_linestatus; priority split kept verbatim)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: orders-per-customer histogram via left-outer join +
+    two-level aggregation (zeros included)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, with NOT IN exclusion (partsupp → the lineitem link)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    # Exclusion subquery: suppliers with below-zero balance (stands in
+    # for Q16's complaint-comment filter, same NOT-IN shape).
+    bad = supplier.where(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        lineitem.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            part.where(F.col("p_brand") != "Brand#45"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: avg-quantity-correlated subquery — revenue from
+    lineitems below 20% of their part's mean quantity, one brand."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(brand_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (davg("l_quantity") * F.lit(0.2)).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q17_ORACLE = f"""
+WITH li AS (
+  SELECT * FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+), thresholds AS (
+  SELECT l_partkey AS ap_key, ({oracle_davg('l_quantity')} * 0.2) AS qty_threshold
+  FROM li GROUP BY l_partkey
+)
+SELECT ({oracle_dsum('l_extendedprice')} / 7.0) AS avg_yearly,
+       COUNT(*) AS n_items
+FROM li JOIN thresholds ON l_partkey = ap_key
+WHERE l_quantity < qty_threshold
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs join predicate battery (brand × size ×
+    quantity windows)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20.0, 30.0)
+        )
+    )
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            dsum(revenue, scale=4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q19_ORACLE = f"""
+SELECT {oracle_dsum('l_extendedprice * (1.0 - l_discount)', scale=4)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
+
+def q22_global_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar (uncorrelated) subquery threshold +
+    anti join — high-balance customers with no recent orders, per
+    nation (every customer has *some* order in the testdata, so the
+    anti join is date-restricted to stay selective)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.where(F.col("o_orderdate") >= "2000-01-01 00:00:00")
+    threshold = (
+        customer.where(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        customer.crossJoin(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+Q22_ORACLE = f"""
+SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+       {oracle_dsum('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+  SELECT {oracle_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0.0
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+GROUP BY c_nationkey
+"""
+
+
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS — the explicit-set variant (rollup/cube
+    are in relational.py); sets = {(status, priority), (status), ()}."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+GROUPING_SETS_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct counts per event type, with the exact
+    count alongside. Sketch values are engine-specific → rows-only
+    check; the pytest suite bounds the relative error instead."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),
+    QueryDef("q8_market_share", q8_market_share, Q8_ORACLE, "TPC-H Q8 share-of-total"),
+    QueryDef("q9_product_profit", q9_product_profit, Q9_ORACLE, "TPC-H Q9 profit"),
+    QueryDef("q12_priority_class", q12_priority_class, Q12_ORACLE, "TPC-H Q12 cond counts"),
+    QueryDef("q13_customer_distribution", q13_customer_distribution, Q13_ORACLE, "TPC-H Q13 histogram"),
+    QueryDef("q16_supplier_relationship", q16_supplier_relationship, Q16_ORACLE, "TPC-H Q16 NOT IN"),
+    QueryDef("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_ORACLE, "TPC-H Q17 corr avg"),
+    QueryDef("q19_disjunctive_predicates", q19_disjunctive_predicates, Q19_ORACLE, "TPC-H Q19 OR-of-ANDs"),
+    QueryDef("q22_global_customers", q22_global_customers, Q22_ORACLE, "TPC-H Q22 anti+scalar"),
+    QueryDef("grouping_sets_sales", grouping_sets_sales, GROUPING_SETS_ORACLE, "GROUPING SETS"),
+    QueryDef("approx_count_distinct_users", approx_count_distinct_users, None, "HLL approx distinct"),
+]
