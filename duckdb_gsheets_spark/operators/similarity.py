@@ -262,9 +262,102 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF parameters: corpus is partitioned into NUM_CENTROIDS inverted
+#: lists; each query probes its IVF_NPROBE nearest lists.
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignment): a deterministic single-pass IVF index.
+
+    Centroids are the ``IVF_CENTROIDS`` vectors with an evenly-strided
+    deterministic vec_id sample (stable across partitionings — no
+    k-means iteration, no RNG). Every corpus vector is assigned to its
+    max-cosine centroid with ``max_by`` in one broadcast-join +
+    groupBy pass; the assignment column then acts as the inverted-list
+    id — at 100 TB you'd persist it as the table's partition key so a
+    probe reads only nprobe/nlists of the corpus.
+    """
+    strided = emb.where(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(
+        IVF_CENTROIDS
+    )
+    centroids = strided.select(
+        F.col("vec_id").alias("centroid_id"),
+        to_double(F.col("embedding")).alias("centroid"),
+    )
+    scored = (
+        emb.select("vec_id", to_double(F.col("embedding")).alias("emb"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "emb",
+            "centroid_id",
+            F.round(cosine(F.col("emb"), F.col("centroid")), 6).alias("c_sim"),
+        )
+    )
+    assignment = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("c_sim"), (-F.col("centroid_id")))
+        ).alias("list_id"),
+        F.first("emb").alias("emb"),
+    )
+    return centroids, assignment
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k: coarse-quantize the corpus into
+    inverted lists, probe each query's nprobe nearest lists, exact
+    cosine rerank inside the probed lists only.
+
+    The candidate join is a plain equi-join on ``list_id`` — the IVF
+    analogue of partition pruning: with lists persisted as partitions,
+    a 1000-executor run scans nprobe/nlists of the data per query
+    batch. Rows-only correctness; recall vs exact is pytest-bounded.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignment = ivf_assignments(emb)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("vec_a"), to_double(F.col("embedding")).alias("emb_a")
+    )
+    q_scored = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_a",
+            "emb_a",
+            "centroid_id",
+            F.round(cosine(F.col("emb_a"), F.col("centroid")), 6).alias("c_sim"),
+        )
+    )
+    wq = Window.partitionBy("vec_a").orderBy(F.desc("c_sim"), F.col("centroid_id"))
+    probes = (
+        q_scored.withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= IVF_NPROBE)
+        .select("vec_a", "emb_a", F.col("centroid_id").alias("list_id"))
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(assignment, "list_id")
+        .where(F.col("vec_a") != F.col("vec_id"))
+        .select(
+            "vec_a",
+            F.col("vec_id").alias("vec_b"),
+            F.round(cosine(F.col("emb_a"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.col("vec_b"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_K)
+        .select("vec_a", "vec_b", "cos_sim", "rank")
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QueryDef("embedding_neardup_pairs", embedding_neardup_pairs, NEARDUP_ORACLE, "cosine near-dup pairs"),
     QueryDef("embedding_stats", embedding_stats, EMBEDDING_STATS_ORACLE, "norm/dim stats"),
     QueryDef("ann_lsh_topk", ann_lsh_topk, None, "LSH-bucketed ANN top-k"),
+    QueryDef("ann_ivf_topk", ann_ivf_topk, None, "IVF-list ANN top-k"),
 ]

@@ -126,3 +126,33 @@ def test_decode_formats_cover():
         w, h, mean_byte, n_frames = _decode_payload(b"abcd", fmt)
         assert w >= 1 and h >= 1 and n_frames >= 1
         assert mean_byte == pytest.approx(sum(b"abcd") / 4, abs=1e-6)
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    """IVF probes must recover a solid fraction of the exact top-k."""
+    from duckdb_gsheets_spark.operators.similarity import ann_ivf_topk
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in ann_cosine_topk(spark, SF).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in ann_ivf_topk(spark, SF).collect()
+    }
+    # nprobe=4 of 16 lists scans ~25% of the corpus; on random
+    # embeddings the true neighbors concentrate in the probed lists,
+    # so recall should beat the scan fraction.
+    assert len(approx & exact) >= len(exact) * 0.3
+
+
+def test_ivf_assignment_covers_corpus(spark):
+    from duckdb_gsheets_spark.operators.similarity import ivf_assignments
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    centroids, assignment = ivf_assignments(emb)
+    n = emb.count()
+    assert assignment.count() == n  # every vector lands in exactly one list
+    lists = assignment.select("list_id").distinct().count()
+    assert 1 < lists <= 16
