@@ -172,6 +172,19 @@ def oracle_language_id(expr: str = "text") -> str:
       ELSE 'unknown' END"""
 
 
+def oracle_quality_score(expr: str = "text") -> str:
+    """DuckDB expression matching :func:`quality_score` term-for-term."""
+    toks = f"CAST(len({oracle_tokens(expr)}) AS DOUBLE)"
+    return f"""ROUND(
+    0.25 * LEAST(1.0, {toks} / 100.0)
+    + 0.25 * (1.0 - CAST(len(regexp_extract_all({expr}, '{PUNCT_PATTERN}')) AS DOUBLE)
+                    / CAST(LENGTH({expr}) AS DOUBLE))
+    + 0.25 * (CAST({oracle_stopword_hits_total('en', expr)} AS DOUBLE) / {toks})
+    + 0.25 * LEAST(1.0, (CAST(LENGTH(REGEXP_REPLACE({expr}, '\\s+', '', 'g')) AS DOUBLE)
+                         / {toks}) / 10.0)
+  , 6)"""
+
+
 def oracle_normalized(expr: str = "text") -> str:
     return f"TRIM(REGEXP_REPLACE(LOWER({expr}), '\\s+', ' ', 'g'))"
 

@@ -43,6 +43,7 @@ def all_queries() -> dict[str, QueryDef]:
         dedup,
         events,
         multimodal,
+        pipeline,
         relational,
         similarity,
         text,
@@ -60,6 +61,7 @@ def all_queries() -> dict[str, QueryDef]:
         similarity,
         text,
         multimodal,
+        pipeline,
     ):
         for qd in module.QUERIES:
             if qd.name in merged:

@@ -91,15 +91,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_QUALITY_ORACLE = f"""
 SELECT
   doc_id,
-  ROUND(
-    0.25 * LEAST(1.0, CAST(len({T.oracle_tokens()}) AS DOUBLE) / 100.0)
-    + 0.25 * (1.0 - CAST(len(regexp_extract_all(text, '{T.PUNCT_PATTERN}')) AS DOUBLE)
-                    / CAST(LENGTH(text) AS DOUBLE))
-    + 0.25 * (CAST({T.oracle_stopword_hits_total()} AS DOUBLE)
-              / CAST(len({T.oracle_tokens()}) AS DOUBLE))
-    + 0.25 * LEAST(1.0, (CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE)
-                         / CAST(len({T.oracle_tokens()}) AS DOUBLE)) / 10.0)
-  , 6) AS quality,
+  {T.oracle_quality_score()} AS quality,
   CAST({T.oracle_stopword_hits_total()} AS INTEGER) AS n_stopwords
 FROM documents
 """

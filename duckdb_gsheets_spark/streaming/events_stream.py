@@ -75,15 +75,23 @@ def deduped_stream(events: DataFrame) -> DataFrame:
 
 
 def run_to_memory(
-    stream_df: DataFrame, timeout_s: float = 120.0
+    stream_df: DataFrame, timeout_s: float = 120.0, output_mode: str | None = None
 ) -> DataFrame:
     """Execute a streaming plan over all available input (availableNow
-    trigger) into a memory sink; return the sink as a DataFrame."""
+    trigger) into a memory sink; return the sink as a DataFrame.
+
+    ``output_mode`` defaults to complete for aggregations and append
+    otherwise; stateful applys (update mode) must pass it explicitly.
+    """
     name = f"sink_{uuid.uuid4().hex[:8]}"
+    if output_mode is None:
+        output_mode = (
+            "complete" if stream_df.isStreaming and _has_agg(stream_df) else "append"
+        )
     query = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if stream_df.isStreaming and _has_agg(stream_df) else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -113,6 +121,106 @@ def streaming_dedupe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming dedup → distinct event count."""
     out = run_to_memory(deduped_stream(read_events_stream(spark, sf_dir)))
     return out.agg(F.countDistinct("event_id").alias("n_distinct_events"))
+
+
+#: 30-minute inactivity gap, in microseconds (operators.events twin).
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionized_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user gap sessionization via
+    ``applyInPandasWithState`` — the streaming twin of
+    operators.events.events_sessionize's per-user session counts.
+
+    State per user = (last event micros, open-session count): each
+    micro-batch's rows are sorted and folded into it, so sessions stay
+    correct across batch boundaries (an event in batch N+1 within the
+    gap of batch N's last event does NOT open a new session). Output
+    mode 'update': one refreshed (user_id, n_sessions, n_events) row
+    per user per batch. State is partitioned by user_id → scales to
+    any user count; per-user state is 2 longs.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_us", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    def fold_sessions(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = None, 0, 0
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values(["ts", "event_id"])
+        for us in (rows["ts"].astype("int64") // 1000).tolist():
+            if last_us is None or us - last_us > SESSION_GAP_US:
+                n_sessions += 1
+            last_us = us
+            n_events += 1
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold_sessions,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_sessionize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: stream events → stateful sessionizer → per-user
+    session/event counts."""
+    return run_to_memory(
+        sessionized_stream(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+
+
+def batch_equivalent_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin: per-user session counts from the one-pass window
+    sessionizer in operators.events."""
+    from duckdb_gsheets_spark.operators.events import events_sessionize
+
+    return (
+        events_sessionize(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
 
 
 def batch_equivalent_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

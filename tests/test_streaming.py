@@ -33,3 +33,25 @@ def test_streaming_dedupe(spark):
         f"SELECT COUNT(DISTINCT event_id) FROM '{SF}/events.parquet'"
     ).fetchone()[0]
     assert n == expected
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    """applyInPandasWithState sessionizer equals the batch window
+    sessionizer on per-user (n_sessions, n_events)."""
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        batch_equivalent_sessionize,
+        streaming_sessionize_counts,
+    )
+
+    stream_rows = streaming_sessionize_counts(spark, SF).collect()
+    # Memory sink in update mode may hold one row per user per batch;
+    # the last write per user is the final state.
+    s = {}
+    for r in stream_rows:
+        s[r.user_id] = (r.n_sessions, r.n_events)
+    b = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in batch_equivalent_sessionize(spark, SF).collect()
+    }
+    assert s == b
+    assert len(s) > 0
