@@ -40,6 +40,8 @@ HEADLINE = (
     "text_stats",
     "text_language_id",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "pipeline_training_corpus",
 )
 
 

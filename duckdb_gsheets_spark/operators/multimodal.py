@@ -136,7 +136,106 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_width", IntegerType()),
+        StructField("resized_height", IntegerType()),
+        StructField("scale", DoubleType()),
+    ]
+)
+
+RESIZE_TARGET = 32  # longest-edge target for the fake resampler
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: decode dims, compute the longest-edge-bound
+    target size (the real resample is codec work — stubbed)."""
+    for batch in batches:
+        rows = []
+        for doc_id, payload, fmt in zip(
+            batch["doc_id"], batch["payload"], batch["format"]
+        ):
+            width, height, _, _ = _decode_payload(bytes(payload), fmt)
+            scale = min(1.0, RESIZE_TARGET / max(width, height))
+            rows.append(
+                (
+                    int(doc_id),
+                    width,
+                    height,
+                    max(1, int(width * scale)),
+                    max(1, int(height * scale)),
+                    round(scale, 6),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height",
+                "resized_width", "resized_height", "scale",
+            ],
+        )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning via mapInPandas: per-image target dims bounded
+    by a longest-edge cap (the pixel resample itself is the stubbed
+    codec step). Rows-only check."""
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "payload", "format").mapInPandas(
+        _resize_batches, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_feature", DoubleType()),
+    ]
+)
+
+FRAME_STRIDE = 10  # keep every 10th frame
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker demonstrating one-to-many output: each wav
+    payload expands to its strided frame rows (audio/video sampling
+    shape); image formats contribute their single frame."""
+    for batch in batches:
+        out_doc, out_idx, out_feat = [], [], []
+        for doc_id, payload, fmt in zip(
+            batch["doc_id"], batch["payload"], batch["format"]
+        ):
+            data = bytes(payload)
+            _, _, _, n_frames = _decode_payload(data, fmt)
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                # Fake per-frame feature: mean of the frame's byte slice.
+                lo = (idx * len(data)) // max(1, n_frames)
+                hi = ((idx + 1) * len(data)) // max(1, n_frames)
+                chunk = data[lo:hi] or b"\0"
+                out_doc.append(int(doc_id))
+                out_idx.append(idx)
+                out_feat.append(round(sum(chunk) / len(chunk), 6))
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "frame_idx": out_idx, "frame_feature": out_feat}
+        )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling via mapInPandas (one-to-many row fanout
+    — the video/audio sampling shape). Rows-only check."""
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "payload", "format").mapInPandas(
+        _frame_sample_batches, schema=FRAME_SCHEMA
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("multimodal_metadata", multimodal_metadata, MULTIMODAL_META_ORACLE, "binary+struct metadata"),
     QueryDef("multimodal_decode_features", multimodal_decode_features, None, "mapInPandas decode stub"),
+    QueryDef("multimodal_resize", multimodal_resize, None, "mapInPandas resize planning"),
+    QueryDef("multimodal_frame_sample", multimodal_frame_sample, None, "one-to-many frame sampling"),
 ]

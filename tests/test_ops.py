@@ -156,3 +156,33 @@ def test_ivf_assignment_covers_corpus(spark):
     assert assignment.count() == n  # every vector lands in exactly one list
     lists = assignment.select("list_id").distinct().count()
     assert 1 < lists <= 16
+
+
+def test_multimodal_resize_bounds(spark):
+    from duckdb_gsheets_spark.operators.multimodal import (
+        RESIZE_TARGET,
+        multimodal_resize,
+    )
+
+    rows = multimodal_resize(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.resized_width <= max(RESIZE_TARGET, 1)
+        assert 1 <= r.resized_height <= max(RESIZE_TARGET, 1)
+        assert 0.0 < r.scale <= 1.0
+
+
+def test_multimodal_frame_sample_fanout(spark):
+    from duckdb_gsheets_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        multimodal_frame_sample,
+    )
+
+    rows = multimodal_frame_sample(spark, SF).collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        assert r.frame_idx % FRAME_STRIDE == 0
+    # wav docs (doc_id % 3 == 2) have multi-frame payloads → fanout > 1 somewhere
+    assert any(len(v) > 1 for v in per_doc.values())
