@@ -118,12 +118,21 @@ def run_duckdb(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     timings = run_spark(sf_dir, HEADLINE)
+    from duckdb_gsheets_spark.operators import all_queries
+
+    with_oracle = {n for n, qd in all_queries().items() if qd.oracle is not None}
     result = {
         "metric": "headline_query_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        # Subtotal over queries that HAVE DuckDB oracle SQL — the
+        # apples-to-apples number against a DuckDB baseline (rows-only
+        # ops like MinHash/IVF have no SQL twin to time).
+        "value_oracle_subset": round(
+            sum(v for k, v in timings.items() if k in with_oracle), 3
+        ),
     }
     if "--duckdb" in sys.argv:
         duck = run_duckdb(sf_dir, HEADLINE)

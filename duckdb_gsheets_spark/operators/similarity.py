@@ -273,34 +273,46 @@ def ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Centroids are the ``IVF_CENTROIDS`` vectors with an evenly-strided
     deterministic vec_id sample (stable across partitionings — no
-    k-means iteration, no RNG). Every corpus vector is assigned to its
-    max-cosine centroid with ``max_by`` in one broadcast-join +
-    groupBy pass; the assignment column then acts as the inverted-list
-    id — at 100 TB you'd persist it as the table's partition key so a
-    probe reads only nprobe/nlists of the corpus.
+    k-means iteration, no RNG), collected to the driver (16 × 64
+    doubles) and inlined as literals — exactly how a trained quantizer
+    ships to executors at scale. Assignment is then a NARROW map: each
+    row computes its 16 cosine sims in one array expression and takes
+    the argmax — zero shuffle over the corpus, so at 100 TB it
+    pipelines into the scan (persist ``list_id`` as the partition key
+    and a probe reads nprobe/nlists of the data).
     """
     strided = emb.where(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(
         IVF_CENTROIDS
     )
-    centroids = strided.select(
+    centroid_rows = strided.select(
         F.col("vec_id").alias("centroid_id"),
         to_double(F.col("embedding")).alias("centroid"),
+    ).collect()
+    centroids = emb.sparkSession.createDataFrame(
+        [(r.centroid_id, r.centroid) for r in centroid_rows],
+        "centroid_id long, centroid array<double>",
     )
-    scored = (
-        emb.select("vec_id", to_double(F.col("embedding")).alias("emb"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "emb",
-            "centroid_id",
-            F.round(cosine(F.col("emb"), F.col("centroid")), 6).alias("c_sim"),
-        )
+    base = emb.select("vec_id", to_double(F.col("embedding")).alias("emb"))
+    sims = F.array(
+        *[
+            F.round(
+                cosine(
+                    F.col("emb"),
+                    F.array(*[F.lit(float(x)) for x in r.centroid]),
+                ),
+                6,
+            )
+            for r in centroid_rows
+        ]
     )
-    assignment = scored.groupBy("vec_id").agg(
-        F.max_by(
-            "centroid_id", F.struct(F.col("c_sim"), (-F.col("centroid_id")))
+    ids = F.array(*[F.lit(r.centroid_id) for r in centroid_rows])
+    # argmax with first-occurrence (= lowest centroid index) tie-break.
+    assignment = base.select(
+        "vec_id",
+        "emb",
+        F.element_at(
+            ids, F.array_position(sims, F.array_max(sims)).cast("int")
         ).alias("list_id"),
-        F.first("emb").alias("emb"),
     )
     return centroids, assignment
 
