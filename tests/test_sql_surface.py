@@ -1,0 +1,57 @@
+"""SQL-string entry point: the same queries users type into the
+reference's host engine must run through ``spark.sql`` over the
+registered views and produce exactly the DataFrame results.
+
+Only dialect-portable oracles are run (no QUALIFY / VARCHAR casts /
+DuckDB list functions); the full oracle battery runs on DuckDB via
+tools/parity.py.
+"""
+
+import math
+
+import pytest
+
+from duckdb_gsheets_spark.operators import all_queries
+from duckdb_gsheets_spark.plans.catalog import register_views
+
+SF = "/root/testdata/sf0.001"
+
+#: Oracles written in the ANSI subset both engines parse.
+PORTABLE = [
+    "q1_pricing_summary",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q19_disjunctive_predicates",
+    "having_filter",
+    "join_semi",
+    "join_anti",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "in_subquery",
+    "string_like_filters",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    return v
+
+
+def _multiset(df):
+    cols = sorted(df.columns)
+    rows = df.select(*cols).collect()
+    return sorted(
+        (tuple(_norm(x) for x in r) for r in rows),
+        key=lambda t: tuple(repr(x) for x in t),
+    )
+
+
+@pytest.mark.parametrize("name", PORTABLE)
+def test_sql_matches_dataframe(spark, name):
+    register_views(spark, SF)
+    qd = all_queries()[name]
+    via_sql = spark.sql(qd.oracle)
+    via_df = qd.spark_fn(spark, SF)
+    assert _multiset(via_sql) == _multiset(via_df)
