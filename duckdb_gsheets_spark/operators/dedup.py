@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from duckdb_gsheets_spark.functions import text as T
 from duckdb_gsheets_spark.operators.registry import QueryDef
-from duckdb_gsheets_spark.plans.catalog import load_table
+from duckdb_gsheets_spark.plans.catalog import fan_out, load_table
 
 #: MinHash configuration: 16 permutations in 8 bands of 2 rows.
 MINHASH_PERMS = 16
@@ -60,7 +60,7 @@ def _shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     3 tokens yield one truncated shingle (element_at past the end is
     NULL; xxhash64 skips NULLs).
     """
-    toksed = docs.select(
+    toksed = fan_out(docs).select(
         "doc_id", T.tokens(F.lower(F.col(text_col))).alias("toks")
     )
     toks = F.col("toks")

@@ -237,10 +237,41 @@ GROUP BY event_type
 """
 
 
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (p50/p90/p99) per event type.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both use
+    linear interpolation between the two bracketing order statistics,
+    so the rounded values agree exactly. At 100 TB swap in
+    ``approx_percentile`` (t-digest, mergeable, one pass) — the exact
+    variant here is the oracle-checkable ground truth a sampled sketch
+    is validated against.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )
+
+
+EVENTS_QUANTILES_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
     QueryDef("events_pivot", events_pivot, EVENTS_PIVOT_ORACLE, "pivot by event type"),
     QueryDef("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_ORACLE, "gap sessionization"),
     QueryDef("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE, "as-of join"),
     QueryDef("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE, "JSON extraction"),
+    QueryDef("events_value_quantiles", events_value_quantiles, EVENTS_QUANTILES_ORACLE, "exact p50/p90/p99"),
 ]

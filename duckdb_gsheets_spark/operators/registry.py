@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QueryDef]:
         pipeline,
         relational,
         similarity,
+        skew,
         text,
         tpch_extra,
         windows,
@@ -62,6 +63,7 @@ def all_queries() -> dict[str, QueryDef]:
         text,
         multimodal,
         pipeline,
+        skew,
     ):
         for qd in module.QUERIES:
             if qd.name in merged:

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from duckdb_gsheets_spark.functions.vectors import cosine, norm, to_double
 from duckdb_gsheets_spark.operators.registry import QueryDef
-from duckdb_gsheets_spark.plans.catalog import load_table
+from duckdb_gsheets_spark.plans.catalog import fan_out, load_table
 
 TOPK_K = 5
 N_QUERY_VECTORS = 10  # vec_id < 10 are the query set
@@ -216,7 +216,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     planes = _lsh_planes()
-    with_buckets = emb.select(
+    with_buckets = fan_out(emb).select(
         "vec_id",
         to_double(F.col("embedding")).alias("emb"),
         *lsh_bucket_columns(to_double(F.col("embedding")), planes),
@@ -292,7 +292,7 @@ def ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         [(r.centroid_id, r.centroid) for r in centroid_rows],
         "centroid_id long, centroid array<double>",
     )
-    base = emb.select("vec_id", to_double(F.col("embedding")).alias("emb"))
+    base = fan_out(emb).select("vec_id", to_double(F.col("embedding")).alias("emb"))
     sims = F.array(
         *[
             F.round(

@@ -52,6 +52,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the upstream scan yields fewer partitions.
+
+    Compute-dense narrow operators (MinHash signatures, IVF
+    assignment, LSH bucketing) otherwise inherit the scan's
+    parallelism — at low SF a sub-MB parquet file is ONE partition, so
+    the whole pass runs on one core. The round-robin shuffle moves only
+    the raw input rows (cheap) and is a no-op at scale, where file
+    splits already exceed core count.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for spark.sql paths)."""
     for name in TABLES:
