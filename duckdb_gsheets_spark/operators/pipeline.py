@@ -11,7 +11,7 @@ against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_gsheets_spark.functions import text as T
@@ -27,9 +27,10 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source: docs kept, BPE tokens kept, mean quality.
 
     Dedup keeps the lowest doc_id per fingerprint (deterministic
-    survivor rule) — expressed as a row_number window on the
-    fingerprint, which shares its shuffle with nothing else but is the
-    canonical survivor-selection at any scale (no collect, no loop).
+    survivor rule) — expressed as ``min_by`` aggregation rather than a
+    row_number window: the hash aggregate combines map-side, so the
+    fingerprint shuffle carries one partial row per (fingerprint,
+    mapper) instead of the window's full sorted row stream.
     """
     docs = load_table(spark, sf_dir, "documents")
     c = F.col("text")
@@ -45,16 +46,15 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("detected_lang") == "en")
         & (F.col("quality") >= QUALITY_THRESHOLD)
     )
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    survivors = (
-        gated.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    survivors = gated.groupBy("fingerprint").agg(
+        F.min_by(
+            F.struct("source", "quality", "n_bpe_tokens"), F.col("doc_id")
+        ).alias("s")
     )
-    return survivors.groupBy("source").agg(
+    return survivors.groupBy(F.col("s.source").alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
-        F.round(davg("quality", scale=6), 6).alias("mean_quality"),
+        F.sum("s.n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        F.round(davg(F.col("s.quality"), scale=6), 6).alias("mean_quality"),
     )
 
 
