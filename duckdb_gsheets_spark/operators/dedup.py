@@ -263,7 +263,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Shape: explode tokens → hash once per token → one groupBy(doc_id)
     with 64 vote sums → assemble the long. Single shuffle; all JVM.
     """
-    toks = docs.select(
+    toks = fan_out(docs).select(
         "doc_id", F.explode(T.tokens(F.lower(F.col(text_col)))).alias("tok")
     ).select("doc_id", F.xxhash64("tok").alias("h"))
     votes = toks.groupBy("doc_id").agg(
