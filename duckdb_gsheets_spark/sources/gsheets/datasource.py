@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -169,6 +170,59 @@ class GSheetsDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "GSheetsWriter":
         return GSheetsWriter(dict(self.options), schema, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> "GSheetsStreamReader":
+        """``spark.readStream.format("gsheets")``: micro-batch polling
+        of the sheet (beyond-reference; the reference has no streaming
+        surface — SURVEY §2.2)."""
+        sheet_schema, _ = self._fetch()
+        return GSheetsStreamReader(dict(self.options), sheet_schema)
+
+
+class GSheetsStreamReader(SimpleDataSourceStreamReader):
+    """Poll-based micro-batch reader: the offset is the count of data
+    rows already emitted; each batch re-fetches the range and emits
+    the rows appended since the last offset.
+
+    The schema is fixed at stream start (Spark's contract). Rows are
+    assumed append-only between polls — in-place edits of
+    already-emitted rows are NOT re-emitted (same cursor model as a
+    file tail); shrinking the sheet makes the source re-emit from the
+    new end, documented rather than hidden. ``readBetweenOffsets``
+    replays a committed batch by slicing the refetched grid — exact
+    when the sheet is append-only, best-effort otherwise (the Sheets
+    API has no point-in-time snapshots).
+    """
+
+    def __init__(self, options: dict, schema: SheetSchema):
+        self._options = options
+        self._schema = schema
+        self._header = _truthy(options.get("header"), True)
+        self._client: GSheetsClient | None = None
+        self._target: ResolvedTarget | None = None
+
+    def _rows(self) -> list[tuple]:
+        if self._client is None:
+            self._client = _build_client(dict(self._options))
+            self._target = _resolve_target(
+                dict(self._options), self._client, need_sheet=True
+            )
+        grid = self._client.values(self._target.spreadsheet_id).get(
+            self._target.a1()
+        )
+        return cast_rows(grid.values, self._schema, header=self._header)
+
+    def initialOffset(self) -> dict:
+        return {"rows": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        rows = self._rows()
+        begin = min(start["rows"], len(rows))
+        return iter(rows[begin:]), {"rows": len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        rows = self._rows()
+        return iter(rows[start["rows"] : end["rows"]])
 
 
 @dataclass

@@ -55,3 +55,45 @@ def test_stateful_sessionize_matches_batch(spark):
     }
     assert s == b
     assert len(s) > 0
+
+
+def test_gsheets_stream_reader_incremental(spark, sheets_server, tmp_path):
+    """spark.readStream.format("gsheets"): first run emits the current
+    rows; after more rows land in the sheet, a second run on the same
+    checkpoint emits only the appended rows."""
+    from duckdb_gsheets_spark.sources.gsheets.api import register
+
+    store = sheets_server.new_spreadsheet("stream-sheet")
+    store.add_sheet(
+        "Sheet1",
+        [["name", "score"], ["ada", "1"], ["bob", "2"]],
+    )
+    register(spark)
+    checkpoint = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_batch():
+        stream = (
+            spark.readStream.format("gsheets")
+            .option("token", "test-token")
+            .option("api_base", sheets_server.base_url)
+            .load("stream-sheet")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return {r.name: r.score for r in spark.read.parquet(out_dir).collect()}
+
+    first = run_batch()
+    assert first == {"ada": 1.0, "bob": 2.0}
+
+    store.grids["Sheet1"].extend([["cal", "3"], ["dee", "4"]])
+    second = run_batch()
+    # Parquet sink accumulates; the second availableNow batch added
+    # ONLY the appended rows (offset came from the checkpoint).
+    assert second == {"ada": 1.0, "bob": 2.0, "cal": 3.0, "dee": 4.0}
