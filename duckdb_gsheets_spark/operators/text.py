@@ -136,8 +136,42 @@ GROUP BY lang, source
 """
 
 
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency: top-25 tokens with counts and document
+    frequency. explode → map-side-combined count per token → global
+    top-k with unique-token tiebreak. At 100 TB the token count is the
+    classic partial-agg workload; the final top-k moves only one row
+    per token per mapper."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("term_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_count"), F.col("tok"))
+        .limit(25)
+    )
+
+
+TEXT_TOP_TERMS_ORACLE = """
+SELECT tok, COUNT(*) AS term_count, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (
+  SELECT doc_id, unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS tok
+  FROM documents
+)
+GROUP BY tok
+ORDER BY term_count DESC, tok
+LIMIT 25
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
+    QueryDef("text_top_terms", text_top_terms, TEXT_TOP_TERMS_ORACLE, "corpus term frequency top-k"),
     QueryDef("text_language_id", text_language_id, TEXT_LANG_ORACLE, "marker-word lang-ID"),
     QueryDef("text_quality_score", text_quality_score, TEXT_QUALITY_ORACLE, "quality heuristic"),
     QueryDef("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE, "md5 fingerprint"),

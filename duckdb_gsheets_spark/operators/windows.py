@@ -191,8 +191,44 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per user, the trailing-10-minute
+    sum of value — the time-interval frame shape ROWS frames can't
+    express (frame membership follows the ORDER BY value, so ties and
+    gaps are handled identically in every engine)."""
+    events = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-600_000_000, 0)  # 10 min in micros
+    )
+    trailing = (
+        F.sum(F.round(F.col("value") * F.lit(100.0)).cast("long"))
+        .over(w)
+        .cast("double")
+        / F.lit(100.0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        trailing.alias("trailing_10min_value"),
+    )
+
+
+WINDOW_RANGE_ORACLE = """
+SELECT user_id, event_id,
+       (CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER (
+          PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0)
+         AS trailing_10min_value
+FROM events
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("window_rank", window_rank, WINDOW_RANK_ORACLE, "row_number/rank/dense_rank"),
+    QueryDef("window_range_frame", window_range_frame, WINDOW_RANGE_ORACLE, "time-interval RANGE frame"),
     QueryDef("window_running_sum", window_running_sum, WINDOW_RUNNING_ORACLE, "cumulative sum"),
     QueryDef("window_lag_lead", window_lag_lead, WINDOW_LAG_ORACLE, "lag/lead"),
     QueryDef("window_moving_avg", window_moving_avg, WINDOW_MOVAVG_ORACLE, "moving avg frame"),
