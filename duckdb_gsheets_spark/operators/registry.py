@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QueryDef]:
         skew,
         text,
         tpch_extra,
+        udtf_ops,
         windows,
     )
 
@@ -64,6 +65,7 @@ def all_queries() -> dict[str, QueryDef]:
         multimodal,
         pipeline,
         skew,
+        udtf_ops,
     ):
         for qd in module.QUERIES:
             if qd.name in merged:
