@@ -237,6 +237,46 @@ GROUP BY event_type
 """
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2-hour length, 1-hour slide): each event lands
+    in exactly two overlapping windows via Spark's native ``window``
+    (a generate, not a shuffle, per window membership). The oracle
+    reconstructs the same membership by exploding the two hour-aligned
+    starts per event."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), "2 hours", "1 hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SLIDING_ORACLE = f"""
+WITH exploded AS (
+  SELECT
+    unnest([DATE_TRUNC('hour', ts), DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+    event_type, value
+  FROM events
+)
+SELECT CAST(CAST(window_start AS TIMESTAMP) AS VARCHAR) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS sum_value
+FROM exploded
+GROUP BY 1, 2
+"""
+
+
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (p50/p90/p99) per event type.
 
@@ -273,5 +313,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_ORACLE, "gap sessionization"),
     QueryDef("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE, "as-of join"),
     QueryDef("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE, "JSON extraction"),
+    QueryDef("events_sliding_window", events_sliding_window, EVENTS_SLIDING_ORACLE, "2h/1h sliding windows"),
     QueryDef("events_value_quantiles", events_value_quantiles, EVENTS_QUANTILES_ORACLE, "exact p50/p90/p99"),
 ]

@@ -32,9 +32,26 @@ def read_gsheet(spark: SparkSession, url_or_id: str, **options) -> DataFrame:
     return reader.load(url_or_id)
 
 
-def write_gsheet(df: DataFrame, url_or_id: str, mode: str = "overwrite", **options) -> None:
-    """COPY TO parity: ``COPY t TO '<url>' (FORMAT gsheet, ...)``."""
+def write_gsheet(
+    df: DataFrame,
+    url_or_id: str,
+    mode: str = "overwrite",
+    parallel: bool = False,
+    **options,
+) -> None:
+    """COPY TO parity: ``COPY t TO '<url>' (FORMAT gsheet, ...)``.
+
+    The reference appends one ordered stream
+    (src/gsheets_copy.cpp:129-181); Spark partitions are unordered, so
+    by default the frame is coalesced to one partition to preserve row
+    order exactly. Pass ``parallel=True`` for multi-partition appends
+    (each partition batches its own ``values.append``) when row order
+    in the sheet doesn't matter — sheets cap at 10M cells, so the
+    ordered single stream is rarely the bottleneck.
+    """
     register(df.sparkSession)
+    if not parallel:
+        df = df.coalesce(1)
     writer = df.write.format("gsheets").mode(mode)
     for key, value in options.items():
         writer = writer.option(key, value)

@@ -127,6 +127,29 @@ def streaming_dedupe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
+def session_windowed_agg(events: DataFrame) -> DataFrame:
+    """Built-in gap sessionization: ``session_window`` with the same
+    30-minute gap as the custom sessionizers — Spark's native dynamic-
+    window state operator, usable in streams with a watermark."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("string").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def streaming_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: stream events → session_window agg → sink."""
+    return run_to_memory(
+        session_windowed_agg(read_events_stream(spark, sf_dir))
+    )
+
+
 def sessionized_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user gap sessionization via
     ``applyInPandasWithState`` — the streaming twin of

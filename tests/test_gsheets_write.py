@@ -184,3 +184,28 @@ def test_null_cells_written_empty(spark, sheets_server):
     grid = store.grids["Sheet1"]
     assert ["a", ""] in grid
     assert ["", "2.5"] in grid
+
+
+def test_default_write_preserves_order_without_caller_coalesce(
+    spark, sheets_server
+):
+    """write_gsheet defaults to one ordered append stream — a
+    multi-partition frame lands in row order with no caller-side
+    coalesce (reference appends are strictly ordered)."""
+    sid, store = _fresh(sheets_server, "write-ordered")
+    df = spark.range(100).selectExpr("id AS n").repartition(8)
+    write_gsheet(df.orderBy("n"), sid, **opts(sheets_server))
+    grid = store.grids["Sheet1"]
+    assert grid[0] == ["n"]
+    assert [row[0] for row in grid[1:]] == [str(i) for i in range(100)]
+
+
+def test_parallel_write_lands_all_rows(spark, sheets_server):
+    """parallel=True: per-partition appends, complete but unordered."""
+    sid, store = _fresh(sheets_server, "write-parallel")
+    df = spark.range(100).selectExpr("id AS n").repartition(8)
+    write_gsheet(df, sid, parallel=True, **opts(sheets_server))
+    grid = store.grids["Sheet1"]
+    body = sorted(int(row[0]) for row in grid[1:])
+    assert body == list(range(100))
+    assert grid[0] == ["n"]

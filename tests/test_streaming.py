@@ -97,3 +97,24 @@ def test_gsheets_stream_reader_incremental(spark, sheets_server, tmp_path):
     # Parquet sink accumulates; the second availableNow batch added
     # ONLY the appended rows (offset came from the checkpoint).
     assert second == {"ada": 1.0, "bob": 2.0, "cal": 3.0, "dee": 4.0}
+
+
+def test_session_window_matches_custom_sessionizer(spark):
+    """Built-in session_window agrees with the window-pass batch
+    sessionizer on (per-user session count, per-session event counts)."""
+    from duckdb_gsheets_spark.operators.events import events_sessionize
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_session_window_counts,
+    )
+
+    sw = streaming_session_window_counts(spark, SF).collect()
+    batch = events_sessionize(spark, SF).collect()
+    sw_per_user = {}
+    for r in sw:
+        sw_per_user.setdefault(r.user_id, []).append(r.n_events)
+    batch_per_user = {}
+    for r in batch:
+        batch_per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert {u: sorted(v) for u, v in sw_per_user.items()} == {
+        u: sorted(v) for u, v in batch_per_user.items()
+    }
