@@ -778,7 +778,73 @@ WHERE p_name LIKE '%ivory%'
 """
 
 
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function battery: construction, sort,
+    min/max, transform+aggregate fold, filter, membership — the
+    nested-type surface Spark adds over the reference's flat model
+    (exercised JVM-side; DuckDB list_* functions are the oracle)."""
+    part = load_table(spark, sf_dir, "part")
+    arr = F.array(
+        F.col("p_size").cast("long"),
+        F.length("p_name").cast("long"),
+        (F.col("p_partkey") % 10).cast("long"),
+    )
+    return part.select(
+        "p_partkey",
+        F.sort_array(arr).alias("sorted_arr"),
+        F.array_max(arr).alias("arr_max"),
+        F.array_min(arr).alias("arr_min"),
+        F.aggregate(
+            F.transform(arr, lambda x: x * 2),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("doubled_sum"),
+        F.filter(arr, lambda x: x % 2 == 0).alias("evens"),
+        F.array_contains(arr, F.lit(5)).alias("has_five"),
+        F.size(arr).alias("arr_len"),
+    )
+
+
+ARRAY_FUNCTIONS_ORACLE = """
+WITH base AS (
+  SELECT p_partkey,
+         [CAST(p_size AS BIGINT), CAST(LENGTH(p_name) AS BIGINT), p_partkey % 10] AS arr
+  FROM part
+)
+SELECT p_partkey,
+       list_sort(arr) AS sorted_arr,
+       list_max(arr) AS arr_max,
+       list_min(arr) AS arr_min,
+       list_sum(list_transform(arr, x -> x * 2)) AS doubled_sum,
+       list_filter(arr, x -> x % 2 = 0) AS evens,
+       list_contains(arr, 5) AS has_five,
+       CAST(len(arr) AS INTEGER) AS arr_len
+FROM base
+"""
+
+
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): part's numeric attributes melt into
+    (key, attr, value) rows via DataFrame.unpivot — a generate, no
+    shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "attr", "value")
+
+
+UNPIVOT_ORACLE = """
+SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS value FROM part
+"""
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef("array_functions", array_functions, ARRAY_FUNCTIONS_ORACLE, "array/HOF battery"),
+    QueryDef("unpivot_part_attrs", unpivot_part_attrs, UNPIVOT_ORACLE, "UNPIVOT wide-to-long"),
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, "TPC-H Q1 agg"),
     QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, "TPC-H Q3 join+topk"),
     QueryDef("q4_order_priority", q4_order_priority, Q4_ORACLE, "TPC-H Q4 EXISTS"),
