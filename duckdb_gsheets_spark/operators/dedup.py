@@ -60,7 +60,14 @@ def _shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     3 tokens yield one truncated shingle (element_at past the end is
     NULL; xxhash64 skips NULLs).
     """
-    toksed = fan_out(docs).select(
+    # Drop NULL-text docs on the INPUT column (pushdown-friendly) —
+    # the old explode formulation emitted no rows for them. Filtering
+    # on the computed shingle array instead would let predicate
+    # pushdown substitute the whole expression into the filter and
+    # re-evaluate it per row (measured 10× slower at sf0.1). Without
+    # the filter, every NULL-text doc gets the identical all-NULL
+    # signature and they all collide in every LSH band.
+    toksed = fan_out(docs.where(F.col(text_col).isNotNull())).select(
         "doc_id", T.tokens(F.lower(F.col(text_col))).alias("toks")
     )
     toks = F.col("toks")

@@ -32,7 +32,10 @@ class SentenceSplit:
     def eval(self, doc_id: int, text: str):
         if text is None:
             return
-        for idx, sentence in enumerate(re.split(SENTENCE_SPLIT, text.strip())):
+        # strip(" ") — spaces only, matching DuckDB TRIM's default set;
+        # Python's bare strip() also removes \n/\t and would shift
+        # sentence boundaries vs the oracle on newline-trailing text.
+        for idx, sentence in enumerate(re.split(SENTENCE_SPLIT, text.strip(" "))):
             if sentence:
                 yield doc_id, idx, sentence, len(sentence)
 

@@ -203,16 +203,10 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(ts_us)
         .rangeBetween(-600_000_000, 0)  # 10 min in micros
     )
-    trailing = (
-        F.sum(F.round(F.col("value") * F.lit(100.0)).cast("long"))
-        .over(w)
-        .cast("double")
-        / F.lit(100.0)
-    )
     return events.select(
         "user_id",
         "event_id",
-        trailing.alias("trailing_10min_value"),
+        _cents_sum_over("value", w).alias("trailing_10min_value"),
     )
 
 

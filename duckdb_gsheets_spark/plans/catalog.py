@@ -63,6 +63,10 @@ def fan_out(df: DataFrame) -> DataFrame:
     the raw input rows (cheap) and is a no-op at scale, where file
     splits already exceed core count.
     """
+    # The .rdd probe forces one driver-side physical-planning pass
+    # per plan BUILD (~tens of ms, no job) — acceptable for these
+    # hand-built operator plans; don't call it inside per-row or
+    # per-batch paths.
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -57,7 +57,7 @@ def hourly_windowed_agg(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(F.round(F.col("value") * F.lit(100.0)).cast("long")).cast("double") / F.lit(100.0)).alias("sum_value"),
         )
         .select(
             F.col("window.start").cast("string").alias("hour_start"),
@@ -256,6 +256,6 @@ def batch_equivalent_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(F.round(F.col("value") * F.lit(100.0)).cast("long")).cast("double") / F.lit(100.0)).alias("sum_value"),
         )
     )

@@ -186,3 +186,25 @@ def test_multimodal_frame_sample_fanout(spark):
         assert r.frame_idx % FRAME_STRIDE == 0
     # wav docs (doc_id % 3 == 2) have multi-frame payloads → fanout > 1 somewhere
     assert any(len(v) > 1 for v in per_doc.values())
+
+
+def test_minhash_drops_null_and_empty_text(spark):
+    """NULL/empty-text docs must produce NO signature rows — otherwise
+    their identical all-NULL signatures collide in every LSH band."""
+    df = spark.createDataFrame(
+        [(1, BASE), (2, None), (3, None), (4, BASE.replace("spark", "flink"))],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(df)
+    ids = {r.doc_id for r in sigs.collect()}
+    assert ids == {1, 4}
+
+
+def test_udtf_sentence_split_matches_duckdb_trim_semantics():
+    """Python side must strip spaces only (DuckDB TRIM), not \\n/\\t."""
+    from duckdb_gsheets_spark.operators.udtf_ops import SentenceSplit
+
+    rows = list(SentenceSplit().eval(1, " one. two.\n"))
+    # TRIM keeps the trailing newline; '[.!?]+\s+' then consumes '.\n',
+    # so the sentences are 'one' and 'two' (3 chars), not 'two.'.
+    assert [(r[2], r[3]) for r in rows] == [("one", 3), ("two", 3)]
