@@ -398,6 +398,193 @@ GROUP BY c_nationkey
 """
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value totals filtered by a scalar
+    fraction-of-grand-total subquery (no partsupp → lineitem value per
+    part)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        dsum("l_extendedprice").alias("part_value")
+    )
+    total = per_part.agg(
+        F.sum(F.round(F.col("part_value") * F.lit(100.0)).cast("long")).alias(
+            "total_cents"
+        ),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    # 1.5× the mean part value: scale-invariant selectivity (the
+    # classic fixed 0.0001/SF fraction degenerates as part count grows).
+    threshold = (
+        F.col("total_cents").cast("double")
+        / F.lit(100.0)
+        / F.col("n_parts").cast("double")
+    ) * F.lit(1.5)
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > threshold)
+        .select("l_partkey", "part_value")
+    )
+
+
+Q11_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey, {oracle_dsum('l_extendedprice')} AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (
+  SELECT (CAST(SUM(CAST(ROUND(part_value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+          / CAST(COUNT(*) AS DOUBLE)) * 1.5
+  FROM per_part
+)
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: revenue view + scalar MAX subquery; exact-cents sums
+    make the equality join safe across engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1996-04-01 00:00:00")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                scale=4,
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {oracle_dsum('l_extendedprice * (1.0 - l_discount)', scale=4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers whose 1996
+    shipped quantity of red parts exceeds a threshold."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    red_parts = part.where(F.col("p_name").like("%red%")).select("p_partkey")
+    heavy = (
+        lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+        )
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("red_qty"))
+        .where(F.col("red_qty") > 500.0)
+    )
+    return supplier.join(
+        heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+Q20_ORACLE = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING {oracle_dsum('l_quantity')} > 500.0
+)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-late-supplier-in-a-multi-supplier-
+    order pattern (EXISTS + NOT-EXISTS pair), decorrelated into two
+    order-level aggregates ("late" = shipped >365 days after order —
+    no commit/receipt dates in the testdata)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lines = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+        .cast("int")
+        .alias("late"),
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("supp_late").alias("n_late_supps"),
+    )
+    waiting = (
+        per_supp.join(per_order, "l_orderkey")
+        .where(
+            (F.col("n_supps") >= 2)
+            & (F.col("n_late_supps") == 1)
+            & (F.col("supp_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        waiting.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.col("s_name"))
+        .limit(25)
+    )
+
+
+Q21_ORACLE = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY THEN 1 ELSE 0 END) AS supp_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supps, SUM(supp_late) AS n_late_supps
+  FROM per_supp GROUP BY l_orderkey
+)
+SELECT s_name, numwait
+FROM (
+  SELECT l_suppkey, COUNT(*) AS numwait
+  FROM per_supp JOIN per_order USING (l_orderkey)
+  WHERE n_supps >= 2 AND n_late_supps = 1 AND supp_late = 1
+  GROUP BY l_suppkey
+) w
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
 def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY GROUPING SETS — the explicit-set variant (rollup/cube
     are in relational.py); sets = {(status, priority), (status), ()}."""
@@ -441,6 +628,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q16_supplier_relationship", q16_supplier_relationship, Q16_ORACLE, "TPC-H Q16 NOT IN"),
     QueryDef("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_ORACLE, "TPC-H Q17 corr avg"),
     QueryDef("q19_disjunctive_predicates", q19_disjunctive_predicates, Q19_ORACLE, "TPC-H Q19 OR-of-ANDs"),
+    QueryDef("q11_important_stock", q11_important_stock, Q11_ORACLE, "TPC-H Q11 scalar threshold"),
+    QueryDef("q15_top_supplier", q15_top_supplier, Q15_ORACLE, "TPC-H Q15 max-subquery"),
+    QueryDef("q20_promotion_suppliers", q20_promotion_suppliers, Q20_ORACLE, "TPC-H Q20 semi chain"),
+    QueryDef("q21_waiting_suppliers", q21_waiting_suppliers, Q21_ORACLE, "TPC-H Q21 sole-late-supplier"),
     QueryDef("q22_global_customers", q22_global_customers, Q22_ORACLE, "TPC-H Q22 anti+scalar"),
     QueryDef("grouping_sets_sales", grouping_sets_sales, GROUPING_SETS_ORACLE, "GROUPING SETS"),
     QueryDef("approx_count_distinct_users", approx_count_distinct_users, None, "HLL approx distinct"),

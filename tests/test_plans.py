@@ -1,0 +1,53 @@
+"""Physical-plan shape assertions: the scale properties the engine
+promises (pushdown, pruning, broadcasts, no stray cross joins) pinned
+as tests so a refactor can't silently regress them."""
+
+from duckdb_gsheets_spark.operators import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = all_queries()[name].spark_fn(spark, SF)
+    return df._jdf.queryExecution().toString()
+
+
+def test_q1_pushes_shipdate_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Only the 7 needed columns reach the scan — no full-row read.
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][-1]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q5_broadcasts_fixed_dims(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at least
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_prunes_to_join_and_agg_columns(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    lineitem_reads = [r for r in reads if "l_orderkey" in r]
+    assert lineitem_reads, "lineitem scan missing"
+    assert all("l_tax" not in r for r in lineitem_reads)
+
+
+def test_minhash_band_join_no_cross_join(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_lsh_no_cross_join(spark):
+    plan = _plan(spark, "ann_lsh_topk")
+    assert "CartesianProduct" not in plan
+
+
+def test_pipeline_filters_reach_scan_side(spark):
+    """The language/quality gates run before both shuffles (in the
+    scan-side stage), not after the fingerprint exchange."""
+    plan = _plan(spark, "pipeline_training_corpus")
+    exchange_at = plan.index("Exchange")
+    assert "Filter" in plan[:exchange_at] or "detected_lang" in plan[:exchange_at]
