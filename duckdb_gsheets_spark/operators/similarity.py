@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from duckdb_gsheets_spark.functions.vectors import cosine, norm, to_double
+from duckdb_gsheets_spark.functions.vectors import cosine, cosine_pre, norm, to_double
 from duckdb_gsheets_spark.operators.registry import QueryDef
 from duckdb_gsheets_spark.plans.catalog import fan_out, load_table
 
@@ -56,10 +56,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id").alias("vec_b"), to_double(F.col("embedding")).alias("emb_b")
-    )
+    ).withColumn("norm_b", norm(F.col("emb_b")))
     queries = emb.where(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("vec_a"), to_double(F.col("embedding")).alias("emb_a")
-    )
+    ).withColumn("norm_a", norm(F.col("emb_a")))
     scored = (
         F.broadcast(queries)
         .crossJoin(corpus)
@@ -67,7 +67,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("emb_a"), F.col("emb_b"),
+                    F.col("norm_a"), F.col("norm_b"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.col("vec_b"))
@@ -107,17 +113,23 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("vec_a"), to_double(F.col("embedding")).alias("emb_a")
-    )
+    ).withColumn("norm_a", norm(F.col("emb_a")))
     b = emb.select(
         F.col("vec_id").alias("vec_b"), to_double(F.col("embedding")).alias("emb_b")
-    )
+    ).withColumn("norm_b", norm(F.col("emb_b")))
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("emb_a"), F.col("emb_b"),
+                    F.col("norm_a"), F.col("norm_b"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= NEARDUP_COSINE_THRESHOLD)
     )
@@ -216,15 +228,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     planes = _lsh_planes()
-    with_buckets = fan_out(emb).select(
-        "vec_id",
-        to_double(F.col("embedding")).alias("emb"),
-        *lsh_bucket_columns(to_double(F.col("embedding")), planes),
+    with_buckets = (
+        fan_out(emb)
+        .select(
+            "vec_id",
+            to_double(F.col("embedding")).alias("emb"),
+            *lsh_bucket_columns(to_double(F.col("embedding")), planes),
+        )
+        .withColumn("nrm", norm(F.col("emb")))
     )
     # (vec_id, table, bucket) rows: one shuffle key per table.
     bucket_rows = with_buckets.select(
         "vec_id",
         "emb",
+        "nrm",
         F.explode(
             F.array(
                 *[
@@ -235,10 +252,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "emb", "tb.tbl", "tb.bkt")
+    ).select("vec_id", "emb", "nrm", "tb.tbl", "tb.bkt")
     queries = bucket_rows.where(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
         "tbl",
         "bkt",
     )
@@ -246,12 +264,24 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(queries)
         .join(bucket_rows, ["tbl", "bkt"])
         .where(F.col("vec_a") != F.col("vec_id"))
-        .select("vec_a", "emb_a", F.col("vec_id").alias("vec_b"), F.col("emb"))
+        .select(
+            "vec_a",
+            "emb_a",
+            "norm_a",
+            F.col("vec_id").alias("vec_b"),
+            F.col("emb"),
+            F.col("nrm"),
+        )
         .dropDuplicates(["vec_a", "vec_b"])
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("emb_a"), F.col("emb"), F.col("norm_a"), F.col("nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.col("vec_b"))
@@ -292,13 +322,23 @@ def ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         [(r.centroid_id, r.centroid) for r in centroid_rows],
         "centroid_id long, centroid array<double>",
     )
-    base = fan_out(emb).select("vec_id", to_double(F.col("embedding")).alias("emb"))
+    base = (
+        fan_out(emb)
+        .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+        # Row norm materialized ONCE (multi-referenced non-cheap expr —
+        # CollapseProject keeps it); the 16 per-centroid sims then cost
+        # one dot fold each instead of dot + 2 norm folds (the centroid
+        # norms are constant-folded literals).
+        .withColumn("row_norm", norm(F.col("emb")))
+    )
     sims = F.array(
         *[
             F.round(
-                cosine(
+                cosine_pre(
                     F.col("emb"),
                     F.array(*[F.lit(float(x)) for x in r.centroid]),
+                    F.col("row_norm"),
+                    norm(F.array(*[F.lit(float(x)) for x in r.centroid])),
                 ),
                 6,
             )
@@ -310,6 +350,7 @@ def ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     assignment = base.select(
         "vec_id",
         "emb",
+        "row_norm",
         F.element_at(
             ids, F.array_position(sims, F.array_max(sims)).cast("int")
         ).alias("list_id"),
@@ -331,13 +372,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, assignment = ivf_assignments(emb)
     queries = emb.where(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("vec_a"), to_double(F.col("embedding")).alias("emb_a")
-    )
+    ).withColumn("norm_a", norm(F.col("emb_a")))
     q_scored = (
         F.broadcast(queries)
         .crossJoin(F.broadcast(centroids))
         .select(
             "vec_a",
             "emb_a",
+            "norm_a",
             "centroid_id",
             F.round(cosine(F.col("emb_a"), F.col("centroid")), 6).alias("c_sim"),
         )
@@ -346,7 +388,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         q_scored.withColumn("probe_rank", F.row_number().over(wq))
         .where(F.col("probe_rank") <= IVF_NPROBE)
-        .select("vec_a", "emb_a", F.col("centroid_id").alias("list_id"))
+        .select("vec_a", "emb_a", "norm_a", F.col("centroid_id").alias("list_id"))
     )
     cands = (
         F.broadcast(probes)
@@ -355,7 +397,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             F.col("vec_id").alias("vec_b"),
-            F.round(cosine(F.col("emb_a"), F.col("emb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("emb_a"), F.col("emb"),
+                    F.col("norm_a"), F.col("row_norm"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.col("vec_b"))
