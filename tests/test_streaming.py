@@ -118,3 +118,61 @@ def test_session_window_matches_custom_sessionizer(spark):
     assert {u: sorted(v) for u, v in sw_per_user.items()} == {
         u: sorted(v) for u, v in batch_per_user.items()
     }
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Aggregation state past the watermark is finalized: an event
+    arriving in batch 2 that is older than (max event time - 2h
+    watermark) must NOT revise the already-emitted window."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    t0 = dt.datetime(2026, 1, 1, 0, 30)
+    late = dt.datetime(2026, 1, 1, 1, 30)   # > 2h behind the max below
+    fresh = dt.datetime(2026, 1, 1, 6, 0)
+
+    write_batch("b1", [(1, t0, 1.0), (2, fresh, 1.0)])
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").cast("string").alias("w"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return {r.w: r.n for r in spark.read.parquet(out).collect()}
+
+    first = run_once()
+    # Window [00:00) is final (watermark = 06:00 - 2h = 04:00) and emitted.
+    assert first.get("2026-01-01 00:00:00") == 1
+
+    # Batch 2: one event inside the already-finalized 01:00 window
+    # (late, must be dropped) and one new fresh event.
+    write_batch("b2", [(3, late, 1.0), (4, fresh, 1.0)])
+    second = run_once()
+    assert "2026-01-01 01:00:00" not in second  # late row dropped
