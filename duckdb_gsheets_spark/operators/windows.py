@@ -2,9 +2,9 @@
 
 All specs partition by a key and order with a unique tiebreak, so
 results are independent of physical partitioning — the property that
-makes them testable and correct on a 1000-executor cluster.  Running
-sums use the decimal-cast trick from operators.determinism so frames
-accumulate exactly.
+makes them testable and correct on a 1000-executor cluster.  Money
+sums use the scaled-long accumulation from operators.determinism so
+frames accumulate exactly.
 """
 
 from __future__ import annotations
