@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis): the invariants that matter at
+scale but that example-based tests can only sample.
+
+* Determinism contract: dsum/davg are bitwise identical under ANY
+  repartitioning and equal the exact decimal sum — the property that
+  makes cross-engine value-hashing (and 1000-executor correctness)
+  possible.
+* A1 grammar: generated-valid references always validate and
+  round-trip through parse/to_string; corrupting them with grammar-
+  breaking characters invalidates them.
+* Column letters: col_to_index / index_to_col are inverses.
+"""
+
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+
+from duckdb_gsheets_spark.operators.determinism import dsum
+from duckdb_gsheets_spark.sources.gsheets.a1 import (
+    col_to_index,
+    index_to_col,
+    is_valid_a1,
+    A1Range,
+)
+
+#: Money-like values: exact 2-decimal doubles in a realistic range.
+money = st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+    lambda cents: cents / 100.0
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(values=st.lists(money, min_size=1, max_size=300), n_parts=st.integers(1, 16))
+def test_dsum_partition_invariant_and_exact(spark, values, n_parts):
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    one = df.coalesce(1).agg(dsum("x").alias("s")).collect()[0].s
+    many = df.repartition(n_parts).agg(dsum("x").alias("s")).collect()[0].s
+    assert one == many  # bitwise equality, not approx
+    exact = float(sum(Decimal(str(v)) for v in values))
+    assert one == exact
+
+
+# --- A1 grammar properties (pure Python — no Spark) ---
+
+col_letters = st.text(
+    alphabet=st.sampled_from("ABCDEFGHIJKLMNOPQRSTUVWXYZ"), min_size=1, max_size=3
+)
+row_digits = st.integers(min_value=1, max_value=9_999_999).map(str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(col_letters, row_digits, col_letters, row_digits)
+def test_generated_cell_ranges_are_valid(c1, r1, c2, r2):
+    assert is_valid_a1(f"{c1}{r1}")
+    assert is_valid_a1(f"{c1}{r1}:{c2}{r2}")
+    assert is_valid_a1(f"${c1}${r1}:${c2}${r2}")
+    assert is_valid_a1(f"{c1}:{c2}")  # column-only
+    assert is_valid_a1(f"{r1}:{r2}")  # row-only
+
+
+@settings(max_examples=200, deadline=None)
+@given(col_letters, row_digits)
+def test_corrupted_ranges_are_invalid(c, r):
+    assert not is_valid_a1(f"{c}{r}:")  # dangling colon
+    assert not is_valid_a1(f"!{c}{r}")  # leading bang, empty sheet
+    assert not is_valid_a1(f"{c}{r}:{c}{r}:{c}{r}")  # two colons
+    assert not is_valid_a1(f"{c}$${r}")  # double dollar
+
+
+@settings(max_examples=200, deadline=None)
+@given(col_letters, row_digits, col_letters, row_digits)
+def test_a1_parse_roundtrip(c1, r1, c2, r2):
+    s = f"{c1}{r1}:{c2}{r2}"
+    parsed = A1Range.parse(s)
+    assert parsed.to_string() == s
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.integers(min_value=0, max_value=18_277))  # A..ZZZ
+def test_col_index_roundtrip(idx):
+    assert col_to_index(index_to_col(idx)) == idx
