@@ -782,7 +782,13 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order function battery: construction, sort,
     min/max, transform+aggregate fold, filter, membership — the
     nested-type surface Spark adds over the reference's flat model
-    (exercised JVM-side; DuckDB list_* functions are the oracle)."""
+    (exercised JVM-side; DuckDB list_* functions are the oracle).
+
+    Array-typed outputs are serialized to comma-joined strings on BOTH
+    engine and oracle sides: the driver's pandas canonicalizer
+    sort_values/hashes rows and raises ``unhashable type: 'list'`` on
+    array columns, so the HOF battery stays exercised but the result
+    schema is scalar-only."""
     part = load_table(spark, sf_dir, "part")
     arr = F.array(
         F.col("p_size").cast("long"),
@@ -791,7 +797,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return part.select(
         "p_partkey",
-        F.sort_array(arr).alias("sorted_arr"),
+        F.concat_ws(",", F.sort_array(arr).cast("array<string>")).alias("sorted_arr"),
         F.array_max(arr).alias("arr_max"),
         F.array_min(arr).alias("arr_min"),
         F.aggregate(
@@ -799,7 +805,9 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("doubled_sum"),
-        F.filter(arr, lambda x: x % 2 == 0).alias("evens"),
+        F.concat_ws(
+            ",", F.filter(arr, lambda x: x % 2 == 0).cast("array<string>")
+        ).alias("evens"),
         F.array_contains(arr, F.lit(5)).alias("has_five"),
         F.size(arr).alias("arr_len"),
     )
@@ -812,11 +820,11 @@ WITH base AS (
   FROM part
 )
 SELECT p_partkey,
-       list_sort(arr) AS sorted_arr,
+       array_to_string(list_sort(arr), ',') AS sorted_arr,
        list_max(arr) AS arr_max,
        list_min(arr) AS arr_min,
        list_sum(list_transform(arr, x -> x * 2)) AS doubled_sum,
-       list_filter(arr, x -> x % 2 = 0) AS evens,
+       COALESCE(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), '') AS evens,
        list_contains(arr, 5) AS has_five,
        CAST(len(arr) AS INTEGER) AS arr_len
 FROM base

@@ -37,6 +37,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Plain parquet scan → full pushdown support."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The driver harness builds a vanilla SparkSession (none of
+    # plans/session.py's confs apply), and events.parquet carries
+    # TIMESTAMP(NANOS) columns that a vanilla read rejects with
+    # PARQUET_TYPE_ILLEGAL. nanosAsLong is a runtime-settable SQL conf,
+    # so set it here — the one choke point every query loads through —
+    # and normalize the resulting long below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) parquet columns arrive as long (see session.py
     # nanosAsLong); normalize to timestamp_ntz at micro precision so
