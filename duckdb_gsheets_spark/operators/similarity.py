@@ -104,13 +104,19 @@ QUALIFY rank <= {TOPK_K}
 """
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, threshold 0.95).
+def embedding_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT O(n²) scorer.
 
-    O(n²) scorer — the verification stage; production blocking comes
-    from :func:`ann_lsh_buckets` at scale.
+    Verification oracle only (pytest, small SF) — NOT registered: a
+    corpus-by-corpus crossJoin is a cartesian scale-killer at 100 TB.
+    The registered query is :func:`embedding_neardup_pairs` (LSH-blocked).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_exact(load_table(spark, sf_dir, "embeddings"))
+
+
+def neardup_pairs_exact(emb: DataFrame) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold over an embeddings-shaped
+    DataFrame (vec_id, embedding). O(n²) — pytest-oracle use only."""
     a = emb.select(
         F.col("vec_id").alias("vec_a"), to_double(F.col("embedding")).alias("emb_a")
     ).withColumn("norm_a", norm(F.col("emb_a")))
@@ -132,6 +138,88 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= NEARDUP_COSINE_THRESHOLD)
+    )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.95),
+    LSH-blocked: candidates are pairs sharing a random-hyperplane
+    bucket in ANY of the LSH_TABLES hash tables, then an exact cosine
+    verifies each candidate.
+
+    Scale shape: candidate generation is a bucket self-equi-join —
+    never all-pairs. At cos ≥ 0.95 (angle ≤ 18°) a pair collides in at
+    least one 4-plane table with prob ≈ 0.99; pairs at the planted
+    near-dup similarity (≥ 0.99) collide with prob ≈ 1 − 1e-5. Recall
+    vs the exact scorer is pinned by pytest on planted near-dups
+    (tests/test_ops.py); :func:`embedding_neardup_pairs_exact` remains
+    the exact O(n²) oracle there.
+    """
+    return neardup_pairs_blocked(load_table(spark, sf_dir, "embeddings"))
+
+
+def neardup_pairs_blocked(emb: DataFrame) -> DataFrame:
+    """LSH-blocked near-dup pairs over an embeddings-shaped DataFrame."""
+    planes = _lsh_planes()
+    with_buckets = (
+        fan_out(emb)
+        .select(
+            "vec_id",
+            to_double(F.col("embedding")).alias("emb"),
+            *lsh_bucket_columns(to_double(F.col("embedding")), planes),
+        )
+        .withColumn("nrm", norm(F.col("emb")))
+    )
+    # (vec_id, table, bucket) rows — one equi-join key per hash table.
+    bucket_rows = with_buckets.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"bucket{t}").alias("bkt")
+                    )
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "emb", "nrm", "tb.tbl", "tb.bkt")
+    left = bucket_rows.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
+        "tbl",
+        "bkt",
+    )
+    right = bucket_rows.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("norm_b"),
+        "tbl",
+        "bkt",
+    )
+    # Score every candidate row (≤ LSH_TABLES duplicates per pair — the
+    # fold is narrow and cheap), filter, THEN dedup: the distinct
+    # shuffle carries only surviving near-dup pairs as three scalar
+    # columns, not every candidate with its two 64-dim arrays.
+    return (
+        left.join(right, ["tbl", "bkt"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                cosine_pre(
+                    F.col("emb_a"), F.col("emb_b"),
+                    F.col("norm_a"), F.col("norm_b"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEARDUP_COSINE_THRESHOLD)
+        .distinct()
     )
 
 

@@ -208,3 +208,71 @@ def test_udtf_sentence_split_matches_duckdb_trim_semantics():
     # TRIM keeps the trailing newline; '[.!?]+\s+' then consumes '.\n',
     # so the sentences are 'one' and 'two' (3 chars), not 'two.'.
     assert [(r[2], r[3]) for r in rows] == [("one", 3), ("two", 3)]
+
+
+def test_neardup_blocked_matches_exact_on_planted(spark):
+    """LSH-blocked near-dup pairs recover exactly the pairs the O(n²)
+    scorer finds on planted near-dups (cos ≈ 0.999 → per-pair miss
+    probability ~4e-7 with 4 tables × 4 planes, and the planes + data
+    are seeded, so this is deterministic in practice)."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.similarity import (
+        neardup_pairs_blocked,
+        neardup_pairs_exact,
+    )
+
+    rng = np.random.default_rng(7)
+    rows, vid = [], 0
+    for i in range(20):
+        v = rng.standard_normal(64)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+        if i < 8:  # plant a tiny-perturbation near-dup
+            w = v + rng.standard_normal(64) * 0.02
+            rows.append((vid, [float(x) for x in w]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r.vec_a, r.vec_b) for r in neardup_pairs_exact(emb).collect()}
+    blocked = {(r.vec_a, r.vec_b) for r in neardup_pairs_blocked(emb).collect()}
+    assert len(exact) >= 8  # the planted pairs really clear 0.95
+    assert blocked == exact
+
+
+def test_prefix_filtered_jaccard_equals_all_pairs(spark):
+    """Prefix filtering (AllPairs/PPJoin) is an exact optimization:
+    the registered query must return precisely the pairs a naive
+    all-pairs Jaccard finds."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        NGRAM_JACCARD_THRESHOLD,
+        _distinct_tokens,
+        dedup_ngram_jaccard,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_ngram_jaccard(spark, SF).collect()
+    }
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", _distinct_tokens(F.col("text")).alias("toks")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    ov = F.size(F.array_intersect("ta", "tb"))
+    jac = F.round(
+        ov.cast("double")
+        / (F.size("ta") + F.size("tb") - ov).cast("double"),
+        6,
+    )
+    naive = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+        .collect()
+    }
+    assert got == naive
+    assert len(got) > 0

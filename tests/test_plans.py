@@ -51,3 +51,11 @@ def test_pipeline_filters_reach_scan_side(spark):
     plan = _plan(spark, "pipeline_training_corpus")
     exchange_at = plan.index("Exchange")
     assert "Filter" in plan[:exchange_at] or "detected_lang" in plan[:exchange_at]
+
+
+def test_neardup_pairs_no_cross_join(spark):
+    """The registered near-dup query must be LSH-blocked: bucket
+    equi-joins only, never a corpus-by-corpus cartesian."""
+    plan = _plan(spark, "embedding_neardup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
