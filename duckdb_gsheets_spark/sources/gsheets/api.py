@@ -36,18 +36,21 @@ def write_gsheet(
     df: DataFrame,
     url_or_id: str,
     mode: str = "overwrite",
-    parallel: bool = False,
+    parallel: bool = True,
     **options,
 ) -> None:
     """COPY TO parity: ``COPY t TO '<url>' (FORMAT gsheet, ...)``.
 
     The reference appends one ordered stream
-    (src/gsheets_copy.cpp:129-181); Spark partitions are unordered, so
-    by default the frame is coalesced to one partition to preserve row
-    order exactly. Pass ``parallel=True`` for multi-partition appends
-    (each partition batches its own ``values.append``) when row order
-    in the sheet doesn't matter — sheets cap at 10M cells, so the
-    ordered single stream is rarely the bottleneck.
+    (src/gsheets_copy.cpp:129-181). The sink buffers each partition's
+    stringified rows in its commit message and the driver appends them
+    once, in partition order, at commit time — so row order matches the
+    frame's partition order even with parallel tasks, and task
+    retries/speculative attempts can never double-append.
+
+    ``parallel`` is kept for API compatibility: ``False`` coalesces to
+    one partition first, which is never needed for ordering anymore and
+    only serializes the (cheap) stringify stage.
     """
     register(df.sparkSession)
     if not parallel:

@@ -27,6 +27,7 @@ import math
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
+from pyspark import TaskContext
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -227,8 +228,7 @@ class GSheetsStreamReader(SimpleDataSourceStreamReader):
 
 @dataclass
 class RowBlock(InputPartition):
-    start: int
-    end: int
+    rows: list[tuple]
 
 
 class GSheetsReader(DataSourceReader):
@@ -237,28 +237,46 @@ class GSheetsReader(DataSourceReader):
     The reference pages the same cached grid in 2048-row chunks on one
     thread (src/gsheets_read.cpp:31-84); here each block is an input
     partition, so downstream stages parallelize.
+
+    Each block's rows travel INSIDE its ``RowBlock`` InputPartition and
+    the reader drops its own grid reference in ``partitions()``: the
+    pickled reader shipped with every task is then ~empty, so a task
+    deserializes only its own ≤2048 rows instead of the whole grid
+    (O(grid) per task, not O(N×grid) across tasks — at the Sheets 10M
+    cell ceiling the difference is the whole dataset per task).
     """
 
     def __init__(self, rows: list[tuple]):
         self._rows = rows
 
     def partitions(self) -> Sequence[RowBlock]:
-        n = len(self._rows)
-        if n == 0:
-            return [RowBlock(0, 0)]
+        rows = self._rows
+        self._rows = []  # keep the task-pickled reader slim
+        if not rows:
+            return [RowBlock([])]
         return [
-            RowBlock(start, min(start + BATCH_ROWS, n))
-            for start in range(0, n, BATCH_ROWS)
+            RowBlock(rows[start : start + BATCH_ROWS])
+            for start in range(0, len(rows), BATCH_ROWS)
         ]
 
     def read(self, partition: RowBlock) -> Iterator[tuple]:
-        yield from self._rows[partition.start : partition.end]
+        yield from partition.rows
 
 
 @dataclass
 class AppendResult(WriterCommitMessage):
-    rows_written: int
-    batches: int
+    """Per-partition buffered rows, applied once in ``commit()``.
+
+    Executor tasks do NO network IO: Spark may re-run ``write()`` on
+    task retry or speculative execution, but exactly one successful
+    attempt's commit message per partition reaches ``commit()``, so
+    buffering here and appending there makes the sink exactly-once.
+    Driver-side buffering is safe for this sink because the Sheets API
+    caps a spreadsheet at 10M cells — the payload is bounded small.
+    """
+
+    partition_id: int
+    rows: list[list[str]]
 
 
 def _stringify(value) -> str:
@@ -365,30 +383,32 @@ class GSheetsWriter(DataSourceWriter):
                 values.append(self._append_a1, header_row)
 
     def write(self, iterator: Iterator) -> AppendResult:
-        """Executor side: batch rows, one append per 2048 rows."""
-        options = dict(self._options)
-        client = _build_client(options)
-        values = client.values(self._spreadsheet_id)
-        batch: list[list[str]] = []
-        rows_written = 0
-        batches = 0
-        for row in iterator:
-            batch.append([_stringify(v) for v in row])
-            if len(batch) >= BATCH_ROWS:
-                values.append(self._append_a1, batch)
-                rows_written += len(batch)
-                batches += 1
-                batch = []
-        if batch:
-            values.append(self._append_a1, batch)
-            rows_written += len(batch)
-            batches += 1
-        return AppendResult(rows_written, batches)
+        """Executor side: stringify only — rows ship to the driver in
+        the commit message; all appends happen once in :meth:`commit`
+        (retry/speculation-safe, see :class:`AppendResult`)."""
+        ctx = TaskContext.get()
+        partition_id = ctx.partitionId() if ctx is not None else 0
+        return AppendResult(
+            partition_id, [[_stringify(v) for v in row] for row in iterator]
+        )
 
     def commit(self, messages) -> None:
-        return None
+        """Driver side: append every partition's rows exactly once, in
+        partition order (deterministic sheet row order regardless of
+        task scheduling), 2048 rows per POST like the reference
+        (src/gsheets_copy.cpp:129-181)."""
+        client = _build_client(dict(self._options))
+        values = client.values(self._spreadsheet_id)
+        for msg in sorted(
+            (m for m in messages if m is not None),
+            key=lambda m: m.partition_id,
+        ):
+            for start in range(0, len(msg.rows), BATCH_ROWS):
+                values.append(self._append_a1, msg.rows[start : start + BATCH_ROWS])
 
     def abort(self, messages) -> None:
-        # Appends are not transactional (reference has no retry/abort
-        # either — transport errors surface as-is).
+        # Nothing was appended (appends happen only in commit), so a
+        # failed job cannot leave partial data rows. The bind-time
+        # clear/header from _setup may have run — documented, same
+        # exposure as the reference's non-transactional COPY.
         return None

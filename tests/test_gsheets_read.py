@@ -162,3 +162,25 @@ def test_http_call_count_matches_reference(spark, sheets_server):
     meta_gets = [p for p in gets if "/values/" not in p]
     assert len(values_gets) == 1
     assert len(meta_gets) <= 1
+
+
+def test_partition_payload_is_sliced_not_replicated():
+    """Each RowBlock carries only its own rows, and the reader object
+    pickled with every task is near-empty after partitions() — a task
+    must never deserialize the whole grid."""
+    import pickle
+
+    from duckdb_gsheets_spark.sources.gsheets.datasource import (
+        BATCH_ROWS,
+        GSheetsReader,
+    )
+
+    rows = [(i, "x" * 100) for i in range(3 * BATCH_ROWS + 5)]
+    reader = GSheetsReader(rows)
+    blocks = reader.partitions()
+    assert len(blocks) == 4
+    assert [len(b.rows) for b in blocks] == [BATCH_ROWS] * 3 + [5]
+    assert [r for b in blocks for r in b.rows] == rows
+    # The reader itself ships slim: far smaller than one block.
+    assert len(pickle.dumps(reader)) < len(pickle.dumps(blocks[0])) / 100
+    assert list(reader.read(blocks[3])) == rows[3 * BATCH_ROWS :]

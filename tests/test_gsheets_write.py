@@ -209,3 +209,54 @@ def test_parallel_write_lands_all_rows(spark, sheets_server):
     body = sorted(int(row[0]) for row in grid[1:])
     assert body == list(range(100))
     assert grid[0] == ["n"]
+
+
+def test_task_retry_cannot_double_append(spark, sheets_server, spreadsheets_df):
+    """write() does no IO — a retried/speculative task attempt produces
+    a duplicate commit message that Spark discards, and only commit()
+    appends. Simulate a retry by calling write() twice and committing
+    one message: rows must land exactly once."""
+    from duckdb_gsheets_spark.sources.gsheets.datasource import GSheetsWriter
+
+    sid, store = _fresh(sheets_server, "write-retry")
+    options = {"path": sid, **opts(sheets_server)}
+    writer = GSheetsWriter(options, spreadsheets_df.schema, overwrite=True)
+    data = [("Microsoft", "Excel", 1985), ("Google", "Google Sheets", 2006)]
+    first = writer.write(iter(data))
+    second = writer.write(iter(data))  # the "retry" attempt
+    assert first.rows == second.rows
+    before = len(sheets_server.request_log)
+    writer.commit([first])  # Spark delivers one message per partition
+    appends = [
+        p
+        for m, p in sheets_server.request_log[before:]
+        if m == "POST" and ":append" in p
+    ]
+    assert len(appends) == 1
+    grid = store.grids["Sheet1"]
+    assert grid[-2:] == [
+        ["Microsoft", "Excel", "1985"],
+        ["Google", "Google Sheets", "2006"],
+    ]
+
+
+def test_commit_appends_in_partition_order(spark, sheets_server, spreadsheets_df):
+    """Commit messages are applied sorted by partition id, so sheet row
+    order is deterministic even when tasks finish out of order."""
+    from duckdb_gsheets_spark.sources.gsheets.datasource import (
+        AppendResult,
+        GSheetsWriter,
+    )
+
+    sid, store = _fresh(sheets_server, "write-commit-order")
+    options = {"path": sid, **opts(sheets_server)}
+    writer = GSheetsWriter(options, spreadsheets_df.schema, overwrite=True)
+    writer.commit(
+        [
+            AppendResult(1, [["late", "x", "1"]]),
+            None,  # a partition may report nothing
+            AppendResult(0, [["early", "y", "0"]]),
+        ]
+    )
+    grid = store.grids["Sheet1"]
+    assert grid[-2:] == [["early", "y", "0"], ["late", "x", "1"]]
