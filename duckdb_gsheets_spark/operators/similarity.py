@@ -5,20 +5,34 @@
 * embedding near-dup pairs (cosine threshold, oracle-checked),
 * per-vector norm statistics (oracle-checked).
 
-Distance math is JVM-side (``zip_with``+``aggregate`` fold — see
-functions.vectors); the LSH plane matrix is a tiny deterministic
-numpy array broadcast into the plan as literals. At 100 TB the
-brute-force scorer is what you run per-bucket AFTER blocking (LSH/IVF)
-bounds the candidate set; both stages ship here.
+Two scoring paths by design (see functions.vectors): hash-checked
+queries use the JVM-side HOF fold whose summation order matches the
+DuckDB oracle; the rows-only ANN paths (LSH buckets, IVF assignment,
+candidate scoring) use Arrow-batched numpy GEMMs — ~10× faster per
+fold than interpreted HOFs, with < 1e-12 drift erased by the 6-decimal
+round. The LSH plane matrix / centroid table are tiny deterministic
+numpy arrays shipped in the UDF closure (broadcast-equivalent). At
+100 TB the brute-force scorer is what you run per-bucket AFTER
+blocking (LSH/IVF) bounds the candidate set; both stages ship here.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-from duckdb_gsheets_spark.functions.vectors import cosine, cosine_pre, norm, to_double
+from duckdb_gsheets_spark.functions.vectors import (
+    centroid_assign_np,
+    cosine,
+    cosine_pre,
+    dot_np,
+    norm,
+    to_double,
+)
 from duckdb_gsheets_spark.operators.registry import QueryDef
 from duckdb_gsheets_spark.plans.catalog import fan_out, load_table
 
@@ -159,17 +173,18 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def neardup_pairs_blocked(emb: DataFrame) -> DataFrame:
-    """LSH-blocked near-dup pairs over an embeddings-shaped DataFrame."""
-    planes = _lsh_planes()
-    with_buckets = (
-        fan_out(emb)
-        .select(
-            "vec_id",
-            to_double(F.col("embedding")).alias("emb"),
-            *lsh_bucket_columns(to_double(F.col("embedding")), planes),
-        )
-        .withColumn("nrm", norm(F.col("emb")))
-    )
+    """LSH-blocked near-dup pairs over an embeddings-shaped DataFrame.
+
+    Buckets/norms come from the vectorized GEMM stage, and the verify
+    cosine is the Arrow-batched numpy dot: the candidate set is the
+    bucket-join output (~bucket_size× the corpus), so the verify stage
+    is the hot loop here, unlike the hash-checked top-k queries. The
+    numpy-vs-oracle summation-order drift is < 1e-12 and the output is
+    rounded to 6 decimals, so the hash check is unaffected (the same
+    argument already underwrites HOF-vs-DuckDB matching — neither
+    engine guarantees bitwise-identical accumulation).
+    """
+    with_buckets = _with_lsh_buckets(emb)
     # (vec_id, table, bucket) rows — one equi-join key per hash table.
     bucket_rows = with_buckets.select(
         "vec_id",
@@ -201,9 +216,10 @@ def neardup_pairs_blocked(emb: DataFrame) -> DataFrame:
         "bkt",
     )
     # Score every candidate row (≤ LSH_TABLES duplicates per pair — the
-    # fold is narrow and cheap), filter, THEN dedup: the distinct
-    # shuffle carries only surviving near-dup pairs as three scalar
-    # columns, not every candidate with its two 64-dim arrays.
+    # batched GEMM makes redundant scoring cheaper than pre-dedup),
+    # filter, THEN dedup: the distinct shuffle carries only surviving
+    # near-dup pairs as three scalar columns, not every candidate with
+    # its two 64-dim arrays.
     return (
         left.join(right, ["tbl", "bkt"])
         .where(F.col("vec_a") < F.col("vec_b"))
@@ -211,10 +227,8 @@ def neardup_pairs_blocked(emb: DataFrame) -> DataFrame:
             "vec_a",
             "vec_b",
             F.round(
-                cosine_pre(
-                    F.col("emb_a"), F.col("emb_b"),
-                    F.col("norm_a"), F.col("norm_b"),
-                ),
+                dot_np(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
                 6,
             ).alias("cos_sim"),
         )
@@ -284,25 +298,54 @@ def _lsh_planes() -> np.ndarray:
     )
 
 
-def lsh_bucket_columns(vec_col, planes: np.ndarray) -> list:
-    """One bucket id per hash table (sign bits of plane dot products).
+def _lsh_bucket_udf(planes: np.ndarray):
+    """pandas_udf: embedding → struct(bucket0..bucketN, nrm).
 
-    The plane tensor enters the plan as array literals — evaluated
-    JVM-side per row, no Python, broadcast-equivalent at scale.
+    All LSH_TABLES × LSH_PLANES_PER_TABLE sign bits come from ONE
+    (batch × dim) @ (dim × 16) GEMM per Arrow batch — the closure
+    carries the tiny plane tensor to executors, broadcast-equivalent
+    at scale. Bit convention matches the original HOF formulation
+    (bit p set iff plane dot > 0). The row L2 norm rides along so the
+    corpus pass is a single Python stage.
     """
-    buckets = []
-    for t in range(planes.shape[0]):
-        bucket = F.lit(0).cast("long")
-        for p in range(planes.shape[1]):
-            plane_arr = F.array(*[F.lit(float(w)) for w in planes[t, p]])
-            dp = F.aggregate(
-                F.zip_with(vec_col, plane_arr, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(dp > 0, F.lit(2**p).cast("long")).otherwise(0)
-        buckets.append(bucket.alias(f"bucket{t}"))
-    return buckets
+    n_tables, n_planes, _ = planes.shape
+    flat = planes.reshape(n_tables * n_planes, -1)
+    weights = 1 << np.arange(n_planes)
+    out_type = StructType(
+        [StructField(f"bucket{t}", LongType()) for t in range(n_tables)]
+        + [StructField("nrm", DoubleType())]
+    )
+
+    @pandas_udf(out_type)
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        M = np.stack(emb.to_numpy())
+        bits = (M @ flat.T) > 0
+        cols = {
+            f"bucket{t}": (
+                bits[:, t * n_planes : (t + 1) * n_planes] * weights
+            ).sum(axis=1)
+            for t in range(n_tables)
+        }
+        cols["nrm"] = np.sqrt(np.einsum("ij,ij->i", M, M))
+        return pd.DataFrame(cols)
+
+    return assign
+
+
+def _with_lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, emb, bucket0..bucketN, nrm) — one narrow Python stage."""
+    assign = _lsh_bucket_udf(_lsh_planes())
+    return (
+        fan_out(emb)
+        .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+        .withColumn("bn", assign("emb"))
+        .select(
+            "vec_id",
+            "emb",
+            *[F.col(f"bn.bucket{t}").alias(f"bucket{t}") for t in range(LSH_TABLES)],
+            F.col("bn.nrm").alias("nrm"),
+        )
+    )
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,16 +358,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pytest-measured; rows-only correctness check.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _lsh_planes()
-    with_buckets = (
-        fan_out(emb)
-        .select(
-            "vec_id",
-            to_double(F.col("embedding")).alias("emb"),
-            *lsh_bucket_columns(to_double(F.col("embedding")), planes),
-        )
-        .withColumn("nrm", norm(F.col("emb")))
-    )
+    with_buckets = _with_lsh_buckets(emb)
     # (vec_id, table, bucket) rows: one shuffle key per table.
     bucket_rows = with_buckets.select(
         "vec_id",
@@ -364,10 +398,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
+            # Rows-only-checked query → Arrow-batched numpy dot (the
+            # < 1e-12 summation-order drift is erased by round 6).
             F.round(
-                cosine_pre(
-                    F.col("emb_a"), F.col("emb"), F.col("norm_a"), F.col("nrm")
-                ),
+                dot_np(F.col("emb_a"), F.col("emb"))
+                / (F.col("norm_a") * F.col("nrm")),
                 6,
             ).alias("cos_sim"),
         )
@@ -392,12 +427,12 @@ def ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     Centroids are the ``IVF_CENTROIDS`` vectors with an evenly-strided
     deterministic vec_id sample (stable across partitionings — no
     k-means iteration, no RNG), collected to the driver (16 × 64
-    doubles) and inlined as literals — exactly how a trained quantizer
-    ships to executors at scale. Assignment is then a NARROW map: each
-    row computes its 16 cosine sims in one array expression and takes
-    the argmax — zero shuffle over the corpus, so at 100 TB it
-    pipelines into the scan (persist ``list_id`` as the partition key
-    and a probe reads nprobe/nlists of the data).
+    doubles) and shipped inside a pandas_udf closure — exactly how a
+    trained quantizer ships to executors at scale. Assignment is then a
+    NARROW map: one (batch × dim) @ (dim × 16) GEMM per Arrow batch
+    with first-occurrence argmax — zero shuffle over the corpus, so at
+    100 TB it pipelines into the scan (persist ``list_id`` as the
+    partition key and a probe reads nprobe/nlists of the data).
     """
     strided = emb.where(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(
         IVF_CENTROIDS
@@ -410,38 +445,20 @@ def ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         [(r.centroid_id, r.centroid) for r in centroid_rows],
         "centroid_id long, centroid array<double>",
     )
-    base = (
+    assign = centroid_assign_np(
+        np.array([r.centroid for r in centroid_rows]),
+        np.array([r.centroid_id for r in centroid_rows]),
+    )
+    assignment = (
         fan_out(emb)
         .select("vec_id", to_double(F.col("embedding")).alias("emb"))
-        # Row norm materialized ONCE (multi-referenced non-cheap expr —
-        # CollapseProject keeps it); the 16 per-centroid sims then cost
-        # one dot fold each instead of dot + 2 norm folds (the centroid
-        # norms are constant-folded literals).
-        .withColumn("row_norm", norm(F.col("emb")))
-    )
-    sims = F.array(
-        *[
-            F.round(
-                cosine_pre(
-                    F.col("emb"),
-                    F.array(*[F.lit(float(x)) for x in r.centroid]),
-                    F.col("row_norm"),
-                    norm(F.array(*[F.lit(float(x)) for x in r.centroid])),
-                ),
-                6,
-            )
-            for r in centroid_rows
-        ]
-    )
-    ids = F.array(*[F.lit(r.centroid_id) for r in centroid_rows])
-    # argmax with first-occurrence (= lowest centroid index) tie-break.
-    assignment = base.select(
-        "vec_id",
-        "emb",
-        "row_norm",
-        F.element_at(
-            ids, F.array_position(sims, F.array_max(sims)).cast("int")
-        ).alias("list_id"),
+        .withColumn("a", assign("emb"))
+        .select(
+            "vec_id",
+            "emb",
+            F.col("a.row_norm").alias("row_norm"),
+            F.col("a.list_id").alias("list_id"),
+        )
     )
     return centroids, assignment
 
@@ -485,11 +502,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             F.col("vec_id").alias("vec_b"),
+            # Rows-only-checked query → Arrow-batched numpy dot.
             F.round(
-                cosine_pre(
-                    F.col("emb_a"), F.col("emb"),
-                    F.col("norm_a"), F.col("row_norm"),
-                ),
+                dot_np(F.col("emb_a"), F.col("emb"))
+                / (F.col("norm_a") * F.col("row_norm")),
                 6,
             ).alias("cos_sim"),
         )
