@@ -10,7 +10,10 @@
   secret manager (src/sheets/auth_factory.cpp:10-34,
   src/gsheets_auth.cpp:34-138). Spark has no secret store; options and
   env are the equivalents, and sensitive option values are never
-  echoed back (reference redacts token/secret/filepath).
+  echoed back: error paths that include options route them through
+  :func:`redact_options` (reference redacts token/secret/filepath).
+* :mod:`.oauth_cli` — the interactive OAuth flow (A2) as a separate
+  token-minting CLI, kept out of the cluster job path.
 """
 
 from __future__ import annotations
@@ -29,8 +32,22 @@ TOKEN_TTL_SECONDS = 1800
 EARLY_REFRESH_SECONDS = 60
 
 #: Option keys whose values must never appear in logs or error text
-#: (reference redact_keys, src/gsheets_auth.cpp:30-32).
-REDACTED_OPTIONS = frozenset({"token", "secret", "private_key", "key_file"})
+#: (reference redact_keys, src/gsheets_auth.cpp:30-32; proxy_password
+#: added — the reference stores it in its secret manager instead).
+REDACTED_OPTIONS = frozenset(
+    {"token", "secret", "private_key", "key_file", "proxy_password"}
+)
+
+
+def redact_options(options: dict[str, str]) -> dict[str, str]:
+    """Copy of *options* safe to embed in error text or logs: values
+    of :data:`REDACTED_OPTIONS` keys are replaced with ``<redacted>``.
+    Every error path that echoes connector options must go through
+    this (parity with the reference's redact_keys behavior)."""
+    return {
+        k: "<redacted>" if k.lower() in REDACTED_OPTIONS else v
+        for k, v in options.items()
+    }
 
 
 def base64url_encode(data: bytes | str) -> str:

@@ -39,7 +39,10 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from duckdb_gsheets_spark.sources.gsheets.a1 import A1Range
-from duckdb_gsheets_spark.sources.gsheets.auth import auth_from_options
+from duckdb_gsheets_spark.sources.gsheets.auth import (
+    auth_from_options,
+    redact_options,
+)
 from duckdb_gsheets_spark.sources.gsheets.client import BASE_URL, GSheetsClient
 from duckdb_gsheets_spark.sources.gsheets.errors import SheetsError
 from duckdb_gsheets_spark.sources.gsheets.inference import (
@@ -78,12 +81,17 @@ class ResolvedTarget:
 
 
 def _build_client(options: dict) -> GSheetsClient:
-    transport = RequestsTransport(proxy=options.get("proxy"))
+    transport = RequestsTransport(
+        proxy=options.get("proxy"),
+        proxy_username=options.get("proxy_username"),
+        proxy_password=options.get("proxy_password"),
+    )
     auth = auth_from_options(options, transport)
     if auth is None:
         raise SheetsError(
             "no credentials: set option 'token' or 'key_file', or env "
-            "GSHEETS_TOKEN / GOOGLE_APPLICATION_CREDENTIALS"
+            "GSHEETS_TOKEN / GOOGLE_APPLICATION_CREDENTIALS "
+            f"(got options: {redact_options(options)})"
         )
     return GSheetsClient(transport, auth, options.get("api_base", BASE_URL))
 

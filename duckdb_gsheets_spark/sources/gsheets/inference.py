@@ -80,6 +80,11 @@ def infer_schema(
     if width == 0:
         raise EmptyRangeError(range_label or "(unspecified)")
 
+    # Deliberate deviation from the reference: gsheets_read.cpp's bind
+    # uses a present header cell verbatim even when it is blank, but a
+    # blank (or duplicated-blank) column name breaks DataFrame column
+    # resolution in Spark, so present-but-blank cells also fall back to
+    # columnN here.
     names = []
     for i in range(width):
         cell = header_row[i] if i < len(header_row) else ""

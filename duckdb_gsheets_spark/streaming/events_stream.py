@@ -13,6 +13,7 @@ nothing here depends on the file source.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import time
@@ -28,14 +29,22 @@ from duckdb_gsheets_spark.plans.catalog import load_table
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (schema from the static
     read; nanos→micros normalization matches plans.catalog)."""
+    # Same runtime conf as catalog.load_table: events.parquet carries
+    # TIMESTAMP(NANOS), unreadable in a vanilla session otherwise.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # The file stream source requires a directory; expose the single
     # test parquet through a symlinked temp dir (no testdata writes).
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
+    # The dir is DERIVED from sf_dir (create-once, reused) so repeated
+    # stream construction in tests/benchmarks doesn't leak temp dirs.
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{digest}"
     )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     stream = (
         spark.readStream.schema(static.schema)
         .format("parquet")

@@ -176,3 +176,20 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     write_batch("b2", [(3, late, 1.0), (4, fresh, 1.0)])
     second = run_once()
     assert "2026-01-01 01:00:00" not in second  # late row dropped
+
+
+def test_stream_dir_is_stable_per_sf_dir(spark):
+    """Repeated stream construction reuses one derived temp dir
+    instead of leaking a fresh mkdtemp per call."""
+    import hashlib
+    import os
+    import tempfile
+
+    from duckdb_gsheets_spark.streaming.events_stream import read_events_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    read_events_stream(spark, sf_dir)
+    read_events_stream(spark, sf_dir)
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
+    assert os.path.islink(os.path.join(stream_dir, "events.parquet"))
