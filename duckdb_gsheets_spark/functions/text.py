@@ -34,6 +34,46 @@ PUNCT_PATTERN = "[^A-Za-z0-9 \\t\\n\\r]"
 
 WHITESPACE_SPLIT = "\\s+"
 
+#: PII detectors for corpus scrubbing — deliberately RE2-compatible
+#: (no backreferences/lookaround) so the SAME pattern runs in Spark
+#: (Java regex) and the DuckDB oracle. Heuristic recall like every
+#: regex PII pass; the operator contract is detect+mask, not legal
+#: completeness.
+PII_EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+PII_IP_PATTERN = (
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+)
+PII_MASK = "<pii>"
+
+
+def pii_count(col: Column, pattern: str) -> Column:
+    """Occurrences of one PII pattern.
+
+    DuckDB: ``len(regexp_extract_all(x, pattern))``.
+    """
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def pii_scrubbed(col: Column) -> Column:
+    """Text with all three PII patterns masked (email first so its
+    host part can't later half-match the IP pattern).
+
+    DuckDB: nested ``REGEXP_REPLACE(..., pattern, mask, 'g')`` in the
+    same order.
+    """
+    out = col
+    for pat in (PII_EMAIL_PATTERN, PII_PHONE_PATTERN, PII_IP_PATTERN):
+        out = F.regexp_replace(out, pat, PII_MASK)
+    return out
+
+
+def oracle_pii_scrubbed(expr: str = "text") -> str:
+    out = expr
+    for pat in (PII_EMAIL_PATTERN, PII_PHONE_PATTERN, PII_IP_PATTERN):
+        out = f"REGEXP_REPLACE({out}, '{pat}', '{PII_MASK}', 'g')"
+    return out
+
 
 def normalized(col: Column) -> Column:
     """Lowercased, whitespace-collapsed, trimmed text.

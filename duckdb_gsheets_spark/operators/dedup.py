@@ -377,9 +377,89 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Convergence cap for connected components. Label propagation needs
+#: O(component diameter) rounds; near-dup clusters are shallow (a dup
+#: of a dup of a dup...), so real corpora converge in a handful.
+CC_MAX_ITERS = 15
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """(doc_id, comp): connected components by iterative min-label
+    propagation (the MapReduce-CC family — Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14; public).
+
+    Each round every vertex adopts the minimum label among itself and
+    its neighbors; fixpoint = every component labeled by its minimum
+    doc_id. Per round: one join edges→labels, one min-combine groupBy,
+    one left join back — all hash-shuffles on doc_id-shaped keys, no
+    collect of vertex/edge data. The driver loop only reads a changed
+    COUNT per round (legitimate iterative-algorithm control flow);
+    ``localCheckpoint`` truncates the growing lineage each round — on
+    a cluster, point ``spark.sparkContext.setCheckpointDir`` at
+    durable storage and use ``checkpoint()`` instead.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = vertices.select("doc_id", F.col("doc_id").alias("comp"))
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate CLUSTERS: MinHash-LSH pairs are only
+    edges — production dedup keeps one survivor per connected
+    component (A≈B and B≈C must collapse together even when A and C
+    never collide). Output: every document with its cluster id
+    (= min doc_id in the component), the cluster size, and the
+    survivor flag. Non-SQL-expressible (iterative); pytest pins
+    transitive-closure behavior on planted chains.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(edges, docs.select("doc_id"))
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "comp")
+        .select(
+            "doc_id",
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("comp")).alias("is_survivor"),
+        )
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact fingerprint dedup"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "token Jaccard pairs"),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, None, "MinHash LSH near-dup"),
     QueryDef("dedup_simhash", dedup_simhash, None, "SimHash near-dup"),
+    QueryDef("dedup_clusters", dedup_clusters, None, "transitive near-dup clusters"),
 ]

@@ -307,6 +307,144 @@ GROUP BY event_type
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel per user.
+
+    Each step's timestamp is the user's FIRST qualifying event strictly
+    after the previous step — one groupBy on user_id with conditional
+    min aggregates evaluated in two chained passes (no self-joins).
+    Counts roll up to one row. At 100 TB: two shuffles, both map-side
+    combinable, no row explosion anywhere.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    # Steps 2/3 need "first X AFTER t_prev" — a second conditional agg
+    # joined back on user_id (broadcast at low SF; co-partitioned at
+    # scale since both sides hash on user_id).
+    with_steps = (
+        events.join(per_user, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & F.col("t_view").isNotNull()
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    with_purchase = (
+        events.join(with_steps, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("t_click").isNotNull()
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return with_purchase.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("did_view"),
+        F.count("t_click").alias("did_view_click"),
+        F.count("t_purchase").alias("did_view_click_purchase"),
+    )
+
+
+EVENTS_FUNNEL_ORACLE = """
+WITH step1 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+), step2 AS (
+  SELECT e.user_id, s.t_view,
+         MIN(CASE WHEN e.event_type = 'click' AND s.t_view IS NOT NULL
+                       AND e.ts > s.t_view THEN e.ts END) AS t_click
+  FROM events e JOIN step1 s ON e.user_id = s.user_id
+  GROUP BY e.user_id, s.t_view
+), step3 AS (
+  SELECT e.user_id, s.t_view, s.t_click,
+         MIN(CASE WHEN e.event_type = 'purchase' AND s.t_click IS NOT NULL
+                       AND e.ts > s.t_click THEN e.ts END) AS t_purchase
+  FROM events e JOIN step2 s ON e.user_id = s.user_id
+  GROUP BY e.user_id, s.t_view, s.t_click
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS did_view,
+       COUNT(t_click) AS did_view_click,
+       COUNT(t_purchase) AS did_view_click_purchase
+FROM step3
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    again on each later activity day as a (cohort_day, day_offset)
+    matrix for offsets 0–7.
+
+    Two shuffles (cohort min per user, then the matrix agg); the
+    cohort join hashes on user_id both sides so it co-locates at
+    scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cohorts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        events.select("user_id", F.to_date("ts").alias("activity_day"))
+        .distinct()
+        .join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("activity_day", "cohort_day"))
+        .where(F.col("day_offset") <= 7)
+        .groupBy(F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+EVENTS_RETENTION_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_day FROM events
+)
+SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(a.activity_day - c.cohort_day AS INTEGER) AS day_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+WHERE a.activity_day - c.cohort_day <= 7
+GROUP BY 1, 2
+"""
+
+
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based per-type quantiles: ``percentile_approx`` (the
+    GK/KLL-family mergeable sketch Spark ships) at 1e-4 accuracy.
+
+    The mergeable-sketch shape is THE quantile plan at 100 TB — exact
+    quantiles need a full sort; sketches combine map-side. Engines'
+    sketches differ (and return data points, not interpolations), so
+    this is rows-only checked; pytest pins each output to the true
+    [lower, higher] order-statistic bracket of the distribution.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("qs")
+    ).select(
+        "event_type",
+        F.round(F.col("qs")[0], 6).alias("p50"),
+        F.round(F.col("qs")[1], 6).alias("p90"),
+        F.round(F.col("qs")[2], 6).alias("p99"),
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
     QueryDef("events_pivot", events_pivot, EVENTS_PIVOT_ORACLE, "pivot by event type"),
@@ -315,4 +453,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE, "JSON extraction"),
     QueryDef("events_sliding_window", events_sliding_window, EVENTS_SLIDING_ORACLE, "2h/1h sliding windows"),
     QueryDef("events_value_quantiles", events_value_quantiles, EVENTS_QUANTILES_ORACLE, "exact p50/p90/p99"),
+    QueryDef("events_funnel", events_funnel, EVENTS_FUNNEL_ORACLE, "view→click→purchase funnel"),
+    QueryDef("events_retention", events_retention, EVENTS_RETENTION_ORACLE, "cohort retention matrix"),
+    QueryDef("events_approx_quantiles", events_approx_quantiles, None, "mergeable quantile sketch"),
 ]

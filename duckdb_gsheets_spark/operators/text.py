@@ -169,6 +169,111 @@ LIMIT 25
 """
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking per document: email/phone/IPv4 counts
+    and the md5 of the scrubbed text (the hash keeps the driver output
+    scalar while still pinning every masked byte).
+
+    Pure narrow regex column math — the pass a training-corpus build
+    runs over every document, so it must pipeline into the scan with
+    zero shuffles, which this does.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.pii_count(c, T.PII_EMAIL_PATTERN).alias("n_emails"),
+        T.pii_count(c, T.PII_PHONE_PATTERN).alias("n_phones"),
+        T.pii_count(c, T.PII_IP_PATTERN).alias("n_ips"),
+        F.md5(T.pii_scrubbed(c)).alias("scrubbed_md5"),
+    )
+
+
+TEXT_PII_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(text, '{T.PII_EMAIL_PATTERN}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{T.PII_PHONE_PATTERN}')) AS INTEGER) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{T.PII_IP_PATTERN}')) AS INTEGER) AS n_ips,
+  md5({T.oracle_pii_scrubbed()}) AS scrubbed_md5
+FROM documents
+"""
+
+
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of 3-grams that are duplicates of an earlier 3-gram in
+    the same document. 1 − distinct/total; 0 for docs with < 3 tokens.
+
+    Narrow per-row array math (one ``transform`` over token positions,
+    then two ``size`` aggregates) — no explode, no shuffle; the token
+    array is projected once so the HOF isn't re-inlined per reference.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toksed = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    t = F.col("toks")
+    n = F.size(t)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(t, i.cast("int")),
+                F.try_element_at(t, (i + 1).cast("int")),
+                F.try_element_at(t, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = toksed.select("doc_id", grams.alias("g")).select(
+        "doc_id",
+        F.size("g").alias("grams_total"),
+        F.size(F.array_distinct("g")).alias("grams_distinct"),
+    )
+    return counted.select(
+        "doc_id",
+        "grams_total",
+        "grams_distinct",
+        F.when(
+            F.col("grams_total") > 0,
+            F.round(
+                1.0
+                - F.col("grams_distinct").cast("double")
+                / F.col("grams_total").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
+    )
+
+
+TEXT_REPETITION_ORACLE = """
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    for i in range(1, len(toks) - 1)]
+              ELSE [] END AS g
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+    FROM documents
+  )
+)
+SELECT doc_id,
+       CAST(len(g) AS INTEGER) AS grams_total,
+       CAST(len(list_distinct(g)) AS INTEGER) AS grams_distinct,
+       CASE WHEN len(g) > 0
+            THEN ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                             / CAST(len(g) AS DOUBLE), 6)
+            ELSE 0.0 END AS repetition_ratio
+FROM grams
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
     QueryDef("text_top_terms", text_top_terms, TEXT_TOP_TERMS_ORACLE, "corpus term frequency top-k"),
@@ -176,4 +281,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("text_quality_score", text_quality_score, TEXT_QUALITY_ORACLE, "quality heuristic"),
     QueryDef("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE, "md5 fingerprint"),
     QueryDef("text_corpus_by_lang", text_corpus_by_lang, TEXT_CORPUS_ORACLE, "corpus rollup"),
+    QueryDef("text_pii_scrub", text_pii_scrub, TEXT_PII_ORACLE, "PII detect + mask"),
+    QueryDef("text_repetition_ratio", text_repetition_ratio, TEXT_REPETITION_ORACLE, "3-gram repetition quality signal"),
 ]

@@ -619,7 +619,106 @@ def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region
+    (correlated-min subquery + 5-way join + ordered top-100).
+
+    The test schema has no partsupp, so supply cost is derived from
+    lineitem: per (part, supplier), MIN unit price rounded to cents —
+    same correlated-min-against-a-regional-subset structure as Q2.
+    nation/region broadcast (fixed-size dims); the part-supplier cost
+    table shuffles once on l_partkey and the regional min reuses that
+    partitioning. Top-100 is a TakeOrderedAndProject with a full
+    unique-key tiebreak.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    europe_nations = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    eu_suppliers = supplier.join(
+        F.broadcast(europe_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    cost = (
+        lineitem.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)).alias(
+                "supply_cost"
+            )
+        )
+        .join(
+            F.broadcast(eu_suppliers),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    min_cost = cost.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    sized_parts = part.where(
+        (F.col("p_size").between(10, 20)) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    return (
+        cost.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .join(sized_parts, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "supply_cost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "supply_cost"
+        )
+        .limit(100)
+    )
+
+
+Q2_ORACLE = """
+WITH eu_suppliers AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cost AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(ROUND(l_extendedprice / l_quantity, 2)) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+), eu_cost AS (
+  SELECT c.*, s.s_name, s.s_acctbal, s.n_name
+  FROM cost c JOIN eu_suppliers s ON c.ps_suppkey = s.s_suppkey
+), min_cost AS (
+  SELECT ps_partkey AS mc_partkey, MIN(supply_cost) AS min_cost
+  FROM eu_cost GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+FROM eu_cost
+JOIN min_cost ON ps_partkey = mc_partkey AND supply_cost = min_cost
+JOIN part ON ps_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, supply_cost
+LIMIT 100
+"""
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE, "TPC-H Q2 min-cost supplier"),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),
     QueryDef("q8_market_share", q8_market_share, Q8_ORACLE, "TPC-H Q8 share-of-total"),
     QueryDef("q9_product_profit", q9_product_profit, Q9_ORACLE, "TPC-H Q9 profit"),

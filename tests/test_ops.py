@@ -276,3 +276,132 @@ def test_prefix_filtered_jaccard_equals_all_pairs(spark):
     }
     assert got == naive
     assert len(got) > 0
+
+
+def test_pii_scrub_detects_and_masks_planted(spark):
+    from duckdb_gsheets_spark.functions.text import (
+        PII_EMAIL_PATTERN,
+        PII_IP_PATTERN,
+        PII_PHONE_PATTERN,
+        pii_count,
+        pii_scrubbed,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or +1 555-123-4567 via 10.0.0.1 now"),
+            (2, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    c = F.col("text")
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pii_count(c, PII_EMAIL_PATTERN).alias("n_emails"),
+            pii_count(c, PII_PHONE_PATTERN).alias("n_phones"),
+            pii_count(c, PII_IP_PATTERN).alias("n_ips"),
+            pii_scrubbed(c).alias("scrubbed"),
+        ).collect()
+    }
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (1, 1, 1)
+    assert "alice@example.com" not in rows[1].scrubbed
+    assert "555-123-4567" not in rows[1].scrubbed
+    assert "10.0.0.1" not in rows[1].scrubbed
+    assert rows[1].scrubbed.count("<pii>") == 3
+    assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_ips) == (0, 0, 0)
+    assert rows[2].scrubbed == "no pii here at all"
+
+
+def test_repetition_ratio_orders_docs(spark, tmp_path):
+    """A looping doc must score far higher than a non-repetitive one,
+    and a short (<3 token) doc scores exactly 0."""
+    import os
+
+    from duckdb_gsheets_spark.operators.text import text_repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham eggs spam ham eggs spam ham eggs spam ham eggs", "en", "t", 1),
+            (2, "one two three four five six seven eight nine ten", "en", "t", 1),
+            (3, "too short", "en", "t", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = {r.doc_id: r for r in text_repetition_ratio(spark, sf_dir).collect()}
+    assert rows[1].repetition_ratio > 0.6
+    assert rows[2].repetition_ratio == 0.0
+    assert rows[3].repetition_ratio == 0.0 and rows[3].grams_total == 0
+
+
+def test_connected_components_transitive_chain(spark):
+    """A–B and B–C edges (no A–C) must collapse into one cluster with
+    min-id labeling; isolated vertices stay singletons."""
+    from duckdb_gsheets_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], ["doc_a", "doc_b"]
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 10, 11, 42)], ["doc_id"]
+    )
+    comp = {
+        r.doc_id: r.comp for r in connected_components(edges, vertices).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 42: 42}
+
+
+def test_dedup_clusters_on_planted_corpus(spark, tmp_path):
+    """End-to-end: a chain of near-duplicates clusters transitively, the
+    survivor is the min doc_id, unrelated docs stay singletons."""
+    import os
+
+    from duckdb_gsheets_spark.operators.dedup import dedup_clusters
+
+    base = BASE
+    chain1 = base.replace("planner", "optimizer")
+    chain2 = chain1.replace("driver", "coordinator")
+    rows = [
+        (1, base), (2, chain1), (3, chain2), (9, UNRELATED),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = {r.doc_id: r for r in dedup_clusters(spark, sf_dir).collect()}
+    assert len(out) == 4
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].cluster_size == 3
+    assert out[1].is_survivor and not out[2].is_survivor
+    assert out[9].cluster_id == 9 and out[9].cluster_size == 1 and out[9].is_survivor
+
+
+def test_approx_quantiles_are_valid_order_statistics(spark):
+    """percentile_approx (accuracy 10000) interpolates nothing — it
+    returns a data point. At test sizes the sketch is effectively
+    exact, so each output must land inside the [lower, higher]
+    neighboring order statistics of the true distribution (the exact
+    twin events_value_quantiles interpolates, so its p99 legitimately
+    differs in a thin tail — that's definitional, not error)."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.events import events_approx_quantiles
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    vals = {}
+    for r in load_table(spark, SF, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    approx = {r.event_type: r for r in events_approx_quantiles(spark, SF).collect()}
+    assert set(vals) == set(approx)
+    for et, xs in vals.items():
+        arr = np.array(xs)
+        for q, field in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            lo = float(np.quantile(arr, q, method="lower"))
+            hi = float(np.quantile(arr, q, method="higher"))
+            got = getattr(approx[et], field)
+            assert lo - 1e-6 <= got <= hi + 1e-6, (et, field, lo, got, hi)
