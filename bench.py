@@ -39,6 +39,9 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "text_stats",
     "text_language_id",
+    "text_pii_scrub",
+    "events_funnel",
+    "events_retention",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "pipeline_training_corpus",
@@ -75,6 +78,17 @@ def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
     # Warm the JVM/session on a tiny plan so query 1 isn't charged
     # session-start cost.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    # Warm the Python/Arrow worker pool the same way — otherwise the
+    # first pandas-UDF query (ANN scoring) is charged one-time worker
+    # startup that isn't its cost in any sustained workload.
+    from duckdb_gsheets_spark.functions.vectors import dot_np
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    arr = F.array(*[F.lit(float(i)) for i in range(8)])
+    spark.range(256).select(dot_np(arr, arr).alias("d")).selectExpr(
+        "sum(d)"
+    ).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in names:
         df = qs[name].spark_fn(spark, sf_dir)
