@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from duckdb_gsheets_spark.operators.determinism import dsum, oracle_dsum
+from duckdb_gsheets_spark.operators.determinism import (
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+)
 from duckdb_gsheets_spark.operators.registry import QueryDef
 from duckdb_gsheets_spark.plans.catalog import load_table
 
@@ -445,6 +450,184 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series per event type: gap-fill the calendar
+    and carry the last observed average forward (LOCF interpolation) —
+    the hypertable/time_bucket_gapfill shape.
+
+    Scale shape: the only data-sized shuffle is the sparse hourly agg
+    (map-side combinable). The spine is calendar-sized (hours ×
+    event types), built from a 1-row min/max agg via ``sequence`` +
+    ``explode`` — never from the raw events; the LOCF window partitions
+    by event type over calendar rows, so its sort is bounded by time
+    span, not data volume.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sparse = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(davg("value"), 6).alias("avg_value"),
+    )
+    bounds = sparse.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = spark.createDataFrame(
+        [(t,) for t in EVENT_TYPES], "event_type string"
+    )
+    dense = spine.crossJoin(F.broadcast(types)).join(
+        sparse, ["h", "event_type"], "left"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        F.col("h").cast("string").alias("hour_start"),
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+    )
+
+
+EVENTS_GAPFILL_ORACLE = f"""
+WITH sparse AS (
+  SELECT DATE_TRUNC('hour', ts) AS h, event_type,
+         COUNT(*) AS n_events,
+         ROUND({oracle_davg('value')}, 6) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM sparse
+), spine AS (
+  SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), types AS (
+  SELECT UNNEST({list(EVENT_TYPES)}) AS event_type
+), dense AS (
+  SELECT s.h, t.event_type, sp.n_events, sp.avg_value
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN sparse sp ON sp.h = s.h AND sp.event_type = t.event_type
+)
+SELECT CAST(h AS VARCHAR) AS hour_start,
+       event_type,
+       COALESCE(n_events, 0) AS n_events,
+       CAST(n_events IS NULL AS INTEGER) AS is_gap,
+       LAST_VALUE(avg_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value_locf
+FROM dense
+"""
+
+
+#: Fixed-width value histogram: bin width and clamp ceiling. Fixed
+#: bounds (not data-driven min/max) keep the op one-pass.
+HIST_BIN_WIDTH = 50.0
+HIST_MAX_BIN = 9
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event type: bin id =
+    ``min(floor(value / 50), 9)``, with count and exact sum per bin.
+
+    One map-side-combinable shuffle on (event_type, bin) — the
+    histogram plan that holds at any scale; output is bounded by
+    types × bins regardless of input size.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.floor(F.col("value") / F.lit(HIST_BIN_WIDTH)), F.lit(HIST_MAX_BIN)
+    ).cast("int")
+    return (
+        events.select("event_type", bin_col.alias("bin"), "value")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_HISTOGRAM_ORACLE = f"""
+SELECT event_type,
+       CAST(LEAST(FLOOR(value / {HIST_BIN_WIDTH}), {HIST_MAX_BIN}) AS INTEGER) AS bin,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+#: |z| threshold for the anomaly query. The synthetic value column is
+#: ~uniform (no true outliers), so the demo threshold sits in the
+#: uniform tail; production data would use 3+.
+ZSCORE_THRESHOLD = 1.7
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers, computed deterministically.
+
+    Mean/variance come from exact scaled-long sums (n, Σv, Σv²) so the
+    per-row z = (n·v − Σv) / √(n·Σv² − (Σv)²) is the same IEEE double
+    in every engine and under every partitioning. Long-overflow bound:
+    n·Σv² < 2⁶³ holds through ~sf1 here (v ≤ 49 002 scaled); beyond
+    that accumulate Σv² in DECIMAL (see operators/determinism.py).
+
+    Scale shape: one map-side-combinable groupBy for the 5 stat rows,
+    broadcast back to the scan (no second shuffle), narrow filter.
+    """
+    events = load_table(spark, sf_dir, "events")
+    vs = F.round(F.col("value") * 100).cast("long")
+    stats = (
+        events.select("event_type", vs.alias("vs"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vs").alias("s1"),
+            F.sum(F.col("vs") * F.col("vs")).alias("s2"),
+        )
+    )
+    z = (
+        (F.col("n") * vs - F.col("s1")).cast("double")
+        / F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .where(F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .where(F.abs(F.col("zscore")) >= ZSCORE_THRESHOLD)
+    )
+
+
+EVENTS_ZSCORE_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       ROUND(
+         CAST(n * CAST(ROUND(value * 100) AS BIGINT) - s1 AS DOUBLE)
+         / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE n * s2 - s1 * s1 > 0
+  AND ABS(ROUND(
+        CAST(n * CAST(ROUND(value * 100) AS BIGINT) - s1 AS DOUBLE)
+        / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6)) >= {ZSCORE_THRESHOLD}
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
     QueryDef("events_pivot", events_pivot, EVENTS_PIVOT_ORACLE, "pivot by event type"),
@@ -456,4 +639,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_funnel", events_funnel, EVENTS_FUNNEL_ORACLE, "view→click→purchase funnel"),
     QueryDef("events_retention", events_retention, EVENTS_RETENTION_ORACLE, "cohort retention matrix"),
     QueryDef("events_approx_quantiles", events_approx_quantiles, None, "mergeable quantile sketch"),
+    QueryDef("events_gapfill_locf", events_gapfill_locf, EVENTS_GAPFILL_ORACLE, "gap-fill + LOCF interpolation"),
+    QueryDef("events_histogram", events_histogram, EVENTS_HISTOGRAM_ORACLE, "fixed-width value histogram"),
+    QueryDef("events_anomaly_zscore", events_anomaly_zscore, EVENTS_ZSCORE_ORACLE, "deterministic z-score outliers"),
 ]

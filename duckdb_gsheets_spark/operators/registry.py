@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QueryDef]:
         multimodal,
         pipeline,
         relational,
+        sampling,
         similarity,
         skew,
         text,
@@ -89,6 +90,7 @@ def all_queries() -> dict[str, QueryDef]:
         udtf_ops,
         events,
         windows,
+        sampling,
         relational,
         tpch_extra,
     ):

@@ -1,0 +1,124 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling (``df.sample``) is seed- and partitioning-dependent —
+useless for cross-engine verification and for reproducible corpus
+builds. Both operators here key the sampling decision on ``md5`` of a
+stable row key, which every engine computes identically:
+
+* stratified hash-sampling — per-stratum keep-rates via a hex-prefix
+  threshold (the standard "hash-mod" corpus subsampling pattern, e.g.
+  down-weighting an over-represented language);
+* bottom-k sampling — the k rows with the smallest hash values, a
+  uniform-without-replacement sample that is also the KMV (k minimum
+  values) distinct-count sketch's sample set.
+
+Scale notes: both are a single narrow projection + filter (stratified)
+or a top-k (bottom-k). Spark's ``orderBy(...).limit(k)`` compiles to
+TakeOrderedAndProject — per-partition heaps of k rows merged on the
+driver, no global sort, no full shuffle. At 100 TB you'd swap md5 for
+xxhash64 (same shape, cheaper hash) when cross-engine parity isn't
+needed.
+
+Reference parity note: the reference engine (duckdb_gsheets) delegates
+sampling to DuckDB's SAMPLE clause; these operators cover that surface
+with reproducibility guarantees DuckDB's bernoulli sampler does not
+give.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_gsheets_spark.operators.registry import QueryDef
+from duckdb_gsheets_spark.plans.catalog import load_table
+
+#: Per-language keep thresholds on the first two hex chars of
+#: md5(doc_id): a doc survives iff its prefix sorts below the
+#: threshold. '40'/256 ≈ 25% for over-represented English, '80'/256 =
+#: 50% for the rest.
+STRATA_THRESHOLDS: dict[str, str] = {
+    "en": "40",
+    "de": "80",
+    "es": "80",
+    "fr": "80",
+    "zh": "80",
+}
+DEFAULT_THRESHOLD = "80"
+
+#: Bottom-k sample size.
+SAMPLE_K = 100
+
+
+def _sample_key() -> F.Column:
+    """md5 hex of the stringified doc_id — identical in Spark and
+    DuckDB, uniform over [0, 16^32)."""
+    return F.md5(F.col("doc_id").cast("string"))
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample of ``documents`` by language.
+
+    Narrow plan: scan → md5 projection → threshold filter. No shuffle,
+    no state; the same doc survives at every scale factor and on every
+    cluster layout, which is what makes corpus builds reproducible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(t))
+            for lang, t in STRATA_THRESHOLDS.items()
+        ],
+        F.lit(DEFAULT_THRESHOLD),
+    )
+    prefix = F.substring(_sample_key(), 1, 2)
+    return (
+        docs.where(prefix < threshold)
+        .select("doc_id", "lang", "source", "n_chars", prefix.alias("bucket"))
+    )
+
+
+_THRESHOLD_CASES = "\n         ".join(
+    f"WHEN '{lang}' THEN '{t}'" for lang, t in STRATA_THRESHOLDS.items()
+)
+
+SAMPLE_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars,
+       SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+FROM documents
+WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      (CASE lang {_THRESHOLD_CASES}
+         ELSE '{DEFAULT_THRESHOLD}' END)
+"""
+
+
+def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-sample: the ``SAMPLE_K`` documents with the smallest
+    md5 keys (doc_id tiebreak, though md5 ties are practically
+    impossible).
+
+    ``orderBy(key).limit(k)`` → TakeOrderedAndProject: each partition
+    keeps a k-row heap, the driver merges heaps — O(k) memory per
+    task, no global sort. The retained key set doubles as a KMV
+    sketch: distinct-count ≈ (k−1) / max(kept keys / 16^32).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", _sample_key().alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(SAMPLE_K)
+    )
+
+
+SAMPLE_BOTTOM_K_ORACLE = f"""
+SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT {SAMPLE_K}
+"""
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE, "per-language hash sampling"),
+    QueryDef("sample_bottom_k", sample_bottom_k, SAMPLE_BOTTOM_K_ORACLE, "bottom-k / KMV uniform sample"),
+]

@@ -274,6 +274,86 @@ FROM grams
 """
 
 
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021,
+    "Scaling Language Models", appendix A1.1 — public): per-document
+    boolean rules plus the conjunction, the pre-training corpus
+    filtering pass.
+
+    Rules (all exact integer arithmetic — no doubles, so the result is
+    engine- and partitioning-independent):
+
+    * mean token length in [3, 10] (×100 fixed-point, integer div);
+    * ≥ 80% of tokens contain an alphabetic character;
+    * ≥ 2 stopword occurrences;
+    * symbol-to-token ratio ≤ 0.25.
+
+    Narrow one-pass projection — token arrays are built once per row;
+    no shuffle, no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = T.tokens(c)
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.regexp_replace(c, T.WHITESPACE_SPLIT, "")).alias("n_nonspace"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+        ).alias("n_alpha_tokens"),
+        T.stopword_hits_total(c).alias("n_stopwords"),
+        T.punct_count(c).alias("n_symbols"),
+    )
+    mean_len_x100 = F.expr("(100 * n_nonspace) div n_tokens")
+    rules = base.select(
+        "doc_id",
+        "n_tokens",
+        mean_len_x100.alias("mean_tok_len_x100"),
+        mean_len_x100.between(300, 1000).cast("int").alias("rule_word_len"),
+        (F.col("n_alpha_tokens") * 100 >= F.col("n_tokens") * 80)
+        .cast("int")
+        .alias("rule_alpha"),
+        (F.col("n_stopwords") >= 2).cast("int").alias("rule_stopwords"),
+        (F.col("n_symbols") * 4 <= F.col("n_tokens")).cast("int").alias("rule_symbols"),
+    )
+    return rules.withColumn(
+        "passes",
+        (
+            (F.col("rule_word_len") == 1)
+            & (F.col("rule_alpha") == 1)
+            & (F.col("rule_stopwords") == 1)
+            & (F.col("rule_symbols") == 1)
+        ).cast("int"),
+    )
+
+
+TEXT_GOPHER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({T.oracle_tokens()}) AS BIGINT) AS n_tokens,
+         CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+         CAST(len(list_filter({T.oracle_tokens()},
+                              t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha_tokens,
+         CAST({T.oracle_stopword_hits_total()} AS BIGINT) AS n_stopwords,
+         CAST(len(regexp_extract_all(text, '{T.PUNCT_PATTERN}')) AS BIGINT) AS n_symbols
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST((100 * n_nonspace) // n_tokens AS BIGINT) AS mean_tok_len_x100,
+       CAST((100 * n_nonspace) // n_tokens BETWEEN 300 AND 1000 AS INTEGER) AS rule_word_len,
+       CAST(n_alpha_tokens * 100 >= n_tokens * 80 AS INTEGER) AS rule_alpha,
+       CAST(n_stopwords >= 2 AS INTEGER) AS rule_stopwords,
+       CAST(n_symbols * 4 <= n_tokens AS INTEGER) AS rule_symbols,
+       CAST((100 * n_nonspace) // n_tokens BETWEEN 300 AND 1000
+            AND n_alpha_tokens * 100 >= n_tokens * 80
+            AND n_stopwords >= 2
+            AND n_symbols * 4 <= n_tokens AS INTEGER) AS passes
+FROM base
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
     QueryDef("text_top_terms", text_top_terms, TEXT_TOP_TERMS_ORACLE, "corpus term frequency top-k"),
@@ -283,4 +363,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("text_corpus_by_lang", text_corpus_by_lang, TEXT_CORPUS_ORACLE, "corpus rollup"),
     QueryDef("text_pii_scrub", text_pii_scrub, TEXT_PII_ORACLE, "PII detect + mask"),
     QueryDef("text_repetition_ratio", text_repetition_ratio, TEXT_REPETITION_ORACLE, "3-gram repetition quality signal"),
+    QueryDef("text_gopher_quality", text_gopher_quality, TEXT_GOPHER_ORACLE, "Gopher rule-based quality filter"),
 ]

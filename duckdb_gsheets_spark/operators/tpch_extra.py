@@ -717,6 +717,78 @@ LIMIT 100
 """
 
 
+def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join without a cartesian stage: count, per order
+    month, the 1995 orders falling inside each returned lineitem's
+    "active" window [l_shipdate, l_shipdate + l_quantity days].
+
+    A naive range join is a nested-loop cross product (Spark plans raw
+    ``BETWEEN`` joins as BroadcastNestedLoop). This uses the standard
+    interval-binning rewrite: explode each interval to the calendar
+    months it overlaps (bounded fan-out — spans are ≤ 50 days, so ≤ 3
+    rows), equi-join month buckets, then apply the exact BETWEEN as a
+    residual filter. Each probe row has exactly one bucket, so no pair
+    can match twice — no dedup stage needed. At 100 TB this is one
+    hash-partitioned equi-join on the bucket key; bucket granularity
+    trades fan-out against join selectivity.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            F.col("l_shipdate").cast("date").alias("d0"),
+            F.date_add(
+                F.col("l_shipdate").cast("date"),
+                F.col("l_quantity").cast("int"),
+            ).alias("d1"),
+        )
+    )
+    li_binned = li.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.trunc("d0", "MM"), F.trunc("d1", "MM"), F.expr("INTERVAL 1 MONTH")
+            )
+        ),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("bucket"),
+        )
+    )
+    return (
+        orders.join(li_binned, "bucket")
+        .where(F.col("o_date").between(F.col("d0"), F.col("d1")))
+        .groupBy(F.date_format("o_date", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.countDistinct("l_orderkey").alias("n_shipments"),
+        )
+    )
+
+
+RANGE_JOIN_ORACLE = """
+SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS order_month,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       COUNT(DISTINCT l.l_orderkey) AS n_shipments
+FROM orders o
+JOIN lineitem l
+  ON CAST(o.o_orderdate AS DATE)
+     BETWEEN CAST(l.l_shipdate AS DATE)
+         AND CAST(l.l_shipdate AS DATE) + to_days(CAST(l.l_quantity AS INTEGER))
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+GROUP BY 1
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE, "TPC-H Q2 min-cost supplier"),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),
@@ -734,4 +806,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("q22_global_customers", q22_global_customers, Q22_ORACLE, "TPC-H Q22 anti+scalar"),
     QueryDef("grouping_sets_sales", grouping_sets_sales, GROUPING_SETS_ORACLE, "GROUPING SETS"),
     QueryDef("approx_count_distinct_users", approx_count_distinct_users, None, "HLL approx distinct"),
+    QueryDef("range_join_shipments", range_join_shipments, RANGE_JOIN_ORACLE, "binned interval/range join"),
 ]

@@ -405,3 +405,126 @@ def test_approx_quantiles_are_valid_order_statistics(spark):
             hi = float(np.quantile(arr, q, method="higher"))
             got = getattr(approx[et], field)
             assert lo - 1e-6 <= got <= hi + 1e-6, (et, field, lo, got, hi)
+
+
+def test_gapfill_is_dense_and_carries_forward(spark):
+    from duckdb_gsheets_spark.operators.events import (
+        EVENT_TYPES,
+        events_gapfill_locf,
+    )
+
+    rows = events_gapfill_locf(spark, SF).collect()
+    hours = {r.hour_start for r in rows}
+    # Dense grid: every (hour, type) cell exists exactly once.
+    assert len(rows) == len(hours) * len(EVENT_TYPES)
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.hour_start)
+        last_seen = None
+        for r in series:
+            if r.is_gap:
+                assert r.n_events == 0
+                assert r.avg_value_locf == last_seen
+            else:
+                assert r.n_events > 0
+                last_seen = r.avg_value_locf
+
+
+def test_histogram_partitions_all_events(spark):
+    from duckdb_gsheets_spark.operators.events import events_histogram
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = events_histogram(spark, SF).collect()
+    assert all(0 <= r.bin <= 9 for r in rows)
+    total = load_table(spark, SF, "events").count()
+    assert sum(r.n_events for r in rows) == total
+
+
+def test_anomaly_zscore_flags_only_tails(spark):
+    from duckdb_gsheets_spark.operators.events import (
+        ZSCORE_THRESHOLD,
+        events_anomaly_zscore,
+    )
+
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = events_anomaly_zscore(spark, SF).collect()
+    assert rows, "uniform tails should produce some outliers"
+    assert all(abs(r.zscore) >= ZSCORE_THRESHOLD for r in rows)
+    # Recompute the flags in plain Python from the raw table.
+    raw = load_table(spark, SF, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in raw:
+        by_type.setdefault(r.event_type, []).append(r)
+    expected = set()
+    for series in by_type.values():
+        scaled = [round(r.value * 100) for r in series]
+        n, s1 = len(scaled), sum(scaled)
+        s2 = sum(v * v for v in scaled)
+        var_num = n * s2 - s1 * s1
+        if var_num <= 0:
+            continue
+        for r, v in zip(series, scaled):
+            if abs(round((n * v - s1) / (var_num**0.5), 6)) >= ZSCORE_THRESHOLD:
+                expected.add(r.event_id)
+    assert {r.event_id for r in rows} == expected
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from duckdb_gsheets_spark.operators.sampling import sample_stratified
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    first = {r.doc_id: r.lang for r in sample_stratified(spark, SF).collect()}
+    again = {r.doc_id: r.lang for r in sample_stratified(spark, SF).collect()}
+    assert first == again  # same sample on every run
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang").collect()
+    totals: dict[str, int] = {}
+    for r in docs:
+        totals[r.lang] = totals.get(r.lang, 0) + 1
+    kept: dict[str, int] = {}
+    for lang in first.values():
+        kept[lang] = kept.get(lang, 0) + 1
+    # en keeps ~25%, others ~50%; generous tolerance at tiny SF.
+    assert 0.05 < kept.get("en", 0) / totals["en"] < 0.5
+    for lang in totals:
+        if lang != "en" and totals[lang] >= 20:
+            assert 0.25 < kept.get(lang, 0) / totals[lang] < 0.75
+
+
+def test_bottom_k_keeps_globally_smallest_keys(spark):
+    from duckdb_gsheets_spark.operators.sampling import (
+        SAMPLE_K,
+        sample_bottom_k,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    sample = sample_bottom_k(spark, SF).collect()
+    assert len(sample) == min(
+        SAMPLE_K, load_table(spark, SF, "documents").count()
+    )
+    kept_max = max(r.sample_key for r in sample)
+    all_keys = sorted(
+        r.sample_key
+        for r in load_table(spark, SF, "documents")
+        .selectExpr("md5(cast(doc_id as string)) as sample_key")
+        .collect()
+    )
+    assert kept_max == all_keys[len(sample) - 1]
+
+
+def test_gopher_rules_consistent_and_discriminating(spark):
+    from duckdb_gsheets_spark.operators.text import text_gopher_quality
+
+    rows = text_gopher_quality(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.passes == int(
+            r.rule_word_len and r.rule_alpha and r.rule_stopwords and r.rule_symbols
+        )
+    # The corpus is multilingual, so the en-stopword rule must split it.
+    outcomes = {r.passes for r in rows}
+    assert outcomes == {0, 1}

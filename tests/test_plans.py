@@ -59,3 +59,28 @@ def test_neardup_pairs_no_cross_join(spark):
     plan = _plan(spark, "embedding_neardup_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_binned_equi_join(spark):
+    """The interval join must go through month-bucket equi-joins —
+    never the BroadcastNestedLoop a raw BETWEEN join plans to."""
+    plan = _plan(spark, "range_join_shipments")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    """The 5-row per-type stats join back to the scan must broadcast —
+    a shuffle join on event_type would hot-spot at scale."""
+    plan = _plan(spark, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sampling_is_narrow(spark):
+    """Stratified sampling is scan → project → filter: no Exchange in
+    the plan at all; bottom-k compiles to TakeOrderedAndProject (k-row
+    heaps, no global sort)."""
+    plan = _plan(spark, "sample_stratified")
+    assert "Exchange" not in plan
+    plan_k = _plan(spark, "sample_bottom_k")
+    assert "TakeOrderedAndProject" in plan_k

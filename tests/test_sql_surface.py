@@ -30,6 +30,8 @@ PORTABLE = [
     "setop_except",
     "in_subquery",
     "string_like_filters",
+    "events_histogram",
+    "events_anomaly_zscore",
 ]
 
 
