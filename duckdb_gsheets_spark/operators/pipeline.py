@@ -83,11 +83,98 @@ GROUP BY source
 """
 
 
+def corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on the corpus: apply an update batch
+    (new revisions of every 7th document, normalized text) to the base
+    table — update-wins on key match, inserts pass through, untouched
+    rows survive.
+
+    Expressed as a full-outer join on the key with ``coalesce``
+    per-column — the engine-level MERGE INTO shape. One shuffle on
+    doc_id (both sides hash-partition on the key, so they co-locate).
+    At 100 TB the update batch is usually ≪ base, so Catalyst/AQE
+    picks a broadcast for it; the result here recomputes fingerprints
+    so the merge is value-verifiable.
+    """
+    base = load_table(spark, sf_dir, "documents")
+    # Deterministic synthetic CDC batch: every 7th doc re-ingested
+    # with normalized text, plus one brand-new doc id past the key
+    # space (max+1 via a 1-row broadcast agg).
+    max_id = base.agg(F.max("doc_id").alias("max_id"))
+    updates = (
+        base.where(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            T.normalized(F.col("text")).alias("text"),
+            "lang",
+            F.lit("cdc").alias("source"),
+        )
+        .unionByName(
+            max_id.select(
+                (F.col("max_id") + 1).alias("doc_id"),
+                F.lit("a brand new document").alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("cdc").alias("source"),
+            )
+        )
+    )
+    merged = base.select(
+        "doc_id",
+        F.col("text").alias("base_text"),
+        F.col("lang").alias("base_lang"),
+        F.col("source").alias("base_source"),
+    ).join(
+        updates.select(
+            "doc_id",
+            F.col("text").alias("upd_text"),
+            F.col("lang").alias("upd_lang"),
+            F.col("source").alias("upd_source"),
+        ),
+        "doc_id",
+        "full_outer",
+    )
+    return merged.select(
+        "doc_id",
+        F.md5(F.coalesce("upd_text", "base_text")).alias("text_md5"),
+        F.coalesce("upd_lang", "base_lang").alias("lang"),
+        F.coalesce("upd_source", "base_source").alias("source"),
+        F.when(F.col("upd_text").isNotNull() & F.col("base_text").isNotNull(), "updated")
+        .when(F.col("upd_text").isNotNull(), "inserted")
+        .otherwise("unchanged")
+        .alias("merge_action"),
+    )
+
+
+CORPUS_UPSERT_ORACLE = f"""
+WITH updates AS (
+  SELECT doc_id, {T.oracle_normalized()} AS text, lang, 'cdc' AS source
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+         'a brand new document' AS text, 'en' AS lang, 'cdc' AS source
+)
+SELECT COALESCE(b.doc_id, u.doc_id) AS doc_id,
+       md5(COALESCE(u.text, b.text)) AS text_md5,
+       COALESCE(u.lang, b.lang) AS lang,
+       COALESCE(u.source, b.source) AS source,
+       CASE WHEN u.text IS NOT NULL AND b.text IS NOT NULL THEN 'updated'
+            WHEN u.text IS NOT NULL THEN 'inserted'
+            ELSE 'unchanged' END AS merge_action
+FROM documents b FULL OUTER JOIN updates u ON b.doc_id = u.doc_id
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "pipeline_training_corpus",
         pipeline_training_corpus,
         PIPELINE_ORACLE,
         "lang→quality→dedup→rollup composed pipeline",
+    ),
+    QueryDef(
+        "corpus_upsert",
+        corpus_upsert,
+        CORPUS_UPSERT_ORACLE,
+        "MERGE INTO / CDC upsert via full-outer coalesce",
     ),
 ]

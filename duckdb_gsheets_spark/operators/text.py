@@ -9,7 +9,7 @@ the same constants so the heuristics cannot drift apart.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_gsheets_spark.functions import text as T
@@ -354,6 +354,116 @@ FROM base
 """
 
 
+#: tf-idf fixed-point scale. Scores are the exact integer
+#: ``(tf · N · 1e6) div df`` — a scaled-rational tf-idf that avoids
+#: engine-specific ``ln``/libm rounding entirely (same ranking as
+#: tf·N/df). Long bound: tf·N·1e6 < 2⁶³ holds to ~9.2e12 doc-tokens.
+TFIDF_SCALE = 1_000_000
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf.
+
+    Pipeline: explode tokens → per-(doc, term) tf [shuffle 1, map-side
+    combinable] → per-term document frequency from the tf table
+    [shuffle 2, input already (doc, term)-distinct] → tf ⋈ df on term
+    [shuffle 3 at scale — the df side is vocabulary-sized, too big to
+    assume broadcast at 100 TB] → per-doc top-k window [shuffle 4 on
+    doc_id]. Corpus size N rides along via a broadcast 1-row agg.
+
+    The idf uses exact integer arithmetic (see TFIDF_SCALE) so the
+    ranking is bit-identical across engines and partitionings; ties
+    break on the term string.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr(f"(tf * n_docs * {TFIDF_SCALE}) div df").alias("tfidf_x1e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_x1e6").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf_x1e6")
+    )
+
+
+TEXT_TFIDF_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM terms WHERE term <> '' GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         (tf.tf * n.n_docs * {TFIDF_SCALE}) // df.df AS tfidf_x1e6
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_x1e6 DESC, term
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, tfidf_x1e6
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+def text_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 3 longest documents per language
+    (row_number window, doc_id tiebreak) — the per-group analogue of
+    the global ``topk_orders``.
+
+    One shuffle on lang; at scale, pre-aggregate per partition with a
+    k-row heap (Spark's window already stays sort-based within the
+    lang partition — acceptable because groups are few; for millions
+    of groups swap to ``min_by``-style partial top-k).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+
+
+TEXT_TOPK_LANG_ORACLE = """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+         ) AS rank
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
     QueryDef("text_top_terms", text_top_terms, TEXT_TOP_TERMS_ORACLE, "corpus term frequency top-k"),
@@ -364,4 +474,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("text_pii_scrub", text_pii_scrub, TEXT_PII_ORACLE, "PII detect + mask"),
     QueryDef("text_repetition_ratio", text_repetition_ratio, TEXT_REPETITION_ORACLE, "3-gram repetition quality signal"),
     QueryDef("text_gopher_quality", text_gopher_quality, TEXT_GOPHER_ORACLE, "Gopher rule-based quality filter"),
+    QueryDef("text_tfidf_top_terms", text_tfidf_top_terms, TEXT_TFIDF_ORACLE, "scaled-rational tf-idf top terms"),
+    QueryDef("text_topk_per_lang", text_topk_per_lang, TEXT_TOPK_LANG_ORACLE, "grouped top-k by length"),
 ]

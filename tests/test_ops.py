@@ -528,3 +528,65 @@ def test_gopher_rules_consistent_and_discriminating(spark):
     # The corpus is multilingual, so the en-stopword rule must split it.
     outcomes = {r.passes for r in rows}
     assert outcomes == {0, 1}
+
+
+def test_tfidf_scores_and_ranks_exact(spark):
+    from duckdb_gsheets_spark.operators.text import (
+        TFIDF_SCALE,
+        text_tfidf_top_terms,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = text_tfidf_top_terms(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.tfidf_x1e6 == (r.tf * n_docs * TFIDF_SCALE) // r.df
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for series in by_doc.values():
+        assert sorted(r.rank for r in series) == list(range(1, len(series) + 1))
+        series.sort(key=lambda r: r.rank)
+        scores = [r.tfidf_x1e6 for r in series]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_topk_per_lang_matches_python_recompute(spark):
+    from duckdb_gsheets_spark.operators.text import text_topk_per_lang
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.lang, r.rank): r.doc_id
+        for r in text_topk_per_lang(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").select(
+        "lang", "doc_id", "n_chars"
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, series in by_lang.items():
+        series.sort(key=lambda r: (-r.n_chars, r.doc_id))
+        for i, r in enumerate(series[:3], start=1):
+            assert got[(lang, i)] == r.doc_id
+
+
+def test_corpus_upsert_actions(spark):
+    from duckdb_gsheets_spark.operators.pipeline import corpus_upsert
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = corpus_upsert(spark, SF).collect()
+    base = load_table(spark, SF, "documents").select("doc_id").collect()
+    n = len(base)
+    n_upd = sum(1 for r in base if r.doc_id % 7 == 0)
+    actions: dict[str, int] = {}
+    for r in rows:
+        actions[r.merge_action] = actions.get(r.merge_action, 0) + 1
+    assert actions == {
+        "updated": n_upd,
+        "inserted": 1,
+        "unchanged": n - n_upd,
+    }
+    assert len(rows) == n + 1
+    inserted = [r for r in rows if r.merge_action == "inserted"]
+    assert inserted[0].doc_id == max(r.doc_id for r in base) + 1
+    assert inserted[0].source == "cdc"
