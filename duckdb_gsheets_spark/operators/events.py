@@ -628,6 +628,68 @@ WHERE n * s2 - s1 * s1 > 0
 """
 
 
+def events_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pearson correlation between event value and hour of
+    day, computed deterministically: built-in ``corr`` accumulates
+    doubles (partitioning-dependent), so the five co-moments (n, Σx,
+    Σy, Σx², Σy², Σxy) are exact scaled-long sums and the correlation
+    is assembled from them in one fixed double expression — identical
+    in every engine and under every partitioning. Long bound:
+    n·Σx² < 2⁶³ holds through ~sf1 (see events_anomaly_zscore).
+
+    One map-side-combinable shuffle producing 5 rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    y = F.hour("ts").cast("long")
+    stats = (
+        events.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(num / den, 6).alias("corr_value_hour"),
+    )
+
+
+EVENTS_CORR_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM (
+    SELECT event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS x,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+    FROM events
+  )
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS corr_value_hour
+FROM stats
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
     QueryDef("events_pivot", events_pivot, EVENTS_PIVOT_ORACLE, "pivot by event type"),
@@ -642,4 +704,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_gapfill_locf", events_gapfill_locf, EVENTS_GAPFILL_ORACLE, "gap-fill + LOCF interpolation"),
     QueryDef("events_histogram", events_histogram, EVENTS_HISTOGRAM_ORACLE, "fixed-width value histogram"),
     QueryDef("events_anomaly_zscore", events_anomaly_zscore, EVENTS_ZSCORE_ORACLE, "deterministic z-score outliers"),
+    QueryDef("events_corr_value_hour", events_corr_value_hour, EVENTS_CORR_ORACLE, "exact-co-moment Pearson correlation"),
 ]

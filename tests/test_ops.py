@@ -590,3 +590,36 @@ def test_corpus_upsert_actions(spark):
     inserted = [r for r in rows if r.merge_action == "inserted"]
     assert inserted[0].doc_id == max(r.doc_id for r in base) + 1
     assert inserted[0].source == "cdc"
+
+
+def test_corr_matches_python_recompute(spark):
+    from duckdb_gsheets_spark.operators.events import events_corr_value_hour
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.event_type: (r.n, r.corr_value_hour)
+        for r in events_corr_value_hour(spark, SF).collect()
+    }
+    raw = load_table(spark, SF, "events").selectExpr(
+        "event_type",
+        "cast(round(value * 100) as long) as x",
+        "cast(hour(ts) as long) as y",
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in raw:
+        by_type.setdefault(r.event_type, []).append((r.x, r.y))
+    for etype, pairs in by_type.items():
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        expected = round(
+            (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5),
+            6,
+        )
+        assert got[etype][0] == n
+        assert abs(got[etype][1] - expected) < 1e-9
+        assert -1.0 <= got[etype][1] <= 1.0
