@@ -600,6 +600,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score_batches(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             M = np.stack(pdf["emb"].to_numpy())
             norms = np.sqrt(np.einsum("ij,ij->i", M, M))
             s = np.round((M @ unit.T) / norms[:, None], 6)
