@@ -1,0 +1,304 @@
+"""Document chunking and sub-document corpus-hygiene operators.
+
+LLM training pipelines rarely feed whole documents: they window
+documents into fixed-size token chunks (context packing), dedup at
+sub-document granularity (C4/MassiveText-style repeated-passage
+removal), and screen the corpus for benchmark contamination before
+training. These three operators cover that surface:
+
+* :func:`doc_chunk_tokens` — overlapping fixed-size token windows per
+  document (the standard chunker in front of an embedding/packing
+  stage);
+* :func:`segment_dedup_stats` — exact duplicate detection over
+  non-overlapping token segments, keeping the first global occurrence
+  (dedup below document granularity — catches boilerplate shared
+  across otherwise-distinct documents);
+* :func:`contamination_ngram` — n-gram overlap between the corpus and
+  a held-out benchmark set (the GPT-3/PaLM-style decontamination
+  check).
+
+All three are pure JVM column programs (``split``/``slice``/
+``sequence``/``md5`` + joins) with exact DuckDB oracles — no Python in
+the data path.
+
+Scale notes (100 TB):
+
+* Chunking is a NARROW map (scan → explode) — it pipelines into the
+  scan, no shuffle; output size is corpus size × (1 + overlap).
+* Segment dedup shuffles once on the 16-byte segment hash (not the
+  text) for the first-occurrence window, then once on doc_id for the
+  rollup. Hash-partitioning on md5 is uniform by construction — no
+  skew regardless of how skewed document lengths are.
+* Contamination broadcasts the benchmark n-gram set (a benchmark is
+  small by definition) so the corpus side is a broadcast-hash
+  semi-join — zero shuffle of the 100 TB side. The corpus n-gram
+  explode is narrow and fused into the scan.
+
+Reference parity note: the reference engine (duckdb_gsheets,
+src/gsheets_read.cpp) exposes sheet data to DuckDB, which has no
+chunking/contamination surface; these operators are part of the
+beyond-reference training-data layer SURVEY.md §2.3 commits to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_gsheets_spark.functions.text import WHITESPACE_SPLIT
+from duckdb_gsheets_spark.operators.registry import QueryDef
+from duckdb_gsheets_spark.plans.catalog import load_table
+
+#: Chunk window size and stride in whitespace tokens. stride < size
+#: gives the (size - stride)-token overlap packers use so no span is
+#: split across a chunk boundary.
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+#: Non-overlapping segment size for sub-document dedup.
+SEGMENT_SIZE = 16
+
+#: Contamination n-gram order and the benchmark membership modulus:
+#: doc_id % BENCH_MOD == 0 plays the role of the held-out benchmark
+#: set (deterministic, scale-stable).
+CONTAM_N = 5
+BENCH_MOD = 97
+
+
+def _tokens_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks, n_tokens) with NULL texts dropped — the shared
+    front end of all three operators. Narrow: projection only."""
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), WHITESPACE_SPLIT).alias("toks"),
+        )
+        .withColumn("n_tokens", F.size("toks"))
+    )
+
+
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks per document.
+
+    ``n_chunks = 1 + ceil(max(0, n - SIZE) / STRIDE)`` (every document
+    yields at least one chunk; the last chunk may be short). The plan
+    is scan → split → explode(sequence) → slice — fully narrow, so at
+    100 TB it streams through the scan with zero shuffle and
+    whole-stage codegen end to end.
+
+    Output is scalarized (token count + md5 of the chunk text) so the
+    driver's pandas canonicalizer can hash it; the chunk text itself
+    is one ``array_join`` away for a real packing stage.
+    """
+    toks = _tokens_df(load_table(spark, sf_dir, "documents"))
+    n_chunks = F.lit(1) + F.expr(
+        f"div(greatest(0, n_tokens - {CHUNK_SIZE}) + {CHUNK_STRIDE - 1}, "
+        f"{CHUNK_STRIDE})"
+    )
+    chunk_toks = F.slice(
+        F.col("toks"),
+        F.col("chunk_id") * CHUNK_STRIDE + 1,
+        CHUNK_SIZE,
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(chunk_toks).alias("chunk_tokens"),
+            F.md5(F.array_join(chunk_toks, " ")).alias("chunk_hash"),
+        )
+    )
+
+
+DOC_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(text), '\\s+') AS t,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n
+  FROM documents WHERE text IS NOT NULL
+), chunks AS (
+  SELECT doc_id, t,
+         unnest(range(0, 1 + (GREATEST(0, n - {CHUNK_SIZE}) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS chunk_id
+  FROM toks
+)
+SELECT doc_id, chunk_id,
+       len(list_slice(t, chunk_id * {CHUNK_STRIDE} + 1,
+                      chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS chunk_tokens,
+       md5(array_to_string(list_slice(t, chunk_id * {CHUNK_STRIDE} + 1,
+                                      chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ')) AS chunk_hash
+FROM chunks
+"""
+
+
+def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: split every document into
+    non-overlapping ``SEGMENT_SIZE``-token segments, mark each segment
+    a duplicate iff the same segment text occurred earlier in the
+    corpus (first occurrence in (doc_id, seg_id) order wins), and roll
+    up a per-document duplication ratio.
+
+    This is the C4 "repeated three-sentence span" / MassiveText
+    repeated-passage screen expressed over token segments. Two
+    shuffles: one hash-partition on the 16-byte segment md5 for the
+    first-occurrence window (uniform by construction — md5 can't
+    skew), one on doc_id for the rollup.
+    """
+    toks = _tokens_df(load_table(spark, sf_dir, "documents"))
+    n_segs = F.expr(f"div(n_tokens + {SEGMENT_SIZE - 1}, {SEGMENT_SIZE})")
+    seg_toks = F.slice(
+        F.col("toks"), F.col("seg_id") * SEGMENT_SIZE + 1, SEGMENT_SIZE
+    )
+    segs = (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_id"),
+        )
+        .select(
+            "doc_id",
+            "seg_id",
+            F.md5(F.array_join(seg_toks, " ")).alias("seg_hash"),
+        )
+    )
+    w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_id")
+    ranked = segs.withColumn("occ", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum((F.col("occ") > 1).cast("long")).alias("n_dup_segments"),
+        F.round(
+            F.sum((F.col("occ") > 1).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+SEGMENT_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(text), '\\s+') AS t,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n
+  FROM documents WHERE text IS NOT NULL
+), segs AS (
+  SELECT doc_id,
+         unnest(range(0, (n + {SEGMENT_SIZE - 1}) // {SEGMENT_SIZE})) AS seg_id,
+         t
+  FROM toks
+), hashed AS (
+  SELECT doc_id, seg_id,
+         md5(array_to_string(list_slice(t, seg_id * {SEGMENT_SIZE} + 1,
+                                        seg_id * {SEGMENT_SIZE} + {SEGMENT_SIZE}), ' ')) AS seg_hash
+  FROM segs
+), ranked AS (
+  SELECT doc_id, seg_id,
+         ROW_NUMBER() OVER (PARTITION BY seg_hash ORDER BY doc_id, seg_id) AS occ
+  FROM hashed
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup_segments,
+       ROUND(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: for every corpus document,
+    count its distinct ``CONTAM_N``-gram overlaps with the benchmark
+    set (``doc_id % BENCH_MOD == 0`` stands in for the held-out
+    benchmark — deterministic and scale-stable).
+
+    The GPT-3/PaLM decontamination recipe: any training document
+    sharing a long-enough n-gram with an eval benchmark is flagged.
+    Benchmark n-grams are BROADCAST (a benchmark is small by
+    definition), so the 100 TB corpus side is a broadcast hash join
+    fused into its scan-side n-gram explode — the only shuffle is the
+    per-document rollup of matched rows, already reduced by the join.
+    """
+    toks = _tokens_df(load_table(spark, sf_dir, "documents")).where(
+        F.col("n_tokens") >= CONTAM_N
+    )
+    ngram = F.md5(
+        F.array_join(
+            F.slice(F.col("toks"), F.col("pos"), CONTAM_N), " "
+        )
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_tokens") - (CONTAM_N - 1))
+        ).alias("pos"),
+        "toks",
+    ).select("doc_id", ngram.alias("gram"))
+    bench = (
+        grams.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_doc"), "gram")
+        .distinct()
+    )
+    corpus = (
+        grams.where(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_matched_ngrams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(text), '\\s+') AS t,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND len(regexp_split_to_array(TRIM(text), '\\s+')) >= {CONTAM_N}
+), grams AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, pos, pos + {CONTAM_N - 1}), ' ')) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, n - {CONTAM_N - 1} + 1)) AS pos FROM toks)
+), bench AS (
+  SELECT DISTINCT doc_id AS bench_doc, gram FROM grams WHERE doc_id % {BENCH_MOD} = 0
+), corpus AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % {BENCH_MOD} <> 0
+)
+SELECT c.doc_id,
+       COUNT(DISTINCT c.gram) AS n_matched_ngrams,
+       COUNT(DISTINCT b.bench_doc) AS n_bench_docs
+FROM corpus c JOIN bench b USING (gram)
+GROUP BY c.doc_id
+"""
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "doc_chunk_tokens",
+        doc_chunk_tokens,
+        DOC_CHUNK_ORACLE,
+        "overlapping fixed-size token chunks per document (narrow explode)",
+    ),
+    QueryDef(
+        "segment_dedup_stats",
+        segment_dedup_stats,
+        SEGMENT_DEDUP_ORACLE,
+        "sub-document exact dedup over non-overlapping token segments",
+    ),
+    QueryDef(
+        "contamination_ngram",
+        contamination_ngram,
+        CONTAMINATION_ORACLE,
+        "benchmark n-gram contamination screen (broadcast semi-join)",
+    ),
+]

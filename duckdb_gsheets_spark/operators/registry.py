@@ -73,6 +73,7 @@ def all_queries() -> dict[str, QueryDef]:
     head, then the rest of the TPC-H battery.
     """
     from duckdb_gsheets_spark.operators import (
+        chunking,
         dedup,
         events,
         multimodal,
@@ -101,6 +102,11 @@ def all_queries() -> dict[str, QueryDef]:
         sampling,
         relational,
         tpch_extra,
+        # Post-window additions (round 2, after the curated 50): new
+        # modules append BELOW tpch_extra so the graded first-50
+        # composition is untouched; rotate them into the head next
+        # round once the current window's rows are green.
+        chunking,
     ):
         for qd in module.QUERIES:
             if qd.name in merged:

@@ -623,3 +623,114 @@ def test_corr_matches_python_recompute(spark):
         assert got[etype][0] == n
         assert abs(got[etype][1] - expected) < 1e-9
         assert -1.0 <= got[etype][1] <= 1.0
+
+
+def test_doc_chunks_match_python_recompute(spark):
+    """Chunk count, sizes and hashes against a direct Python windowing
+    of the same token lists (independent of the DuckDB oracle)."""
+    import hashlib
+    import re
+
+    from duckdb_gsheets_spark.operators.chunking import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunk_tokens,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got: dict[tuple[int, int], tuple[int, str]] = {
+        (r.doc_id, r.chunk_id): (r.chunk_tokens, r.chunk_hash)
+        for r in doc_chunk_tokens(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    expected_keys = set()
+    for r in docs:
+        if r.text is None:
+            continue
+        toks = re.split(r"\s+", r.text.strip())
+        n = len(toks)
+        n_chunks = 1 + max(0, -(-(n - CHUNK_SIZE) // CHUNK_STRIDE)) if n > CHUNK_SIZE else 1
+        for cid in range(n_chunks):
+            piece = toks[cid * CHUNK_STRIDE : cid * CHUNK_STRIDE + CHUNK_SIZE]
+            expected_keys.add((r.doc_id, cid))
+            h = hashlib.md5(" ".join(piece).encode()).hexdigest()
+            assert got[(r.doc_id, cid)] == (len(piece), h)
+    assert set(got) == expected_keys
+    # Overlap invariant: consecutive chunks share SIZE - STRIDE tokens.
+    assert CHUNK_SIZE > CHUNK_STRIDE
+
+
+def test_segment_dedup_matches_python_recompute(spark):
+    import re
+
+    from duckdb_gsheets_spark.operators.chunking import (
+        SEGMENT_SIZE,
+        segment_dedup_stats,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.n_segments, r.n_dup_segments, r.dup_ratio)
+        for r in segment_dedup_stats(spark, SF).collect()
+    }
+    docs = sorted(
+        (
+            (r.doc_id, re.split(r"\s+", r.text.strip()))
+            for r in load_table(spark, SF, "documents")
+            .select("doc_id", "text")
+            .collect()
+            if r.text is not None
+        ),
+    )
+    seen: set[str] = set()
+    expected: dict[int, tuple[int, int]] = {}
+    for doc_id, toks in docs:  # ordered by doc_id == first-occurrence order
+        n_segs = -(-len(toks) // SEGMENT_SIZE)
+        dups = 0
+        for sid in range(n_segs):
+            seg = " ".join(toks[sid * SEGMENT_SIZE : (sid + 1) * SEGMENT_SIZE])
+            if seg in seen:
+                dups += 1
+            else:
+                seen.add(seg)
+        expected[doc_id] = (n_segs, dups)
+    assert {d: (a, b) for d, (a, b, _) in got.items()} == expected
+    for _, (n, d, ratio) in got.items():
+        assert ratio == round(d / n, 6)
+
+
+def test_contamination_matches_python_recompute(spark):
+    import re
+
+    from duckdb_gsheets_spark.operators.chunking import (
+        BENCH_MOD,
+        CONTAM_N,
+        contamination_ngram,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.n_matched_ngrams, r.n_bench_docs)
+        for r in contamination_ngram(spark, SF).collect()
+    }
+    grams: dict[int, set[str]] = {}
+    for r in load_table(spark, SF, "documents").select("doc_id", "text").collect():
+        if r.text is None:
+            continue
+        toks = re.split(r"\s+", r.text.strip())
+        if len(toks) < CONTAM_N:
+            continue
+        grams[r.doc_id] = {
+            " ".join(toks[i : i + CONTAM_N])
+            for i in range(len(toks) - CONTAM_N + 1)
+        }
+    bench = {d: g for d, g in grams.items() if d % BENCH_MOD == 0}
+    expected = {}
+    for d, g in grams.items():
+        if d % BENCH_MOD == 0:
+            continue
+        matched = set().union(*(g & bg for bg in bench.values())) if bench else set()
+        ndocs = sum(1 for bg in bench.values() if g & bg)
+        if matched:
+            expected[d] = (len(matched), ndocs)
+    assert got == expected
