@@ -76,6 +76,7 @@ def all_queries() -> dict[str, QueryDef]:
         chunking,
         dedup,
         events,
+        ml,
         multimodal,
         pipeline,
         relational,
@@ -107,6 +108,7 @@ def all_queries() -> dict[str, QueryDef]:
         # composition is untouched; rotate them into the head next
         # round once the current window's rows are green.
         chunking,
+        ml,
     ):
         for qd in module.QUERIES:
             if qd.name in merged:

@@ -734,3 +734,96 @@ def test_contamination_matches_python_recompute(spark):
         if matched:
             expected[d] = (len(matched), ndocs)
     assert got == expected
+
+
+def test_kmeans_matches_numpy_recompute(spark):
+    """Same-recipe spherical Lloyd in numpy over the collected corpus
+    must reproduce sizes and (to rounding) the per-cluster stats."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.ml import (
+        KMEANS_INIT_STRIDE,
+        KMEANS_ITERS,
+        KMEANS_K,
+        kmeans_lloyd,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.cluster_id: (r.size, r.avg_cos_sim, r.centroid_norm)
+        for r in kmeans_lloyd(spark, SF).collect()
+    }
+    rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in load_table(spark, SF, "embeddings").collect()
+    )
+    X = np.array([e for _, e in rows])
+    ids = [i for i, _ in rows]
+    init_ids = sorted(i for i in ids if i % KMEANS_INIT_STRIDE == 0)[:KMEANS_K]
+    C = X[[ids.index(i) for i in init_ids]].copy()
+
+    def assign(C):
+        unit = C / np.linalg.norm(C, axis=1, keepdims=True)
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        sims = np.round((X @ unit.T) / norms[:, None], 6)
+        return sims.argmax(axis=1), sims.max(axis=1)
+
+    for _ in range(KMEANS_ITERS):
+        a, _ = assign(C)
+        for k in range(KMEANS_K):
+            if (a == k).any():
+                C[k] = X[a == k].mean(axis=0)
+    a, s = assign(C)
+    assert set(got) == {k for k in range(KMEANS_K) if (a == k).any()}
+    total = 0
+    for k, (size, avg, cnorm) in got.items():
+        assert size == int((a == k).sum())
+        total += size
+        exp_avg = np.round(s[a == k], 6).sum() / size
+        assert abs(avg - exp_avg) < 1e-5
+        assert abs(cnorm - np.linalg.norm(C[k])) < 1e-5
+        assert -1.0 <= avg <= 1.0
+    assert total == len(X)
+
+
+def test_pca_matches_numpy_recompute(spark):
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.ml import (
+        DIM,
+        PCA_ITERS,
+        pca_power_topcomp,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    out = pca_power_topcomp(spark, SF).collect()
+    assert len(out) == DIM
+    v_got = np.array([r.loading for r in sorted(out, key=lambda r: r.dim)])
+    eig = out[0].eigenvalue
+    assert all(r.eigenvalue == eig for r in out)
+
+    X = np.array(
+        [
+            [float(x) for x in r.embedding]
+            for r in load_table(spark, SF, "embeddings").collect()
+        ]
+    )
+    m = X.mean(axis=0)
+    v = np.ones(DIM) / np.sqrt(DIM)
+    for _ in range(PCA_ITERS):
+        z = (X - m).T @ ((X - m) @ v)
+        lam = np.linalg.norm(z) / len(X)
+        v = z / np.linalg.norm(z)
+    if v[np.abs(v).argmax()] < 0:
+        v = -v
+    assert abs(np.linalg.norm(v_got) - 1.0) < 1e-3
+    assert np.abs(v_got - v).max() < 1e-5
+    assert abs(eig - lam) < 1e-6
+    # The corpus's top spectral band is nearly degenerate (λ₁/λ₂ ≈
+    # 1.07), so single-vector alignment is unreachable in few
+    # iterations; the operator's contract is a direction whose
+    # variance sits in that top band.
+    C = np.cov(X.T, bias=True)
+    w = np.linalg.eigvalsh(C)
+    assert float(v_got @ C @ v_got) >= 0.85 * w[-1]
+    assert abs(eig - float(v @ C @ v)) < 0.1 * w[-1]
