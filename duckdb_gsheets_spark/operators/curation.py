@@ -1,0 +1,300 @@
+"""Corpus-curation operators: mixture weights, sequence packing, BM25.
+
+The last mile of a training-data pipeline decides WHAT to train on and
+HOW to lay it out: per-language (or per-source) sampling weights,
+packing documents into fixed context windows, and keyword retrieval
+over the corpus for audits. Three operators, all pure JVM column
+programs with exact DuckDB oracles:
+
+* :func:`corpus_mix_weights` — temperature-scaled language sampling
+  weights (the mT5/UniMax ``p^α`` recipe, α = 0.3);
+* :func:`pack_sequences` — greedy in-order packing of documents into
+  fixed token budgets, parallel per source shard;
+* :func:`bm25_search` — Okapi BM25 keyword top-k over the corpus.
+
+Scale notes (100 TB):
+
+* Mix weights aggregate the corpus to one row per language before any
+  wide operation — the normalization join broadcasts a handful of
+  rows.
+* Packing is a per-shard running sum: ``Window.partitionBy(source)``
+  means every shard packs independently in one shuffle; the global
+  single-sequence variant would serialize, which is exactly why real
+  packers shard first (documented contract, not an accident).
+* BM25's per-term statistics (df) aggregate to vocabulary size, and
+  the query-term filter prunes the postings to |terms| × docs-hit
+  BEFORE any join; the avgdl scalar joins via broadcast.
+
+Reference parity note: the reference engine (duckdb_gsheets) exposes
+sheet data to DuckDB which has FTS extensions but no pipeline-native
+mixing/packing surface; beyond-reference layer per SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_gsheets_spark.functions.text import WHITESPACE_SPLIT
+from duckdb_gsheets_spark.operators.registry import QueryDef
+from duckdb_gsheets_spark.plans.catalog import load_table
+
+#: Sampling temperature for corpus mixing (mT5 uses α = 0.3).
+MIX_ALPHA = 0.3
+
+#: Token budget per packed sequence (context window).
+PACK_BUDGET = 256
+
+#: BM25 hyperparameters (Robertson's defaults) and the audit query.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("data", "spark", "query")
+BM25_TOPK = 20
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, toks, n_tokens), NULL texts dropped."""
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.split(F.trim(F.col("text")), WHITESPACE_SPLIT).alias("toks"),
+        )
+        .withColumn("n_tokens", F.size("toks"))
+    )
+
+
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling weights ``w_l ∝ (tokens_l / total)^α``
+    (temperature-scaled mixing, α = MIX_ALPHA), with document counts
+    and the token share they represent.
+
+    Plan: one groupBy(lang) over the corpus (map-side combined to one
+    row per language per partition), then a broadcast of the one-row
+    total for normalization. Nothing wide ever exceeds |languages|
+    rows.
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    by_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    totals = by_lang.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(
+            F.pow(
+                F.col("n_tokens").cast("double"), F.lit(float(MIX_ALPHA))
+            )
+        ).alias("z"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    weight = (
+        F.pow(F.col("n_tokens").cast("double"), F.lit(float(MIX_ALPHA)))
+        / F.col("z")
+    )
+    return (
+        by_lang.join(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(weight, 6).alias("mix_weight"),
+        )
+    )
+
+
+CORPUS_MIX_ORACLE = f"""
+WITH by_lang AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(len(regexp_split_to_array(TRIM(text), '\\s+'))) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY lang
+), totals AS (
+  SELECT SUM(n_tokens) AS total_tokens,
+         SUM(POW(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})) AS z
+  FROM by_lang
+)
+SELECT lang, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+       ROUND(POW(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z, 6) AS mix_weight
+FROM by_lang, totals
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order packing of documents into ``PACK_BUDGET``-token
+    bins, independently per source shard: a document's bin is its
+    running token offset div the budget (documents longer than the
+    budget span bins; boundary docs start the overflow — the standard
+    streaming packer approximation).
+
+    ``Window.partitionBy(source).orderBy(doc_id)`` keeps every shard's
+    running sum parallel — one shuffle on source, no global sort. The
+    per-(source, bin) rollup reuses the same partitioning.
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"div(sum(n_tokens) over "
+            f"(partition by source order by doc_id "
+            f"rows between unbounded preceding and current row) - n_tokens, "
+            f"{PACK_BUDGET})"
+        ).alias("bin_id"),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), binned AS (
+  SELECT source, doc_id, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+           // {PACK_BUDGET} AS bin_id
+  FROM toks
+)
+SELECT source, bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM binned
+GROUP BY source, bin_id
+"""
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k for a fixed audit query over the corpus.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    The postings explode filters to the query terms BEFORE any
+    aggregation, so the wide work is |terms| × matching docs; N and
+    avgdl ship as a broadcast one-row frame; df aggregates to one row
+    per query term. Top-k is TakeOrderedAndProject on the rounded
+    score with doc_id tiebreak.
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.avg(F.col("n_tokens").cast("double")).alias("avgdl"),
+    )
+    hits = (
+        docs.select(
+            "doc_id", "n_tokens", F.explode("toks").alias("tok")
+        )
+        .where(F.col("tok").isin(*BM25_TERMS))
+    )
+    tf = hits.groupBy("doc_id", "n_tokens", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (
+                    F.col("n_docs_total") - F.col("df") + F.lit(0.5)
+                )
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B)
+                    * F.col("n_tokens").cast("double")
+                    / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), stats AS (
+  SELECT COUNT(*) AS n_docs_total, AVG(CAST(n_tokens AS DOUBLE)) AS avgdl
+  FROM docs
+), tf AS (
+  SELECT doc_id, n_tokens, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, n_tokens, unnest(toks) AS tok FROM docs)
+  WHERE tok IN ({_TERMS_SQL})
+  GROUP BY doc_id, n_tokens, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+)
+SELECT doc_id,
+       ROUND(SUM(
+         LN(1.0 + (n_docs_total - df + 0.5) / (df + 0.5))
+         * (tf * {BM25_K1 + 1.0})
+         / (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * CAST(n_tokens AS DOUBLE) / avgdl))
+       ), 6) AS bm25,
+       COUNT(*) AS n_terms_hit
+FROM tf JOIN df USING (tok), stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "corpus_mix_weights",
+        corpus_mix_weights,
+        CORPUS_MIX_ORACLE,
+        "temperature-scaled language sampling weights (p^alpha mixing)",
+    ),
+    QueryDef(
+        "pack_sequences",
+        pack_sequences,
+        PACK_SEQUENCES_ORACLE,
+        "greedy in-order packing into fixed token budgets per shard",
+    ),
+    QueryDef(
+        "bm25_search",
+        bm25_search,
+        BM25_ORACLE,
+        "Okapi BM25 keyword top-k over the corpus",
+    ),
+]

@@ -74,6 +74,7 @@ def all_queries() -> dict[str, QueryDef]:
     """
     from duckdb_gsheets_spark.operators import (
         chunking,
+        curation,
         dedup,
         events,
         ml,
@@ -109,6 +110,7 @@ def all_queries() -> dict[str, QueryDef]:
         # round once the current window's rows are green.
         chunking,
         ml,
+        curation,
     ):
         for qd in module.QUERIES:
             if qd.name in merged:

@@ -827,3 +827,103 @@ def test_pca_matches_numpy_recompute(spark):
     w = np.linalg.eigvalsh(C)
     assert float(v_got @ C @ v_got) >= 0.85 * w[-1]
     assert abs(eig - float(v @ C @ v)) < 0.1 * w[-1]
+
+
+def test_mix_weights_temperature_flattens(spark):
+    from duckdb_gsheets_spark.operators.curation import corpus_mix_weights
+
+    rows = corpus_mix_weights(spark, SF).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    big = max(rows, key=lambda r: r.n_tokens)
+    small = min(rows, key=lambda r: r.n_tokens)
+    # α < 1 ⇒ monotone in size but flatter than raw shares.
+    assert big.mix_weight > small.mix_weight
+    assert big.mix_weight / small.mix_weight < big.token_share / small.token_share
+
+
+def test_pack_sequences_matches_python_recompute(spark):
+    import re
+
+    from duckdb_gsheets_spark.operators.curation import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.source, r.bin_id): (r.n_docs, r.bin_tokens, r.first_doc, r.last_doc)
+        for r in pack_sequences(spark, SF).collect()
+    }
+    per_source: dict[str, list] = {}
+    for r in sorted(
+        load_table(spark, SF, "documents")
+        .select("source", "doc_id", "text")
+        .collect(),
+        key=lambda r: r.doc_id,
+    ):
+        if r.text is None:
+            continue
+        per_source.setdefault(r.source, []).append(
+            (r.doc_id, len(re.split(r"\s+", r.text.strip())))
+        )
+    expected: dict[tuple, list] = {}
+    for src, docs in per_source.items():
+        offset = 0
+        for doc_id, n in docs:
+            b = offset // PACK_BUDGET
+            expected.setdefault((src, b), []).append((doc_id, n))
+            offset += n
+    assert set(got) == set(expected)
+    for key, docs in expected.items():
+        assert got[key] == (
+            len(docs),
+            sum(n for _, n in docs),
+            min(d for d, _ in docs),
+            max(d for d, _ in docs),
+        )
+
+
+def test_bm25_matches_python_recompute(spark):
+    import math
+    import re
+
+    from duckdb_gsheets_spark.operators.curation import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOPK,
+        bm25_search,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = [(r.doc_id, r.bm25, r.n_terms_hit) for r in bm25_search(spark, SF).collect()]
+    docs = {
+        r.doc_id: re.split(r"\s+", r.text.strip())
+        for r in load_table(spark, SF, "documents").collect()
+        if r.text is not None
+    }
+    n_total = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_total
+    df = {
+        term: sum(1 for t in docs.values() if term in t) for term in BM25_TERMS
+    }
+    scores = {}
+    for d, toks in docs.items():
+        s, hit = 0.0, 0
+        for term in BM25_TERMS:
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            hit += 1
+            idf = math.log(1.0 + (n_total - df[term] + 0.5) / (df[term] + 0.5))
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks) / avgdl)
+            )
+        if hit:
+            scores[d] = (round(s, 6), hit)
+    expected = sorted(
+        ((d, s, h) for d, (s, h) in scores.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:BM25_TOPK]
+    assert got == expected
