@@ -45,6 +45,9 @@ HEADLINE = (
     "ann_cosine_topk",
     "ann_ivf_topk",
     "pipeline_training_corpus",
+    "doc_chunk_tokens",
+    "segment_dedup_stats",
+    "bm25_search",
 )
 
 
