@@ -243,10 +243,12 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("bench_doc"), "gram")
         .distinct()
     )
-    corpus = (
-        grams.where(F.col("doc_id") % BENCH_MOD != 0)
-        .select("doc_id", "gram")
-        .distinct()
+    # No pre-join distinct on the corpus side: countDistinct in the
+    # rollup already dedupes, and a distinct here would shuffle the
+    # FULL corpus gram stream — the broadcast join filters it to
+    # matches first, so only matched rows ever reach an exchange.
+    corpus = grams.where(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", "gram"
     )
     return (
         corpus.join(F.broadcast(bench), "gram")

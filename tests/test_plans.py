@@ -84,3 +84,33 @@ def test_sampling_is_narrow(spark):
     assert "Exchange" not in plan
     plan_k = _plan(spark, "sample_bottom_k")
     assert "TakeOrderedAndProject" in plan_k
+
+def test_doc_chunking_is_narrow(spark):
+    """Chunking must pipeline into the scan: no exchange anywhere."""
+    plan = _plan(spark, "doc_chunk_tokens")
+    assert "Exchange" not in plan
+    assert "struct<doc_id:bigint,text:string>" in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast; the raw corpus gram
+    stream must reach the join unshuffled."""
+    plan = _plan(spark, "contamination_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark):
+    plan = _plan(spark, "bm25_search")
+    assert plan.count("BroadcastExchange") >= 2  # df + corpus stats
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_pack_sequences_partitions_by_source(spark):
+    """Per-shard packing: the window must partition by source (one
+    hash exchange), never collapse to a single global partition."""
+    plan = _plan(spark, "pack_sequences")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
