@@ -278,7 +278,83 @@ LIMIT {BM25_TOPK}
 """
 
 
+def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    unigram LM (add-one smoothed) — the CCNet-style perplexity quality
+    proxy: templated/repetitive documents score low, rare-token noise
+    scores high.
+
+    ``xent(d) = −(1/|d|) Σ_t ln((count(t)+1)/(total+|V|))``
+
+    Determinism: each ln is rounded to 9 decimals and scaled to a
+    long, so the per-document sum is exact integer arithmetic in both
+    engines (ln differs across libm implementations by ≤1 ulp ≈ 1e-15,
+    far inside the 1e-9 grid).
+
+    Scale: the unigram table aggregates to vocabulary size and is
+    broadcast here (test vocab is tiny). At 100 TB with a 100M-term
+    vocabulary you drop the broadcast hint and let AQE choose a
+    shuffle join on ``tok`` — the shape is otherwise unchanged.
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "n_tokens", F.explode("toks").alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("vsize"),
+    )
+    lnp = F.log(
+        (F.col("cnt") + F.lit(1.0))
+        / (F.col("total") + F.col("vsize")).cast("double")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(lnp * 1e9).cast("long").alias("lnp_scaled"),
+        )
+    )
+    return scored.groupBy("doc_id", "n_tokens").agg(
+        F.round(
+            -F.sum("lnp_scaled").cast("double")
+            / 1e9
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("unigram_xent"),
+    )
+
+
+UNIGRAM_XENT_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), toks AS (
+  SELECT doc_id, n_tokens, unnest(toks) AS tok FROM docs
+), vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), totals AS (
+  SELECT SUM(cnt) AS total, COUNT(*) AS vsize FROM vocab
+)
+SELECT doc_id, n_tokens,
+       ROUND(-CAST(SUM(CAST(ROUND(LN((cnt + 1.0) / CAST(total + vsize AS DOUBLE)) * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / CAST(n_tokens AS DOUBLE), 6) AS unigram_xent
+FROM toks JOIN vocab USING (tok), totals
+GROUP BY doc_id, n_tokens
+"""
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "text_unigram_xent",
+        text_unigram_xent,
+        UNIGRAM_XENT_ORACLE,
+        "unigram cross-entropy quality proxy (CCNet-style perplexity)",
+    ),
     QueryDef(
         "corpus_mix_weights",
         corpus_mix_weights,

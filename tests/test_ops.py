@@ -927,3 +927,36 @@ def test_bm25_matches_python_recompute(spark):
         key=lambda x: (-x[1], x[0]),
     )[:BM25_TOPK]
     assert got == expected
+
+
+def test_unigram_xent_matches_python_recompute(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.curation import text_unigram_xent
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.n_tokens, r.unigram_xent)
+        for r in text_unigram_xent(spark, SF).collect()
+    }
+    docs = {
+        r.doc_id: re.split(r"\s+", r.text.strip())
+        for r in load_table(spark, SF, "documents").collect()
+        if r.text is not None
+    }
+    vocab = Counter(t for toks in docs.values() for t in toks)
+    total = sum(vocab.values())
+    vsize = len(vocab)
+    for d, toks in docs.items():
+        s = sum(
+            int(round(math.log((vocab[t] + 1.0) / (total + vsize)) * 1e9))
+            for t in toks
+        )
+        expected = round(-s / 1e9 / len(toks), 6)
+        assert got[d] == (len(toks), expected)
+    # Quality-signal sanity: scores are positive, finite, and vary.
+    scores = [x for _, x in got.values()]
+    assert min(scores) > 0
+    assert max(scores) > min(scores)
