@@ -333,48 +333,106 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return votes.select("doc_id", sig.alias("sig"))
 
 
+def _band_val(sig: F.Column, b: int) -> F.Column:
+    """Band ``b``'s 16-bit slice of a 64-bit signature."""
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    return F.shiftrightunsigned(sig, b * band_width).bitwiseAND(F.lit(mask))
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 4×16-bit band blocking guarantees every
     pair at Hamming ≤ 3 shares a band; verify exact Hamming distance.
-    Rows-only check (bit math is engine-specific)."""
+    Rows-only check (bit math is engine-specific).
+
+    Dup-dense corpora (the whole point of a dedup pass) make the naive
+    all-docs band join quadratic per bucket BEFORE verification, with
+    every surviving pair materialized 4× and deduplicated in an extra
+    shuffle. This formulation keeps the join input collapsed and the
+    output emitted exactly once:
+
+    * **identical signatures** (Hamming 0 — exact and near-exact dups)
+      pair through a sig-equality self-join: shuffle keyed on the full
+      64-bit sig, output-bound only;
+    * **the band join runs over DISTINCT signatures** — input is
+      |unique sigs| per band, not |docs|, so a 20-way-duplicated
+      corpus shrinks the quadratic stage 20× (measured 36 s → see
+      BASELINE.md scale probe);
+    * **first-matching-band filter** replaces ``dropDuplicates``: a
+      sig pair sharing k bands is emitted only by its lowest matching
+      band (both sigs are in hand, so earlier-band inequality is a
+      cheap bit-math predicate, not a shuffle);
+    * doc pairs fan back out through two sig→doc joins — the only
+      stage proportional to OUTPUT size, which is inherent to
+      returning all pairs.
+    """
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
-    band_width = SIMHASH_BITS // SIMHASH_BANDS
-    mask = (1 << band_width) - 1
-    bands = sigs.select(
-        "doc_id",
+    # Hamming-0 pairs: equality self-join on the signature itself.
+    within = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), F.col("a.sig") == F.col("b.sig"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    distinct_sigs = sigs.select("sig").distinct()
+    bands = distinct_sigs.select(
         "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("sig"), b * band_width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
+                        _band_val(F.col("sig"), b).alias("band_val"),
                     )
                     for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_idx", "band.band_val")
-    cands = (
+    ).select("sig", "band.band_idx", "band.band_val")
+    # Earlier-band inequality: band b emits a pair only if no band
+    # below b also matches — exactly-once emission without a dedup
+    # shuffle.
+    no_earlier_match = F.lit(True)
+    for b in range(1, SIMHASH_BANDS):
+        earlier_differs = F.lit(True)
+        for i in range(b):
+            earlier_differs = earlier_differs & (
+                _band_val(F.col("a.sig"), i) != _band_val(F.col("b.sig"), i)
+            )
+        no_earlier_match = F.when(
+            F.col("band_idx") == b, earlier_differs
+        ).otherwise(no_earlier_match)
+    sig_pairs = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_idx", "band_val"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .where((F.col("a.sig") < F.col("b.sig")) & no_earlier_match)
+        .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cands.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    close_sigs = sig_pairs.select(
+        "sig_a", "sig_b", hamming.alias("hamming")
+    ).where((F.col("hamming") > 0) & (F.col("hamming") <= SIMHASH_MAX_HAMMING))
+    across = (
+        close_sigs.join(
+            sigs.select(F.col("sig").alias("sig_a"), F.col("doc_id").alias("da")),
+            "sig_a",
+        )
+        .join(
+            sigs.select(F.col("sig").alias("sig_b"), F.col("doc_id").alias("db")),
+            "sig_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
     )
+    return within.unionAll(across)
 
 
 #: Convergence cap for connected components. Label propagation needs
