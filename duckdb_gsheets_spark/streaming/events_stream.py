@@ -268,3 +268,81 @@ def batch_equivalent_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(F.col("value") * F.lit(100.0)).cast("long")).cast("double") / F.lit(100.0)).alias("sum_value"),
         )
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table (same symlinked
+    create-once stream dir pattern as :func:`read_events_stream`)."""
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"documents_stream_{digest}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    return (
+        spark.readStream.schema(static.schema)
+        .format("parquet")
+        .load(stream_dir)
+    )
+
+
+def streaming_contamination_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream–static twin of operators.chunking.contamination_ngram's
+    ``n_matched_ngrams``: incoming documents stream in, their n-grams
+    join a STATIC benchmark gram set (broadcast — the stream side never
+    shuffles for the join), stateful ``dropDuplicates`` replaces the
+    batch ``countDistinct`` (distinct aggregation is not available on
+    streams), and the per-document rollup runs in complete mode.
+
+    This is the production decontamination deployment shape: the
+    benchmark set is a slowly-changing static artifact; candidate
+    training documents arrive continuously.
+    """
+    from duckdb_gsheets_spark.operators.chunking import (
+        BENCH_MOD,
+        CONTAM_N,
+    )
+    from duckdb_gsheets_spark.functions.text import WHITESPACE_SPLIT
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        toks = (
+            df.where(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                F.split(F.trim(F.col("text")), WHITESPACE_SPLIT).alias("toks"),
+            )
+            .withColumn("n_tokens", F.size("toks"))
+            .where(F.col("n_tokens") >= CONTAM_N)
+        )
+        gram = F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("pos"), CONTAM_N), " ")
+        )
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - (CONTAM_N - 1))
+            ).alias("pos"),
+            "toks",
+        ).select("doc_id", gram.alias("gram"))
+
+    bench = (
+        grams_of(load_table(spark, sf_dir, "documents"))
+        .where(F.col("doc_id") % BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    stream = read_documents_stream(spark, sf_dir)
+    matched = (
+        grams_of(stream)
+        .where(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram")
+        .dropDuplicates(["doc_id", "gram"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched_ngrams"))
+    )
+    return run_to_memory(matched, output_mode="complete")

@@ -193,3 +193,22 @@ def test_stream_dir_is_stable_per_sf_dir(spark):
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     stream_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
     assert os.path.islink(os.path.join(stream_dir, "events.parquet"))
+
+
+def test_streaming_contamination_matches_batch(spark):
+    """Stream-static broadcast join + stateful dedup must reproduce
+    the batch contamination screen's distinct-gram counts."""
+    from duckdb_gsheets_spark.operators.chunking import contamination_ngram
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_contamination_counts,
+    )
+
+    got = {
+        r.doc_id: r.n_matched_ngrams
+        for r in streaming_contamination_counts(spark, SF).collect()
+    }
+    expected = {
+        r.doc_id: r.n_matched_ngrams
+        for r in contamination_ngram(spark, SF).collect()
+    }
+    assert got == expected
