@@ -348,7 +348,53 @@ GROUP BY doc_id, n_tokens
 """
 
 
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel observability: how many documents survive each
+    Gopher rule applied cumulatively in sequence (word-length → alpha
+    ratio → stopwords → symbols). One wide row — the dashboard number
+    a corpus build reports after every filter stage.
+
+    Composes :func:`operators.text.text_gopher_quality` (flags per
+    doc) with a single global aggregate; the oracle composes the same
+    way over the Gopher oracle SQL, so the two can never drift.
+    """
+    from duckdb_gsheets_spark.operators.text import text_gopher_quality
+
+    g = text_gopher_quality(spark, sf_dir)
+    c1 = F.col("rule_word_len")
+    c2 = c1 * F.col("rule_alpha")
+    c3 = c2 * F.col("rule_stopwords")
+    c4 = c3 * F.col("rule_symbols")
+    return g.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(c1).alias("pass_word_len"),
+        F.sum(c2).alias("pass_alpha"),
+        F.sum(c3).alias("pass_stopwords"),
+        F.sum(c4).alias("pass_symbols"),
+    )
+
+
+def _quality_funnel_oracle() -> str:
+    from duckdb_gsheets_spark.operators.text import TEXT_GOPHER_ORACLE
+
+    return f"""
+WITH gopher AS ({TEXT_GOPHER_ORACLE})
+SELECT COUNT(*) AS n_input,
+       SUM(rule_word_len) AS pass_word_len,
+       SUM(rule_word_len * rule_alpha) AS pass_alpha,
+       SUM(rule_word_len * rule_alpha * rule_stopwords) AS pass_stopwords,
+       SUM(rule_word_len * rule_alpha * rule_stopwords * rule_symbols) AS pass_symbols
+FROM gopher
+"""
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "quality_funnel",
+        quality_funnel,
+        _quality_funnel_oracle(),
+        "cumulative Gopher-rule survival funnel (one-row corpus report)",
+    ),
     QueryDef(
         "text_unigram_xent",
         text_unigram_xent,
