@@ -49,7 +49,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from duckdb_gsheets_spark.functions.vectors import to_double
+from duckdb_gsheets_spark.functions.vectors import dot_np, norm_np, to_double
 from duckdb_gsheets_spark.operators.registry import QueryDef
 from duckdb_gsheets_spark.plans.catalog import fan_out, load_table
 
@@ -258,6 +258,62 @@ def pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Cosine threshold for semantic near-dup pairs — same bar as the
+#: LSH-blocked embedding near-dup query (similarity.py) so the two
+#: blocking strategies are comparable.
+SEMDEDUP_THRESHOLD = 0.95
+
+
+def semantic_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023, arXiv:2303.09540 — public): coarse-cluster the corpus with
+    the deterministic quantizer, then compare pairs ONLY within a
+    cluster; pairs at cosine ≥ ``SEMDEDUP_THRESHOLD`` are semantic
+    duplicates.
+
+    Third blocking strategy alongside LSH buckets
+    (similarity.embedding_neardup_pairs) and IVF lists: cluster
+    blocking trades recall at cluster boundaries for a candidate set
+    bounded by Σ_c |c|² — at 100 TB you raise K so clusters stay
+    ~10³-10⁴ docs (SemDeDup used K=11k on LAION), keeping each
+    within-cluster join node-local after one shuffle on cluster id.
+    The assignment itself is the usual narrow GEMM (no corpus
+    shuffle before the cluster-keyed join).
+
+    Rows-only (recall depends on clustering); pytest pins precision
+    (every emitted pair is in the exact O(n²) pair set) and recall
+    within clusters.
+    """
+    centroids = _init_centroids(sf_dir)
+    emb = (
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+        .withColumn("a", _assign_sim_np(centroids)("emb"))
+        .select("vec_id", "emb", F.col("a.cluster").alias("cluster"))
+    )
+    a = emb.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+    )
+    b = emb.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+    )
+    cos = F.round(
+        dot_np(F.col("emb_a"), F.col("emb_b"))
+        / (norm_np(F.col("emb_a")) * norm_np(F.col("emb_b"))),
+        6,
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("cluster", "vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= SEMDEDUP_THRESHOLD)
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "kmeans_lloyd",
@@ -270,5 +326,11 @@ QUERIES: list[QueryDef] = [
         pca_power_topcomp,
         None,
         "top principal component via matrix-free power iteration",
+    ),
+    QueryDef(
+        "semantic_neardup_pairs",
+        semantic_neardup_pairs,
+        None,
+        "SemDeDup cluster-blocked semantic near-dup pairs",
     ),
 ]

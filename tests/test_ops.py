@@ -960,3 +960,46 @@ def test_unigram_xent_matches_python_recompute(spark):
     scores = [x for _, x in got.values()]
     assert min(scores) > 0
     assert max(scores) > min(scores)
+
+
+def test_semantic_neardup_precision_and_cluster_recall(spark):
+    """Every emitted pair must be in the exact O(n²) pair set
+    (precision 1.0), and every exact pair whose two vectors share a
+    cluster must be emitted (within-cluster recall 1.0)."""
+    from duckdb_gsheets_spark.operators.ml import (
+        _assign_sim_np,
+        _init_centroids,
+        semantic_neardup_pairs,
+    )
+    from duckdb_gsheets_spark.operators.similarity import (
+        embedding_neardup_pairs_exact,
+    )
+    from duckdb_gsheets_spark.functions.vectors import to_double
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in semantic_neardup_pairs(spark, SF).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in embedding_neardup_pairs_exact(spark, SF).collect()
+    }
+    assert set(got) <= set(exact)
+    for pair, cos in got.items():
+        assert abs(cos - exact[pair]) < 2e-6
+    centroids = _init_centroids(SF)
+    emb = load_table(spark, SF, "embeddings")
+    clusters = {
+        r.vec_id: r.cluster
+        for r in emb.select(
+            "vec_id",
+            _assign_sim_np(centroids)(
+                to_double(F.col("embedding"))
+            )["cluster"].alias("cluster"),
+        ).collect()
+    }
+    within = {
+        p for p in exact if clusters[p[0]] == clusters[p[1]]
+    }
+    assert set(got) == within
