@@ -388,7 +388,78 @@ FROM gopher
 """
 
 
+#: Tokenizer-vocabulary size for the OOV-coverage report: the corpus's
+#: VOCAB_TOP most frequent tokens stand in for a trained tokenizer's
+#: vocabulary. The synthetic corpus has a ~31-token vocabulary, so 20
+#: keeps the OOV signal non-degenerate; a real run sets this to the
+#: tokenizer's actual vocab size.
+VOCAB_TOP = 20
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language out-of-vocabulary rate against a frequency-built
+    vocabulary (the corpus's ``VOCAB_TOP`` most frequent tokens, count
+    desc with token tiebreak — a deterministic stand-in for a trained
+    tokenizer's vocab file).
+
+    The pipeline metric behind "does our tokenizer cover this slice":
+    high OOV in a language slice means byte-fallback blowup in token
+    counts. Shapes: one vocab agg (map-side combined, top-k via
+    TakeOrderedAndProject — no global sort), broadcast of the vocab
+    (a tokenizer vocab is ≤100k entries by construction), LEFT join
+    from the postings, per-language rollup.
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("lang", F.explode("toks").alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(VOCAB_TOP)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+VOCAB_OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok LIMIT {VOCAB_TOP}
+  )
+)
+SELECT lang, COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY lang
+"""
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "vocab_oov_rate",
+        vocab_oov_rate,
+        VOCAB_OOV_ORACLE,
+        "per-language OOV rate vs a frequency-built tokenizer vocab",
+    ),
     QueryDef(
         "quality_funnel",
         quality_funnel,

@@ -1003,3 +1003,37 @@ def test_semantic_neardup_precision_and_cluster_recall(spark):
         p for p in exact if clusters[p[0]] == clusters[p[1]]
     }
     assert set(got) == within
+
+
+def test_vocab_oov_matches_python_recompute(spark):
+    import re
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.curation import (
+        VOCAB_TOP,
+        vocab_oov_rate,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.lang: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in vocab_oov_rate(spark, SF).collect()
+    }
+    docs = [
+        (r.lang, re.split(r"\s+", r.text.strip()))
+        for r in load_table(spark, SF, "documents").collect()
+        if r.text is not None
+    ]
+    freq = Counter(t for _, toks in docs for t in toks)
+    vocab = {
+        t for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_TOP]
+    }
+    exp: dict[str, list[int]] = {}
+    for lang, toks in docs:
+        n, oov = exp.setdefault(lang, [0, 0])
+        exp[lang][0] += len(toks)
+        exp[lang][1] += sum(1 for t in toks if t not in vocab)
+    for lang, (n, oov) in exp.items():
+        assert got[lang] == (n, oov, round(oov / n, 6))
+    # Non-degenerate: some OOV must exist on the synthetic corpus.
+    assert any(oov > 0 for _, oov in exp.values())

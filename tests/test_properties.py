@@ -79,3 +79,33 @@ def test_a1_parse_roundtrip(c1, r1, c2, r2):
 @given(st.integers(min_value=0, max_value=18_277))  # A..ZZZ
 def test_col_index_roundtrip(idx):
     assert col_to_index(index_to_col(idx)) == idx
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=4),
+        min_size=1,
+        max_size=90,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_chunking_covers_every_token_exactly(tokens):
+    """Pure-Python mirror of the chunk-count/slice formula: every
+    token position lands in ≥1 chunk, consecutive chunks overlap by
+    SIZE−STRIDE, and the formula's chunk count is minimal."""
+    from duckdb_gsheets_spark.operators.chunking import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    n = len(tokens)
+    n_chunks = 1 + max(0, -(-(n - CHUNK_SIZE) // CHUNK_STRIDE)) if n > CHUNK_SIZE else 1
+    covered = set()
+    for cid in range(n_chunks):
+        start = cid * CHUNK_STRIDE
+        covered.update(range(start, min(start + CHUNK_SIZE, n)))
+    assert covered == set(range(n))
+    if n_chunks > 1:
+        # minimality: one fewer chunk must leave a gap at the end
+        last_start = (n_chunks - 2) * CHUNK_STRIDE
+        assert last_start + CHUNK_SIZE < n
