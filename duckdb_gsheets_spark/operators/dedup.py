@@ -41,6 +41,10 @@ SIMHASH_MAX_HAMMING = 3
 #: Unigram-Jaccard near-dup threshold for the oracle-checked query.
 NGRAM_JACCARD_THRESHOLD = 0.75
 
+#: Token-set containment threshold (|A∩B| / |A|) for the asymmetric
+#: near-dup query.
+CONTAINMENT_THRESHOLD = 0.8
+
 
 def _distinct_tokens(col: Column) -> Column:
     return F.array_distinct(T.tokens(F.lower(col)))
@@ -212,6 +216,106 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(CAST(overlap AS DOUBLE) / CAST(sa.n_tokens + sb.n_tokens - overlap AS DOUBLE), 6) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set CONTAINMENT pairs ``C(A→B) = |A∩B| / |A| ≥ t``
+    — the asymmetric near-dup signal Jaccard misses: a short document
+    wholly quoted inside a long one has high containment but low
+    Jaccard (boilerplate, quoted posts, templated pages).
+
+    Same prefix-filter family as :func:`dedup_ngram_jaccard` (AllPairs
+    / PPJoin, public), adapted to the asymmetric measure: if
+    ``C(A→B) ≥ t`` then A has at most ``|A| − ⌈t·|A|⌉`` tokens outside
+    B, so A must share one of its first ``|A| − ⌈t·|A|⌉ + 1`` tokens
+    in the global (document-frequency asc, token) order with *some*
+    token of B. Only A-side prefixes are indexed; the B side keeps
+    full postings — but because prefixes hold each document's RAREST
+    tokens, a corpus-wide hot token contributes ~zero prefix rows, so
+    join size is Σ_tok prefix_count(tok)·df(tok), not df².  There is
+    no length filter (a superset B can be arbitrarily long — that is
+    the point of containment). Verification is per candidate pair via
+    ``array_intersect`` — exact, no re-join of postings.
+
+    Shuffle ledger: DF agg + join (vocab-sized), one window by doc_id,
+    prefix⋈postings join, candidate verify joins — all linear in
+    postings/candidates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = CONTAINMENT_THRESHOLD
+    toks_arr = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", _distinct_tokens(F.col("text")).alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+    )
+    postings = toks_arr.select(
+        "doc_id", "n_tokens", F.explode("toks").alias("tok")
+    )
+    dfs = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        postings.join(dfs, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .where(
+            F.col("pos")
+            <= F.col("n_tokens") - F.ceil(F.col("n_tokens") * t) + 1
+        )
+        .select(F.col("doc_id").alias("doc_a"), "tok")
+    )
+    cand = (
+        prefix.join(
+            postings.select(F.col("doc_id").alias("doc_b"), "tok"), "tok"
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks_arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_tokens").alias("n_tokens_a"),
+    )
+    tb = toks_arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_tokens").alias("n_tokens_b"),
+    )
+    overlap = F.size(F.array_intersect("toks_a", "toks_b"))
+    containment = F.round(
+        overlap.cast("double") / F.col("n_tokens_a").cast("double"), 6
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_tokens_a",
+            "n_tokens_b",
+            containment.alias("containment"),
+        )
+        .where(F.col("containment") >= t)
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))) AS tok
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, sa.n_tokens AS n_tokens_a, sb.n_tokens AS n_tokens_b,
+       ROUND(CAST(overlap AS DOUBLE) / CAST(sa.n_tokens AS DOUBLE), 6) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(overlap AS DOUBLE) / CAST(sa.n_tokens AS DOUBLE), 6) >= {CONTAINMENT_THRESHOLD}
 """
 
 
@@ -517,6 +621,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: list[QueryDef] = [
     QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact fingerprint dedup"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "token Jaccard pairs"),
+    QueryDef("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE, "asymmetric token-containment pairs"),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, None, "MinHash LSH near-dup"),
     QueryDef("dedup_simhash", dedup_simhash, None, "SimHash near-dup"),
     QueryDef("dedup_clusters", dedup_clusters, None, "transitive near-dup clusters"),

@@ -64,6 +64,15 @@ _PRIORITY_TAIL: tuple[str, ...] = (
     "sample_stratified",
 )
 
+#: Queries registered inside pre-window modules but added AFTER the
+#: round-2 window was curated: forced to the very end of the registry
+#: so the graded first-50 composition is untouched. Rotate into the
+#: head in a future round (they are parity-checked every round by
+#: tools/parity.py regardless).
+_DEFERRED: tuple[str, ...] = (
+    "dedup_containment",
+)
+
 
 def all_queries() -> dict[str, QueryDef]:
     """Collect every registered query across operator modules.
@@ -121,6 +130,8 @@ def all_queries() -> dict[str, QueryDef]:
     for name in _PRIORITY_TAIL:
         ordered[name] = merged[name]
     for name, qd in merged.items():
-        if name not in ordered:
+        if name not in ordered and name not in _DEFERRED:
             ordered[name] = qd
+    for name in _DEFERRED:
+        ordered[name] = merged[name]
     return ordered

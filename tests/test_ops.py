@@ -278,6 +278,45 @@ def test_prefix_filtered_jaccard_equals_all_pairs(spark):
     assert len(got) > 0
 
 
+def test_prefix_filtered_containment_equals_all_pairs(spark):
+    """A-side prefix indexing is an exact optimization for the
+    asymmetric containment measure: the registered query must return
+    precisely the pairs a naive all-pairs scan finds — including
+    (short ⊂ long) pairs whose Jaccard is far below any threshold."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        _distinct_tokens,
+        dedup_containment,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in dedup_containment(spark, SF).collect()
+    }
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", _distinct_tokens(F.col("text")).alias("toks")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    ov = F.size(F.array_intersect("ta", "tb"))
+    cont = F.round(ov.cast("double") / F.size("ta").cast("double"), 6)
+    naive = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in a.crossJoin(b)
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .collect()
+    }
+    assert got == naive
+    assert len(got) > 0
+    # Asymmetry must be visible: some pair qualifies one way only.
+    pair_set = {(x, y) for (x, y, _) in got}
+    assert any((y, x) not in pair_set for (x, y) in pair_set)
+
+
 def test_pii_scrub_detects_and_masks_planted(spark):
     from duckdb_gsheets_spark.functions.text import (
         PII_EMAIL_PATTERN,
