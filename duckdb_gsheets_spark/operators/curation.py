@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from duckdb_gsheets_spark.functions import text as T
 from duckdb_gsheets_spark.functions.text import WHITESPACE_SPLIT
 from duckdb_gsheets_spark.operators.registry import QueryDef
 from duckdb_gsheets_spark.plans.catalog import load_table
@@ -453,6 +454,205 @@ GROUP BY lang
 """
 
 
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile corpus report over the heuristic quality score —
+    the audit behind threshold-based data selection ("keep the top 30%
+    by quality"): how many documents and characters live in each
+    score band, and where the band boundaries fall.
+
+    Deciles are assigned at the DISTINCT-VALUE level, not per row: all
+    documents sharing a (6-decimal) score land in the decile of that
+    value's first row under dense descending rank. That keeps the
+    wide work bounded by the number of distinct score values (≤ 1e6
+    by construction — scores live on the round-6 grid in [0,1]), so
+    the only window here runs over the distinct-value table, never the
+    corpus: scan → groupBy(quality) → tiny cumulative window → tiny
+    groupBy(decile). A per-row ``ntile`` would instead pull the whole
+    corpus through one unpartitioned window task — the global-sort
+    trap this formulation exists to avoid at 100 TB.
+
+    avg_quality is exact: scores are already on the 1e-6 grid, so the
+    weighted sum goes through scaled longs (integer arithmetic in
+    both engines) with one rounded division at the end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.where(F.col("text").isNotNull()).select(
+        T.quality_score(F.col("text")).alias("quality"),
+        "n_chars",
+    )
+    vals = scored.groupBy("quality").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_chars").alias("chars"),
+    )
+    w = (
+        Window.orderBy(F.desc("quality"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vals.select(
+        "quality",
+        "cnt",
+        "chars",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("n_before"),
+    ).join(
+        F.broadcast(vals.agg(F.sum("cnt").alias("n_total")))
+    )
+    tiled = cum.withColumn(
+        "decile",
+        (F.lit(1) + F.expr("div(n_before * 10, n_total)")).cast("int"),
+    )
+    qscaled = F.round(F.col("quality") * F.lit(1000000.0)).cast("long")
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+            F.round(
+                F.sum(qscaled * F.col("cnt"))
+                / (F.sum("cnt") * F.lit(1000000.0)),
+                6,
+            ).alias("avg_quality"),
+            F.sum("chars").alias("n_chars_total"),
+        )
+    )
+
+
+QUALITY_DECILES_ORACLE = f"""
+WITH scored AS (
+  SELECT {T.oracle_quality_score()} AS quality, n_chars
+  FROM documents WHERE text IS NOT NULL
+), vals AS (
+  SELECT quality, COUNT(*) AS cnt, SUM(n_chars) AS chars
+  FROM scored GROUP BY quality
+), cum AS (
+  SELECT quality, cnt, chars,
+         SUM(cnt) OVER (ORDER BY quality DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS n_before,
+         SUM(cnt) OVER () AS n_total
+  FROM vals
+), tiled AS (
+  SELECT CAST(1 + (n_before * 10) // n_total AS INTEGER) AS decile, *
+  FROM cum
+)
+SELECT decile, SUM(cnt) AS n_docs,
+       MIN(quality) AS min_quality, MAX(quality) AS max_quality,
+       ROUND(SUM(CAST(ROUND(quality * 1000000.0) AS BIGINT) * cnt)
+             / (SUM(cnt) * 1000000.0), 6) AS avg_quality,
+       SUM(chars) AS n_chars_total
+FROM tiled
+GROUP BY decile
+"""
+
+
+#: Scale of the resampling hash grid: thresholds are integers in
+#: [0, 2^32], compared against the first 8 md5 hex digits.
+RESAMPLE_GRID = 4_294_967_296
+
+
+def corpus_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-rebalancing resample: each language is
+    down-sampled toward an equal share of the token budget
+    (``target = total_tokens / n_langs``), the UniMax-style flattening
+    pass that follows :func:`corpus_mix_weights` in a real pipeline.
+
+    The keep-decision is reproducible and engine-independent: doc
+    ``d`` of language ``l`` survives iff
+    ``md5(doc_id)[:8] < to_hex(threshold_l)`` where
+    ``threshold_l = min(2^32, (total_tokens · 2^32) // (n_langs ·
+    tokens_l))`` — pure INTEGER arithmetic end to end, so there is no
+    float boundary for engines to disagree on (the scaled product
+    fits a bigint up to ~2e9 total tokens; past that you widen to
+    decimal/hugeint, same shape). Over-represented languages get
+    threshold < 2^32 (true down-sampling); under-represented ones cap
+    at 2^32 and keep everything.
+
+    Plan: one groupBy(lang) for token totals (map-side combined), a
+    broadcast of the |languages|-row threshold table back onto the
+    corpus scan (narrow filter — no shuffle of the corpus), then one
+    groupBy(lang) rollup of survivors.
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    by_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_in"),
+        F.sum("n_tokens").alias("lang_tokens"),
+    )
+    totals = by_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    thresholds = (
+        by_lang.join(F.broadcast(totals))
+        .withColumn(
+            "threshold",
+            F.least(
+                F.lit(RESAMPLE_GRID).cast("long"),
+                F.expr(
+                    f"div(total_tokens * {RESAMPLE_GRID}, "
+                    f"n_langs * lang_tokens)"
+                ),
+            ),
+        )
+        .select("lang", "n_docs_in", "lang_tokens", "threshold")
+    )
+    prefix = F.upper(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    )
+    kept = (
+        docs.join(F.broadcast(thresholds), "lang")
+        .where(
+            (F.col("threshold") >= F.lit(RESAMPLE_GRID))
+            | (prefix < F.lpad(F.hex(F.col("threshold")), 8, "0"))
+        )
+    )
+    return (
+        kept.groupBy("lang", "n_docs_in", "lang_tokens", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("n_tokens_kept"),
+        )
+        .select(
+            "lang",
+            "n_docs_in",
+            "n_docs_kept",
+            "lang_tokens",
+            "n_tokens_kept",
+            F.round(
+                F.col("n_docs_kept").cast("double") / F.col("n_docs_in"), 6
+            ).alias("doc_keep_rate"),
+        )
+    )
+
+
+CORPUS_RESAMPLE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), by_lang AS (
+  SELECT lang, COUNT(*) AS n_docs_in, SUM(n_tokens) AS lang_tokens
+  FROM toks GROUP BY lang
+), totals AS (
+  SELECT SUM(lang_tokens) AS total_tokens, COUNT(*) AS n_langs FROM by_lang
+), thresholds AS (
+  SELECT lang, n_docs_in, lang_tokens,
+         LEAST({RESAMPLE_GRID}, (total_tokens * {RESAMPLE_GRID})
+               // (n_langs * lang_tokens)) AS threshold
+  FROM by_lang, totals
+), kept AS (
+  SELECT t.lang, t.n_tokens
+  FROM toks t JOIN thresholds h ON t.lang = h.lang
+  WHERE h.threshold >= {RESAMPLE_GRID}
+     OR UPPER(SUBSTRING(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))
+        < LPAD(to_hex(h.threshold), 8, '0')
+)
+SELECT h.lang, h.n_docs_in, COUNT(*) AS n_docs_kept,
+       h.lang_tokens, SUM(k.n_tokens) AS n_tokens_kept,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / h.n_docs_in, 6) AS doc_keep_rate
+FROM kept k JOIN thresholds h ON k.lang = h.lang
+GROUP BY h.lang, h.n_docs_in, h.lang_tokens
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "vocab_oov_rate",
@@ -489,5 +689,17 @@ QUERIES: list[QueryDef] = [
         bm25_search,
         BM25_ORACLE,
         "Okapi BM25 keyword top-k over the corpus",
+    ),
+    QueryDef(
+        "quality_deciles",
+        quality_deciles,
+        QUALITY_DECILES_ORACLE,
+        "per-decile quality-score corpus report (value-level tiling)",
+    ),
+    QueryDef(
+        "corpus_resample",
+        corpus_resample,
+        CORPUS_RESAMPLE_ORACLE,
+        "deterministic language-rebalancing resample (integer thresholds)",
     ),
 ]

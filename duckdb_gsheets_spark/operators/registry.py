@@ -71,6 +71,8 @@ _PRIORITY_TAIL: tuple[str, ...] = (
 #: tools/parity.py regardless).
 _DEFERRED: tuple[str, ...] = (
     "dedup_containment",
+    "quality_deciles",
+    "corpus_resample",
 )
 
 

@@ -317,6 +317,45 @@ def test_prefix_filtered_containment_equals_all_pairs(spark):
     assert any((y, x) not in pair_set for (x, y) in pair_set)
 
 
+def test_quality_deciles_partition_corpus(spark):
+    """Deciles must tile the corpus: every doc in exactly one band,
+    bands ordered by score (band i's min ≥ band i+1's max), and the
+    exact avg inside [min, max]."""
+    from duckdb_gsheets_spark.operators.curation import quality_deciles
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = {r.decile: r for r in quality_deciles(spark, SF).collect()}
+    n_docs = (
+        load_table(spark, SF, "documents")
+        .where(F.col("text").isNotNull())
+        .count()
+    )
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    assert set(rows) <= set(range(1, 11)) and 1 in rows
+    for d, r in rows.items():
+        assert r.min_quality <= r.avg_quality <= r.max_quality
+        if d + 1 in rows:
+            assert r.min_quality >= rows[d + 1].max_quality
+
+
+def test_corpus_resample_flattens_languages(spark):
+    """Languages at or under the equal-share token budget keep every
+    document; over-represented ones are down-sampled; the decision is
+    deterministic across runs."""
+    from duckdb_gsheets_spark.operators.curation import corpus_resample
+
+    rows = corpus_resample(spark, SF).collect()
+    total = sum(r.lang_tokens for r in rows)
+    budget = total / len(rows)
+    assert any(r.n_docs_kept < r.n_docs_in for r in rows)
+    for r in rows:
+        assert 0 < r.n_docs_kept <= r.n_docs_in
+        if r.lang_tokens <= budget:
+            assert r.n_docs_kept == r.n_docs_in
+    again = {(r.lang, r.n_docs_kept) for r in corpus_resample(spark, SF).collect()}
+    assert again == {(r.lang, r.n_docs_kept) for r in rows}
+
+
 def test_pii_scrub_detects_and_masks_planted(spark):
     from duckdb_gsheets_spark.functions.text import (
         PII_EMAIL_PATTERN,
