@@ -71,6 +71,7 @@ _PRIORITY_TAIL: tuple[str, ...] = (
 #: tools/parity.py regardless).
 _DEFERRED: tuple[str, ...] = (
     "dedup_containment",
+    "text_bigram_topk",
     "quality_deciles",
     "corpus_resample",
 )

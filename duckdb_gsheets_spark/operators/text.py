@@ -169,6 +169,62 @@ LIMIT 25
 """
 
 
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency: top-25 adjacent token pairs with
+    occurrence and document counts — the n-gram statistic behind
+    boilerplate detection and collocation audits.
+
+    Bigrams are built as a NARROW higher-order map over the token
+    array (``transform`` over an index ``sequence`` — no self-join,
+    no positional window), then explode → map-side-combined count.
+    Same partial-agg shape as :func:`text_top_terms`: at 100 TB one
+    row per (mapper, bigram) reaches the shuffle, and the final top-k
+    is TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("bigram"),
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("bigram_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("bigram_count"), F.col("bigram"))
+        .limit(25)
+    )
+
+
+TEXT_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS l
+  FROM documents WHERE text IS NOT NULL
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM toks WHERE len(l) >= 2
+)
+SELECT bigram, COUNT(*) AS bigram_count, COUNT(DISTINCT doc_id) AS doc_freq
+FROM bi
+GROUP BY bigram
+ORDER BY bigram_count DESC, bigram
+LIMIT 25
+"""
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + masking per document: email/phone/IPv4 counts
     and the md5 of the scrubbed text (the hash keeps the driver output
@@ -467,6 +523,7 @@ FROM ranked WHERE rank <= 3
 QUERIES: list[QueryDef] = [
     QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
     QueryDef("text_top_terms", text_top_terms, TEXT_TOP_TERMS_ORACLE, "corpus term frequency top-k"),
+    QueryDef("text_bigram_topk", text_bigram_topk, TEXT_BIGRAM_ORACLE, "corpus bigram top-k (narrow HOF build)"),
     QueryDef("text_language_id", text_language_id, TEXT_LANG_ORACLE, "marker-word lang-ID"),
     QueryDef("text_quality_score", text_quality_score, TEXT_QUALITY_ORACLE, "quality heuristic"),
     QueryDef("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE, "md5 fingerprint"),

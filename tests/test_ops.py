@@ -317,6 +317,47 @@ def test_prefix_filtered_containment_equals_all_pairs(spark):
     assert any((y, x) not in pair_set for (x, y) in pair_set)
 
 
+def test_bigram_topk_matches_positional_join(spark):
+    """The narrow HOF bigram build must agree with an independent
+    formulation: posexplode the token stream and self-join adjacent
+    positions."""
+    from duckdb_gsheets_spark.functions import text as T
+    from duckdb_gsheets_spark.operators.text import text_bigram_topk
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.bigram, r.bigram_count, r.doc_freq)
+        for r in text_bigram_topk(spark, SF).collect()
+    }
+    assert len(got) == 25
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
+    )
+    pos = docs.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    a = pos.select("doc_id", "pos", F.col("tok").alias("t1"))
+    b = pos.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("t2")
+    )
+    joined = a.join(b, ["doc_id", "pos"]).select(
+        "doc_id", F.concat_ws(" ", "t1", "t2").alias("bigram")
+    )
+    naive = {
+        (r.bigram, r.bigram_count, r.doc_freq)
+        for r in joined.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("bigram_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("bigram_count"), "bigram")
+        .limit(25)
+        .collect()
+    }
+    assert got == naive
+
+
 def test_quality_deciles_partition_corpus(spark):
     """Deciles must tile the corpus: every doc in exactly one band,
     bands ordered by score (band i's min ≥ band i+1's max), and the
