@@ -544,6 +544,85 @@ GROUP BY decile
 """
 
 
+#: Vocabulary-size checkpoints for the coverage curve (powers of two,
+#: the grid a tokenizer-size sweep actually evaluates).
+COVERAGE_CHECKPOINTS = (8, 16, 32, 64, 128, 256)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve for tokenizer sizing: for each candidate
+    vocabulary size k, what share of the corpus token stream the k
+    most frequent tokens cover. The knee of this curve is where a
+    frequency-built vocab stops paying for itself.
+
+    Shapes: one map-side-combined token count (the only corpus-wide
+    pass), then a rank/cumulative window over the DISTINCT-TOKEN
+    table only — bounded by vocabulary size, never corpus size (same
+    bounded-window argument as quality_deciles). Coverage shares are
+    one rounded division over exact integer sums.
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tokens"),
+    ).join(
+        F.broadcast(
+            counts.agg(
+                F.sum("cnt").alias("total_tokens"),
+                F.count(F.lit(1)).alias("vocab_total"),
+            )
+        )
+    )
+    return (
+        ranked.where(
+            F.col("rank").isin(*COVERAGE_CHECKPOINTS)
+            | (F.col("rank") == F.col("vocab_total"))
+        )
+        .select(
+            F.col("rank").alias("vocab_size"),
+            "cum_tokens",
+            "total_tokens",
+            F.round(
+                F.col("cum_tokens").cast("double") / F.col("total_tokens"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+_CHECKPOINTS_SQL = ", ".join(str(k) for k in COVERAGE_CHECKPOINTS)
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), ranked AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, tok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         SUM(cnt) OVER () AS total_tokens,
+         COUNT(*) OVER () AS vocab_total
+  FROM counts
+)
+SELECT rank AS vocab_size, cum_tokens, total_tokens,
+       ROUND(CAST(cum_tokens AS DOUBLE) / total_tokens, 6) AS coverage
+FROM ranked
+WHERE rank IN ({_CHECKPOINTS_SQL}) OR rank = vocab_total
+"""
+
+
 #: Scale of the resampling hash grid: thresholds are integers in
 #: [0, 2^32], compared against the first 8 md5 hex digits.
 RESAMPLE_GRID = 4_294_967_296
@@ -689,6 +768,12 @@ QUERIES: list[QueryDef] = [
         bm25_search,
         BM25_ORACLE,
         "Okapi BM25 keyword top-k over the corpus",
+    ),
+    QueryDef(
+        "vocab_coverage_curve",
+        vocab_coverage_curve,
+        VOCAB_COVERAGE_ORACLE,
+        "token-coverage curve at tokenizer-size checkpoints",
     ),
     QueryDef(
         "quality_deciles",

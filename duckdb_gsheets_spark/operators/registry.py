@@ -72,6 +72,7 @@ _PRIORITY_TAIL: tuple[str, ...] = (
 _DEFERRED: tuple[str, ...] = (
     "dedup_containment",
     "text_bigram_topk",
+    "vocab_coverage_curve",
     "quality_deciles",
     "corpus_resample",
 )

@@ -347,11 +347,20 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow one-pass projection — token arrays are built once per row;
     no shuffle, no UDF.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_rules(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Per-document Gopher rule flags for any (batch OR streaming)
+    frame with (doc_id, text) — the narrow projection behind
+    :func:`text_gopher_quality` and the streaming quality twin.
+    ``carry`` names extra input columns to pass through unchanged
+    (e.g. ``("lang",)`` for a per-language rollup downstream)."""
     c = F.col("text")
     toks = T.tokens(c)
     base = docs.select(
         "doc_id",
+        *carry,
         F.size(toks).alias("n_tokens"),
         F.length(F.regexp_replace(c, T.WHITESPACE_SPLIT, "")).alias("n_nonspace"),
         F.size(
@@ -363,6 +372,7 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_len_x100 = F.expr("(100 * n_nonspace) div n_tokens")
     rules = base.select(
         "doc_id",
+        *carry,
         "n_tokens",
         mean_len_x100.alias("mean_tok_len_x100"),
         mean_len_x100.between(300, 1000).cast("int").alias("rule_word_len"),

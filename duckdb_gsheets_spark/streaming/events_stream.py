@@ -289,6 +289,30 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_gopher_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Gopher quality filter: documents stream
+    in, the narrow per-row rule projection (no shuffle, no state)
+    runs on each micro-batch, and a complete-mode rollup reports how
+    many documents pass/fail per language — the live ingest-gate
+    dashboard a production corpus intake runs.
+
+    The rule projection is literally the batch operator's
+    (operators.text.gopher_rules) applied to the stream — the
+    stream/batch unification Structured Streaming promises, verified
+    by the batch-equality test.
+    """
+    from duckdb_gsheets_spark.operators.text import gopher_rules
+
+    stream = read_documents_stream(spark, sf_dir)
+    flags = gopher_rules(
+        stream.where(F.col("text").isNotNull()), carry=("lang",)
+    )
+    counts = flags.groupBy("lang", "passes").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return run_to_memory(counts, output_mode="complete")
+
+
 def streaming_contamination_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -379,6 +379,24 @@ def test_quality_deciles_partition_corpus(spark):
             assert r.min_quality >= rows[d + 1].max_quality
 
 
+def test_vocab_coverage_monotone_to_one(spark):
+    """Coverage must be nondecreasing in vocab size and reach exactly
+    1.0 at the full-vocabulary checkpoint."""
+    from duckdb_gsheets_spark.operators.curation import vocab_coverage_curve
+
+    rows = sorted(
+        vocab_coverage_curve(spark, SF).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    assert rows
+    assert all(
+        a.coverage <= b.coverage and a.cum_tokens <= b.cum_tokens
+        for a, b in zip(rows, rows[1:])
+    )
+    assert rows[-1].coverage == 1.0
+    assert rows[-1].cum_tokens == rows[-1].total_tokens
+
+
 def test_corpus_resample_flattens_languages(spark):
     """Languages at or under the equal-share token budget keep every
     document; over-represented ones are down-sampled; the decision is

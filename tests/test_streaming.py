@@ -195,6 +195,36 @@ def test_stream_dir_is_stable_per_sf_dir(spark):
     assert os.path.islink(os.path.join(stream_dir, "events.parquet"))
 
 
+def test_streaming_gopher_matches_batch(spark):
+    """The streaming quality gate must reproduce the batch Gopher
+    filter's per-language pass/fail counts exactly (stream/batch
+    unification of the same narrow rule projection)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.operators.text import gopher_rules
+    from duckdb_gsheets_spark.plans.catalog import load_table
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_gopher_counts,
+    )
+
+    got = {
+        (r.lang, r.passes): r.n_docs
+        for r in streaming_gopher_counts(spark, SF).collect()
+    }
+    batch = gopher_rules(
+        load_table(spark, SF, "documents").where(F.col("text").isNotNull()),
+        carry=("lang",),
+    )
+    expected = {
+        (r.lang, r.passes): r.n_docs
+        for r in batch.groupBy("lang", "passes")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    }
+    assert got == expected
+    assert sum(got.values()) > 0
+
+
 def test_streaming_contamination_matches_batch(spark):
     """Stream-static broadcast join + stateful dedup must reproduce
     the batch contamination screen's distinct-gram counts."""
