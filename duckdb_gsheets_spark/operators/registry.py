@@ -73,6 +73,7 @@ _DEFERRED: tuple[str, ...] = (
     "dedup_containment",
     "text_bigram_topk",
     "vocab_coverage_curve",
+    "embedding_quantize",
     "quality_deciles",
     "corpus_resample",
 )

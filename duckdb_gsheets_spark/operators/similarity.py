@@ -644,10 +644,114 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Symmetric int8 quantization levels (SQ8 absmax convention).
+SQ_LEVELS = 127
+
+#: Fixed-point grids for exact cross-engine error aggregation.
+_SQ_E2_SCALE = 1_000_000_000_000.0  # squared-error grid (1e-12)
+_SQ_AB_SCALE = 1_000_000_000.0  # abs-error grid (1e-9)
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label scalar-quantization (SQ8) error report: quantize every
+    embedding to int8 with per-dimension symmetric absmax scales
+    (``q_i = round(x_i·127 / a_i)``, ``x̂_i = q_i·a_i / 127``) and
+    report the reconstruction error — the audit that decides whether a
+    4×-smaller SQ8 index is acceptable before switching the ANN fleet
+    to it.
+
+    Plan: one posexplode pass to the 64-row per-dimension absmax table
+    (map-side combined), collected to the driver and re-embedded as a
+    LITERAL array (same legitimate tiny-collect as the IVF centroids);
+    quantization + error then run as a NARROW higher-order map over
+    each row — the corpus is never shuffled except the final |label|-
+    row rollup. Error sums ride exact fixed-point grids (1e-12 for
+    squared error, 1e-9 for abs error), so the rollup is integer
+    arithmetic in both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(
+            F.posexplode(to_double(F.col("embedding"))).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.max(F.abs(F.col("x"))).alias("a"))
+        .orderBy("i")
+        .collect()
+    )
+    absmax = F.array(*[F.lit(float(r.a)) for r in dims])
+    vec = to_double(F.col("embedding"))
+    # err_i on the fixed-point grids; absmax==0 dims quantize to 0
+    # with zero error.
+    err = F.zip_with(
+        vec,
+        absmax,
+        lambda x, a: F.when(a == 0.0, F.lit(0.0)).otherwise(
+            F.round(x * F.lit(float(SQ_LEVELS)) / a) * a
+            / F.lit(float(SQ_LEVELS))
+            - x
+        ),
+    )
+    per_row = emb.select(
+        "label",
+        F.size("embedding").alias("n_elements"),
+        F.aggregate(
+            F.transform(
+                err, lambda e: F.round(e * e * F.lit(_SQ_E2_SCALE)).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("e2_sum"),
+        F.array_max(
+            F.transform(
+                err, lambda e: F.round(F.abs(e) * F.lit(_SQ_AB_SCALE)).cast("long")
+            )
+        ).alias("ab_max"),
+    )
+    return per_row.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("n_elements").alias("n_elements"),
+        F.round(
+            F.sum("e2_sum") / (F.sum("n_elements") * F.lit(_SQ_E2_SCALE)), 6
+        ).alias("mse"),
+        F.round(F.max("ab_max") / F.lit(_SQ_AB_SCALE), 6).alias("max_abs_err"),
+    )
+
+
+EMBEDDING_QUANTIZE_ORACLE = f"""
+WITH pos AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), stats AS (
+  SELECT i, MAX(ABS(x)) AS a FROM pos GROUP BY i
+), err AS (
+  SELECT p.vec_id, p.label,
+         CASE WHEN s.a = 0 THEN 0.0
+              ELSE ROUND(p.x * {SQ_LEVELS}.0 / s.a) * s.a / {SQ_LEVELS}.0 - p.x
+         END AS e
+  FROM pos p JOIN stats s USING (i)
+), grid AS (
+  SELECT vec_id, label,
+         CAST(ROUND(e * e * {_SQ_E2_SCALE}) AS BIGINT) AS e2,
+         CAST(ROUND(ABS(e) * {_SQ_AB_SCALE}) AS BIGINT) AS ab
+  FROM err
+)
+SELECT label,
+       COUNT(DISTINCT vec_id) AS n_vectors,
+       COUNT(*) AS n_elements,
+       ROUND(SUM(e2) / (COUNT(*) * {_SQ_E2_SCALE}), 6) AS mse,
+       ROUND(MAX(ab) / {_SQ_AB_SCALE}, 6) AS max_abs_err
+FROM grid
+GROUP BY label
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QueryDef("embedding_neardup_pairs", embedding_neardup_pairs, NEARDUP_ORACLE, "cosine near-dup pairs"),
     QueryDef("embedding_stats", embedding_stats, EMBEDDING_STATS_ORACLE, "norm/dim stats"),
+    QueryDef("embedding_quantize", embedding_quantize, EMBEDDING_QUANTIZE_ORACLE, "SQ8 absmax quantization error report"),
     QueryDef("ann_lsh_topk", ann_lsh_topk, None, "LSH-bucketed ANN top-k"),
     QueryDef("ann_ivf_topk", ann_ivf_topk, None, "IVF-list ANN top-k"),
 ]

@@ -379,6 +379,41 @@ def test_quality_deciles_partition_corpus(spark):
             assert r.min_quality >= rows[d + 1].max_quality
 
 
+def test_embedding_quantize_matches_numpy(spark):
+    """SQ8 error report must match an independent numpy recompute of
+    the same absmax quantizer, and every per-element error must be
+    bounded by half a quantization step."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.similarity import (
+        SQ_LEVELS,
+        embedding_quantize,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {r.label: r for r in embedding_quantize(spark, SF).collect()}
+
+    rows = load_table(spark, SF, "embeddings").collect()
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    labels = np.array([r.label for r in rows])
+    a = np.abs(x).max(axis=0)
+    safe = np.where(a == 0, 1.0, a)
+    err = np.where(
+        a == 0, 0.0, np.round(x * SQ_LEVELS / safe) * safe / SQ_LEVELS - x
+    )
+    e2 = np.round(err * err * 1e12).astype(np.int64)
+    ab = np.round(np.abs(err) * 1e9).astype(np.int64)
+    # Half-step bound: |err| <= a/(2*127) plus one grid cell of slack.
+    assert (np.abs(err) <= a / (2 * SQ_LEVELS) + 1e-9).all()
+    for lab in np.unique(labels):
+        m = labels == lab
+        assert got[lab].n_vectors == int(m.sum())
+        assert got[lab].mse == round(
+            float(e2[m].sum()) / (1e12 * err[m].size), 6
+        )
+        assert got[lab].max_abs_err == round(float(ab[m].max()) / 1e9, 6)
+
+
 def test_vocab_coverage_monotone_to_one(spark):
     """Coverage must be nondecreasing in vocab size and reach exactly
     1.0 at the full-vocabulary checkpoint."""

@@ -1,0 +1,66 @@
+"""Ad-hoc scale probe: replicate the sf0.01 documents table N× (doc_ids
+shifted so rows stay distinct) into a temp dir, then time selected
+document-table queries at 1× vs N×. Records go to BASELINE.md by hand.
+
+Usage: python tools/scale_probe.py [N] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from duckdb_gsheets_spark.plans.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def build_scaled(spark, factor: int) -> str:
+    out = os.path.join(tempfile.gettempdir(), f"scale_probe_{factor}x")
+    docs_out = os.path.join(out, "documents.parquet")
+    if not os.path.exists(docs_out):
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n = docs.count()
+        copies = spark.range(factor).withColumnRenamed("id", "copy")
+        scaled = (
+            docs.crossJoin(copies)
+            .withColumn("doc_id", F.col("doc_id") + F.col("copy") * n)
+            .drop("copy")
+        )
+        scaled.write.mode("overwrite").parquet(docs_out)
+        # The other tables pass through via symlink so load_table works.
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events embeddings"
+    ).split():
+        link = os.path.join(out, f"{t}.parquet")
+        if not os.path.lexists(link):
+            os.symlink(f"{SF_DIR}/{t}.parquet", link)
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    names = sys.argv[2:]
+    from duckdb_gsheets_spark.operators.registry import all_queries
+
+    qs = all_queries()
+    spark = get_spark("scale_probe")
+    scaled_dir = build_scaled(spark, factor)
+    for name in names:
+        fn = qs[name].spark_fn
+        for label, d in ((f"1x", SF_DIR), (f"{factor}x", scaled_dir)):
+            t0 = time.monotonic()
+            n = fn(spark, d).count()
+            dt = time.monotonic() - t0
+            print(f"{name:28s} {label:>4s}: {dt:6.2f} s  {n} rows", flush=True)
+
+
+if __name__ == "__main__":
+    main()
