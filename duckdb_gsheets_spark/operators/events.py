@@ -214,6 +214,98 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
 """
 
 
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join: for each event, the signup closest in
+    EITHER direction (sensor-alignment semantics, vs the backward-only
+    as-of). Ties break toward the earlier signup.
+
+    Same scalable shape as :func:`events_asof_join` — tagged union +
+    ONE ordered window pass per user computing both the latest signup
+    at-or-before (``last ignorenulls`` over the preceding frame) and
+    the earliest signup after (``first ignorenulls`` over the
+    following frame) — then a per-row min over the two gaps. No range
+    join, no per-key collect, one shuffle on user_id.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("timestamp_ntz").alias("signup_ts"),
+    )
+    signups = events.where(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_event"),
+        F.col("ts").alias("signup_ts"),
+    )
+    unioned = base.unionByName(signups)
+    order = Window.partitionBy("user_id").orderBy("ts", "is_event")
+    w_back = order.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = order.rowsBetween(0, Window.unboundedFollowing)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    with_both = (
+        unioned.withColumn(
+            "prev_signup", F.last("signup_ts", ignorenulls=True).over(w_back)
+        )
+        .withColumn(
+            "next_signup", F.first("signup_ts", ignorenulls=True).over(w_fwd)
+        )
+        .where(F.col("is_event") == 1)
+    )
+    gap_prev = us("ts") - us("prev_signup")
+    gap_next = us("next_signup") - us("ts")
+    pick_prev = F.col("prev_signup").isNotNull() & (
+        F.col("next_signup").isNull() | (gap_prev <= gap_next)
+    )
+    return with_both.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.when(pick_prev, F.col("prev_signup"))
+        .otherwise(F.col("next_signup"))
+        .cast("string")
+        .alias("nearest_signup_ts"),
+        F.when(pick_prev, gap_prev).otherwise(gap_next).alias("gap_us"),
+    )
+
+
+EVENTS_ASOF_NEAREST_ORACLE = """
+WITH unioned AS (
+  SELECT event_id, user_id, ts, 1 AS is_event,
+         CAST(NULL AS TIMESTAMP) AS signup_ts
+  FROM events
+  UNION ALL
+  SELECT NULL, user_id, ts, 0, ts
+  FROM events WHERE event_type = 'signup'
+), sides AS (
+  SELECT event_id, user_id, ts, is_event,
+         LAST_VALUE(signup_ts IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, is_event
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_signup,
+         FIRST_VALUE(signup_ts IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, is_event
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup
+  FROM unioned
+)
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,
+       CAST(CASE WHEN prev_signup IS NOT NULL AND (next_signup IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_signup)
+                     <= epoch_us(next_signup) - epoch_us(ts))
+             THEN prev_signup ELSE next_signup END AS VARCHAR)
+         AS nearest_signup_ts,
+       CASE WHEN prev_signup IS NOT NULL AND (next_signup IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_signup)
+                     <= epoch_us(next_signup) - epoch_us(ts))
+             THEN epoch_us(ts) - epoch_us(prev_signup)
+             ELSE epoch_us(next_signup) - epoch_us(ts) END AS gap_us
+FROM sides
+WHERE is_event = 1
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the ``props`` column + aggregate."""
     events = load_table(spark, sf_dir, "events")
@@ -695,6 +787,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_pivot", events_pivot, EVENTS_PIVOT_ORACLE, "pivot by event type"),
     QueryDef("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_ORACLE, "gap sessionization"),
     QueryDef("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE, "as-of join"),
+    QueryDef("events_asof_nearest", events_asof_nearest, EVENTS_ASOF_NEAREST_ORACLE, "nearest-in-time join (both directions)"),
     QueryDef("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE, "JSON extraction"),
     QueryDef("events_sliding_window", events_sliding_window, EVENTS_SLIDING_ORACLE, "2h/1h sliding windows"),
     QueryDef("events_value_quantiles", events_value_quantiles, EVENTS_QUANTILES_ORACLE, "exact p50/p90/p99"),

@@ -74,6 +74,8 @@ _DEFERRED: tuple[str, ...] = (
     "text_bigram_topk",
     "vocab_coverage_curve",
     "embedding_quantize",
+    "events_asof_nearest",
+    "window_percent_rank",
     "quality_deciles",
     "corpus_resample",
 )

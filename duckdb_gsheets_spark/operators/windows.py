@@ -220,6 +220,34 @@ FROM events
 """
 
 
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percent_rank`` + ``cume_dist`` per nation over customer
+    balances — the remaining ANSI ranking-family functions. Both are
+    exact small-integer ratios ((rank−1)/(n−1), rows≤current / n)
+    under a unique total order, so the doubles are engine-identical
+    before the defensive round. One shuffle on the partition key."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+WINDOW_PCTRANK_ORACLE = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("window_rank", window_rank, WINDOW_RANK_ORACLE, "row_number/rank/dense_rank"),
     QueryDef("window_range_frame", window_range_frame, WINDOW_RANGE_ORACLE, "time-interval RANGE frame"),
@@ -229,4 +257,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("window_ntile", window_ntile, WINDOW_NTILE_ORACLE, "ntile quartiles"),
     QueryDef("window_share_of_total", window_share_of_total, WINDOW_SHARE_ORACLE, "ratio to total"),
     QueryDef("window_first_last", window_first_last, WINDOW_FIRSTLAST_ORACLE, "first/last value"),
+    QueryDef("window_percent_rank", window_percent_rank, WINDOW_PCTRANK_ORACLE, "percent_rank/cume_dist"),
 ]
