@@ -114,3 +114,46 @@ def test_pack_sequences_partitions_by_source(spark):
     plan = _plan(spark, "pack_sequences")
     assert "SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_containment_no_cross_join(spark):
+    """Prefix-filtered containment must stay equi-join: no cartesian,
+    no broadcast nested loop."""
+    plan = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_single_wide_rollup(spark):
+    """SQ8 quantization: the corpus-side error pass is narrow (the
+    dimension stats are literals), so the only join-free wide step is
+    the |label|-row aggregate — no joins at all in the plan."""
+    plan = _plan(spark, "embedding_quantize")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_broadcasts_thresholds(spark):
+    """The |lang|-row threshold table must broadcast onto the corpus
+    scan — the corpus itself never shuffles for the keep-filter."""
+    plan = _plan(spark, "corpus_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_build_is_narrow(spark):
+    """Bigram construction is a per-row HOF map: no join anywhere;
+    the only exchange feeds the count aggregate and top-k."""
+    plan = _plan(spark, "text_bigram_topk")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_nearest_single_window_pass(spark):
+    """Nearest-join must stay a window formulation: no range/cross
+    join, exactly one exchange on user_id."""
+    plan = _plan(spark, "events_asof_nearest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(user_id" in plan
