@@ -314,6 +314,117 @@ def semantic_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Logistic-probe hyperparameters: full-batch gradient-descent
+#: iterations and learning rate. The probe target is label parity
+#: (y = label mod 2) — a linear probe of how much label structure the
+#: embedding space exposes, the standard representation-quality check.
+LOGREG_ITERS = 5
+LOGREG_LR = 2.0
+
+
+def _resid_np(w: np.ndarray, b: float):
+    """pandas_udf: (embedding, y) → σ(x·w + b) − y, one GEMV per
+    Arrow batch with the weight vector in the closure."""
+
+    @pandas_udf(DoubleType())
+    def resid(emb: pd.Series, y: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="float64")
+        M = np.stack(emb.to_numpy())
+        p = 1.0 / (1.0 + np.exp(-(M @ w + b)))
+        return pd.Series(p - y.to_numpy())
+
+    return resid
+
+
+def _prob_np(w: np.ndarray, b: float):
+    """pandas_udf: embedding → σ(x·w + b)."""
+
+    @pandas_udf(DoubleType())
+    def prob(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="float64")
+        M = np.stack(emb.to_numpy())
+        return pd.Series(1.0 / (1.0 + np.exp(-(M @ w + b))))
+
+    return prob
+
+
+def logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed linear probe: full-batch gradient-descent logistic
+    regression predicting label parity from the embedding, returning
+    the confusion matrix with mean predicted probability per cell.
+
+    Same parameter-server shape as :func:`kmeans_lloyd`: per
+    iteration, a narrow Arrow-batched GEMV computes residuals (zero
+    corpus movement), then ONE global aggregate of 65 map-side-combined
+    partial sums (Σ rᵢ·xᵢ per dimension + Σ rᵢ for the bias) ships
+    O(partitions × dim) doubles to the driver, which applies the
+    update and re-broadcasts the weights into the next closure. At
+    100 TB each iteration is a scan-speed pass; driver traffic is
+    kilobytes.
+
+    Registered rows-only (iterative); pinned by an exact-shape numpy
+    recompute in pytest.
+    """
+    emb = (
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            (F.col("label") % 2).cast("double").alias("y"),
+            to_double(F.col("embedding")).alias("emb"),
+        )
+        .persist()
+    )
+    try:
+        n = emb.count()
+        w = np.zeros(DIM)
+        b = 0.0
+        grad_dims = [
+            F.sum(
+                F.element_at(F.col("emb"), d + 1) * F.col("r")
+            ).alias(f"g{d}")
+            for d in range(DIM)
+        ]
+        for _ in range(LOGREG_ITERS):
+            scored = emb.withColumn(
+                "r", _resid_np(w, b)(F.col("emb"), F.col("y"))
+            )
+            row = scored.agg(F.sum("r").alias("gb"), *grad_dims).collect()[0]
+            w = w - LOGREG_LR * np.array(
+                [row[f"g{d}"] for d in range(DIM)]
+            ) / n
+            b = b - LOGREG_LR * row.gb / n
+        final = emb.withColumn("p", _prob_np(w, b)(F.col("emb")))
+        cells = (
+            final.groupBy(
+                F.col("y").cast("long").alias("y_true"),
+                (F.col("p") >= 0.5).cast("long").alias("y_pred"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # Exact integer sum of 6-decimal-rounded probabilities:
+                # partition-order independent.
+                F.sum(F.round(F.col("p") * 1e6).cast("long")).alias("ps"),
+            )
+            .collect()
+        )
+    finally:
+        emb.unpersist()
+    out = [
+        (
+            int(c.y_true),
+            int(c.y_pred),
+            int(c.n),
+            round(c.ps / 1e6 / c.n, 6),
+        )
+        for c in sorted(cells, key=lambda c: (c.y_true, c.y_pred))
+    ]
+    return spark.createDataFrame(
+        out, "y_true long, y_pred long, n long, avg_prob double"
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "kmeans_lloyd",
@@ -332,5 +443,11 @@ QUERIES: list[QueryDef] = [
         semantic_neardup_pairs,
         None,
         "SemDeDup cluster-blocked semantic near-dup pairs",
+    ),
+    QueryDef(
+        "logreg_probe",
+        logreg_probe,
+        None,
+        "full-batch GD logistic linear probe (parameter-server shape)",
     ),
 ]

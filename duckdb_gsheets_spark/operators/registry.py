@@ -76,6 +76,7 @@ _DEFERRED: tuple[str, ...] = (
     "embedding_quantize",
     "events_asof_nearest",
     "window_percent_rank",
+    "logreg_probe",
     "quality_deciles",
     "corpus_resample",
 )

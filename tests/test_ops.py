@@ -379,6 +379,47 @@ def test_quality_deciles_partition_corpus(spark):
             assert r.min_quality >= rows[d + 1].max_quality
 
 
+def test_logreg_probe_matches_numpy(spark):
+    """The distributed GD probe must match a single-machine numpy
+    run of the same iterations/learning rate: identical confusion
+    matrix, mean probabilities within the float-summation drift the
+    1e-6 rounding grid absorbs."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.ml import (
+        LOGREG_ITERS,
+        LOGREG_LR,
+        logreg_probe,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.y_true, r.y_pred): (r.n, r.avg_prob)
+        for r in logreg_probe(spark, SF).collect()
+    }
+
+    rows = load_table(spark, SF, "embeddings").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    y = np.array([r.label % 2 for r in rows], dtype=np.float64)
+    n = len(y)
+    w, b = np.zeros(X.shape[1]), 0.0
+    for _ in range(LOGREG_ITERS):
+        r = 1.0 / (1.0 + np.exp(-(X @ w + b))) - y
+        w = w - LOGREG_LR * (X.T @ r) / n
+        b = b - LOGREG_LR * r.sum() / n
+    p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+    pred = (p >= 0.5).astype(int)
+    for yt in (0, 1):
+        for yp in (0, 1):
+            m = (y == yt) & (pred == yp)
+            if not m.any():
+                assert (yt, yp) not in got
+                continue
+            cnt, avg = got[(yt, yp)]
+            assert cnt == int(m.sum())
+            assert abs(avg - float(p[m].mean())) < 2e-6
+
+
 def test_embedding_quantize_matches_numpy(spark):
     """SQ8 error report must match an independent numpy recompute of
     the same absmax quantizer, and every per-element error must be
