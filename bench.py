@@ -48,6 +48,8 @@ HEADLINE = (
     "doc_chunk_tokens",
     "segment_dedup_stats",
     "bm25_search",
+    "corpus_resample",
+    "embedding_quantize",
 )
 
 

@@ -77,6 +77,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_asof_nearest",
     "window_percent_rank",
     "logreg_probe",
+    "text_lang_confusion",
     "quality_deciles",
     "corpus_resample",
 )

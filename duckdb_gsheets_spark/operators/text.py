@@ -77,6 +77,48 @@ FROM documents
 """
 
 
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of declared vs detected language with the
+    per-cell share of the declared language's documents — the accuracy
+    audit run before trusting a heuristic language-ID pass to route a
+    corpus. One narrow detection projection + one groupBy; the share
+    join broadcasts |languages| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    detected = docs.select(
+        "lang", T.language_id(F.col("text")).alias("detected_lang")
+    )
+    cells = detected.groupBy("lang", "detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = detected.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("lang_total")
+    )
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "detected_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("lang_total"), 6
+        ).alias("share_of_lang"),
+    )
+
+
+TEXT_LANG_CONFUSION_ORACLE = f"""
+WITH detected AS (
+  SELECT lang, {T.oracle_language_id()} AS detected_lang
+  FROM documents
+), cells AS (
+  SELECT lang, detected_lang, COUNT(*) AS n_docs
+  FROM detected GROUP BY lang, detected_lang
+), totals AS (
+  SELECT lang, COUNT(*) AS lang_total FROM detected GROUP BY lang
+)
+SELECT c.lang, c.detected_lang, c.n_docs,
+       ROUND(CAST(c.n_docs AS DOUBLE) / t.lang_total, 6) AS share_of_lang
+FROM cells c JOIN totals t ON c.lang = t.lang
+"""
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score per document."""
     docs = load_table(spark, sf_dir, "documents")
@@ -535,6 +577,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("text_top_terms", text_top_terms, TEXT_TOP_TERMS_ORACLE, "corpus term frequency top-k"),
     QueryDef("text_bigram_topk", text_bigram_topk, TEXT_BIGRAM_ORACLE, "corpus bigram top-k (narrow HOF build)"),
     QueryDef("text_language_id", text_language_id, TEXT_LANG_ORACLE, "marker-word lang-ID"),
+    QueryDef("text_lang_confusion", text_lang_confusion, TEXT_LANG_CONFUSION_ORACLE, "declared-vs-detected language confusion matrix"),
     QueryDef("text_quality_score", text_quality_score, TEXT_QUALITY_ORACLE, "quality heuristic"),
     QueryDef("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE, "md5 fingerprint"),
     QueryDef("text_corpus_by_lang", text_corpus_by_lang, TEXT_CORPUS_ORACLE, "corpus rollup"),
