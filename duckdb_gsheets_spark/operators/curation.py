@@ -32,7 +32,7 @@ mixing/packing surface; beyond-reference layer per SURVEY.md §2.3.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_gsheets_spark.functions import text as T
@@ -628,6 +628,44 @@ WHERE rank IN ({_CHECKPOINTS_SQL}) OR rank = vocab_total
 RESAMPLE_GRID = 4_294_967_296
 
 
+def resample_thresholds(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs_in, lang_tokens, threshold) from a tokenized
+    corpus frame — the pure-integer equal-token-share thresholds
+    shared by the batch operator and the streaming gate."""
+    by_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_in"),
+        F.sum("n_tokens").alias("lang_tokens"),
+    )
+    totals = by_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return (
+        by_lang.join(F.broadcast(totals))
+        .withColumn(
+            "threshold",
+            F.least(
+                F.lit(RESAMPLE_GRID).cast("long"),
+                F.expr(
+                    f"div(total_tokens * {RESAMPLE_GRID}, "
+                    f"n_langs * lang_tokens)"
+                ),
+            ),
+        )
+        .select("lang", "n_docs_in", "lang_tokens", "threshold")
+    )
+
+
+def resample_keep_cond() -> Column:
+    """Deterministic keep predicate over (doc_id, threshold) columns."""
+    prefix = F.upper(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    )
+    return (F.col("threshold") >= F.lit(RESAMPLE_GRID)) | (
+        prefix < F.lpad(F.hex(F.col("threshold")), 8, "0")
+    )
+
+
 def corpus_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic language-rebalancing resample: each language is
     down-sampled toward an equal share of the token budget
@@ -651,37 +689,9 @@ def corpus_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(lang) rollup of survivors.
     """
     docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
-    by_lang = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs_in"),
-        F.sum("n_tokens").alias("lang_tokens"),
-    )
-    totals = by_lang.agg(
-        F.sum("lang_tokens").alias("total_tokens"),
-        F.count(F.lit(1)).alias("n_langs"),
-    )
-    thresholds = (
-        by_lang.join(F.broadcast(totals))
-        .withColumn(
-            "threshold",
-            F.least(
-                F.lit(RESAMPLE_GRID).cast("long"),
-                F.expr(
-                    f"div(total_tokens * {RESAMPLE_GRID}, "
-                    f"n_langs * lang_tokens)"
-                ),
-            ),
-        )
-        .select("lang", "n_docs_in", "lang_tokens", "threshold")
-    )
-    prefix = F.upper(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
-    )
-    kept = (
-        docs.join(F.broadcast(thresholds), "lang")
-        .where(
-            (F.col("threshold") >= F.lit(RESAMPLE_GRID))
-            | (prefix < F.lpad(F.hex(F.col("threshold")), 8, "0"))
-        )
+    thresholds = resample_thresholds(docs)
+    kept = docs.join(F.broadcast(thresholds), "lang").where(
+        resample_keep_cond()
     )
     return (
         kept.groupBy("lang", "n_docs_in", "lang_tokens", "threshold")

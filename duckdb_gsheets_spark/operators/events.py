@@ -306,6 +306,85 @@ WHERE is_event = 1
 """
 
 
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: |users doing
+    both| and the exact Jaccard of the two user sets — the
+    segment-overlap report behind dedup of targeting audiences.
+
+    Shape: distinct (event_type, user_id) [one shuffle, map-side
+    combined], self-join ON user_id — each user contributes at most
+    |types|² ≤ 25 pairs, so the join output is bounded by 25 × users,
+    never quadratic in events — then one |type-pair|-row rollup with a
+    broadcast of the |type|-row set sizes.
+    """
+    events = load_table(spark, sf_dir, "events")
+    membership = events.select("event_type", "user_id").distinct()
+    sizes = membership.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a = membership.select(
+        F.col("event_type").alias("type_a"), "user_id"
+    )
+    b = membership.select(
+        F.col("event_type").alias("type_b"), "user_id"
+    )
+    both = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = F.broadcast(
+        sizes.select(
+            F.col("event_type").alias("type_a"), F.col("n_users").alias("na")
+        )
+    )
+    sb = F.broadcast(
+        sizes.select(
+            F.col("event_type").alias("type_b"), F.col("n_users").alias("nb")
+        )
+    )
+    return (
+        both.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.col("na").alias("n_users_a"),
+            F.col("nb").alias("n_users_b"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+EVENTS_AUDIENCE_ORACLE = """
+WITH membership AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, COUNT(*) AS n_users FROM membership GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM membership a JOIN membership b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       sa.n_users AS n_users_a, sb.n_users AS n_users_b,
+       ROUND(CAST(n_both AS DOUBLE)
+             / CAST(sa.n_users + sb.n_users - n_both AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the ``props`` column + aggregate."""
     events = load_table(spark, sf_dir, "events")
@@ -788,6 +867,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_ORACLE, "gap sessionization"),
     QueryDef("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE, "as-of join"),
     QueryDef("events_asof_nearest", events_asof_nearest, EVENTS_ASOF_NEAREST_ORACLE, "nearest-in-time join (both directions)"),
+    QueryDef("events_audience_overlap", events_audience_overlap, EVENTS_AUDIENCE_ORACLE, "pairwise event-type audience Jaccard"),
     QueryDef("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE, "JSON extraction"),
     QueryDef("events_sliding_window", events_sliding_window, EVENTS_SLIDING_ORACLE, "2h/1h sliding windows"),
     QueryDef("events_value_quantiles", events_value_quantiles, EVENTS_QUANTILES_ORACLE, "exact p50/p90/p99"),

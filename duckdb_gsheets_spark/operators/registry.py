@@ -78,6 +78,7 @@ _DEFERRED: tuple[str, ...] = (
     "window_percent_rank",
     "logreg_probe",
     "text_lang_confusion",
+    "events_audience_overlap",
     "quality_deciles",
     "corpus_resample",
 )

@@ -313,6 +313,47 @@ def streaming_gopher_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(counts, output_mode="complete")
 
 
+def streaming_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of corpus_resample: the language-rebalancing
+    thresholds are computed ONCE from the static corpus (the offline
+    artifact a production gate would load), broadcast onto the
+    documents stream, and the deterministic md5-prefix keep-filter
+    runs per micro-batch — stateless, so any arrival order yields the
+    same survivor set. Complete-mode rollup of kept docs/tokens per
+    language.
+    """
+    from duckdb_gsheets_spark.functions.text import WHITESPACE_SPLIT
+    from duckdb_gsheets_spark.operators.curation import (
+        resample_keep_cond,
+        resample_thresholds,
+    )
+
+    def tokenized(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                "lang",
+                F.size(
+                    F.split(F.trim(F.col("text")), WHITESPACE_SPLIT)
+                ).alias("n_tokens"),
+            )
+        )
+
+    thresholds = resample_thresholds(
+        tokenized(load_table(spark, sf_dir, "documents"))
+    )
+    stream = tokenized(read_documents_stream(spark, sf_dir))
+    kept = stream.join(F.broadcast(thresholds), "lang").where(
+        resample_keep_cond()
+    )
+    counts = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("n_tokens_kept"),
+    )
+    return run_to_memory(counts, output_mode="complete")
+
+
 def streaming_contamination_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

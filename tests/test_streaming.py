@@ -225,6 +225,25 @@ def test_streaming_gopher_matches_batch(spark):
     assert sum(got.values()) > 0
 
 
+def test_streaming_resample_matches_batch(spark):
+    """The streaming rebalancing gate must keep exactly the documents
+    the batch operator keeps (stateless deterministic filter)."""
+    from duckdb_gsheets_spark.operators.curation import corpus_resample
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_resample_counts,
+    )
+
+    got = {
+        r.lang: (r.n_docs_kept, r.n_tokens_kept)
+        for r in streaming_resample_counts(spark, SF).collect()
+    }
+    expected = {
+        r.lang: (r.n_docs_kept, r.n_tokens_kept)
+        for r in corpus_resample(spark, SF).collect()
+    }
+    assert got == expected
+
+
 def test_streaming_contamination_matches_batch(spark):
     """Stream-static broadcast join + stateful dedup must reproduce
     the batch contamination screen's distinct-gram counts."""
