@@ -701,6 +701,99 @@ HIST_BIN_WIDTH = 50.0
 HIST_MAX_BIN = 9
 
 
+#: (column, kind) pairs for the events profiling report. Numeric
+#: columns report min/max as doubles; the rest as strings (double→
+#: string FORMATTING differs between engines, so numerics never go
+#: through a string cast).
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("event_id", "num"),
+    ("ts", "str"),
+    ("user_id", "num"),
+    ("event_type", "str"),
+    ("value", "num"),
+    ("props", "str"),
+)
+
+
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the events table: one row per column
+    with row/null/distinct counts and min/max — the intake report a
+    pipeline runs before trusting a new data drop.
+
+    All 6 columns profile in ONE aggregate pass (Spark plans the
+    multi-distinct via Expand: rows duplicate ×|columns| inside the
+    map stage, but each duplicate carries one column — the shuffle is
+    still map-side partially aggregated and output is one row).
+    The wide row then unpivots to the per-column report via stack —
+    driver-side row surgery, no second scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        col = F.col(c)
+        aggs.append(
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(col).alias(f"nd_{c}"))
+        if kind == "num":
+            aggs.append(F.min(col).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(col).cast("double").alias(f"mx_{c}"))
+        else:
+            aggs.append(F.min(col.cast("string")).alias(f"mn_{c}"))
+            aggs.append(F.max(col.cast("string")).alias(f"mx_{c}"))
+    wide = events.agg(*aggs)
+    stack_args = []
+    for c, kind in _PROFILE_COLS:
+        mn_num = f"mn_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx_num = f"mx_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mn_str = f"mn_{c}" if kind == "str" else "CAST(NULL AS STRING)"
+        mx_str = f"mx_{c}" if kind == "str" else "CAST(NULL AS STRING)"
+        stack_args.append(
+            f"'{c}', nn_{c}, nd_{c}, {mn_num}, {mx_num}, {mn_str}, {mx_str}"
+        )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+            "(col_name, n_nulls, n_distinct, min_num, max_num, "
+            "min_str, max_str)"
+        ),
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = f"CAST(MIN({c}) AS DOUBLE)"
+            mx = f"CAST(MAX({c}) AS DOUBLE)"
+            mns, mxs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            mns = f"MIN(CAST({c} AS VARCHAR))"
+            mxs = f"MAX(CAST({c} AS VARCHAR))"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{mns} AS min_str, {mxs} AS max_str FROM events"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+EVENTS_PROFILE_ORACLE = _profile_oracle()
+
+
 def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of ``value`` per event type: bin id =
     ``min(floor(value / 50), 9)``, with count and exact sum per bin.
@@ -868,6 +961,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE, "as-of join"),
     QueryDef("events_asof_nearest", events_asof_nearest, EVENTS_ASOF_NEAREST_ORACLE, "nearest-in-time join (both directions)"),
     QueryDef("events_audience_overlap", events_audience_overlap, EVENTS_AUDIENCE_ORACLE, "pairwise event-type audience Jaccard"),
+    QueryDef("events_profile", events_profile, EVENTS_PROFILE_ORACLE, "per-column data-quality profile (one-pass multi-distinct)"),
     QueryDef("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE, "JSON extraction"),
     QueryDef("events_sliding_window", events_sliding_window, EVENTS_SLIDING_ORACLE, "2h/1h sliding windows"),
     QueryDef("events_value_quantiles", events_value_quantiles, EVENTS_QUANTILES_ORACLE, "exact p50/p90/p99"),

@@ -79,6 +79,7 @@ _DEFERRED: tuple[str, ...] = (
     "logreg_probe",
     "text_lang_confusion",
     "events_audience_overlap",
+    "events_profile",
     "quality_deciles",
     "corpus_resample",
 )
