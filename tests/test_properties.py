@@ -109,3 +109,66 @@ def test_chunking_covers_every_token_exactly(tokens):
         # minimality: one fewer chunk must leave a gap at the end
         last_start = (n_chunks - 2) * CHUNK_STRIDE
         assert last_start + CHUNK_SIZE < n
+
+
+#: Small random token-set corpora for the prefix-filter model checks.
+_corpus = st.lists(
+    st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _prefix_candidates(sets, prefix_len_of):
+    """Pure-Python model of the AllPairs/PPJoin candidate rule used by
+    dedup_ngram_jaccard / dedup_containment: global token order =
+    (document frequency asc, token); candidate (a, b) iff one of a's
+    first prefix_len_of(|a|) tokens in that order appears in b."""
+    from collections import Counter
+
+    df = Counter(t for s in sets for t in s)
+    cands = set()
+    for ai, a in enumerate(sets):
+        order = sorted(a, key=lambda t: (df[t], t))
+        prefix = set(order[: prefix_len_of(len(a))])
+        for bi, b in enumerate(sets):
+            if ai != bi and prefix & b:
+                cands.add((ai, bi))
+    return cands
+
+
+@settings(max_examples=200, deadline=None)
+@given(sets=_corpus)
+def test_containment_prefix_filter_never_misses(sets):
+    """Completeness of the asymmetric prefix rule: every pair with
+    containment |A∩B|/|A| ≥ t must be generated as a candidate from
+    A's (|A| − ⌈t·|A|⌉ + 1)-token prefix."""
+    import math
+
+    t = 0.8
+    cands = _prefix_candidates(
+        sets, lambda n: n - math.ceil(n * t) + 1
+    )
+    for ai, a in enumerate(sets):
+        for bi, b in enumerate(sets):
+            if ai != bi and len(a & b) / len(a) >= t:
+                assert (ai, bi) in cands
+
+
+@settings(max_examples=200, deadline=None)
+@given(sets=_corpus)
+def test_jaccard_prefix_filter_never_misses(sets):
+    """Completeness of the symmetric prefix rule at the registered
+    Jaccard threshold (candidates from either side's prefix)."""
+    import math
+
+    t = 0.75
+    cands = _prefix_candidates(
+        sets, lambda n: n - math.ceil(n * t) + 1
+    )
+    for ai, a in enumerate(sets):
+        for bi, b in enumerate(sets):
+            if ai < bi:
+                j = len(a & b) / len(a | b)
+                if j >= t:
+                    assert (ai, bi) in cands or (bi, ai) in cands
