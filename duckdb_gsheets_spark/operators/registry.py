@@ -80,6 +80,7 @@ _DEFERRED: tuple[str, ...] = (
     "text_lang_confusion",
     "events_audience_overlap",
     "events_profile",
+    "sample_weighted_topk",
     "quality_deciles",
     "corpus_resample",
 )

@@ -118,7 +118,75 @@ LIMIT {SAMPLE_K}
 """
 
 
+#: Weighted-sample size and the weight floor that keeps 1/w finite.
+WEIGHTED_K = 100
+WEIGHT_FLOOR = 0.000001
+
+
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sample without replacement via the
+    Efraimidis–Spirakis A-ES key ``u^(1/w)`` (public, IPL 2006):
+    the ``WEIGHTED_K`` largest keys form an exact weighted sample —
+    the curation pattern that keeps MORE of the high-quality corpus
+    without hard-thresholding it.
+
+    Deterministic and engine-portable: u comes from the md5 hash grid
+    ((int(md5[:8],16)+1) / 2³²), w is the 6-decimal quality score
+    floored at ``WEIGHT_FLOOR``, and the key rounds to the 1e-9 grid
+    so the ≤1-ulp ``pow`` drift between libm implementations cannot
+    reorder ranks. Plan: narrow key projection →
+    ``TakeOrderedAndProject`` (per-partition k-row heaps — no global
+    sort), identical shape to :func:`sample_bottom_k`.
+    """
+    from duckdb_gsheets_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    w = F.greatest(
+        T.quality_score(F.col("text")), F.lit(WEIGHT_FLOOR)
+    )
+    u = (
+        F.conv(F.substring(_sample_key(), 1, 8), 16, 10).cast("long") + 1
+    ).cast("double") / F.lit(4294967296.0)
+    key = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            T.quality_score(F.col("text")).alias("quality"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(WEIGHTED_K)
+    )
+
+
+SAMPLE_WEIGHTED_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         {{q}} AS quality,
+         ROUND(POW(
+           (CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+             / 4294967296.0,
+           1.0 / GREATEST({{q}}, {WEIGHT_FLOOR})), 9) AS sample_key
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, lang, quality, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
+def _weighted_oracle() -> str:
+    from duckdb_gsheets_spark.functions import text as T
+
+    return SAMPLE_WEIGHTED_ORACLE.replace("{q}", T.oracle_quality_score())
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE, "per-language hash sampling"),
     QueryDef("sample_bottom_k", sample_bottom_k, SAMPLE_BOTTOM_K_ORACLE, "bottom-k / KMV uniform sample"),
+    QueryDef("sample_weighted_topk", sample_weighted_topk, _weighted_oracle(), "Efraimidis-Spirakis quality-weighted sample"),
 ]

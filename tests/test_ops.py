@@ -379,6 +379,45 @@ def test_quality_deciles_partition_corpus(spark):
             assert r.min_quality >= rows[d + 1].max_quality
 
 
+def test_weighted_sample_matches_python_recompute(spark):
+    """The A-ES selection must equal a pure-Python recompute of the
+    same key formula (hashlib md5, math.pow, 1e-9 rounding) — at most
+    one boundary doc may differ from libm pow ulp drift — and be
+    deterministic across runs."""
+    import hashlib
+
+    from duckdb_gsheets_spark.functions import text as T
+    from duckdb_gsheets_spark.operators.sampling import (
+        WEIGHT_FLOOR,
+        WEIGHTED_K,
+        sample_weighted_topk,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = sample_weighted_topk(spark, SF).collect()
+    assert len(rows) == WEIGHTED_K
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", T.quality_score(F.col("text")).alias("q"))
+        .collect()
+    )
+    keyed = []
+    for r in docs:
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8]
+        u = (int(h, 16) + 1) / 4294967296.0
+        w = max(r.q, WEIGHT_FLOOR)
+        keyed.append((round(u ** (1.0 / w), 9), -r.doc_id, r.doc_id))
+    expected = {
+        d for _, _, d in sorted(keyed, reverse=True)[:WEIGHTED_K]
+    }
+    got = {r.doc_id for r in rows}
+    assert len(got & expected) >= WEIGHTED_K - 1
+    again = {r.doc_id for r in sample_weighted_topk(spark, SF).collect()}
+    assert again == got
+
+
 def test_logreg_probe_matches_numpy(spark):
     """The distributed GD probe must match a single-machine numpy
     run of the same iterations/learning rate: identical confusion
