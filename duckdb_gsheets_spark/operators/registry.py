@@ -81,6 +81,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_audience_overlap",
     "events_profile",
     "sample_weighted_topk",
+    "orders_rfm_segments",
     "quality_deciles",
     "corpus_resample",
 )

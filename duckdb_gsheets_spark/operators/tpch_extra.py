@@ -14,7 +14,7 @@ money aggregates go through operators.determinism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_gsheets_spark.operators.determinism import (
@@ -789,6 +789,103 @@ GROUP BY 1
 """
 
 
+#: Monetary pre-bucket width for the RFM quintile tiling: bounds the
+#: distinct-value table the M window runs over.
+RFM_M_BUCKET = 1000.0
+
+
+def _quintile_scores(vals, key: str, score_name: str):
+    """(key, cnt) distinct-value counts → (key, score 1..5) with
+    score 1 = top of the DESC order. The cumulative window runs over
+    the DISTINCT-VALUE table only (same bounded-tiling argument as
+    quality_deciles) — never the entity table."""
+    w = (
+        Window.orderBy(F.desc(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vals.select(
+        key,
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("n_before"),
+    ).join(F.broadcast(vals.agg(F.sum("cnt").alias("n_total"))))
+    return cum.select(
+        key,
+        (F.lit(1) + F.expr("div(n_before * 5, n_total)"))
+        .cast("int")
+        .alias(score_name),
+    )
+
+
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quintile scores for Recency (latest
+    order date), Frequency (order count) and Monetary (exact money
+    sum, pre-bucketed to ``RFM_M_BUCKET``), rolled up to one row per
+    (r, f, m) segment.
+
+    Every quintile is assigned by VALUE-LEVEL tiling: the windows run
+    over the distinct order-dates (~calendar-bounded), distinct order
+    counts (tiny) and distinct monetary buckets (range-bounded by the
+    pre-bucketing) — never over the customer table, so the shape holds
+    at any customer count. Score joins broadcast back onto the
+    per-customer aggregate; money flows through scaled-long sums.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("r_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("monetary"),
+    ).withColumn(
+        "m_bucket",
+        F.floor(F.col("monetary") / F.lit(RFM_M_BUCKET)).cast("long"),
+    )
+
+    def counts(col):
+        return per_cust.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+
+    rsc = _quintile_scores(counts("r_date"), "r_date", "r_score")
+    fsc = _quintile_scores(counts("n_orders"), "n_orders", "f_score")
+    msc = _quintile_scores(counts("m_bucket"), "m_bucket", "m_score")
+    return (
+        per_cust.join(F.broadcast(rsc), "r_date")
+        .join(F.broadcast(fsc), "n_orders")
+        .join(F.broadcast(msc), "m_bucket")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("monetary").alias("total_monetary"),
+        )
+    )
+
+
+_RFM_TILE = """
+SELECT {key},
+       CAST(1 + (SUM(cnt) OVER (ORDER BY {key} DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) * 5
+            // (SUM(cnt) OVER ()) AS INTEGER) AS {score}
+FROM (SELECT {key}, COUNT(*) AS cnt FROM per_cust GROUP BY {key})
+"""
+
+RFM_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS r_date,
+         COUNT(*) AS n_orders,
+         {oracle_dsum('o_totalprice')} AS monetary,
+         CAST(FLOOR(({oracle_dsum('o_totalprice')}) / {RFM_M_BUCKET}) AS BIGINT) AS m_bucket
+  FROM orders GROUP BY o_custkey
+), rsc AS ({_RFM_TILE.format(key='r_date', score='r_score')}),
+fsc AS ({_RFM_TILE.format(key='n_orders', score='f_score')}),
+msc AS ({_RFM_TILE.format(key='m_bucket', score='m_score')})
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       {oracle_dsum('monetary')} AS total_monetary
+FROM per_cust
+JOIN rsc USING (r_date)
+JOIN fsc USING (n_orders)
+JOIN msc USING (m_bucket)
+GROUP BY r_score, f_score, m_score
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE, "TPC-H Q2 min-cost supplier"),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),
@@ -804,6 +901,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q20_promotion_suppliers", q20_promotion_suppliers, Q20_ORACLE, "TPC-H Q20 semi chain"),
     QueryDef("q21_waiting_suppliers", q21_waiting_suppliers, Q21_ORACLE, "TPC-H Q21 sole-late-supplier"),
     QueryDef("q22_global_customers", q22_global_customers, Q22_ORACLE, "TPC-H Q22 anti+scalar"),
+    QueryDef("orders_rfm_segments", orders_rfm_segments, RFM_ORACLE, "RFM quintile segmentation (value-level tiling)"),
     QueryDef("grouping_sets_sales", grouping_sets_sales, GROUPING_SETS_ORACLE, "GROUPING SETS"),
     QueryDef("approx_count_distinct_users", approx_count_distinct_users, None, "HLL approx distinct"),
     QueryDef("range_join_shipments", range_join_shipments, RANGE_JOIN_ORACLE, "binned interval/range join"),

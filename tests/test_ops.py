@@ -379,6 +379,30 @@ def test_quality_deciles_partition_corpus(spark):
             assert r.min_quality >= rows[d + 1].max_quality
 
 
+def test_rfm_segments_tile_customers(spark):
+    """RFM invariants: scores in 1..5, every ordering customer in
+    exactly one segment, and the recency dimension (near-unique
+    dates) splits into roughly balanced quintiles."""
+    from duckdb_gsheets_spark.operators.tpch_extra import orders_rfm_segments
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = orders_rfm_segments(spark, SF).collect()
+    n_cust = (
+        load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+        assert r.total_monetary > 0
+    by_r = {}
+    for r in rows:
+        by_r[r.r_score] = by_r.get(r.r_score, 0) + r.n_customers
+    for score, cnt in by_r.items():
+        assert abs(cnt - n_cust / 5) <= 0.25 * n_cust / 5 + 5, (score, cnt)
+
+
 def test_weighted_sample_matches_python_recompute(spark):
     """The A-ES selection must equal a pure-Python recompute of the
     same key formula (hashlib md5, math.pow, 1e-9 rounding) — at most
