@@ -157,3 +157,12 @@ def test_asof_nearest_single_window_pass(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_rfm_score_joins_broadcast(spark):
+    """All three quintile score maps must broadcast onto the
+    per-customer aggregate — no sort-merge join, no cartesian."""
+    plan = _plan(spark, "orders_rfm_segments")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
