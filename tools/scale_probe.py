@@ -20,24 +20,45 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def build_scaled(spark, factor: int) -> str:
+    """Replicate documents AND events N× (ids/users shifted per copy
+    so rows stay distinct); other tables symlink through unscaled."""
+    from pyspark.sql import functions as F
+
     out = os.path.join(tempfile.gettempdir(), f"scale_probe_{factor}x")
+    copies = spark.range(factor).withColumnRenamed("id", "copy")
+
     docs_out = os.path.join(out, "documents.parquet")
     if not os.path.exists(docs_out):
-        from pyspark.sql import functions as F
-
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         n = docs.count()
-        copies = spark.range(factor).withColumnRenamed("id", "copy")
-        scaled = (
+        (
             docs.crossJoin(copies)
             .withColumn("doc_id", F.col("doc_id") + F.col("copy") * n)
             .drop("copy")
+            .write.mode("overwrite")
+            .parquet(docs_out)
         )
-        scaled.write.mode("overwrite").parquet(docs_out)
-        # The other tables pass through via symlink so load_table works.
+
+    events_out = os.path.join(out, "events.parquet")
+    if not os.path.exists(events_out):
+        from duckdb_gsheets_spark.plans.catalog import load_table
+
+        events = load_table(spark, SF_DIR, "events")
+        n = events.count()
+        n_users = 10_000_000  # shift stride past any real user_id
+        (
+            events.crossJoin(copies)
+            .withColumn("event_id", F.col("event_id") + F.col("copy") * n)
+            .withColumn(
+                "user_id", F.col("user_id") + F.col("copy") * n_users
+            )
+            .drop("copy")
+            .write.mode("overwrite")
+            .parquet(events_out)
+        )
+
     for t in (
-        "region nation customer supplier part orders lineitem "
-        "events embeddings"
+        "region nation customer supplier part orders lineitem embeddings"
     ).split():
         link = os.path.join(out, f"{t}.parquet")
         if not os.path.lexists(link):
