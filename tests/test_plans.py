@@ -166,3 +166,11 @@ def test_rfm_score_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_heap_topk(spark):
+    """A-ES weighted sampling must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global sort."""
+    plan = _plan(spark, "sample_weighted_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
