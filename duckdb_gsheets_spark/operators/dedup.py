@@ -345,19 +345,12 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return shingled.select("doc_id", "shingles", sig.alias("signature"))
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
-
-    shingle → 16-perm signature → 8 band-hashes → bucket self-join →
-    exact verification on candidates only. Non-SQL-expressible
-    (rows-only check); recall is pytest-verified against planted dups.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+def _minhash_candidates(sigs: DataFrame) -> DataFrame:
+    """Distinct banded-LSH candidate pairs (doc_a < doc_b) from a
+    signature frame. Slim band rows (no shingle payload): the band
+    self-join shuffles only (doc_id, band_idx, band_hash); payloads
+    attach per surviving candidate afterwards."""
     n_bands = MINHASH_PERMS // MINHASH_BAND_ROWS
-    # Slim band rows (no shingle payload): the band self-join shuffles
-    # only (doc_id, band_idx, band_hash); shingle sets are attached
-    # once per surviving candidate pair afterwards.
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -377,7 +370,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
-    cands = (
+    return (
         bands.alias("a")
         .join(bands.alias("b"), ["band_idx", "band_hash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -386,6 +379,87 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: over the LSH candidate pairs, compare
+    the MinHash ESTIMATE of Jaccard (fraction of agreeing signature
+    components) against the exact shingle Jaccard, bucketed by the
+    estimate — the report that tells you whether 16 permutations are
+    enough before trusting the sketch on a 100 TB dedup run.
+
+    Output: one row per estimate quartile bucket with pair count,
+    mean estimate, mean exact Jaccard and mean absolute error (all
+    exact scaled-long means — estimates are 16ths, so the 1e-6 grid
+    is lossless).
+
+    Same shuffle ledger as the dedup itself (band join + two payload
+    joins + one tiny rollup); rows-only registered (xxhash shingles
+    are not SQL-expressible), invariants pytest-pinned.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = _minhash_candidates(sigs)
+    payload = sigs.select("doc_id", "signature", "shingles")
+    pairs = cands.join(
+        payload.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("signature").alias("sig_a"),
+            F.col("shingles").alias("sh_a"),
+        ),
+        "doc_a",
+    ).join(
+        payload.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("signature").alias("sig_b"),
+            F.col("shingles").alias("sh_b"),
+        ),
+        "doc_b",
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(MINHASH_PERMS))
+    )
+    exact = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    scored = pairs.select(
+        F.least(F.floor(est * 4).cast("int"), F.lit(3)).alias("est_bucket"),
+        F.round(est * 1e6).cast("long").alias("est_s"),
+        F.round(exact * 1e6).cast("long").alias("ex_s"),
+        F.round(F.abs(est - exact) * 1e6).cast("long").alias("err_s"),
+    )
+    return scored.groupBy("est_bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("est_s") / (F.count(F.lit(1)) * 1e6), 6).alias(
+            "avg_estimate"
+        ),
+        F.round(F.sum("ex_s") / (F.count(F.lit(1)) * 1e6), 6).alias(
+            "avg_exact"
+        ),
+        F.round(F.sum("err_s") / (F.count(F.lit(1)) * 1e6), 6).alias(
+            "mean_abs_err"
+        ),
+        F.round(F.max("err_s") / 1e6, 6).alias("max_abs_err"),
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
+
+    shingle → 16-perm signature → 8 band-hashes → bucket self-join →
+    exact verification on candidates only. Non-SQL-expressible
+    (rows-only check); recall is pytest-verified against planted dups.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = _minhash_candidates(sigs)
     shingle_sets = sigs.select("doc_id", "shingles")
     with_sets = cands.join(
         shingle_sets.select(
@@ -623,6 +697,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "token Jaccard pairs"),
     QueryDef("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE, "asymmetric token-containment pairs"),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, None, "MinHash LSH near-dup"),
+    QueryDef("minhash_calibration", minhash_calibration, None, "MinHash estimate vs exact Jaccard calibration"),
     QueryDef("dedup_simhash", dedup_simhash, None, "SimHash near-dup"),
     QueryDef("dedup_clusters", dedup_clusters, None, "transitive near-dup clusters"),
 ]

@@ -82,6 +82,7 @@ _DEFERRED: tuple[str, ...] = (
     "events_profile",
     "sample_weighted_topk",
     "orders_rfm_segments",
+    "minhash_calibration",
     "quality_deciles",
     "corpus_resample",
 )

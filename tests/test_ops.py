@@ -379,6 +379,28 @@ def test_quality_deciles_partition_corpus(spark):
             assert r.min_quality >= rows[d + 1].max_quality
 
 
+def test_minhash_calibration_tracks_exact_jaccard(spark):
+    """The sketch must be calibrated: per estimate bucket, mean exact
+    Jaccard increases with the estimate, and the mean absolute
+    estimation error stays inside the 16-permutation error envelope
+    (std ≤ 1/(2·√16) = 0.125; generous 2× slack on the mean)."""
+    from duckdb_gsheets_spark.operators.dedup import minhash_calibration
+
+    rows = sorted(
+        minhash_calibration(spark, SF).collect(),
+        key=lambda r: r.est_bucket,
+    )
+    assert rows
+    for r in rows:
+        assert r.n_pairs > 0
+        assert 0.0 <= r.avg_estimate <= 1.0
+        assert 0.0 <= r.avg_exact <= 1.0
+        assert r.mean_abs_err <= 0.25
+    for a, b in zip(rows, rows[1:]):
+        assert a.avg_exact <= b.avg_exact
+        assert a.avg_estimate < b.avg_estimate
+
+
 def test_rfm_segments_tile_customers(spark):
     """RFM invariants: scores in 1..5, every ordering customer in
     exactly one segment, and the recency dimension (near-unique
