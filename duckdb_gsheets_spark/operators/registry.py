@@ -83,6 +83,7 @@ _DEFERRED: tuple[str, ...] = (
     "sample_weighted_topk",
     "orders_rfm_segments",
     "minhash_calibration",
+    "ann_recall_report",
     "quality_deciles",
     "corpus_resample",
 )

@@ -747,6 +747,63 @@ GROUP BY label
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the approximate ANN paths against the exact
+    brute-force baseline — the acceptance gate run before routing
+    production similarity traffic through an index.
+
+    For each method (LSH, IVF) and each query vector: |approx top-k ∩
+    exact top-k| / k, rolled up to mean/min recall and the count of
+    perfect queries. All three rankings reuse the registered
+    operators, so this audits exactly what users run; the overlap join
+    keys on (query, neighbor) pairs — k·|queries| rows per side, a
+    trivially small join at any corpus size (the heavy work is inside
+    the audited queries themselves).
+
+    Rows-only registered (the approximate paths are rows-only);
+    recall floors are pytest-pinned.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("vec_a", "vec_b")
+    spine = exact.select("vec_a").distinct()
+    methods = spark.createDataFrame(
+        [("lsh",), ("ivf",)], "method string"
+    )
+    approx = (
+        ann_lsh_topk(spark, sf_dir)
+        .select(F.lit("lsh").alias("method"), "vec_a", "vec_b")
+        .unionByName(
+            ann_ivf_topk(spark, sf_dir).select(
+                F.lit("ivf").alias("method"), "vec_a", "vec_b"
+            )
+        )
+    )
+    matched = (
+        exact.join(approx, ["vec_a", "vec_b"])
+        .groupBy("method", "vec_a")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    per_query = (
+        spine.crossJoin(methods)
+        .join(matched, ["method", "vec_a"], "left")
+        .select(
+            "method",
+            "vec_a",
+            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        )
+    )
+    k = float(TOPK_K)
+    return per_query.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum("n_matched") / (F.count(F.lit(1)) * F.lit(k)), 6).alias(
+            "mean_recall"
+        ),
+        F.round(F.min("n_matched") / F.lit(k), 6).alias("min_recall"),
+        F.sum(
+            (F.col("n_matched") == TOPK_K).cast("int")
+        ).alias("n_perfect"),
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QueryDef("embedding_neardup_pairs", embedding_neardup_pairs, NEARDUP_ORACLE, "cosine near-dup pairs"),
@@ -754,4 +811,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("embedding_quantize", embedding_quantize, EMBEDDING_QUANTIZE_ORACLE, "SQ8 absmax quantization error report"),
     QueryDef("ann_lsh_topk", ann_lsh_topk, None, "LSH-bucketed ANN top-k"),
     QueryDef("ann_ivf_topk", ann_ivf_topk, None, "IVF-list ANN top-k"),
+    QueryDef("ann_recall_report", ann_recall_report, None, "recall@k audit of LSH/IVF vs exact baseline"),
 ]

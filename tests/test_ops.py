@@ -379,6 +379,39 @@ def test_quality_deciles_partition_corpus(spark):
             assert r.min_quality >= rows[d + 1].max_quality
 
 
+def test_ann_recall_report_matches_direct_recount(spark):
+    """The recall report must equal a direct Python recount of the
+    overlap between the registered exact and approximate rankings."""
+    from duckdb_gsheets_spark.operators.similarity import (
+        TOPK_K,
+        ann_cosine_topk,
+        ann_ivf_topk,
+        ann_lsh_topk,
+        ann_recall_report,
+    )
+
+    got = {r.method: r for r in ann_recall_report(spark, SF).collect()}
+    exact = {
+        (r.vec_a, r.vec_b) for r in ann_cosine_topk(spark, SF).collect()
+    }
+    queries = {a for a, _ in exact}
+    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+        approx = {(r.vec_a, r.vec_b) for r in fn(spark, SF).collect()}
+        per_q = {
+            q: len({p for p in exact & approx if p[0] == q})
+            for q in queries
+        }
+        r = got[method]
+        assert r.n_queries == len(queries)
+        assert r.mean_recall == round(
+            sum(per_q.values()) / (len(queries) * TOPK_K), 6
+        )
+        assert r.min_recall == round(min(per_q.values()) / TOPK_K, 6)
+        assert r.n_perfect == sum(
+            1 for v in per_q.values() if v == TOPK_K
+        )
+
+
 def test_minhash_calibration_tracks_exact_jaccard(spark):
     """The sketch must be calibrated: per estimate bucket, mean exact
     Jaccard increases with the estimate, and the mean absolute
