@@ -83,6 +83,127 @@ GROUP BY source
 """
 
 
+def pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 flagship composition: Gopher rule gate → exact dedup
+    (min-doc_id survivor) → language-rebalancing resample, rolled up
+    per language — the full intake-to-mixture path a curated corpus
+    build runs, as one declarative plan.
+
+    Stage reuse keeps it hash-checkable end to end: the gate is
+    operators.text.gopher_rules (exact integer rules), the survivor
+    rule is the map-side-combinable ``min_by`` aggregate, and the
+    keep-filter is operators.curation's integer-threshold gate
+    computed FROM the gated+deduped corpus (thresholds re-derive after
+    upstream filtering, as a real build would). Shuffle ledger: dedup
+    fingerprint agg + two |lang|-row aggs + broadcast joins + final
+    |lang|-row rollup — the corpus itself shuffles once.
+    """
+    from duckdb_gsheets_spark.operators.curation import (
+        resample_keep_cond,
+        resample_thresholds,
+    )
+    from duckdb_gsheets_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    c = F.col("text")
+    pre = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        T.fingerprint(c).alias("fingerprint"),
+        T.token_count(c).alias("n_toks"),
+    )
+    flags = gopher_rules(pre, carry=("lang", "fingerprint", "n_toks"))
+    gated = flags.where(F.col("passes") == 1).select(
+        "doc_id", "lang", "fingerprint", "n_toks"
+    )
+    survivors = (
+        gated.groupBy("fingerprint")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "n_toks"), F.col("doc_id")
+            ).alias("s")
+        )
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.lang").alias("lang"),
+            F.col("s.n_toks").alias("n_tokens"),
+        )
+    )
+    thresholds = resample_thresholds(survivors)
+    kept = survivors.join(F.broadcast(thresholds), "lang").where(
+        resample_keep_cond()
+    )
+    return (
+        kept.groupBy("lang", "n_docs_in", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("n_tokens_kept"),
+        )
+        .select(
+            "lang",
+            "n_docs_in",
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.round(
+                F.col("n_docs_kept").cast("double") / F.col("n_docs_in"), 6
+            ).alias("doc_keep_rate"),
+        )
+    )
+
+
+def _curated_oracle() -> str:
+    from duckdb_gsheets_spark.operators.curation import RESAMPLE_GRID
+
+    return f"""
+WITH pre AS (
+  SELECT doc_id, lang,
+         {T.oracle_fingerprint()} AS fingerprint,
+         CAST(len({T.oracle_tokens()}) AS BIGINT) AS n_toks,
+         CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+         CAST(len(list_filter({T.oracle_tokens()},
+                              t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha_tokens,
+         CAST({T.oracle_stopword_hits_total()} AS BIGINT) AS n_stopwords,
+         CAST(len(regexp_extract_all(text, '{T.PUNCT_PATTERN}')) AS BIGINT) AS n_symbols
+  FROM documents WHERE text IS NOT NULL
+), gated AS (
+  SELECT doc_id, lang, fingerprint, n_toks
+  FROM pre
+  WHERE (100 * n_nonspace) // n_toks BETWEEN 300 AND 1000
+    AND n_alpha_tokens * 100 >= n_toks * 80
+    AND n_stopwords >= 2
+    AND n_symbols * 4 <= n_toks
+), survivors AS (
+  SELECT doc_id, lang, n_toks AS n_tokens FROM gated
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+), by_lang AS (
+  SELECT lang, COUNT(*) AS n_docs_in, SUM(n_tokens) AS lang_tokens
+  FROM survivors GROUP BY lang
+), totals AS (
+  SELECT SUM(lang_tokens) AS total_tokens, COUNT(*) AS n_langs FROM by_lang
+), thresholds AS (
+  SELECT lang, n_docs_in,
+         LEAST({RESAMPLE_GRID}, (total_tokens * {RESAMPLE_GRID})
+               // (n_langs * lang_tokens)) AS threshold
+  FROM by_lang, totals
+), kept AS (
+  SELECT s.lang, s.n_tokens, h.n_docs_in
+  FROM survivors s JOIN thresholds h ON s.lang = h.lang
+  WHERE h.threshold >= {RESAMPLE_GRID}
+     OR UPPER(SUBSTRING(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))
+        < LPAD(to_hex(h.threshold), 8, '0')
+)
+SELECT lang, n_docs_in, COUNT(*) AS n_docs_kept,
+       SUM(n_tokens) AS n_tokens_kept,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n_docs_in, 6) AS doc_keep_rate
+FROM kept
+GROUP BY lang, n_docs_in
+"""
+
+
 def corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert semantics on the corpus: apply an update batch
     (new revisions of every 7th document, normalized text) to the base
@@ -176,5 +297,11 @@ QUERIES: list[QueryDef] = [
         corpus_upsert,
         CORPUS_UPSERT_ORACLE,
         "MERGE INTO / CDC upsert via full-outer coalesce",
+    ),
+    QueryDef(
+        "pipeline_curated_corpus",
+        pipeline_curated_corpus,
+        _curated_oracle(),
+        "gopher-gate→dedup→rebalance composed pipeline (round 2)",
     ),
 ]

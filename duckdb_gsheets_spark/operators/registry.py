@@ -84,6 +84,7 @@ _DEFERRED: tuple[str, ...] = (
     "orders_rfm_segments",
     "minhash_calibration",
     "ann_recall_report",
+    "pipeline_curated_corpus",
     "quality_deciles",
     "corpus_resample",
 )

@@ -174,3 +174,12 @@ def test_weighted_sample_is_heap_topk(spark):
     plan = _plan(spark, "sample_weighted_topk")
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_curated_pipeline_broadcasts_thresholds(spark):
+    """Composed pipeline: threshold maps broadcast; no sort-merge or
+    cartesian joins anywhere — the corpus shuffles only for dedup."""
+    plan = _plan(spark, "pipeline_curated_corpus")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
