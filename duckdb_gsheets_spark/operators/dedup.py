@@ -613,6 +613,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within.unionAll(across)
 
 
+def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for SimHash, the twin of
+    :func:`minhash_calibration`: per Hamming distance over the emitted
+    near-dup pairs, how much exact token-set Jaccard the 64-bit
+    signature distance actually buys — the evidence for choosing the
+    Hamming cutoff before a full-corpus run.
+
+    Reuses the registered pair query (so it audits exactly what runs)
+    plus one token-set attach per side; the rollup is ≤ 4 rows
+    (Hamming 0..SIMHASH_MAX_HAMMING). Means ride exact scaled longs.
+    Rows-only registered (bit math is engine-specific); monotonicity
+    pytest-pinned.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_simhash(spark, sf_dir)
+    toks_arr = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", _distinct_tokens(F.col("text")).alias("toks")
+    )
+    ta = toks_arr.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+    )
+    tb = toks_arr.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+    )
+    overlap = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac_s = F.round(
+        overlap.cast("double") / union.cast("double") * 1e6
+    ).cast("long")
+    scored = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("hamming", jac_s.alias("jac_s"))
+    )
+    return scored.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("jac_s") / (F.count(F.lit(1)) * 1e6), 6).alias(
+            "avg_jaccard"
+        ),
+        F.round(F.min("jac_s") / 1e6, 6).alias("min_jaccard"),
+        F.round(F.max("jac_s") / 1e6, 6).alias("max_jaccard"),
+    )
+
+
 #: Convergence cap for connected components. Label propagation needs
 #: O(component diameter) rounds; near-dup clusters are shallow (a dup
 #: of a dup of a dup...), so real corpora converge in a handful.
@@ -699,5 +743,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, None, "MinHash LSH near-dup"),
     QueryDef("minhash_calibration", minhash_calibration, None, "MinHash estimate vs exact Jaccard calibration"),
     QueryDef("dedup_simhash", dedup_simhash, None, "SimHash near-dup"),
+    QueryDef("simhash_calibration", simhash_calibration, None, "SimHash Hamming vs exact Jaccard calibration"),
     QueryDef("dedup_clusters", dedup_clusters, None, "transitive near-dup clusters"),
 ]

@@ -85,6 +85,7 @@ _DEFERRED: tuple[str, ...] = (
     "minhash_calibration",
     "ann_recall_report",
     "pipeline_curated_corpus",
+    "simhash_calibration",
     "quality_deciles",
     "corpus_resample",
 )

@@ -434,6 +434,23 @@ def test_minhash_calibration_tracks_exact_jaccard(spark):
         assert a.avg_estimate < b.avg_estimate
 
 
+def test_simhash_calibration_decreases_with_hamming(spark):
+    """Closer signatures must mean more-similar token sets: average
+    exact Jaccard at Hamming 0 dominates the highest observed
+    distance, and all stats stay inside [0, 1]."""
+    from duckdb_gsheets_spark.operators.dedup import simhash_calibration
+
+    rows = sorted(
+        simhash_calibration(spark, SF).collect(), key=lambda r: r.hamming
+    )
+    assert rows and rows[0].hamming == 0
+    for r in rows:
+        assert r.n_pairs > 0
+        assert 0.0 <= r.min_jaccard <= r.avg_jaccard <= r.max_jaccard <= 1.0
+    if len(rows) > 1:
+        assert rows[0].avg_jaccard >= rows[-1].avg_jaccard
+
+
 def test_rfm_segments_tile_customers(spark):
     """RFM invariants: scores in 1..5, every ordering customer in
     exactly one segment, and the recency dimension (near-unique
