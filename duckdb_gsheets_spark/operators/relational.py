@@ -823,7 +823,7 @@ SELECT p_partkey,
        array_to_string(list_sort(arr), ',') AS sorted_arr,
        list_max(arr) AS arr_max,
        list_min(arr) AS arr_min,
-       list_sum(list_transform(arr, x -> x * 2)) AS doubled_sum,
+       CAST(list_sum(list_transform(arr, x -> x * 2)) AS BIGINT) AS doubled_sum,
        COALESCE(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), '') AS evens,
        list_contains(arr, 5) AS has_five,
        CAST(len(arr) AS INTEGER) AS arr_len

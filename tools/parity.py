@@ -1,9 +1,20 @@
 """Local mirror of the driver's correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
-DuckDB over the same sf dir, then compares row count, column names and
-the order-insensitive multiset of row values (exact equality — floats
-must match bitwise, which the determinism contract guarantees).
+DuckDB over the same sf dir, then compares row count, column names,
+**pandas dtypes** and the order-insensitive multiset of row values
+(exact equality — floats must match bitwise, which the determinism
+contract guarantees).
+
+Both sides are materialized through pandas (Spark ``toPandas()`` vs
+DuckDB ``.df()``) because that is the driver's canonicalization path
+and its value hash is dtype-sensitive: a DuckDB HUGEINT that pandas
+widens to float64 hash-mismatches a Spark int64 even when every value
+is equal (this exact bug shipped in round 2 — ``list_sum`` over a
+BIGINT list).  Datetime columns compare on the ``datetime64`` kind
+only (Arrow gives ns units, DuckDB us) — the determinism contract
+casts temporal outputs to strings anyway, so a native datetime column
+in a checked query is already suspect.
 
 Usage: python tools/parity.py [sf_dir] [query ...]
 """
@@ -15,6 +26,7 @@ import sys
 import time
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -23,21 +35,42 @@ from duckdb_gsheets_spark.plans.session import get_spark
 
 
 def _norm_cell(v):
+    if v is None:
+        return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return v
+    try:
+        if pd.isna(v):  # pandas NaT / pd.NA from nullable frames
+            return None
+    except (TypeError, ValueError):
+        pass
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if hasattr(v, "item"):  # numpy scalar -> python scalar
+        return _norm_cell(v.item())
     return v
 
 
-def _rows_to_multiset(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(_norm_cell(r[i]) for i in idx) for r in rows),
-        key=lambda t: tuple(repr(x) for x in t),
+def _norm_dtype(dt) -> str:
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime64"  # unit differs by engine (ns vs us); kind must match
+    return s
+
+
+def _frame_to_multiset(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns)
+    rows = (
+        tuple(_norm_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
     )
+    return sorted(rows, key=lambda t: tuple(repr(x) for x in t))
+
+
+def _dtype_map(pdf: pd.DataFrame) -> dict[str, str]:
+    return {c: _norm_dtype(pdf[c].dtype) for c in pdf.columns}
 
 
 def main() -> int:
@@ -56,37 +89,51 @@ def main() -> int:
     qs = e.queries()
     oracles = e.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            spark_cols = sdf.columns
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_pdf = sdf.toPandas()
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(ex).__name__}: {ex}")
             continue
         if name not in oracles:
-            print(f"ok    {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+            print(
+                f"ok    {name}: rows-only ({len(spark_pdf)} rows, "
+                f"{time.time()-t0:.1f}s)"
+            )
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            duck_pdf = con.execute(oracles[name]).df()
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(ex).__name__}: {ex}")
             continue
         problems = []
-        if sorted(spark_cols) != sorted(duck_cols):
-            problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-        if len(spark_rows) != len(duck_rows):
-            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+            problems.append(
+                f"cols spark={sorted(spark_pdf.columns)} "
+                f"duck={sorted(duck_pdf.columns)}"
+            )
+        if len(spark_pdf) != len(duck_pdf):
+            problems.append(
+                f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}"
+            )
         if not problems:
-            ms = _rows_to_multiset(spark_cols, spark_rows)
-            md = _rows_to_multiset(duck_cols, duck_rows)
+            sd, dd = _dtype_map(spark_pdf), _dtype_map(duck_pdf)
+            drift = {
+                c: (sd[c], dd[c]) for c in sd if sd[c] != dd[c]
+            }
+            if drift:
+                problems.append(f"dtype drift (spark, duck): {drift}")
+        if not problems:
+            ms = _frame_to_multiset(spark_pdf)
+            md = _frame_to_multiset(duck_pdf)
             if ms != md:
                 diff = [(a, b) for a, b in zip(ms, md) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
@@ -94,8 +141,11 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
-            print(f"ok    {name}: {len(spark_rows)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+            print(
+                f"ok    {name}: {len(spark_pdf)} rows match "
+                f"({time.time()-t0:.1f}s)"
+            )
+    print(f"\n{checked - len(failures)}/{checked} pass")
     return 1 if failures else 0
 
 
