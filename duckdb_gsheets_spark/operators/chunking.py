@@ -128,8 +128,8 @@ WITH toks AS (
   FROM toks
 )
 SELECT doc_id, chunk_id,
-       len(list_slice(t, chunk_id * {CHUNK_STRIDE} + 1,
-                      chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS chunk_tokens,
+       CAST(len(list_slice(t, chunk_id * {CHUNK_STRIDE} + 1,
+                      chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS INTEGER) AS chunk_tokens,
        md5(array_to_string(list_slice(t, chunk_id * {CHUNK_STRIDE} + 1,
                                       chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ')) AS chunk_hash
 FROM chunks
@@ -202,7 +202,7 @@ WITH toks AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_segments,
-       SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup_segments,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
        ROUND(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
 FROM ranked

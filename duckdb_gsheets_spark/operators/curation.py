@@ -110,7 +110,7 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_MIX_ORACLE = f"""
 WITH by_lang AS (
   SELECT lang, COUNT(*) AS n_docs,
-         SUM(len(regexp_split_to_array(TRIM(text), '\\s+'))) AS n_tokens
+         CAST(SUM(len(regexp_split_to_array(TRIM(text), '\\s+'))) AS BIGINT) AS n_tokens
   FROM documents WHERE text IS NOT NULL
   GROUP BY lang
 ), totals AS (
@@ -168,12 +168,12 @@ WITH toks AS (
   FROM documents WHERE text IS NOT NULL
 ), binned AS (
   SELECT source, doc_id, n_tokens,
-         (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-           // {PACK_BUDGET} AS bin_id
+           // {PACK_BUDGET} AS BIGINT) AS bin_id
   FROM toks
 )
-SELECT source, bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+SELECT source, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM binned
 GROUP BY source, bin_id
@@ -332,7 +332,7 @@ def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNIGRAM_XENT_ORACLE = """
 WITH docs AS (
   SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks,
-         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens
+         CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS INTEGER) AS n_tokens
   FROM documents WHERE text IS NOT NULL
 ), toks AS (
   SELECT doc_id, n_tokens, unnest(toks) AS tok FROM docs
@@ -381,10 +381,10 @@ def _quality_funnel_oracle() -> str:
     return f"""
 WITH gopher AS ({TEXT_GOPHER_ORACLE})
 SELECT COUNT(*) AS n_input,
-       SUM(rule_word_len) AS pass_word_len,
-       SUM(rule_word_len * rule_alpha) AS pass_alpha,
-       SUM(rule_word_len * rule_alpha * rule_stopwords) AS pass_stopwords,
-       SUM(rule_word_len * rule_alpha * rule_stopwords * rule_symbols) AS pass_symbols
+       CAST(SUM(rule_word_len) AS BIGINT) AS pass_word_len,
+       CAST(SUM(rule_word_len * rule_alpha) AS BIGINT) AS pass_alpha,
+       CAST(SUM(rule_word_len * rule_alpha * rule_stopwords) AS BIGINT) AS pass_stopwords,
+       CAST(SUM(rule_word_len * rule_alpha * rule_stopwords * rule_symbols) AS BIGINT) AS pass_symbols
 FROM gopher
 """
 
@@ -446,7 +446,7 @@ WITH toks AS (
   )
 )
 SELECT lang, COUNT(*) AS n_tokens,
-       SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
 FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
@@ -534,11 +534,11 @@ WITH scored AS (
   SELECT CAST(1 + (n_before * 10) // n_total AS INTEGER) AS decile, *
   FROM cum
 )
-SELECT decile, SUM(cnt) AS n_docs,
+SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_docs,
        MIN(quality) AS min_quality, MAX(quality) AS max_quality,
        ROUND(SUM(CAST(ROUND(quality * 1000000.0) AS BIGINT) * cnt)
              / (SUM(cnt) * 1000000.0), 6) AS avg_quality,
-       SUM(chars) AS n_chars_total
+       CAST(SUM(chars) AS BIGINT) AS n_chars_total
 FROM tiled
 GROUP BY decile
 """
@@ -616,7 +616,9 @@ WITH toks AS (
          COUNT(*) OVER () AS vocab_total
   FROM counts
 )
-SELECT rank AS vocab_size, cum_tokens, total_tokens,
+SELECT CAST(rank AS INTEGER) AS vocab_size,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
        ROUND(CAST(cum_tokens AS DOUBLE) / total_tokens, 6) AS coverage
 FROM ranked
 WHERE rank IN ({_CHECKPOINTS_SQL}) OR rank = vocab_total
@@ -718,7 +720,7 @@ WITH toks AS (
          len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens
   FROM documents WHERE text IS NOT NULL
 ), by_lang AS (
-  SELECT lang, COUNT(*) AS n_docs_in, SUM(n_tokens) AS lang_tokens
+  SELECT lang, COUNT(*) AS n_docs_in, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
   FROM toks GROUP BY lang
 ), totals AS (
   SELECT SUM(lang_tokens) AS total_tokens, COUNT(*) AS n_langs FROM by_lang
@@ -735,7 +737,7 @@ WITH toks AS (
         < LPAD(to_hex(h.threshold), 8, '0')
 )
 SELECT h.lang, h.n_docs_in, COUNT(*) AS n_docs_kept,
-       h.lang_tokens, SUM(k.n_tokens) AS n_tokens_kept,
+       h.lang_tokens, CAST(SUM(k.n_tokens) AS BIGINT) AS n_tokens_kept,
        ROUND(CAST(COUNT(*) AS DOUBLE) / h.n_docs_in, 6) AS doc_keep_rate
 FROM kept k JOIN thresholds h ON k.lang = h.lang
 GROUP BY h.lang, h.n_docs_in, h.lang_tokens

@@ -310,7 +310,9 @@ WITH toks AS (
   FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, sa.n_tokens AS n_tokens_a, sb.n_tokens AS n_tokens_b,
+SELECT doc_a, doc_b,
+       CAST(sa.n_tokens AS INTEGER) AS n_tokens_a,
+       CAST(sb.n_tokens AS INTEGER) AS n_tokens_b,
        ROUND(CAST(overlap AS DOUBLE) / CAST(sa.n_tokens AS DOUBLE), 6) AS containment
 FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a

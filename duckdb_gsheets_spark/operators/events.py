@@ -783,7 +783,7 @@ def _profile_oracle() -> str:
             mxs = f"MAX(CAST({c} AS VARCHAR))"
         parts.append(
             f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
-            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
             f"COUNT(DISTINCT {c}) AS n_distinct, "
             f"{mn} AS min_num, {mx} AS max_num, "
             f"{mns} AS min_str, {mxs} AS max_str FROM events"

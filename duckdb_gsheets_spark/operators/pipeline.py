@@ -197,7 +197,7 @@ WITH pre AS (
         < LPAD(to_hex(h.threshold), 8, '0')
 )
 SELECT lang, n_docs_in, COUNT(*) AS n_docs_kept,
-       SUM(n_tokens) AS n_tokens_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept,
        ROUND(CAST(COUNT(*) AS DOUBLE) / n_docs_in, 6) AS doc_keep_rate
 FROM kept
 GROUP BY lang, n_docs_in

@@ -641,7 +641,7 @@ SELECT
   CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
   CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
   p_partkey % 7 AS key_mod7,
-  GREATEST(p_size, 25) AS size_floor25,
+  CAST(GREATEST(p_size, 25) AS INTEGER) AS size_floor25,
   CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class
 FROM part
 """
