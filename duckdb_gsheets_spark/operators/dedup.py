@@ -1,7 +1,7 @@
 """Deduplication operators over the ``documents`` corpus: exact
 (fingerprint groupBy), n-gram Jaccard (inverted-index join), MinHash
 LSH (shingle → signature → band → bucket join) and SimHash (band
-blocking on a 64-bit signature).
+blocking on a 60-bit signature).
 
 Scale design (the point of these ops at 100 TB):
 * Exact dedup is one hash-shuffle on a 32-hex fingerprint — the
@@ -14,8 +14,11 @@ Scale design (the point of these ops at 100 TB):
   length filter, so no corpus-wide token ever drives a quadratic join
   — same exact result set as the naive inverted index the oracle runs.
 
-All signatures are built from ``xxhash64`` (JVM-side, deterministic,
-seed-stable) — no Python in any hot path.
+All signatures are built from the PORTABLE md5/affine hash family
+(functions/portable_hash.py) — JVM-side, deterministic, and computable
+bit-identically in DuckDB SQL, which is what gives every sketch query
+below (MinHash, SimHash, calibrations, clusters) a value-exact oracle;
+no Python in any hot path.
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from duckdb_gsheets_spark.functions import portable_hash as PH
 from duckdb_gsheets_spark.functions import text as T
 from duckdb_gsheets_spark.operators.registry import QueryDef
 from duckdb_gsheets_spark.plans.catalog import fan_out, load_table
@@ -32,9 +36,11 @@ MINHASH_PERMS = 16
 MINHASH_BAND_ROWS = 2
 MINHASH_JACCARD_THRESHOLD = 0.5
 
-#: SimHash: 64-bit signature, 4 bands of 16 bits; Hamming ≤ 3 always
-#: collides on ≥1 band (pigeonhole).
-SIMHASH_BITS = 64
+#: SimHash: 60-bit signature (the portable hash width — stays positive
+#: in int64 on BOTH engines, so band slices, XOR and comparisons agree
+#: with no unsigned special-casing), 4 bands of 15 bits; Hamming ≤ 3
+#: always collides on ≥1 band (pigeonhole).
+SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3
 
@@ -55,14 +61,17 @@ def _shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per document, built as a NARROW map — no explode, no window, no
     shuffle.
 
-    The token array is materialized in its own projection and then
-    referenced many times from higher-order functions; Catalyst's
-    CollapseProject keeps the split un-inlined because the expression
-    is non-cheap with multiple references (inlining it is the
-    O(tokens²) trap — measured ~20× slower at sf0.1). Shingles are
-    xxhash64 longs — strings never materialize. Documents shorter than
-    3 tokens yield one truncated shingle (element_at past the end is
-    NULL; xxhash64 skips NULLs).
+    Tokens reduce to mod-P residues (portable_hash.tok_mod_p) and each
+    shingle is the polynomial combine of 3 consecutive residues —
+    values in [0, P) that the DuckDB oracle reproduces exactly. Both
+    the hashed-token array and the token array are materialized in
+    their own projections and then referenced many times from
+    higher-order functions; Catalyst's CollapseProject keeps the
+    splits un-inlined because the expressions are non-cheap with
+    multiple references (inlining is the O(tokens²) trap — measured
+    ~20× slower at sf0.1). Documents shorter than 3 tokens yield one
+    truncated shingle (element_at past the end is NULL → the
+    NULL_SENTINEL residue, same on both engines).
     """
     # Drop NULL-text docs on the INPUT column (pushdown-friendly) —
     # the old explode formulation emitted no rows for them. Filtering
@@ -74,18 +83,23 @@ def _shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toksed = fan_out(docs.where(F.col(text_col).isNotNull())).select(
         "doc_id", T.tokens(F.lower(F.col(text_col))).alias("toks")
     )
-    toks = F.col("toks")
-    n = F.size(toks)
-    shingle_at = lambda i: F.xxhash64(  # noqa: E731 — i is 0-based
-        F.try_element_at(toks, (i + 1).cast("int")),
-        F.try_element_at(toks, (i + 2).cast("int")),
-        F.try_element_at(toks, (i + 3).cast("int")),
+    hashed = toksed.select(
+        "doc_id", F.transform("toks", PH.tok_mod_p).alias("ht")
     )
+    ht = F.col("ht")
+    n = F.size(ht)
+    at = lambda j: F.coalesce(  # noqa: E731 — j is 1-based
+        F.try_element_at(ht, j.cast("int")), F.lit(PH.NULL_SENTINEL)
+    )
+    shingle_at = lambda i: (  # noqa: E731 — i is 0-based
+        ((at(i + 1) * PH.SHINGLE_A + at(i + 2)) % PH.P) * PH.SHINGLE_A
+        + at(i + 3)
+    ) % PH.P
     hashes = F.transform(
         F.sequence(F.lit(0), n - 1),
         lambda i: F.when((i <= n - 3) | (i == 0), shingle_at(i)),
     )
-    return toksed.select(
+    return hashed.select(
         "doc_id",
         F.array_distinct(F.filter(hashes, lambda x: x.isNotNull())).alias(
             "shingles"
@@ -337,10 +351,11 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     shingled = _shingle_sets(docs, text_col)
 
     def perm_min(perm: int):
+        a, b = PH.MINHASH_COEFFS[perm]
         # Unary lambda on purpose: a binary one would receive the
-        # element index as its second argument and shadow the seed.
+        # element index as its second argument.
         return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(perm), s))
+            F.transform(F.col("shingles"), lambda s: PH.affine(s, a, b))
         )
 
     sig = F.array(*[perm_min(i) for i in range(MINHASH_PERMS)])
@@ -360,11 +375,13 @@ def _minhash_candidates(sigs: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[b * MINHASH_BAND_ROWS + r]
-                                for r in range(MINHASH_BAND_ROWS)
-                            ]
+                        (
+                            (
+                                F.col("signature")[b * MINHASH_BAND_ROWS]
+                                * PH.BAND_A
+                                + F.col("signature")[b * MINHASH_BAND_ROWS + 1]
+                            )
+                            % PH.P
                         ).alias("band_hash"),
                     )
                     for b in range(n_bands)
@@ -396,8 +413,8 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     is lossless).
 
     Same shuffle ledger as the dedup itself (band join + two payload
-    joins + one tiny rollup); rows-only registered (xxhash shingles
-    are not SQL-expressible), invariants pytest-pinned.
+    joins + one tiny rollup); value-exact DuckDB oracle via the
+    portable hash family, invariants additionally pytest-pinned.
     """
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
@@ -456,8 +473,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
 
     shingle → 16-perm signature → 8 band-hashes → bucket self-join →
-    exact verification on candidates only. Non-SQL-expressible
-    (rows-only check); recall is pytest-verified against planted dups.
+    exact verification on candidates only. The portable md5/affine
+    hash family makes the whole pipeline SQL-expressible — the DuckDB
+    oracle reproduces candidates AND verification value-exactly;
+    recall is additionally pytest-verified against planted dups.
     """
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
@@ -486,15 +505,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sig): 64-bit SimHash over word tokens.
+    """(doc_id, sig): 60-bit SimHash over word tokens.
 
     bit k of sig = sign of sum over tokens of ±1 per token-hash bit k.
-    Shape: explode tokens → hash once per token → one groupBy(doc_id)
-    with 64 vote sums → assemble the long. Single shuffle; all JVM.
+    Shape: explode tokens → hash once per token (portable 60-bit, in
+    whole-stage codegen on this exploded path) → one groupBy(doc_id)
+    with 60 vote sums → assemble the long. Single shuffle; all JVM;
+    the signature is non-negative so both engines compare/band it in
+    plain signed int64.
     """
     toks = fan_out(docs).select(
         "doc_id", F.explode(T.tokens(F.lower(F.col(text_col)))).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select("doc_id", PH.tok_hash60(F.col("tok")).alias("h"))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -507,23 +529,25 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     sig = F.lit(0).cast("long")
     for k in range(SIMHASH_BITS):
-        # k=63 is the two's-complement sign bit: adding -2^63 sets it.
-        weight = 2**k if k < 63 else -(2**63)
-        sig = sig + F.when(F.col(f"v{k}") > 0, F.lit(weight).cast("long")).otherwise(0)
+        sig = sig + F.when(
+            F.col(f"v{k}") > 0, F.lit(2**k).cast("long")
+        ).otherwise(0)
     return votes.select("doc_id", sig.alias("sig"))
 
 
 def _band_val(sig: F.Column, b: int) -> F.Column:
-    """Band ``b``'s 16-bit slice of a 64-bit signature."""
+    """Band ``b``'s 15-bit slice of the 60-bit signature."""
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_width) - 1
     return F.shiftrightunsigned(sig, b * band_width).bitwiseAND(F.lit(mask))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 4×16-bit band blocking guarantees every
+    """SimHash near-dup pairs: 4×15-bit band blocking guarantees every
     pair at Hamming ≤ 3 shares a band; verify exact Hamming distance.
-    Rows-only check (bit math is engine-specific).
+    The token hash is the portable 60-bit md5 value
+    (functions/portable_hash.py), so the oracle reproduces signatures,
+    band blocking and Hamming verification bit-exactly.
 
     Dup-dense corpora (the whole point of a dedup pass) make the naive
     all-docs band join quadratic per bucket BEFORE verification, with
@@ -533,7 +557,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * **identical signatures** (Hamming 0 — exact and near-exact dups)
       pair through a sig-equality self-join: shuffle keyed on the full
-      64-bit sig, output-bound only;
+      60-bit sig, output-bound only;
     * **the band join runs over DISTINCT signatures** — input is
       |unique sigs| per band, not |docs|, so a 20-way-duplicated
       corpus shrinks the quadratic stage 20× (measured 36 s → see
@@ -618,7 +642,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy audit for SimHash, the twin of
     :func:`minhash_calibration`: per Hamming distance over the emitted
-    near-dup pairs, how much exact token-set Jaccard the 64-bit
+    near-dup pairs, how much exact token-set Jaccard the 60-bit
     signature distance actually buys — the evidence for choosing the
     Hamming cutoff before a full-corpus run.
 
@@ -660,9 +684,13 @@ def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Convergence cap for connected components. Label propagation needs
-#: O(component diameter) rounds; near-dup clusters are shallow (a dup
-#: of a dup of a dup...), so real corpora converge in a handful.
-CC_MAX_ITERS = 15
+#: O(eccentricity of the min-labeled vertex) rounds; near-dup clusters
+#: are shallow (a dup of a dup of a dup...), so real corpora converge
+#: in a handful and the loop breaks early on a zero changed-count.
+#: The cap is a runaway backstop only — it is set far above any
+#: plausible dup-chain depth so the fixpoint (which the recursive-CTE
+#: oracle computes exactly) is always reached in practice.
+CC_MAX_ITERS = 50
 
 
 def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
@@ -738,13 +766,237 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_core_sql() -> str:
+    """Shared DuckDB CTE chain mirroring minhash_signatures →
+    _minhash_candidates → exact-Jaccard verification, value-exact
+    against the Spark build (portable_hash contract)."""
+    n_bands = MINHASH_PERMS // MINHASH_BAND_ROWS
+    sent = PH.NULL_SENTINEL
+    sig_items = ",\n     ".join(
+        f"list_min(list_transform(shingles, s -> (s * {a} + {b}) % {PH.P}))"
+        for a, b in PH.MINHASH_COEFFS
+    )
+    band_rows = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""
+mh_toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), mh_hashed AS (
+  SELECT doc_id,
+         list_transform(toks, t -> {PH.oracle_tok_mod_p('t')}) AS ht,
+         len(toks) AS n
+  FROM mh_toks
+), mh_shingled AS (
+  SELECT doc_id,
+    list_distinct(list_filter(list_transform(range(1, n + 1),
+      i -> CASE WHEN i <= n - 2 OR i = 1 THEN
+        (((COALESCE(ht[i], {sent}) * {PH.SHINGLE_A}
+           + COALESCE(ht[i+1], {sent})) % {PH.P})
+          * {PH.SHINGLE_A} + COALESCE(ht[i+2], {sent})) % {PH.P}
+      END), x -> x IS NOT NULL)) AS shingles
+  FROM mh_hashed
+), mh_sigs AS (
+  SELECT doc_id, shingles,
+    [{sig_items}] AS sig
+  FROM mh_shingled
+), mh_bands AS (
+  SELECT doc_id, band_idx,
+         (sig[2*band_idx + 1] * {PH.BAND_A} + sig[2*band_idx + 2]) % {PH.P}
+           AS band_hash
+  FROM mh_sigs CROSS JOIN (VALUES {band_rows}) bs(band_idx)
+), mh_cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mh_bands a JOIN mh_bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), mh_pairs AS (
+  SELECT c.doc_a, c.doc_b,
+    ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / CAST(len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+          6) AS jaccard
+  FROM mh_cands c
+  JOIN mh_sigs sa ON sa.doc_id = c.doc_a
+  JOIN mh_sigs sb ON sb.doc_id = c.doc_b
+)"""
+
+
+DEDUP_MINHASH_ORACLE = f"""
+WITH {_minhash_core_sql()}
+SELECT doc_a, doc_b, jaccard FROM mh_pairs
+WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+"""
+
+
+MINHASH_CALIBRATION_ORACLE = f"""
+WITH {_minhash_core_sql()},
+mh_est AS (
+  SELECT
+    CAST(len(list_filter(range(1, {MINHASH_PERMS} + 1),
+                         i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+      / {float(MINHASH_PERMS)} AS est,
+    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+             AS DOUBLE) AS ex
+  FROM mh_cands c
+  JOIN mh_sigs sa ON sa.doc_id = c.doc_a
+  JOIN mh_sigs sb ON sb.doc_id = c.doc_b
+), mh_scored AS (
+  SELECT CAST(LEAST(CAST(FLOOR(est * 4) AS INTEGER), 3) AS INTEGER)
+           AS est_bucket,
+         CAST(ROUND(est * 1e6) AS BIGINT) AS est_s,
+         CAST(ROUND(ex * 1e6) AS BIGINT) AS ex_s,
+         CAST(ROUND(ABS(est - ex) * 1e6) AS BIGINT) AS err_s
+  FROM mh_est
+)
+SELECT est_bucket, COUNT(*) AS n_pairs,
+       ROUND(SUM(est_s) / (COUNT(*) * 1e6), 6) AS avg_estimate,
+       ROUND(SUM(ex_s) / (COUNT(*) * 1e6), 6) AS avg_exact,
+       ROUND(SUM(err_s) / (COUNT(*) * 1e6), 6) AS mean_abs_err,
+       ROUND(MAX(err_s) / 1e6, 6) AS max_abs_err
+FROM mh_scored GROUP BY est_bucket
+"""
+
+
+def _simhash_pairs_sql() -> str:
+    """DuckDB CTE chain mirroring simhash_signatures → band blocking →
+    Hamming verification. The 60-bit signature is non-negative, so
+    both engines work in plain signed BIGINT: shifts, masks, XOR,
+    bit_count and the sig_a < sig_b dedup order agree exactly."""
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(SIMHASH_BITS)
+    )
+    terms = "\n     + ".join(
+        f"CASE WHEN v{k} > 0 THEN CAST({1 << k} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for k in range(SIMHASH_BITS)
+    )
+    band_rows = ", ".join(f"({b})" for b in range(SIMHASH_BANDS))
+
+    def bv(side: str, i: int) -> str:
+        return f"(({side}.sig >> {band_width * i}) & {mask})"
+
+    first_band = []
+    for b in range(SIMHASH_BANDS):
+        if b == 0:
+            cond = "TRUE"
+        else:
+            cond = " AND ".join(
+                f"{bv('a', i)} != {bv('b', i)}" for i in range(b)
+            )
+        first_band.append(f"WHEN a.band_idx = {b} THEN ({cond})")
+    no_earlier = "CASE " + " ".join(first_band) + " END"
+    return f"""
+sh_toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), sh_hashed AS (
+  SELECT doc_id, {PH.oracle_tok_hash60('tok')} AS h FROM sh_toks
+), sh_votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM sh_hashed GROUP BY doc_id
+), sh_sigs AS (
+  SELECT doc_id,
+    ({terms}) AS sig
+  FROM sh_votes
+), sh_within AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
+  FROM sh_sigs a JOIN sh_sigs b
+    ON a.sig = b.sig AND a.doc_id < b.doc_id
+), sh_distinct AS (
+  SELECT DISTINCT sig FROM sh_sigs
+), sh_bands AS (
+  SELECT sig, band_idx,
+         (sig >> ({band_width} * band_idx)) & {mask} AS band_val
+  FROM sh_distinct CROSS JOIN (VALUES {band_rows}) bs(band_idx)
+), sh_sig_pairs AS (
+  SELECT a.sig AS sig_a, b.sig AS sig_b,
+         CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+  FROM sh_bands a JOIN sh_bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.sig < b.sig
+  WHERE {no_earlier}
+), sh_close AS (
+  SELECT sig_a, sig_b, hamming FROM sh_sig_pairs
+  WHERE hamming > 0 AND hamming <= {SIMHASH_MAX_HAMMING}
+), sh_across AS (
+  SELECT LEAST(da.doc_id, db.doc_id) AS doc_a,
+         GREATEST(da.doc_id, db.doc_id) AS doc_b,
+         c.hamming
+  FROM sh_close c
+  JOIN sh_sigs da ON da.sig = c.sig_a
+  JOIN sh_sigs db ON db.sig = c.sig_b
+), sh_pairs AS (
+  SELECT * FROM sh_within UNION ALL SELECT * FROM sh_across
+)"""
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH {_simhash_pairs_sql()}
+SELECT doc_a, doc_b, hamming FROM sh_pairs
+"""
+
+
+SIMHASH_CALIBRATION_ORACLE = f"""
+WITH {_simhash_pairs_sql()},
+sc_toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))
+           AS toks
+  FROM documents WHERE text IS NOT NULL
+), sc_scored AS (
+  SELECT p.hamming,
+         CAST(ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(ta.toks, tb.toks)))
+                     AS DOUBLE) * 1e6) AS BIGINT) AS jac_s
+  FROM sh_pairs p
+  JOIN sc_toks ta ON ta.doc_id = p.doc_a
+  JOIN sc_toks tb ON tb.doc_id = p.doc_b
+)
+SELECT hamming, COUNT(*) AS n_pairs,
+       ROUND(SUM(jac_s) / (COUNT(*) * 1e6), 6) AS avg_jaccard,
+       ROUND(MIN(jac_s) / 1e6, 6) AS min_jaccard,
+       ROUND(MAX(jac_s) / 1e6, 6) AS max_jaccard
+FROM sc_scored GROUP BY hamming
+"""
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_minhash_core_sql()},
+cc_edges AS (
+  SELECT doc_a, doc_b FROM mh_pairs
+  WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+), cc_sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cc_edges
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cc_edges
+), cc_walk(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.src, w.comp FROM cc_sym s JOIN cc_walk w ON s.dst = w.doc_id
+), cc_labels AS (
+  SELECT doc_id, MIN(comp) AS comp FROM cc_walk GROUP BY doc_id
+), cc_sizes AS (
+  SELECT comp, COUNT(*) AS cluster_size FROM cc_labels GROUP BY comp
+)
+SELECT l.doc_id, l.comp AS cluster_id, s.cluster_size,
+       l.doc_id = l.comp AS is_survivor
+FROM cc_labels l JOIN cc_sizes s ON s.comp = l.comp
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact fingerprint dedup"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "token Jaccard pairs"),
     QueryDef("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE, "asymmetric token-containment pairs"),
-    QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, None, "MinHash LSH near-dup"),
-    QueryDef("minhash_calibration", minhash_calibration, None, "MinHash estimate vs exact Jaccard calibration"),
-    QueryDef("dedup_simhash", dedup_simhash, None, "SimHash near-dup"),
-    QueryDef("simhash_calibration", simhash_calibration, None, "SimHash Hamming vs exact Jaccard calibration"),
-    QueryDef("dedup_clusters", dedup_clusters, None, "transitive near-dup clusters"),
+    QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "MinHash LSH near-dup"),
+    QueryDef("minhash_calibration", minhash_calibration, MINHASH_CALIBRATION_ORACLE, "MinHash estimate vs exact Jaccard calibration"),
+    QueryDef("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "SimHash near-dup"),
+    QueryDef("simhash_calibration", simhash_calibration, SIMHASH_CALIBRATION_ORACLE, "SimHash Hamming vs exact Jaccard calibration"),
+    QueryDef("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE, "transitive near-dup clusters via recursive min-label CTE"),
 ]
