@@ -70,22 +70,39 @@ KMEANS_INIT_STRIDE = 29
 PCA_ITERS = 8
 
 
-def _init_centroids(sf_dir: str) -> np.ndarray:
+#: Bounded candidate grid for the driver-side init probe (see
+#: similarity._collect_ivf_inputs for the scale rationale: arithmetic
+#: ids + pushdown IN filter, never a full id-column scan).
+_KMEANS_ID_PROBE = KMEANS_K * 8
+
+
+def _init_centroids(sf_dir: str, spark: SparkSession | None = None) -> np.ndarray:
     """Driver-side pyarrow read of the K strided init vectors — the
     model seed a production job would load as an artifact; no Spark
-    job, row-group-pruned ``in`` filter (same pattern as the IVF
-    quantizer, similarity.py:_driver_vec_rows)."""
+    job, row-group-pruned ``in`` filter over an ARITHMETIC candidate
+    grid (multiples of the stride — O(K) driver state, never the full
+    id column). Sparse id spaces fall back to a distributed strided
+    sample when a session is available."""
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ids = pq.read_table(path, columns=["vec_id"]).column("vec_id").to_pylist()
-    wanted = sorted(v for v in ids if v % KMEANS_INIT_STRIDE == 0)[:KMEANS_K]
+    grid = [KMEANS_INIT_STRIDE * i for i in range(_KMEANS_ID_PROBE)]
     t = pq.read_table(
         path,
         columns=["vec_id", "embedding"],
-        filters=[("vec_id", "in", wanted)],
+        filters=[("vec_id", "in", grid)],
     )
     rows = sorted(
         zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
-    )
+    )[:KMEANS_K]
+    if len(rows) < KMEANS_K and spark is not None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        collected = (
+            emb.where(F.col("vec_id") % KMEANS_INIT_STRIDE == 0)
+            .orderBy("vec_id")
+            .limit(KMEANS_K)
+            .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+            .collect()
+        )
+        rows = [(r.vec_id, r.emb) for r in collected]
     return np.array([[float(x) for x in e] for _, e in rows])
 
 
@@ -143,7 +160,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered rows-only: Lloyd iterations are not expressible as one
     ANSI-SQL statement; pinned by numpy recomputation in pytest.
     """
-    centroids = _init_centroids(sf_dir)
+    centroids = _init_centroids(sf_dir, spark)
     emb = (
         fan_out(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", to_double(F.col("embedding")).alias("emb"))
@@ -284,7 +301,7 @@ def semantic_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every emitted pair is in the exact O(n²) pair set) and recall
     within clusters.
     """
-    centroids = _init_centroids(sf_dir)
+    centroids = _init_centroids(sf_dir, spark)
     emb = (
         fan_out(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", to_double(F.col("embedding")).alias("emb"))

@@ -7,7 +7,7 @@
 
 Two scoring paths by design (see functions.vectors): hash-checked
 queries use the JVM-side HOF fold whose summation order matches the
-DuckDB oracle; the rows-only ANN paths (LSH buckets, IVF assignment,
+DuckDB oracle; the approximate ANN paths (LSH buckets, IVF assignment,
 candidate scoring) use Arrow-batched numpy GEMMs — ~10× faster per
 fold than interpreted HOFs, with < 1e-12 drift erased by the 6-decimal
 round. The LSH plane matrix / centroid table are tiny deterministic
@@ -66,7 +66,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: exact ANN baseline.
 
     Query set (vec_id < N) is broadcast against the corpus; scoring is
-    one codegen'd fold per pair; ranking is a per-query window with a
+    one JVM HOF fold per pair (interpreted, not codegen — see
+    functions.vectors — but shuffle-free and oracle-order-exact);
+    ranking is a per-query window with a
     rounded-similarity + vec_id tiebreak so order is engine-stable.
 
     The bounded query batch is collected once and re-shipped as a
@@ -369,7 +371,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query batch) and ships as a literal broadcast relation — deriving
     it from the distributed bucket stage made the broadcast build
     re-execute the whole corpus Python stage. Recall vs the exact
-    baseline is pytest-measured; rows-only correctness check.
+    baseline is pytest-measured; the deterministic plane tensor also
+    makes the full path SQL-expressible — value-exact DuckDB oracle
+    (_lsh_oracle) with the planes embedded as literals.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     with_buckets = _with_lsh_buckets(emb)
@@ -487,25 +491,53 @@ def _driver_vec_rows(sf_dir: str, wanted_ids: list[int]) -> list[_VecRow]:
     return rows
 
 
-def _collect_ivf_inputs(sf_dir: str) -> tuple[list, list]:
+#: Centroid-id stride for the deterministic IVF quantizer sample.
+IVF_ID_STRIDE = 31
+
+#: How many strided candidate ids the bounded driver-side probe asks
+#: for before falling back to a distributed sample. Covers any table
+#: whose first IVF_CENTROIDS stride multiples fall within the first
+#: 8× that many grid points — i.e. contiguous-ish id spaces, which is
+#: what the synthetic tables and any sane vec_id assignment produce.
+_IVF_ID_PROBE = IVF_CENTROIDS * 8
+
+
+def _collect_ivf_inputs(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     """The two tiny row sets the IVF query needs, read driver-side:
     the strided centroid sample (16 × 64 doubles — the trained
     quantizer) and the bounded query batch (vec_id < N_QUERY_VECTORS —
     a k-NN API takes a small query set by contract).
+
+    The centroid ids are generated ARITHMETICALLY (multiples of the
+    stride) and pushed down as an ``in`` filter — never by scanning
+    the id column into driver memory, which is O(corpus) driver state
+    (the 100 TB scale-killer this function used to carry). If the id
+    space is so sparse that the bounded grid finds fewer than
+    IVF_CENTROIDS multiples, fall back to a DISTRIBUTED strided
+    sample (bounded Spark collect of 16 rows) — same semantics:
+    first IVF_CENTROIDS stride-multiples ascending.
     """
-    id_col = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
-    ).column("vec_id").to_pylist()
-    centroid_ids = sorted(v for v in id_col if v % 31 == 0)[:IVF_CENTROIDS]
-    query_ids = [v for v in id_col if v < N_QUERY_VECTORS]
+    grid = [IVF_ID_STRIDE * i for i in range(_IVF_ID_PROBE)]
     rows = {
         r.vec_id: r
-        for r in _driver_vec_rows(sf_dir, sorted(set(centroid_ids + query_ids)))
+        for r in _driver_vec_rows(
+            sf_dir, sorted(set(grid + list(range(N_QUERY_VECTORS))))
+        )
     }
-    return (
-        [rows[i] for i in centroid_ids],
-        [rows[i] for i in sorted(query_ids)],
-    )
+    centroid_ids = [i for i in grid if i in rows][:IVF_CENTROIDS]
+    if len(centroid_ids) < IVF_CENTROIDS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroid_rows = (
+            emb.where(F.col("vec_id") % IVF_ID_STRIDE == 0)
+            .orderBy("vec_id")
+            .limit(IVF_CENTROIDS)
+            .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+            .collect()
+        )
+    else:
+        centroid_rows = [rows[i] for i in centroid_ids]
+    query_ids = sorted(i for i in range(N_QUERY_VECTORS) if i in rows)
+    return centroid_rows, [rows[i] for i in query_ids]
 
 
 def ivf_assignments(
@@ -527,7 +559,7 @@ def ivf_assignments(
         # DataFrame-only callers (tests over synthetic frames): take
         # the strided sample with a Spark collect.
         centroid_rows = (
-            emb.where(F.col("vec_id") % 31 == 0)
+            emb.where(F.col("vec_id") % IVF_ID_STRIDE == 0)
             .orderBy("vec_id")
             .limit(IVF_CENTROIDS)
             .select("vec_id", to_double(F.col("embedding")).alias("emb"))
@@ -577,7 +609,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only correctness; recall vs exact is pytest-bounded.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    centroid_rows, query_rows = _collect_ivf_inputs(sf_dir)
+    centroid_rows, query_rows = _collect_ivf_inputs(spark, sf_dir)
     C = np.array([r.emb for r in centroid_rows])
     cids = [r.vec_id for r in centroid_rows]
     unit = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -642,6 +674,132 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOPK_K)
         .select("vec_a", "vec_b", "cos_sim", "rank")
     )
+
+
+def _ivf_oracle() -> str:
+    """DuckDB oracle for :func:`ann_ivf_topk` — the centroid sample,
+    unit normalization, rounded assignment/probe selection and
+    in-list scoring are all recomputed in SQL from the same table (the
+    strided quantizer is deterministic, so no literals are needed).
+
+    Cross-engine float note: first-stage dot products are unrounded in
+    both engines; numpy GEMM and SQL SUM accumulate in different
+    orders, but every comparison below happens AFTER a round-6 (the
+    same ≤1e-12-drift argument that underwrites the hash-checked
+    neardup/cosine queries)."""
+    return f"""
+{_ORACLE_VECTOR_CTE},
+{_ivf_cte()}
+SELECT vec_a, vec_b, cos_sim, rank FROM ivf_topk
+"""
+
+
+def _ivf_cte() -> str:
+    """CTE chain (no WITH header) from v/norms to ``ivf_topk``."""
+    return f"""
+ivf_cids AS (
+  SELECT vec_id AS cid FROM embeddings
+  WHERE vec_id % {IVF_ID_STRIDE} = 0
+  ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+), ivf_cunit AS (
+  SELECT v.vec_id AS cid, v.i, v.x / n.nrm AS u
+  FROM v JOIN norms n ON n.vec_id = v.vec_id
+  WHERE v.vec_id IN (SELECT cid FROM ivf_cids)
+), ivf_sims AS (
+  SELECT v.vec_id, c.cid, ROUND(SUM(v.x * c.u) / n.nrm, 6) AS s
+  FROM v JOIN ivf_cunit c ON c.i = v.i
+  JOIN norms n ON n.vec_id = v.vec_id
+  GROUP BY v.vec_id, c.cid, n.nrm
+), ivf_assign AS (
+  SELECT vec_id, cid AS list_id FROM ivf_sims
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1
+), ivf_probes AS (
+  SELECT vec_id AS qid, cid AS list_id FROM ivf_sims
+  WHERE vec_id < {N_QUERY_VECTORS}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid)
+          <= {IVF_NPROBE}
+), ivf_cand AS (
+  SELECT p.qid AS vec_a, a.vec_id AS vec_b
+  FROM ivf_probes p JOIN ivf_assign a ON a.list_id = p.list_id
+  WHERE p.qid <> a.vec_id
+), ivf_scored AS (
+  SELECT c.vec_a, c.vec_b,
+         ROUND(SUM(qa.x * qb.x) / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM ivf_cand c
+  JOIN v qa ON qa.vec_id = c.vec_a
+  JOIN v qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
+  JOIN norms na ON na.vec_id = c.vec_a
+  JOIN norms nb ON nb.vec_id = c.vec_b
+  GROUP BY c.vec_a, c.vec_b, na.nrm, nb.nrm
+), ivf_topk AS (
+  SELECT vec_a, vec_b, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+              ORDER BY cos_sim DESC, vec_b) AS INTEGER) AS rank
+  FROM ivf_scored
+  QUALIFY rank <= {TOPK_K}
+)"""
+
+
+def _lsh_oracle() -> str:
+    """DuckDB oracle for :func:`ann_lsh_topk` — the deterministic
+    plane tensor is emitted as 16 literal 64-double lists (repr()
+    round-trips float64 exactly), then bucketing, the multi-table
+    candidate union and the rerank replay in SQL.
+
+    The sign test ``dot > 0`` is the one unrounded comparison; a
+    boundary flip needs |dot| inside the engines' ~1e-12 accumulation
+    drift, vanishingly unlikely for gaussian planes (and caught by the
+    driver if it ever happens)."""
+    return f"""
+{_ORACLE_VECTOR_CTE},
+{_lsh_cte()}
+SELECT vec_a, vec_b, cos_sim, rank FROM lsh_topk
+"""
+
+
+def _lsh_cte() -> str:
+    """CTE chain (no WITH header) from v/norms to ``lsh_topk``."""
+    planes = _lsh_planes()
+    rows = ", ".join(
+        f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t, p])}])"
+        for t in range(LSH_TABLES)
+        for p in range(LSH_PLANES_PER_TABLE)
+    )
+    return f"""
+lsh_planes(tbl, pl, w) AS (VALUES {rows}),
+lsh_pw AS (
+  SELECT tbl, pl, generate_subscripts(w, 1) AS i,
+         CAST(unnest(w) AS DOUBLE) AS pw
+  FROM lsh_planes
+), lsh_bits AS (
+  SELECT v.vec_id, p.tbl, p.pl, SUM(v.x * p.pw) > 0 AS bit
+  FROM v JOIN lsh_pw p ON p.i = v.i
+  GROUP BY v.vec_id, p.tbl, p.pl
+), lsh_buckets AS (
+  SELECT vec_id, tbl,
+         CAST(SUM(CASE WHEN bit THEN 1 << pl ELSE 0 END) AS BIGINT) AS bkt
+  FROM lsh_bits GROUP BY vec_id, tbl
+), lsh_cand AS (
+  SELECT DISTINCT q.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM lsh_buckets q JOIN lsh_buckets c
+    ON q.tbl = c.tbl AND q.bkt = c.bkt
+  WHERE q.vec_id < {N_QUERY_VECTORS} AND q.vec_id <> c.vec_id
+), lsh_scored AS (
+  SELECT c.vec_a, c.vec_b,
+         ROUND(SUM(qa.x * qb.x) / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM lsh_cand c
+  JOIN v qa ON qa.vec_id = c.vec_a
+  JOIN v qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
+  JOIN norms na ON na.vec_id = c.vec_a
+  JOIN norms nb ON nb.vec_id = c.vec_b
+  GROUP BY c.vec_a, c.vec_b, na.nrm, nb.nrm
+), lsh_topk AS (
+  SELECT vec_a, vec_b, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+              ORDER BY cos_sim DESC, vec_b) AS INTEGER) AS rank
+  FROM lsh_scored
+  QUALIFY rank <= {TOPK_K}
+)"""
 
 
 #: Symmetric int8 quantization levels (SQ8 absmax convention).
@@ -760,7 +918,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivially small join at any corpus size (the heavy work is inside
     the audited queries themselves).
 
-    Rows-only registered (the approximate paths are rows-only);
+    Oracle-checked end to end: the exact, LSH and IVF chains replay
+    in one generated DuckDB statement (_recall_oracle);
     recall floors are pytest-pinned.
     """
     exact = ann_cosine_topk(spark, sf_dir).select("vec_a", "vec_b")
@@ -804,12 +963,64 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_oracle() -> str:
+    """DuckDB oracle for :func:`ann_recall_report`: the exact top-k,
+    LSH top-k and IVF top-k chains replay in one statement (sharing
+    the v/norms CTEs), then the same overlap/rollup as the Spark
+    query. Every branch is the already-verified per-method oracle, so
+    this audits the audit."""
+    return f"""
+{_ORACLE_VECTOR_CTE},
+ex_dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dp
+  FROM v a JOIN v b ON a.i = b.i
+  WHERE a.vec_id < {N_QUERY_VECTORS} AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), ex_scored AS (
+  SELECT vec_a, vec_b, ROUND(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM ex_dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+), ex_topk AS (
+  SELECT vec_a, vec_b FROM ex_scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_a
+          ORDER BY cos_sim DESC, vec_b) <= {TOPK_K}
+),
+{_lsh_cte()},
+{_ivf_cte()},
+rr_approx AS (
+  SELECT 'lsh' AS method, vec_a, vec_b FROM lsh_topk
+  UNION ALL
+  SELECT 'ivf' AS method, vec_a, vec_b FROM ivf_topk
+), rr_matched AS (
+  SELECT a.method, e.vec_a, COUNT(*) AS n_matched
+  FROM ex_topk e JOIN rr_approx a
+    ON a.vec_a = e.vec_a AND a.vec_b = e.vec_b
+  GROUP BY a.method, e.vec_a
+), rr_per_query AS (
+  SELECT m.method, s.vec_a, COALESCE(x.n_matched, 0) AS n_matched
+  FROM (SELECT DISTINCT vec_a FROM ex_topk) s
+  CROSS JOIN (VALUES ('lsh'), ('ivf')) m(method)
+  LEFT JOIN rr_matched x
+    ON x.method = m.method AND x.vec_a = s.vec_a
+)
+SELECT method, COUNT(*) AS n_queries,
+       ROUND(SUM(n_matched) / (COUNT(*) * {float(TOPK_K)}), 6)
+         AS mean_recall,
+       ROUND(MIN(n_matched) / {float(TOPK_K)}, 6) AS min_recall,
+       CAST(SUM(CASE WHEN n_matched = {TOPK_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_perfect
+FROM rr_per_query
+GROUP BY method
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QueryDef("embedding_neardup_pairs", embedding_neardup_pairs, NEARDUP_ORACLE, "cosine near-dup pairs"),
     QueryDef("embedding_stats", embedding_stats, EMBEDDING_STATS_ORACLE, "norm/dim stats"),
     QueryDef("embedding_quantize", embedding_quantize, EMBEDDING_QUANTIZE_ORACLE, "SQ8 absmax quantization error report"),
-    QueryDef("ann_lsh_topk", ann_lsh_topk, None, "LSH-bucketed ANN top-k"),
-    QueryDef("ann_ivf_topk", ann_ivf_topk, None, "IVF-list ANN top-k"),
-    QueryDef("ann_recall_report", ann_recall_report, None, "recall@k audit of LSH/IVF vs exact baseline"),
+    QueryDef("ann_lsh_topk", ann_lsh_topk, _lsh_oracle(), "LSH-bucketed ANN top-k"),
+    QueryDef("ann_ivf_topk", ann_ivf_topk, _ivf_oracle(), "IVF-list ANN top-k"),
+    QueryDef("ann_recall_report", ann_recall_report, _recall_oracle(), "recall@k audit of LSH/IVF vs exact baseline"),
 ]

@@ -1385,3 +1385,51 @@ def test_vocab_oov_matches_python_recompute(spark):
         assert got[lang] == (n, oov, round(oov / n, 6))
     # Non-degenerate: some OOV must exist on the synthetic corpus.
     assert any(oov > 0 for _, oov in exp.values())
+
+
+def test_bounded_init_probes_match_distributed_sample(spark):
+    """The driver-side arithmetic-grid probes (IVF quantizer, k-means
+    seed) must select exactly the rows the distributed strided sample
+    selects — the contract that let the O(corpus) id-column scan be
+    removed (VERDICT r2 'What's wrong' #4)."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.functions.vectors import to_double
+    from duckdb_gsheets_spark.operators.ml import (
+        KMEANS_INIT_STRIDE,
+        KMEANS_K,
+        _init_centroids,
+    )
+    from duckdb_gsheets_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        IVF_ID_STRIDE,
+        _collect_ivf_inputs,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+
+    centroid_rows, query_rows = _collect_ivf_inputs(spark, SF)
+    want = (
+        emb.where(F.col("vec_id") % IVF_ID_STRIDE == 0)
+        .orderBy("vec_id")
+        .limit(IVF_CENTROIDS)
+        .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+        .collect()
+    )
+    assert [r.vec_id for r in centroid_rows] == [r.vec_id for r in want]
+    assert [list(r.emb) for r in centroid_rows] == [list(r.emb) for r in want]
+    assert [r.vec_id for r in query_rows] == sorted(
+        r.vec_id for r in emb.where(F.col("vec_id") < 10).collect()
+    )
+
+    got_c = _init_centroids(SF, spark)
+    want_c = (
+        emb.where(F.col("vec_id") % KMEANS_INIT_STRIDE == 0)
+        .orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(to_double(F.col("embedding")).alias("emb"))
+        .collect()
+    )
+    assert np.array_equal(got_c, np.array([list(r.emb) for r in want_c]))
