@@ -128,7 +128,8 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The decode itself is the deterministic fake above (no codecs in
     this container); the distributed plumbing — binary columns through
     Arrow, per-partition batch iteration, typed output schema — is
-    real. Rows-only correctness check.
+    real — and because the payload bytes are documents.text UTF-8,
+    the fake's arithmetic is oracle-checked value-exactly in SQL.
     """
     media = media_table(spark, sf_dir)
     return media.select("doc_id", "payload", "format").mapInPandas(
@@ -182,7 +183,7 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize planning via mapInPandas: per-image target dims bounded
     by a longest-edge cap (the pixel resample itself is the stubbed
-    codec step). Rows-only check."""
+    codec step). Oracle-checked (see MULTIMODAL_RESIZE_ORACLE)."""
     media = media_table(spark, sf_dir)
     return media.select("doc_id", "payload", "format").mapInPandas(
         _resize_batches, schema=RESIZE_SCHEMA
@@ -226,16 +227,92 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strided frame sampling via mapInPandas (one-to-many row fanout
-    — the video/audio sampling shape). Rows-only check."""
+    — the video/audio sampling shape). Oracle-checked."""
     media = media_table(spark, sf_dir)
     return media.select("doc_id", "payload", "format").mapInPandas(
         _frame_sample_batches, schema=FRAME_SCHEMA
     )
 
 
+#: Shared oracle CTEs: payload bytes are documents.text UTF-8, so the
+#: fake decoder's arithmetic is reproducible in SQL — byte values come
+#: from the hex dump two chars at a time ('0x' cast), the same trick
+#: the portable sketch hashes use. A real-codec deployment would drop
+#: these oracles and lean on pytest with golden media files instead.
+_MM_CTE = f"""
+mm AS (
+  SELECT doc_id,
+         ['png', 'jpeg', 'wav'][CAST(doc_id % {len(FORMATS)} AS INTEGER) + 1]
+           AS fmt,
+         octet_length(encode(text)) AS n,
+         hex(encode(text)) AS hx
+  FROM documents
+), mmf AS (
+  SELECT doc_id, fmt, n,
+         CASE WHEN fmt IN ('png', 'jpeg') THEN 1
+              ELSE CAST(n % 100 AS INTEGER) + 1 END AS nf,
+         list_transform(range(1, n + 1),
+           i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS BIGINT)) AS bl
+  FROM mm
+)"""
+
+MULTIMODAL_DECODE_ORACLE = f"""
+WITH {_MM_CTE}
+SELECT doc_id,
+       CAST(n AS INTEGER) AS byte_len,
+       CAST(n % 64 AS INTEGER) + 1 AS width,
+       CAST(n // 64 AS INTEGER) + 1 AS height,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE ROUND(CAST(list_sum(bl) AS DOUBLE) / n, 6) END AS mean_byte,
+       CAST(nf AS INTEGER) AS n_frames
+FROM mmf
+"""
+
+MULTIMODAL_RESIZE_ORACLE = f"""
+WITH {_MM_CTE},
+dims AS (
+  SELECT doc_id,
+         CAST(n % 64 AS INTEGER) + 1 AS w,
+         CAST(n // 64 AS INTEGER) + 1 AS h
+  FROM mm
+), scaled AS (
+  SELECT doc_id, w, h,
+         LEAST(1.0, {RESIZE_TARGET}.0 / GREATEST(w, h)) AS s
+  FROM dims
+)
+SELECT doc_id, w AS width, h AS height,
+       CAST(GREATEST(1, CAST(TRUNC(w * s) AS INTEGER)) AS INTEGER)
+         AS resized_width,
+       CAST(GREATEST(1, CAST(TRUNC(h * s) AS INTEGER)) AS INTEGER)
+         AS resized_height,
+       ROUND(s, 6) AS scale
+FROM scaled
+"""
+
+MULTIMODAL_FRAME_ORACLE = f"""
+WITH {_MM_CTE},
+fr AS (
+  SELECT doc_id, n, GREATEST(1, nf) AS nf, bl,
+         unnest(range(0, nf, {FRAME_STRIDE})) AS frame_idx
+  FROM mmf
+), sliced AS (
+  SELECT doc_id, frame_idx, bl,
+         (frame_idx * n) // nf AS lo,
+         ((frame_idx + 1) * n) // nf AS hi
+  FROM fr
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CASE WHEN hi <= lo THEN 0.0
+            ELSE ROUND(CAST(list_sum(list_slice(bl, lo + 1, hi)) AS DOUBLE)
+                       / (hi - lo), 6) END AS frame_feature
+FROM sliced
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("multimodal_metadata", multimodal_metadata, MULTIMODAL_META_ORACLE, "binary+struct metadata"),
-    QueryDef("multimodal_decode_features", multimodal_decode_features, None, "mapInPandas decode stub"),
-    QueryDef("multimodal_resize", multimodal_resize, None, "mapInPandas resize planning"),
-    QueryDef("multimodal_frame_sample", multimodal_frame_sample, None, "one-to-many frame sampling"),
+    QueryDef("multimodal_decode_features", multimodal_decode_features, MULTIMODAL_DECODE_ORACLE, "mapInPandas decode stub"),
+    QueryDef("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_ORACLE, "mapInPandas resize planning"),
+    QueryDef("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE, "one-to-many frame sampling"),
 ]
