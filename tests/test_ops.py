@@ -246,13 +246,13 @@ def test_prefix_filtered_jaccard_equals_all_pairs(spark):
     from duckdb_gsheets_spark.operators.dedup import (
         NGRAM_JACCARD_THRESHOLD,
         _distinct_tokens,
-        dedup_ngram_jaccard,
+        ngram_jaccard_pairs,
     )
     from duckdb_gsheets_spark.plans.catalog import load_table
 
     got = {
         (r.doc_a, r.doc_b, r.jaccard)
-        for r in dedup_ngram_jaccard(spark, SF).collect()
+        for r in ngram_jaccard_pairs(spark, SF).collect()
     }
 
     docs = load_table(spark, SF, "documents").select(
@@ -286,13 +286,13 @@ def test_prefix_filtered_containment_equals_all_pairs(spark):
     from duckdb_gsheets_spark.operators.dedup import (
         CONTAINMENT_THRESHOLD,
         _distinct_tokens,
-        dedup_containment,
+        containment_pairs,
     )
     from duckdb_gsheets_spark.plans.catalog import load_table
 
     got = {
         (r.doc_a, r.doc_b, r.containment)
-        for r in dedup_containment(spark, SF).collect()
+        for r in containment_pairs(spark, SF).collect()
     }
 
     docs = load_table(spark, SF, "documents").select(
@@ -1433,3 +1433,52 @@ def test_bounded_init_probes_match_distributed_sample(spark):
         .collect()
     )
     assert np.array_equal(got_c, np.array([list(r.emb) for r in want_c]))
+
+
+def test_bounded_dedup_variants_match_pair_recompute(spark):
+    """The registered bounded queries (per-doc top-K Jaccard, per-doc
+    containment rollup) must be exact functions of the all-pairs
+    results they summarize."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        NGRAM_TOPK_K,
+        containment_pairs,
+        dedup_containment,
+        dedup_ngram_jaccard,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(spark, SF).collect()
+    ]
+    per_doc: dict[int, list[tuple[float, int]]] = {}
+    for a, b, j in pairs:
+        per_doc.setdefault(a, []).append((-j, b))
+        per_doc.setdefault(b, []).append((-j, a))
+    want = {
+        (d, m, -nj, i + 1)
+        for d, ms in per_doc.items()
+        for i, (nj, m) in enumerate(sorted(ms)[:NGRAM_TOPK_K])
+    }
+    got = {
+        (r.doc_id, r.match_id, r.jaccard, r.rank)
+        for r in dedup_ngram_jaccard(spark, SF).collect()
+    }
+    assert got == want
+    assert max(len(ms) for ms in per_doc.values()) > NGRAM_TOPK_K  # cap binds
+
+    cp = [
+        (r.doc_a, r.n_tokens_a, r.containment)
+        for r in containment_pairs(spark, SF).collect()
+    ]
+    agg: dict[tuple[int, int], list[float]] = {}
+    for a, n, c in cp:
+        agg.setdefault((a, n), []).append(c)
+    want_c = {
+        (a, n, len(cs), max(cs)) for (a, n), cs in agg.items()
+    }
+    got_c = {
+        (r.doc_a, r.n_tokens_a, r.n_hosts, r.max_containment)
+        for r in dedup_containment(spark, SF).collect()
+    }
+    assert got_c == want_c
