@@ -645,12 +645,16 @@ def resample_thresholds(docs: DataFrame) -> DataFrame:
     return (
         by_lang.join(F.broadcast(totals))
         .withColumn(
+            # The scaled product total_tokens * 2^32 overflows int64 past
+            # ~2.1e9 total tokens, so it is computed in DECIMAL(38,0)
+            # (exact to 1e38; `div` on decimals floor-divides exactly and
+            # returns BIGINT). The oracle mirrors this with HUGEINT.
             "threshold",
             F.least(
                 F.lit(RESAMPLE_GRID).cast("long"),
                 F.expr(
-                    f"div(total_tokens * {RESAMPLE_GRID}, "
-                    f"n_langs * lang_tokens)"
+                    f"(CAST(total_tokens AS DECIMAL(38,0)) * {RESAMPLE_GRID})"
+                    f" div (CAST(n_langs AS DECIMAL(38,0)) * lang_tokens)"
                 ),
             ),
         )
@@ -659,12 +663,20 @@ def resample_thresholds(docs: DataFrame) -> DataFrame:
 
 
 def resample_keep_cond() -> Column:
-    """Deterministic keep predicate over (doc_id, threshold) columns."""
+    """Deterministic keep predicate over (doc_id, threshold) columns.
+
+    The hex comparand is clamped to ``RESAMPLE_GRID - 1`` so it is
+    always exactly 8 hex chars (``hex(2^32)`` is 9 chars and lpad
+    would silently truncate it). The clamp never changes the result:
+    whenever ``threshold >= RESAMPLE_GRID`` the first disjunct is
+    already true.
+    """
     prefix = F.upper(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     )
+    clamped = F.least(F.col("threshold"), F.lit(RESAMPLE_GRID - 1))
     return (F.col("threshold") >= F.lit(RESAMPLE_GRID)) | (
-        prefix < F.lpad(F.hex(F.col("threshold")), 8, "0")
+        prefix < F.lpad(F.hex(clamped), 8, "0")
     )
 
 
@@ -679,9 +691,10 @@ def corpus_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``md5(doc_id)[:8] < to_hex(threshold_l)`` where
     ``threshold_l = min(2^32, (total_tokens · 2^32) // (n_langs ·
     tokens_l))`` — pure INTEGER arithmetic end to end, so there is no
-    float boundary for engines to disagree on (the scaled product
-    fits a bigint up to ~2e9 total tokens; past that you widen to
-    decimal/hugeint, same shape). Over-represented languages get
+    float boundary for engines to disagree on (the scaled product is
+    computed in DECIMAL(38,0) on the Spark side and HUGEINT in the
+    oracle, so it stays exact far past the ~2e9-total-token int64
+    boundary — no silent wraparound at 100 TB corpus sizes). Over-represented languages get
     threshold < 2^32 (true down-sampling); under-represented ones cap
     at 2^32 and keep everything.
 
@@ -726,15 +739,17 @@ WITH toks AS (
   SELECT SUM(lang_tokens) AS total_tokens, COUNT(*) AS n_langs FROM by_lang
 ), thresholds AS (
   SELECT lang, n_docs_in, lang_tokens,
-         LEAST({RESAMPLE_GRID}, (total_tokens * {RESAMPLE_GRID})
-               // (n_langs * lang_tokens)) AS threshold
+         CAST(LEAST({RESAMPLE_GRID},
+                    (CAST(total_tokens AS HUGEINT) * {RESAMPLE_GRID})
+                    // (CAST(n_langs AS HUGEINT) * lang_tokens))
+              AS BIGINT) AS threshold
   FROM by_lang, totals
 ), kept AS (
   SELECT t.lang, t.n_tokens
   FROM toks t JOIN thresholds h ON t.lang = h.lang
   WHERE h.threshold >= {RESAMPLE_GRID}
      OR UPPER(SUBSTRING(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))
-        < LPAD(to_hex(h.threshold), 8, '0')
+        < LPAD(to_hex(LEAST(h.threshold, {RESAMPLE_GRID} - 1)), 8, '0')
 )
 SELECT h.lang, h.n_docs_in, COUNT(*) AS n_docs_kept,
        h.lang_tokens, CAST(SUM(k.n_tokens) AS BIGINT) AS n_tokens_kept,

@@ -702,12 +702,13 @@ HIST_MAX_BIN = 9
 
 
 #: (column, kind) pairs for the events profiling report. Numeric
-#: columns report min/max as doubles; the rest as strings (double→
-#: string FORMATTING differs between engines, so numerics never go
-#: through a string cast).
+#: columns report min/max as doubles; timestamps as epoch
+#: microseconds (timestamp→string FORMATTING of fractional seconds
+#: differs between engines, so temporal min/max never goes through a
+#: string cast — epoch_us is data-independent); the rest as strings.
 _PROFILE_COLS: tuple[tuple[str, str], ...] = (
     ("event_id", "num"),
-    ("ts", "str"),
+    ("ts", "ts"),
     ("user_id", "num"),
     ("event_type", "str"),
     ("value", "num"),
@@ -738,14 +739,21 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         if kind == "num":
             aggs.append(F.min(col).cast("double").alias(f"mn_{c}"))
             aggs.append(F.max(col).cast("double").alias(f"mx_{c}"))
+        elif kind == "ts":
+            # min/max commute with the monotone epoch conversion, so
+            # profiling epoch_us(min) == min(epoch_us) — and the NTZ→
+            # LTZ cast is exact under the UTC session timezone.
+            ts_us = F.unix_micros(col.cast("timestamp")).cast("double")
+            aggs.append(F.min(ts_us).alias(f"mn_{c}"))
+            aggs.append(F.max(ts_us).alias(f"mx_{c}"))
         else:
             aggs.append(F.min(col.cast("string")).alias(f"mn_{c}"))
             aggs.append(F.max(col.cast("string")).alias(f"mx_{c}"))
     wide = events.agg(*aggs)
     stack_args = []
     for c, kind in _PROFILE_COLS:
-        mn_num = f"mn_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
-        mx_num = f"mx_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mn_num = f"mn_{c}" if kind in ("num", "ts") else "CAST(NULL AS DOUBLE)"
+        mx_num = f"mx_{c}" if kind in ("num", "ts") else "CAST(NULL AS DOUBLE)"
         mn_str = f"mn_{c}" if kind == "str" else "CAST(NULL AS STRING)"
         mx_str = f"mx_{c}" if kind == "str" else "CAST(NULL AS STRING)"
         stack_args.append(
@@ -776,6 +784,10 @@ def _profile_oracle() -> str:
         if kind == "num":
             mn = f"CAST(MIN({c}) AS DOUBLE)"
             mx = f"CAST(MAX({c}) AS DOUBLE)"
+            mns, mxs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"CAST(MIN(epoch_us({c})) AS DOUBLE)"
+            mx = f"CAST(MAX(epoch_us({c})) AS DOUBLE)"
             mns, mxs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
         else:
             mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"

@@ -30,7 +30,7 @@ def build_scaled(spark, factor: int) -> str:
     docs_out = os.path.join(out, "documents.parquet")
     if not os.path.exists(docs_out):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        n = docs.count()
+        n = int(docs.agg(F.max("doc_id")).first()[0]) + 1
         (
             docs.crossJoin(copies)
             .withColumn("doc_id", F.col("doc_id") + F.col("copy") * n)
@@ -44,8 +44,13 @@ def build_scaled(spark, factor: int) -> str:
         from duckdb_gsheets_spark.plans.catalog import load_table
 
         events = load_table(spark, SF_DIR, "events")
-        n = events.count()
-        n_users = 10_000_000  # shift stride past any real user_id
+        # Derive shift strides from the data so replicated copies can
+        # never alias onto real event_ids/user_ids.
+        max_event, max_user = events.agg(
+            F.max("event_id"), F.max("user_id")
+        ).first()
+        n = int(max_event) + 1
+        n_users = int(max_user) + 1
         (
             events.crossJoin(copies)
             .withColumn("event_id", F.col("event_id") + F.col("copy") * n)
