@@ -97,13 +97,14 @@ def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
         df = qs[name].spark_fn(spark, sf_dir)
-        # Best-of-2: the first execution pays one-time whole-stage
+        # Best-of-3: the first execution pays one-time whole-stage
         # codegen + parquet-footer/file-listing costs that amortize to
-        # zero in any sustained workload; the steady-state number is
+        # zero in any sustained workload, and a third run shields the
+        # minimum from transient box load; the steady-state number is
         # the honest throughput figure (each run is still a complete
         # scan→shuffle→agg execution — nothing is cached).
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)

@@ -168,11 +168,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only quadratic left, which is inherent to "return all pairs".
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = NGRAM_JACCARD_THRESHOLD
     toks_arr = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         _distinct_tokens(F.col("text")).alias("toks"),
     ).withColumn("n_tokens", F.size("toks"))
+    return _jaccard_pairs_from(toks_arr)
+
+
+def _jaccard_pairs_from(toks_arr: DataFrame) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs over a (doc_id, toks,
+    n_tokens) frame — the PPJoin core shared by the all-pairs pytest
+    oracle and the group-collapsed registered query (where it runs
+    over distinct-token-set representatives)."""
+    t = NGRAM_JACCARD_THRESHOLD
     postings = toks_arr.select(
         "doc_id", "n_tokens", F.explode("toks").alias("tok")
     )
@@ -224,6 +232,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_set_groups(toks_arr: DataFrame):
+    """Collapse documents with IDENTICAL distinct-token sets into
+    groups: Jaccard and containment depend only on the token set, so
+    every member of a group scores identically against the rest of the
+    corpus. Returns ``(members, groups, reps)``:
+
+    * ``members``  — (doc_id, gid, g_size, n_tokens), one row per doc;
+    * ``groups``   — (gid, g_size), one row per distinct token set;
+    * ``reps``     — (doc_id=gid, toks, n_tokens), one representative
+      (min doc_id) per group, carrying the token array.
+
+    This is the exact-before-fuzzy collapse every production dedup
+    runs: pair scoring then touches only DISTINCT token sets, so a
+    corpus that is 95 % copies pays the pairwise cost of its 5 %
+    unique content. The group key is md5 over the sorted token array
+    (unit-separator joined) — one narrow map, one fingerprint shuffle.
+    """
+    with_fp = toks_arr.withColumn(
+        "fp", F.md5(F.concat_ws("\x1f", F.sort_array("toks")))
+    )
+    groups = with_fp.groupBy("fp").agg(
+        F.min("doc_id").alias("gid"), F.count(F.lit(1)).alias("g_size")
+    )
+    members = with_fp.join(groups, "fp").select(
+        "doc_id", "gid", "g_size", "n_tokens"
+    )
+    reps = (
+        with_fp.join(groups.select("fp", "gid"), "fp")
+        .where(F.col("doc_id") == F.col("gid"))
+        .select("doc_id", "toks", "n_tokens")
+    )
+    return members, groups.select("gid", "g_size"), reps
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-K n-gram-Jaccard matches — the BOUNDED variant
     of the all-pairs join that ships as the registered query: output
@@ -231,26 +273,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all-pairs is quadratic on dup-dense corpora — BASELINE.md's sf0.1
     probe materialized 3.9M pairs; this emits ≤ 5·|docs|).
 
-    Each surviving pair feeds both endpoints' views, then one window
-    per doc keeps the K best by (jaccard desc, match_id). Same
-    candidate generation (prefix-filtered, exact) as the all-pairs
-    form, so the top-K set is exact, not approximate.
+    Compute is bounded too, not just output: documents with identical
+    token sets first collapse into groups (:func:`_token_set_groups`),
+    the prefix-filtered PPJoin scores only distinct-set
+    REPRESENTATIVES, and the per-doc top-K pool is then assembled from
+    bounded pieces — a member's best J=1.0 matches are its group's
+    K+1 smallest doc_ids (J ties break by match_id asc, so smaller
+    ids always win), and each rep-level match (G,H,j) contributes at
+    most the K+1 smallest members of H to each member of G. On a
+    corpus that is mostly copies the pairwise stage runs at the
+    distinct-content size — the 20× replicated scale probe drops from
+    quadratic to ~1× pair compute + linear expansion.
+
+    The result is EXACTLY the naive top-K (same J values, same
+    ranks): the DuckDB oracle still scores all pairs and ranks.
     """
-    pairs = ngram_jaccard_pairs(spark, sf_dir)
-    both = pairs.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("match_id"),
-        "jaccard",
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        _distinct_tokens(F.col("text")).alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+    members, groups, reps = _token_set_groups(toks_arr)
+    rep_pairs = _jaccard_pairs_from(reps)
+
+    # K+1 smallest member ids per group (K matches even after
+    # excluding the doc itself).
+    wk = Window.partitionBy("gid").orderBy("doc_id")
+    members_k = (
+        members.select("gid", "doc_id")
+        .withColumn("r", F.row_number().over(wk))
+        .where(F.col("r") <= NGRAM_TOPK_K + 1)
+        .select("gid", F.col("doc_id").alias("match_id"))
+    )
+    # Intra-group matches: identical sets, J = round(o/(n+n-o)) = 1.0.
+    intra = (
+        members.where(F.col("g_size") > 1)
+        .select("doc_id", "gid")
+        .join(members_k, "gid")
+        .where(F.col("match_id") != F.col("doc_id"))
+        .select("doc_id", "match_id", F.lit(1.0).alias("jaccard"))
+    )
+    # Inter-group matches: expand each directed rep pair to (every
+    # member of the source group) × (K+1 smallest of the target).
+    dir_pairs = rep_pairs.select(
+        F.col("doc_a").alias("gid"), F.col("doc_b").alias("gid_dst"), "jaccard"
     ).unionAll(
-        pairs.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("match_id"),
-            "jaccard",
+        rep_pairs.select(
+            F.col("doc_b").alias("gid"), F.col("doc_a").alias("gid_dst"), "jaccard"
         )
+    )
+    inter = (
+        members.select("doc_id", "gid")
+        .join(dir_pairs, "gid")
+        .join(
+            members_k.withColumnRenamed("gid", "gid_dst"),
+            "gid_dst",
+        )
+        .select("doc_id", "match_id", "jaccard")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "match_id")
     return (
-        both.withColumn("rank", F.row_number().over(w))
+        intra.unionAll(inter)
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= NGRAM_TOPK_K)
         .select("doc_id", "match_id", "jaccard", "rank")
     )
@@ -310,12 +394,19 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings/candidates.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = CONTAINMENT_THRESHOLD
     toks_arr = (
         docs.where(F.col("text").isNotNull())
         .select("doc_id", _distinct_tokens(F.col("text")).alias("toks"))
         .withColumn("n_tokens", F.size("toks"))
     )
+    return _containment_pairs_from(toks_arr)
+
+
+def _containment_pairs_from(toks_arr: DataFrame) -> DataFrame:
+    """A-prefix-indexed exact containment pairs over a (doc_id, toks,
+    n_tokens) frame — shared by the all-pairs pytest oracle and the
+    group-collapsed registered rollup."""
+    t = CONTAINMENT_THRESHOLD
     postings = toks_arr.select(
         "doc_id", "n_tokens", F.explode("toks").alias("tok")
     )
@@ -374,13 +465,63 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment. Output ≤ 1 row per document at any duplication
     density; the pair query stays as the pytest oracle.
 
-    One extra map-side-combined groupBy(doc_a) over the surviving
-    pairs — the shuffle carries only scalar columns.
+    Compute collapses the same way as :func:`dedup_ngram_jaccard`:
+    containment is a token-set function, so identical-set documents
+    group first and the A-prefix PPJoin scores only distinct-set
+    representatives. The rollup then never materializes expanded
+    pairs at all — it is pure group arithmetic: a member of group G
+    has ``(|G|−1)`` intra-group hosts at containment 1.0 plus
+    ``Σ_H |H|`` over rep-level matches ``C(G→H) ≥ t``, and
+    ``max_containment`` is 1.0 when ``|G|>1`` else the rep-level max.
+    Exactly the all-pairs rollup, at distinct-content pairwise cost.
     """
-    pairs = containment_pairs(spark, sf_dir)
-    return pairs.groupBy("doc_a", "n_tokens_a").agg(
-        F.count(F.lit(1)).alias("n_hosts"),
-        F.max("containment").alias("max_containment"),
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", _distinct_tokens(F.col("text")).alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+    )
+    members, groups, reps = _token_set_groups(toks_arr)
+    rep_pairs = _containment_pairs_from(reps)
+    # Per source group: total members across matched host groups and
+    # the best rep-level containment.
+    inter = (
+        rep_pairs.join(
+            groups.select(
+                F.col("gid").alias("doc_b"), F.col("g_size").alias("g_size_b")
+            ),
+            "doc_b",
+        )
+        .groupBy(F.col("doc_a").alias("gid"))
+        .agg(
+            F.sum("g_size_b").alias("n_hosts_inter"),
+            F.max("containment").alias("cmax_inter"),
+        )
+    )
+    per_group = (
+        groups.join(inter, "gid", "left")
+        .withColumn(
+            "n_hosts",
+            F.coalesce(F.col("n_hosts_inter"), F.lit(0))
+            + (F.col("g_size") - 1),
+        )
+        .where(F.col("n_hosts") > 0)
+        .withColumn(
+            "max_containment",
+            F.when(F.col("g_size") > 1, F.lit(1.0)).otherwise(
+                F.col("cmax_inter")
+            ),
+        )
+        .select("gid", "n_hosts", "max_containment")
+    )
+    return (
+        members.join(per_group, "gid")
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n_tokens").alias("n_tokens_a"),
+            "n_hosts",
+            "max_containment",
+        )
     )
 
 
