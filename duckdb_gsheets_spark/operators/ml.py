@@ -3,9 +3,13 @@
 Training-data pipelines cluster and project embeddings constantly —
 corpus topic balancing (cluster-then-sample), dedup-aware curriculum
 mixes, and drift dashboards all start from k-means and PCA. Both are
-ITERATIVE, so they are registered rows-only (no single ANSI-SQL oracle
-can express a Lloyd iteration); correctness is pinned by pytest
-recomputation against numpy on the same data (tests/test_ops.py).
+ITERATIVE; since round 3 every cross-iteration aggregate runs in
+exact scaled-long arithmetic (``EMB_SCALE``), so the model state is
+bit-identical across engines and partitionings and the fixed
+iteration counts UNROLL into generated DuckDB oracle SQL — k-means,
+the SemDeDup pairs and the logistic probe are value-hash-checked;
+correctness is additionally pinned by pytest recomputation against
+numpy on the same data (tests/test_ops.py).
 
 Execution shape — the same one MLlib's ``KMeans``/``RowMatrix`` use
 (``treeAggregate``), expressed in DataFrame operators:
@@ -39,7 +43,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
@@ -146,6 +150,30 @@ def _dim_sums(prefix: str = "emb") -> list:
     ]
 
 
+#: Fixed-point scale for cross-engine-exact aggregate state (centroid
+#: sums, gradients, projections). A float32 embedding value times 1e6
+#: is an EXACT float64 product (24-bit mantissa × 20 bits < 53), so
+#: the rounded long is identical in Spark, numpy and DuckDB, and the
+#: integer sum is partition-order-independent — the iterative model
+#: state never accumulates float drift. Long bound: |Σ x·1e6| < 2^63
+#: ⇒ ~9.2e12 in column units per group — comfortable through sf100;
+#: beyond that widen to DECIMAL (determinism.dsum_decimal shape).
+EMB_SCALE = 1_000_000
+
+
+def _dim_scaled_sums(prefix: str = "emb", weight: Column | None = None) -> list:
+    """Exact scaled-long per-dimension sums: Σ round(term·1e6) as
+    long — the deterministic replacement for raw double sums in every
+    iterative update (same contract as determinism.dsum)."""
+    def term(d: int):
+        t = F.element_at(F.col(prefix), d + 1)
+        if weight is not None:
+            t = t * weight
+        return F.sum(F.round(t * EMB_SCALE).cast("long")).alias(f"s{d}")
+
+    return [term(d) for d in range(DIM)]
+
+
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means (cosine Lloyd) over the embedding corpus:
     ``KMEANS_ITERS`` iterations from a deterministic strided-id seed,
@@ -157,8 +185,13 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect → next closure. The returned 8-row frame is
     driver-materialized, exactly like a fitted model's summary.
 
-    Registered rows-only: Lloyd iterations are not expressible as one
-    ANSI-SQL statement; pinned by numpy recomputation in pytest.
+    Oracle-checked since round 3: the centroid state is EXACT
+    (scaled-long sums, two correctly-rounded float ops per
+    coordinate), so the fixed iteration count unrolls into generated
+    DuckDB SQL (one assignment + one update CTE pair per iteration)
+    that replays the model bit-identically; assignment sims compare
+    after a round-6, the same drift bar as the IVF/LSH oracles. Also
+    pinned by numpy recomputation in pytest.
     """
     centroids = _init_centroids(sf_dir, spark)
     emb = (
@@ -171,14 +204,17 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             assigned = emb.withColumn("a", _assign_sim_np(centroids)("emb"))
             rows = (
                 assigned.groupBy(F.col("a.cluster").alias("cluster"))
-                .agg(F.count(F.lit(1)).alias("n"), *_dim_sums())
+                .agg(F.count(F.lit(1)).alias("n"), *_dim_scaled_sums())
                 .collect()
             )
             new = centroids.copy()
             for r in rows:
-                new[r.cluster] = (
-                    np.array([r[f"s{d}"] for d in range(DIM)]) / r.n
-                )
+                # Exact longs / (n·scale): the new centroid is two
+                # correctly-rounded ops away from integers — bit-equal
+                # to the oracle's CAST(s AS DOUBLE)/(n*1e6).
+                new[r.cluster] = np.array(
+                    [r[f"s{d}"] for d in range(DIM)], dtype=np.float64
+                ) / (r.n * float(EMB_SCALE))
             centroids = new
         final = emb.withColumn("a", _assign_sim_np(centroids)("emb"))
         stats = (
@@ -235,8 +271,13 @@ def pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix-free C·v product. Driver state is two 64-vectors.
 
     Output: 64 rows (dim, loading, eigenvalue), sign-fixed so the
-    largest-magnitude loading is positive. Rows-only (iterative);
-    pinned by an identical-recipe numpy recomputation in pytest.
+    largest-magnitude loading is positive. Oracle-checked since
+    round 3: mean and iteration sums are exact scaled longs, so the
+    power-iteration trajectory unrolls into generated DuckDB SQL
+    (per-iteration norm divisions carry ≤1e-15 cross-engine drift,
+    absorbed by the scaled-long/round-6 boundaries — the ANN-oracle
+    bar). Also pinned by an identical-recipe numpy recomputation in
+    pytest.
     """
     emb = (
         fan_out(load_table(spark, sf_dir, "embeddings"))
@@ -244,9 +285,14 @@ def pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
-        mrow = emb.agg(F.count(F.lit(1)).alias("n"), *_dim_sums()).collect()[0]
+        mrow = emb.agg(
+            F.count(F.lit(1)).alias("n"), *_dim_scaled_sums()
+        ).collect()[0]
         n = mrow.n
-        m = np.array([mrow[f"s{d}"] for d in range(DIM)]) / n
+        # Exact scaled-long mean — bit-equal to the oracle's replay.
+        m = np.array(
+            [mrow[f"s{d}"] for d in range(DIM)], dtype=np.float64
+        ) / (n * float(EMB_SCALE))
         v = np.ones(DIM) / np.sqrt(DIM)
         for _ in range(PCA_ITERS):
             zrow = (
@@ -254,15 +300,20 @@ def pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(
                     *[
                         F.sum(
-                            F.col("s")
-                            * (F.element_at("emb", d + 1) - float(m[d]))
+                            F.round(
+                                F.col("s")
+                                * (F.element_at("emb", d + 1) - float(m[d]))
+                                * EMB_SCALE
+                            ).cast("long")
                         ).alias(f"s{d}")
                         for d in range(DIM)
                     ]
                 )
                 .collect()[0]
             )
-            z = np.array([zrow[f"s{d}"] for d in range(DIM)])
+            z = np.array(
+                [zrow[f"s{d}"] for d in range(DIM)], dtype=np.float64
+            ) / float(EMB_SCALE)
             eigenvalue = float(np.linalg.norm(z)) / n
             v = z / np.linalg.norm(z)
     finally:
@@ -297,9 +348,12 @@ def semantic_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The assignment itself is the usual narrow GEMM (no corpus
     shuffle before the cluster-keyed join).
 
-    Rows-only (recall depends on clustering); pytest pins precision
-    (every emitted pair is in the exact O(n²) pair set) and recall
-    within clusters.
+    Oracle: the seed-centroid assignment is deterministic (strided-id
+    quantizer, round-6 sims, lowest-index ties — the same recipe the
+    hash-checked IVF oracle replays), so DuckDB recomputes the
+    clustering AND the within-cluster cosine join from the table with
+    no literals; pytest additionally pins precision (every emitted
+    pair is in the exact O(n²) pair set) and recall within clusters.
     """
     centroids = _init_centroids(sf_dir, spark)
     emb = (
@@ -381,8 +435,13 @@ def logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB each iteration is a scan-speed pass; driver traffic is
     kilobytes.
 
-    Registered rows-only (iterative); pinned by an exact-shape numpy
-    recompute in pytest.
+    Oracle-checked since round 3: gradients accumulate as exact
+    scaled longs, so the weight trajectory is bit-identical across
+    engines and the fixed iteration count unrolls into generated
+    DuckDB SQL (σ recomputed per row — EXP ulp drift is absorbed by
+    the round-6/scaled-long boundaries, the same bar as the ANN
+    oracles). Also pinned by an exact-shape numpy recompute in
+    pytest.
     """
     emb = (
         fan_out(load_table(spark, sf_dir, "embeddings"))
@@ -397,21 +456,24 @@ def logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = emb.count()
         w = np.zeros(DIM)
         b = 0.0
-        grad_dims = [
-            F.sum(
-                F.element_at(F.col("emb"), d + 1) * F.col("r")
-            ).alias(f"g{d}")
-            for d in range(DIM)
-        ]
+        denom = n * float(EMB_SCALE)
         for _ in range(LOGREG_ITERS):
             scored = emb.withColumn(
                 "r", _resid_np(w, b)(F.col("emb"), F.col("y"))
             )
-            row = scored.agg(F.sum("r").alias("gb"), *grad_dims).collect()[0]
+            row = scored.agg(
+                F.sum(F.round(F.col("r") * EMB_SCALE).cast("long")).alias(
+                    "gb"
+                ),
+                *_dim_scaled_sums(weight=F.col("r")),
+            ).collect()[0]
+            # Exact scaled-long gradient state; ×2 and the single
+            # division are correctly rounded, so w/b are bit-equal to
+            # the oracle's replay.
             w = w - LOGREG_LR * np.array(
-                [row[f"g{d}"] for d in range(DIM)]
-            ) / n
-            b = b - LOGREG_LR * row.gb / n
+                [row[f"s{d}"] for d in range(DIM)], dtype=np.float64
+            ) / denom
+            b = b - LOGREG_LR * float(row.gb) / denom
         final = emb.withColumn("p", _prob_np(w, b)(F.col("emb")))
         cells = (
             final.groupBy(
@@ -442,29 +504,314 @@ def logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialize_ctes(sql: str) -> str:
+    """Mark every CTE ``MATERIALIZED``: DuckDB's default inlining
+    re-evaluates multiply-referenced CTEs, which turns an unrolled
+    iteration chain into exponential work — materializing pins each
+    iteration to one evaluation (0.1 s vs >500 s for the 8-iteration
+    PCA oracle at sf0.01)."""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB oracle for :func:`kmeans_lloyd`: the strided seed, every
+    Lloyd iteration (round-6 argmax assignment → exact scaled-long
+    per-dimension sums → centroid = s/(n·1e6)) and the final stats
+    pass unroll into one generated CTE chain. Long-form state:
+    ``c{t}(k, i, c)`` holds iteration ``t``'s centroids, so each
+    iteration is two CTEs regardless of dimensionality. Empty
+    clusters COALESCE back to their previous centroid, matching the
+    driver loop's ``centroids.copy()`` carry-through."""
+    parts = [
+        f"""
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+), km_seed AS (
+  SELECT vec_id AS cid,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS k
+  FROM embeddings
+  WHERE vec_id % {KMEANS_INIT_STRIDE} = 0
+  ORDER BY vec_id LIMIT {KMEANS_K}
+), c0 AS (
+  SELECT s.k, v.i, v.x AS c FROM km_seed s JOIN v ON v.vec_id = s.cid
+)"""
+    ]
+    # One assignment CTE (a{t}) + one update CTE (c{t+1}) per
+    # iteration; the final assignment reuses the same shape.
+    def assign_cte(name: str, cfrm: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, k, s FROM (
+    SELECT v.vec_id, cu.k, ROUND(SUM(v.x * cu.u) / n.nrm, 6) AS s
+    FROM v
+    JOIN (SELECT c.k, c.i, c.c / cn.cnrm AS u
+          FROM {cfrm} c
+          JOIN (SELECT k, SQRT(SUM(c * c)) AS cnrm
+                FROM {cfrm} GROUP BY k) cn ON cn.k = c.k) cu
+      ON cu.i = v.i
+    JOIN norms n ON n.vec_id = v.vec_id
+    GROUP BY v.vec_id, cu.k, n.nrm)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, k) = 1
+)"""
+
+    for t in range(KMEANS_ITERS):
+        parts.append(assign_cte(f"a{t}", f"c{t}"))
+        parts.append(
+            f"""s{t} AS (
+  SELECT a.k, v.i,
+         SUM(CAST(ROUND(v.x * {EMB_SCALE}.0) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM a{t} a JOIN v ON v.vec_id = a.vec_id
+  GROUP BY a.k, v.i
+), c{t + 1} AS (
+  SELECT p.k, p.i,
+         COALESCE(CAST(st.s AS DOUBLE) / (st.n * {EMB_SCALE}.0), p.c) AS c
+  FROM c{t} p LEFT JOIN s{t} st ON st.k = p.k AND st.i = p.i
+)"""
+        )
+    last = f"c{KMEANS_ITERS}"
+    parts.append(assign_cte("fa", last))
+    parts.append(
+        f"""fstats AS (
+  SELECT k, COUNT(*) AS size,
+         SUM(CAST(ROUND(s * {EMB_SCALE}.0) AS BIGINT)) AS ss
+  FROM fa GROUP BY k
+), fnorm AS (
+  SELECT k, SQRT(SUM(c * c)) AS cn FROM {last} GROUP BY k
+)
+SELECT st.k AS cluster_id, st.size,
+       ROUND(CAST(st.ss AS DOUBLE) / {EMB_SCALE}.0 / st.size, 6)
+         AS avg_cos_sim,
+       ROUND(fn.cn, 6) AS centroid_norm
+FROM fstats st JOIN fnorm fn ON fn.k = st.k"""
+    )
+    return _materialize_ctes(",\n".join(parts))
+
+
+def _pca_oracle() -> str:
+    """DuckDB oracle for :func:`pca_power_topcomp`: exact scaled-long
+    mean, then ``PCA_ITERS`` unrolled power iterations (projection →
+    scaled-long z sums → unit-normalize), the final sign fix and the
+    round-6 report. ``pv{t}(d, v)`` is the long-form iteration
+    state."""
+    parts = [
+        f"""
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cnt AS (
+  SELECT COUNT(*) AS n FROM embeddings
+), m AS (
+  SELECT v.i,
+         CAST(SUM(CAST(ROUND(v.x * {EMB_SCALE}.0) AS BIGINT)) AS DOUBLE)
+           / (cnt.n * {EMB_SCALE}.0) AS m
+  FROM v CROSS JOIN cnt
+  GROUP BY v.i, cnt.n
+), pv0 AS (
+  SELECT unnest(generate_series(1, {DIM})) AS d, 0.125 AS v
+)"""
+    ]
+    for t in range(PCA_ITERS):
+        parts.append(
+            f"""p{t} AS (
+  SELECT v.vec_id, SUM((v.x - m.m) * w.v) AS s
+  FROM v JOIN m ON m.i = v.i JOIN pv{t} w ON w.d = v.i
+  GROUP BY v.vec_id
+), zz{t} AS (
+  SELECT v.i AS d,
+         SUM(CAST(ROUND(p.s * (v.x - m.m) * {EMB_SCALE}.0) AS BIGINT)) AS sz
+  FROM v JOIN m ON m.i = v.i JOIN p{t} p ON p.vec_id = v.vec_id
+  GROUP BY v.i
+), zn{t} AS (
+  SELECT SQRT(SUM(z * z)) AS nz
+  FROM (SELECT CAST(sz AS DOUBLE) / {EMB_SCALE}.0 AS z FROM zz{t})
+), pv{t + 1} AS (
+  SELECT d, (CAST(sz AS DOUBLE) / {EMB_SCALE}.0) / zn.nz AS v
+  FROM zz{t} CROSS JOIN zn{t} zn
+)"""
+        )
+    T = PCA_ITERS
+    parts.append(
+        f"""ev AS (
+  SELECT zn.nz / cnt.n AS ev FROM zn{T - 1} zn CROSS JOIN cnt
+), sgn AS (
+  SELECT CASE WHEN (SELECT v FROM pv{T}
+                    ORDER BY ABS(v) DESC, d LIMIT 1) < 0
+              THEN -1.0 ELSE 1.0 END AS sg
+)
+SELECT CAST(p.d - 1 AS BIGINT) AS dim,
+       ROUND(p.v * s.sg, 6) AS loading,
+       ROUND(e.ev, 6) AS eigenvalue
+FROM pv{T} p CROSS JOIN sgn s CROSS JOIN ev e"""
+    )
+    return _materialize_ctes(",\n".join(parts))
+
+
+def _logreg_oracle() -> str:
+    """DuckDB oracle for :func:`logreg_probe`: w/b start at zero and
+    every gradient step replays through exact scaled-long sums; per
+    iteration one CTE computes per-row z, one the residuals, two the
+    scaled gradient/bias sums, and two the updated parameters.
+    Operation order mirrors the numpy driver exactly (×LR first, one
+    division, one subtraction)."""
+    parts = [
+        f"""
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), ey AS (
+  SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y FROM embeddings
+), cnt AS (
+  SELECT COUNT(*) AS n FROM embeddings
+), w0 AS (
+  SELECT unnest(generate_series(1, {DIM})) AS d, 0.0 AS w
+), b0 AS (
+  SELECT 0.0 AS b
+)"""
+    ]
+    for t in range(LOGREG_ITERS):
+        parts.append(
+            f"""z{t} AS (
+  SELECT v.vec_id, SUM(v.x * w.w) AS zz
+  FROM v JOIN w{t} w ON w.d = v.i
+  GROUP BY v.vec_id
+), r{t} AS (
+  SELECT z.vec_id,
+         (1.0 / (1.0 + EXP(-(z.zz + b.b)))) - ey.y AS r
+  FROM z{t} z
+  CROSS JOIN b{t} b
+  JOIN ey ON ey.vec_id = z.vec_id
+), g{t} AS (
+  SELECT v.i AS d,
+         SUM(CAST(ROUND(v.x * r.r * {EMB_SCALE}.0) AS BIGINT)) AS g
+  FROM v JOIN r{t} r ON r.vec_id = v.vec_id
+  GROUP BY v.i
+), gb{t} AS (
+  SELECT SUM(CAST(ROUND(r * {EMB_SCALE}.0) AS BIGINT)) AS g FROM r{t}
+), w{t + 1} AS (
+  SELECT w.d,
+         w.w - ({LOGREG_LR} * CAST(g.g AS DOUBLE))
+               / (cnt.n * {EMB_SCALE}.0) AS w
+  FROM w{t} w JOIN g{t} g ON g.d = w.d CROSS JOIN cnt
+), b{t + 1} AS (
+  SELECT b.b - ({LOGREG_LR} * CAST(gb.g AS DOUBLE))
+               / (cnt.n * {EMB_SCALE}.0) AS b
+  FROM b{t} b CROSS JOIN gb{t} gb CROSS JOIN cnt
+)"""
+        )
+    T = LOGREG_ITERS
+    parts.append(
+        f"""zf AS (
+  SELECT v.vec_id, SUM(v.x * w.w) AS zz
+  FROM v JOIN w{T} w ON w.d = v.i
+  GROUP BY v.vec_id
+), pf AS (
+  SELECT z.vec_id, ey.y,
+         1.0 / (1.0 + EXP(-(z.zz + b.b))) AS p
+  FROM zf z
+  CROSS JOIN b{T} b
+  JOIN ey ON ey.vec_id = z.vec_id
+)
+SELECT CAST(y AS BIGINT) AS y_true,
+       CAST(p >= 0.5 AS BIGINT) AS y_pred,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(p * {EMB_SCALE}.0) AS BIGINT)) AS DOUBLE)
+             / {EMB_SCALE}.0 / COUNT(*), 6) AS avg_prob
+FROM pf
+GROUP BY 1, 2"""
+    )
+    return _materialize_ctes(",\n".join(parts))
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB oracle for :func:`semantic_neardup_pairs`: replay the
+    strided seed-centroid selection (multiples of
+    ``KMEANS_INIT_STRIDE``, first K by vec_id — the same grid
+    ``_init_centroids`` probes), unit-normalize, assign every vector
+    to its round-6 argmax centroid (ties to the lowest cluster
+    index), then score within-cluster pairs exactly.
+
+    Cross-engine float note: numpy GEMM vs SQL SUM accumulate in
+    different orders; every comparison happens AFTER a round-6 — the
+    same drift argument that underwrites the hash-checked IVF/LSH
+    oracles (similarity.py)."""
+    return _materialize_ctes(f"""
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+), sem_cids AS (
+  SELECT vec_id AS cid,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+  FROM embeddings
+  WHERE vec_id % {KMEANS_INIT_STRIDE} = 0
+  ORDER BY vec_id LIMIT {KMEANS_K}
+), sem_cnorm AS (
+  SELECT c.cluster, SQRT(SUM(v.x * v.x)) AS cnrm
+  FROM sem_cids c JOIN v ON v.vec_id = c.cid
+  GROUP BY c.cluster
+), sem_cu AS (
+  SELECT c.cluster, v.i, v.x / n.cnrm AS u
+  FROM sem_cids c
+  JOIN v ON v.vec_id = c.cid
+  JOIN sem_cnorm n ON n.cluster = c.cluster
+), sem_sims AS (
+  SELECT v.vec_id, cu.cluster, ROUND(SUM(v.x * cu.u) / n.nrm, 6) AS s
+  FROM v JOIN sem_cu cu ON cu.i = v.i
+  JOIN norms n ON n.vec_id = v.vec_id
+  GROUP BY v.vec_id, cu.cluster, n.nrm
+), sem_assign AS (
+  SELECT vec_id, cluster FROM sem_sims
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY s DESC, cluster) = 1
+), sem_pairs AS (
+  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sem_assign a
+  JOIN sem_assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT p.cluster, p.vec_a, p.vec_b,
+       ROUND(SUM(qa.x * qb.x) / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM sem_pairs p
+JOIN v qa ON qa.vec_id = p.vec_a
+JOIN v qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
+JOIN norms na ON na.vec_id = p.vec_a
+JOIN norms nb ON nb.vec_id = p.vec_b
+GROUP BY p.cluster, p.vec_a, p.vec_b, na.nrm, nb.nrm
+HAVING ROUND(SUM(qa.x * qb.x) / (na.nrm * nb.nrm), 6)
+       >= {SEMDEDUP_THRESHOLD}
+""")
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "kmeans_lloyd",
         kmeans_lloyd,
-        None,
+        _kmeans_oracle(),
         "spherical k-means over embeddings (narrow GEMM + k×dim aggregate)",
     ),
     QueryDef(
         "pca_power_topcomp",
         pca_power_topcomp,
-        None,
+        _pca_oracle(),
         "top principal component via matrix-free power iteration",
     ),
     QueryDef(
         "semantic_neardup_pairs",
         semantic_neardup_pairs,
-        None,
+        _semdedup_oracle(),
         "SemDeDup cluster-blocked semantic near-dup pairs",
     ),
     QueryDef(
         "logreg_probe",
         logreg_probe,
-        None,
+        _logreg_oracle(),
         "full-batch GD logistic linear probe (parameter-server shape)",
     ),
 ]

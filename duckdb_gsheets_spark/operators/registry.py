@@ -55,8 +55,10 @@ class QueryDef:
 #:
 #: Everything after position 50 has a green driver row from r1/r2 and
 #: is parity-checked every round by tools/parity.py; the oracle-less
-#: tail (6 iterative/approx queries, the only ones left without SQL
-#: oracles) is pinned LAST so it can never burn a checked slot.
+#: tail (now just the 2 sketch queries whose output is approximate BY
+#: DEFINITION — HLL distinct counts and KLL quantiles; the iterative
+#: ML family gained exact unrolled oracles in round 3) is pinned LAST
+#: so it can never burn a checked slot.
 _WINDOW: tuple[str, ...] = (
     "array_functions",
     "dedup_ngram_jaccard",
@@ -117,10 +119,6 @@ _WINDOW: tuple[str, ...] = (
 _ORACLELESS_TAIL: tuple[str, ...] = (
     "approx_count_distinct_users",
     "events_approx_quantiles",
-    "kmeans_lloyd",
-    "pca_power_topcomp",
-    "semantic_neardup_pairs",
-    "logreg_probe",
 )
 
 
