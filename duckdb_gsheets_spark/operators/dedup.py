@@ -963,7 +963,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component (A≈B and B≈C must collapse together even when A and C
     never collide). Output: every document with its cluster id
     (= min doc_id in the component), the cluster size, and the
-    survivor flag. Non-SQL-expressible (iterative); pytest pins
+    survivor flag. Oracle: a DuckDB recursive min-label CTE replays
+    the closure value-exactly; pytest additionally pins
     transitive-closure behavior on planted chains.
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -1181,9 +1182,10 @@ FROM sc_scored GROUP BY hamming
 """
 
 
-DEDUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_minhash_core_sql()},
-cc_edges AS (
+#: Shared recursive min-label closure over the MinHash edge set (no
+#: WITH RECURSIVE header) — used by the clusters query and the
+#: savings report.
+_CC_LABELS_SQL = f"""cc_edges AS (
   SELECT doc_a, doc_b FROM mh_pairs
   WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
 ), cc_sym AS (
@@ -1196,12 +1198,159 @@ cc_edges AS (
   SELECT s.src, w.comp FROM cc_sym s JOIN cc_walk w ON s.dst = w.doc_id
 ), cc_labels AS (
   SELECT doc_id, MIN(comp) AS comp FROM cc_walk GROUP BY doc_id
-), cc_sizes AS (
+)"""
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_minhash_core_sql()},
+{_CC_LABELS_SQL},
+cc_sizes AS (
   SELECT comp, COUNT(*) AS cluster_size FROM cc_labels GROUP BY comp
 )
 SELECT l.doc_id, l.comp AS cluster_id, s.cluster_size,
        l.doc_id = l.comp AS is_survivor
 FROM cc_labels l JOIN cc_sizes s ON s.comp = l.comp
+"""
+
+
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fuzzy dedup BUYS, per language: run the full near-dup
+    chain (MinHash LSH edges → transitive components → min-doc_id
+    survivor per component) and report document and token retention —
+    the acceptance report a production dedup pass ships with (is the
+    pass removing 40 % of tokens in one language and 2 % in another?).
+
+    Composition cost on top of :func:`dedup_clusters`: one linear
+    token-count projection and one |languages|-row rollup — output is
+    bounded by |languages| at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(edges, docs.select("doc_id"))
+    kept = F.col("doc_id") == F.col("comp")
+    return (
+        toks.join(labels, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.sum(kept.cast("long")).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_in"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs_in",
+            "n_docs_kept",
+            "tokens_in",
+            "tokens_kept",
+            F.round(
+                F.col("tokens_kept").cast("double") / F.col("tokens_in"), 6
+            ).alias("token_keep_rate"),
+        )
+    )
+
+
+DEDUP_SAVINGS_ORACLE = f"""
+WITH RECURSIVE {_minhash_core_sql()},
+{_CC_LABELS_SQL},
+sv_toks AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT t.lang,
+       COUNT(*) AS n_docs_in,
+       CAST(SUM(CASE WHEN l.doc_id = l.comp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_in,
+       CAST(SUM(CASE WHEN l.doc_id = l.comp THEN t.n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+       ROUND(CAST(SUM(CASE WHEN l.doc_id = l.comp THEN t.n_tokens ELSE 0 END)
+                  AS DOUBLE) / SUM(t.n_tokens), 6) AS token_keep_rate
+FROM sv_toks t JOIN cc_labels l ON l.doc_id = t.doc_id
+GROUP BY t.lang
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-leakage matrix: which SOURCES near-duplicate each
+    other. Every verified MinHash near-dup pair maps to its endpoint
+    sources (one linear join on doc_id — the pair set is already
+    LSH-bounded), the source pair is canonicalized unordered, and the
+    rollup reports pair count, mean and max Jaccard per source pair.
+    Output is bounded by |sources|² regardless of corpus size — the
+    audit that catches one crawl mirroring another before both are
+    'independently' sampled into a training mix.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return (
+        j.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            # jaccard is already round-6, so ·1e6 is integral: the sum
+            # is exact and partition-order independent.
+            F.sum(F.round(F.col("jaccard") * 1e6).cast("long")).alias("js"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.round(
+                F.col("js").cast("double") / 1e6 / F.col("n_pairs"), 6
+            ).alias("avg_jaccard"),
+            "max_jaccard",
+        )
+    )
+
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH {_minhash_core_sql()},
+so_pairs AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard, da.source AS src_a, db.source AS src_b
+  FROM mh_pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+  WHERE p.jaccard >= {MINHASH_JACCARD_THRESHOLD}
+)
+SELECT LEAST(src_a, src_b) AS source_a,
+       GREATEST(src_a, src_b) AS source_b,
+       COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(jaccard * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*), 6) AS avg_jaccard,
+       MAX(jaccard) AS max_jaccard
+FROM so_pairs
+GROUP BY 1, 2
 """
 
 
@@ -1214,4 +1363,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "SimHash near-dup"),
     QueryDef("simhash_calibration", simhash_calibration, SIMHASH_CALIBRATION_ORACLE, "SimHash Hamming vs exact Jaccard calibration"),
     QueryDef("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE, "transitive near-dup clusters via recursive min-label CTE"),
+    QueryDef("dedup_savings_report", dedup_savings_report, DEDUP_SAVINGS_ORACLE, "per-language doc/token retention after transitive dedup"),
+    QueryDef("source_overlap_matrix", source_overlap_matrix, SOURCE_OVERLAP_ORACLE, "cross-source near-dup provenance-leakage matrix"),
 ]

@@ -1482,3 +1482,60 @@ def test_bounded_dedup_variants_match_pair_recompute(spark):
         for r in dedup_containment(spark, SF).collect()
     }
     assert got_c == want_c
+
+
+def test_dedup_savings_report_invariants(spark, tmp_path):
+    """A 3-doc near-dup chain plus an unrelated doc: 2 survivors of 4,
+    kept tokens bounded by input tokens, keep-rate consistent."""
+    import os
+
+    from duckdb_gsheets_spark.operators.dedup import dedup_savings_report
+
+    base = BASE
+    chain1 = base.replace("planner", "optimizer")
+    chain2 = chain1.replace("driver", "coordinator")
+    rows = [(1, base), (2, chain1), (3, chain2), (9, UNRELATED)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = dedup_savings_report(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.lang == "en"
+    assert r.n_docs_in == 4 and r.n_docs_kept == 2  # chain survivor + unrelated
+    assert 0 < r.tokens_kept <= r.tokens_in
+    assert abs(r.token_keep_rate - round(r.tokens_kept / r.tokens_in, 6)) < 1e-9
+
+
+def test_source_overlap_matrix_is_canonical_and_bounded(spark, tmp_path):
+    """Cross-source near-dup pairs roll up to canonicalized unordered
+    source pairs; every Jaccard stat stays within [threshold, 1]."""
+    import os
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        MINHASH_JACCARD_THRESHOLD,
+        source_overlap_matrix,
+    )
+
+    base = BASE
+    near = base.replace("planner", "optimizer")
+    rows = [
+        (1, base, "crawlB"), (2, near, "crawlA"),  # cross-source near-dup
+        (3, base, "crawlA"),                        # same-pair other order
+        (9, UNRELATED, "crawlC"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = source_overlap_matrix(spark, sf_dir).collect()
+    assert out, "planted cross-source near-dups must surface"
+    for r in out:
+        assert r.source_a <= r.source_b  # canonical unordered pair
+        assert r.n_pairs >= 1
+        assert MINHASH_JACCARD_THRESHOLD <= r.avg_jaccard <= r.max_jaccard <= 1.0

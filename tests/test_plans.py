@@ -183,3 +183,24 @@ def test_curated_pipeline_broadcasts_thresholds(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_jaccard_topk_collapses_identical_sets(spark):
+    """The registered top-K Jaccard query must run its pair join on
+    distinct-token-set REPRESENTATIVES (the md5 set-fingerprint
+    collapse), never on raw documents, and must stay equi-join only —
+    the property that keeps a dup-dense corpus linear."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "md5" in plan  # the set-fingerprint group key
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_rollup_collapses_identical_sets(spark):
+    """Same collapse contract for the containment rollup: group
+    arithmetic over set-fingerprint groups, no expanded pair
+    materialization, equi-joins only."""
+    plan = _plan(spark, "dedup_containment")
+    assert "md5" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
