@@ -694,7 +694,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is additionally pytest-verified against planted dups.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    return _verified_minhash_pairs(minhash_signatures(docs))
+
+
+def _verified_minhash_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded candidates → exact shingle-Jaccard verification over a
+    (doc_id, shingles, signature) frame — shared by the registered
+    pair query (full corpus) and the cluster family (distinct-set
+    representatives only)."""
     cands = _minhash_candidates(sigs)
     shingle_sets = sigs.select("doc_id", "shingles")
     with_sets = cands.join(
@@ -957,6 +964,54 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     return labels
 
 
+def _minhash_cluster_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, comp) transitive near-dup labels with the exact-dup
+    COLLAPSE applied before the LSH band join: documents with
+    identical shingle SETS share every signature and band, so on a
+    dup-dense corpus (the whole point of dedup) the banded self-join
+    and the CC edge set are quadratic in copy count. Identical sets
+    first group under an md5 set-fingerprint (min doc_id becomes the
+    representative), LSH + verification + min-label propagation run
+    over REPRESENTATIVES only, and members inherit their rep's
+    component label.
+
+    The result is EXACTLY the full-graph labeling: identical sets
+    always pair (J = 1 ≥ t) so a group is always one cluster, and a
+    rep edge exists iff the corresponding member edges exist (same
+    signatures). Labels stay min-doc_id because each rep is already
+    its group's minimum. Docs with no signature (NULL text) come back
+    as singletons, matching the full-graph vertex set.
+    """
+    sigs = minhash_signatures(docs)
+    fp = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(F.sort_array("shingles"), lambda x: x.cast("string")),
+        )
+    )
+    with_fp = sigs.withColumn("fp", fp)
+    groups = with_fp.groupBy("fp").agg(F.min("doc_id").alias("gid"))
+    members = (
+        with_fp.select("doc_id", "fp").join(groups, "fp").select("doc_id", "gid")
+    )
+    reps = (
+        with_fp.join(groups, "fp")
+        .where(F.col("doc_id") == F.col("gid"))
+        .select("doc_id", "shingles", "signature")
+    )
+    edges = _verified_minhash_pairs(reps).select("doc_a", "doc_b")
+    comp_reps = connected_components(edges, reps.select("doc_id"))
+    member_labels = members.join(
+        comp_reps.withColumnRenamed("doc_id", "gid"), "gid"
+    ).select("doc_id", "comp")
+    singletons = (
+        docs.select("doc_id")
+        .join(member_labels.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("comp"))
+    )
+    return member_labels.unionByName(singletons)
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-duplicate CLUSTERS: MinHash-LSH pairs are only
     edges — production dedup keeps one survivor per connected
@@ -968,8 +1023,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure behavior on planted chains.
     """
     docs = load_table(spark, sf_dir, "documents")
-    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(edges, docs.select("doc_id"))
+    labels = _minhash_cluster_labels(docs)
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "comp")
@@ -1230,8 +1284,7 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
-    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(edges, docs.select("doc_id"))
+    labels = _minhash_cluster_labels(docs)
     kept = F.col("doc_id") == F.col("comp")
     return (
         toks.join(labels, "doc_id")
