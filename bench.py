@@ -8,9 +8,9 @@ Each query executes its full plan into a noop sink (no collect cost,
 no result materialization on the driver) — the number is the
 end-to-end scan→shuffle→agg wall-clock Catalyst actually runs.
 
-Run ``python bench.py --duckdb`` to also time the DuckDB oracle SQL on
-the same machine for a local baseline comparison (not part of the
-driver contract; diagnostic only).
+The DuckDB baseline (same oracle SQL, same machine) runs by default so
+every bench artifact carries its own comparison twin; pass
+``--no-duckdb`` to print the Spark-only line.
 """
 
 from __future__ import annotations
@@ -154,7 +154,10 @@ def main() -> None:
             sum(v for k, v in timings.items() if k in with_oracle), 3
         ),
     }
-    if "--duckdb" in sys.argv:
+    # The DuckDB twin runs BY DEFAULT so every recorded bench artifact
+    # carries its own same-box baseline (pass --no-duckdb to skip);
+    # "--duckdb" is accepted for backward compatibility.
+    if "--no-duckdb" not in sys.argv:
         duck = run_duckdb(sf_dir, HEADLINE)
         result["duckdb_baseline"] = duck
         result["duckdb_total"] = round(sum(duck.values()), 3)
