@@ -15,7 +15,12 @@ training. These three operators cover that surface:
   across otherwise-distinct documents);
 * :func:`contamination_ngram` — n-gram overlap between the corpus and
   a held-out benchmark set (the GPT-3/PaLM-style decontamination
-  check).
+  check);
+* :func:`duplicate_passages` — the corpus-WIDE view the per-doc
+  operators don't give: the top-K most-duplicated token passages with
+  occurrence/document counts and their first occurrence (the report a
+  dedup pass starts from — Lee et al., "Deduplicating Training Data
+  Makes Language Models Better", arXiv:2107.06499).
 
 All three are pure JVM column programs (``split``/``slice``/
 ``sequence``/``md5`` + joins) with exact DuckDB oracles — no Python in
@@ -284,6 +289,121 @@ GROUP BY c.doc_id
 """
 
 
+#: Duplicated-passage report: passage length in tokens, top-K size,
+#: and the duplication floor (passages seen fewer times are noise).
+PASSAGE_N = 8
+TOP_PASSAGES = 50
+PASSAGE_MIN_OCC = 2
+
+
+def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most-duplicated ``PASSAGE_N``-token passages corpus-wide.
+
+    The corpus-level twin of :func:`segment_dedup_stats`: instead of a
+    per-document dup ratio, report WHICH passages are duplicated — the
+    artifact a dedup/boilerplate-removal pass is built from (Lee et
+    al. 2021 start exactly here: rank repeated spans, then cut).
+
+    Two-phase plan, sized for 100 TB:
+
+    1. Count phase: explode sliding ``PASSAGE_N``-grams (narrow, fused
+       into the scan), shuffle ONLY ``(md5, doc_id)`` — never text —
+       and aggregate occurrence + distinct-doc counts per hash
+       (uniform 16-byte keys; skew-proof). Top-K by
+       ``(count DESC, hash)`` is a total order, so the K winners are
+       deterministic.
+    2. Annotate phase: re-scan and re-explode (recomputation beats
+       shuffling a 100 TB text stream), broadcast-semi-join the K
+       winning hashes, and take each winner's first occurrence
+       ``(doc_id, pos)`` — the only rows that ever reach the final
+       window are the K passages' own occurrences.
+    """
+    toks = _tokens_df(load_table(spark, sf_dir, "documents")).where(
+        F.col("n_tokens") >= PASSAGE_N
+    )
+    passage = F.array_join(
+        F.slice(F.col("toks"), F.col("pos"), PASSAGE_N), " "
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_tokens") - (PASSAGE_N - 1))
+        ).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(passage).alias("passage_hash"),
+        passage.alias("passage"),
+    )
+    top = (
+        grams.select("doc_id", "passage_hash")
+        .groupBy("passage_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= PASSAGE_MIN_OCC)
+        .orderBy(F.desc("n_occurrences"), "passage_hash")
+        .limit(TOP_PASSAGES)
+    )
+    w = Window.partitionBy("passage_hash").orderBy("doc_id", "pos")
+    firsts = (
+        grams.join(F.broadcast(top.select("passage_hash")), "passage_hash")
+        .withColumn("occ", F.row_number().over(w))
+        .where(F.col("occ") == 1)
+        .select(
+            "passage_hash",
+            "passage",
+            F.col("doc_id").alias("first_doc"),
+            F.col("pos").alias("first_pos"),
+        )
+    )
+    ranked = Window.orderBy(F.desc("n_occurrences"), "passage_hash")
+    return (
+        top.join(firsts, "passage_hash")
+        .withColumn("rank", F.row_number().over(ranked))
+        .select(
+            "rank",
+            "passage",
+            "n_occurrences",
+            "n_docs",
+            "first_doc",
+            "first_pos",
+        )
+    )
+
+
+DUPLICATE_PASSAGES_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(text), '\\s+') AS t,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND len(regexp_split_to_array(TRIM(text), '\\s+')) >= {PASSAGE_N}
+), grams AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(t, pos, pos + {PASSAGE_N - 1}), ' ') AS passage
+  FROM (SELECT doc_id, t, unnest(range(1, n - {PASSAGE_N - 1} + 1)) AS pos FROM toks)
+), hashed AS (
+  SELECT doc_id, pos, md5(passage) AS passage_hash, passage FROM grams
+), top AS (
+  SELECT passage_hash, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+  FROM hashed GROUP BY 1
+  HAVING COUNT(*) >= {PASSAGE_MIN_OCC}
+  ORDER BY n_occurrences DESC, passage_hash LIMIT {TOP_PASSAGES}
+), firsts AS (
+  SELECT passage_hash, passage, doc_id AS first_doc, pos AS first_pos
+  FROM hashed
+  WHERE passage_hash IN (SELECT passage_hash FROM top)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY passage_hash ORDER BY doc_id, pos) = 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.n_occurrences DESC, t.passage_hash) AS INTEGER) AS rank,
+       f.passage, t.n_occurrences, t.n_docs, f.first_doc, f.first_pos
+FROM top t JOIN firsts f USING (passage_hash)
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "doc_chunk_tokens",
@@ -302,5 +422,11 @@ QUERIES: list[QueryDef] = [
         contamination_ngram,
         CONTAMINATION_ORACLE,
         "benchmark n-gram contamination screen (broadcast semi-join)",
+    ),
+    QueryDef(
+        "duplicate_passages",
+        duplicate_passages,
+        DUPLICATE_PASSAGES_ORACLE,
+        "top-K most-duplicated token passages corpus-wide (Lee et al. report)",
     ),
 ]

@@ -1084,6 +1084,53 @@ def test_contamination_matches_python_recompute(spark):
     assert got == expected
 
 
+def test_duplicate_passages_match_python_recompute(spark):
+    """Top-K duplicated passages against a direct Python sliding-window
+    count of the same token lists (independent of the DuckDB oracle)."""
+    import re
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.chunking import (
+        PASSAGE_MIN_OCC,
+        PASSAGE_N,
+        TOP_PASSAGES,
+        duplicate_passages,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = duplicate_passages(spark, SF).collect()
+    occ: Counter[str] = Counter()
+    docs: dict[str, set[int]] = {}
+    first: dict[str, tuple[int, int]] = {}
+    for r in sorted(
+        load_table(spark, SF, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    ):
+        if r.text is None:
+            continue
+        toks = re.split(r"\s+", r.text.strip())
+        for pos in range(len(toks) - PASSAGE_N + 1):
+            p = " ".join(toks[pos : pos + PASSAGE_N])
+            occ[p] += 1
+            docs.setdefault(p, set()).add(r.doc_id)
+            first.setdefault(p, (r.doc_id, pos + 1))
+    import hashlib
+
+    dup = [
+        (p, n) for p, n in occ.items() if n >= PASSAGE_MIN_OCC
+    ]
+    dup.sort(key=lambda t: (-t[1], hashlib.md5(t[0].encode()).hexdigest()))
+    expected = dup[:TOP_PASSAGES]
+    assert len(rows) == len(expected)
+    for r, (p, n) in zip(sorted(rows, key=lambda r: r.rank), expected):
+        assert r.passage == p
+        assert r.n_occurrences == n
+        assert r.n_docs == len(docs[p])
+        assert (r.first_doc, r.first_pos) == first[p]
+    # Every reported passage is genuinely duplicated.
+    assert all(r.n_occurrences >= PASSAGE_MIN_OCC for r in rows)
+
+
 def test_kmeans_matches_numpy_recompute(spark):
     """Same-recipe spherical Lloyd in numpy over the collected corpus
     must reproduce sizes and (to rounding) the per-cluster stats."""

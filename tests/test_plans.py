@@ -204,3 +204,17 @@ def test_containment_rollup_collapses_identical_sets(spark):
     assert "md5" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_passages_count_shuffle_never_carries_text(spark):
+    """Phase-1 of the passage report shuffles (md5, doc_id) only; the
+    passage TEXT must reach no Exchange (the annotate phase fetches it
+    via a broadcast semi-join re-scan instead)."""
+    plan = _plan(spark, "duplicate_passages")
+    assert "BroadcastHashJoin" in plan  # K winning hashes broadcast back
+    assert "CartesianProduct" not in plan
+    # The count-phase aggregate keys on the hash, not the passage text:
+    # every Exchange's output expression list mentions passage_hash only.
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exchanges, "expected the count-phase hash shuffle"
+    assert all("passage_hash" in ln or "passage" not in ln for ln in exchanges)
