@@ -910,9 +910,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline — the acceptance gate run before routing
     production similarity traffic through an index.
 
-    For each method (LSH, IVF) and each query vector: |approx top-k ∩
-    exact top-k| / k, rolled up to mean/min recall and the count of
-    perfect queries. All three rankings reuse the registered
+    For each method (LSH, IVF, PQ) and each query vector: |approx
+    top-k ∩ exact top-k| / k, rolled up to mean/min recall and the
+    count of perfect queries. All rankings reuse the registered
     operators, so this audits exactly what users run; the overlap join
     keys on (query, neighbor) pairs — k·|queries| rows per side, a
     trivially small join at any corpus size (the heavy work is inside
@@ -925,7 +925,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ann_cosine_topk(spark, sf_dir).select("vec_a", "vec_b")
     spine = exact.select("vec_a").distinct()
     methods = spark.createDataFrame(
-        [("lsh",), ("ivf",)], "method string"
+        [("lsh",), ("ivf",), ("pq",)], "method string"
     )
     approx = (
         ann_lsh_topk(spark, sf_dir)
@@ -933,6 +933,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             ann_ivf_topk(spark, sf_dir).select(
                 F.lit("ivf").alias("method"), "vec_a", "vec_b"
+            )
+        )
+        .unionByName(
+            ann_pq_adc_topk(spark, sf_dir).select(
+                F.lit("pq").alias("method"), "vec_a", "vec_b"
             )
         )
     )
@@ -965,10 +970,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recall_oracle() -> str:
     """DuckDB oracle for :func:`ann_recall_report`: the exact top-k,
-    LSH top-k and IVF top-k chains replay in one statement (sharing
-    the v/norms CTEs), then the same overlap/rollup as the Spark
-    query. Every branch is the already-verified per-method oracle, so
-    this audits the audit."""
+    LSH, IVF and PQ top-k chains replay in one statement (sharing the
+    v/norms CTEs), then the same overlap/rollup as the Spark query.
+    Every branch is the already-verified per-method oracle, so this
+    audits the audit."""
     return f"""
 {_ORACLE_VECTOR_CTE},
 ex_dots AS (
@@ -988,10 +993,13 @@ ex_dots AS (
 ),
 {_lsh_cte()},
 {_ivf_cte()},
+{_pq_cte()},
 rr_approx AS (
   SELECT 'lsh' AS method, vec_a, vec_b FROM lsh_topk
   UNION ALL
   SELECT 'ivf' AS method, vec_a, vec_b FROM ivf_topk
+  UNION ALL
+  SELECT 'pq' AS method, vec_a, vec_b FROM pq_topk
 ), rr_matched AS (
   SELECT a.method, e.vec_a, COUNT(*) AS n_matched
   FROM ex_topk e JOIN rr_approx a
@@ -1000,7 +1008,7 @@ rr_approx AS (
 ), rr_per_query AS (
   SELECT m.method, s.vec_a, COALESCE(x.n_matched, 0) AS n_matched
   FROM (SELECT DISTINCT vec_a FROM ex_topk) s
-  CROSS JOIN (VALUES ('lsh'), ('ivf')) m(method)
+  CROSS JOIN (VALUES ('lsh'), ('ivf'), ('pq')) m(method)
   LEFT JOIN rr_matched x
     ON x.method = m.method AND x.vec_a = s.vec_a
 )
@@ -1015,6 +1023,203 @@ GROUP BY method
 """
 
 
+#: Product quantization: PQ_M subspaces of EMBEDDING_DIM/PQ_M dims,
+#: PQ_CODES codewords per subspace from a deterministic strided corpus
+#: sample (stride coprime to the IVF stride so the two quantizers
+#: never share a sample). 8×4 bits/vector = 64 dims → 8 bytes: the
+#: 32× compression that makes a 100 TB corpus RAM-resident.
+PQ_M = 8
+PQ_CODES = 16
+PQ_ID_STRIDE = 29
+_PQ_ID_PROBE = PQ_CODES * 8
+
+
+def _collect_pq_inputs(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """Codebook sample + query batch, read driver-side (bounded).
+
+    Same contract as :func:`_collect_ivf_inputs`: candidate codebook
+    ids are stride multiples generated arithmetically and pushed down
+    as an ``in`` filter (never an id-column scan), with a distributed
+    strided fallback for sparse id spaces."""
+    grid = [PQ_ID_STRIDE * i for i in range(_PQ_ID_PROBE)]
+    rows = {
+        r.vec_id: r
+        for r in _driver_vec_rows(
+            sf_dir, sorted(set(grid + list(range(N_QUERY_VECTORS))))
+        )
+    }
+    code_ids = [i for i in grid if i in rows][:PQ_CODES]
+    if len(code_ids) < PQ_CODES:
+        emb = load_table(spark, sf_dir, "embeddings")
+        code_rows = (
+            emb.where(F.col("vec_id") % PQ_ID_STRIDE == 0)
+            .orderBy("vec_id")
+            .limit(PQ_CODES)
+            .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+            .collect()
+        )
+    else:
+        code_rows = [rows[i] for i in code_ids]
+    query_ids = sorted(i for i in range(N_QUERY_VECTORS) if i in rows)
+    return code_rows, [rows[i] for i in query_ids]
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    The third ANN family next to LSH (pruning by bucket) and IVF
+    (pruning by list): PQ prunes nothing — it COMPRESSES. Each corpus
+    vector is encoded as ``PQ_M`` 4-bit codes (argmin-distance
+    codeword per subspace), and queries score candidates through
+    per-subspace lookup tables (asymmetric distance computation)
+    without ever touching the original floats. At 100 TB that's the
+    difference between scanning 25 TB of float32 and 0.8 TB of codes.
+
+    One fused Arrow stage over the corpus (mapInPandas): encode the
+    batch (PQ_M small GEMMs), ADC-score it against the whole query
+    batch via LUT gather, and emit only the PER-BATCH top-k per query
+    — selection by a total order ``(score DESC, vec_b)`` commutes with
+    union, so the global window over batch winners equals the global
+    top-k while shuffling ≤ batches × queries × k rows. Zero corpus
+    shuffle, zero broadcast build.
+
+    Every comparison happens after a 6-decimal round (assignment
+    scores and ADC cosine), which erases the ≤1e-12 summation-order
+    drift between numpy GEMMs and the oracle's SQL SUMs — the same
+    determinism contract the LSH/IVF paths are hash-checked under.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    code_rows, query_rows = _collect_pq_inputs(spark, sf_dir)
+    C = np.array([r.emb for r in code_rows])  # (codes, dim)
+    sub = EMBEDDING_DIM // PQ_M
+    # (PQ_M, codes, sub): codebook; (PQ_M, codes): codeword sq-norms.
+    Csub = np.stack([C[:, s * sub : (s + 1) * sub] for s in range(PQ_M)])
+    cc = np.einsum("sjd,sjd->sj", Csub, Csub)
+    Q = np.array([r.emb for r in query_rows])
+    qids = np.array([r.vec_id for r in query_rows])
+    qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    # LUT[s, q, j] = dot(q_sub_s, codeword_sj)
+    Qsub = np.stack([Q[:, s * sub : (s + 1) * sub] for s in range(PQ_M)])
+    lut = np.einsum("sqd,sjd->sqj", Qsub, Csub)
+    k = TOPK_K
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["emb"].to_numpy())
+            vec_ids = pdf["vec_id"].to_numpy()
+            # Encode: per-subspace argmax of round6(x·c - ||c||²/2),
+            # ties to the smallest codeword index (argmax is
+            # first-occurrence).
+            codes = np.empty((len(M), PQ_M), dtype=np.int64)
+            for s in range(PQ_M):
+                ascore = np.round(
+                    M[:, s * sub : (s + 1) * sub] @ Csub[s].T - 0.5 * cc[s], 6
+                )
+                codes[:, s] = ascore.argmax(axis=1)
+            # ADC: adc[q, b] = Σ_s lut[s, q, codes[b, s]]
+            adc = np.zeros((len(qids), len(M)))
+            rec2 = np.zeros(len(M))
+            for s in range(PQ_M):
+                adc += lut[s][:, codes[:, s]]
+                rec2 += cc[s][codes[:, s]]
+            sims = np.round(
+                adc / (qnorm[:, None] * np.sqrt(rec2)[None, :]), 6
+            )
+            outs = []
+            for qi in range(len(qids)):
+                keep = vec_ids != qids[qi]
+                ids_q, s_q = vec_ids[keep], sims[qi][keep]
+                order = np.lexsort((ids_q, -s_q))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": qids[qi],
+                            "vec_b": ids_q[order],
+                            "adc_sim": s_q[order],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    cands = (
+        fan_out(emb)
+        .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+        .mapInPandas(score_batches, "vec_a long, vec_b long, adc_sim double")
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("adc_sim"), F.col("vec_b"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_K)
+        .select("vec_a", "vec_b", "adc_sim", "rank")
+    )
+
+
+def _pq_oracle() -> str:
+    """DuckDB oracle for :func:`ann_pq_adc_topk` — codebook sample,
+    per-subspace assignment, LUT scoring and the cosine normalization
+    all recomputed in SQL from the same table (the strided codebook is
+    deterministic, so no literals are needed)."""
+    return f"""
+{_ORACLE_VECTOR_CTE},
+{_pq_cte()}
+SELECT vec_a, vec_b, adc_sim, rank FROM pq_topk
+"""
+
+
+def _pq_cte() -> str:
+    """CTE chain (no WITH header) from v/norms to ``pq_topk``.
+    Subspace of component ``i`` (1-based) is ``(i-1) // sub``."""
+    sub = EMBEDDING_DIM // PQ_M
+    return f"""
+pq_cids AS (
+  SELECT vec_id AS cid FROM embeddings
+  WHERE vec_id % {PQ_ID_STRIDE} = 0
+  ORDER BY vec_id LIMIT {PQ_CODES}
+), pq_j AS (
+  SELECT cid, CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS BIGINT) AS j
+  FROM pq_cids
+), pq_csub AS (
+  SELECT pj.j, (v.i - 1) // {sub} AS s, v.i, v.x
+  FROM v JOIN pq_j pj ON v.vec_id = pj.cid
+), pq_cc AS (
+  SELECT j, s, SUM(x * x) AS cc FROM pq_csub GROUP BY j, s
+), pq_xc AS (
+  SELECT v.vec_id, cs.j, cs.s, SUM(v.x * cs.x) AS xc
+  FROM v JOIN pq_csub cs ON cs.i = v.i
+  GROUP BY v.vec_id, cs.j, cs.s
+), pq_codes AS (
+  SELECT vec_id, s, j AS code, cc
+  FROM (
+    SELECT x.vec_id, x.s, x.j, c.cc,
+           ROUND(x.xc - 0.5 * c.cc, 6) AS ascore
+    FROM pq_xc x JOIN pq_cc c ON c.j = x.j AND c.s = x.s
+  )
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                             ORDER BY ascore DESC, j) = 1
+), pq_adc AS (
+  SELECT q.vec_id AS vec_a, b.vec_id AS vec_b,
+         SUM(q.xc) AS adc_dot, SUM(b.cc) AS rec2
+  FROM pq_codes b
+  JOIN pq_xc q ON q.s = b.s AND q.j = b.code
+  WHERE q.vec_id < {N_QUERY_VECTORS} AND q.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), pq_scored AS (
+  SELECT a.vec_a, a.vec_b,
+         ROUND(a.adc_dot / (n.nrm * SQRT(a.rec2)), 6) AS adc_sim
+  FROM pq_adc a JOIN norms n ON n.vec_id = a.vec_a
+), pq_topk AS (
+  SELECT vec_a, vec_b, adc_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+              ORDER BY adc_sim DESC, vec_b) AS INTEGER) AS rank
+  FROM pq_scored
+  QUALIFY rank <= {TOPK_K}
+)"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QueryDef("embedding_neardup_pairs", embedding_neardup_pairs, NEARDUP_ORACLE, "cosine near-dup pairs"),
@@ -1022,5 +1227,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("embedding_quantize", embedding_quantize, EMBEDDING_QUANTIZE_ORACLE, "SQ8 absmax quantization error report"),
     QueryDef("ann_lsh_topk", ann_lsh_topk, _lsh_oracle(), "LSH-bucketed ANN top-k"),
     QueryDef("ann_ivf_topk", ann_ivf_topk, _ivf_oracle(), "IVF-list ANN top-k"),
+    QueryDef("ann_pq_adc_topk", ann_pq_adc_topk, _pq_oracle(), "product-quantization ADC top-k (32x-compressed scan)"),
     QueryDef("ann_recall_report", ann_recall_report, _recall_oracle(), "recall@k audit of LSH/IVF vs exact baseline"),
 ]

@@ -146,6 +146,87 @@ def test_ivf_ann_recall_vs_exact(spark):
     assert len(approx & exact) >= len(exact) * 0.3
 
 
+def test_pq_adc_matches_numpy_recompute(spark):
+    """Full PQ pipeline (codebook, per-subspace encoding, ADC LUT
+    scoring, top-k) against a single-machine numpy recompute over the
+    collected corpus — independent of the DuckDB oracle."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        N_QUERY_VECTORS,
+        PQ_CODES,
+        PQ_ID_STRIDE,
+        PQ_M,
+        TOPK_K,
+        ann_pq_adc_topk,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.vec_a, r.rank): (r.vec_b, r.adc_sim)
+        for r in ann_pq_adc_topk(spark, SF).collect()
+    }
+    rows = sorted(
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    cb_ids = [i for i in ids if i % PQ_ID_STRIDE == 0][:PQ_CODES]
+    C = X[np.isin(ids, cb_ids)]
+    sub = EMBEDDING_DIM // PQ_M
+    Csub = np.stack([C[:, s * sub : (s + 1) * sub] for s in range(PQ_M)])
+    cc = np.einsum("sjd,sjd->sj", Csub, Csub)
+    codes = np.stack(
+        [
+            np.round(X[:, s * sub : (s + 1) * sub] @ Csub[s].T - 0.5 * cc[s], 6).argmax(axis=1)
+            for s in range(PQ_M)
+        ],
+        axis=1,
+    )
+    qmask = ids < N_QUERY_VECTORS
+    Q, qids = X[qmask], ids[qmask]
+    qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    adc = np.zeros((len(qids), len(ids)))
+    rec2 = np.zeros(len(ids))
+    for s in range(PQ_M):
+        lut = Q[:, s * sub : (s + 1) * sub] @ Csub[s].T
+        adc += lut[:, codes[:, s]]
+        rec2 += cc[s][codes[:, s]]
+    sims = np.round(adc / (qnorm[:, None] * np.sqrt(rec2)[None, :]), 6)
+    expected = {}
+    for qi, qid in enumerate(qids):
+        keep = ids != qid
+        order = np.lexsort((ids[keep], -sims[qi][keep]))[:TOPK_K]
+        for rank, oi in enumerate(order, start=1):
+            expected[(qid, rank)] = (ids[keep][oi], sims[qi][keep][oi])
+    assert set(got) == set(expected)
+    for key, (vb, s) in expected.items():
+        assert got[key][0] == vb
+        assert got[key][1] == pytest.approx(s, abs=1e-9)
+
+
+def test_pq_codes_compress_not_degenerate(spark):
+    """PQ is lossy but must not collapse: the reported ADC sims stay
+    in the cosine range and every query gets exactly TOPK_K ranked
+    neighbors with no self-matches."""
+    from duckdb_gsheets_spark.operators.similarity import (
+        N_QUERY_VECTORS,
+        TOPK_K,
+        ann_pq_adc_topk,
+    )
+
+    rows = ann_pq_adc_topk(spark, SF).collect()
+    assert len(rows) == N_QUERY_VECTORS * TOPK_K
+    for r in rows:
+        assert r.vec_a != r.vec_b
+        assert -1.000001 <= r.adc_sim <= 1.000001
+        assert 1 <= r.rank <= TOPK_K
+
+
 def test_ivf_assignment_covers_corpus(spark):
     from duckdb_gsheets_spark.operators.similarity import ivf_assignments
     from duckdb_gsheets_spark.plans.catalog import load_table
@@ -387,15 +468,21 @@ def test_ann_recall_report_matches_direct_recount(spark):
         ann_cosine_topk,
         ann_ivf_topk,
         ann_lsh_topk,
+        ann_pq_adc_topk,
         ann_recall_report,
     )
 
     got = {r.method: r for r in ann_recall_report(spark, SF).collect()}
+    assert set(got) == {"lsh", "ivf", "pq"}
     exact = {
         (r.vec_a, r.vec_b) for r in ann_cosine_topk(spark, SF).collect()
     }
     queries = {a for a, _ in exact}
-    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+    for method, fn in (
+        ("lsh", ann_lsh_topk),
+        ("ivf", ann_ivf_topk),
+        ("pq", ann_pq_adc_topk),
+    ):
         approx = {(r.vec_a, r.vec_b) for r in fn(spark, SF).collect()}
         per_q = {
             q: len({p for p in exact & approx if p[0] == q})
