@@ -11,7 +11,7 @@ against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_gsheets_spark.functions import text as T
@@ -285,6 +285,142 @@ FROM documents b FULL OUTER JOIN updates u ON b.doc_id = u.doc_id
 """
 
 
+#: SCD2 snapshot count and the deterministic per-version mutation
+#: rules (who is updated / deleted in each snapshot).
+SCD2_VERSIONS = 3
+_SCD2_ABSENT = "__absent__"
+
+
+def _scd2_state(version: int) -> str:
+    """DuckDB CASE expression for a doc's content hash at ``version``
+    (``_SCD2_ABSENT`` when the doc is deleted in that snapshot). The
+    Spark builder mirrors this branch-for-branch."""
+    if version == 1:
+        return "md5(text)"
+    upd7 = f"md5({T.oracle_normalized()})"
+    if version == 2:
+        return (
+            f"CASE WHEN doc_id % 13 = 0 THEN '{_SCD2_ABSENT}' "
+            f"WHEN doc_id % 7 = 0 THEN {upd7} ELSE md5(text) END"
+        )
+    return (
+        f"CASE WHEN doc_id % 13 = 0 THEN '{_SCD2_ABSENT}' "
+        f"WHEN doc_id % 5 = 0 THEN md5(upper(text)) "
+        f"WHEN doc_id % 7 = 0 THEN {upd7} ELSE md5(text) END"
+    )
+
+
+def corpus_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of the corpus across
+    ``SCD2_VERSIONS`` deterministic snapshots — the versioned-corpus
+    ledger a reproducible training run pins its data lineage to
+    (Kimball SCD type 2 over snapshot ingests).
+
+    Snapshot rules (synthetic but deterministic, like the upsert's CDC
+    batch): v1 is the base corpus; from v2 every 13th doc is deleted
+    and every 7th re-ingested with normalized text; v3 additionally
+    re-ingests every 5th doc uppercased. The operator itself is the
+    general gaps-and-islands build: one row per (doc, unbroken run of
+    identical content), with the version interval and a current flag.
+
+    Plan shape, sized for 100 TB: the version grid is a NARROW
+    explode (corpus × SCD2_VERSIONS, fused into the scan — no join
+    against snapshot tables because the mutations are expressions),
+    then ONE hash-partition on doc_id serves both the change-point
+    window and the island rollup (same key → Catalyst reuses the
+    exchange). No broadcast, no skew (doc_id is unique per partition
+    stream).
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    base_md5 = F.md5("text")
+    upd7 = F.md5(T.normalized(F.col("text")))
+    upd5 = F.md5(F.upper("text"))
+    state = (
+        F.when(F.col("version") == 1, base_md5)
+        .when(F.col("doc_id") % 13 == 0, F.lit(_SCD2_ABSENT))
+        .when(F.col("version") == 3,
+              F.when(F.col("doc_id") % 5 == 0, upd5)
+              .when(F.col("doc_id") % 7 == 0, upd7)
+              .otherwise(base_md5))
+        .when(F.col("doc_id") % 7 == 0, upd7)
+        .otherwise(base_md5)
+    )
+    grid = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(SCD2_VERSIONS))
+        ).alias("v"),
+        "text",
+    ).select(
+        "doc_id", F.col("v").cast("long").alias("version"), "text"
+    ).select("doc_id", "version", state.alias("state"))
+    w = Window.partitionBy("doc_id").orderBy("version")
+    islands = (
+        grid.withColumn(
+            "chg",
+            (
+                F.coalesce(
+                    F.lag("state").over(w) != F.col("state"), F.lit(True)
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "island",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        islands.where(F.col("state") != _SCD2_ABSENT)
+        .groupBy("doc_id", "island", "state")
+        .agg(
+            F.min("version").alias("valid_from"),
+            F.max("version").alias("valid_to"),
+        )
+        .select(
+            "doc_id",
+            F.col("state").alias("text_md5"),
+            "valid_from",
+            "valid_to",
+            (F.col("valid_to") == SCD2_VERSIONS).alias("is_current"),
+        )
+    )
+
+
+CORPUS_SCD2_ORACLE = f"""
+WITH grid AS (
+  SELECT doc_id, version,
+         CASE version
+           WHEN 1 THEN {_scd2_state(1)}
+           WHEN 2 THEN ({_scd2_state(2)})
+           ELSE ({_scd2_state(3)})
+         END AS state
+  FROM documents CROSS JOIN range(1, {SCD2_VERSIONS} + 1) AS r(version)
+  WHERE text IS NOT NULL
+), flagged AS (
+  SELECT doc_id, version, state,
+         CASE WHEN state IS DISTINCT FROM
+                   LAG(state) OVER (PARTITION BY doc_id ORDER BY version)
+              THEN 1 ELSE 0 END AS chg
+  FROM grid
+), islands AS (
+  SELECT doc_id, version, state,
+         SUM(chg) OVER (PARTITION BY doc_id ORDER BY version
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, state AS text_md5,
+       MIN(version) AS valid_from, MAX(version) AS valid_to,
+       MAX(version) = {SCD2_VERSIONS} AS is_current
+FROM islands
+WHERE state <> '{_SCD2_ABSENT}'
+GROUP BY doc_id, island, state
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "pipeline_training_corpus",
@@ -303,5 +439,11 @@ QUERIES: list[QueryDef] = [
         pipeline_curated_corpus,
         _curated_oracle(),
         "gopher-gate→dedup→rebalance composed pipeline (round 2)",
+    ),
+    QueryDef(
+        "corpus_scd2_history",
+        corpus_scd2_history,
+        CORPUS_SCD2_ORACLE,
+        "SCD type-2 versioned corpus ledger (gaps-and-islands over snapshots)",
     ),
 ]

@@ -1218,6 +1218,55 @@ def test_duplicate_passages_match_python_recompute(spark):
     assert all(r.n_occurrences >= PASSAGE_MIN_OCC for r in rows)
 
 
+def test_scd2_history_matches_python_recompute(spark):
+    """SCD2 intervals against a direct Python replay of the three
+    snapshot rules (independent of the DuckDB oracle)."""
+    import hashlib
+    import re
+
+    from duckdb_gsheets_spark.operators.pipeline import (
+        SCD2_VERSIONS,
+        corpus_scd2_history,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = sorted(
+        (r.doc_id, r.valid_from, r.valid_to, r.text_md5, r.is_current)
+        for r in corpus_scd2_history(spark, SF).collect()
+    )
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def state(doc_id: int, text: str, v: int) -> str | None:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        if v == 1:
+            return md5(text)
+        if doc_id % 13 == 0:
+            return None  # deleted from v2 on
+        if v == 3 and doc_id % 5 == 0:
+            return md5(text.upper())
+        if doc_id % 7 == 0:
+            return md5(norm)
+        return md5(text)
+
+    expected = []
+    for r in load_table(spark, SF, "documents").select("doc_id", "text").collect():
+        if r.text is None:
+            continue
+        states = [state(r.doc_id, r.text, v) for v in range(1, SCD2_VERSIONS + 1)]
+        runs: list[tuple[int, int, str | None]] = []
+        for v, s in enumerate(states, start=1):
+            if runs and runs[-1][2] == s:
+                runs[-1] = (runs[-1][0], v, s)
+            else:
+                runs.append((v, v, s))
+        for frm, to, s in runs:
+            if s is not None:
+                expected.append((r.doc_id, frm, to, s, to == SCD2_VERSIONS))
+    assert got == sorted(expected)
+
+
 def test_kmeans_matches_numpy_recompute(spark):
     """Same-recipe spherical Lloyd in numpy over the collected corpus
     must reproduce sizes and (to rounding) the per-cluster stats."""

@@ -218,3 +218,15 @@ def test_duplicate_passages_count_shuffle_never_carries_text(spark):
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert exchanges, "expected the count-phase hash shuffle"
     assert all("passage_hash" in ln or "passage" not in ln for ln in exchanges)
+
+
+def test_scd2_history_single_doc_id_exchange(spark):
+    """The SCD2 build must hash-partition on doc_id ONCE: the
+    change-point window and the island rollup share the same key, so
+    Catalyst must reuse the exchange (no second shuffle, no join)."""
+    plan = _plan(spark, "corpus_scd2_history")
+    assert "Join" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(set(exchanges)) == 1
