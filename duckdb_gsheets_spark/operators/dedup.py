@@ -577,14 +577,16 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return shingled.select("doc_id", "shingles", sig.alias("signature"))
 
 
-def _minhash_candidates(sigs: DataFrame) -> DataFrame:
-    """Distinct banded-LSH candidate pairs (doc_a < doc_b) from a
-    signature frame. Slim band rows (no shingle payload): the band
-    self-join shuffles only (doc_id, band_idx, band_hash); payloads
-    attach per surviving candidate afterwards."""
+def _band_rows(sigs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Slim ``(doc_id, band_idx, band_hash)`` LSH band rows from a
+    signature frame — no shingle payload by default, so any join over
+    them shuffles only 24 bytes/row/band. ``carry`` rides extra
+    columns through the explode for callers that must stay
+    single-stream (the streaming twin can't re-join its own stream)."""
     n_bands = MINHASH_PERMS // MINHASH_BAND_ROWS
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -603,7 +605,15 @@ def _minhash_candidates(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    ).select("doc_id", *carry, "band.band_idx", "band.band_hash")
+
+
+def _minhash_candidates(sigs: DataFrame) -> DataFrame:
+    """Distinct banded-LSH candidate pairs (doc_a < doc_b) from a
+    signature frame. Slim band rows (no shingle payload): the band
+    self-join shuffles only (doc_id, band_idx, band_hash); payloads
+    attach per surviving candidate afterwards."""
+    bands = _band_rows(sigs)
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band_idx", "band_hash"])
@@ -1407,6 +1417,169 @@ GROUP BY 1, 2
 """
 
 
+#: Incremental-dedup delta batch: the slice of the corpus standing in
+#: for a freshly-crawled ingest (deterministic and present at every
+#: SF — the generator assigns sources round-robin).
+DELTA_SOURCE = "src19"
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW ingest batch against the existing corpus — the
+    shape a 100 TB pipeline actually runs daily. Re-deduping the whole
+    corpus per ingest is O(corpus); checking the delta against a
+    persisted fingerprint/signature index is O(delta), and this
+    operator is that check: per batch document, an ``exact_dup`` /
+    ``near_dup`` / ``unique`` verdict with the match count and the
+    smallest matching corpus doc.
+
+    Two index probes, both broadcasting the DELTA (the corpus side —
+    in production the persisted index — never shuffles):
+
+    * exact: batch fingerprints broadcast against corpus
+      fingerprints (md5 of normalized text, same rule as
+      :func:`dedup_exact`);
+    * near: batch LSH band rows broadcast against corpus band rows
+      (same 16-perm/8-band MinHash family as
+      :func:`dedup_minhash_lsh`), candidates verified with exact
+      shingle Jaccard ≥ ``MINHASH_JACCARD_THRESHOLD``.
+
+    Exact matches take precedence in the verdict; ``best_match`` is
+    -1 for unique docs (sentinel instead of NULL so the id column
+    stays int64 end to end). Intra-batch duplicates are out of scope
+    by contract — the delta self-join is the ordinary
+    :func:`dedup_minhash_lsh` over a small frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("source") == DELTA_SOURCE)
+    corpus = docs.where(F.col("source") != DELTA_SOURCE)
+    b_fp = batch.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+    c_fp = corpus.select(
+        T.fingerprint(F.col("text")).alias("fp"),
+        F.col("doc_id").alias("c_id"),
+    )
+    exact = (
+        F.broadcast(b_fp)
+        .join(c_fp, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.min("c_id").alias("best_exact"),
+        )
+    )
+    sigs_b = minhash_signatures(batch)
+    sigs_c = minhash_signatures(corpus)
+    cands = (
+        F.broadcast(_band_rows(sigs_b).withColumnRenamed("doc_id", "b_id"))
+        .join(
+            _band_rows(sigs_c).withColumnRenamed("doc_id", "c_id"),
+            ["band_idx", "band_hash"],
+        )
+        .select("b_id", "c_id")
+        .distinct()
+    )
+    jaccard = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        6,
+    )
+    near = (
+        cands.join(
+            F.broadcast(
+                sigs_b.select(
+                    F.col("doc_id").alias("b_id"),
+                    F.col("shingles").alias("sh_a"),
+                )
+            ),
+            "b_id",
+        )
+        .join(
+            sigs_c.select(
+                F.col("doc_id").alias("c_id"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "c_id",
+        )
+        .where(jaccard >= MINHASH_JACCARD_THRESHOLD)
+        .groupBy("b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.min("c_id").alias("best_near"),
+        )
+        .withColumnRenamed("b_id", "doc_id")
+    )
+    return (
+        batch.select("doc_id")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_exact") > 0, "exact_dup")
+            .when(F.col("n_near") > 0, "near_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+            F.coalesce(
+                F.when(F.col("n_exact") > 0, F.col("n_exact")).otherwise(
+                    F.col("n_near")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_matches"),
+            F.coalesce(
+                F.when(F.col("n_exact") > 0, F.col("best_exact")).otherwise(
+                    F.col("best_near")
+                ),
+                F.lit(-1).cast("long"),
+            ).alias("best_match"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH {_minhash_core_sql()},
+inc_bfp AS (
+  SELECT doc_id, {T.oracle_fingerprint()} AS fp
+  FROM documents WHERE source = '{DELTA_SOURCE}'
+), inc_cfp AS (
+  SELECT doc_id AS c_id, {T.oracle_fingerprint()} AS fp
+  FROM documents WHERE source <> '{DELTA_SOURCE}'
+), inc_exact AS (
+  SELECT b.doc_id, COUNT(*) AS n_exact, MIN(c.c_id) AS best_exact
+  FROM inc_bfp b JOIN inc_cfp c USING (fp)
+  GROUP BY 1
+), inc_cands AS (
+  SELECT DISTINCT bb.doc_id AS b_id, cb.doc_id AS c_id
+  FROM mh_bands bb
+  JOIN mh_bands cb
+    ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
+  JOIN documents db ON db.doc_id = bb.doc_id
+  JOIN documents dc ON dc.doc_id = cb.doc_id
+  WHERE db.source = '{DELTA_SOURCE}' AND dc.source <> '{DELTA_SOURCE}'
+), inc_near AS (
+  SELECT n.b_id AS doc_id, COUNT(*) AS n_near, MIN(n.c_id) AS best_near
+  FROM inc_cands n
+  JOIN mh_sigs sa ON sa.doc_id = n.b_id
+  JOIN mh_sigs sb ON sb.doc_id = n.c_id
+  WHERE ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / CAST(len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+          6) >= {MINHASH_JACCARD_THRESHOLD}
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       CASE WHEN e.n_exact > 0 THEN 'exact_dup'
+            WHEN v.n_near > 0 THEN 'near_dup'
+            ELSE 'unique' END AS verdict,
+       COALESCE(CASE WHEN e.n_exact > 0 THEN e.n_exact ELSE v.n_near END,
+                0) AS n_matches,
+       COALESCE(CASE WHEN e.n_exact > 0 THEN e.best_exact ELSE v.best_near END,
+                -1) AS best_match
+FROM (SELECT doc_id FROM documents WHERE source = '{DELTA_SOURCE}') b
+LEFT JOIN inc_exact e ON e.doc_id = b.doc_id
+LEFT JOIN inc_near v ON v.doc_id = b.doc_id
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact fingerprint dedup"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "token Jaccard pairs"),
@@ -1418,4 +1591,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE, "transitive near-dup clusters via recursive min-label CTE"),
     QueryDef("dedup_savings_report", dedup_savings_report, DEDUP_SAVINGS_ORACLE, "per-language doc/token retention after transitive dedup"),
     QueryDef("source_overlap_matrix", source_overlap_matrix, SOURCE_OVERLAP_ORACLE, "cross-source near-dup provenance-leakage matrix"),
+    QueryDef("dedup_incremental_batch", dedup_incremental_batch, DEDUP_INCREMENTAL_ORACLE, "delta-vs-corpus incremental dedup verdicts (O(delta) ingest check)"),
 ]

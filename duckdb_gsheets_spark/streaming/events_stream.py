@@ -411,3 +411,77 @@ def streaming_contamination_counts(
         .agg(F.count(F.lit(1)).alias("n_matched_ngrams"))
     )
     return run_to_memory(matched, output_mode="complete")
+
+
+def streaming_incremental_dedup_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream–static twin of operators.dedup.dedup_incremental_batch:
+    the ingest DELTA arrives as a stream, the corpus index
+    (fingerprints, LSH band rows, shingle sets — the persisted
+    artifact a production ingest gate loads) is static, and every
+    micro-batch probes it statelessly: an exact fingerprint join and a
+    band join + shingle-Jaccard verification. Candidate pairs dedup
+    through stateful ``dropDuplicates`` (a pair can recur across
+    bands), then ONE complete-mode aggregation rolls up per-document
+    match counts — streaming allows a single stateful aggregation, so
+    the exact/near verdict resolves in a stateless projection AFTER
+    the rollup.
+
+    Output: flagged delta docs only (a doc with no matches is unique
+    and never enters the sink) — the batch-equality test checks the
+    flagged set and the verdicts against the batch operator.
+    """
+    from duckdb_gsheets_spark.functions import text as T
+    from duckdb_gsheets_spark.operators.dedup import (
+        DELTA_SOURCE,
+        MINHASH_JACCARD_THRESHOLD,
+        _band_rows,
+        minhash_signatures,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents").where(
+        F.col("source") != DELTA_SOURCE
+    )
+    c_fp = corpus.select(
+        T.fingerprint(F.col("text")).alias("fp"),
+        F.col("doc_id").alias("c_id"),
+    )
+    sigs_c = minhash_signatures(corpus)
+    c_bands = _band_rows(sigs_c).withColumnRenamed("doc_id", "c_id")
+    c_shingles = sigs_c.select(
+        F.col("doc_id").alias("c_id"), F.col("shingles").alias("sh_b")
+    )
+
+    stream = read_documents_stream(spark, sf_dir).where(
+        F.col("source") == DELTA_SOURCE
+    )
+    exact_hits = (
+        stream.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .join(c_fp, "fp")
+        .select("doc_id", F.lit("exact").alias("kind"))
+    )
+    sigs_b = minhash_signatures(stream)
+    jaccard = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        6,
+    )
+    near_hits = (
+        _band_rows(sigs_b, carry=("shingles",))
+        .withColumnsRenamed({"doc_id": "b_id", "shingles": "sh_a"})
+        .join(c_bands, ["band_idx", "band_hash"])
+        .dropDuplicates(["b_id", "c_id"])
+        .join(F.broadcast(c_shingles), "c_id")
+        .where(jaccard >= MINHASH_JACCARD_THRESHOLD)
+        .select(F.col("b_id").alias("doc_id"), F.lit("near").alias("kind"))
+    )
+    counts = (
+        exact_hits.unionByName(near_hits)
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("kind") == "exact").cast("long")).alias("n_exact"),
+            F.sum((F.col("kind") == "near").cast("long")).alias("n_near"),
+        )
+    )
+    return run_to_memory(counts, output_mode="complete")

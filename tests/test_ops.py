@@ -1218,6 +1218,65 @@ def test_duplicate_passages_match_python_recompute(spark):
     assert all(r.n_occurrences >= PASSAGE_MIN_OCC for r in rows)
 
 
+def test_incremental_dedup_consistent_with_full_dedup(spark):
+    """The delta-vs-corpus incremental check must agree with the
+    registered full-corpus operators: exact verdicts with a direct
+    fingerprint recompute, near verdicts with the dedup_minhash_lsh
+    pair set restricted to (batch, corpus) pairs."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        DELTA_SOURCE,
+        dedup_incremental_batch,
+        dedup_minhash_lsh,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "source"
+    ).collect()
+    source = {r.doc_id: r.source for r in docs}
+
+    def fp(text: str) -> str:
+        return hashlib.md5(
+            re.sub(r"\s+", " ", text.lower()).strip().encode()
+        ).hexdigest()
+
+    corpus_fps = defaultdict(list)
+    for r in docs:
+        if r.source != DELTA_SOURCE and r.text is not None:
+            corpus_fps[fp(r.text)].append(r.doc_id)
+    exact = {
+        r.doc_id: sorted(corpus_fps[fp(r.text)])
+        for r in docs
+        if r.source == DELTA_SOURCE
+        and r.text is not None
+        and corpus_fps[fp(r.text)]
+    }
+    near = defaultdict(list)
+    for p in dedup_minhash_lsh(spark, SF).collect():
+        for b, c in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
+            if source[b] == DELTA_SOURCE and source[c] != DELTA_SOURCE:
+                near[b].append(c)
+
+    got = {r.doc_id: r for r in dedup_incremental_batch(spark, SF).collect()}
+    assert set(got) == {r.doc_id for r in docs if r.source == DELTA_SOURCE}
+    for doc_id, r in got.items():
+        if doc_id in exact:
+            assert r.verdict == "exact_dup"
+            assert r.n_matches == len(exact[doc_id])
+            assert r.best_match == exact[doc_id][0]
+        elif doc_id in near:
+            assert r.verdict == "near_dup"
+            assert r.n_matches == len(near[doc_id])
+            assert r.best_match == min(near[doc_id])
+        else:
+            assert r.verdict == "unique"
+            assert r.n_matches == 0 and r.best_match == -1
+
+
 def test_scd2_history_matches_python_recompute(spark):
     """SCD2 intervals against a direct Python replay of the three
     snapshot rules (independent of the DuckDB oracle)."""

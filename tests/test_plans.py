@@ -230,3 +230,13 @@ def test_scd2_history_single_doc_id_exchange(spark):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(set(exchanges)) == 1
+
+
+def test_incremental_dedup_broadcasts_delta_never_shuffles_corpus(spark):
+    """Both index probes must broadcast the DELTA side: the corpus
+    (the persisted index at scale) may not hash-exchange for the
+    joins, and no cartesian may appear."""
+    plan = _plan(spark, "dedup_incremental_batch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # fp probe + band probe + rollup joins

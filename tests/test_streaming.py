@@ -261,3 +261,30 @@ def test_streaming_contamination_matches_batch(spark):
         for r in contamination_ngram(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_streaming_incremental_dedup_matches_batch(spark):
+    """The stream-static ingest gate must flag exactly the docs the
+    batch incremental dedup flags, with the same verdicts and match
+    counts (n_exact for exact dups, n_near for near dups)."""
+    from duckdb_gsheets_spark.operators.dedup import dedup_incremental_batch
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_incremental_dedup_counts,
+    )
+
+    got = {
+        r.doc_id: (r.n_exact, r.n_near)
+        for r in streaming_incremental_dedup_counts(spark, SF).collect()
+    }
+    batch = {
+        r.doc_id: (r.verdict, r.n_matches)
+        for r in dedup_incremental_batch(spark, SF).collect()
+    }
+    flagged = {d: v for d, v in batch.items() if v[0] != "unique"}
+    assert set(got) == set(flagged)
+    for doc_id, (verdict, n_matches) in flagged.items():
+        n_exact, n_near = got[doc_id]
+        if verdict == "exact_dup":
+            assert n_exact == n_matches and n_exact > 0
+        else:
+            assert n_exact == 0 and n_near == n_matches > 0
