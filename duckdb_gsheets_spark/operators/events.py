@@ -966,8 +966,65 @@ FROM stats
 """
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every (from_type → to_type) pair of CONSECUTIVE
+    events of the same user, the transition count and the row-
+    normalized probability — the behavioral model behind next-action
+    prediction and funnel-anomaly alerts.
+
+    One hash partition on user_id feeds the lag window (total order:
+    ts with event_id tiebreak, so simultaneous events sequence
+    deterministically); the transition rollup then reduces to
+    |types|² rows immediately, and the probability normalization is a
+    window over those few rows — no second data-sized shuffle.
+    Probabilities are exact-integer ratios rounded once (count /
+    row-total), so both engines agree bitwise.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row = Window.partitionBy("from_type")
+    return steps.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(row).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+EVENTS_MARKOV_ORACLE = """
+WITH steps AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), counted AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM steps WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                    AS DOUBLE), 6) AS prob
+FROM counted
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
+    QueryDef("events_markov_transitions", events_markov_transitions, EVENTS_MARKOV_ORACLE, "first-order event-type Markov transition matrix"),
     QueryDef("events_pivot", events_pivot, EVENTS_PIVOT_ORACLE, "pivot by event type"),
     QueryDef("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_ORACLE, "gap sessionization"),
     QueryDef("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE, "as-of join"),

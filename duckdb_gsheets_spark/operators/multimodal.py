@@ -310,8 +310,55 @@ FROM sliced
 """
 
 
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY payload column — the media twin of
+    :func:`operators.dedup.dedup_exact`. Image/audio corpora are
+    dup-dense (mirrors, re-uploads, thumbnails of the same asset), and
+    the first pass is always a byte-identical collapse: group by
+    (format, md5(payload)), keep the smallest doc_id, report copies
+    and the bytes a dedup would reclaim.
+
+    One shuffle on the 16-byte content hash (uniform by construction);
+    the payload itself never shuffles — only its hash and length leave
+    the scan stage. At 100 TB with pointer columns the same plan holds
+    with md5 precomputed at ingest.
+    """
+    media = media_table(spark, sf_dir)
+    return (
+        media.select(
+            "doc_id",
+            "format",
+            F.md5("payload").alias("payload_md5"),
+            F.col("meta.byte_len").alias("byte_len"),
+        )
+        .groupBy("format", "payload_md5")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            (
+                F.max("byte_len").cast("long")
+                * (F.count(F.lit(1)) - F.lit(1))
+            ).alias("reclaimable_bytes"),
+        )
+    )
+
+
+MULTIMODAL_DEDUP_ORACLE = f"""
+SELECT
+  ['png', 'jpeg', 'wav'][CAST(doc_id % {len(FORMATS)} AS INTEGER) + 1] AS format,
+  md5(text) AS payload_md5,
+  MIN(doc_id) AS survivor_doc_id,
+  COUNT(*) AS n_copies,
+  CAST(MAX(octet_length(encode(text))) AS BIGINT) * (COUNT(*) - 1)
+    AS reclaimable_bytes
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("multimodal_metadata", multimodal_metadata, MULTIMODAL_META_ORACLE, "binary+struct metadata"),
+    QueryDef("multimodal_payload_dedup", multimodal_payload_dedup, MULTIMODAL_DEDUP_ORACLE, "byte-identical media dedup on the binary payload hash"),
     QueryDef("multimodal_decode_features", multimodal_decode_features, MULTIMODAL_DECODE_ORACLE, "mapInPandas decode stub"),
     QueryDef("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_ORACLE, "mapInPandas resize planning"),
     QueryDef("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE, "one-to-many frame sampling"),

@@ -1218,6 +1218,80 @@ def test_duplicate_passages_match_python_recompute(spark):
     assert all(r.n_occurrences >= PASSAGE_MIN_OCC for r in rows)
 
 
+def test_markov_transitions_match_python_recompute(spark):
+    """Transition counts and row-normalized probabilities against a
+    direct Python replay of the per-user event order."""
+    from collections import Counter, defaultdict
+
+    from duckdb_gsheets_spark.operators.events import (
+        events_markov_transitions,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob)
+        for r in events_markov_transitions(spark, SF).collect()
+    }
+    by_user = defaultdict(list)
+    for r in load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect():
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    counts: Counter[tuple[str, str]] = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    row_totals = defaultdict(int)
+    for (a, _), n in counts.items():
+        row_totals[a] += n
+    assert {k: v[0] for k, v in got.items()} == dict(counts)
+    for (a, b), (n, prob) in got.items():
+        assert prob == round(n / row_totals[a], 6)
+    # Probabilities per from_type row-normalize to ~1.
+    for a, total in row_totals.items():
+        s = sum(p for (x, _), (_, p) in got.items() if x == a)
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_payload_dedup_matches_python_recompute(spark):
+    """Binary payload dedup against a direct hash of the same UTF-8
+    payload bytes."""
+    import hashlib
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.multimodal import (
+        FORMATS,
+        multimodal_payload_dedup,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.format, r.payload_md5): (
+            r.survivor_doc_id,
+            r.n_copies,
+            r.reclaimable_bytes,
+        )
+        for r in multimodal_payload_dedup(spark, SF).collect()
+    }
+    groups = defaultdict(list)
+    for r in load_table(spark, SF, "documents").select("doc_id", "text").collect():
+        payload = r.text.encode()
+        fmt = FORMATS[r.doc_id % len(FORMATS)]
+        groups[(fmt, hashlib.md5(payload).hexdigest())].append(
+            (r.doc_id, len(payload))
+        )
+    expected = {
+        key: (
+            min(d for d, _ in members),
+            len(members),
+            members[0][1] * (len(members) - 1),
+        )
+        for key, members in groups.items()
+    }
+    assert got == expected
+
+
 def test_incremental_dedup_consistent_with_full_dedup(spark):
     """The delta-vs-corpus incremental check must agree with the
     registered full-corpus operators: exact verdicts with a direct
