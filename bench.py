@@ -50,6 +50,9 @@ HEADLINE = (
     "bm25_search",
     "corpus_resample",
     "embedding_quantize",
+    "duplicate_passages",
+    "dedup_incremental_batch",
+    "ann_pq_adc_topk",
 )
 
 
