@@ -1220,8 +1220,87 @@ pq_cids AS (
 )"""
 
 
+def embedding_doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity report between the documents table and
+    its embedding sidecar (``doc_id`` ↔ ``vec_id``): per language, how
+    many docs exist, how many carry an embedding, and the orphan
+    embeddings with no backing document — the join-coverage audit any
+    multimodal/embedding pipeline runs before training (an unembedded
+    doc silently drops from retrieval; an orphan vector poisons ANN
+    results with unfetchable ids).
+
+    Full-outer join on the id (both sides hash-partition on the key —
+    co-located, one shuffle each), then a |langs|+1-row rollup.
+    Status semantics: rows group by the document's language; orphan
+    embeddings have none and report under the ``__orphan__`` label.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lit(1).alias("is_doc")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_vec")
+    )
+    joined = docs.join(emb, "doc_id", "full_outer")
+    is_doc = F.col("is_doc").isNotNull()
+    has_vec = F.col("has_vec").isNotNull()
+    return (
+        joined.groupBy(
+            F.when(is_doc, F.coalesce("lang", F.lit("__none__")))
+            .otherwise(F.lit("__orphan__"))
+            .alias("lang")
+        )
+        .agg(
+            F.sum(is_doc.cast("long")).alias("n_docs"),
+            F.sum((is_doc & has_vec).cast("long")).alias("n_with_embedding"),
+            F.sum((~is_doc & has_vec).cast("long")).alias(
+                "n_orphan_embeddings"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_with_embedding",
+            F.round(
+                F.when(
+                    F.col("n_docs") > 0,
+                    F.col("n_with_embedding").cast("double")
+                    / F.col("n_docs").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("coverage"),
+            "n_orphan_embeddings",
+        )
+    )
+
+
+EMBEDDING_COVERAGE_ORACLE = """
+WITH joined AS (
+  SELECT d.lang, d.doc_id AS did, e.vec_id AS vid
+  FROM documents d FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id
+)
+SELECT CASE WHEN did IS NOT NULL THEN COALESCE(lang, '__none__')
+            ELSE '__orphan__' END AS lang,
+       CAST(SUM(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs,
+       CAST(SUM(CASE WHEN did IS NOT NULL AND vid IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_embedding,
+       ROUND(CASE WHEN SUM(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END) > 0
+                  THEN CAST(SUM(CASE WHEN did IS NOT NULL AND vid IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                  ELSE 0.0 END, 6) AS coverage,
+       CAST(SUM(CASE WHEN did IS NOT NULL THEN 0
+                     WHEN vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_embeddings
+FROM joined
+GROUP BY 1
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force cosine top-k"),
+    QueryDef("embedding_doc_coverage", embedding_doc_coverage, EMBEDDING_COVERAGE_ORACLE, "doc-embedding referential-integrity coverage report"),
     QueryDef("embedding_neardup_pairs", embedding_neardup_pairs, NEARDUP_ORACLE, "cosine near-dup pairs"),
     QueryDef("embedding_stats", embedding_stats, EMBEDDING_STATS_ORACLE, "norm/dim stats"),
     QueryDef("embedding_quantize", embedding_quantize, EMBEDDING_QUANTIZE_ORACLE, "SQ8 absmax quantization error report"),

@@ -572,8 +572,135 @@ FROM ranked WHERE rank <= 3
 """
 
 
+#: PMI collocation mining: minimum pair count (rarer pairs are
+#: statistical noise) and report size.
+PMI_MIN_COUNT = 5
+PMI_TOPK = 25
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K collocations by pointwise mutual information — the
+    association statistic behind multiword-expression detection
+    (Church & Hanks 1990), complementing :func:`text_bigram_topk`
+    (raw frequency) with "surprisingly often together".
+
+    PMI = log[p(ab) / (p(a)p(b))] is monotone in the exact-integer
+    ratio ``c_ab·N² / (M·c_a·c_b)``, so the report ranks and ships
+    that ratio and never evaluates a transcendental — log is the one
+    elementary function IEEE does NOT pin cross-engine, and the ratio
+    both engines compute bit-identically from exact counts (every
+    division written in the same order on both sides).
+
+    Plan: one token-count shuffle, one bigram-count shuffle (both
+    map-side combined, uniform string keys), the PAIR table filtered
+    to ``count ≥ PMI_MIN_COUNT`` BEFORE the two unigram joins (the
+    filter is what bounds the join input at 100 TB — unfiltered
+    bigram vocabulary is corpus-sized), then TakeOrderedAndProject
+    for the top-K.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    totals = uni.agg(
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    bi = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS left_tok, toks[i] AS right_tok))"
+                )
+            ).alias("p")
+        )
+        .select("p.left_tok", "p.right_tok")
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    m_total = bi.agg(F.sum("n_pair").alias("n_bigrams"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pmi_ratio = F.round(
+        ((d("n_pair") * d("n_tokens")) / (d("n_bigrams") * d("n_left")))
+        * (d("n_tokens") / d("n_right")),
+        6,
+    )
+    return (
+        bi.where(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(
+            uni.select(
+                F.col("tok").alias("left_tok"), F.col("n_tok").alias("n_left")
+            ),
+            "left_tok",
+        )
+        .join(
+            uni.select(
+                F.col("tok").alias("right_tok"),
+                F.col("n_tok").alias("n_right"),
+            ),
+            "right_tok",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(m_total))
+        .select(
+            F.concat_ws(" ", "left_tok", "right_tok").alias("bigram"),
+            "n_pair",
+            "n_left",
+            "n_right",
+            pmi_ratio.alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), "bigram")
+        .limit(PMI_TOPK)
+    )
+
+
+TEXT_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS l
+  FROM documents WHERE text IS NOT NULL
+), uni AS (
+  SELECT tok, COUNT(*) AS n_tok
+  FROM (SELECT unnest(l) AS tok FROM toks)
+  GROUP BY tok
+), totals AS (
+  SELECT SUM(n_tok) AS n_tokens FROM uni
+), bi AS (
+  SELECT left_tok, right_tok, COUNT(*) AS n_pair
+  FROM (
+    SELECT unnest(list_transform(range(1, len(l)), i -> l[i])) AS left_tok,
+           unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS right_tok
+    FROM toks WHERE len(l) >= 2
+  )
+  GROUP BY 1, 2
+), m_total AS (
+  SELECT SUM(n_pair) AS n_bigrams FROM bi
+)
+SELECT b.left_tok || ' ' || b.right_tok AS bigram,
+       b.n_pair, ul.n_tok AS n_left, ur.n_tok AS n_right,
+       ROUND(((CAST(b.n_pair AS DOUBLE) * CAST(t.n_tokens AS DOUBLE))
+              / (CAST(m.n_bigrams AS DOUBLE) * CAST(ul.n_tok AS DOUBLE)))
+             * (CAST(t.n_tokens AS DOUBLE) / CAST(ur.n_tok AS DOUBLE)),
+             6) AS pmi_ratio
+FROM bi b
+JOIN uni ul ON ul.tok = b.left_tok
+JOIN uni ur ON ur.tok = b.right_tok
+CROSS JOIN totals t CROSS JOIN m_total m
+WHERE b.n_pair >= {PMI_MIN_COUNT}
+ORDER BY pmi_ratio DESC, bigram
+LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
+    QueryDef("text_pmi_collocations", text_pmi_collocations, TEXT_PMI_ORACLE, "top-K collocations by exact-ratio PMI (no transcendentals)"),
     QueryDef("text_top_terms", text_top_terms, TEXT_TOP_TERMS_ORACLE, "corpus term frequency top-k"),
     QueryDef("text_bigram_topk", text_bigram_topk, TEXT_BIGRAM_ORACLE, "corpus bigram top-k (narrow HOF build)"),
     QueryDef("text_language_id", text_language_id, TEXT_LANG_ORACLE, "marker-word lang-ID"),

@@ -1218,6 +1218,91 @@ def test_duplicate_passages_match_python_recompute(spark):
     assert all(r.n_occurrences >= PASSAGE_MIN_OCC for r in rows)
 
 
+def test_pmi_collocations_match_python_recompute(spark):
+    """PMI ratios against a direct Python recount of unigram/bigram
+    frequencies, and ranking sanity: every reported pair clears the
+    count floor."""
+    import re
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.text import (
+        PMI_MIN_COUNT,
+        PMI_TOPK,
+        text_pmi_collocations,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = text_pmi_collocations(spark, SF).collect()
+    assert 0 < len(rows) <= PMI_TOPK
+    uni: Counter[str] = Counter()
+    bi: Counter[tuple[str, str]] = Counter()
+    for r in load_table(spark, SF, "documents").select("text").collect():
+        if r.text is None:
+            continue
+        toks = re.split(r"\s+", r.text.strip().lower())
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n_tokens = sum(uni.values())
+    n_bigrams = sum(bi.values())
+    for r in rows:
+        a, b = r.bigram.split(" ")
+        assert r.n_pair == bi[(a, b)] >= PMI_MIN_COUNT
+        assert r.n_left == uni[a] and r.n_right == uni[b]
+        expected = round(
+            ((r.n_pair * n_tokens) / (n_bigrams * r.n_left))
+            * (n_tokens / r.n_right),
+            6,
+        )
+        assert r.pmi_ratio == pytest.approx(expected, abs=1e-9)
+    # The report is the global top-K: no unreported qualifying pair
+    # may beat the weakest reported one.
+    floor = min(r.pmi_ratio for r in rows)
+    if len(rows) == PMI_TOPK:
+        for (a, b), n in bi.items():
+            if n >= PMI_MIN_COUNT:
+                ratio = round(
+                    ((n * n_tokens) / (n_bigrams * uni[a]))
+                    * (n_tokens / uni[b]),
+                    6,
+                )
+                assert ratio <= floor or any(
+                    r.bigram == f"{a} {b}" for r in rows
+                )
+
+
+def test_embedding_doc_coverage_accounts_for_every_row(spark):
+    """The coverage report must partition both tables exactly: doc
+    counts per lang match the documents table, embedded counts match
+    the id intersection, and orphans match the id anti-join."""
+    from duckdb_gsheets_spark.operators.similarity import (
+        embedding_doc_coverage,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = {r.lang: r for r in embedding_doc_coverage(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang").collect()
+    vec_ids = {
+        r.vec_id
+        for r in load_table(spark, SF, "embeddings").select("vec_id").collect()
+    }
+    doc_ids = {r.doc_id for r in docs}
+    from collections import Counter
+
+    per_lang = Counter(r.lang for r in docs)
+    per_lang_emb = Counter(r.lang for r in docs if r.doc_id in vec_ids)
+    for lang, n in per_lang.items():
+        r = rows[lang]
+        assert r.n_docs == n
+        assert r.n_with_embedding == per_lang_emb[lang]
+        assert r.coverage == round(per_lang_emb[lang] / n, 6)
+        assert r.n_orphan_embeddings == 0
+    orphans = len(vec_ids - doc_ids)
+    if orphans:
+        assert rows["__orphan__"].n_orphan_embeddings == orphans
+        assert rows["__orphan__"].n_docs == 0
+    assert sum(r.n_docs for r in rows.values()) == len(docs)
+
+
 def test_markov_transitions_match_python_recompute(spark):
     """Transition counts and row-normalized probabilities against a
     direct Python replay of the per-user event order."""
