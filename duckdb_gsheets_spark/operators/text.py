@@ -698,8 +698,173 @@ LIMIT {PMI_TOPK}
 """
 
 
+#: BPE merge mining: report size for the first-iteration merge table.
+BPE_TOPK = 25
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of BPE tokenizer training (Sennrich et al.
+    2016): count adjacent SYMBOL pairs (characters, at iteration 0)
+    inside words across the corpus and rank merge candidates — the
+    pair with the top count is the first merge a BPE trainer learns.
+
+    The heavy lifting is word-frequency collapsing: pair counting runs
+    over the DISTINCT-WORD table weighted by word frequency (the
+    standard BPE trainer representation), so the char-pair explode is
+    |vocabulary|-sized, not corpus-sized — at 100 TB the word-count
+    shuffle (map-side combined, uniform string keys) reduces the
+    input by orders of magnitude before any character work happens.
+    Then one more map-side-combined count over (left_sym, right_sym)
+    and a TakeOrderedAndProject top-K.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(T.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_freq"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "word_freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> struct(substring(word, i, 1) AS left_sym, "
+                "substring(word, i + 1, 1) AS right_sym))"
+            )
+        ).alias("p"),
+    ).select("p.left_sym", "p.right_sym", "word_freq")
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(
+            F.sum("word_freq").alias("pair_count"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+        )
+        .orderBy(
+            F.desc("pair_count"), "left_sym", "right_sym"
+        )
+        .limit(BPE_TOPK)
+    )
+
+
+BPE_MERGE_ORACLE = f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS word_freq
+  FROM (
+    SELECT unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS word
+    FROM documents WHERE text IS NOT NULL
+  )
+  GROUP BY word
+  HAVING LENGTH(word) >= 2
+), pairs AS (
+  SELECT word_freq,
+         unnest(list_transform(range(1, LENGTH(word)),
+                               i -> word[i:i])) AS left_sym,
+         unnest(list_transform(range(1, LENGTH(word)),
+                               i -> word[i+1:i+1])) AS right_sym
+  FROM words
+)
+SELECT left_sym, right_sym,
+       CAST(SUM(word_freq) AS BIGINT) AS pair_count,
+       COUNT(*) AS n_distinct_words
+FROM pairs
+GROUP BY 1, 2
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT {BPE_TOPK}
+"""
+
+
+#: Char-trigram language profile: profile size per language.
+TRIGRAM_PER_LANG = 10
+
+
+def lang_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profile: the top
+    ``TRIGRAM_PER_LANG`` char 3-grams of each declared language with
+    frequency and corpus share — the TRAINING side of n-gram
+    language-ID (Cavnar & Trenkle 1994): the marker-word classifier in
+    :func:`text_language_id` is the runtime, this builds the profile
+    a real one learns from.
+
+    Narrow trigram explode fused into the scan, one (lang, trigram)
+    map-side-combined count, a |langs|·|trigram|-row per-lang window
+    for the top-K, share as an exact count ratio rounded once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tris = (
+        docs.where(F.col("text").isNotNull() & (F.col("lang").isNotNull()))
+        .select(
+            "lang",
+            F.lower(F.trim(F.col("text"))).alias("t"),
+        )
+        .where(F.length("t") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 2), "
+                    "i -> substring(t, i, 3))"
+                )
+            ).alias("trigram"),
+        )
+    )
+    counts = tris.groupBy("lang", "trigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lang_tot = Window.partitionBy("lang")
+    ranked = Window.partitionBy("lang").orderBy(
+        F.desc("n"), F.col("trigram")
+    )
+    return (
+        counts.withColumn("lang_total", F.sum("n").over(lang_tot))
+        .withColumn("rank", F.row_number().over(ranked))
+        .where(F.col("rank") <= TRIGRAM_PER_LANG)
+        .select(
+            "lang",
+            "rank",
+            "trigram",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("lang_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+LANG_TRIGRAM_ORACLE = f"""
+WITH tris AS (
+  SELECT lang,
+         unnest(list_transform(range(1, LENGTH(t) - 1),
+                               i -> t[i:i+2])) AS trigram
+  FROM (
+    SELECT lang, LOWER(TRIM(text)) AS t
+    FROM documents
+    WHERE text IS NOT NULL AND lang IS NOT NULL
+  )
+  WHERE LENGTH(t) >= 3
+), counts AS (
+  SELECT lang, trigram, COUNT(*) AS n
+  FROM tris GROUP BY 1, 2
+), windowed AS (
+  SELECT lang, trigram, n,
+         SUM(n) OVER (PARTITION BY lang) AS lang_total,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY n DESC, trigram) AS INTEGER) AS rank
+  FROM counts
+)
+SELECT lang, rank, trigram, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(lang_total AS DOUBLE), 6) AS share
+FROM windowed
+WHERE rank <= {TRIGRAM_PER_LANG}
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
+    QueryDef("bpe_merge_candidates", bpe_merge_candidates, BPE_MERGE_ORACLE, "first-iteration BPE merge-pair mining over the weighted word table"),
+    QueryDef("lang_char_trigram_profile", lang_char_trigram_profile, LANG_TRIGRAM_ORACLE, "per-language char-trigram profile (lang-ID training side)"),
     QueryDef("text_pmi_collocations", text_pmi_collocations, TEXT_PMI_ORACLE, "top-K collocations by exact-ratio PMI (no transcendentals)"),
     QueryDef("text_top_terms", text_top_terms, TEXT_TOP_TERMS_ORACLE, "corpus term frequency top-k"),
     QueryDef("text_bigram_topk", text_bigram_topk, TEXT_BIGRAM_ORACLE, "corpus bigram top-k (narrow HOF build)"),

@@ -1218,6 +1218,77 @@ def test_duplicate_passages_match_python_recompute(spark):
     assert all(r.n_occurrences >= PASSAGE_MIN_OCC for r in rows)
 
 
+def test_bpe_merge_candidates_match_python_recompute(spark):
+    """BPE pair table against a direct Python replay of the weighted
+    word-table representation."""
+    import re
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.text import (
+        BPE_TOPK,
+        bpe_merge_candidates,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = bpe_merge_candidates(spark, SF).collect()
+    assert 0 < len(rows) <= BPE_TOPK
+    word_freq: Counter[str] = Counter()
+    for r in load_table(spark, SF, "documents").select("text").collect():
+        if r.text is None:
+            continue
+        word_freq.update(re.split(r"\s+", r.text.strip().lower()))
+    pair_count: Counter[tuple[str, str]] = Counter()
+    n_words: Counter[tuple[str, str]] = Counter()
+    for w, freq in word_freq.items():
+        if len(w) < 2:
+            continue
+        for a, b in zip(w, w[1:]):
+            pair_count[(a, b)] += freq
+            n_words[(a, b)] += 1
+    expected = sorted(
+        pair_count.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:BPE_TOPK]
+    assert [
+        ((r.left_sym, r.right_sym), r.pair_count) for r in rows
+    ] == expected
+    for r in rows:
+        assert r.n_distinct_words == n_words[(r.left_sym, r.right_sym)]
+
+
+def test_lang_trigram_profile_matches_python_recompute(spark):
+    """Per-language trigram top-K against a direct Python recount."""
+    from collections import Counter, defaultdict
+
+    from duckdb_gsheets_spark.operators.text import (
+        TRIGRAM_PER_LANG,
+        lang_char_trigram_profile,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = defaultdict(list)
+    for r in sorted(
+        lang_char_trigram_profile(spark, SF).collect(),
+        key=lambda r: (r.lang, r.rank),
+    ):
+        got[r.lang].append((r.trigram, r.n, r.share))
+    counts: dict[str, Counter[str]] = defaultdict(Counter)
+    for r in load_table(spark, SF, "documents").select("lang", "text").collect():
+        if r.text is None or r.lang is None:
+            continue
+        t = r.text.strip().lower()
+        counts[r.lang].update(t[i : i + 3] for i in range(len(t) - 2))
+    for lang, ctr in counts.items():
+        if not ctr:
+            continue
+        total = sum(ctr.values())
+        expected = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :TRIGRAM_PER_LANG
+        ]
+        assert [(t, n) for t, n, _ in got[lang]] == expected
+        for t, n, share in got[lang]:
+            assert share == round(n / total, 6)
+
+
 def test_pmi_collocations_match_python_recompute(spark):
     """PMI ratios against a direct Python recount of unigram/bigram
     frequencies, and ranking sanity: every reported pair clears the
