@@ -886,8 +886,67 @@ GROUP BY r_score, f_score, m_score
 """
 
 
+#: Market-basket mining: support floor and report size.
+BASKET_MIN_SUPPORT = 2
+BASKET_TOPK = 25
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs (market-basket support
+    counting, the pair stage of Apriori/FP-growth): for every pair of
+    DISTINCT parts appearing in the same order, the number of orders
+    containing both, top-K by support.
+
+    The pair join is an equi-join on ``l_orderkey`` — bounded by the
+    per-basket item count (TPC-H ⇒ ≤7 lineitems/order), so the pair
+    explosion is Σ k_i², linear in order count for bounded baskets.
+    The slim (orderkey, partkey) projection is deduped BEFORE the
+    self-join (a part twice in one basket is one membership), each
+    side shuffles once on the shared orderkey (co-located), and the
+    support count is map-side combined. ``part_a < part_b``
+    canonicalizes pairs; top-K is TakeOrderedAndProject.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= BASKET_MIN_SUPPORT)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(BASKET_TOPK)
+    )
+
+
+BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS support
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+ORDER BY support DESC, part_a, part_b
+LIMIT {BASKET_TOPK}
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE, "TPC-H Q2 min-cost supplier"),
+    QueryDef("basket_part_pairs", basket_part_pairs, BASKET_ORACLE, "market-basket co-purchase pair support (Apriori pair stage)"),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),
     QueryDef("q8_market_share", q8_market_share, Q8_ORACLE, "TPC-H Q8 share-of-total"),
     QueryDef("q9_product_profit", q9_product_profit, Q9_ORACLE, "TPC-H Q9 profit"),

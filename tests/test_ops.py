@@ -1218,6 +1218,34 @@ def test_duplicate_passages_match_python_recompute(spark):
     assert all(r.n_occurrences >= PASSAGE_MIN_OCC for r in rows)
 
 
+def test_basket_pairs_match_python_recompute(spark):
+    """Pair supports against a direct Python basket recount."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from duckdb_gsheets_spark.operators.tpch_extra import (
+        BASKET_MIN_SUPPORT,
+        BASKET_TOPK,
+        basket_part_pairs,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = basket_part_pairs(spark, SF).collect()
+    baskets = defaultdict(set)
+    for r in load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect():
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support: Counter[tuple[int, int]] = Counter()
+    for parts in baskets.values():
+        support.update(combinations(sorted(parts), 2))
+    expected = sorted(
+        ((p, n) for p, n in support.items() if n >= BASKET_MIN_SUPPORT),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:BASKET_TOPK]
+    assert [((r.part_a, r.part_b), r.support) for r in rows] == expected
+
+
 def test_bpe_merge_candidates_match_python_recompute(spark):
     """BPE pair table against a direct Python replay of the weighted
     word-table representation."""

@@ -240,3 +240,42 @@ def test_incremental_dedup_broadcasts_delta_never_shuffles_corpus(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # fp probe + band probe + rollup joins
+
+
+def test_pmi_filters_pairs_before_unigram_joins(spark):
+    """The PMI count floor must apply to the pair table BEFORE the two
+    unigram joins (the filter bounds the join input at scale)."""
+    plan = _plan(spark, "text_pmi_collocations")
+    assert "CartesianProduct" not in plan
+    optimized = plan.split("== Optimized Logical Plan ==")[1]
+    first_join = optimized.index("Join")
+    assert "n_pair" in optimized[first_join:]
+    # The >= floor must sit below (after, in plan text) the top join —
+    # i.e. inside a join child, not applied post-join.
+    floor_at = optimized.index(">= 5")
+    assert floor_at > first_join
+
+
+def test_markov_single_user_window_pass(spark):
+    """One user_id hash partition feeds the lag window; the transition
+    rollup must not add a data-sized shuffle (it groups |types|² keys
+    post-window)."""
+    plan = _plan(spark, "events_markov_transitions")
+    assert "Join" not in plan
+
+
+def test_bpe_runs_on_distinct_word_table(spark):
+    """Char-pair mining must aggregate words FIRST: the explode of
+    characters happens over the vocabulary, not the corpus — the plan
+    shows the word count aggregate below the pair explode."""
+    plan = _plan(spark, "bpe_merge_candidates")
+    gen_at = plan.index("Generate")  # the char-pair explode
+    assert "HashAggregate" in plan[gen_at:]  # word-freq agg is its child
+
+
+def test_basket_pairs_equi_join_only(spark):
+    """The basket self-join must be an equi-join on l_orderkey (pair
+    work bounded by basket size) — never a cartesian."""
+    plan = _plan(spark, "basket_part_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
