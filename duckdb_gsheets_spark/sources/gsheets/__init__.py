@@ -2,7 +2,14 @@ from duckdb_gsheets_spark.sources.gsheets.api import (
     read_gsheet,
     register,
     write_gsheet,
+    write_gsheet_stream,
 )
 from duckdb_gsheets_spark.sources.gsheets.datasource import GSheetsDataSource
 
-__all__ = ["GSheetsDataSource", "read_gsheet", "register", "write_gsheet"]
+__all__ = [
+    "GSheetsDataSource",
+    "read_gsheet",
+    "register",
+    "write_gsheet",
+    "write_gsheet_stream",
+]

@@ -59,3 +59,52 @@ def write_gsheet(
     for key, value in options.items():
         writer = writer.option(key, value)
     writer.save(url_or_id)
+
+
+def write_gsheet_stream(
+    stream_df: DataFrame,
+    url_or_id: str,
+    checkpoint_dir: str,
+    mode: str = "overwrite",
+    timeout_s: float = 120.0,
+    **options,
+):
+    """Streaming sink twin of :func:`write_gsheet`: continuously COPY
+    a streaming DataFrame TO a sheet via ``foreachBatch`` — the shape
+    a live ingest-gate dashboard publishes through (the reference's
+    COPY is batch-only; this is the Spark-native extension of the same
+    sink, one ordered append stream per micro-batch,
+    src/gsheets_copy.cpp:129-181 semantics per batch).
+
+    Batch 0 honors ``mode`` (overwrite clears + writes the header
+    once); every later micro-batch appends rows only — the multi-batch
+    header-once invariant the batch writer already enforces per job,
+    extended across the stream's lifetime. Durability contract: the
+    checkpoint gives foreachBatch at-least-once delivery, and Sheets
+    appends are not idempotent — a batch retried after a sink-side
+    failure can duplicate rows, exactly as re-running the reference's
+    COPY would. Dedup by key belongs in the sheet's consumer or in a
+    pre-sink ``dropDuplicates``.
+
+    Runs with an ``availableNow`` trigger (drain-all semantics, same
+    as the other streaming twins) and blocks until the drain finishes;
+    returns the terminated query handle.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_mode = mode if batch_id == 0 else "append"
+        batch_opts = dict(options)
+        if batch_id > 0:
+            batch_opts["header"] = False
+        write_gsheet(batch_df, url_or_id, mode=batch_mode, **batch_opts)
+
+    query = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return query

@@ -260,3 +260,60 @@ def test_commit_appends_in_partition_order(spark, sheets_server, spreadsheets_df
     )
     grid = store.grids["Sheet1"]
     assert grid[-2:] == [["early", "y", "0"], ["late", "x", "1"]]
+
+
+def test_streaming_sink_matches_batch_write(spark, sheets_server, tmp_path):
+    """write_gsheet_stream must land the same grid a batch write_gsheet
+    of the same rows produces: header once (batch 0), every micro-batch
+    appended in order, no re-clearing between batches."""
+    import pyspark.sql.functions as F
+
+    from duckdb_gsheets_spark.sources.gsheets import write_gsheet_stream
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["id", "name"]
+    )
+    rows1.coalesce(1).write.mode("overwrite").parquet(str(src / "p1"))
+
+    sid, store = _fresh(sheets_server, "stream-sink")
+    stream = (
+        spark.readStream.schema("id long, name string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    write_gsheet_stream(
+        stream.select("id", "name"),
+        sid,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        **opts(sheets_server),
+    )
+    grid = store.grids["Sheet1"]
+    assert grid[0] == ["id", "name"]
+    assert sorted(grid[1:]) == [["1", "alpha"], ["2", "beta"]]
+
+    # A second drain with NEW files appends without clearing: the
+    # checkpoint remembers batch 0 already ran, so the header is not
+    # rewritten and existing rows survive.
+    rows2 = spark.createDataFrame([(3, "gamma")], ["id", "name"])
+    rows2.coalesce(1).write.mode("overwrite").parquet(str(src / "p2"))
+    stream2 = (
+        spark.readStream.schema("id long, name string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    write_gsheet_stream(
+        stream2.select("id", "name"),
+        sid,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        **opts(sheets_server),
+    )
+    grid = store.grids["Sheet1"]
+    assert grid[0] == ["id", "name"]
+    assert sorted(grid[1:]) == [
+        ["1", "alpha"],
+        ["2", "beta"],
+        ["3", "gamma"],
+    ]
+    assert sum(1 for row in grid if row == ["id", "name"]) == 1
