@@ -1417,6 +1417,131 @@ GROUP BY 1, 2
 """
 
 
+#: Integer PageRank over the near-dup graph: fixed iteration count
+#: (unrolled in the oracle), micro-unit fixed point, 0.85 damping as
+#: an exact 85/100 rational.
+PR_ITERS = 3
+PR_SCALE = 1_000_000
+PR_BASE = (15 * PR_SCALE) // 100
+
+
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-centrality ranking: PageRank over the undirected
+    near-dup graph (the verified MinHash pair set). High-rank
+    documents sit at the center of dup clusters — the triage order a
+    manual dedup/contamination review works through, and a structural
+    signal the min-doc_id survivor rule ignores.
+
+    ALL-INTEGER iteration, so the result is bitwise identical across
+    engines and partitionings with no float summation anywhere:
+    ranks live in micro-units (``PR_SCALE``), each round is
+    ``base + (85 · Σ (pr(u) div deg(u))) div 100`` over in-neighbors
+    (floor division — both engines floor positive ints identically),
+    and ``PR_ITERS`` rounds unroll into the oracle's CTE chain.
+    Isolated docs stay at the base score.
+
+    Per round: one edges→ranks join (hash, doc_id-shaped keys), one
+    map-side-combined sum by destination, one left join back to the
+    vertex spine — the standard distributed-PageRank ledger with a
+    fixed round count, no driver-side vertex state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _verified_minhash_pairs(minhash_signatures(docs)).select(
+        "doc_a", "doc_b"
+    )
+    # Materialize the (slim) edge list once — otherwise every
+    # iteration's lineage re-executes the whole shingle→band→verify
+    # chain. Same localCheckpoint practice as connected_components;
+    # on a cluster, checkpoint() to durable storage.
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            edges.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    verts = docs.select("doc_id")
+    pr = verts.withColumn("pr_s", F.lit(PR_SCALE).cast("long"))
+    for _ in range(PR_ITERS):
+        inflow = (
+            sym.join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("pr_s div degree").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("m"))
+        )
+        pr = verts.join(
+            inflow.withColumnRenamed("dst", "doc_id"), "doc_id", "left"
+        ).select(
+            "doc_id",
+            (
+                F.lit(PR_BASE)
+                + F.expr(f"(85 * coalesce(m, 0L)) div 100")
+            ).cast("long").alias("pr_s"),
+        )
+    return (
+        verts.join(deg.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+        .join(pr, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("degree", F.lit(0).cast("long")).alias("degree"),
+            F.col("pr_s").alias("pagerank_micro"),
+        )
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled integer-PageRank CTE chain over the shared MinHash
+    edge set — one CTE per iteration, each a literal transcription of
+    the Spark round (floor division, 85/100 damping, base for
+    isolated vertices)."""
+    chain = [
+        f"""pg_sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mh_pairs
+  WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+), pg_deg AS (
+  SELECT src, COUNT(*) AS degree FROM pg_sym GROUP BY src
+), pg_pr0 AS (
+  SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS pr_s FROM documents
+)"""
+    ]
+    for i in range(PR_ITERS):
+        chain.append(
+            f"""pg_pr{i + 1} AS (
+  SELECT v.doc_id,
+         CAST({PR_BASE} + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr_s
+  FROM (SELECT doc_id FROM documents) v
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, CAST(SUM(p.pr_s // d.degree) AS BIGINT) AS m
+    FROM pg_sym e
+    JOIN pg_pr{i} p ON p.doc_id = e.src
+    JOIN pg_deg d ON d.src = e.src
+    GROUP BY 1
+  ) s ON s.doc_id = v.doc_id
+)"""
+        )
+    return ",\n".join(chain)
+
+
+def _neardup_pagerank_oracle() -> str:
+    return f"""
+WITH {_minhash_core_sql()},
+{_pagerank_oracle()}
+SELECT v.doc_id,
+       CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+       p.pr_s AS pagerank_micro
+FROM (SELECT doc_id FROM documents) v
+LEFT JOIN pg_deg d ON d.src = v.doc_id
+JOIN pg_pr{PR_ITERS} p ON p.doc_id = v.doc_id
+"""
+
+
 #: Incremental-dedup delta batch: the slice of the corpus standing in
 #: for a freshly-crawled ingest (deterministic and present at every
 #: SF — the generator assigns sources round-robin).
@@ -1592,4 +1717,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_savings_report", dedup_savings_report, DEDUP_SAVINGS_ORACLE, "per-language doc/token retention after transitive dedup"),
     QueryDef("source_overlap_matrix", source_overlap_matrix, SOURCE_OVERLAP_ORACLE, "cross-source near-dup provenance-leakage matrix"),
     QueryDef("dedup_incremental_batch", dedup_incremental_batch, DEDUP_INCREMENTAL_ORACLE, "delta-vs-corpus incremental dedup verdicts (O(delta) ingest check)"),
+    QueryDef("neardup_pagerank", neardup_pagerank, _neardup_pagerank_oracle(), "all-integer PageRank duplication-centrality over the near-dup graph"),
 ]

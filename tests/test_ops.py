@@ -1476,6 +1476,51 @@ def test_payload_dedup_matches_python_recompute(spark):
     assert got == expected
 
 
+def test_neardup_pagerank_matches_python_recompute(spark):
+    """Integer PageRank against a direct Python replay over the
+    registered dedup_minhash_lsh edge set."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        PR_BASE,
+        PR_ITERS,
+        PR_SCALE,
+        dedup_minhash_lsh,
+        neardup_pagerank,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.degree, r.pagerank_micro)
+        for r in neardup_pagerank(spark, SF).collect()
+    }
+    nbrs = defaultdict(list)
+    for p in dedup_minhash_lsh(spark, SF).collect():
+        nbrs[p.doc_a].append(p.doc_b)
+        nbrs[p.doc_b].append(p.doc_a)
+    doc_ids = [
+        r.doc_id
+        for r in load_table(spark, SF, "documents").select("doc_id").collect()
+    ]
+    pr = {d: PR_SCALE for d in doc_ids}
+    for _ in range(PR_ITERS):
+        inflow = defaultdict(int)
+        for u, ns in nbrs.items():
+            share = pr[u] // len(ns)
+            for v in ns:
+                inflow[v] += share
+        pr = {d: PR_BASE + (85 * inflow[d]) // 100 for d in doc_ids}
+    assert set(got) == set(doc_ids)
+    for d in doc_ids:
+        assert got[d] == (len(nbrs[d]) if d in nbrs else 0, pr[d])
+    # Centrality sanity: connected docs outrank isolated ones.
+    if nbrs:
+        isolated = next((d for d in doc_ids if d not in nbrs), None)
+        top = max(pr.values())
+        if isolated is not None:
+            assert top > pr[isolated] == PR_BASE
+
+
 def test_incremental_dedup_consistent_with_full_dedup(spark):
     """The delta-vs-corpus incremental check must agree with the
     registered full-corpus operators: exact verdicts with a direct
