@@ -966,6 +966,86 @@ FROM stats
 """
 
 
+#: Last-touch attribution lookback window.
+ATTRIB_WINDOW_S = 24 * 3600
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit every ``purchase`` to the most
+    recent NON-purchase event of the same user within the 24 h
+    lookback, and roll up per touch type — the marketing-analytics
+    report behind channel-credit dashboards.
+
+    One user_id hash partition feeds one window pass (total order:
+    ts with event_id tiebreak): ``last(non-purchase, ignorenulls)``
+    over ROWS UNBOUNDED PRECEDING..1 PRECEDING finds the candidate
+    touch without any self-join or range join; the lookback filter is
+    a scalar epoch-difference predicate on the two carried columns.
+    Purchases with no in-window touch report under ``__none__``.
+    Credited value uses the exact scaled-long sum (determinism
+    contract).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    attributed = (
+        events.select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn("touch_type", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("touch_ts", F.last(touch_ts, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("touch_type").isNotNull()
+                & (
+                    F.unix_timestamp("ts") - F.unix_timestamp("touch_ts")
+                    <= ATTRIB_WINDOW_S
+                ),
+                F.col("touch_type"),
+            )
+            .otherwise("__none__")
+            .alias("touch_type"),
+            "value",
+        )
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum("value").alias("attributed_value"),
+    )
+
+
+EVENTS_ATTRIBUTION_ORACLE = f"""
+WITH touched AS (
+  SELECT event_type, value, ts,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_ts
+  FROM events
+), purchases AS (
+  SELECT CASE WHEN touch_type IS NOT NULL
+               AND epoch(ts) - epoch(touch_ts) <= {ATTRIB_WINDOW_S}
+              THEN touch_type ELSE '__none__' END AS touch_type,
+         value
+  FROM touched WHERE event_type = 'purchase'
+)
+SELECT touch_type, COUNT(*) AS n_purchases,
+       {oracle_dsum("value")} AS attributed_value
+FROM purchases
+GROUP BY 1
+"""
+
+
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     streams: for every (from_type → to_type) pair of CONSECUTIVE
@@ -1025,6 +1105,7 @@ FROM counted
 QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
     QueryDef("events_markov_transitions", events_markov_transitions, EVENTS_MARKOV_ORACLE, "first-order event-type Markov transition matrix"),
+    QueryDef("events_attribution", events_attribution, EVENTS_ATTRIBUTION_ORACLE, "last-touch purchase attribution within a 24h lookback"),
     QueryDef("events_pivot", events_pivot, EVENTS_PIVOT_ORACLE, "pivot by event type"),
     QueryDef("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_ORACLE, "gap sessionization"),
     QueryDef("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE, "as-of join"),

@@ -185,8 +185,150 @@ def _weighted_oracle() -> str:
     return SAMPLE_WEIGHTED_ORACLE.replace("{q}", T.oracle_quality_score())
 
 
+#: Train/val/test hash-split fractions in 256ths of the hex-prefix
+#: space: [0, A0) train (62.5%), [A0, D0) val (18.75%), [D0, FF] test.
+SPLIT_VAL_LO = "a0"
+SPLIT_TEST_LO = "d0"
+
+
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment + per-split
+    audit: every document lands in exactly one split keyed on
+    ``md5(doc_id)`` — stable under re-runs, engine changes, corpus
+    growth (a doc never migrates between splits when new docs arrive,
+    unlike any count-based split) — with per-(split, lang) doc and
+    token counts to verify the split is stratification-neutral.
+
+    The assignment itself is a narrow projection (zero shuffle at any
+    scale; the rollup is the only exchange and lands on
+    |splits|·|langs| keys). This is the split recipe every training
+    pipeline needs pinned BEFORE dedup/curation so leakage checks
+    (e.g. near-dups straddling train/test) have a stable target.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(_sample_key(), 1, 2)
+    split = (
+        F.when(prefix < SPLIT_VAL_LO, "train")
+        .when(prefix < SPLIT_TEST_LO, "val")
+        .otherwise("test")
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select("lang", split.alias("split"), toks.alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+SPLIT_ASSIGN_ORACLE = f"""
+SELECT
+  CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_LO}'
+         THEN 'train'
+       WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TEST_LO}'
+         THEN 'val'
+       ELSE 'test' END AS split,
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_split_to_array(TRIM(text), '\\s+'))) AS BIGINT)
+    AS n_tokens
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: near-dup pairs (the verified
+    MinHash set) that STRADDLE two different hash splits — each one a
+    potential train→test leak. Reports per (split_a, split_b) pair
+    count and the worst (highest-Jaccard) offending pair.
+
+    Composition cost on top of the dedup pair set: one narrow split
+    assignment per side (projection, no shuffle) and a ≤9-row rollup.
+    This is the audit that justifies running dedup BEFORE splitting —
+    at 100 TB the pair set is already materialized by the dedup pass,
+    so the check is nearly free.
+    """
+    from duckdb_gsheets_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < SPLIT_VAL_LO, "train")
+        .when(prefix < SPLIT_TEST_LO, "val")
+        .otherwise("test")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    tagged = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b")
+            ),
+            "doc_b",
+        )
+        .where(F.col("sp_a") != F.col("sp_b"))
+        .select(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+            "jaccard",
+        )
+    )
+    return tagged.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_leaky_pairs"),
+        F.max("jaccard").alias("worst_jaccard"),
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from duckdb_gsheets_spark.operators.dedup import (
+        MINHASH_JACCARD_THRESHOLD,
+        _minhash_core_sql,
+    )
+
+    return f"""
+WITH {_minhash_core_sql()},
+lk_splits AS (
+  SELECT doc_id,
+         CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{SPLIT_VAL_LO}' THEN 'train'
+              WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{SPLIT_TEST_LO}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), lk_tagged AS (
+  SELECT LEAST(sa.split, sb.split) AS split_a,
+         GREATEST(sa.split, sb.split) AS split_b,
+         p.jaccard
+  FROM mh_pairs p
+  JOIN lk_splits sa ON sa.doc_id = p.doc_a
+  JOIN lk_splits sb ON sb.doc_id = p.doc_b
+  WHERE p.jaccard >= {MINHASH_JACCARD_THRESHOLD}
+    AND sa.split <> sb.split
+)
+SELECT split_a, split_b,
+       COUNT(*) AS n_leaky_pairs,
+       MAX(jaccard) AS worst_jaccard
+FROM lk_tagged
+GROUP BY 1, 2
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE, "per-language hash sampling"),
     QueryDef("sample_bottom_k", sample_bottom_k, SAMPLE_BOTTOM_K_ORACLE, "bottom-k / KMV uniform sample"),
     QueryDef("sample_weighted_topk", sample_weighted_topk, _weighted_oracle(), "Efraimidis-Spirakis quality-weighted sample"),
+    QueryDef("sample_split_assign", sample_split_assign, SPLIT_ASSIGN_ORACLE, "deterministic train/val/test hash split with per-split audit"),
+    QueryDef("split_leakage_check", split_leakage_check, _split_leakage_oracle(), "near-dup pairs straddling hash splits (train/test leakage audit)"),
 ]

@@ -1402,6 +1402,119 @@ def test_embedding_doc_coverage_accounts_for_every_row(spark):
     assert sum(r.n_docs for r in rows.values()) == len(docs)
 
 
+def test_split_assign_partitions_corpus_exactly(spark):
+    """Every doc lands in exactly one split; per-(split, lang) counts
+    match a direct Python hash replay; split is doc_id-stable."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.sampling import (
+        SPLIT_TEST_LO,
+        SPLIT_VAL_LO,
+        sample_split_assign,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.split, r.lang): (r.n_docs, r.n_tokens)
+        for r in sample_split_assign(spark, SF).collect()
+    }
+
+    def split_of(doc_id: int) -> str:
+        p = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "train" if p < SPLIT_VAL_LO else ("val" if p < SPLIT_TEST_LO else "test")
+
+    docs_n: Counter[tuple[str, str]] = Counter()
+    toks_n: Counter[tuple[str, str]] = Counter()
+    for r in load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect():
+        if r.text is None:
+            continue
+        key = (split_of(r.doc_id), r.lang)
+        docs_n[key] += 1
+        toks_n[key] += len(re.split(r"\s+", r.text.strip()))
+    assert {k: v[0] for k, v in got.items()} == dict(docs_n)
+    assert {k: v[1] for k, v in got.items()} == dict(toks_n)
+    # All three splits are populated at this SF.
+    assert {s for s, _ in got} == {"train", "val", "test"}
+
+
+def test_split_leakage_matches_pair_replay(spark):
+    """Leakage rows must equal the dedup pair set filtered to
+    straddling pairs, grouped by the ordered split pair."""
+    import hashlib
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.dedup import dedup_minhash_lsh
+    from duckdb_gsheets_spark.operators.sampling import (
+        SPLIT_TEST_LO,
+        SPLIT_VAL_LO,
+        split_leakage_check,
+    )
+
+    def split_of(doc_id: int) -> str:
+        p = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "train" if p < SPLIT_VAL_LO else ("val" if p < SPLIT_TEST_LO else "test")
+
+    expected = defaultdict(list)
+    for p in dedup_minhash_lsh(spark, SF).collect():
+        sa, sb = split_of(p.doc_a), split_of(p.doc_b)
+        if sa != sb:
+            expected[tuple(sorted((sa, sb)))].append(p.jaccard)
+    got = {
+        (r.split_a, r.split_b): (r.n_leaky_pairs, r.worst_jaccard)
+        for r in split_leakage_check(spark, SF).collect()
+    }
+    assert set(got) == set(expected)
+    for key, jacs in expected.items():
+        assert got[key] == (len(jacs), max(jacs))
+
+
+def test_attribution_matches_python_recompute(spark):
+    """Last-touch credits against a direct Python replay of each
+    user's event timeline."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.events import (
+        ATTRIB_WINDOW_S,
+        events_attribution,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.touch_type: (r.n_purchases, r.attributed_value)
+        for r in events_attribution(spark, SF).collect()
+    }
+    by_user = defaultdict(list)
+    for r in load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).collect():
+        by_user[r.user_id].append(r)
+    counts: dict[str, int] = defaultdict(int)
+    sums: dict[str, int] = defaultdict(int)  # cents
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        last_touch = None
+        for r in rows:
+            if r.event_type == "purchase":
+                if (
+                    last_touch is not None
+                    and (r.ts - last_touch.ts).total_seconds() <= ATTRIB_WINDOW_S
+                ):
+                    key = last_touch.event_type
+                else:
+                    key = "__none__"
+                counts[key] += 1
+                sums[key] += round(r.value * 100)
+            else:
+                last_touch = r
+    assert {k: v[0] for k, v in got.items()} == dict(counts)
+    for k, (_, val) in got.items():
+        assert val == pytest.approx(sums[k] / 100.0, abs=1e-9)
+
+
 def test_markov_transitions_match_python_recompute(spark):
     """Transition counts and row-normalized probabilities against a
     direct Python replay of the per-user event order."""
