@@ -421,6 +421,129 @@ GROUP BY doc_id, island, state
 """
 
 
+def pipeline_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third composed pipeline: hash-split the corpus, exact-dedup
+    WITHIN each split, then remove from train every doc whose content
+    also appears in val/test (eval keeps priority — the standard
+    train-side decontamination rule), and account for every document:
+    per (split, lang) — docs in, in-split duplicates removed,
+    cross-split leaks removed from train, docs and tokens kept.
+
+    One fingerprint computation feeds all three stages; the whole
+    composition is ONE hash shuffle on the fingerprint (the
+    first-occurrence window and the eval-presence flag share the
+    partitioning) plus the final splits×langs rollup. At 100 TB
+    that's the same ledger as the standalone exact dedup — the
+    split/leak logic rides along as window expressions.
+    """
+    from duckdb_gsheets_spark.operators.sampling import (
+        SPLIT_TEST_LO,
+        SPLIT_VAL_LO,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < SPLIT_VAL_LO, "train")
+        .when(prefix < SPLIT_TEST_LO, "val")
+        .otherwise("test")
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    # Single fp partition serves both flags: ordering by (split,
+    # doc_id) makes each (fp, split) group CONTIGUOUS, so "duplicate
+    # within my split" is just lag(split) == split — no second
+    # (fp, split)-keyed shuffle.
+    w_ord = Window.partitionBy("fp").orderBy("split", "doc_id")
+    w_fp = Window.partitionBy("fp")
+    flagged = (
+        base.withColumn(
+            "is_dup",
+            F.lag("split").over(w_ord).eqNullSafe(F.col("split")),
+        )
+        .withColumn(
+            "in_eval",
+            F.max((F.col("split") != "train").cast("int")).over(w_fp),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("is_dup"), "dup_removed")
+            .when(
+                (F.col("split") == "train") & (F.col("in_eval") == 1),
+                "leak_removed",
+            )
+            .otherwise("kept"),
+        )
+    )
+    kept = F.col("status") == "kept"
+    return flagged.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs_in"),
+        F.sum((F.col("status") == "dup_removed").cast("long")).alias(
+            "n_dup_removed"
+        ),
+        F.sum((F.col("status") == "leak_removed").cast("long")).alias(
+            "n_leak_removed"
+        ),
+        F.sum(kept.cast("long")).alias("n_docs_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long").alias(
+            "tokens_kept"
+        ),
+    )
+
+
+def _split_pipeline_oracle() -> str:
+    from duckdb_gsheets_spark.operators.sampling import (
+        SPLIT_TEST_LO,
+        SPLIT_VAL_LO,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{SPLIT_VAL_LO}' THEN 'train'
+              WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{SPLIT_TEST_LO}' THEN 'val'
+              ELSE 'test' END AS split,
+         {T.oracle_fingerprint()} AS fp,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), flagged AS (
+  SELECT split, lang, n_tokens,
+         LAG(split) OVER (PARTITION BY fp ORDER BY split, doc_id)
+           IS NOT DISTINCT FROM split AS is_dup,
+         MAX(CASE WHEN split <> 'train' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY fp) AS in_eval
+  FROM base
+), statused AS (
+  SELECT split, lang, n_tokens,
+         CASE WHEN is_dup THEN 'dup_removed'
+              WHEN split = 'train' AND in_eval = 1 THEN 'leak_removed'
+              ELSE 'kept' END AS status
+  FROM flagged
+)
+SELECT split, lang,
+       COUNT(*) AS n_docs_in,
+       CAST(SUM(CASE WHEN status = 'dup_removed' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_removed,
+       CAST(SUM(CASE WHEN status = 'leak_removed' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leak_removed,
+       CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(SUM(CASE WHEN status = 'kept' THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_kept
+FROM statused
+GROUP BY 1, 2
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "pipeline_training_corpus",
@@ -445,5 +568,11 @@ QUERIES: list[QueryDef] = [
         corpus_scd2_history,
         CORPUS_SCD2_ORACLE,
         "SCD type-2 versioned corpus ledger (gaps-and-islands over snapshots)",
+    ),
+    QueryDef(
+        "pipeline_split_corpus",
+        pipeline_split_corpus,
+        _split_pipeline_oracle(),
+        "split→in-split dedup→train decontamination composed pipeline",
     ),
 ]

@@ -1441,6 +1441,76 @@ def test_split_assign_partitions_corpus_exactly(spark):
     assert {s for s, _ in got} == {"train", "val", "test"}
 
 
+def test_split_pipeline_accounts_for_every_doc(spark):
+    """Composed split pipeline against a direct Python replay: split
+    assignment, in-split first-occurrence dedup, train-side exact
+    decontamination — every document lands in exactly one status."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.pipeline import pipeline_split_corpus
+    from duckdb_gsheets_spark.operators.sampling import (
+        SPLIT_TEST_LO,
+        SPLIT_VAL_LO,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.split, r.lang): (
+            r.n_docs_in,
+            r.n_dup_removed,
+            r.n_leak_removed,
+            r.n_docs_kept,
+            r.tokens_kept,
+        )
+        for r in pipeline_split_corpus(spark, SF).collect()
+    }
+
+    def split_of(doc_id: int) -> str:
+        p = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "train" if p < SPLIT_VAL_LO else ("val" if p < SPLIT_TEST_LO else "test")
+
+    docs = sorted(
+        (
+            r
+            for r in load_table(spark, SF, "documents")
+            .select("doc_id", "lang", "text")
+            .collect()
+            if r.text is not None
+        ),
+        key=lambda r: r.doc_id,
+    )
+    fp_of = {}
+    eval_fps = set()
+    for r in docs:
+        fp = hashlib.md5(
+            re.sub(r"\s+", " ", r.text.lower()).strip().encode()
+        ).hexdigest()
+        fp_of[r.doc_id] = fp
+        if split_of(r.doc_id) != "train":
+            eval_fps.add(fp)
+    seen_in_split: set[tuple[str, str]] = set()
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in docs:
+        sp, fp = split_of(r.doc_id), fp_of[r.doc_id]
+        a = agg[(sp, r.lang)]
+        a[0] += 1
+        if (sp, fp) in seen_in_split:
+            a[1] += 1
+        elif sp == "train" and fp in eval_fps:
+            seen_in_split.add((sp, fp))
+            a[2] += 1
+        else:
+            seen_in_split.add((sp, fp))
+            a[3] += 1
+            a[4] += len(re.split(r"\s+", r.text.strip()))
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # Ledger closes: in = dup + leak + kept per group.
+    for n_in, n_dup, n_leak, n_kept, _ in got.values():
+        assert n_in == n_dup + n_leak + n_kept
+
+
 def test_split_leakage_matches_pair_replay(spark):
     """Leakage rows must equal the dedup pair set filtered to
     straddling pairs, grouped by the ordered split pair."""

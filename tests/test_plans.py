@@ -279,3 +279,16 @@ def test_basket_pairs_equi_join_only(spark):
     plan = _plan(spark, "basket_part_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_pipeline_single_fingerprint_exchange(spark):
+    """The composed split pipeline's two windows (in-split
+    first-occurrence, eval-presence flag) must share ONE fingerprint
+    hash partition — no join, no second data-sized shuffle."""
+    plan = _plan(spark, "pipeline_split_corpus")
+    assert "Join" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    fp_exchanges = [ln for ln in exchanges if "fp" in ln]
+    assert len(set(fp_exchanges)) == 1
