@@ -59,6 +59,18 @@ class QueryDef:
 #: DEFINITION — HLL distinct counts and KLL quantiles; the iterative
 #: ML family gained exact unrolled oracles in round 3) is pinned LAST
 #: so it can never burn a checked slot.
+#:
+#: ROUND-4 ROTATION QUEUE (oracle-bearing, added late in round 3,
+#: never driver-checked — promote these into the window next round):
+#: duplicate_passages, ann_pq_adc_topk, corpus_scd2_history,
+#: dedup_incremental_batch, multimodal_payload_dedup,
+#: events_markov_transitions, text_pmi_collocations,
+#: embedding_doc_coverage, bpe_merge_candidates,
+#: lang_char_trigram_profile, basket_part_pairs, neardup_pagerank,
+#: sample_split_assign, split_leakage_check, events_attribution,
+#: pipeline_split_corpus — plus re-checks for any window query whose
+#: module was edited (ann_recall_report gained the 'pq' method row in
+#: round 3 and IS already in this round's window).
 _WINDOW: tuple[str, ...] = (
     "array_functions",
     "dedup_ngram_jaccard",
