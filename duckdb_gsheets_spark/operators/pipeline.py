@@ -356,6 +356,16 @@ def corpus_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.col("v").cast("long").alias("version"), "text"
     ).select("doc_id", "version", state.alias("state"))
+    return scd2_intervals(grid, n_versions=SCD2_VERSIONS)
+
+
+def scd2_intervals(grid: DataFrame, n_versions: int) -> DataFrame:
+    """Generic gaps-and-islands SCD2 build over a
+    ``(doc_id, version, state)`` grid: one row per unbroken run of
+    identical state, with the version interval and a current flag;
+    ``_SCD2_ABSENT`` runs (deletions) close intervals but emit no row.
+    Single doc_id hash partition serves the change-point window and
+    the island rollup."""
     w = Window.partitionBy("doc_id").orderBy("version")
     islands = (
         grid.withColumn(
@@ -385,7 +395,7 @@ def corpus_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("state").alias("text_md5"),
             "valid_from",
             "valid_to",
-            (F.col("valid_to") == SCD2_VERSIONS).alias("is_current"),
+            (F.col("valid_to") == n_versions).alias("is_current"),
         )
     )
 

@@ -172,3 +172,55 @@ def test_jaccard_prefix_filter_never_misses(sets):
                 j = len(a & b) / len(a | b)
                 if j >= t:
                     assert (ai, bi) in cands or (bi, ai) in cands
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seqs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "__absent__"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scd2_intervals_partition_versions_exactly(spark, seqs):
+    """For ANY per-doc state sequence, the SCD2 intervals equal a
+    run-length encoding: non-absent versions are covered exactly once,
+    intervals never overlap, and is_current marks runs reaching the
+    final version."""
+    from duckdb_gsheets_spark.operators.pipeline import scd2_intervals
+
+    n_versions = max(len(s) for s in seqs)
+    seqs = [s + [s[-1]] * (n_versions - len(s)) for s in seqs]
+    rows = [
+        (doc_id, v + 1, state)
+        for doc_id, s in enumerate(seqs)
+        for v, state in enumerate(s)
+    ]
+    grid = spark.createDataFrame(
+        rows, "doc_id long, version long, state string"
+    )
+    got = scd2_intervals(grid, n_versions=n_versions).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, s in enumerate(seqs):
+        ivals = sorted(by_doc.get(doc_id, []), key=lambda r: r.valid_from)
+        covered = []
+        for r in ivals:
+            assert 1 <= r.valid_from <= r.valid_to <= n_versions
+            assert r.is_current == (r.valid_to == n_versions)
+            for v in range(r.valid_from, r.valid_to + 1):
+                assert s[v - 1] == r.text_md5  # run carries one state
+                covered.append(v)
+        expected_covered = [
+            v for v in range(1, n_versions + 1) if s[v - 1] != "__absent__"
+        ]
+        assert sorted(covered) == expected_covered  # exact cover, no overlap
+        # Runs are maximal: adjacent intervals never share a state.
+        for a, b in zip(ivals, ivals[1:]):
+            if a.valid_to + 1 == b.valid_from:
+                assert a.text_md5 != b.text_md5
