@@ -999,11 +999,16 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("touch_ts", F.last(touch_ts, ignorenulls=True).over(w))
         .where(F.col("event_type") == "purchase")
         .select(
+            # Exact epoch-microsecond comparison (unix_micros after
+            # the exact NTZ→LTZ cast under the UTC session) — a
+            # whole-second unix_timestamp would truncate and flip
+            # verdicts for pairs within 1 s of the 24 h boundary.
             F.when(
                 F.col("touch_type").isNotNull()
                 & (
-                    F.unix_timestamp("ts") - F.unix_timestamp("touch_ts")
-                    <= ATTRIB_WINDOW_S
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+                    <= ATTRIB_WINDOW_S * 1_000_000
                 ),
                 F.col("touch_type"),
             )
@@ -1034,7 +1039,8 @@ WITH touched AS (
   FROM events
 ), purchases AS (
   SELECT CASE WHEN touch_type IS NOT NULL
-               AND epoch(ts) - epoch(touch_ts) <= {ATTRIB_WINDOW_S}
+               AND epoch_us(ts) - epoch_us(touch_ts)
+                   <= {ATTRIB_WINDOW_S * 1_000_000}
               THEN touch_type ELSE '__none__' END AS touch_type,
          value
   FROM touched WHERE event_type = 'purchase'

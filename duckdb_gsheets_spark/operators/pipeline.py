@@ -446,24 +446,15 @@ def pipeline_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     that's the same ledger as the standalone exact dedup — the
     split/leak logic rides along as window expressions.
     """
-    from duckdb_gsheets_spark.operators.sampling import (
-        SPLIT_TEST_LO,
-        SPLIT_VAL_LO,
-    )
+    from duckdb_gsheets_spark.operators.sampling import split_col
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(prefix < SPLIT_VAL_LO, "train")
-        .when(prefix < SPLIT_TEST_LO, "val")
-        .otherwise("test")
-    )
     base = docs.select(
         "doc_id",
         "lang",
-        split.alias("split"),
+        split_col().alias("split"),
         T.fingerprint(F.col("text")).alias("fp"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
@@ -509,19 +500,12 @@ def pipeline_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_pipeline_oracle() -> str:
-    from duckdb_gsheets_spark.operators.sampling import (
-        SPLIT_TEST_LO,
-        SPLIT_VAL_LO,
-    )
+    from duckdb_gsheets_spark.operators.sampling import oracle_split_case
 
     return f"""
 WITH base AS (
   SELECT doc_id, lang,
-         CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                   < '{SPLIT_VAL_LO}' THEN 'train'
-              WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                   < '{SPLIT_TEST_LO}' THEN 'val'
-              ELSE 'test' END AS split,
+         {oracle_split_case()} AS split,
          {T.oracle_fingerprint()} AS fp,
          len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens
   FROM documents WHERE text IS NOT NULL

@@ -191,6 +191,30 @@ SPLIT_VAL_LO = "a0"
 SPLIT_TEST_LO = "d0"
 
 
+def split_col() -> F.Column:
+    """The ONE split rule (Spark side): train/val/test from the first
+    two hex chars of md5(doc_id). Every operator that mentions splits
+    must use this helper — a threshold change edited in one place but
+    not another would silently desynchronize split membership."""
+    prefix = F.substring(_sample_key(), 1, 2)
+    return (
+        F.when(prefix < SPLIT_VAL_LO, "train")
+        .when(prefix < SPLIT_TEST_LO, "val")
+        .otherwise("test")
+    )
+
+
+def oracle_split_case() -> str:
+    """The same split rule as DuckDB SQL text."""
+    return (
+        f"CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+        f" < '{SPLIT_VAL_LO}' THEN 'train'"
+        f" WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+        f" < '{SPLIT_TEST_LO}' THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
 def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split assignment + per-split
     audit: every document lands in exactly one split keyed on
@@ -206,16 +230,10 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e.g. near-dups straddling train/test) have a stable target.
     """
     docs = load_table(spark, sf_dir, "documents")
-    prefix = F.substring(_sample_key(), 1, 2)
-    split = (
-        F.when(prefix < SPLIT_VAL_LO, "train")
-        .when(prefix < SPLIT_TEST_LO, "val")
-        .otherwise("test")
-    )
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     return (
         docs.where(F.col("text").isNotNull())
-        .select("lang", split.alias("split"), toks.alias("n_tokens"))
+        .select("lang", split_col().alias("split"), toks.alias("n_tokens"))
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -226,11 +244,7 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPLIT_ASSIGN_ORACLE = f"""
 SELECT
-  CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_LO}'
-         THEN 'train'
-       WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TEST_LO}'
-         THEN 'val'
-       ELSE 'test' END AS split,
+  {oracle_split_case()} AS split,
   lang,
   COUNT(*) AS n_docs,
   CAST(SUM(len(regexp_split_to_array(TRIM(text), '\\s+'))) AS BIGINT)
@@ -256,14 +270,8 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_gsheets_spark.operators.dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(prefix < SPLIT_VAL_LO, "train")
-        .when(prefix < SPLIT_TEST_LO, "val")
-        .otherwise("test")
-    )
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", split.alias("split")
+        "doc_id", split_col().alias("split")
     )
     tagged = (
         pairs.join(
@@ -300,12 +308,7 @@ def _split_leakage_oracle() -> str:
     return f"""
 WITH {_minhash_core_sql()},
 lk_splits AS (
-  SELECT doc_id,
-         CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                   < '{SPLIT_VAL_LO}' THEN 'train'
-              WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                   < '{SPLIT_TEST_LO}' THEN 'val'
-              ELSE 'test' END AS split
+  SELECT doc_id, {oracle_split_case()} AS split
   FROM documents
 ), lk_tagged AS (
   SELECT LEAST(sa.split, sb.split) AS split_a,

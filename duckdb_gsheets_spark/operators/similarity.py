@@ -494,50 +494,60 @@ def _driver_vec_rows(sf_dir: str, wanted_ids: list[int]) -> list[_VecRow]:
 #: Centroid-id stride for the deterministic IVF quantizer sample.
 IVF_ID_STRIDE = 31
 
-#: How many strided candidate ids the bounded driver-side probe asks
-#: for before falling back to a distributed sample. Covers any table
-#: whose first IVF_CENTROIDS stride multiples fall within the first
-#: 8× that many grid points — i.e. contiguous-ish id spaces, which is
-#: what the synthetic tables and any sane vec_id assignment produce.
-_IVF_ID_PROBE = IVF_CENTROIDS * 8
+#: The bounded driver-side probe asks for 8× the sample count of
+#: strided candidate ids before falling back to a distributed sample
+#: (_collect_quantizer_inputs) — covers contiguous-ish id spaces,
+#: which is what the synthetic tables and any sane vec_id assignment
+#: produce.
 
 
-def _collect_ivf_inputs(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
-    """The two tiny row sets the IVF query needs, read driver-side:
-    the strided centroid sample (16 × 64 doubles — the trained
-    quantizer) and the bounded query batch (vec_id < N_QUERY_VECTORS —
-    a k-NN API takes a small query set by contract).
+def _collect_quantizer_inputs(
+    spark: SparkSession, sf_dir: str, stride: int, n_samples: int
+) -> tuple[list, list]:
+    """The two tiny row sets a quantized-ANN query needs, read
+    driver-side: a strided sample of ``n_samples`` vectors (the
+    trained quantizer — IVF centroids or the PQ codebook) and the
+    bounded query batch (vec_id < N_QUERY_VECTORS — a k-NN API takes
+    a small query set by contract).
 
-    The centroid ids are generated ARITHMETICALLY (multiples of the
+    The sample ids are generated ARITHMETICALLY (multiples of the
     stride) and pushed down as an ``in`` filter — never by scanning
     the id column into driver memory, which is O(corpus) driver state
     (the 100 TB scale-killer this function used to carry). If the id
     space is so sparse that the bounded grid finds fewer than
-    IVF_CENTROIDS multiples, fall back to a DISTRIBUTED strided
-    sample (bounded Spark collect of 16 rows) — same semantics:
-    first IVF_CENTROIDS stride-multiples ascending.
+    ``n_samples`` multiples, fall back to a DISTRIBUTED strided
+    sample (bounded Spark collect) — same semantics: first
+    ``n_samples`` stride-multiples ascending.
     """
-    grid = [IVF_ID_STRIDE * i for i in range(_IVF_ID_PROBE)]
+    grid = [stride * i for i in range(n_samples * 8)]
     rows = {
         r.vec_id: r
         for r in _driver_vec_rows(
             sf_dir, sorted(set(grid + list(range(N_QUERY_VECTORS))))
         )
     }
-    centroid_ids = [i for i in grid if i in rows][:IVF_CENTROIDS]
-    if len(centroid_ids) < IVF_CENTROIDS:
+    sample_ids = [i for i in grid if i in rows][:n_samples]
+    if len(sample_ids) < n_samples:
         emb = load_table(spark, sf_dir, "embeddings")
-        centroid_rows = (
-            emb.where(F.col("vec_id") % IVF_ID_STRIDE == 0)
+        sample_rows = (
+            emb.where(F.col("vec_id") % stride == 0)
             .orderBy("vec_id")
-            .limit(IVF_CENTROIDS)
+            .limit(n_samples)
             .select("vec_id", to_double(F.col("embedding")).alias("emb"))
             .collect()
         )
     else:
-        centroid_rows = [rows[i] for i in centroid_ids]
+        sample_rows = [rows[i] for i in sample_ids]
     query_ids = sorted(i for i in range(N_QUERY_VECTORS) if i in rows)
-    return centroid_rows, [rows[i] for i in query_ids]
+    return sample_rows, [rows[i] for i in query_ids]
+
+
+def _collect_ivf_inputs(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """IVF centroid sample + query batch (see
+    :func:`_collect_quantizer_inputs`)."""
+    return _collect_quantizer_inputs(
+        spark, sf_dir, IVF_ID_STRIDE, IVF_CENTROIDS
+    )
 
 
 def ivf_assignments(
@@ -1025,43 +1035,19 @@ GROUP BY method
 
 #: Product quantization: PQ_M subspaces of EMBEDDING_DIM/PQ_M dims,
 #: PQ_CODES codewords per subspace from a deterministic strided corpus
-#: sample (stride coprime to the IVF stride so the two quantizers
-#: never share a sample). 8×4 bits/vector = 64 dims → 8 bytes: the
-#: 32× compression that makes a 100 TB corpus RAM-resident.
+#: sample (stride coprime to the IVF stride, so beyond the shared
+#: vector 0 the two quantizers draw disjoint samples below 29·31).
+#: 8×4 bits/vector = 64 dims → 8 bytes: the 32× compression that
+#: makes a 100 TB corpus RAM-resident.
 PQ_M = 8
 PQ_CODES = 16
 PQ_ID_STRIDE = 29
-_PQ_ID_PROBE = PQ_CODES * 8
 
 
 def _collect_pq_inputs(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
-    """Codebook sample + query batch, read driver-side (bounded).
-
-    Same contract as :func:`_collect_ivf_inputs`: candidate codebook
-    ids are stride multiples generated arithmetically and pushed down
-    as an ``in`` filter (never an id-column scan), with a distributed
-    strided fallback for sparse id spaces."""
-    grid = [PQ_ID_STRIDE * i for i in range(_PQ_ID_PROBE)]
-    rows = {
-        r.vec_id: r
-        for r in _driver_vec_rows(
-            sf_dir, sorted(set(grid + list(range(N_QUERY_VECTORS))))
-        )
-    }
-    code_ids = [i for i in grid if i in rows][:PQ_CODES]
-    if len(code_ids) < PQ_CODES:
-        emb = load_table(spark, sf_dir, "embeddings")
-        code_rows = (
-            emb.where(F.col("vec_id") % PQ_ID_STRIDE == 0)
-            .orderBy("vec_id")
-            .limit(PQ_CODES)
-            .select("vec_id", to_double(F.col("embedding")).alias("emb"))
-            .collect()
-        )
-    else:
-        code_rows = [rows[i] for i in code_ids]
-    query_ids = sorted(i for i in range(N_QUERY_VECTORS) if i in rows)
-    return code_rows, [rows[i] for i in query_ids]
+    """PQ codebook sample + query batch (see
+    :func:`_collect_quantizer_inputs`)."""
+    return _collect_quantizer_inputs(spark, sf_dir, PQ_ID_STRIDE, PQ_CODES)
 
 
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -726,6 +726,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("word") >= 2)
     )
     pairs = words.select(
+        "word",
         "word_freq",
         F.explode(
             F.expr(
@@ -734,12 +735,14 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "substring(word, i + 1, 1) AS right_sym))"
             )
         ).alias("p"),
-    ).select("p.left_sym", "p.right_sym", "word_freq")
+    ).select("p.left_sym", "p.right_sym", "word", "word_freq")
     return (
         pairs.groupBy("left_sym", "right_sym")
         .agg(
             F.sum("word_freq").alias("pair_count"),
-            F.count(F.lit(1)).alias("n_distinct_words"),
+            # countDistinct, not count: a word like 'coco' emits
+            # (c,o) at two positions but is ONE distinct word.
+            F.countDistinct("word").alias("n_distinct_words"),
         )
         .orderBy(
             F.desc("pair_count"), "left_sym", "right_sym"
@@ -758,7 +761,7 @@ WITH words AS (
   GROUP BY word
   HAVING LENGTH(word) >= 2
 ), pairs AS (
-  SELECT word_freq,
+  SELECT word, word_freq,
          unnest(list_transform(range(1, LENGTH(word)),
                                i -> word[i:i])) AS left_sym,
          unnest(list_transform(range(1, LENGTH(word)),
@@ -767,7 +770,7 @@ WITH words AS (
 )
 SELECT left_sym, right_sym,
        CAST(SUM(word_freq) AS BIGINT) AS pair_count,
-       COUNT(*) AS n_distinct_words
+       COUNT(DISTINCT word) AS n_distinct_words
 FROM pairs
 GROUP BY 1, 2
 ORDER BY pair_count DESC, left_sym, right_sym

@@ -92,7 +92,12 @@ def write_gsheet_stream(
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        # Batch 0 always runs, even empty: the overwrite/clear +
+        # header must happen exactly once at stream start, not at the
+        # first batch that happens to carry rows (an empty batch 0
+        # followed by data would otherwise append headerless rows
+        # onto stale sheet content).
+        if batch_df.isEmpty() and batch_id > 0:
             return
         batch_mode = mode if batch_id == 0 else "append"
         batch_opts = dict(options)
@@ -106,5 +111,10 @@ def write_gsheet_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_s)
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"gsheets streaming sink did not drain within {timeout_s}s; "
+            "query stopped — re-trigger with the same checkpoint to resume"
+        )
     return query

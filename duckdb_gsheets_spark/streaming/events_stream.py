@@ -472,7 +472,10 @@ def streaming_incremental_dedup_counts(
         .withColumnsRenamed({"doc_id": "b_id", "shingles": "sh_a"})
         .join(c_bands, ["band_idx", "band_hash"])
         .dropDuplicates(["b_id", "c_id"])
-        .join(F.broadcast(c_shingles), "c_id")
+        # No broadcast hint: the corpus shingle table is index-sized
+        # (the batch twin's contract broadcasts the DELTA, never the
+        # corpus) — let Spark plan the stream-static join.
+        .join(c_shingles, "c_id")
         .where(jaccard >= MINHASH_JACCARD_THRESHOLD)
         .select(F.col("b_id").alias("doc_id"), F.lit("near").alias("kind"))
     )

@@ -1272,7 +1272,10 @@ def test_bpe_merge_candidates_match_python_recompute(spark):
             continue
         for a, b in zip(w, w[1:]):
             pair_count[(a, b)] += freq
-            n_words[(a, b)] += 1
+        # Distinct words containing the pair — 'coco' counts (c,o)
+        # once even though it occurs at two positions.
+        for pair in set(zip(w, w[1:])):
+            n_words[pair] += 1
     expected = sorted(
         pair_count.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
     )[:BPE_TOPK]
