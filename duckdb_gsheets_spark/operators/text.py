@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from duckdb_gsheets_spark.functions import portable_hash as PH
 from duckdb_gsheets_spark.functions import text as T
 from duckdb_gsheets_spark.operators.registry import QueryDef
 from duckdb_gsheets_spark.plans.catalog import load_table
@@ -864,8 +865,133 @@ WHERE rank <= {TRIGRAM_PER_LANG}
 """
 
 
+#: Winnowing fingerprint parameters: k-gram size in tokens and the
+#: guarantee window over gram hashes. Any match of length ≥
+#: WINNOW_K + WINNOW_W - 1 tokens is guaranteed to share a selected
+#: fingerprint; expected density is 2/(WINNOW_W+1) of all grams.
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def _winnow_gram_expr(i):
+    """Rolling polynomial hash of the ``WINNOW_K``-token gram starting
+    at 1-based position ``i`` over the residue array ``ht`` — unrolled
+    so both engines evaluate the identical exact-int chain."""
+    g = F.element_at(F.col("ht"), i)
+    for j in range(1, WINNOW_K):
+        g = (g * PH.SHINGLE_A + F.element_at(F.col("ht"), i + F.lit(j))) % PH.P
+    return g
+
+
+def _oracle_winnow_gram(var: str = "i") -> str:
+    g = f"ht[{var}]"
+    for j in range(1, WINNOW_K):
+        g = f"((({g}) * {PH.SHINGLE_A} + ht[{var} + {j}]) % {PH.P})"
+    return g
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by WINNOWING (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
+    ``WINNOW_K``-token gram with a rolling polynomial, then keep the
+    MINIMUM hash of every ``WINNOW_W``-gram window. The selected set
+    is a deterministic ~2/(w+1) subsample of the gram space with a
+    GUARANTEE: any shared run of ≥ k+w-1 tokens between two documents
+    shares a selected fingerprint — the property that lets a 100 TB
+    overlap check index ~25% of grams instead of all of them.
+
+    Entirely narrow (token residues → gram hashes → window minima →
+    distinct, all per-row higher-order maps fused into the scan); the
+    only exchange is the implicit one in the final collect-free
+    projection — zero shuffles. Output is scalarized per document:
+    gram count, selected-fingerprint count, density, and the md5
+    digest of the sorted fingerprint set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    min_tokens = WINNOW_K + WINNOW_W - 1
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
+        .where(F.size("toks") >= min_tokens)
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("toks"), lambda t: PH.tok_mod_p(t)
+            ).alias("ht"),
+            (F.size("toks") - (WINNOW_K - 1)).alias("n_grams"),
+        )
+    )
+    ghashes = F.transform(
+        F.sequence(F.lit(1), F.col("n_grams")), _winnow_gram_expr
+    )
+    with_sel = toks.select(
+        "doc_id",
+        "n_grams",
+        F.sort_array(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.col("n_grams") - (WINNOW_W - 1)
+                    ),
+                    lambda i: F.array_min(
+                        F.slice(ghashes, i, WINNOW_W)
+                    ),
+                )
+            )
+        ).alias("fp"),
+    )
+    return with_sel.select(
+        "doc_id",
+        "n_grams",
+        F.size("fp").alias("n_fingerprints"),
+        F.round(
+            F.size("fp").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("density"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("fp"), lambda x: x.cast("string"))
+            )
+        ).alias("fp_digest"),
+    )
+
+
+WINNOWING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'),
+                        t -> {PH.oracle_tok_mod_p('t')}) AS ht
+  FROM documents
+  WHERE text IS NOT NULL
+    AND len(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))
+        >= {WINNOW_K + WINNOW_W - 1}
+), grams AS (
+  SELECT doc_id,
+         len(ht) - {WINNOW_K - 1} AS n_grams,
+         list_transform(range(1, len(ht) - {WINNOW_K - 1} + 1),
+                        i -> {_oracle_winnow_gram()}) AS gh
+  FROM toks
+), selected AS (
+  SELECT doc_id, n_grams,
+         list_sort(list_distinct(
+           list_transform(range(1, n_grams - {WINNOW_W - 1} + 1),
+                          i -> list_min(gh[i:i + {WINNOW_W - 1}]))
+         )) AS fp
+  FROM grams
+)
+SELECT doc_id,
+       CAST(n_grams AS INTEGER) AS n_grams,
+       CAST(len(fp) AS INTEGER) AS n_fingerprints,
+       ROUND(CAST(len(fp) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         AS density,
+       md5(array_to_string(fp, ',')) AS fp_digest
+FROM selected
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
+    QueryDef("winnowing_fingerprints", winnowing_fingerprints, WINNOWING_ORACLE, "MOSS winnowing rolling-hash document fingerprints"),
     QueryDef("bpe_merge_candidates", bpe_merge_candidates, BPE_MERGE_ORACLE, "first-iteration BPE merge-pair mining over the weighted word table"),
     QueryDef("lang_char_trigram_profile", lang_char_trigram_profile, LANG_TRIGRAM_ORACLE, "per-language char-trigram profile (lang-ID training side)"),
     QueryDef("text_pmi_collocations", text_pmi_collocations, TEXT_PMI_ORACLE, "top-K collocations by exact-ratio PMI (no transcendentals)"),

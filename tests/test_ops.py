@@ -1246,6 +1246,62 @@ def test_basket_pairs_match_python_recompute(spark):
     assert [((r.part_a, r.part_b), r.support) for r in rows] == expected
 
 
+def test_winnowing_matches_python_recompute_and_guarantee(spark):
+    """Winnowing fingerprints against a direct Python replay, plus the
+    algorithm's guarantee: exact-duplicate documents select identical
+    fingerprint sets, and density ≤ 1 with every selected hash a real
+    gram hash."""
+    import hashlib
+    import re
+
+    from duckdb_gsheets_spark.functions.portable_hash import P, SHINGLE_A
+    from duckdb_gsheets_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_fingerprints, r.density, r.fp_digest)
+        for r in winnowing_fingerprints(spark, SF).collect()
+    }
+
+    def tok_mod_p(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % P
+
+    digests_by_text: dict[str, str] = {}
+    expected = {}
+    for r in load_table(spark, SF, "documents").select("doc_id", "text").collect():
+        if r.text is None:
+            continue
+        toks = re.split(r"\s+", r.text.strip().lower())
+        if len(toks) < WINNOW_K + WINNOW_W - 1:
+            continue
+        ht = [tok_mod_p(t) for t in toks]
+        gh = []
+        for i in range(len(ht) - WINNOW_K + 1):
+            g = ht[i]
+            for j in range(1, WINNOW_K):
+                g = (g * SHINGLE_A + ht[i + j]) % P
+            gh.append(g)
+        sel = sorted(
+            {min(gh[i : i + WINNOW_W]) for i in range(len(gh) - WINNOW_W + 1)}
+        )
+        digest = hashlib.md5(",".join(str(x) for x in sel).encode()).hexdigest()
+        expected[r.doc_id] = (
+            len(gh),
+            len(sel),
+            round(len(sel) / len(gh), 6),
+            digest,
+        )
+        digests_by_text.setdefault(r.text.strip().lower(), digest)
+        # Identical text ⇒ identical fingerprint digest.
+        assert digests_by_text[r.text.strip().lower()] == digest
+        assert set(sel) <= set(gh) and len(sel) <= len(gh)
+    assert got == expected
+
+
 def test_bpe_merge_candidates_match_python_recompute(spark):
     """BPE pair table against a direct Python replay of the weighted
     word-table representation."""
