@@ -292,3 +292,52 @@ def test_split_pipeline_single_fingerprint_exchange(spark):
     ]
     fp_exchanges = [ln for ln in exchanges if "fp" in ln]
     assert len(set(fp_exchanges)) == 1
+
+
+def test_no_accidental_cartesian_across_entire_registry(spark):
+    """Sweep EVERY registered query's physical plan: no
+    CartesianProduct and no BroadcastNestedLoopJoin anywhere, except
+    the explicit allowlist — join_cross IS the cartesian coverage op,
+    and the bounded-broadcast scorers (exact cosine baseline, LSH/PQ
+    prep, scalar-subquery relational shapes) legitimately plan
+    nested-loop broadcasts over a driver-bounded side."""
+    from duckdb_gsheets_spark.operators import all_queries
+
+    # join_cross IS the cartesian coverage op; the recall report
+    # crosses a 10-row query spine with a 3-row method list.
+    cartesian_ok = {"join_cross", "ann_recall_report"}
+    # Scalar-broadcast shapes: a crossJoin against a 1-row (or
+    # driver-bounded) side plans as BroadcastNestedLoopJoin — bounded
+    # by construction. Naming them keeps the sweep strict for any NEW
+    # unbounded join.
+    bnlj_ok = {
+        "join_cross",
+        "ann_cosine_topk",          # broadcast query batch × corpus scan
+        "embedding_neardup_pairs",  # broadcast-bounded LSH block pairs
+        "ann_recall_report",        # composes the cosine baseline
+        "text_unigram_xent",        # 1-row corpus-total broadcast
+        "vocab_coverage_curve",     # 1-row token-total broadcast
+        "corpus_mix_weights",       # 1-row normalization broadcast
+        "bm25_search",              # 1-row avgdl broadcast
+        "quality_deciles",          # 1-row count broadcast
+        "corpus_resample",          # 1-row total broadcast
+        "pipeline_curated_corpus",  # composes resample's total broadcast
+        "orders_rfm_segments",      # 1-row quintile-threshold broadcast
+        "text_pmi_collocations",    # 1-row N / M totals broadcast
+        "text_tfidf_top_terms",     # 1-row doc-count broadcast
+        "skew_salted_join",         # salt-replication range broadcast
+        "events_gapfill_locf",      # 1-row calendar-bounds broadcast
+        "q11_important_stock",      # scalar threshold subquery
+        "q22_global_customers",     # scalar avg-balance subquery
+    }
+    offenders = {}
+    for name, qd in all_queries().items():
+        plan = qd.spark_fn(spark, SF)._jdf.queryExecution().toString()
+        bad = []
+        if "CartesianProduct" in plan and name not in cartesian_ok:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"unexpected unbounded joins: {offenders}"
