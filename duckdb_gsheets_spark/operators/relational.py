@@ -831,6 +831,58 @@ FROM base
 """
 
 
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type operator battery: construction (create_map +
+    from_json), map_concat merge, element_at lookup, map_keys /
+    map_values, map_filter, transform_values, size — the key-value
+    surface Spark adds over the reference's flat model.
+
+    Like the array battery, every map-typed output is scalarized
+    (sorted-key csv / looked-up values) so the driver's pandas
+    canonicalizer can hash rows; the ORACLE recomputes the same
+    scalars from the base columns (DuckDB's MAP constructors differ
+    syntactically — value equality is the contract, as everywhere).
+    """
+    events = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(
+        F.col("props"), "map<string,string>"
+    ).alias("pm")
+    m = F.map_concat(
+        F.create_map(
+            F.lit("type"), F.col("event_type"),
+            F.lit("uid"), F.col("user_id").cast("string"),
+        ),
+        parsed,
+    )
+    with_m = events.select("event_id", m.alias("m"))
+    return with_m.select(
+        "event_id",
+        F.size("m").alias("n_entries"),
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_csv"),
+        F.element_at(F.col("m"), F.lit("type")).alias("type_val"),
+        F.element_at(F.col("m"), F.lit("k")).cast("long").alias("k_val"),
+        F.size(
+            F.map_filter("m", lambda k, _: k.startswith("t"))
+        ).alias("n_t_keys"),
+        F.element_at(
+            F.transform_values("m", lambda k, v: F.concat(k, F.lit("="), v)),
+            F.lit("uid"),
+        ).alias("uid_tagged"),
+    )
+
+
+MAP_FUNCTIONS_ORACLE = """
+SELECT event_id,
+       3 AS n_entries,
+       'k,type,uid' AS keys_csv,
+       event_type AS type_val,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       1 AS n_t_keys,
+       'uid=' || CAST(user_id AS VARCHAR) AS uid_tagged
+FROM events
+"""
+
+
 def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (wide → long): part's numeric attributes melt into
     (key, attr, value) rows via DataFrame.unpivot — a generate, no
@@ -852,6 +904,7 @@ SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS value FROM part
 
 QUERIES: list[QueryDef] = [
     QueryDef("array_functions", array_functions, ARRAY_FUNCTIONS_ORACLE, "array/HOF battery"),
+    QueryDef("map_functions", map_functions, MAP_FUNCTIONS_ORACLE, "map-type operator battery (construct/merge/lookup/filter/transform)"),
     QueryDef("unpivot_part_attrs", unpivot_part_attrs, UNPIVOT_ORACLE, "UNPIVOT wide-to-long"),
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, "TPC-H Q1 agg"),
     QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, "TPC-H Q3 join+topk"),

@@ -1246,6 +1246,34 @@ def test_basket_pairs_match_python_recompute(spark):
     assert [((r.part_a, r.part_b), r.support) for r in rows] == expected
 
 
+def test_map_functions_battery(spark):
+    """Map battery invariants on real rows: merged entry count, sorted
+    key set, lookups match the source columns, filter/transform
+    results are consistent."""
+    import json
+
+    from duckdb_gsheets_spark.operators.relational import map_functions
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {r.event_id: r for r in map_functions(spark, SF).collect()}
+    src = {
+        r.event_id: r
+        for r in load_table(spark, SF, "events")
+        .select("event_id", "event_type", "user_id", "props")
+        .collect()
+    }
+    assert set(got) == set(src)
+    for eid, r in got.items():
+        s = src[eid]
+        props = json.loads(s.props)
+        assert r.n_entries == 2 + len(props)
+        assert r.keys_csv == ",".join(sorted(["type", "uid"] + list(props)))
+        assert r.type_val == s.event_type
+        assert r.k_val == props["k"]
+        assert r.n_t_keys == 1  # 'type' is the only t-key
+        assert r.uid_tagged == f"uid={s.user_id}"
+
+
 def test_winnowing_matches_python_recompute_and_guarantee(spark):
     """Winnowing fingerprints against a direct Python replay, plus the
     algorithm's guarantee: exact-duplicate documents select identical
