@@ -246,11 +246,19 @@ def _token_set_groups(toks_arr: DataFrame):
     This is the exact-before-fuzzy collapse every production dedup
     runs: pair scoring then touches only DISTINCT token sets, so a
     corpus that is 95 % copies pays the pairwise cost of its 5 %
-    unique content. The group key is md5 over the sorted token array
-    (unit-separator joined) — one narrow map, one fingerprint shuffle.
+    unique content. The group key is md5 over the concatenation of
+    PER-TOKEN md5s of the sorted token array — separator-free and
+    unambiguous (a joined-with-separator key would collide a token
+    that itself contains the separator with the split tokens) — one
+    narrow map, one fingerprint shuffle.
     """
     with_fp = toks_arr.withColumn(
-        "fp", F.md5(F.concat_ws("\x1f", F.sort_array("toks")))
+        "fp",
+        F.md5(
+            F.concat_ws(
+                "", F.transform(F.sort_array("toks"), lambda t: F.md5(t))
+            )
+        ),
     )
     groups = with_fp.groupBy("fp").agg(
         F.min("doc_id").alias("gid"), F.count(F.lit(1)).alias("g_size")
@@ -881,8 +889,8 @@ def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses the registered pair query (so it audits exactly what runs)
     plus one token-set attach per side; the rollup is ≤ 4 rows
     (Hamming 0..SIMHASH_MAX_HAMMING). Means ride exact scaled longs.
-    Rows-only registered (bit math is engine-specific); monotonicity
-    pytest-pinned.
+    Value-exact DuckDB oracle via the portable 60-bit hash family
+    (SIMHASH_CALIBRATION_ORACLE); monotonicity pytest-pinned.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup_simhash(spark, sf_dir)
@@ -946,6 +954,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     labels = vertices.select("doc_id", F.col("doc_id").alias("comp"))
+    changed = -1
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["doc_id"])
@@ -971,6 +980,15 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Silent non-convergence would diverge from the recursive-CTE
+        # oracle's exact fixpoint with no diagnostic — fail loudly
+        # instead (the cap is a runaway backstop, not a result).
+        raise RuntimeError(
+            f"connected_components did not converge in {CC_MAX_ITERS} "
+            f"rounds ({changed} labels still changing) — raise "
+            "CC_MAX_ITERS or investigate the component depth"
+        )
     return labels
 
 

@@ -58,6 +58,22 @@ def dsum_decimal(col: Column | str, scale: int = 2, precision: int = 18) -> Colu
     return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
 
 
+def round_half_away(x: float, ndigits: int = 6) -> float:
+    """Python-side rounding that matches SQL ROUND (half AWAY from
+    zero) instead of Python's builtin half-even.
+
+    Every Spark-COLUMN rounding in the repo is ``F.round`` (HALF_UP,
+    matching DuckDB); this is the same contract for the few values
+    assembled driver-side (the multimodal decode stub, iterative-ML
+    result assembly). Probe-verified against DuckDB
+    ``ROUND(CAST(x AS DOUBLE), n)`` including exact .5 ties.
+    """
+    import math
+
+    factor = float(10**ndigits)
+    return math.copysign(math.floor(abs(x) * factor + 0.5) / factor, x)
+
+
 def oracle_dsum(expr: str, scale: int = 2) -> str:
     """DuckDB SQL text matching :func:`dsum`."""
     factor = float(10**scale)

@@ -38,11 +38,8 @@ layer (SURVEY.md §2.3) alongside dedup/similarity.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
-import pyarrow.parquet as pq
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -54,6 +51,7 @@ from pyspark.sql.types import (
 )
 
 from duckdb_gsheets_spark.functions.vectors import dot_np, norm_np, to_double
+from duckdb_gsheets_spark.operators.determinism import round_half_away
 from duckdb_gsheets_spark.operators.registry import QueryDef
 from duckdb_gsheets_spark.plans.catalog import fan_out, load_table
 
@@ -74,39 +72,29 @@ KMEANS_INIT_STRIDE = 29
 PCA_ITERS = 8
 
 
-#: Bounded candidate grid for the driver-side init probe (see
-#: similarity._collect_ivf_inputs for the scale rationale: arithmetic
-#: ids + pushdown IN filter, never a full id-column scan).
-_KMEANS_ID_PROBE = KMEANS_K * 8
-
-
 def _init_centroids(sf_dir: str, spark: SparkSession | None = None) -> np.ndarray:
-    """Driver-side pyarrow read of the K strided init vectors — the
-    model seed a production job would load as an artifact; no Spark
-    job, row-group-pruned ``in`` filter over an ARITHMETIC candidate
-    grid (multiples of the stride — O(K) driver state, never the full
-    id column). Sparse id spaces fall back to a distributed strided
-    sample when a session is available."""
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    grid = [KMEANS_INIT_STRIDE * i for i in range(_KMEANS_ID_PROBE)]
-    t = pq.read_table(
-        path,
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "in", grid)],
+    """The K strided init vectors — the model seed a production job
+    would load as an artifact. Delegates to the shared quantizer-input
+    collector (similarity._collect_quantizer_inputs: arithmetic
+    candidate grid + pushdown IN filter, never a full id-column scan,
+    distributed strided fallback for sparse id spaces) and discards
+    its query batch."""
+    from duckdb_gsheets_spark.operators.similarity import (
+        _collect_quantizer_inputs,
+        _driver_vec_rows,
     )
-    rows = sorted(
-        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
-    )[:KMEANS_K]
-    if len(rows) < KMEANS_K and spark is not None:
-        emb = load_table(spark, sf_dir, "embeddings")
-        collected = (
-            emb.where(F.col("vec_id") % KMEANS_INIT_STRIDE == 0)
-            .orderBy("vec_id")
-            .limit(KMEANS_K)
-            .select("vec_id", to_double(F.col("embedding")).alias("emb"))
-            .collect()
+
+    if spark is not None:
+        rows, _ = _collect_quantizer_inputs(
+            spark, sf_dir, KMEANS_INIT_STRIDE, KMEANS_K
         )
-        rows = [(r.vec_id, r.emb) for r in collected]
+        return np.array([[float(x) for x in r.emb] for r in rows])
+    # Session-less callers (pure driver-side seed read): bounded grid
+    # probe only — same semantics when the grid covers the id space.
+    grid = [KMEANS_INIT_STRIDE * i for i in range(KMEANS_K * 8)]
+    rows = sorted(
+        (r.vec_id, r.emb) for r in _driver_vec_rows(sf_dir, grid)
+    )[:KMEANS_K]
     return np.array([[float(x) for x in e] for _, e in rows])
 
 
@@ -138,16 +126,6 @@ def _assign_sim_np(centroids: np.ndarray):
         )
 
     return assign
-
-
-def _dim_sums(prefix: str = "emb") -> list:
-    """The 64 per-dimension partial-sum expressions — map-side
-    combinable, so each partition ships one row of 64 doubles per
-    group to the shuffle."""
-    return [
-        F.sum(F.element_at(F.col(prefix), d + 1)).alias(f"s{d}")
-        for d in range(DIM)
-    ]
 
 
 #: Fixed-point scale for cross-engine-exact aggregate state (centroid
@@ -235,8 +213,8 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             int(r.cluster),
             int(r.size),
-            round(r.sim_scaled / 1e6 / r.size, 6),
-            round(float(np.linalg.norm(centroids[r.cluster])), 6),
+            round_half_away(r.sim_scaled / 1e6 / r.size, 6),
+            round_half_away(float(np.linalg.norm(centroids[r.cluster])), 6),
         )
         for r in sorted(stats, key=lambda r: r.cluster)
     ]
@@ -321,7 +299,7 @@ def pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     if v[np.abs(v).argmax()] < 0:
         v = -v
     return spark.createDataFrame(
-        [(d, round(float(v[d]), 6), round(eigenvalue, 6)) for d in range(DIM)],
+        [(d, round_half_away(float(v[d]), 6), round_half_away(eigenvalue, 6)) for d in range(DIM)],
         "dim long, loading double, eigenvalue double",
     )
 
@@ -495,7 +473,7 @@ def logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(c.y_true),
             int(c.y_pred),
             int(c.n),
-            round(c.ps / 1e6 / c.n, 6),
+            round_half_away(c.ps / 1e6 / c.n, 6),
         )
         for c in sorted(cells, key=lambda c: (c.y_true, c.y_pred))
     ]

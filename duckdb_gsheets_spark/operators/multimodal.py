@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from duckdb_gsheets_spark.operators.determinism import round_half_away
 from duckdb_gsheets_spark.operators.registry import QueryDef
 from duckdb_gsheets_spark.plans.catalog import load_table
 
@@ -103,7 +104,7 @@ def _decode_payload(payload: bytes, fmt: str) -> tuple[int, int, float, int]:
     height = (n // 64) + 1
     mean_byte = (sum(payload) / n) if n else 0.0
     n_frames = 1 if fmt in ("png", "jpeg") else (n % 100) + 1
-    return width, height, round(mean_byte, 6), n_frames
+    return width, height, round_half_away(mean_byte, 6), n_frames
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -168,7 +169,7 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     height,
                     max(1, int(width * scale)),
                     max(1, int(height * scale)),
-                    round(scale, 6),
+                    round_half_away(scale, 6),
                 )
             )
         yield pd.DataFrame(
@@ -219,7 +220,7 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 chunk = data[lo:hi] or b"\0"
                 out_doc.append(int(doc_id))
                 out_idx.append(idx)
-                out_feat.append(round(sum(chunk) / len(chunk), 6))
+                out_feat.append(round_half_away(sum(chunk) / len(chunk), 6))
         yield pd.DataFrame(
             {"doc_id": out_doc, "frame_idx": out_idx, "frame_feature": out_feat}
         )

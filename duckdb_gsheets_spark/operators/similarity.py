@@ -431,7 +431,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            # Rows-only-checked query → Arrow-batched numpy dot (the
+            # Arrow-batched numpy dot — oracle-safe after round-6 (the
             # < 1e-12 summation-order drift is erased by round 6).
             F.round(
                 dot_np(F.col("emb_a"), F.col("emb"))
@@ -616,7 +616,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key and the per-batch list mask becomes partition
     pruning: a probe reads nprobe/nlists of the data.
 
-    Rows-only correctness; recall vs exact is pytest-bounded.
+    Value-exact DuckDB oracle (_ivf_oracle — the deterministic
+    quantizer replays in SQL); recall vs exact is pytest-bounded.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     centroid_rows, query_rows = _collect_ivf_inputs(spark, sf_dir)
