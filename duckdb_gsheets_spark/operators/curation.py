@@ -759,7 +759,91 @@ GROUP BY h.lang, h.n_docs_in, h.lang_tokens
 """
 
 
+def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset datasheet (Gebru et al., "Datasheets for
+    Datasets", CACM 2021): the one-row-per-source summary a corpus
+    release ships — volume (docs, tokens, chars), language diversity,
+    mean quality, and exact-duplication rate — composed from the same
+    oracle-locked builders the standalone operators use, so the
+    datasheet can never drift from the metrics it summarizes.
+
+    One scan computes every per-doc scalar (tokens, quality,
+    fingerprint — all narrow); the dup flag costs ONE fingerprint
+    window (first occurrence per content hash, corpus-wide), then a
+    |sources|-row rollup. Quality means ride exact scaled longs.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), WHITESPACE_SPLIT)).alias(
+            "n_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+        F.round(T.quality_score(F.col("text")) * 1e6).cast("long").alias(
+            "q_s"
+        ),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = base.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("long")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("q_s") / (F.count(F.lit(1)) * 1e6), 6).alias(
+            "mean_quality"
+        ),
+        F.sum("is_dup").alias("n_exact_dups"),
+        F.round(
+            F.sum("is_dup").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+DATASHEET_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens,
+         LENGTH(text) AS n_chars,
+         CAST(ROUND(({T.oracle_quality_score()}) * 1e6) AS BIGINT) AS q_s,
+         {T.oracle_fingerprint()} AS fp
+  FROM documents WHERE text IS NOT NULL
+), flagged AS (
+  SELECT source, lang, n_tokens, n_chars, q_s,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM base
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(q_s) AS DOUBLE) / (COUNT(*) * 1e6), 6)
+         AS mean_quality,
+       CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+       ROUND(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM flagged
+GROUP BY source
+"""
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "dataset_datasheet",
+        dataset_datasheet,
+        DATASHEET_ORACLE,
+        "per-source dataset datasheet (volume, diversity, quality, dup rate)",
+    ),
     QueryDef(
         "vocab_oov_rate",
         vocab_oov_rate,

@@ -68,7 +68,8 @@ class QueryDef:
 #: embedding_doc_coverage, bpe_merge_candidates,
 #: lang_char_trigram_profile, basket_part_pairs, neardup_pagerank,
 #: sample_split_assign, split_leakage_check, events_attribution,
-#: pipeline_split_corpus, winnowing_fingerprints, map_functions —
+#: pipeline_split_corpus, winnowing_fingerprints, map_functions,
+#: dataset_datasheet —
 #: plus re-checks for
 #: any window query whose
 #: module was edited (ann_recall_report gained the 'pq' method row in

@@ -1246,6 +1246,55 @@ def test_basket_pairs_match_python_recompute(spark):
     assert [((r.part_a, r.part_b), r.support) for r in rows] == expected
 
 
+def test_dataset_datasheet_ledger_closes(spark):
+    """Datasheet totals against a direct Python recount: volumes sum
+    exactly, dup counts match a first-occurrence replay, and every
+    source row is present."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.curation import dataset_datasheet
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {r.source: r for r in dataset_datasheet(spark, SF).collect()}
+    docs = sorted(
+        (
+            r
+            for r in load_table(spark, SF, "documents")
+            .select("doc_id", "source", "lang", "text")
+            .collect()
+            if r.text is not None
+        ),
+        key=lambda r: r.doc_id,
+    )
+    seen: set[str] = set()
+    agg = defaultdict(lambda: [0, set(), 0, 0, 0])
+    for r in docs:
+        fp = hashlib.md5(
+            re.sub(r"\s+", " ", r.text.lower()).strip().encode()
+        ).hexdigest()
+        a = agg[r.source]
+        a[0] += 1
+        a[1].add(r.lang)
+        a[2] += len(re.split(r"\s+", r.text.strip()))
+        a[3] += len(r.text)
+        if fp in seen:
+            a[4] += 1
+        else:
+            seen.add(fp)
+    assert set(got) == set(agg)
+    for src, (n, langs, toks, chars, dups) in agg.items():
+        r = got[src]
+        assert r.n_docs == n
+        assert r.n_langs == len(langs)
+        assert r.total_tokens == toks
+        assert r.total_chars == chars
+        assert r.n_exact_dups == dups
+        assert r.dup_rate == round(dups / n, 6)
+        assert 0.0 <= r.mean_quality <= 1.0
+
+
 def test_map_functions_battery(spark):
     """Map battery invariants on real rows: merged entry count, sorted
     key set, lookups match the source columns, filter/transform
