@@ -970,6 +970,68 @@ FROM stats
 ATTRIB_WINDOW_S = 24 * 3600
 
 
+def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast audit: predict each hour's event count
+    per type with "same hour yesterday" and report the accuracy — the
+    baseline every real forecasting model must beat, and the capacity-
+    planning sanity dashboard shape.
+
+    Two tiny stages after the hourly rollup (which is the only
+    data-sized shuffle, map-side combined): a self-equi-join of the
+    |types|×|hours| count table on (type, hour − 24 h) pairs actuals
+    with their forecasts — hours with no prior-day counterpart are
+    simply not evaluated (sparse-calendar semantics, identical in both
+    engines) — then a |types|-row accuracy rollup. MAE and bias are
+    exact-integer ratios rounded once.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    paired = hourly.alias("a").join(
+        hourly.alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.h") == F.col("a.h") - F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("actual"),
+        F.col("b.n").alias("forecast"),
+    )
+    return paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("actual").alias("total_actual"),
+        F.sum("forecast").alias("total_forecast"),
+        F.round(
+            F.sum(F.abs(F.col("actual") - F.col("forecast"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mae"),
+        F.sum(F.col("forecast") - F.col("actual")).alias("bias"),
+    )
+
+
+EVENTS_FORECAST_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), paired AS (
+  SELECT a.event_type, a.n AS actual, b.n AS forecast
+  FROM hourly a JOIN hourly b
+    ON b.event_type = a.event_type
+   AND b.h = a.h - INTERVAL 24 HOURS
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       CAST(SUM(actual) AS BIGINT) AS total_actual,
+       CAST(SUM(forecast) AS BIGINT) AS total_forecast,
+       ROUND(CAST(SUM(ABS(actual - forecast)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mae,
+       CAST(SUM(forecast - actual) AS BIGINT) AS bias
+FROM paired
+GROUP BY 1
+"""
+
+
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: credit every ``purchase`` to the most
     recent NON-purchase event of the same user within the 24 h
@@ -1112,6 +1174,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
     QueryDef("events_markov_transitions", events_markov_transitions, EVENTS_MARKOV_ORACLE, "first-order event-type Markov transition matrix"),
     QueryDef("events_attribution", events_attribution, EVENTS_ATTRIBUTION_ORACLE, "last-touch purchase attribution within a 24h lookback"),
+    QueryDef("events_forecast_baseline", events_forecast_baseline, EVENTS_FORECAST_ORACLE, "seasonal-naive hourly forecast accuracy report"),
     QueryDef("events_pivot", events_pivot, EVENTS_PIVOT_ORACLE, "pivot by event type"),
     QueryDef("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_ORACLE, "gap sessionization"),
     QueryDef("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE, "as-of join"),

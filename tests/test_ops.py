@@ -1678,6 +1678,43 @@ def test_split_leakage_matches_pair_replay(spark):
         assert got[key] == (len(jacs), max(jacs))
 
 
+def test_forecast_baseline_matches_python_recompute(spark):
+    """Seasonal-naive accuracy report against a direct Python replay
+    of hourly counts and the h-24 pairing."""
+    from collections import Counter, defaultdict
+
+    from duckdb_gsheets_spark.operators.events import (
+        events_forecast_baseline,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {r.event_type: r for r in events_forecast_baseline(spark, SF).collect()}
+    hourly: Counter[tuple[str, object]] = Counter()
+    for r in load_table(spark, SF, "events").select("event_type", "ts").collect():
+        hourly[(r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))] += 1
+    import datetime
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    day = datetime.timedelta(hours=24)
+    for (et, h), n in hourly.items():
+        prev = hourly.get((et, h - day))
+        if prev is None:
+            continue
+        a = agg[et]
+        a[0] += 1
+        a[1] += n
+        a[2] += prev
+        a[3] += abs(n - prev)
+        a[4] += prev - n
+    assert set(got) == set(agg)
+    for et, (nh, ta, tf, abserr, bias) in agg.items():
+        r = got[et]
+        assert (r.n_hours, r.total_actual, r.total_forecast, r.bias) == (
+            nh, ta, tf, bias,
+        )
+        assert r.mae == round(abserr / nh, 6)
+
+
 def test_attribution_matches_python_recompute(spark):
     """Last-touch credits against a direct Python replay of each
     user's event timeline."""
