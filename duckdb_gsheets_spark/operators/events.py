@@ -1114,6 +1114,75 @@ GROUP BY 1
 """
 
 
+#: Rolling active-user windows (days).
+MAU_WINDOW = 28
+WAU_WINDOW = 7
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: per calendar day, the count of distinct users
+    active that day, in the trailing 7 days, and in the trailing 28
+    days — the canonical engagement dashboard.
+
+    Windowed COUNT DISTINCT doesn't exist as a window function in
+    either engine; the scale-right formulation is contribution
+    explosion: dedup to (user, day) rows (one shuffle, map-side
+    combined), explode each into its ≤28 future target days (narrow),
+    and take conditional distinct counts per target day — the shuffle
+    carries (target_day, user, offset), 28× the user-day table, which
+    is already ≪ the event table. Target days are restricted to days
+    that actually occur in the data (semi-join against the day spine)
+    so the report window is data-defined and engine-identical.
+    """
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = user_days.select("day").distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(MAU_WINDOW - 1))).alias("off"),
+        "day",
+    ).select(
+        "user_id", "off", F.date_add(F.col("day"), F.col("off")).alias("target")
+    )
+    return (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("day", "target")), "target"
+        )
+        .groupBy("target")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("off") == 0, F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(F.col("off") < WAU_WINDOW, F.col("user_id"))
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .select(F.col("target").cast("string").alias("day"), "dau", "wau", "mau")
+    )
+
+
+EVENTS_ACTIVE_USERS_ORACLE = f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), days AS (
+  SELECT DISTINCT day FROM user_days
+), contrib AS (
+  SELECT user_id, off, day + off * INTERVAL 1 DAY AS target
+  FROM user_days
+  CROSS JOIN (SELECT unnest(range(0, {MAU_WINDOW})) AS off)
+)
+SELECT CAST(CAST(c.target AS DATE) AS VARCHAR) AS day,
+       COUNT(DISTINCT CASE WHEN c.off = 0 THEN c.user_id END) AS dau,
+       COUNT(DISTINCT CASE WHEN c.off < {WAU_WINDOW} THEN c.user_id END) AS wau,
+       COUNT(DISTINCT c.user_id) AS mau
+FROM contrib c JOIN days d ON d.day = CAST(c.target AS DATE)
+GROUP BY 1
+"""
+
+
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     streams: for every (from_type → to_type) pair of CONSECUTIVE
@@ -1175,6 +1244,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_markov_transitions", events_markov_transitions, EVENTS_MARKOV_ORACLE, "first-order event-type Markov transition matrix"),
     QueryDef("events_attribution", events_attribution, EVENTS_ATTRIBUTION_ORACLE, "last-touch purchase attribution within a 24h lookback"),
     QueryDef("events_forecast_baseline", events_forecast_baseline, EVENTS_FORECAST_ORACLE, "seasonal-naive hourly forecast accuracy report"),
+    QueryDef("events_active_users", events_active_users, EVENTS_ACTIVE_USERS_ORACLE, "DAU/WAU/MAU via contribution explosion (no windowed distinct)"),
     QueryDef("events_pivot", events_pivot, EVENTS_PIVOT_ORACLE, "pivot by event type"),
     QueryDef("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_ORACLE, "gap sessionization"),
     QueryDef("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE, "as-of join"),

@@ -69,7 +69,8 @@ class QueryDef:
 #: lang_char_trigram_profile, basket_part_pairs, neardup_pagerank,
 #: sample_split_assign, split_leakage_check, events_attribution,
 #: pipeline_split_corpus, winnowing_fingerprints, map_functions,
-#: dataset_datasheet, events_forecast_baseline —
+#: dataset_datasheet, events_forecast_baseline,
+#: events_active_users, orders_pareto_share —
 #: plus re-checks for
 #: any window query whose
 #: module was edited (ann_recall_report gained the 'pq' method row in

@@ -886,6 +886,108 @@ GROUP BY r_score, f_score, m_score
 """
 
 
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/Lorenz) report: customers ranked
+    by lifetime order revenue, tiled into deciles, with each decile's
+    share and cumulative share of total revenue — the "do 20% of
+    customers drive 80% of revenue" audit.
+
+    Same value-level tiling contract as the quality-decile report:
+    the ranking window runs over DISTINCT revenue values (exact cents,
+    so ties group), never per customer row — no global per-row sort
+    at any corpus size. Revenue is exact scaled-long cents end to end
+    with one rounded division per reported ratio; the cumulative
+    share is a second window over the ≤10 decile rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    vals = cust.groupBy("rev_c").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("rev_c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = vals.agg(
+        F.sum("cnt").alias("n_total"),
+        F.sum(F.col("rev_c") * F.col("cnt")).alias("rev_total"),
+    )
+    tiled = (
+        vals.select(
+            "rev_c",
+            "cnt",
+            (F.sum("cnt").over(w) - F.col("cnt")).alias("n_before"),
+        )
+        .join(F.broadcast(totals))
+        .withColumn(
+            "decile",
+            (F.lit(1) + F.expr("div(n_before * 10, n_total)")).cast("int"),
+        )
+    )
+    per_decile = tiled.groupBy("decile").agg(
+        F.sum("cnt").alias("n_customers"),
+        F.sum(F.col("rev_c") * F.col("cnt")).alias("rev_c_sum"),
+        F.first("rev_total").alias("rev_total"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_decile.select(
+        "decile",
+        "n_customers",
+        (F.col("rev_c_sum").cast("double") / F.lit(100.0)).alias(
+            "decile_revenue"
+        ),
+        F.round(
+            F.col("rev_c_sum").cast("double")
+            / F.col("rev_total").cast("double"),
+            6,
+        ).alias("revenue_share"),
+        F.round(
+            F.sum("rev_c_sum").over(wd).cast("double")
+            / F.col("rev_total").cast("double"),
+            6,
+        ).alias("cum_revenue_share"),
+    )
+
+
+ORDERS_PARETO_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1
+), vals AS (
+  SELECT rev_c, COUNT(*) AS cnt FROM cust GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+         CAST(SUM(rev_c * cnt) AS BIGINT) AS rev_total
+  FROM vals
+), tiled AS (
+  SELECT v.rev_c, v.cnt, t.n_total, t.rev_total,
+         CAST(1 + ((SUM(v.cnt) OVER (ORDER BY v.rev_c DESC
+                    ROWS UNBOUNDED PRECEDING) - v.cnt) * 10) // t.n_total
+              AS INTEGER) AS decile
+  FROM vals v CROSS JOIN totals t
+), per_decile AS (
+  SELECT decile,
+         CAST(SUM(cnt) AS BIGINT) AS n_customers,
+         CAST(SUM(rev_c * cnt) AS BIGINT) AS rev_c_sum,
+         ANY_VALUE(rev_total) AS rev_total
+  FROM tiled GROUP BY 1
+)
+SELECT decile, n_customers,
+       CAST(rev_c_sum AS DOUBLE) / 100.0 AS decile_revenue,
+       ROUND(CAST(rev_c_sum AS DOUBLE) / CAST(rev_total AS DOUBLE), 6)
+         AS revenue_share,
+       ROUND(CAST(SUM(rev_c_sum) OVER (ORDER BY decile
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(rev_total AS DOUBLE), 6) AS cum_revenue_share
+FROM per_decile
+"""
+
+
 #: Market-basket mining: support floor and report size.
 BASKET_MIN_SUPPORT = 2
 BASKET_TOPK = 25
@@ -947,6 +1049,7 @@ LIMIT {BASKET_TOPK}
 QUERIES: list[QueryDef] = [
     QueryDef("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE, "TPC-H Q2 min-cost supplier"),
     QueryDef("basket_part_pairs", basket_part_pairs, BASKET_ORACLE, "market-basket co-purchase pair support (Apriori pair stage)"),
+    QueryDef("orders_pareto_share", orders_pareto_share, ORDERS_PARETO_ORACLE, "Pareto/Lorenz revenue-concentration deciles (value-level tiling)"),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),
     QueryDef("q8_market_share", q8_market_share, Q8_ORACLE, "TPC-H Q8 share-of-total"),
     QueryDef("q9_product_profit", q9_product_profit, Q9_ORACLE, "TPC-H Q9 profit"),

@@ -1678,6 +1678,74 @@ def test_split_leakage_matches_pair_replay(spark):
         assert got[key] == (len(jacs), max(jacs))
 
 
+def test_active_users_match_python_recompute(spark):
+    """DAU/WAU/MAU against a direct Python replay of trailing-window
+    distinct-user counts, plus the DAU ≤ WAU ≤ MAU invariant."""
+    import datetime
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.events import (
+        MAU_WINDOW,
+        WAU_WINDOW,
+        events_active_users,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {r.day: (r.dau, r.wau, r.mau) for r in events_active_users(spark, SF).collect()}
+    by_day = defaultdict(set)
+    for r in load_table(spark, SF, "events").select("user_id", "ts").collect():
+        by_day[r.ts.date()].add(r.user_id)
+    days = sorted(by_day)
+    expected = {}
+    for d in days:
+        dau = by_day[d]
+        wau, mau = set(), set()
+        for off in range(MAU_WINDOW):
+            src = d - datetime.timedelta(days=off)
+            users = by_day.get(src, set())
+            mau |= users
+            if off < WAU_WINDOW:
+                wau |= users
+        expected[str(d)] = (len(dau), len(wau), len(mau))
+    assert got == expected
+    for dau, wau, mau in got.values():
+        assert dau <= wau <= mau
+
+
+def test_pareto_share_matches_python_recompute(spark):
+    """Revenue deciles against a direct Python tiling replay; shares
+    sum to 1 and the cumulative share is monotone."""
+    from collections import Counter, defaultdict
+
+    from duckdb_gsheets_spark.operators.tpch_extra import orders_pareto_share
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = sorted(orders_pareto_share(spark, SF).collect(), key=lambda r: r.decile)
+    rev = Counter()
+    for r in load_table(spark, SF, "orders").select("o_custkey", "o_totalprice").collect():
+        rev[r.o_custkey] += round(r.o_totalprice * 100)
+    vals = Counter(rev.values())
+    n_total = sum(vals.values())
+    rev_total = sum(v * c for v, c in vals.items())
+    agg = defaultdict(lambda: [0, 0])
+    n_before = 0
+    for v in sorted(vals, reverse=True):
+        decile = 1 + (n_before * 10) // n_total
+        agg[decile][0] += vals[v]
+        agg[decile][1] += v * vals[v]
+        n_before += vals[v]
+    assert [r.decile for r in got] == sorted(agg)
+    cum = 0
+    for r in got:
+        n, rc = agg[r.decile]
+        cum += rc
+        assert r.n_customers == n
+        assert r.decile_revenue == rc / 100.0
+        assert r.revenue_share == round(rc / rev_total, 6)
+        assert r.cum_revenue_share == round(cum / rev_total, 6)
+    assert got[-1].cum_revenue_share == 1.0
+
+
 def test_forecast_baseline_matches_python_recompute(spark):
     """Seasonal-naive accuracy report against a direct Python replay
     of hourly counts and the h-24 pairing."""
