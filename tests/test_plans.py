@@ -323,6 +323,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "corpus_resample",          # 1-row total broadcast
         "pipeline_curated_corpus",  # composes resample's total broadcast
         "orders_rfm_segments",      # 1-row quintile-threshold broadcast
+        "orders_pareto_share",      # 1-row totals broadcast
         "text_pmi_collocations",    # 1-row N / M totals broadcast
         "text_tfidf_top_terms",     # 1-row doc-count broadcast
         "skew_salted_join",         # salt-replication range broadcast
