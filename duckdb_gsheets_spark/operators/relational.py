@@ -840,8 +840,11 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Like the array battery, every map-typed output is scalarized
     (sorted-key csv / looked-up values) so the driver's pandas
     canonicalizer can hash rows; the ORACLE recomputes the same
-    scalars from the base columns (DuckDB's MAP constructors differ
+    scalars from the props JSON (DuckDB's MAP constructors differ
     syntactically — value equality is the contract, as everywhere).
+    Data contract: props keys must be disjoint from the injected
+    'type'/'uid' keys — Spark's map_concat raises DUPLICATE_MAP_KEY
+    (loudly) if a fixture change ever violates it.
     """
     events = load_table(spark, sf_dir, "events")
     parsed = F.from_json(
@@ -873,11 +876,14 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAP_FUNCTIONS_ORACLE = """
 SELECT event_id,
-       3 AS n_entries,
-       'k,type,uid' AS keys_csv,
+       CAST(2 + len(json_keys(props)) AS INTEGER) AS n_entries,
+       array_to_string(
+         list_sort(list_concat(json_keys(props), ['type', 'uid'])), ','
+       ) AS keys_csv,
        event_type AS type_val,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-       1 AS n_t_keys,
+       CAST(len(list_filter(list_concat(json_keys(props), ['type', 'uid']),
+                            k -> k LIKE 't%')) AS INTEGER) AS n_t_keys,
        'uid=' || CAST(user_id AS VARCHAR) AS uid_tagged
 FROM events
 """

@@ -873,17 +873,10 @@ WINNOW_K = 5
 WINNOW_W = 4
 
 
-def _winnow_gram_expr(i):
-    """Rolling polynomial hash of the ``WINNOW_K``-token gram starting
-    at 1-based position ``i`` over the residue array ``ht`` — unrolled
-    so both engines evaluate the identical exact-int chain."""
-    g = F.element_at(F.col("ht"), i)
-    for j in range(1, WINNOW_K):
-        g = (g * PH.SHINGLE_A + F.element_at(F.col("ht"), i + F.lit(j))) % PH.P
-    return g
-
-
 def _oracle_winnow_gram(var: str = "i") -> str:
+    """Rolling polynomial hash of the gram starting at 1-based
+    position ``var`` over the residue list ``ht`` — unrolled so both
+    engines evaluate the identical exact-int chain."""
     g = f"ht[{var}]"
     for j in range(1, WINNOW_K):
         g = f"((({g}) * {PH.SHINGLE_A} + ht[{var} + {j}]) % {PH.P})"
@@ -901,12 +894,19 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares a selected fingerprint — the property that lets a 100 TB
     overlap check index ~25% of grams instead of all of them.
 
-    Entirely narrow (token residues → gram hashes → window minima →
-    distinct, all per-row higher-order maps fused into the scan); the
-    only exchange is the implicit one in the final collect-free
-    projection — zero shuffles. Output is scalarized per document:
-    gram count, selected-fingerprint count, density, and the md5
-    digest of the sorted fingerprint set.
+    Linear by construction: token residues posexplode (narrow, fused
+    into the scan), then ONE hash partition on doc_id serves both
+    window passes — gram hashes via a ``lead`` chain (each token
+    residue read k times, never a re-scan of the document) and the
+    sliding minimum via a ``ROWS 0..w-1 FOLLOWING`` frame. An
+    array-HOF formulation (slice+min per window over a gram array)
+    reads beautifully but is O(n²·k) per document — Catalyst gives
+    higher-order lambdas no common-subexpression elimination and
+    CollapseProject re-inlines single-use projections, so the gram
+    array is recomputed per window position; measured 63 s for ONE
+    12.8k-token document vs. milliseconds here. Output is scalarized
+    per document: gram count, selected-fingerprint count, density,
+    and the md5 digest of the sorted fingerprint set.
     """
     docs = load_table(spark, sf_dir, "documents")
     min_tokens = WINNOW_K + WINNOW_W - 1
@@ -914,45 +914,51 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("text").isNotNull())
         .select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
         .where(F.size("toks") >= min_tokens)
+    )
+    positioned = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.col("toks"), lambda t: PH.tok_mod_p(t))
+        ).alias("pos", "h"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    g = F.col("h")
+    for j in range(1, WINNOW_K):
+        g = (g * PH.SHINGLE_A + F.lead("h", j).over(w_ord)) % PH.P
+    grams = positioned.select(
+        "doc_id", "pos", g.alias("gh")
+    ).where(F.col("gh").isNotNull())  # positions past n-k+1 have null leads
+    w_frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    w_doc = Window.partitionBy("doc_id")
+    sel = (
+        grams.withColumn("win_min", F.min("gh").over(w_frame))
+        .withColumn("last_pos", F.max("pos").over(w_doc))
+        .where(F.col("pos") <= F.col("last_pos") - (WINNOW_W - 1))
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            (F.max("last_pos") + 1).cast("int").alias("n_grams"),
+            F.sort_array(F.collect_set("win_min")).alias("fp"),
+        )
         .select(
             "doc_id",
-            F.transform(
-                F.col("toks"), lambda t: PH.tok_mod_p(t)
-            ).alias("ht"),
-            (F.size("toks") - (WINNOW_K - 1)).alias("n_grams"),
-        )
-    )
-    ghashes = F.transform(
-        F.sequence(F.lit(1), F.col("n_grams")), _winnow_gram_expr
-    )
-    with_sel = toks.select(
-        "doc_id",
-        "n_grams",
-        F.sort_array(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.col("n_grams") - (WINNOW_W - 1)
-                    ),
-                    lambda i: F.array_min(
-                        F.slice(ghashes, i, WINNOW_W)
-                    ),
+            "n_grams",
+            F.size("fp").alias("n_fingerprints"),
+            F.round(
+                F.size("fp").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            ).alias("density"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform(F.col("fp"), lambda x: x.cast("string"))
                 )
-            )
-        ).alias("fp"),
-    )
-    return with_sel.select(
-        "doc_id",
-        "n_grams",
-        F.size("fp").alias("n_fingerprints"),
-        F.round(
-            F.size("fp").cast("double") / F.col("n_grams").cast("double"), 6
-        ).alias("density"),
-        F.md5(
-            F.concat_ws(
-                ",", F.transform(F.col("fp"), lambda x: x.cast("string"))
-            )
-        ).alias("fp_digest"),
+            ).alias("fp_digest"),
+        )
     )
 
 

@@ -892,12 +892,16 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     share and cumulative share of total revenue — the "do 20% of
     customers drive 80% of revenue" audit.
 
-    Same value-level tiling contract as the quality-decile report:
-    the ranking window runs over DISTINCT revenue values (exact cents,
-    so ties group), never per customer row — no global per-row sort
-    at any corpus size. Revenue is exact scaled-long cents end to end
-    with one rounded division per reported ratio; the cumulative
-    share is a second window over the ≤10 decile rows.
+    Lifetime revenue in exact cents almost never ties, so a
+    value-level collapse buys nothing here (|distinct values| ≈
+    |customers|) — the global rank is computed with the DISTRIBUTED
+    PREFIX-SUM pattern instead: range-partition the value table
+    descending, cumulate within each partition (parallel windows),
+    and add per-partition offsets from a bounded |partitions|-row
+    collect. No single-task global window at any corpus size.
+    Revenue is exact scaled-long cents end to end with one rounded
+    division per reported ratio; the cumulative share is a final
+    window over the ≤10 decile rows.
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
@@ -906,18 +910,44 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vals = cust.groupBy("rev_c").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("rev_c")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     totals = vals.agg(
         F.sum("cnt").alias("n_total"),
         F.sum(F.col("rev_c") * F.col("cnt")).alias("rev_total"),
     )
+    # Distributed prefix sum: pid is contiguous under range
+    # partitioning (pid 0 = highest revenues), so the global
+    # cumulative count = partition-local cumulative + Σ counts of
+    # earlier partitions (a |partitions|-row driver map). The result
+    # is invariant to where the sampled range boundaries fall.
+    ranged = vals.repartitionByRange(F.desc("rev_c")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    part_offsets = {
+        r.pid: r.s
+        for r in ranged.groupBy("pid").agg(F.sum("cnt").alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(part_offsets):
+        offsets[pid] = acc
+        acc += part_offsets[pid]
+    offset_col = F.element_at(
+        F.create_map(
+            *[
+                c
+                for pid, off in offsets.items()
+                for c in (F.lit(pid), F.lit(off))
+            ]
+        ),
+        F.col("pid"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(F.desc("rev_c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     tiled = (
-        vals.select(
-            "rev_c",
-            "cnt",
-            (F.sum("cnt").over(w) - F.col("cnt")).alias("n_before"),
+        ranged.withColumn(
+            "n_before",
+            offset_col + F.sum("cnt").over(w_local) - F.col("cnt"),
         )
         .join(F.broadcast(totals))
         .withColumn(

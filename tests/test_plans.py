@@ -331,8 +331,16 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "q11_important_stock",      # scalar threshold subquery
         "q22_global_customers",     # scalar avg-balance subquery
     }
+    # Driver-assembled results (iterative ML summaries built with
+    # createDataFrame after parameter-server collects) present only a
+    # LocalTableScan — stringifying their plan would execute the full
+    # iteration for zero join coverage. Their internal shapes are
+    # pinned by dedicated tests/pytest recomputes instead.
+    driver_assembled = {"kmeans_lloyd", "pca_power_topcomp", "logreg_probe"}
     offenders = {}
     for name, qd in all_queries().items():
+        if name in driver_assembled:
+            continue
         plan = qd.spark_fn(spark, SF)._jdf.queryExecution().toString()
         bad = []
         if "CartesianProduct" in plan and name not in cartesian_ok:
