@@ -17,6 +17,7 @@ casts temporal outputs to strings anyway, so a native datetime column
 in a checked query is already suspect.
 
 Usage: python tools/parity.py [sf_dir] [query ...]
+       python tools/parity.py --window [sf_dir]   # first-50 driver gate
 """
 
 from __future__ import annotations
@@ -74,8 +75,19 @@ def _dtype_map(pdf: pd.DataFrame) -> dict[str, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    window_only = "--window" in args
+    args = [a for a in args if a != "--window"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    if window_only:
+        # Simulate the driver's gate exactly: sf0.01 and the first 50
+        # registry entries (the checked window).
+        if not args:
+            sf_dir = "/root/testdata/sf0.01"
+        from duckdb_gsheets_spark.operators import all_queries
+
+        only = set(list(all_queries())[:50])
 
     import __spark_entry__ as e
 
