@@ -488,3 +488,60 @@ def streaming_incremental_dedup_counts(
         )
     )
     return run_to_memory(counts, output_mode="complete")
+
+
+def streaming_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.events.events_active_users: the
+    DAU/WAU/MAU dashboard fed by a live event stream. Per micro-batch,
+    each event expands STATELESSLY into its (target_day, window_kind,
+    user) contributions (narrow — the same explosion the batch
+    operator uses, since windowed COUNT DISTINCT exists on neither
+    batch nor stream); stateful ``dropDuplicates`` collapses repeat
+    contributions across batches, and ONE complete-mode aggregation
+    counts users per (day, kind) — streaming allows a single stateful
+    aggregation, so the three window widths ride a kind tag in long
+    format instead of three distinct-count columns.
+
+    The day spine (days that actually occur) comes from the static
+    table, exactly like the other stream-static gates: a dashboard
+    knows its reporting calendar; the stream supplies activity.
+    """
+    from duckdb_gsheets_spark.operators.events import (
+        MAU_WINDOW,
+        WAU_WINDOW,
+    )
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("target"))
+        .distinct()
+    )
+    stream = read_events_stream(spark, sf_dir)
+    contrib = (
+        stream.select("user_id", F.to_date("ts").alias("day"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(MAU_WINDOW - 1))
+            ).alias("off"),
+            "day",
+        )
+        .select(
+            "user_id",
+            "off",
+            F.date_add(F.col("day"), F.col("off")).alias("target"),
+        )
+        .withColumn(
+            "kind",
+            F.when(F.col("off") == 0, F.array(F.lit("dau"), F.lit("wau"), F.lit("mau")))
+            .when(F.col("off") < WAU_WINDOW, F.array(F.lit("wau"), F.lit("mau")))
+            .otherwise(F.array(F.lit("mau"))),
+        )
+        .select("user_id", "target", F.explode("kind").alias("kind"))
+        .join(F.broadcast(days), "target")
+        .dropDuplicates(["target", "kind", "user_id"])
+    )
+    counts = contrib.groupBy(
+        F.col("target").cast("string").alias("day"), "kind"
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    return run_to_memory(counts, output_mode="complete")

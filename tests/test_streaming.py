@@ -288,3 +288,23 @@ def test_streaming_incremental_dedup_matches_batch(spark):
             assert n_exact == n_matches and n_exact > 0
         else:
             assert n_exact == 0 and n_near == n_matches > 0
+
+
+def test_streaming_active_users_matches_batch(spark):
+    """The streaming DAU/WAU/MAU long-format counts must equal the
+    batch operator's pivoted columns for every reported day."""
+    from duckdb_gsheets_spark.operators.events import events_active_users
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_active_users,
+    )
+
+    got = {
+        (r.day, r.kind): r.n_users
+        for r in streaming_active_users(spark, SF).collect()
+    }
+    expected = {}
+    for r in events_active_users(spark, SF).collect():
+        expected[(r.day, "dau")] = r.dau
+        expected[(r.day, "wau")] = r.wau
+        expected[(r.day, "mau")] = r.mau
+    assert got == expected
