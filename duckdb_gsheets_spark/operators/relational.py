@@ -844,9 +844,13 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     syntactically — value equality is the contract, as everywhere).
     Data contract: props keys must be disjoint from the injected
     'type'/'uid' keys — Spark's map_concat raises DUPLICATE_MAP_KEY
-    (loudly) if a fixture change ever violates it.
+    (loudly) if a fixture change ever violates it — and NULL props
+    rows are excluded on both sides (from_json(NULL) and the json_*
+    oracle functions disagree on NULL semantics).
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("props").isNotNull()
+    )
     parsed = F.from_json(
         F.col("props"), "map<string,string>"
     ).alias("pm")
@@ -886,6 +890,7 @@ SELECT event_id,
                             k -> k LIKE 't%')) AS INTEGER) AS n_t_keys,
        'uid=' || CAST(user_id AS VARCHAR) AS uid_tagged
 FROM events
+WHERE props IS NOT NULL
 """
 
 

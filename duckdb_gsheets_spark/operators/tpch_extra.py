@@ -917,37 +917,42 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed prefix sum: pid is contiguous under range
     # partitioning (pid 0 = highest revenues), so the global
     # cumulative count = partition-local cumulative + Σ counts of
-    # earlier partitions (a |partitions|-row driver map). The result
-    # is invariant to where the sampled range boundaries fall.
-    ranged = vals.repartitionByRange(F.desc("rev_c")).withColumn(
-        "pid", F.spark_partition_id()
+    # earlier partitions. The value table is PERSISTED so the pid
+    # assignment materializes exactly once and both consumers (the
+    # per-partition offset aggregate and the ranked stream) read the
+    # same partitioning — range-sampling boundaries and AQE
+    # coalescing are NOT stable across separate materializations, so
+    # an uncached two-action formulation can mis-tile at scale. The
+    # offsets come from an in-plan |partitions|-row cumulative window
+    # broadcast back onto the stream (no driver collect; plan
+    # construction stays lazy). The cache is |distinct revenue|-sized
+    # — the same per-value table the computation needs anyway.
+    ranged = (
+        vals.repartitionByRange(F.desc("rev_c"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
-    part_offsets = {
-        r.pid: r.s
-        for r in ranged.groupBy("pid").agg(F.sum("cnt").alias("s")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(part_offsets):
-        offsets[pid] = acc
-        acc += part_offsets[pid]
-    offset_col = F.element_at(
-        F.create_map(
-            *[
-                c
-                for pid, off in offsets.items()
-                for c in (F.lit(pid), F.lit(off))
-            ]
-        ),
-        F.col("pid"),
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.sum("cnt").alias("pcnt"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("pcnt").over(w_off), F.lit(0).cast("long")).alias(
+                "offset"
+            ),
+        )
     )
     w_local = Window.partitionBy("pid").orderBy(F.desc("rev_c")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     tiled = (
-        ranged.withColumn(
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn(
             "n_before",
-            offset_col + F.sum("cnt").over(w_local) - F.col("cnt"),
+            F.col("offset") + F.sum("cnt").over(w_local) - F.col("cnt"),
         )
         .join(F.broadcast(totals))
         .withColumn(

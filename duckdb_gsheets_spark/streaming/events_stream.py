@@ -519,6 +519,11 @@ def streaming_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     contrib = (
         stream.select("user_id", F.to_date("ts").alias("day"))
+        # Collapse to distinct user-days BEFORE the 28× explosion
+        # (mirroring the batch operator): a user with 1000 events in
+        # one day would otherwise push 28k+ contribution rows through
+        # the shuffle into the downstream dedup state.
+        .dropDuplicates(["user_id", "day"])
         .select(
             "user_id",
             F.explode(

@@ -82,12 +82,14 @@ def main() -> int:
     only = set(args[1:])
     if window_only:
         # Simulate the driver's gate exactly: sf0.01 and the first 50
-        # registry entries (the checked window).
+        # registry entries (the checked window). Explicit query names
+        # narrow WITHIN the window rather than being discarded.
         if not args:
             sf_dir = "/root/testdata/sf0.01"
         from duckdb_gsheets_spark.operators import all_queries
 
-        only = set(list(all_queries())[:50])
+        window = set(list(all_queries())[:50])
+        only = (only & window) if only else window
 
     import __spark_entry__ as e
 
