@@ -224,3 +224,28 @@ def test_scd2_intervals_partition_versions_exactly(spark, seqs):
         for a, b in zip(ivals, ivals[1:]):
             if a.valid_to + 1 == b.valid_from:
                 assert a.text_md5 != b.text_md5
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(
+        min_value=-1e9,
+        max_value=1e9,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_round_half_away_matches_duckdb_round(x, ndigits):
+    """determinism.round_half_away must equal DuckDB's ROUND for any
+    double and scale — including exact .5 ties, where Python's builtin
+    half-even round() diverges."""
+    import duckdb
+
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+
+    got = round_half_away(x, ndigits)
+    expected = duckdb.sql(
+        f"SELECT ROUND(CAST({x!r} AS DOUBLE), {ndigits})"
+    ).fetchone()[0]
+    assert got == expected
