@@ -1119,6 +1119,49 @@ MAU_WINDOW = 28
 WAU_WINDOW = 7
 
 
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour-of-day seasonality heatmap: per (ISO weekday,
+    hour) cell, total events, distinct active days of that cell in the
+    data, and the exact events-per-occurrence rate — the traffic-shape
+    profile capacity planning and anomaly baselines start from.
+
+    One map-side-combined rollup to ≤ 7×24 cells (plus a distinct-day
+    count riding the same shuffle); the rate is an exact integer ratio
+    rounded once. dayofweek follows ISO (1 = Monday) on both sides via
+    the same weekday() arithmetic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = events.select(
+        # ISO weekday 1..7 (Mon..Sun): Spark's dayofweek is 1=Sunday,
+        # so shift; DuckDB's isodow matches directly.
+        (((F.dayofweek("ts") + 5) % 7) + 1).alias("iso_weekday"),
+        F.hour("ts").alias("hour_of_day"),
+        F.to_date("ts").alias("day"),
+    )
+    return cells.groupBy("iso_weekday", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("day").alias("n_days"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            / F.countDistinct("day").cast("double"),
+            6,
+        ).alias("events_per_occurrence"),
+    )
+
+
+EVENTS_SEASONALITY_ORACLE = """
+SELECT CAST(isodow(ts) AS INTEGER) AS iso_weekday,
+       CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE), 6)
+         AS events_per_occurrence
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / WAU / MAU: per calendar day, the count of distinct users
     active that day, in the trailing 7 days, and in the trailing 28
@@ -1245,6 +1288,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_attribution", events_attribution, EVENTS_ATTRIBUTION_ORACLE, "last-touch purchase attribution within a 24h lookback"),
     QueryDef("events_forecast_baseline", events_forecast_baseline, EVENTS_FORECAST_ORACLE, "seasonal-naive hourly forecast accuracy report"),
     QueryDef("events_active_users", events_active_users, EVENTS_ACTIVE_USERS_ORACLE, "DAU/WAU/MAU via contribution explosion (no windowed distinct)"),
+    QueryDef("events_seasonality_profile", events_seasonality_profile, EVENTS_SEASONALITY_ORACLE, "weekday x hour seasonality heatmap with exact occurrence rates"),
     QueryDef("events_pivot", events_pivot, EVENTS_PIVOT_ORACLE, "pivot by event type"),
     QueryDef("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_ORACLE, "gap sessionization"),
     QueryDef("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE, "as-of join"),

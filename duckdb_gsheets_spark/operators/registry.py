@@ -70,7 +70,8 @@ class QueryDef:
 #: sample_split_assign, split_leakage_check, events_attribution,
 #: pipeline_split_corpus, winnowing_fingerprints, map_functions,
 #: dataset_datasheet, events_forecast_baseline,
-#: events_active_users, orders_pareto_share —
+#: events_active_users, orders_pareto_share,
+#: events_seasonality_profile —
 #: plus re-checks for
 #: any window query whose
 #: module was edited (ann_recall_report gained the 'pq' method row in

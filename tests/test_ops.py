@@ -1678,6 +1678,35 @@ def test_split_leakage_matches_pair_replay(spark):
         assert got[key] == (len(jacs), max(jacs))
 
 
+def test_seasonality_profile_matches_python_recompute(spark):
+    """Weekday×hour cells against a direct Python recount (ISO
+    weekday), with the whole-corpus total conserved."""
+    from collections import Counter, defaultdict
+
+    from duckdb_gsheets_spark.operators.events import (
+        events_seasonality_profile,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.iso_weekday, r.hour_of_day): (r.n_events, r.n_days, r.events_per_occurrence)
+        for r in events_seasonality_profile(spark, SF).collect()
+    }
+    counts: Counter[tuple[int, int]] = Counter()
+    days = defaultdict(set)
+    total = 0
+    for r in load_table(spark, SF, "events").select("ts").collect():
+        cell = (r.ts.isoweekday(), r.ts.hour)
+        counts[cell] += 1
+        days[cell].add(r.ts.date())
+        total += 1
+    assert {k: v[0] for k, v in got.items()} == dict(counts)
+    for cell, (n, nd, rate) in got.items():
+        assert nd == len(days[cell])
+        assert rate == round(n / nd, 6)
+    assert sum(v[0] for v in got.values()) == total
+
+
 def test_active_users_match_python_recompute(spark):
     """DAU/WAU/MAU against a direct Python replay of trailing-window
     distinct-user counts, plus the DAU ≤ WAU ≤ MAU invariant."""
