@@ -359,6 +359,10 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos").alias("first_pos"),
         )
     )
+    # Unpartitioned window over a provably bounded input: `top` is the
+    # broadcast-bounded K=50 winner set, so the single partition holds
+    # ≤50 rows at any corpus size (allowlisted in the registry-wide
+    # unpartitioned-window sweep, tests/test_plans.py).
     ranked = Window.orderBy(F.desc("n_occurrences"), "passage_hash")
     return (
         top.join(firsts, "passage_hash")

@@ -484,6 +484,9 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("n_chars").alias("chars"),
     )
+    # Unpartitioned window over a provably bounded input: the quality
+    # grid has ≤1e6 distinct values at any corpus size (allowlisted in
+    # the unpartitioned-window sweep, tests/test_plans.py).
     w = (
         Window.orderBy(F.desc("quality"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -556,10 +559,19 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-built vocab stops paying for itself.
 
     Shapes: one map-side-combined token count (the only corpus-wide
-    pass), then a rank/cumulative window over the DISTINCT-TOKEN
-    table only — bounded by vocabulary size, never corpus size (same
-    bounded-window argument as quality_deciles). Coverage shares are
-    one rounded division over exact integer sums.
+    pass), then a DISTRIBUTED PREFIX-SUM rank/cumulate over the
+    distinct-token table (same tiling as orders_pareto_share /
+    window_ntile): range-partition by descending count, rank and
+    cumulate within each partition in parallel windows, and add
+    per-partition (row-count, token-sum) offsets from a bounded
+    |partitions|-row window broadcast back onto the stream — a
+    web-scale vocabulary (billions of distinct tokens) never funnels
+    through one task. The grand totals ride the same offsets
+    broadcast, so there is no separate 1-row cross join. The
+    range-partitioned table is localCheckpoint'ed (eager) so both
+    consumers read ONE pid assignment; blocks are
+    ContextCleaner-freed with the frame. Coverage shares are one
+    rounded division over exact integer sums.
     """
     docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
     counts = (
@@ -567,20 +579,47 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), "tok")
-    ranked = counts.select(
-        "cnt",
-        F.row_number().over(w).alias("rank"),
-        F.sum("cnt")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum_tokens"),
-    ).join(
-        F.broadcast(
-            counts.agg(
-                F.sum("cnt").alias("total_tokens"),
-                F.count(F.lit(1)).alias("vocab_total"),
-            )
+    ranged = (
+        counts.repartitionByRange(F.desc("cnt"), "tok")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("pcnt"),
+            F.sum("cnt").alias("ptok"),
         )
+        .select(
+            "pid",
+            F.coalesce(F.sum("pcnt").over(w_off), F.lit(0).cast("long")).alias(
+                "rank_off"
+            ),
+            F.coalesce(F.sum("ptok").over(w_off), F.lit(0).cast("long")).alias(
+                "tok_off"
+            ),
+            F.sum("ptok").over(w_all).alias("total_tokens"),
+            F.sum("pcnt").over(w_all).alias("vocab_total"),
+        )
+    )
+    w_local = Window.partitionBy("pid").orderBy(F.desc("cnt"), "tok")
+    ranked = ranged.join(F.broadcast(offsets), "pid").select(
+        "cnt",
+        (F.col("rank_off") + F.row_number().over(w_local))
+        .cast("int")
+        .alias("rank"),
+        (
+            F.col("tok_off")
+            + F.sum("cnt").over(
+                w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("cum_tokens"),
+        "total_tokens",
+        "vocab_total",
     )
     return (
         ranked.where(

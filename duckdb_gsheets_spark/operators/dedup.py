@@ -1628,14 +1628,21 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     near = (
-        cands.join(
-            F.broadcast(
-                sigs_b.select(
-                    F.col("doc_id").alias("b_id"),
-                    F.col("shingles").alias("sh_a"),
-                )
-            ),
-            "b_id",
+        # Both shingle-attach joins broadcast the delta-bounded side:
+        # the candidate pair set (and its batch shingles) is O(delta),
+        # so the corpus signature stream never hash-exchanges — the
+        # explicit hint pins the O(delta) plan even when AQE stats
+        # would otherwise pick a corpus-side shuffle.
+        F.broadcast(
+            cands.join(
+                F.broadcast(
+                    sigs_b.select(
+                        F.col("doc_id").alias("b_id"),
+                        F.col("shingles").alias("sh_a"),
+                    )
+                ),
+                "b_id",
+            )
         )
         .join(
             sigs_c.select(

@@ -334,18 +334,29 @@ def semantic_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair is in the exact O(n²) pair set) and recall within clusters.
     """
     centroids = _init_centroids(sf_dir, spark)
-    emb = (
-        fan_out(load_table(spark, sf_dir, "embeddings"))
-        .select("vec_id", to_double(F.col("embedding")).alias("emb"))
-        .withColumn("a", _assign_sim_np(centroids)("emb"))
-        .select("vec_id", "emb", F.col("a.cluster").alias("cluster"))
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", to_double(F.col("embedding")).alias("emb")
     )
-    a = emb.select(
+    return semantic_neardup_pairs_frame(emb, centroids)
+
+
+def semantic_neardup_pairs_frame(
+    emb: DataFrame, centroids: np.ndarray
+) -> DataFrame:
+    """Cluster-blocked near-dup pair core over any ``(vec_id, emb)``
+    frame + centroid seed — shared by the registered corpus query and
+    the seeded-synthetic pytest (the real fixture corpus has no pair
+    at the 0.95 bar, so a synthetic frame with pairs straddling the
+    threshold keeps the precision/recall assertions non-vacuous)."""
+    assigned = emb.withColumn(
+        "a", _assign_sim_np(centroids)("emb")
+    ).select("vec_id", "emb", F.col("a.cluster").alias("cluster"))
+    a = assigned.select(
         "cluster",
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("emb_a"),
     )
-    b = emb.select(
+    b = assigned.select(
         "cluster",
         F.col("vec_id").alias("vec_b"),
         F.col("emb").alias("emb_b"),

@@ -917,20 +917,24 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed prefix sum: pid is contiguous under range
     # partitioning (pid 0 = highest revenues), so the global
     # cumulative count = partition-local cumulative + Σ counts of
-    # earlier partitions. The value table is PERSISTED so the pid
-    # assignment materializes exactly once and both consumers (the
-    # per-partition offset aggregate and the ranked stream) read the
-    # same partitioning — range-sampling boundaries and AQE
-    # coalescing are NOT stable across separate materializations, so
-    # an uncached two-action formulation can mis-tile at scale. The
-    # offsets come from an in-plan |partitions|-row cumulative window
-    # broadcast back onto the stream (no driver collect; plan
-    # construction stays lazy). The cache is |distinct revenue|-sized
-    # — the same per-value table the computation needs anyway.
+    # earlier partitions. The value table is localCheckpoint'ed
+    # (eager) so the pid assignment materializes exactly once and
+    # both consumers (the per-partition offset aggregate and the
+    # ranked stream) read the same partitioning — range-sampling
+    # boundaries and AQE coalescing are NOT stable across separate
+    # materializations, so an unmaterialized two-action formulation
+    # can mis-tile at scale. Unlike persist(), the checkpoint blocks
+    # are ContextCleaner-freed once the frame goes out of scope, so
+    # repeated invocations in a long session (bench best-of-3, parity
+    # sweeps) don't accumulate executor storage. The offsets come
+    # from an in-plan |partitions|-row cumulative window broadcast
+    # back onto the stream. The materialized table is |distinct
+    # revenue|-sized — the same per-value table the computation
+    # needs anyway.
     ranged = (
         vals.repartitionByRange(F.desc("rev_c"))
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     w_off = Window.orderBy("pid").rowsBetween(
         Window.unboundedPreceding, -1

@@ -127,13 +127,63 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING
 
 
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) wealth quartiles over customers (unique total order)."""
+    """ntile(4) wealth quartiles over customers (unique total order).
+
+    A literal ``ntile(4).over(Window.orderBy(...))`` funnels the whole
+    table through ONE task (Spark's `No Partition Defined` warning), so
+    the global rank is computed with the DISTRIBUTED PREFIX-SUM tiling
+    instead (same pattern as orders_pareto_share, tpch_extra.py):
+    range-partition descending (pid 0 = richest block), rank within
+    each partition in parallel windows, and add per-partition
+    row-count offsets from a bounded |partitions|-row window that is
+    broadcast back onto the stream. The ANSI NTILE size rule — with
+    ``n = q·4 + r``, the first ``r`` tiles get ``q+1`` rows — is then
+    pure integer arithmetic on the global rank, bit-identical to the
+    single-window formulation at any partition count and parallel at
+    any corpus size. The range-partitioned table is localCheckpoint'ed
+    (eager) so both consumers read ONE pid assignment — range-sampling
+    boundaries are not stable across separate materializations — and
+    the blocks are ContextCleaner-freed when the frame goes out of
+    scope (no session-lifetime cache pin).
+    """
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
-    return customer.select(
-        "c_custkey",
-        "c_acctbal",
-        F.ntile(4).over(w).alias("wealth_quartile"),
+    ranged = (
+        customer.select("c_custkey", "c_acctbal")
+        .repartitionByRange(F.desc("c_acctbal"), F.col("c_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("pcnt"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("pcnt").over(w_off), F.lit(0).cast("long")).alias(
+                "offset"
+            ),
+            F.sum("pcnt").over(w_all).alias("n_total"),
+        )
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn("rn", F.col("offset") + F.row_number().over(w_local))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.expr(
+                "CAST(CASE WHEN rn <= (n_total % 4) * (n_total div 4 + 1) "
+                "THEN (rn - 1) div (n_total div 4 + 1) + 1 "
+                "ELSE (n_total % 4) + (rn - (n_total % 4) * (n_total div 4 + 1) - 1) "
+                "div (n_total div 4) + 1 END AS INT)"
+            ).alias("wealth_quartile"),
+        )
     )
 
 

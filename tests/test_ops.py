@@ -2349,6 +2349,92 @@ def test_semantic_neardup_precision_and_cluster_recall(spark):
         p for p in exact if clusters[p[0]] == clusters[p[1]]
     }
     assert set(got) == within
+    # NOTE: the fixture corpus has NO pair at the 0.95 bar, so the
+    # assertions above only pin the no-false-positive direction here.
+    # The non-vacuous precision/recall/threshold coverage lives in
+    # test_semantic_neardup_synthetic_pairs below.
+
+
+def test_semantic_neardup_synthetic_pairs(spark):
+    """Seeded synthetic corpus with pairs STRADDLING the SemDeDup
+    threshold and the cluster boundary, so every semantic of the
+    operator has a pair that would flip on regression:
+
+    * a same-cluster pair above 0.95 → must be emitted;
+    * a same-cluster pair below 0.95 → must NOT be emitted (threshold
+      direction);
+    * a cross-cluster pair above 0.95 → must NOT be emitted (cluster
+      blocking is the documented recall trade);
+    * the emitted set must equal the numpy-recomputed within-cluster
+      exact set, which is asserted NON-EMPTY."""
+    import math
+
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.ml import (
+        DIM,
+        SEMDEDUP_THRESHOLD,
+        semantic_neardup_pairs_frame,
+    )
+
+    def vec(angle_deg: float) -> list[float]:
+        a = math.radians(angle_deg)
+        v = [0.0] * DIM
+        v[0], v[1] = math.cos(a), math.sin(a)
+        return v
+
+    # Centroids at 0° and 45° in the (dim0, dim1) plane.
+    centroids = np.array([vec(0.0), vec(45.0)])
+    # vec_id → angle: a1/a2 same-cluster dup (Δ14° ⇒ cos ≈ .970),
+    # a3 same-cluster non-dup (Δ≥25° from both), b1/b2 a near-dup
+    # pair split across the cluster boundary (Δ3.5° ⇒ cos ≈ .998 but
+    # argmax centroids differ), d1/d2 a cluster-1 dup (Δ10°).
+    angles = {1: 5.0, 2: 19.0, 3: -20.0, 4: 21.0, 5: 24.5, 6: 40.0, 7: 50.0}
+    rows = [(i, vec(a)) for i, a in sorted(angles.items())]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+    got = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in semantic_neardup_pairs_frame(emb, centroids).collect()
+    }
+
+    # numpy recompute with the operator's own rules (round-6 sims,
+    # first-index argmax ties, round-6 pair cosine).
+    M = np.array([v for _, v in rows])
+    unit = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    sims = np.round(
+        (M @ unit.T) / np.linalg.norm(M, axis=1)[:, None], 6
+    )
+    cluster = {i: int(s.argmax()) for (i, _), s in zip(rows, sims)}
+    ids = [i for i, _ in rows]
+    exact = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            c = float(
+                np.round(
+                    M[x] @ M[y]
+                    / (np.linalg.norm(M[x]) * np.linalg.norm(M[y])),
+                    6,
+                )
+            )
+            if c >= SEMDEDUP_THRESHOLD:
+                exact[(ids[x], ids[y])] = c
+    within = {
+        p: c for p, c in exact.items() if cluster[p[0]] == cluster[p[1]]
+    }
+    # The scenario itself must be non-degenerate: emitted pairs exist,
+    # and at least one exact pair is excluded by cluster blocking.
+    assert within, "synthetic fixture lost its within-cluster dup pairs"
+    assert set(exact) - set(within), (
+        "synthetic fixture lost its cross-cluster boundary pair"
+    )
+    assert set(got) == set(within)
+    for p, c in within.items():
+        assert abs(got[p] - c) < 2e-6
+    # Threshold direction: the same-cluster sub-threshold pair (a1,a3)
+    # shares cluster 0 but sits below the bar.
+    assert cluster[1] == cluster[3]
+    assert (1, 3) not in got
 
 
 def test_vocab_oov_matches_python_recompute(spark):

@@ -1,15 +1,75 @@
 """Physical-plan shape assertions: the scale properties the engine
-promises (pushdown, pruning, broadcasts, no stray cross joins) pinned
-as tests so a refactor can't silently regress them."""
+promises (pushdown, pruning, broadcasts, no stray cross joins, no
+unpartitioned corpus-sized windows) pinned as tests so a refactor
+can't silently regress them."""
 
 from duckdb_gsheets_spark.operators import all_queries
 
 SF = "/root/testdata/sf0.001"
 
+#: Driver-assembled results (iterative ML summaries built with
+#: createDataFrame after parameter-server collects) present only a
+#: LocalTableScan — stringifying their plan would execute the full
+#: iteration for zero shape coverage. Their internal shapes are
+#: pinned by dedicated tests/pytest recomputes instead.
+DRIVER_ASSEMBLED = frozenset({"kmeans_lloyd", "pca_power_topcomp", "logreg_probe"})
+
+_PLAN_CACHE: dict[str, str] = {}
+
 
 def _plan(spark, name):
-    df = all_queries()[name].spark_fn(spark, SF)
-    return df._jdf.queryExecution().toString()
+    if name not in _PLAN_CACHE:
+        df = all_queries()[name].spark_fn(spark, SF)
+        _PLAN_CACHE[name] = df._jdf.queryExecution().toString()
+    return _PLAN_CACHE[name]
+
+
+def _registry_plans(spark):
+    """Plan text for every registered query (built once per session)."""
+    for name in all_queries():
+        if name not in DRIVER_ASSEMBLED:
+            _plan(spark, name)
+    return {n: p for n, p in _PLAN_CACHE.items() if n not in DRIVER_ASSEMBLED}
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Physical Window nodes with an EMPTY partition spec.
+
+    A physical ``Window`` line prints 3 top-level bracket groups when
+    partitioned+ordered (`[exprs], [part], [order]`), 2 when one spec
+    is empty; an order spec is recognizable by its ASC/DESC markers,
+    so 2 groups whose last is an ordering = unpartitioned window
+    (exactly the shape WindowExec warns about and executes in ONE
+    task). Constant partition keys don't help — Catalyst folds them
+    away — so the only accepted unpartitioned windows are the
+    allowlisted provably-bounded inputs.
+    """
+    hits = []
+    for ln in plan.split("== Physical Plan ==")[-1].splitlines():
+        at = ln.find("Window [")
+        if at == -1:
+            continue
+        groups: list[str] = []
+        depth = 0
+        cur: list[str] = []
+        for ch in ln[at + len("Window ") :]:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    cur = []
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        if len(groups) == 2 and (
+            " ASC" in groups[-1] or " DESC" in groups[-1]
+        ):
+            hits.append(ln.strip())
+    return hits
 
 
 def test_q1_pushes_shipdate_filter_and_prunes_columns(spark):
@@ -235,16 +295,37 @@ def test_scd2_history_single_doc_id_exchange(spark):
 def test_incremental_dedup_broadcasts_delta_never_shuffles_corpus(spark):
     """Both index probes must broadcast the DELTA side: the corpus
     (the persisted index at scale) may not hash-exchange for the
-    joins, and no cartesian may appear."""
+    joins, and no cartesian may appear. The corpus-side contract is
+    checked structurally: no hash-partitioning Exchange may carry the
+    corpus payload columns (fingerprints or shingle sets) — the only
+    hash exchanges allowed are the delta-sized pair/rollup shuffles
+    on id columns."""
     plan = _plan(spark, "dedup_incremental_batch")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3  # fp probe + band probe + rollup joins
+    # fp probe + band probe + shingle-attach (both sides) + verdict joins
+    assert plan.count("BroadcastHashJoin") >= 4
+    physical = plan.split("== Physical Plan ==")[-1]
+    exchanges = [
+        ln
+        for ln in physical.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    offending = [
+        ln
+        for ln in exchanges
+        if "fp#" in ln or "shingle" in ln or "sh_b" in ln or "sh_a" in ln
+    ]
+    assert not offending, (
+        f"corpus-side payload reached a hash exchange: {offending}"
+    )
 
 
 def test_pmi_filters_pairs_before_unigram_joins(spark):
     """The PMI count floor must apply to the pair table BEFORE the two
     unigram joins (the filter bounds the join input at scale)."""
+    from duckdb_gsheets_spark.operators.text import PMI_MIN_COUNT
+
     plan = _plan(spark, "text_pmi_collocations")
     assert "CartesianProduct" not in plan
     optimized = plan.split("== Optimized Logical Plan ==")[1]
@@ -252,8 +333,11 @@ def test_pmi_filters_pairs_before_unigram_joins(spark):
     assert "n_pair" in optimized[first_join:]
     # The >= floor must sit below (after, in plan text) the top join —
     # i.e. inside a join child, not applied post-join.
-    floor_at = optimized.index(">= 5")
-    assert floor_at > first_join
+    floor_lit = f">= {PMI_MIN_COUNT}"
+    assert floor_lit in optimized, (
+        f"PMI floor filter {floor_lit!r} missing from the optimized plan"
+    )
+    assert optimized.index(floor_lit) > first_join
 
 
 def test_markov_single_user_window_pass(spark):
@@ -331,17 +415,8 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "q11_important_stock",      # scalar threshold subquery
         "q22_global_customers",     # scalar avg-balance subquery
     }
-    # Driver-assembled results (iterative ML summaries built with
-    # createDataFrame after parameter-server collects) present only a
-    # LocalTableScan — stringifying their plan would execute the full
-    # iteration for zero join coverage. Their internal shapes are
-    # pinned by dedicated tests/pytest recomputes instead.
-    driver_assembled = {"kmeans_lloyd", "pca_power_topcomp", "logreg_probe"}
     offenders = {}
-    for name, qd in all_queries().items():
-        if name in driver_assembled:
-            continue
-        plan = qd.spark_fn(spark, SF)._jdf.queryExecution().toString()
+    for name, plan in _registry_plans(spark).items():
         bad = []
         if "CartesianProduct" in plan and name not in cartesian_ok:
             bad.append("CartesianProduct")
@@ -350,3 +425,50 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"unexpected unbounded joins: {offenders}"
+
+
+def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
+    """Sweep EVERY registered query's physical plan: no Window node
+    with an empty partition spec (the single-task shape WindowExec
+    warns about) outside the explicit allowlist of provably-bounded
+    inputs. Corpus-sized global ranks/cumulates must use the
+    distributed prefix-sum tiling (orders_pareto_share, window_ntile,
+    vocab_coverage_curve) instead — this gate keeps the pattern from
+    reappearing in new operators."""
+    # Every allowlisted query's unpartitioned window runs over an
+    # input bounded INDEPENDENT of corpus size:
+    #   * pid-offset tables of the prefix-sum tiling: |shuffle
+    #     partitions| rows (orders_pareto_share, window_ntile,
+    #     vocab_coverage_curve);
+    #   * fixed-K result spines: pareto deciles (≤10), passage top-50,
+    #     RFM quintile score maps (≤5 distinct-value groups per
+    #     dimension after the value collapse — recency dates /
+    #     frequency counts / money buckets are bounded grids);
+    #   * bounded value grids: quality_deciles' round-6 quality grid
+    #     (≤1e6 values), and its consumers.
+    bounded_ok = {
+        "orders_pareto_share",
+        "window_ntile",
+        "vocab_coverage_curve",
+        "duplicate_passages",
+        "orders_rfm_segments",
+        "quality_deciles",
+    }
+    offenders = {}
+    for name, plan in _registry_plans(spark).items():
+        hits = _unpartitioned_windows(plan)
+        if hits and name not in bounded_ok:
+            offenders[name] = hits
+    assert not offenders, (
+        "unpartitioned (single-task) windows outside the bounded "
+        f"allowlist: {offenders}"
+    )
+    # The allowlist itself must stay minimal: every listed name still
+    # has at least one unpartitioned window (drop stale entries).
+    stale = [
+        n
+        for n in bounded_ok
+        if n in _registry_plans(spark)
+        and not _unpartitioned_windows(_registry_plans(spark)[n])
+    ]
+    assert not stale, f"allowlist entries no longer needed: {stale}"
