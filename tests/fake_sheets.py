@@ -135,6 +135,29 @@ def _append(store: SpreadsheetStore, a1: str, values: list[list[str]]) -> int:
     return n
 
 
+def _user_entered_values(values: list[list], user_entered: bool) -> list[list]:
+    """Emulate ``valueInputOption=USER_ENTERED`` cell parsing for the
+    slice the connector round-trips: real Sheets turns a typed
+    ``true``/``False`` (any case) into a boolean cell whose formatted
+    read-back is the canonical ``TRUE``/``FALSE`` — the normalization
+    that makes the reference's types.test round-trip produce uppercase
+    booleans (test/sql/types.test:46-51)."""
+    if not user_entered:
+        return values
+    out = []
+    for row in values:
+        out.append(
+            [
+                cell.strip().upper()
+                if isinstance(cell, str)
+                and cell.strip().lower() in ("true", "false")
+                else cell
+                for cell in row
+            ]
+        )
+    return out
+
+
 def _clear(store: SpreadsheetStore, a1: str) -> None:
     sheet, b = _resolve(store, a1)
     grid = store.grids[sheet]
@@ -182,6 +205,8 @@ class FakeSheetsServer:
 
             def _handle(self, method: str) -> None:
                 path = urllib.parse.unquote(self.path.split("?")[0])
+                query = self.path.split("?", 1)[1] if "?" in self.path else ""
+                user_entered = "valueInputOption=USER_ENTERED" in query
                 registry.request_log.append((method, path))
                 if not self._authorized():
                     self._reply(401, {"error": {"message": "unauthorized"}})
@@ -208,10 +233,16 @@ class FakeSheetsServer:
                                 out["values"] = vals
                             self._reply(200, out)
                         elif method == "PUT" and verb is None:
-                            n = _update(store, a1, payload.get("values", []))
+                            vals = _user_entered_values(
+                                payload.get("values", []), user_entered
+                            )
+                            n = _update(store, a1, vals)
                             self._reply(200, {"updatedCells": n})
                         elif method == "POST" and verb == ":append":
-                            n = _append(store, a1, payload.get("values", []))
+                            vals = _user_entered_values(
+                                payload.get("values", []), user_entered
+                            )
+                            n = _append(store, a1, vals)
                             self._reply(200, {"updates": {"updatedCells": n}})
                         elif method == "POST" and verb == ":clear":
                             _clear(store, a1)

@@ -1,0 +1,143 @@
+"""The connector's SQL-string entry path — the reference's entire UX
+is SQL (``SELECT ... FROM read_gsheet(...)``,
+test/sql/read_gsheet.test:26; ``COPY ... TO ... (FORMAT gsheet)``,
+test/sql/copy_to.test:18-36). The Spark analog is ``CREATE TEMPORARY
+VIEW t USING gsheets OPTIONS (...)`` + plain ``spark.sql`` over the
+view; the COPY direction is a SQL SELECT feeding the connector sink.
+
+These tests exercise the registered format BY NAME through
+``spark.sql`` against the fake server — a user's first SQL attempt,
+end to end.
+"""
+
+import pytest
+
+from duckdb_gsheets_spark.sources.gsheets import read_gsheet, write_gsheet
+from duckdb_gsheets_spark.sources.gsheets.api import register
+
+
+def url_for(sid: str) -> str:
+    return f"https://docs.google.com/spreadsheets/d/{sid}/edit"
+
+
+def _view_sql(view: str, server, sid: str, extra: str = "") -> str:
+    return (
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} USING gsheets OPTIONS ("
+        f"path '{url_for(sid)}', token 'test-token', "
+        f"api_base '{server.base_url}'{extra})"
+    )
+
+
+def test_sql_view_select_with_filter(spark, sheets_server, people_sheet):
+    """read_gsheet.test:26 through spark.sql: typed projection +
+    predicate over the SQL-declared sheet view."""
+    sid, _ = people_sheet
+    register(spark)
+    spark.sql(_view_sql("people_sql", sheets_server, sid))
+    rows = spark.sql(
+        "SELECT name, age FROM people_sql WHERE age > 28 ORDER BY name"
+    ).collect()
+    assert [(r.name, r.age) for r in rows] == [
+        ("Alice", 30.0),
+        ("Archie", 99.0),
+        ("Charlie", 45.0),
+    ]
+
+
+def test_sql_view_aggregate_and_types(spark, sheets_server, people_sheet):
+    """Aggregation over the SQL view; the inferred BOOLEAN/DOUBLE/
+    VARCHAR schema is what SQL sees (types flow through the catalog)."""
+    sid, _ = people_sheet
+    register(spark)
+    spark.sql(_view_sql("people_agg", sheets_server, sid))
+    schema = {f.name: f.dataType.simpleString() for f in spark.table("people_agg").schema.fields}
+    assert schema == {"name": "string", "age": "double", "city": "string"}
+    out = spark.sql(
+        "SELECT count(*) AS n, sum(age) AS total FROM people_agg WHERE age IS NOT NULL"
+    ).collect()[0]
+    assert out.n == 4 and out.total == 30.0 + 25.0 + 45.0 + 99.0
+
+
+def test_sql_view_all_varchar_option(spark, sheets_server, people_sheet):
+    """OPTIONS carry connector options, not just credentials:
+    all_varchar 'true' through the SQL surface."""
+    sid, _ = people_sheet
+    register(spark)
+    spark.sql(
+        _view_sql("people_vc", sheets_server, sid, ", all_varchar 'true'")
+    )
+    fields = spark.table("people_vc").schema.fields
+    assert [f.dataType.simpleString() for f in fields] == ["string"] * 3
+    assert spark.sql("SELECT age FROM people_vc LIMIT 1").collect()[0].age == "30"
+
+
+def test_sql_select_feeds_copy_to(spark, sheets_server, people_sheet):
+    """copy_to.test:18-36 shape: a SQL SELECT materialized through the
+    connector sink, then read back via a second SQL view with
+    identical rows."""
+    sid, _ = people_sheet
+    register(spark)
+    out_sid = f"sqlcopy-{len(sheets_server.stores)}"
+    sheets_server.new_spreadsheet(out_sid).add_sheet("Sheet1", [[]])
+    spark.sql(_view_sql("people_src", sheets_server, sid))
+    result = spark.sql(
+        "SELECT name, age FROM people_src WHERE age IS NOT NULL ORDER BY age"
+    )
+    write_gsheet(
+        result,
+        url_for(out_sid),
+        token="test-token",
+        api_base=sheets_server.base_url,
+    )
+    spark.sql(_view_sql("people_copy", sheets_server, out_sid))
+    back = spark.sql("SELECT name, age FROM people_copy ORDER BY age").collect()
+    assert [(r.name, r.age) for r in back] == [
+        ("Bob", 25.0),
+        ("Alice", 30.0),
+        ("Charlie", 45.0),
+        ("Archie", 99.0),
+    ]
+
+
+def test_sql_insert_into_appends(spark, sheets_server, people_sheet):
+    """``INSERT INTO <view>`` — the SQL spelling of the reference's
+    append-mode COPY (copy_to.test append case): rows land below the
+    existing table, header untouched. The view itself is a BIND-TIME
+    SNAPSHOT (the eager-fetch read contract, SURVEY §2.1 S1), so the
+    new row appears on re-bind, not in the already-created view."""
+    sid, store = people_sheet
+    register(spark)
+    spark.sql(_view_sql("people_ins", sheets_server, sid))
+    before = spark.sql("SELECT count(*) AS n FROM people_ins").collect()[0].n
+    spark.sql("INSERT INTO people_ins VALUES ('Zed', 41.0, 'Berlin')")
+    assert store.grids["Sheet1"][-1] == ["Zed", "41.0", "Berlin"]
+    # The bound view still serves its snapshot...
+    assert spark.sql("SELECT count(*) AS n FROM people_ins").collect()[0].n == before
+    # ...and a re-bound view sees the appended row.
+    spark.sql(_view_sql("people_ins", sheets_server, sid))
+    assert spark.sql("SELECT count(*) AS n FROM people_ins").collect()[0].n == before + 1
+
+
+def test_sql_insert_overwrite_replaces_sheet(spark, sheets_server, people_sheet):
+    """``INSERT OVERWRITE <view>`` — the SQL spelling of the default
+    overwrite_sheet COPY mode: clear the sheet, rewrite header +
+    rows."""
+    sid, store = people_sheet
+    register(spark)
+    spark.sql(_view_sql("people_ow", sheets_server, sid))
+    spark.sql("INSERT OVERWRITE people_ow VALUES ('Solo', 1.0, 'X')")
+    lived = [r for r in store.grids["Sheet1"] if any(c != "" for c in r)]
+    assert lived == [["name", "age", "city"], ["Solo", "1.0", "X"]]
+
+
+def test_sql_view_missing_credentials_is_actionable(spark, sheets_server, people_sheet):
+    """A credential-less SQL view fails with the connector's
+    actionable message, not a stack of internals."""
+    sid, _ = people_sheet
+    register(spark)
+    with pytest.raises(Exception, match="credentials|token"):
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW people_noauth USING gsheets "
+            f"OPTIONS (path '{url_for(sid)}', api_base '{sheets_server.base_url}')"
+        )
+        spark.sql("SELECT * FROM people_noauth").collect()
