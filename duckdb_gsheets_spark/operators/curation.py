@@ -876,6 +876,197 @@ GROUP BY source
 """
 
 
+def vocab_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a frequency-built vocabulary as a TOKENIZER: every
+    whitespace token becomes its vocab id (rank by count desc, token
+    tiebreak — the deterministic stand-in for a trained vocab file,
+    same recipe as :func:`vocab_oov_rate`), OOV tokens become the
+    reserved id 0. The per-document id stream is scalarized to an
+    order-preserving md5 digest plus OOV accounting — the encode step
+    every training-data pipeline runs after tokenizer training, in a
+    driver-hashable shape.
+
+    Shapes: one map-side-combined vocab count with a
+    TakeOrderedAndProject top-K (no global sort over the token
+    table), id assignment via a window over the ≤``VOCAB_TOP``-row
+    winner table (bounded by construction — allowlisted in the
+    unpartitioned-window sweep), vocab BROADCAST onto the postings
+    (the corpus never shuffles for the lookup), then one doc_id
+    rollup whose collect_list is made order-deterministic by sorting
+    (pos, id) structs before the digest.
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("toks").alias("pos", "tok"),
+    )
+    w_vocab = Window.orderBy(F.desc("cnt"), "tok")
+    vocab_ids = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(VOCAB_TOP)
+        .select("tok", F.row_number().over(w_vocab).alias("tok_id"))
+    )
+    enc = toks.join(F.broadcast(vocab_ids), "tok", "left").select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.coalesce("tok_id", F.lit(0)).alias("tok_id"),
+    )
+    return enc.groupBy("doc_id", "n_tokens").agg(
+        F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("oov_rate"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok_id"))),
+                    lambda s: s["tok_id"].cast("string"),
+                ),
+            )
+        ).alias("ids_digest"),
+    )
+
+
+VOCAB_TOKENIZE_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks,
+         CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS INTEGER)
+           AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), toks AS (
+  SELECT doc_id, n_tokens,
+         unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM docs
+), vocab_ids AS (
+  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INTEGER)
+           AS tok_id
+  FROM (
+    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok LIMIT {VOCAB_TOP}
+  )
+), enc AS (
+  SELECT t.doc_id, t.n_tokens, t.pos, COALESCE(v.tok_id, 0) AS tok_id
+  FROM toks t LEFT JOIN vocab_ids v USING (tok)
+)
+SELECT doc_id, n_tokens,
+       CAST(SUM(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE), 6) AS oov_rate,
+       md5(string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos))
+         AS ids_digest
+FROM enc GROUP BY doc_id, n_tokens
+"""
+
+
+def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BIGRAM cross-entropy against the corpus's own
+    add-one-smoothed bigram LM — the next rung above
+    :func:`text_unigram_xent` on the CCNet-style quality ladder:
+    ``xent(d) = −(1/(|d|−1)) Σ ln((count(w1,w2)+1) /
+    (count(w1)+|V|))``. Repetitive/templated text scores low (its
+    bigrams dominate the corpus), incoherent token soup scores high
+    even when its unigrams are common — the signal unigram scoring
+    cannot see.
+
+    Determinism: identical to the unigram operator — each ln rounds
+    to the 1e-9 grid and scales to a long, so the per-document sum is
+    exact integer arithmetic in both engines (libm ulp drift ≪ grid).
+
+    Shapes: the bigram stream is a narrow lead-free HOF zip over each
+    document's own token array (no window), the bigram/unigram count
+    tables aggregate map-side, and both LM tables BROADCAST onto the
+    stream (a production vocab drops the hints for shuffle joins —
+    shape unchanged). Single-token documents are excluded by
+    construction (no bigrams to score).
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents")).where(
+        F.col("n_tokens") >= 2
+    )
+    bi = docs.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "n_tokens", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bigrams = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bi"))
+    unigrams = (
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    vsize = unigrams.agg(F.count(F.lit(1)).alias("vsize"))
+    lnp = F.log(
+        (F.col("n_bi") + F.lit(1.0))
+        / (F.col("n_uni") + F.col("vsize")).cast("double")
+    )
+    scored = (
+        bi.join(F.broadcast(bigrams), ["w1", "w2"])
+        .join(F.broadcast(unigrams.withColumnRenamed("tok", "w1")), "w1")
+        .join(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(lnp * 1e9).cast("long").alias("lnp_scaled"),
+        )
+    )
+    return scored.groupBy("doc_id", "n_tokens").agg(
+        F.round(
+            -F.sum("lnp_scaled").cast("double")
+            / 1e9
+            / (F.col("n_tokens") - F.lit(1)).cast("double"),
+            6,
+        ).alias("bigram_xent"),
+    )
+
+
+BIGRAM_XENT_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks,
+         CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS INTEGER)
+           AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL
+    AND len(regexp_split_to_array(TRIM(text), '\\s+')) >= 2
+), bi AS (
+  SELECT doc_id, n_tokens,
+         unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM docs
+), bigrams AS (
+  SELECT w1, w2, COUNT(*) AS n_bi FROM bi GROUP BY w1, w2
+), unigrams AS (
+  SELECT unnest(toks) AS tok FROM docs
+), uni_counts AS (
+  SELECT tok, COUNT(*) AS n_uni FROM unigrams GROUP BY tok
+), vsize AS (
+  SELECT COUNT(*) AS vsize FROM uni_counts
+)
+SELECT b.doc_id, b.n_tokens,
+       ROUND(-CAST(SUM(CAST(ROUND(LN((g.n_bi + 1.0)
+                / CAST(u.n_uni + v.vsize AS DOUBLE)) * 1e9) AS BIGINT))
+             AS DOUBLE) / 1e9
+             / CAST(b.n_tokens - 1 AS DOUBLE), 6) AS bigram_xent
+FROM bi b
+JOIN bigrams g USING (w1, w2)
+JOIN uni_counts u ON u.tok = b.w1
+CROSS JOIN vsize v
+GROUP BY b.doc_id, b.n_tokens
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "dataset_datasheet",
@@ -936,5 +1127,17 @@ QUERIES: list[QueryDef] = [
         corpus_resample,
         CORPUS_RESAMPLE_ORACLE,
         "deterministic language-rebalancing resample (integer thresholds)",
+    ),
+    QueryDef(
+        "vocab_tokenize_ids",
+        vocab_tokenize_ids,
+        VOCAB_TOKENIZE_ORACLE,
+        "apply the frequency vocab as a tokenizer (id streams + OOV audit)",
+    ),
+    QueryDef(
+        "text_bigram_xent",
+        text_bigram_xent,
+        BIGRAM_XENT_ORACLE,
+        "per-document bigram LM cross-entropy (add-one smoothed)",
     ),
 ]

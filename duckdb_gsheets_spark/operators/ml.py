@@ -778,6 +778,88 @@ HAVING ROUND(SUM(qa.x * qb.x) / (na.nrm * nb.nrm), 6)
 """)
 
 
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space DRIFT matrix: the exact per-label centroid of
+    the embedding corpus and the cosine similarity between every
+    label pair — the dashboard behind "are these two slices converging
+    / did the new crawl shift a topic's center of mass". Low
+    inter-centroid cosine means well-separated slices; a pair drifting
+    toward 1.0 is a merge candidate (or a labeling bug).
+
+    Determinism: centroid sums accumulate as exact scaled longs
+    (``EMB_SCALE`` — partition-order-independent). Cosine is
+    SCALE-INVARIANT, so it is computed directly on the integer sum
+    vectors (each exactly representable as a double at any count the
+    long bound admits) — no per-component division or intermediate
+    rounding for engines to disagree on; the unrolled left-to-right
+    64-term dot/norm sums are generated from the same Python loop on
+    both engines (bit-identical IEEE evaluation), rounded to 6 once.
+
+    Shapes: the corpus never shuffles — the per-label aggregate
+    map-side-combines to |labels| × dim longs; the pairwise step is a
+    self-join of the |labels|-row centroid table (bounded by
+    construction — allowlisted as a bounded broadcast in the
+    unbounded-join sweep). At 100 TB this is one scan.
+    """
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "label", to_double(F.col("embedding")).alias("emb")
+    )
+    cent = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), *_dim_scaled_sums()
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("n").alias("n_a"),
+        *[F.col(f"s{d}").cast("double").alias(f"a{d}") for d in range(DIM)],
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("n").alias("n_b"),
+        *[F.col(f"s{d}").cast("double").alias(f"b{d}") for d in range(DIM)],
+    )
+    dot = " + ".join(f"(a{d} * b{d})" for d in range(DIM))
+    na = " + ".join(f"(a{d} * a{d})" for d in range(DIM))
+    nb = " + ".join(f"(b{d} * b{d})" for d in range(DIM))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"ROUND(({dot}) / (SQRT({na}) * SQRT({nb})), 6)"
+            ).alias("cos_sim"),
+        )
+    )
+
+
+def _centroid_similarity_oracle() -> str:
+    # NB: the element must be cast to DOUBLE BEFORE scaling — DuckDB
+    # evaluates FLOAT * INTEGER in float32, which rounds differently
+    # than Spark's double arithmetic (same contract as the k-means
+    # oracle's CAST(unnest(embedding) AS DOUBLE)).
+    sums = ",\n    ".join(
+        f"CAST(SUM(CAST(ROUND(CAST(embedding[{d + 1}] AS DOUBLE)"
+        f" * {EMB_SCALE}) AS BIGINT)) AS DOUBLE) AS s{d}"
+        for d in range(DIM)
+    )
+    dot = " + ".join(f"(a.s{d} * b.s{d})" for d in range(DIM))
+    na = " + ".join(f"(a.s{d} * a.s{d})" for d in range(DIM))
+    nb = " + ".join(f"(b.s{d} * b.s{d})" for d in range(DIM))
+    return f"""
+WITH cs_sums AS (
+  SELECT label, COUNT(*) AS n,
+    {sums}
+  FROM embeddings GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       a.n AS n_a, b.n AS n_b,
+       ROUND(({dot}) / (SQRT({na}) * SQRT({nb})), 6) AS cos_sim
+FROM cs_sums a JOIN cs_sums b ON a.label < b.label
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "kmeans_lloyd",
@@ -802,5 +884,11 @@ QUERIES: list[QueryDef] = [
         logreg_probe,
         _logreg_oracle(),
         "full-batch GD logistic linear probe (parameter-server shape)",
+    ),
+    QueryDef(
+        "label_centroid_similarity",
+        label_centroid_similarity,
+        _centroid_similarity_oracle(),
+        "exact per-label centroids + pairwise cosine drift matrix",
     ),
 ]

@@ -328,10 +328,93 @@ GROUP BY 1, 2
 """
 
 
+def split_contamination_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-level cross-split contamination audit via winnowing
+    fingerprints: for each eval split (val/test), how many of its
+    selected fingerprints also occur in ANY train document — the
+    substring-overlap check n-gram-exact contamination
+    (chunking.contamination_ngram) misses and near-dup leakage
+    (split_leakage_check) only sees at whole-document granularity.
+    Winnowing's guarantee makes the audit sound: any shared run of
+    ≥ k+w−1 tokens between an eval doc and a train doc shares a
+    selected fingerprint, so a zero-hit split provably has no long
+    verbatim overlap with train.
+
+    Shapes: the fingerprint stream comes from the shared winnowing
+    core (text.winnow_selected — one doc_id partition, linear); split
+    assignment is a NARROW column derivation from doc_id (no join);
+    the only added shuffles are the fingerprint distinct and one
+    equi-join on the fingerprint value against the train-side
+    distinct — both linear in selected fingerprints (~2/(w+1) of
+    grams), never quadratic in documents. Documents shorter than one
+    winnowing window carry no fingerprints and are out of audit scope
+    by construction.
+    """
+    from duckdb_gsheets_spark.operators.text import winnow_selected
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = (
+        winnow_selected(docs)
+        .select("doc_id", F.col("win_min").alias("fp"))
+        .distinct()
+        .withColumn("split", split_col())
+    )
+    train_fps = (
+        fps.where(F.col("split") == "train").select("fp").distinct()
+    )
+    ev = fps.where(F.col("split") != "train").join(
+        train_fps.withColumn("hit", F.lit(1)), "fp", "left"
+    )
+    return ev.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_fps"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated_fps"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("contamination_rate"),
+        F.countDistinct(
+            F.when(F.col("hit").isNotNull(), F.col("doc_id"))
+        ).alias("n_docs_flagged"),
+    )
+
+
+def _split_contamination_oracle() -> str:
+    from duckdb_gsheets_spark.operators.text import winnow_core_sql
+
+    return f"""
+WITH {winnow_core_sql()},
+sc_fps AS (
+  SELECT doc_id, unnest(fp) AS fp FROM wn_selected
+), sc_tagged AS (
+  SELECT doc_id, fp, {oracle_split_case()} AS split FROM sc_fps
+), sc_train AS (
+  SELECT DISTINCT fp FROM sc_tagged WHERE split = 'train'
+), sc_ev AS (
+  SELECT t.split, t.doc_id, t.fp,
+         CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM sc_tagged t LEFT JOIN sc_train tr USING (fp)
+  WHERE t.split <> 'train'
+)
+SELECT split,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_fps,
+       CAST(SUM(hit) AS BIGINT) AS n_contaminated_fps,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS contamination_rate,
+       CAST(COUNT(DISTINCT CASE WHEN hit = 1 THEN doc_id END) AS BIGINT)
+         AS n_docs_flagged
+FROM sc_ev
+GROUP BY split
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE, "per-language hash sampling"),
     QueryDef("sample_bottom_k", sample_bottom_k, SAMPLE_BOTTOM_K_ORACLE, "bottom-k / KMV uniform sample"),
     QueryDef("sample_weighted_topk", sample_weighted_topk, _weighted_oracle(), "Efraimidis-Spirakis quality-weighted sample"),
     QueryDef("sample_split_assign", sample_split_assign, SPLIT_ASSIGN_ORACLE, "deterministic train/val/test hash split with per-split audit"),
     QueryDef("split_leakage_check", split_leakage_check, _split_leakage_oracle(), "near-dup pairs straddling hash splits (train/test leakage audit)"),
+    QueryDef("split_contamination_winnowing", split_contamination_winnowing, _split_contamination_oracle(), "passage-level eval-vs-train contamination via winnowing fingerprints"),
 ]

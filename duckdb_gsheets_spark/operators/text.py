@@ -883,32 +883,16 @@ def _oracle_winnow_gram(var: str = "i") -> str:
     return g
 
 
-def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprinting by WINNOWING (Schleimer,
-    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
-    Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
-    ``WINNOW_K``-token gram with a rolling polynomial, then keep the
-    MINIMUM hash of every ``WINNOW_W``-gram window. The selected set
-    is a deterministic ~2/(w+1) subsample of the gram space with a
-    GUARANTEE: any shared run of ≥ k+w-1 tokens between two documents
-    shares a selected fingerprint — the property that lets a 100 TB
-    overlap check index ~25% of grams instead of all of them.
-
-    Linear by construction: token residues posexplode (narrow, fused
-    into the scan), then ONE hash partition on doc_id serves both
-    window passes — gram hashes via a ``lead`` chain (each token
-    residue read k times, never a re-scan of the document) and the
-    sliding minimum via a ``ROWS 0..w-1 FOLLOWING`` frame. An
-    array-HOF formulation (slice+min per window over a gram array)
-    reads beautifully but is O(n²·k) per document — Catalyst gives
-    higher-order lambdas no common-subexpression elimination and
-    CollapseProject re-inlines single-use projections, so the gram
-    array is recomputed per window position; measured 63 s for ONE
-    12.8k-token document vs. milliseconds here. Output is scalarized
-    per document: gram count, selected-fingerprint count, density,
-    and the md5 digest of the sorted fingerprint set.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def winnow_selected(docs: DataFrame) -> DataFrame:
+    """The winnowing CORE over any ``documents``-shaped frame:
+    per-document selected fingerprints as rows ``(doc_id, pos,
+    win_min, last_pos)`` — shared by :func:`winnowing_fingerprints`
+    (which scalarizes per document) and the cross-split contamination
+    audit (sampling.split_contamination_winnowing, which matches the
+    raw fingerprints across splits). Documents shorter than
+    ``WINNOW_K + WINNOW_W − 1`` tokens have no full window and are
+    excluded by construction. One doc_id hash partition serves both
+    window passes (gram lead-chain + sliding-min frame)."""
     min_tokens = WINNOW_K + WINNOW_W - 1
     toks = (
         docs.where(F.col("text").isNotNull())
@@ -934,11 +918,68 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
     w_doc = Window.partitionBy("doc_id")
-    sel = (
+    return (
         grams.withColumn("win_min", F.min("gh").over(w_frame))
         .withColumn("last_pos", F.max("pos").over(w_doc))
         .where(F.col("pos") <= F.col("last_pos") - (WINNOW_W - 1))
     )
+
+
+def winnow_core_sql() -> str:
+    """Shared DuckDB CTE chain mirroring :func:`winnow_selected`
+    (``wn_selected`` ends with the per-doc distinct fingerprint LIST
+    ``fp`` plus ``n_grams``) — used by the winnowing report oracle
+    here and the cross-split contamination oracle in sampling.py."""
+    return f"""wn_toks AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'),
+                        t -> {PH.oracle_tok_mod_p('t')}) AS ht
+  FROM documents
+  WHERE text IS NOT NULL
+    AND len(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))
+        >= {WINNOW_K + WINNOW_W - 1}
+), wn_grams AS (
+  SELECT doc_id,
+         len(ht) - {WINNOW_K - 1} AS n_grams,
+         list_transform(range(1, len(ht) - {WINNOW_K - 1} + 1),
+                        i -> {_oracle_winnow_gram()}) AS gh
+  FROM wn_toks
+), wn_selected AS (
+  SELECT doc_id, n_grams,
+         list_sort(list_distinct(
+           list_transform(range(1, n_grams - {WINNOW_W - 1} + 1),
+                          i -> list_min(gh[i:i + {WINNOW_W - 1}]))
+         )) AS fp
+  FROM wn_grams
+)"""
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by WINNOWING (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
+    ``WINNOW_K``-token gram with a rolling polynomial, then keep the
+    MINIMUM hash of every ``WINNOW_W``-gram window. The selected set
+    is a deterministic ~2/(w+1) subsample of the gram space with a
+    GUARANTEE: any shared run of ≥ k+w-1 tokens between two documents
+    shares a selected fingerprint — the property that lets a 100 TB
+    overlap check index ~25% of grams instead of all of them.
+
+    Linear by construction: token residues posexplode (narrow, fused
+    into the scan), then ONE hash partition on doc_id serves both
+    window passes — gram hashes via a ``lead`` chain (each token
+    residue read k times, never a re-scan of the document) and the
+    sliding minimum via a ``ROWS 0..w-1 FOLLOWING`` frame. An
+    array-HOF formulation (slice+min per window over a gram array)
+    reads beautifully but is O(n²·k) per document — Catalyst gives
+    higher-order lambdas no common-subexpression elimination and
+    CollapseProject re-inlines single-use projections, so the gram
+    array is recomputed per window position; measured 63 s for ONE
+    12.8k-token document vs. milliseconds here. Output is scalarized
+    per document: gram count, selected-fingerprint count, density,
+    and the md5 digest of the sorted fingerprint set.
+    """
+    sel = winnow_selected(load_table(spark, sf_dir, "documents"))
     return (
         sel.groupBy("doc_id")
         .agg(
@@ -963,35 +1004,14 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINNOWING_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id,
-         list_transform(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'),
-                        t -> {PH.oracle_tok_mod_p('t')}) AS ht
-  FROM documents
-  WHERE text IS NOT NULL
-    AND len(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))
-        >= {WINNOW_K + WINNOW_W - 1}
-), grams AS (
-  SELECT doc_id,
-         len(ht) - {WINNOW_K - 1} AS n_grams,
-         list_transform(range(1, len(ht) - {WINNOW_K - 1} + 1),
-                        i -> {_oracle_winnow_gram()}) AS gh
-  FROM toks
-), selected AS (
-  SELECT doc_id, n_grams,
-         list_sort(list_distinct(
-           list_transform(range(1, n_grams - {WINNOW_W - 1} + 1),
-                          i -> list_min(gh[i:i + {WINNOW_W - 1}]))
-         )) AS fp
-  FROM grams
-)
+WITH {winnow_core_sql()}
 SELECT doc_id,
        CAST(n_grams AS INTEGER) AS n_grams,
        CAST(len(fp) AS INTEGER) AS n_fingerprints,
        ROUND(CAST(len(fp) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
          AS density,
        md5(array_to_string(fp, ',')) AS fp_digest
-FROM selected
+FROM wn_selected
 """
 
 

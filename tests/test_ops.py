@@ -2623,3 +2623,197 @@ def test_source_overlap_matrix_is_canonical_and_bounded(spark, tmp_path):
         assert r.source_a <= r.source_b  # canonical unordered pair
         assert r.n_pairs >= 1
         assert MINHASH_JACCARD_THRESHOLD <= r.avg_jaccard <= r.max_jaccard <= 1.0
+
+
+def test_vocab_tokenize_ids_matches_python_recompute(spark):
+    """Tokenizer application against a direct Python replay: same
+    top-K vocab ranking, same id stream digest, same OOV accounting."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.curation import (
+        VOCAB_TOP,
+        vocab_tokenize_ids,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate, r.ids_digest)
+        for r in vocab_tokenize_ids(spark, SF).collect()
+    }
+    docs = {
+        r.doc_id: re.split(r"\s+", r.text.strip())
+        for r in load_table(spark, SF, "documents").collect()
+        if r.text is not None
+    }
+    freq = Counter(t for toks in docs.values() for t in toks)
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_TOP]
+    vocab = {tok: i + 1 for i, (tok, _) in enumerate(ranked)}
+    assert set(got) == set(docs)
+    for d, toks in docs.items():
+        ids = [vocab.get(t, 0) for t in toks]
+        n_oov = sum(1 for i in ids if i == 0)
+        digest = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()
+        assert got[d] == (
+            len(toks),
+            n_oov,
+            round(n_oov / len(toks), 6),
+            digest,
+        )
+    # The signal is non-degenerate: both in-vocab and OOV tokens occur.
+    assert any(v[1] > 0 for v in got.values())
+    assert any(v[1] < v[0] for v in got.values())
+
+
+def test_text_bigram_xent_matches_python_recompute(spark):
+    """Bigram cross-entropy against a Counter/​math.log replay with the
+    same 1e-9 scaled-long determinism boundary."""
+    import math
+    import re
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.curation import text_bigram_xent
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.n_tokens, r.bigram_xent)
+        for r in text_bigram_xent(spark, SF).collect()
+    }
+    docs = {
+        r.doc_id: re.split(r"\s+", r.text.strip())
+        for r in load_table(spark, SF, "documents").collect()
+        if r.text is not None
+    }
+    docs = {d: t for d, t in docs.items() if len(t) >= 2}
+    bi = Counter()
+    uni = Counter()
+    for toks in docs.values():
+        uni.update(toks)
+        bi.update(zip(toks[:-1], toks[1:]))
+    vsize = len(uni)
+    assert set(got) == set(docs)
+    for d, toks in docs.items():
+        s = sum(
+            int(round(math.log((bi[(a, b)] + 1.0) / (uni[a] + vsize)) * 1e9))
+            for a, b in zip(toks[:-1], toks[1:])
+        )
+        expected = round(-s / 1e9 / (len(toks) - 1), 6)
+        assert got[d] == (len(toks), expected)
+    scores = [x for _, x in got.values()]
+    assert min(scores) > 0 and max(scores) > min(scores)
+
+
+def test_split_contamination_matches_python_recompute(spark):
+    """Cross-split winnowing contamination against a full Python
+    replay of fingerprints + the md5 split rule."""
+    import hashlib
+    import re
+
+    from duckdb_gsheets_spark.functions.portable_hash import P, SHINGLE_A
+    from duckdb_gsheets_spark.operators.sampling import (
+        SPLIT_TEST_LO,
+        SPLIT_VAL_LO,
+        split_contamination_winnowing,
+    )
+    from duckdb_gsheets_spark.operators.text import WINNOW_K, WINNOW_W
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.split: (
+            r.n_docs,
+            r.n_fps,
+            r.n_contaminated_fps,
+            r.contamination_rate,
+            r.n_docs_flagged,
+        )
+        for r in split_contamination_winnowing(spark, SF).collect()
+    }
+
+    def tok_mod_p(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % P
+
+    def fingerprints(text: str) -> set:
+        toks = re.split(r"\s+", text.strip().lower())
+        if len(toks) < WINNOW_K + WINNOW_W - 1:
+            return set()
+        ht = [tok_mod_p(t) for t in toks]
+        gh = []
+        for i in range(len(ht) - WINNOW_K + 1):
+            g = ht[i]
+            for j in range(1, WINNOW_K):
+                g = (g * SHINGLE_A + ht[i + j]) % P
+            gh.append(g)
+        return {min(gh[i : i + WINNOW_W]) for i in range(len(gh) - WINNOW_W + 1)}
+
+    def split_of(doc_id: int) -> str:
+        prefix = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        if prefix < SPLIT_VAL_LO:
+            return "train"
+        return "val" if prefix < SPLIT_TEST_LO else "test"
+
+    fps = {
+        r.doc_id: fingerprints(r.text)
+        for r in load_table(spark, SF, "documents").collect()
+        if r.text is not None
+    }
+    train = set().union(
+        *(f for d, f in fps.items() if split_of(d) == "train")
+    )
+    expected = {}
+    for sp in ("val", "test"):
+        members = {d: f for d, f in fps.items() if split_of(d) == sp and f}
+        n_fps = sum(len(f) for f in members.values())
+        n_hit = sum(len(f & train) for f in members.values())
+        expected[sp] = (
+            len(members),
+            n_fps,
+            n_hit,
+            round(n_hit / n_fps, 6),
+            sum(1 for f in members.values() if f & train),
+        )
+    assert got == expected
+    # The audit is non-vacuous at this fixture: fingerprints exist on
+    # both sides of the split boundary.
+    assert all(v[1] > 0 for v in expected.values())
+
+
+def test_label_centroid_similarity_matches_numpy(spark):
+    """Centroid drift matrix against an exact numpy replay (scaled-
+    long sums, left-to-right float accumulation, round-6)."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.ml import (
+        EMB_SCALE,
+        label_centroid_similarity,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.label_a, r.label_b): (r.n_a, r.n_b, r.cos_sim)
+        for r in label_centroid_similarity(spark, SF).collect()
+    }
+    rows = load_table(spark, SF, "embeddings").collect()
+    labels = sorted({r.label for r in rows})
+    sums = {}
+    counts = {}
+    for lab in labels:
+        M = np.array(
+            [[float(x) for x in r.embedding] for r in rows if r.label == lab],
+            dtype=np.float64,
+        )
+        sums[lab] = np.round(M * EMB_SCALE).sum(axis=0)
+        counts[lab] = len(M)
+    assert set(got) == {
+        (a, b) for a in labels for b in labels if a < b
+    }
+    for (a, b), (n_a, n_b, cos) in got.items():
+        va, vb = sums[a], sums[b]
+        expected = float(va @ vb) / (
+            float(np.sqrt(va @ va)) * float(np.sqrt(vb @ vb))
+        )
+        assert (n_a, n_b) == (counts[a], counts[b])
+        assert abs(cos - round(expected, 6)) < 2e-6
+    # Cosines vary and stay in [-1, 1].
+    cs = [v[2] for v in got.values()]
+    assert min(cs) >= -1.0 and max(cs) <= 1.0 and max(cs) > min(cs)

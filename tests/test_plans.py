@@ -378,6 +378,58 @@ def test_split_pipeline_single_fingerprint_exchange(spark):
     assert len(set(fp_exchanges)) == 1
 
 
+def test_tokenize_broadcasts_vocab(spark):
+    """The id lookup must broadcast the ≤VOCAB_TOP vocab onto the
+    postings — the corpus never shuffles for the encode step; the only
+    hash exchanges are the vocab count and the per-doc rollup."""
+    plan = _plan(spark, "vocab_tokenize_ids")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_xent_broadcasts_lm_tables(spark):
+    """Both LM joins (bigram counts, unigram counts) must broadcast
+    onto the bigram stream; no sort-merge join anywhere."""
+    plan = _plan(spark, "text_bigram_xent")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_contamination_stays_equi_join(spark):
+    """The eval-vs-train fingerprint match must be an equi-join on the
+    fingerprint value (linear in selected fingerprints) — never a
+    cartesian or nested-loop pairing of documents."""
+    plan = _plan(spark, "split_contamination_winnowing")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Document TEXT reaches no exchange: the winnow core reduces each
+    # document to token residues before its doc_id partition, and the
+    # split column is a narrow md5(doc_id) derivation, never a join
+    # back to the documents table.
+    physical = plan.split("== Physical Plan ==")[-1]
+    exchanges = [
+        ln for ln in physical.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges and all("text" not in ln for ln in exchanges)
+
+
+def test_centroid_similarity_corpus_never_joins(spark):
+    """The corpus pass is ONE map-side-combined label aggregate; the
+    only join is the bounded |labels|-row centroid self-join (nested
+    loop over broadcast — allowlisted). No corpus-sized shuffle may
+    mention the embedding payload."""
+    plan = _plan(spark, "label_centroid_similarity")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    exchanges = [
+        ln for ln in physical.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert all("emb" not in ln for ln in exchanges)
+
+
 def test_no_accidental_cartesian_across_entire_registry(spark):
     """Sweep EVERY registered query's physical plan: no
     CartesianProduct and no BroadcastNestedLoopJoin anywhere, except
@@ -414,6 +466,8 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "events_gapfill_locf",      # 1-row calendar-bounds broadcast
         "q11_important_stock",      # scalar threshold subquery
         "q22_global_customers",     # scalar avg-balance subquery
+        "text_bigram_xent",         # 1-row vocab-size broadcast
+        "label_centroid_similarity",  # |labels|²-bounded centroid self-join
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
@@ -445,7 +499,9 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
     #     dimension after the value collapse — recency dates /
     #     frequency counts / money buckets are bounded grids);
     #   * bounded value grids: quality_deciles' round-6 quality grid
-    #     (≤1e6 values), and its consumers.
+    #     (≤1e6 values), and its consumers;
+    #   * post-LIMIT winner tables: vocab_tokenize_ids assigns ids by
+    #     ranking the ≤VOCAB_TOP-row vocab.
     bounded_ok = {
         "orders_pareto_share",
         "window_ntile",
@@ -453,6 +509,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "duplicate_passages",
         "orders_rfm_segments",
         "quality_deciles",
+        "vocab_tokenize_ids",
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
