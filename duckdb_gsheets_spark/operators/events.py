@@ -1282,6 +1282,121 @@ FROM counted
 """
 
 
+#: Top-K for the path report and the path length (trigram paths).
+PATH_TOPK = 25
+
+
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining (lite): the corpus's most common
+    3-event paths — each user's event stream in (ts, event_id) order
+    yields one ``a>b>c`` path per position via a lag chain, counted
+    globally with a per-path distinct-user count. The report behind
+    "what do users actually do around an error" that per-event
+    aggregates can't answer.
+
+    Shapes: ONE user_id hash partition feeds both lead windows (same
+    key, same order — Catalyst reuses the sort), the path rollup
+    map-side-combines to |types|³ keys, and the top-K compiles to
+    TakeOrderedAndProject. Total order: count desc, then path asc.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+EVENTS_PATH_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), paths AS (
+  SELECT user_id, event_type || '>' || e2 || '>' || e3 AS path
+  FROM seq WHERE e3 IS NOT NULL
+)
+SELECT path, COUNT(*) AS n_occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_occurrences DESC, path
+LIMIT {PATH_TOPK}
+"""
+
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users keyed by first-activity
+    day, with each later week-offset's active users and exact total
+    event value — the money-weighted companion to
+    :func:`events_retention` (which only counts presence). Reading
+    down a column shows how much value each acquisition cohort keeps
+    producing.
+
+    Week arithmetic is pure integer day math on DATE differences
+    (``div 7``), so cohort cells are engine-exact; value totals use
+    the scaled-long cents sum. Shapes: one user_id shuffle for the
+    cohort min, a user_id-keyed join that co-locates at scale, and a
+    ≤|weeks|² rollup.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cohorts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    return (
+        events.select("user_id", F.to_date("ts").alias("day"), "value")
+        .join(cohorts, "user_id")
+        .select(
+            F.col("first_day").cast("string").alias("cohort_first_day"),
+            F.expr("div(datediff(day, first_day), 7)").alias("week_offset"),
+            "user_id",
+            "value",
+        )
+        .groupBy("cohort_first_day", "week_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+EVENTS_COHORT_LTV_ORACLE = f"""
+WITH cohorts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+)
+SELECT CAST(c.first_day AS VARCHAR) AS cohort_first_day,
+       CAST((CAST(e.ts AS DATE) - c.first_day) // 7 AS BIGINT)
+         AS week_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active_users,
+       COUNT(*) AS n_events,
+       {oracle_dsum('e.value')} AS total_value
+FROM events e JOIN cohorts c ON e.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
     QueryDef("events_markov_transitions", events_markov_transitions, EVENTS_MARKOV_ORACLE, "first-order event-type Markov transition matrix"),
@@ -1305,4 +1420,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_histogram", events_histogram, EVENTS_HISTOGRAM_ORACLE, "fixed-width value histogram"),
     QueryDef("events_anomaly_zscore", events_anomaly_zscore, EVENTS_ZSCORE_ORACLE, "deterministic z-score outliers"),
     QueryDef("events_corr_value_hour", events_corr_value_hour, EVENTS_CORR_ORACLE, "exact-co-moment Pearson correlation"),
+    QueryDef("events_path_topk", events_path_topk, EVENTS_PATH_ORACLE, "top-K 3-event user paths (sequence-pattern mining lite)"),
+    QueryDef("events_cohort_ltv", events_cohort_ltv, EVENTS_COHORT_LTV_ORACLE, "cohort lifetime-value matrix (exact cents by week offset)"),
 ]

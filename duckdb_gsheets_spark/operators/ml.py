@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
@@ -860,6 +860,96 @@ FROM cs_sums a JOIN cs_sums b ON a.label < b.label
 """
 
 
+#: Outliers reported per label by the centroid-distance audit.
+OUTLIER_TOPK = 5
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: per label, the ``OUTLIER_TOPK`` vectors
+    FARTHEST from their label's centroid (lowest cosine) — the
+    mislabeled/noisy-embedding candidates a curation pass reviews
+    first. Complements :func:`label_centroid_similarity` (which
+    compares labels to each other; this compares members to their own
+    label).
+
+    Determinism: the centroid is the exact scaled-long sum vector
+    (cosine is scale-invariant, so no normalization step exists to
+    diverge); the per-row cosine is an unrolled left-to-right 64-term
+    expression generated identically for both engines, rounded to 6
+    BEFORE ranking so the rank order (cos asc, vec_id) is defined on
+    engine-identical values.
+
+    Shapes: one map-side-combined label aggregate, centroids
+    BROADCAST back onto the scan (the corpus never shuffles with its
+    embedding payload — the ranking window's input is projected to
+    (label, vec_id, cos) first), one label-keyed window for the
+    per-label top-K.
+    """
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("emb")
+    )
+    cent = emb.groupBy("label").agg(*_dim_scaled_sums())
+    dot = " + ".join(
+        f"(emb[{d}] * CAST(s{d} AS DOUBLE))" for d in range(DIM)
+    )
+    nv = " + ".join(f"(emb[{d}] * emb[{d}])" for d in range(DIM))
+    ns = " + ".join(
+        f"(CAST(s{d} AS DOUBLE) * CAST(s{d} AS DOUBLE))" for d in range(DIM)
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.expr(
+            f"ROUND(({dot}) / (SQRT({nv}) * SQRT({ns})), 6)"
+        ).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy("cos_centroid", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= OUTLIER_TOPK)
+        .select("label", "rank", "vec_id", "cos_centroid")
+    )
+
+
+def _embedding_outliers_oracle() -> str:
+    sums = ",\n    ".join(
+        f"SUM(CAST(ROUND(CAST(embedding[{d + 1}] AS DOUBLE)"
+        f" * {EMB_SCALE}) AS BIGINT)) AS s{d}"
+        for d in range(DIM)
+    )
+    dot = " + ".join(
+        f"(CAST(e.embedding[{d + 1}] AS DOUBLE) * CAST(c.s{d} AS DOUBLE))"
+        for d in range(DIM)
+    )
+    nv = " + ".join(
+        f"(CAST(e.embedding[{d + 1}] AS DOUBLE)"
+        f" * CAST(e.embedding[{d + 1}] AS DOUBLE))"
+        for d in range(DIM)
+    )
+    ns = " + ".join(
+        f"(CAST(c.s{d} AS DOUBLE) * CAST(c.s{d} AS DOUBLE))"
+        for d in range(DIM)
+    )
+    return f"""
+WITH eo_sums AS (
+  SELECT label,
+    {sums}
+  FROM embeddings GROUP BY label
+), eo_scored AS (
+  SELECT e.label, e.vec_id,
+         ROUND(({dot}) / (SQRT({nv}) * SQRT({ns})), 6) AS cos_centroid
+  FROM embeddings e JOIN eo_sums c ON e.label = c.label
+), eo_ranked AS (
+  SELECT label, vec_id, cos_centroid,
+         CAST(ROW_NUMBER() OVER (PARTITION BY label
+              ORDER BY cos_centroid, vec_id) AS INTEGER) AS rank
+  FROM eo_scored
+)
+SELECT label, rank, vec_id, cos_centroid
+FROM eo_ranked WHERE rank <= {OUTLIER_TOPK}
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "kmeans_lloyd",
@@ -890,5 +980,11 @@ QUERIES: list[QueryDef] = [
         label_centroid_similarity,
         _centroid_similarity_oracle(),
         "exact per-label centroids + pairwise cosine drift matrix",
+    ),
+    QueryDef(
+        "embedding_outliers",
+        embedding_outliers,
+        _embedding_outliers_oracle(),
+        "per-label farthest-from-centroid outliers (label-quality audit)",
     ),
 ]

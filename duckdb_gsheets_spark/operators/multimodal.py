@@ -357,8 +357,74 @@ GROUP BY 1, 2
 """
 
 
+#: Byte budget per output shard for the manifest packer (small so the
+#: fixture produces multi-shard manifests; a real run uses ~1 GiB).
+SHARD_BUDGET_BYTES = 8_192
+
+
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-packing MANIFEST for the media corpus: greedy in-order
+    packing of payloads into ``SHARD_BUDGET_BYTES`` bins per format —
+    the WebDataset-style tar-shard layout step every multimodal
+    training pipeline runs before upload. A payload's shard is its
+    running byte offset div the budget (oversized payloads span
+    shards; the boundary item starts the overflow — same streaming-
+    packer rule as curation.pack_sequences).
+
+    The manifest (not the repack) is the deliverable: per (format,
+    shard) the item count, byte total, and id range a downstream
+    copy job needs. One shuffle on format; the running sum and the
+    rollup share the partitioning. Payload bytes never move — only
+    their lengths do.
+    """
+    media = media_table(spark, sf_dir)
+    sized = media.where(F.col("payload").isNotNull()).select(
+        "format", "doc_id", F.length("payload").alias("n_bytes")
+    )
+    binned = sized.select(
+        "format",
+        "doc_id",
+        "n_bytes",
+        F.expr(
+            f"div(sum(n_bytes) over "
+            f"(partition by format order by doc_id "
+            f"rows between unbounded preceding and current row) - n_bytes, "
+            f"{SHARD_BUDGET_BYTES})"
+        ).alias("shard_id"),
+    )
+    return binned.groupBy("format", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+MULTIMODAL_SHARD_ORACLE = f"""
+WITH sized AS (
+  SELECT ['png', 'jpeg', 'wav'][CAST(doc_id % {len(FORMATS)} AS INTEGER) + 1]
+           AS format,
+         doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE text IS NOT NULL
+), binned AS (
+  SELECT format, doc_id, n_bytes,
+         CAST((SUM(n_bytes) OVER (PARTITION BY format ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes)
+           // {SHARD_BUDGET_BYTES} AS BIGINT) AS shard_id
+  FROM sized
+)
+SELECT format, shard_id, COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM binned
+GROUP BY format, shard_id
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("multimodal_metadata", multimodal_metadata, MULTIMODAL_META_ORACLE, "binary+struct metadata"),
+    QueryDef("multimodal_shard_manifest", multimodal_shard_manifest, MULTIMODAL_SHARD_ORACLE, "WebDataset-style byte-budget shard packing manifest"),
     QueryDef("multimodal_payload_dedup", multimodal_payload_dedup, MULTIMODAL_DEDUP_ORACLE, "byte-identical media dedup on the binary payload hash"),
     QueryDef("multimodal_decode_features", multimodal_decode_features, MULTIMODAL_DECODE_ORACLE, "mapInPandas decode stub"),
     QueryDef("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_ORACLE, "mapInPandas resize planning"),

@@ -2817,3 +2817,164 @@ def test_label_centroid_similarity_matches_numpy(spark):
     # Cosines vary and stay in [-1, 1].
     cs = [v[2] for v in got.values()]
     assert min(cs) >= -1.0 and max(cs) <= 1.0 and max(cs) > min(cs)
+
+
+def test_events_path_topk_matches_python_recompute(spark):
+    """Trigram path mining against a Counter replay over per-user
+    (ts, event_id)-ordered streams."""
+    from collections import Counter, defaultdict
+
+    from duckdb_gsheets_spark.operators.events import (
+        PATH_TOPK,
+        events_path_topk,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = [
+        (r.path, r.n_occurrences, r.n_users)
+        for r in events_path_topk(spark, SF).collect()
+    ]
+    streams = defaultdict(list)
+    for r in load_table(spark, SF, "events").collect():
+        streams[r.user_id].append((r.ts, r.event_id, r.event_type))
+    occ = Counter()
+    users = defaultdict(set)
+    for uid, evs in streams.items():
+        evs.sort()
+        types = [t for _, _, t in evs]
+        for i in range(len(types) - 2):
+            p = ">".join(types[i : i + 3])
+            occ[p] += 1
+            users[p].add(uid)
+    expected = sorted(
+        ((p, n, len(users[p])) for p, n in occ.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:PATH_TOPK]
+    assert got == expected
+    assert len(got) == PATH_TOPK  # fixture has enough path diversity
+
+
+def test_events_cohort_ltv_matches_python_recompute(spark):
+    """Cohort LTV against a dict replay: first-day cohorts, integer
+    week offsets, exact cents."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.events import events_cohort_ltv
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.cohort_first_day, r.week_offset): (
+            r.n_active_users,
+            r.n_events,
+            r.total_value,
+        )
+        for r in events_cohort_ltv(spark, SF).collect()
+    }
+    rows = load_table(spark, SF, "events").collect()
+    first = {}
+    for r in rows:
+        d = r.ts.date()
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    cells = defaultdict(lambda: [set(), 0, 0])
+    for r in rows:
+        f = first[r.user_id]
+        off = (r.ts.date() - f).days // 7
+        cell = cells[(str(f), off)]
+        cell[0].add(r.user_id)
+        cell[1] += 1
+        cell[2] += int(round(r.value * 100))
+    expected = {
+        k: (len(s), n, cents / 100.0) for k, (s, n, cents) in cells.items()
+    }
+    assert got == expected
+    assert any(off > 0 for _, off in got)  # multi-week activity exists
+
+
+def test_multimodal_shard_manifest_matches_python_recompute(spark):
+    """Shard packing against a running-sum replay, plus the packer's
+    invariants: shards are contiguous id ranges and every non-boundary
+    shard stays within budget."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.multimodal import (
+        SHARD_BUDGET_BYTES,
+        media_table,
+        multimodal_shard_manifest,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.format, r.shard_id): (r.n_items, r.shard_bytes, r.first_doc, r.last_doc)
+        for r in multimodal_shard_manifest(spark, SF).collect()
+    }
+    media = {
+        r.doc_id: (r.format, len(r.payload))
+        for r in media_table(spark, SF).collect()
+        if r.payload is not None
+    }
+    by_fmt = defaultdict(list)
+    for doc_id in sorted(media):
+        fmt, n = media[doc_id]
+        by_fmt[fmt].append((doc_id, n))
+    expected = {}
+    for fmt, items in by_fmt.items():
+        run = 0
+        cells = defaultdict(lambda: [0, 0, None, None])
+        for doc_id, n in items:
+            shard = run // SHARD_BUDGET_BYTES
+            run += n
+            c = cells[shard]
+            c[0] += 1
+            c[1] += n
+            c[2] = doc_id if c[2] is None else c[2]
+            c[3] = doc_id
+        for shard, c in cells.items():
+            expected[(fmt, shard)] = tuple(c)
+    assert got == expected
+    assert len({s for _, s in got}) > 1  # budget forces multiple shards
+
+
+def test_embedding_outliers_matches_numpy(spark):
+    """Per-label outlier ranking against a numpy replay of the
+    centroid cosine."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.ml import (
+        EMB_SCALE,
+        OUTLIER_TOPK,
+        embedding_outliers,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.label, r.rank): (r.vec_id, r.cos_centroid)
+        for r in embedding_outliers(spark, SF).collect()
+    }
+    rows = load_table(spark, SF, "embeddings").collect()
+    labels = sorted({r.label for r in rows})
+    for lab in labels:
+        members = [
+            (r.vec_id, np.array([float(x) for x in r.embedding]))
+            for r in rows
+            if r.label == lab
+        ]
+        s = np.round(
+            np.stack([v for _, v in members]) * EMB_SCALE
+        ).sum(axis=0)
+        scored = sorted(
+            (
+                round(
+                    float(v @ s)
+                    / (float(np.linalg.norm(v)) * float(np.linalg.norm(s))),
+                    6,
+                ),
+                vec_id,
+            )
+            for vec_id, v in members
+        )[:OUTLIER_TOPK]
+        for rank, (cos, vec_id) in enumerate(scored, start=1):
+            g_vec, g_cos = got[(lab, rank)]
+            assert g_vec == vec_id
+            assert abs(g_cos - cos) < 2e-6
+    assert len(got) == len(labels) * OUTLIER_TOPK

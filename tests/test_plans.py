@@ -430,6 +430,57 @@ def test_centroid_similarity_corpus_never_joins(spark):
     assert all("emb" not in ln for ln in exchanges)
 
 
+def test_path_topk_single_user_window_and_heap(spark):
+    """One user_id partition feeds both lead windows (shared sort);
+    the path rollup never joins; top-K compiles to a heap."""
+    plan = _plan(spark, "events_path_topk")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    user_ex = [
+        ln
+        for ln in physical.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    ]
+    assert len(set(user_ex)) == 1
+
+
+def test_cohort_ltv_colocates_on_user(spark):
+    """The cohort join must hash on user_id both sides (co-located at
+    scale) — no cartesian, no broadcast nested loop."""
+    plan = _plan(spark, "events_cohort_ltv")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_manifest_never_moves_payload_bytes(spark):
+    """The packer shuffles (format, doc_id, n_bytes) only — the binary
+    payload must reach no Exchange."""
+    plan = _plan(spark, "multimodal_shard_manifest")
+    assert "Join" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    exchanges = [
+        ln for ln in physical.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges and all("payload" not in ln for ln in exchanges)
+
+
+def test_embedding_outliers_broadcasts_centroids(spark):
+    """Centroids broadcast back onto the scan; the ranking window's
+    exchange carries (label, vec_id, cos) — never the embedding
+    array."""
+    plan = _plan(spark, "embedding_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    label_ex = [
+        ln
+        for ln in physical.splitlines()
+        if "Exchange hashpartitioning(label" in ln
+    ]
+    assert label_ex and all("emb" not in ln for ln in label_ex)
+
+
 def test_no_accidental_cartesian_across_entire_registry(spark):
     """Sweep EVERY registered query's physical plan: no
     CartesianProduct and no BroadcastNestedLoopJoin anywhere, except
