@@ -354,6 +354,55 @@ def streaming_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(counts, output_mode="complete")
 
 
+def streaming_oov_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of vocab_oov_rate: the tokenizer vocabulary is
+    built ONCE from the static corpus (the offline artifact a
+    production gate would load from the tokenizer-training job),
+    broadcast onto the documents stream, and every micro-batch's
+    tokens are checked against it — the live "is our tokenizer still
+    covering the ingest" dashboard. Stateless per row, so arrival
+    order cannot change the rollup; complete-mode per-language
+    token/OOV counts.
+    """
+    from duckdb_gsheets_spark.functions.text import WHITESPACE_SPLIT
+    from duckdb_gsheets_spark.operators.curation import VOCAB_TOP
+
+    static = load_table(spark, sf_dir, "documents")
+    vocab = (
+        static.where(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.split(F.trim(F.col("text")), WHITESPACE_SPLIT)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(VOCAB_TOP)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    stream = read_documents_stream(spark, sf_dir)
+    toks = (
+        stream.where(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.explode(
+                F.split(F.trim(F.col("text")), WHITESPACE_SPLIT)
+            ).alias("tok"),
+        )
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    counts = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("n_oov"),
+        )
+    )
+    return run_to_memory(counts, output_mode="complete")
+
+
 def streaming_contamination_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -244,6 +244,27 @@ def test_streaming_resample_matches_batch(spark):
     assert got == expected
 
 
+def test_streaming_oov_matches_batch(spark):
+    """The streaming OOV gate (static vocab broadcast onto the
+    documents stream) must report exactly the batch operator's
+    per-language token/OOV counts."""
+    from duckdb_gsheets_spark.operators.curation import vocab_oov_rate
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_oov_counts,
+    )
+
+    got = {
+        r.lang: (r.n_tokens, r.n_oov)
+        for r in streaming_oov_counts(spark, SF).collect()
+    }
+    expected = {
+        r.lang: (r.n_tokens, r.n_oov)
+        for r in vocab_oov_rate(spark, SF).collect()
+    }
+    assert got == expected
+    assert any(n_oov > 0 for _, n_oov in got.values())
+
+
 def test_streaming_contamination_matches_batch(spark):
     """Stream-static broadcast join + stateful dedup must reproduce
     the batch contamination screen's distinct-gram counts."""
