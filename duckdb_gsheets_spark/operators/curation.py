@@ -1067,6 +1067,141 @@ GROUP BY b.doc_id, b.n_tokens
 """
 
 
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LOG2-bucketed document-length histogram — the
+    power-law sanity check a datasheet reader wants next to the mean
+    ("is this crawl all tweets, all books, or the usual heavy tail"),
+    and the input to context-length budgeting. Bucket b holds docs
+    with ``2^(b−1) ≤ n_tokens < 2^b``.
+
+    The bucket index is EXACT integer math in both engines — the
+    length of the binary representation of the token count
+    (``floor(log2 n)+1``) — so no engine's ``log2`` rounding near
+    power-of-two boundaries can move a document across buckets.
+    Shapes: narrow projection, one map-side-combined rollup to
+    |sources|×|buckets| rows.
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    bucket = F.length(F.conv(F.col("n_tokens").cast("string"), 10, 2))
+    return (
+        docs.select("source", bucket.alias("bucket"), "n_tokens")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)").alias(
+                "len_lo"
+            ),
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1").alias(
+                "len_hi"
+            ),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
+DOC_LENGTH_HISTOGRAM_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), bucketed AS (
+  SELECT source, CAST(length(bin(n_tokens)) AS INTEGER) AS bucket,
+         n_tokens
+  FROM toks
+)
+SELECT source, bucket,
+       (CAST(1 AS BIGINT) << (bucket - 1)) AS len_lo,
+       (CAST(1 AS BIGINT) << bucket) - 1 AS len_hi,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM bucketed
+GROUP BY source, bucket
+"""
+
+
+def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-calibration audit: per language, the Pearson correlation
+    between the heuristic quality score and the unigram-LM
+    cross-entropy — do the two quality signals the pipeline gates on
+    actually agree, and does the agreement hold across languages? A
+    language where they diverge needs its thresholds re-tuned before
+    any joint filter.
+
+    Same determinism recipe as events_corr_value_hour: both signals
+    land on the round-6 grid, scale to exact longs, the five
+    co-moments accumulate as exact integer sums, and the correlation
+    is ONE fixed double expression (long bound n·Σx² < 2⁶³ holds
+    through ~sf1; widen to DECIMAL co-moments past that). Shapes: the
+    xent build's LM joins plus one doc_id-keyed join (co-locates at
+    scale) and a |languages|-row rollup.
+    """
+    xent = text_unigram_xent(spark, sf_dir)
+    scored = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select(
+        "doc_id",
+        "lang",
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    pts = xent.join(scored, "doc_id").select(
+        "lang",
+        F.round(F.col("quality") * 1e6).cast("long").alias("x"),
+        F.round(F.col("unigram_xent") * 1e6).cast("long").alias("y"),
+    )
+    stats = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return stats.select(
+        "lang",
+        "n",
+        F.round(num / den, 6).alias("corr_quality_xent"),
+    )
+
+
+QUALITY_XENT_CORR_ORACLE = f"""
+WITH xe AS ({UNIGRAM_XENT_ORACLE}),
+qs AS (
+  SELECT doc_id, lang, {T.oracle_quality_score("text")} AS quality
+  FROM documents WHERE text IS NOT NULL
+), pts AS (
+  SELECT q.lang,
+         CAST(ROUND(q.quality * 1000000) AS BIGINT) AS x,
+         CAST(ROUND(x.unigram_xent * 1000000) AS BIGINT) AS y
+  FROM xe x JOIN qs q ON q.doc_id = x.doc_id
+), stats AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pts GROUP BY lang
+)
+SELECT lang, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS corr_quality_xent
+FROM stats
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "dataset_datasheet",
@@ -1139,5 +1274,17 @@ QUERIES: list[QueryDef] = [
         text_bigram_xent,
         BIGRAM_XENT_ORACLE,
         "per-document bigram LM cross-entropy (add-one smoothed)",
+    ),
+    QueryDef(
+        "doc_length_histogram",
+        doc_length_histogram,
+        DOC_LENGTH_HISTOGRAM_ORACLE,
+        "per-source log2-bucket document-length histogram (exact integer buckets)",
+    ),
+    QueryDef(
+        "quality_signal_correlation",
+        quality_signal_correlation,
+        QUALITY_XENT_CORR_ORACLE,
+        "per-language Pearson correlation of quality score vs unigram xent",
     ),
 ]

@@ -1730,6 +1730,65 @@ LEFT JOIN inc_near v ON v.doc_id = b.doc_id
 """
 
 
+def dedup_upweight_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "keep one copy, count many" training manifest (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    public): one row per near-dup CLUSTER REPRESENTATIVE (min doc_id
+    of the transitive MinHash component) carrying the cluster size as
+    a sampling weight and the token budget the cluster contributes if
+    duplicates are upweighted instead of dropped. This is the
+    artifact a loss-weighting / epoch-sampling trainer consumes —
+    dedup_clusters says who survives; this says how hard to sample
+    each survivor.
+
+    Shapes on top of the shared cluster labeling (exact-dup collapse
+    → banded LSH → min-label rounds): one |clusters| rollup and one
+    doc_id-keyed equi-join to fetch the representative's token count
+    (co-locates at scale). Output is |clusters| rows ≤ |docs|.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _minhash_cluster_labels(docs)
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("weight"))
+    toks = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")),
+        )
+        .otherwise(0)
+        .alias("rep_tokens"),
+    )
+    return (
+        sizes.join(toks, sizes.comp == toks.doc_id)
+        .select(
+            F.col("comp").alias("rep_doc"),
+            "weight",
+            "rep_tokens",
+            (F.col("weight") * F.col("rep_tokens")).alias("weighted_tokens"),
+        )
+    )
+
+
+DEDUP_UPWEIGHT_ORACLE = f"""
+WITH RECURSIVE {_minhash_core_sql()},
+{_CC_LABELS_SQL},
+uw_sizes AS (
+  SELECT comp, COUNT(*) AS weight FROM cc_labels GROUP BY comp
+), uw_toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END
+           AS rep_tokens
+  FROM documents
+)
+SELECT s.comp AS rep_doc,
+       CAST(s.weight AS BIGINT) AS weight,
+       CAST(t.rep_tokens AS INTEGER) AS rep_tokens,
+       CAST(s.weight * t.rep_tokens AS BIGINT) AS weighted_tokens
+FROM uw_sizes s JOIN uw_toks t ON t.doc_id = s.comp
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact fingerprint dedup"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "token Jaccard pairs"),
@@ -1741,6 +1800,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE, "transitive near-dup clusters via recursive min-label CTE"),
     QueryDef("dedup_savings_report", dedup_savings_report, DEDUP_SAVINGS_ORACLE, "per-language doc/token retention after transitive dedup"),
     QueryDef("source_overlap_matrix", source_overlap_matrix, SOURCE_OVERLAP_ORACLE, "cross-source near-dup provenance-leakage matrix"),
+    QueryDef("dedup_upweight_manifest", dedup_upweight_manifest, DEDUP_UPWEIGHT_ORACLE, "keep-one-count-many cluster-representative sampling manifest"),
     QueryDef("dedup_incremental_batch", dedup_incremental_batch, DEDUP_INCREMENTAL_ORACLE, "delta-vs-corpus incremental dedup verdicts (O(delta) ingest check)"),
     QueryDef("neardup_pagerank", neardup_pagerank, _neardup_pagerank_oracle(), "all-integer PageRank duplication-centrality over the near-dup graph"),
 ]

@@ -2978,3 +2978,121 @@ def test_embedding_outliers_matches_numpy(spark):
             assert g_vec == vec_id
             assert abs(g_cos - cos) < 2e-6
     assert len(got) == len(labels) * OUTLIER_TOPK
+
+
+def test_doc_length_histogram_matches_python_recompute(spark):
+    """Log2 bucket histogram against an int.bit_length replay."""
+    import re
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.curation import doc_length_histogram
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.source, r.bucket): (r.len_lo, r.len_hi, r.n_docs, r.total_tokens)
+        for r in doc_length_histogram(spark, SF).collect()
+    }
+    cells = defaultdict(lambda: [0, 0])
+    for r in load_table(spark, SF, "documents").collect():
+        if r.text is None:
+            continue
+        n = len(re.split(r"\s+", r.text.strip()))
+        b = n.bit_length()
+        cells[(r.source, b)][0] += 1
+        cells[(r.source, b)][1] += n
+    expected = {
+        (src, b): (1 << (b - 1), (1 << b) - 1, nd, nt)
+        for (src, b), (nd, nt) in cells.items()
+    }
+    assert got == expected
+    assert len({b for _, b in got}) > 1  # heavy tail spans buckets
+
+
+def test_quality_signal_correlation_matches_python_recompute(spark):
+    """Pearson r between quality and xent against an exact integer
+    co-moment replay (reusing the operator's own per-doc signals,
+    which have their own independent recompute tests)."""
+    import math
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.functions import text as T
+    from duckdb_gsheets_spark.operators.curation import (
+        quality_signal_correlation,
+        text_unigram_xent,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.lang: (r.n, r.corr_quality_xent)
+        for r in quality_signal_correlation(spark, SF).collect()
+    }
+    xent = {
+        r.doc_id: r.unigram_xent
+        for r in text_unigram_xent(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents")
+    quality = {
+        r.doc_id: (r.lang, r.quality)
+        for r in docs.where(docs.text.isNotNull())
+        .select("doc_id", "lang", T.quality_score(docs.text).alias("quality"))
+        .collect()
+    }
+    moments = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for d, xe in xent.items():
+        lang, q = quality[d]
+        x = int(round(q * 1e6))
+        y = int(round(xe * 1e6))
+        m = moments[lang]
+        m[0] += 1
+        m[1] += x
+        m[2] += y
+        m[3] += x * x
+        m[4] += y * y
+        m[5] += x * y
+    expected = {}
+    for lang, (n, sx, sy, sxx, syy, sxy) in moments.items():
+        r = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        expected[lang] = (n, round(r, 6))
+    assert set(got) == set(expected)
+    for lang in expected:
+        assert got[lang][0] == expected[lang][0]
+        assert abs(got[lang][1] - expected[lang][1]) < 2e-6
+        assert -1.0 <= got[lang][1] <= 1.0
+
+
+def test_dedup_upweight_manifest_consistent_with_clusters(spark):
+    """The upweight manifest must be exactly the per-cluster rollup of
+    dedup_clusters: same representatives, weights equal to cluster
+    sizes, weighted tokens = weight x the representative's own token
+    count, and total weight = corpus size (nothing dropped)."""
+    import re
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_upweight_manifest,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.rep_doc: (r.weight, r.rep_tokens, r.weighted_tokens)
+        for r in dedup_upweight_manifest(spark, SF).collect()
+    }
+    clusters = dedup_clusters(spark, SF).collect()
+    sizes = {}
+    for r in clusters:
+        sizes.setdefault(r.cluster_id, r.cluster_size)
+    toks = {
+        r.doc_id: (
+            len(re.split(r"\s+", r.text.strip())) if r.text is not None else 0
+        )
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    assert set(got) == set(sizes)
+    for rep, (w, rt, wt) in got.items():
+        assert w == sizes[rep]
+        assert rt == toks[rep]
+        assert wt == w * rt
+    assert sum(w for w, _, _ in got.values()) == len(clusters)
+    assert any(w > 1 for w, _, _ in got.values())  # real dup clusters

@@ -481,6 +481,29 @@ def test_embedding_outliers_broadcasts_centroids(spark):
     assert label_ex and all("emb" not in ln for ln in label_ex)
 
 
+def test_length_histogram_is_single_rollup(spark):
+    """Narrow projection + one map-side-combined rollup: no joins."""
+    plan = _plan(spark, "doc_length_histogram")
+    assert "Join" not in plan
+    assert "Exchange" in plan  # exactly the rollup shuffle
+
+
+def test_quality_corr_colocates_on_doc_id(spark):
+    """The xent↔quality join must be doc_id-keyed (co-located at
+    scale); LM tables broadcast as in the xent operator itself."""
+    plan = _plan(spark, "quality_signal_correlation")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # vocab + totals
+
+
+def test_upweight_manifest_equi_join_only(spark):
+    """Cluster sizes join representative token counts on doc_id —
+    no cartesian, no nested loop on top of the cluster labeling."""
+    plan = _plan(spark, "dedup_upweight_manifest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_no_accidental_cartesian_across_entire_registry(spark):
     """Sweep EVERY registered query's physical plan: no
     CartesianProduct and no BroadcastNestedLoopJoin anywhere, except
@@ -519,6 +542,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "q22_global_customers",     # scalar avg-balance subquery
         "text_bigram_xent",         # 1-row vocab-size broadcast
         "label_centroid_similarity",  # |labels|²-bounded centroid self-join
+        "quality_signal_correlation",  # composes xent's 1-row totals broadcast
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
