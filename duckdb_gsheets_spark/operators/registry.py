@@ -54,10 +54,14 @@ class QueryDef:
 #:   window_ntile and vocab_coverage_curve were re-expressed with the
 #:   distributed prefix-sum tiling (their oracles are unchanged — the
 #:   hash must still match);
-#: * 19 round-1/2/3 greens re-confirmed as regression guards — first
-#:   the queries living in modules edited this round (windows.py,
-#:   curation.py, tpch_extra.py, dedup.py, chunking.py), then a
-#:   spread of round-1 greens that had not been re-checked since r1.
+#: * the 11 operators ADDED in round 4 (tokenizer encode, bigram
+#:   xent, winnowing split contamination, centroid drift, outlier
+#:   audit, path mining, cohort LTV, shard manifest, length
+#:   histogram, quality calibration, upweight manifest) — in the
+#:   window immediately so no new never-driver-checked debt accrues;
+#: * 8 earlier greens re-confirmed as regression guards for the
+#:   modules edited this round (windows.py, curation.py,
+#:   tpch_extra.py, dedup.py, chunking.py, events.py).
 #:
 #: Everything after position 50 has a green driver row from an earlier
 #: round and is parity-checked every round by tools/parity.py; the
@@ -67,9 +71,10 @@ class QueryDef:
 #:
 #: ROUND-5 ROTATION QUEUE: after this round every oracle-bearing
 #: query has had a driver row at least once; compose the next window
-#: from (a) re-checks for any query whose module changes in round 4+,
-#: and (b) the r1/r2 greens longest out of a checked window
-#: (relational head, tpch_extra mid-battery, events r2 block).
+#: from (a) any operators added in round 5 (first-time checks beat
+#: re-checks), (b) re-checks for any query whose module changes, and
+#: (c) the r1/r2 greens longest out of a checked window (relational
+#: head, tpch_extra mid-battery, events r2 block).
 _WINDOW: tuple[str, ...] = (
     # -- the 29 never-driver-checked (round-3 additions) --
     "map_functions",
@@ -104,6 +109,18 @@ _WINDOW: tuple[str, ...] = (
     # -- changed-semantics re-checks (round-4 prefix-sum rewrites) --
     "window_ntile",
     "vocab_coverage_curve",
+    # -- the 11 operators added in round 4 (first driver rows) --
+    "vocab_tokenize_ids",
+    "text_bigram_xent",
+    "split_contamination_winnowing",
+    "label_centroid_similarity",
+    "embedding_outliers",
+    "events_path_topk",
+    "events_cohort_ltv",
+    "multimodal_shard_manifest",
+    "doc_length_histogram",
+    "quality_signal_correlation",
+    "dedup_upweight_manifest",
     # -- regression re-checks: modules edited this round --
     "quality_deciles",
     "orders_rfm_segments",
@@ -112,19 +129,7 @@ _WINDOW: tuple[str, ...] = (
     "segment_dedup_stats",
     "window_rank",
     "window_running_sum",
-    # -- regression re-checks: r1 greens longest out of a window --
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "join_full_outer",
-    "rollup_returns",
-    "grouping_sets_sales",
     "events_funnel",
-    "events_retention",
-    "text_quality_score",
-    "udtf_sentences",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and
