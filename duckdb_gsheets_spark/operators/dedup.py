@@ -715,11 +715,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_minhash_pairs(minhash_signatures(docs))
 
 
-def _verified_minhash_pairs(sigs: DataFrame) -> DataFrame:
+def _verified_minhash_pairs(
+    sigs: DataFrame, threshold: float = MINHASH_JACCARD_THRESHOLD
+) -> DataFrame:
     """Banded candidates → exact shingle-Jaccard verification over a
     (doc_id, shingles, signature) frame — shared by the registered
-    pair query (full corpus) and the cluster family (distinct-set
-    representatives only)."""
+    pair query (full corpus), the cluster family (distinct-set
+    representatives only), and the threshold sweep (``threshold=0``
+    keeps every verified candidate so one pass scores all bars)."""
     cands = _minhash_candidates(sigs)
     shingle_sets = sigs.select("doc_id", "shingles")
     with_sets = cands.join(
@@ -740,7 +743,7 @@ def _verified_minhash_pairs(sigs: DataFrame) -> DataFrame:
     )
     return (
         with_sets.select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .where(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -1730,6 +1733,123 @@ LEFT JOIN inc_near v ON v.doc_id = b.doc_id
 """
 
 
+#: Jaccard bars scored by the threshold sweep.
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration table: how many verified near-dup pairs
+    (and at what average similarity) each candidate Jaccard bar would
+    keep — the evidence for CHOOSING ``MINHASH_JACCARD_THRESHOLD``
+    instead of inheriting it. One banded-candidate verification pass
+    scores every bar: the pair set is computed once with the
+    threshold OPEN (bar 0), then a bounded explode fans each pair
+    into the bars it clears.
+
+    Average Jaccard is exact: the round-6 pair values scale to longs,
+    sum exactly, and divide once. Shapes: the usual LSH candidate
+    pipeline + a ≤|bars|-way fan-out of (jaccard) scalars and a
+    |bars|-row rollup — no new corpus-sized work.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _verified_minhash_pairs(minhash_signatures(docs), threshold=0.0)
+    swept = pairs.select(
+        "jaccard",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+        ).alias("threshold"),
+    ).where(F.col("jaccard") >= F.col("threshold"))
+    n = F.count(F.lit(1))
+    return swept.groupBy("threshold").agg(
+        n.alias("n_pairs"),
+        F.round(
+            F.sum(F.round(F.col("jaccard") * 1e6).cast("long")).cast("double")
+            / (n.cast("double") * 1e6),
+            6,
+        ).alias("avg_jaccard"),
+    )
+
+
+_SWEEP_BARS_SQL = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
+
+DEDUP_SWEEP_ORACLE = f"""
+WITH {_minhash_core_sql()},
+sw AS (
+  SELECT CAST(t.threshold AS DOUBLE) AS threshold, p.jaccard
+  FROM mh_pairs p
+  JOIN (VALUES {_SWEEP_BARS_SQL}) t(threshold)
+    ON p.jaccard >= t.threshold
+)
+SELECT threshold, COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(jaccard * 1e6) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS avg_jaccard
+FROM sw GROUP BY threshold
+"""
+
+
+def dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do duplicates skew quality? Per duplication band (unique /
+    2–4-way / 5+-way near-dup clusters), the document count and the
+    exact average heuristic quality — the audit that decides whether
+    dedup doubles as a quality filter on this corpus (boilerplate
+    farms usually sit in the heavy bands) or is orthogonal to it.
+
+    Quality lives on the round-6 grid, so the band average is an
+    exact scaled-long sum with one final division. Shapes: the shared
+    cluster labeling + a |clusters| rollup, one doc_id-keyed join
+    (co-locates), and a 3-row report.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _minhash_cluster_labels(docs)
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("csize"))
+    banded = labels.join(sizes, "comp").select(
+        "doc_id",
+        F.when(F.col("csize") == 1, "unique")
+        .when(F.col("csize") <= 4, "dup_2_4")
+        .otherwise("dup_5_plus")
+        .alias("dup_band"),
+    )
+    scored = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", T.quality_score(F.col("text")).alias("q")
+    )
+    n = F.count(F.lit(1))
+    return (
+        banded.join(scored, "doc_id")
+        .groupBy("dup_band")
+        .agg(
+            n.alias("n_docs"),
+            F.round(
+                F.sum(F.round(F.col("q") * 1e6).cast("long")).cast("double")
+                / (n.cast("double") * 1e6),
+                6,
+            ).alias("avg_quality"),
+        )
+    )
+
+
+DEDUP_QUALITY_ORACLE = f"""
+WITH RECURSIVE {_minhash_core_sql()},
+{_CC_LABELS_SQL},
+qi_sizes AS (
+  SELECT comp, COUNT(*) AS csize FROM cc_labels GROUP BY comp
+), qi_banded AS (
+  SELECT l.doc_id,
+         CASE WHEN s.csize = 1 THEN 'unique'
+              WHEN s.csize <= 4 THEN 'dup_2_4'
+              ELSE 'dup_5_plus' END AS dup_band
+  FROM cc_labels l JOIN qi_sizes s ON s.comp = l.comp
+), qi_scored AS (
+  SELECT doc_id, {T.oracle_quality_score("text")} AS q
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT b.dup_band, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(ROUND(q * 1e6) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS avg_quality
+FROM qi_banded b JOIN qi_scored s ON s.doc_id = b.doc_id
+GROUP BY b.dup_band
+"""
+
+
 def dedup_upweight_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The "keep one copy, count many" training manifest (Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better" —
@@ -1800,6 +1920,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE, "transitive near-dup clusters via recursive min-label CTE"),
     QueryDef("dedup_savings_report", dedup_savings_report, DEDUP_SAVINGS_ORACLE, "per-language doc/token retention after transitive dedup"),
     QueryDef("source_overlap_matrix", source_overlap_matrix, SOURCE_OVERLAP_ORACLE, "cross-source near-dup provenance-leakage matrix"),
+    QueryDef("dedup_threshold_sweep", dedup_threshold_sweep, DEDUP_SWEEP_ORACLE, "Jaccard-bar calibration table over one verified candidate pass"),
+    QueryDef("dedup_quality_interaction", dedup_quality_interaction, DEDUP_QUALITY_ORACLE, "avg quality per duplication band (dedup-vs-quality audit)"),
     QueryDef("dedup_upweight_manifest", dedup_upweight_manifest, DEDUP_UPWEIGHT_ORACLE, "keep-one-count-many cluster-representative sampling manifest"),
     QueryDef("dedup_incremental_batch", dedup_incremental_batch, DEDUP_INCREMENTAL_ORACLE, "delta-vs-corpus incremental dedup verdicts (O(delta) ingest check)"),
     QueryDef("neardup_pagerank", neardup_pagerank, _neardup_pagerank_oracle(), "all-integer PageRank duplication-centrality over the near-dup graph"),

@@ -1282,6 +1282,96 @@ FROM counted
 """
 
 
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day bounce rate: the share of sessions containing exactly
+    one event — the classic engagement-health headline, computed on
+    top of the oracle-checked sessionizer (same session definition,
+    no second sessionization logic to drift).
+
+    Shapes: the sessionize window pass, then a ≤|days| rollup; the
+    rate is an exact small-integer ratio rounded once.
+    """
+    sessions = events_sessionize(spark, sf_dir)
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        sessions.select(
+            F.substring("session_start", 1, 10).alias("day"), "n_events"
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounces.alias("n_bounces"),
+            F.round(
+                bounces.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("bounce_rate"),
+        )
+    )
+
+
+EVENTS_BOUNCE_ORACLE = f"""
+WITH sess AS ({EVENTS_SESSIONIZE_ORACLE})
+SELECT SUBSTRING(session_start, 1, 10) AS day,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM sess GROUP BY day
+"""
+
+
+def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival-time quantiles: for each event type, the
+    exact p50/p90/p99 of the gap (seconds) between a user's
+    consecutive events of that type — the cadence profile behind
+    session-gap tuning, rate-limit sizing, and "is the error stream
+    bursty or steady".
+
+    Gaps are exact integer microseconds from ONE lag window per
+    (user, type); quantiles are the linearly-interpolated exact order
+    statistics both engines define identically (at 100 TB swap in the
+    mergeable t-digest sketch, keeping this as the ground-truth
+    validator — same trade as events_value_quantiles).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        events.select(
+            "event_type",
+            (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    def q(p: float, name: str):
+        return F.round(
+            F.percentile("gap_us", p) / F.lit(1e6), 6
+        ).alias(name)
+
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        q(0.5, "p50_s"),
+        q(0.9, "p90_s"),
+        q(0.99, "p99_s"),
+    )
+
+
+EVENTS_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       ROUND(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_s,
+       ROUND(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_s,
+       ROUND(quantile_cont(gap_us, 0.99) / 1000000.0, 6) AS p99_s
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
 #: Top-K for the path report and the path length (trigram paths).
 PATH_TOPK = 25
 
@@ -1422,4 +1512,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_corr_value_hour", events_corr_value_hour, EVENTS_CORR_ORACLE, "exact-co-moment Pearson correlation"),
     QueryDef("events_path_topk", events_path_topk, EVENTS_PATH_ORACLE, "top-K 3-event user paths (sequence-pattern mining lite)"),
     QueryDef("events_cohort_ltv", events_cohort_ltv, EVENTS_COHORT_LTV_ORACLE, "cohort lifetime-value matrix (exact cents by week offset)"),
+    QueryDef("events_bounce_rate", events_bounce_rate, EVENTS_BOUNCE_ORACLE, "per-day single-event-session bounce rate over the sessionizer"),
+    QueryDef("events_interarrival_quantiles", events_interarrival_quantiles, EVENTS_INTERARRIVAL_ORACLE, "per-type exact inter-arrival p50/p90/p99"),
 ]

@@ -54,14 +54,16 @@ class QueryDef:
 #:   window_ntile and vocab_coverage_curve were re-expressed with the
 #:   distributed prefix-sum tiling (their oracles are unchanged — the
 #:   hash must still match);
-#: * the 11 operators ADDED in round 4 (tokenizer encode, bigram
+#: * the 15 operators ADDED in round 4 (tokenizer encode, bigram
 #:   xent, winnowing split contamination, centroid drift, outlier
-#:   audit, path mining, cohort LTV, shard manifest, length
-#:   histogram, quality calibration, upweight manifest) — in the
-#:   window immediately so no new never-driver-checked debt accrues;
-#: * 8 earlier greens re-confirmed as regression guards for the
-#:   modules edited this round (windows.py, curation.py,
-#:   tpch_extra.py, dedup.py, chunking.py, events.py).
+#:   audit, path mining, cohort LTV, bounce rate, inter-arrival
+#:   quantiles, shard manifest, length histogram, quality
+#:   calibration, upweight manifest, threshold sweep, dedup-quality
+#:   audit) — in the window immediately so no new
+#:   never-driver-checked debt accrues;
+#: * 4 earlier greens re-confirmed as regression guards for the
+#:   modules most edited this round (curation.py, dedup.py,
+#:   events.py).
 #:
 #: Everything after position 50 has a green driver row from an earlier
 #: round and is parity-checked every round by tools/parity.py; the
@@ -109,7 +111,7 @@ _WINDOW: tuple[str, ...] = (
     # -- changed-semantics re-checks (round-4 prefix-sum rewrites) --
     "window_ntile",
     "vocab_coverage_curve",
-    # -- the 11 operators added in round 4 (first driver rows) --
+    # -- the 15 operators added in round 4 (first driver rows) --
     "vocab_tokenize_ids",
     "text_bigram_xent",
     "split_contamination_winnowing",
@@ -121,14 +123,14 @@ _WINDOW: tuple[str, ...] = (
     "doc_length_histogram",
     "quality_signal_correlation",
     "dedup_upweight_manifest",
+    "dedup_threshold_sweep",
+    "dedup_quality_interaction",
+    "events_bounce_rate",
+    "events_interarrival_quantiles",
     # -- regression re-checks: modules edited this round --
     "quality_deciles",
-    "orders_rfm_segments",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "segment_dedup_stats",
-    "window_rank",
-    "window_running_sum",
     "events_funnel",
 )
 

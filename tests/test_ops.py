@@ -3096,3 +3096,143 @@ def test_dedup_upweight_manifest_consistent_with_clusters(spark):
         assert wt == w * rt
     assert sum(w for w, _, _ in got.values()) == len(clusters)
     assert any(w > 1 for w, _, _ in got.values())  # real dup clusters
+
+
+def test_dedup_threshold_sweep_matches_pair_set(spark):
+    """The sweep must be exactly the per-bar rollup of the open-
+    threshold verified pair set, and monotone: higher bars keep fewer
+    pairs at higher average similarity."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        SWEEP_THRESHOLDS,
+        _verified_minhash_pairs,
+        dedup_threshold_sweep,
+        minhash_signatures,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.threshold: (r.n_pairs, r.avg_jaccard)
+        for r in dedup_threshold_sweep(spark, SF).collect()
+    }
+    pairs = [
+        r.jaccard
+        for r in _verified_minhash_pairs(
+            minhash_signatures(load_table(spark, SF, "documents")),
+            threshold=0.0,
+        ).collect()
+    ]
+    expected = {}
+    for t in SWEEP_THRESHOLDS:
+        kept = [int(round(j * 1e6)) for j in pairs if j >= t]
+        if kept:
+            expected[t] = (len(kept), round(sum(kept) / (len(kept) * 1e6), 6))
+    assert got == expected
+    bars = sorted(got)
+    assert len(bars) >= 2  # fixture spans thresholds
+    for lo, hi in zip(bars, bars[1:]):
+        assert got[lo][0] >= got[hi][0]
+        assert got[lo][1] <= got[hi][1]
+
+
+def test_dedup_quality_interaction_matches_python(spark):
+    """Band averages against a replay over dedup_clusters + the
+    quality scorer."""
+    from duckdb_gsheets_spark.functions import text as T
+    from duckdb_gsheets_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_quality_interaction,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.dup_band: (r.n_docs, r.avg_quality)
+        for r in dedup_quality_interaction(spark, SF).collect()
+    }
+    band_of = {}
+    for r in dedup_clusters(spark, SF).collect():
+        s = r.cluster_size
+        band_of[r.doc_id] = (
+            "unique" if s == 1 else "dup_2_4" if s <= 4 else "dup_5_plus"
+        )
+    docs = load_table(spark, SF, "documents")
+    quality = {
+        r.doc_id: r.q
+        for r in docs.where(docs.text.isNotNull())
+        .select("doc_id", T.quality_score(docs.text).alias("q"))
+        .collect()
+    }
+    from collections import defaultdict
+
+    cells = defaultdict(list)
+    for d, q in quality.items():
+        cells[band_of[d]].append(int(round(q * 1e6)))
+    expected = {
+        b: (len(v), round(sum(v) / (len(v) * 1e6), 6))
+        for b, v in cells.items()
+    }
+    assert got == expected
+    assert "unique" in got and len(got) >= 2  # dup bands exist
+
+
+def test_events_bounce_rate_matches_sessionizer(spark):
+    """Bounce rollup against the sessionizer's own output."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.events import (
+        events_bounce_rate,
+        events_sessionize,
+    )
+
+    got = {
+        r.day: (r.n_sessions, r.n_bounces, r.bounce_rate)
+        for r in events_bounce_rate(spark, SF).collect()
+    }
+    cells = defaultdict(lambda: [0, 0])
+    for r in events_sessionize(spark, SF).collect():
+        day = r.session_start[:10]
+        cells[day][0] += 1
+        cells[day][1] += 1 if r.n_events == 1 else 0
+    expected = {
+        d: (n, b, round(b / n, 6)) for d, (n, b) in cells.items()
+    }
+    assert got == expected
+    assert any(b > 0 for _, b, _ in got.values())
+
+
+def test_events_interarrival_matches_python(spark):
+    """Inter-arrival quantiles against a numpy linear-interpolation
+    replay of per-(user, type) gaps."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.events import (
+        events_interarrival_quantiles,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.event_type: (r.n_gaps, r.p50_s, r.p90_s, r.p99_s)
+        for r in events_interarrival_quantiles(spark, SF).collect()
+    }
+    streams = defaultdict(list)
+    for r in load_table(spark, SF, "events").collect():
+        streams[(r.user_id, r.event_type)].append((r.ts, r.event_id))
+    gaps = defaultdict(list)
+    for (_, etype), evs in streams.items():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            gaps[etype].append((b - a) / pd_timedelta_us())
+    for etype, (n, p50, p90, p99) in got.items():
+        g = np.array(sorted(gaps[etype]), dtype=np.float64)
+        assert n == len(g)
+        for p, val in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            exp = round(float(np.quantile(g, p, method="linear")) / 1e6, 6)
+            assert abs(val - exp) < 2e-6, (etype, p, val, exp)
+
+
+def pd_timedelta_us():
+    """datetime subtraction → timedelta; convert via microseconds=1."""
+    import datetime
+
+    return datetime.timedelta(microseconds=1)

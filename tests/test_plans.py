@@ -504,6 +504,41 @@ def test_upweight_manifest_equi_join_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_threshold_sweep_single_verification_pass(spark):
+    """The sweep must reuse ONE banded verification (no per-bar scans):
+    the bar fan-out is a Generate over the verified pair stream."""
+    plan = _plan(spark, "dedup_threshold_sweep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # The bar fan-out adds NO scans beyond the pair query's own plan
+    # (the sweep is the same verification pipeline + a Generate).
+    physical = plan.split("== Physical Plan ==")[-1]
+    base = _plan(spark, "dedup_minhash_lsh").split("== Physical Plan ==")[-1]
+    assert physical.count("Scan parquet") <= base.count("Scan parquet")
+    assert "Generate explode" in physical
+
+
+def test_interarrival_single_window_pass(spark):
+    """One (user_id, event_type) partition feeds the lag; no joins."""
+    plan = _plan(spark, "events_interarrival_quantiles")
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_bounce_rate_no_extra_session_pass(spark):
+    """Bounce rides the sessionizer: exactly one user_id exchange
+    (the session window), then the day rollup."""
+    plan = _plan(spark, "events_bounce_rate")
+    assert "Join" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    user_ex = [
+        ln
+        for ln in physical.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    ]
+    assert len(set(user_ex)) == 1
+
+
 def test_no_accidental_cartesian_across_entire_registry(spark):
     """Sweep EVERY registered query's physical plan: no
     CartesianProduct and no BroadcastNestedLoopJoin anywhere, except
