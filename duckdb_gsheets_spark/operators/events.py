@@ -1282,6 +1282,76 @@ FROM counted
 """
 
 
+#: MAD outlier bar: |value − median| > MAD_K · (1.4826 · MAD) — the
+#: robust-z equivalent of the z-score detector's 3σ.
+MAD_K = 3.0
+MAD_SIGMA = 1.4826
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per event type, flag events whose
+    value deviates from the MEDIAN by more than ``MAD_K`` robust
+    standard deviations (``1.4826 × median absolute deviation``) —
+    the detector that, unlike :func:`events_anomaly_zscore`, does not
+    let the outliers themselves inflate the threshold (a heavy-tailed
+    value column can hide its own anomalies from a mean/σ rule).
+
+    Medians are the exact interpolated order statistics both engines
+    define identically; the score is one fixed double expression over
+    them, rounded once. Shapes: two per-type exact-percentile passes
+    (at 100 TB swap in the mergeable sketch, as events_value_quantiles
+    documents) with the 5-row stats tables BROADCAST back onto the
+    scan — the event stream itself never shuffles.
+    """
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    devs = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = devs.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    score = F.col("adev") / (F.col("mad") * F.lit(MAD_SIGMA))
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .where(score > MAD_K)
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.round("med", 6).alias("median_value"),
+            F.round(score, 6).alias("mad_score"),
+        )
+    )
+
+
+EVENTS_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), devs AS (
+  SELECT e.event_type, e.event_id, e.value, m.med,
+         ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM devs GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.value,
+       ROUND(d.med, 6) AS median_value,
+       ROUND(d.adev / (m.mad * {MAD_SIGMA}), 6) AS mad_score
+FROM devs d JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND d.adev / (m.mad * {MAD_SIGMA}) > {MAD_K}
+"""
+
+
 def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day bounce rate: the share of sessions containing exactly
     one event — the classic engagement-health headline, computed on
@@ -1514,4 +1584,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_cohort_ltv", events_cohort_ltv, EVENTS_COHORT_LTV_ORACLE, "cohort lifetime-value matrix (exact cents by week offset)"),
     QueryDef("events_bounce_rate", events_bounce_rate, EVENTS_BOUNCE_ORACLE, "per-day single-event-session bounce rate over the sessionizer"),
     QueryDef("events_interarrival_quantiles", events_interarrival_quantiles, EVENTS_INTERARRIVAL_ORACLE, "per-type exact inter-arrival p50/p90/p99"),
+    QueryDef("events_anomaly_mad", events_anomaly_mad, EVENTS_MAD_ORACLE, "robust median/MAD outlier detection (heavy-tail-safe)"),
 ]

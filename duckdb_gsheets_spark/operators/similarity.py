@@ -619,6 +619,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value-exact DuckDB oracle (_ivf_oracle — the deterministic
     quantizer replays in SQL); recall vs exact is pytest-bounded.
     """
+    return _ivf_topk_frame(spark, sf_dir, IVF_NPROBE)
+
+
+def _ivf_topk_frame(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """The IVF scan at an explicit probe depth — shared by the
+    registered top-k query (``IVF_NPROBE``) and the nprobe recall
+    curve (which sweeps it)."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroid_rows, query_rows = _collect_ivf_inputs(spark, sf_dir)
     C = np.array([r.emb for r in centroid_rows])
@@ -634,7 +643,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for qi in range(len(qids)):
         for j in sorted(
             range(len(cids)), key=lambda j: (-sims[qi, j], cids[j])
-        )[:IVF_NPROBE]:
+        )[:nprobe]:
             by_list.setdefault(cids[j], []).append(qi)
     probes = {
         lid: (qids[ix], Q[ix], qnorm[ix]) for lid, ix in by_list.items()
@@ -705,48 +714,51 @@ SELECT vec_a, vec_b, cos_sim, rank FROM ivf_topk
 """
 
 
-def _ivf_cte() -> str:
-    """CTE chain (no WITH header) from v/norms to ``ivf_topk``."""
+def _ivf_cte(nprobe: int = IVF_NPROBE, prefix: str = "ivf") -> str:
+    """CTE chain (no WITH header) from v/norms to ``{prefix}_topk`` at
+    an explicit probe depth — the nprobe recall curve instantiates it
+    once per swept depth under distinct prefixes."""
+    p = prefix
     return f"""
-ivf_cids AS (
+{p}_cids AS (
   SELECT vec_id AS cid FROM embeddings
   WHERE vec_id % {IVF_ID_STRIDE} = 0
   ORDER BY vec_id LIMIT {IVF_CENTROIDS}
-), ivf_cunit AS (
+), {p}_cunit AS (
   SELECT v.vec_id AS cid, v.i, v.x / n.nrm AS u
   FROM v JOIN norms n ON n.vec_id = v.vec_id
-  WHERE v.vec_id IN (SELECT cid FROM ivf_cids)
-), ivf_sims AS (
+  WHERE v.vec_id IN (SELECT cid FROM {p}_cids)
+), {p}_sims AS (
   SELECT v.vec_id, c.cid, ROUND(SUM(v.x * c.u) / n.nrm, 6) AS s
-  FROM v JOIN ivf_cunit c ON c.i = v.i
+  FROM v JOIN {p}_cunit c ON c.i = v.i
   JOIN norms n ON n.vec_id = v.vec_id
   GROUP BY v.vec_id, c.cid, n.nrm
-), ivf_assign AS (
-  SELECT vec_id, cid AS list_id FROM ivf_sims
+), {p}_assign AS (
+  SELECT vec_id, cid AS list_id FROM {p}_sims
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1
-), ivf_probes AS (
-  SELECT vec_id AS qid, cid AS list_id FROM ivf_sims
+), {p}_probes AS (
+  SELECT vec_id AS qid, cid AS list_id FROM {p}_sims
   WHERE vec_id < {N_QUERY_VECTORS}
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid)
-          <= {IVF_NPROBE}
-), ivf_cand AS (
+          <= {nprobe}
+), {p}_cand AS (
   SELECT p.qid AS vec_a, a.vec_id AS vec_b
-  FROM ivf_probes p JOIN ivf_assign a ON a.list_id = p.list_id
+  FROM {p}_probes p JOIN {p}_assign a ON a.list_id = p.list_id
   WHERE p.qid <> a.vec_id
-), ivf_scored AS (
+), {p}_scored AS (
   SELECT c.vec_a, c.vec_b,
          ROUND(SUM(qa.x * qb.x) / (na.nrm * nb.nrm), 6) AS cos_sim
-  FROM ivf_cand c
+  FROM {p}_cand c
   JOIN v qa ON qa.vec_id = c.vec_a
   JOIN v qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
   JOIN norms na ON na.vec_id = c.vec_a
   JOIN norms nb ON nb.vec_id = c.vec_b
   GROUP BY c.vec_a, c.vec_b, na.nrm, nb.nrm
-), ivf_topk AS (
+), {p}_topk AS (
   SELECT vec_a, vec_b, cos_sim,
          CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
               ORDER BY cos_sim DESC, vec_b) AS INTEGER) AS rank
-  FROM ivf_scored
+  FROM {p}_scored
   QUALIFY rank <= {TOPK_K}
 )"""
 
@@ -979,15 +991,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_oracle() -> str:
-    """DuckDB oracle for :func:`ann_recall_report`: the exact top-k,
-    LSH, IVF and PQ top-k chains replay in one statement (sharing the
-    v/norms CTEs), then the same overlap/rollup as the Spark query.
-    Every branch is the already-verified per-method oracle, so this
-    audits the audit."""
-    return f"""
-{_ORACLE_VECTOR_CTE},
-ex_dots AS (
+def _exact_topk_cte() -> str:
+    """CTE fragment (no WITH header) from v/norms to ``ex_topk`` — the
+    brute-force exact top-k baseline shared by the recall report and
+    the nprobe recall curve oracles."""
+    return f"""ex_dots AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dp
   FROM v a JOIN v b ON a.i = b.i
   WHERE a.vec_id < {N_QUERY_VECTORS} AND a.vec_id <> b.vec_id
@@ -1001,7 +1009,18 @@ ex_dots AS (
   SELECT vec_a, vec_b FROM ex_scored
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_a
           ORDER BY cos_sim DESC, vec_b) <= {TOPK_K}
-),
+)"""
+
+
+def _recall_oracle() -> str:
+    """DuckDB oracle for :func:`ann_recall_report`: the exact top-k,
+    LSH, IVF and PQ top-k chains replay in one statement (sharing the
+    v/norms CTEs), then the same overlap/rollup as the Spark query.
+    Every branch is the already-verified per-method oracle, so this
+    audits the audit."""
+    return f"""
+{_ORACLE_VECTOR_CTE},
+{_exact_topk_cte()},
 {_lsh_cte()},
 {_ivf_cte()},
 {_pq_cte()},
@@ -1285,6 +1304,100 @@ GROUP BY 1
 """
 
 
+#: Probe depths swept by the nprobe recall curve (the registered IVF
+#: query runs at IVF_NPROBE = 4, the curve's deepest point).
+NPROBE_SWEEP = (1, 2, 4)
+
+
+def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE: recall@k against the exact baseline at
+    each probe depth in ``NPROBE_SWEEP`` — the accuracy-vs-cost
+    trade-off table an index operator reads before fixing nprobe
+    (each probe reads ~nprobe/nlists of the corpus, so this is
+    literally recall per unit of scan cost).
+
+    Each depth reuses the registered IVF scan at an explicit nprobe;
+    the overlap join keys on (query, neighbor) pairs — k·|queries|
+    rows per swept depth. The deepest point equals the recall
+    report's IVF row by construction (pytest-pinned).
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("vec_a", "vec_b")
+    spine = exact.select("vec_a").distinct()
+    depths = spark.createDataFrame(
+        [(n,) for n in NPROBE_SWEEP], "nprobe int"
+    )
+    approx = None
+    for n in NPROBE_SWEEP:
+        fr = _ivf_topk_frame(spark, sf_dir, n).select(
+            F.lit(n).alias("nprobe"), "vec_a", "vec_b"
+        )
+        approx = fr if approx is None else approx.unionByName(fr)
+    matched = (
+        exact.join(approx, ["vec_a", "vec_b"])
+        .groupBy("nprobe", "vec_a")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    per_query = (
+        spine.crossJoin(F.broadcast(depths))
+        .join(F.broadcast(matched), ["nprobe", "vec_a"], "left")
+        .select(
+            "nprobe",
+            "vec_a",
+            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        )
+    )
+    k = float(TOPK_K)
+    return per_query.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum("n_matched") / (F.count(F.lit(1)) * F.lit(k)), 6).alias(
+            "mean_recall"
+        ),
+        F.round(F.min("n_matched") / F.lit(k), 6).alias("min_recall"),
+        F.sum((F.col("n_matched") == TOPK_K).cast("int")).alias("n_perfect"),
+    )
+
+
+def _nprobe_curve_oracle() -> str:
+    """One generated statement: the exact baseline + one IVF chain per
+    swept depth (distinct CTE prefixes) + the same overlap/rollup as
+    the Spark query."""
+    chains = ",\n".join(
+        _ivf_cte(nprobe=n, prefix=f"np{n}") for n in NPROBE_SWEEP
+    )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT {n} AS nprobe, vec_a, vec_b FROM np{n}_topk"
+        for n in NPROBE_SWEEP
+    )
+    vals = ", ".join(f"({n})" for n in NPROBE_SWEEP)
+    return f"""
+{_ORACLE_VECTOR_CTE},
+{_exact_topk_cte()},
+{chains},
+nc_approx AS (
+  {union}
+), nc_matched AS (
+  SELECT a.nprobe, e.vec_a, COUNT(*) AS n_matched
+  FROM ex_topk e JOIN nc_approx a
+    ON a.vec_a = e.vec_a AND a.vec_b = e.vec_b
+  GROUP BY a.nprobe, e.vec_a
+), nc_per_query AS (
+  SELECT m.nprobe, s.vec_a, COALESCE(x.n_matched, 0) AS n_matched
+  FROM (SELECT DISTINCT vec_a FROM ex_topk) s
+  CROSS JOIN (VALUES {vals}) m(nprobe)
+  LEFT JOIN nc_matched x
+    ON x.nprobe = m.nprobe AND x.vec_a = s.vec_a
+)
+SELECT nprobe, COUNT(*) AS n_queries,
+       ROUND(SUM(n_matched) / (COUNT(*) * {float(TOPK_K)}), 6)
+         AS mean_recall,
+       ROUND(MIN(n_matched) / {float(TOPK_K)}, 6) AS min_recall,
+       CAST(SUM(CASE WHEN n_matched = {TOPK_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_perfect
+FROM nc_per_query
+GROUP BY nprobe
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QueryDef("embedding_doc_coverage", embedding_doc_coverage, EMBEDDING_COVERAGE_ORACLE, "doc-embedding referential-integrity coverage report"),
@@ -1295,4 +1408,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("ann_ivf_topk", ann_ivf_topk, _ivf_oracle(), "IVF-list ANN top-k"),
     QueryDef("ann_pq_adc_topk", ann_pq_adc_topk, _pq_oracle(), "product-quantization ADC top-k (32x-compressed scan)"),
     QueryDef("ann_recall_report", ann_recall_report, _recall_oracle(), "recall@k audit of LSH/IVF vs exact baseline"),
+    QueryDef("ann_nprobe_recall_curve", ann_nprobe_recall_curve, _nprobe_curve_oracle(), "IVF recall-vs-probe-depth tuning curve"),
 ]

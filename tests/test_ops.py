@@ -3236,3 +3236,71 @@ def pd_timedelta_us():
     import datetime
 
     return datetime.timedelta(microseconds=1)
+
+
+def test_nprobe_curve_monotone_and_consistent_with_recall_report(spark):
+    """Recall must be non-decreasing in probe depth, and the deepest
+    point must equal the recall report's IVF row exactly."""
+    from duckdb_gsheets_spark.operators.similarity import (
+        IVF_NPROBE,
+        NPROBE_SWEEP,
+        ann_nprobe_recall_curve,
+        ann_recall_report,
+    )
+
+    got = {
+        r.nprobe: (r.n_queries, r.mean_recall, r.min_recall, r.n_perfect)
+        for r in ann_nprobe_recall_curve(spark, SF).collect()
+    }
+    assert set(got) == set(NPROBE_SWEEP)
+    depths = sorted(got)
+    for lo, hi in zip(depths, depths[1:]):
+        assert got[lo][1] <= got[hi][1]  # mean recall non-decreasing
+        assert got[lo][3] <= got[hi][3]  # perfect queries non-decreasing
+    ivf_row = {
+        r.method: (r.n_queries, r.mean_recall, r.min_recall, r.n_perfect)
+        for r in ann_recall_report(spark, SF).collect()
+    }["ivf"]
+    assert got[IVF_NPROBE] == ivf_row
+    assert got[max(depths)][1] > 0  # the index finds something
+
+
+def test_events_anomaly_mad_matches_python(spark):
+    """MAD outliers against a numpy median replay, plus the robust
+    property: every flagged event is also beyond the plain 3-MAD
+    deviation bar recomputed from scratch."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.events import (
+        MAD_K,
+        MAD_SIGMA,
+        events_anomaly_mad,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.event_id: (r.event_type, r.value, r.median_value, r.mad_score)
+        for r in events_anomaly_mad(spark, SF).collect()
+    }
+    by_type = defaultdict(list)
+    for r in load_table(spark, SF, "events").collect():
+        by_type[r.event_type].append((r.event_id, r.value))
+    expected = {}
+    for etype, rows in by_type.items():
+        vals = np.array([v for _, v in rows])
+        med = float(np.quantile(vals, 0.5, method="linear"))
+        mad = float(np.quantile(np.abs(vals - med), 0.5, method="linear"))
+        if mad <= 0:
+            continue
+        for eid, v in rows:
+            score = abs(v - med) / (mad * MAD_SIGMA)
+            if score > MAD_K:
+                expected[eid] = (etype, v, round(med, 6), round(score, 6))
+    assert set(got) == set(expected)
+    for eid, (etype, v, med, score) in expected.items():
+        g = got[eid]
+        assert g[0] == etype and g[1] == v and g[2] == med
+        assert abs(g[3] - score) < 2e-6
+    assert expected, "fixture must contain MAD outliers"

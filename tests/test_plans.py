@@ -539,6 +539,28 @@ def test_bounce_rate_no_extra_session_pass(spark):
     assert len(set(user_ex)) == 1
 
 
+def test_anomaly_mad_broadcasts_stats(spark):
+    """Both per-type stats tables (median, MAD) broadcast back onto
+    the scan — the event stream never hash-shuffles for the filter."""
+    plan = _plan(spark, "events_anomaly_mad")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    exchanges = [
+        ln for ln in physical.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # Only the two |types|-row percentile aggregates shuffle.
+    assert all("event_type" in ln for ln in exchanges)
+
+
+def test_nprobe_curve_bounded_joins_only(spark):
+    """The curve composes three IVF scans + the exact baseline; the
+    only nested-loop is the bounded query-spine × 3-depth cross."""
+    plan = _plan(spark, "ann_nprobe_recall_curve")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_no_accidental_cartesian_across_entire_registry(spark):
     """Sweep EVERY registered query's physical plan: no
     CartesianProduct and no BroadcastNestedLoopJoin anywhere, except
@@ -548,9 +570,10 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
     nested-loop broadcasts over a driver-bounded side."""
     from duckdb_gsheets_spark.operators import all_queries
 
-    # join_cross IS the cartesian coverage op; the recall report
-    # crosses a 10-row query spine with a 3-row method list.
-    cartesian_ok = {"join_cross", "ann_recall_report"}
+    # join_cross IS the cartesian coverage op; the recall report and
+    # the nprobe curve cross a 10-row query spine with a 3-row
+    # method/depth list.
+    cartesian_ok = {"join_cross", "ann_recall_report", "ann_nprobe_recall_curve"}
     # Scalar-broadcast shapes: a crossJoin against a 1-row (or
     # driver-bounded) side plans as BroadcastNestedLoopJoin — bounded
     # by construction. Naming them keeps the sweep strict for any NEW
@@ -560,6 +583,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "ann_cosine_topk",          # broadcast query batch × corpus scan
         "embedding_neardup_pairs",  # broadcast-bounded LSH block pairs
         "ann_recall_report",        # composes the cosine baseline
+        "ann_nprobe_recall_curve",  # same spine × depth cross + baseline
         "text_unigram_xent",        # 1-row corpus-total broadcast
         "vocab_coverage_curve",     # 1-row token-total broadcast
         "corpus_mix_weights",       # 1-row normalization broadcast
