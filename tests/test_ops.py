@@ -3304,3 +3304,37 @@ def test_events_anomaly_mad_matches_python(spark):
         assert g[0] == etype and g[1] == v and g[2] == med
         assert abs(g[3] - score) < 2e-6
     assert expected, "fixture must contain MAD outliers"
+
+
+def test_prefix_sum_tiling_invariant_to_partition_count(spark):
+    """The distributed prefix-sum rewrites (window_ntile,
+    vocab_coverage_curve, orders_pareto_share) must produce IDENTICAL
+    results at any shuffle-partition count — the property that makes
+    the pid-offset tiling a safe replacement for the single global
+    window. Runs each at 1, 5 and 32 partitions (1 = the degenerate
+    all-in-one-tile case; 32 > |distinct pareto deciles|)."""
+    from duckdb_gsheets_spark.operators.curation import vocab_coverage_curve
+    from duckdb_gsheets_spark.operators.tpch_extra import orders_pareto_share
+    from duckdb_gsheets_spark.operators.windows import window_ntile
+
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("1", "5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results[n] = {
+                "ntile": sorted(
+                    map(tuple, window_ntile(spark, SF).collect())
+                ),
+                "coverage": sorted(
+                    map(tuple, vocab_coverage_curve(spark, SF).collect())
+                ),
+                "pareto": sorted(
+                    map(tuple, orders_pareto_share(spark, SF).collect())
+                ),
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    for key in ("ntile", "coverage", "pareto"):
+        assert results["1"][key] == results["5"][key] == results["32"][key], key
+        assert results["1"][key], key  # non-empty
