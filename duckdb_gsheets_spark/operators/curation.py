@@ -397,6 +397,21 @@ FROM gopher
 VOCAB_TOP = 20
 
 
+def frequency_vocab(toks: DataFrame) -> DataFrame:
+    """THE vocab rule — top ``VOCAB_TOP`` tokens by (count desc,
+    token tiebreak) from any frame with a ``tok`` column, as a
+    ``(tok, cnt)`` frame. Shared by the OOV audit, the tokenizer
+    encode, and the streaming OOV gate so the ranking/tiebreak can
+    never silently diverge between them (one edit point). The top-K
+    compiles to TakeOrderedAndProject — no global sort."""
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(VOCAB_TOP)
+    )
+
+
 def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language out-of-vocabulary rate against a frequency-built
     vocabulary (the corpus's ``VOCAB_TOP`` most frequent tokens, count
@@ -412,13 +427,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
     toks = docs.select("lang", F.explode("toks").alias("tok"))
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "tok")
-        .limit(VOCAB_TOP)
-        .select("tok", F.lit(1).alias("in_vocab"))
-    )
+    vocab = frequency_vocab(toks).select("tok", F.lit(1).alias("in_vocab"))
     joined = toks.join(F.broadcast(vocab), "tok", "left")
     return joined.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -902,12 +911,8 @@ def vocab_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("toks").alias("pos", "tok"),
     )
     w_vocab = Window.orderBy(F.desc("cnt"), "tok")
-    vocab_ids = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "tok")
-        .limit(VOCAB_TOP)
-        .select("tok", F.row_number().over(w_vocab).alias("tok_id"))
+    vocab_ids = frequency_vocab(toks).select(
+        "tok", F.row_number().over(w_vocab).alias("tok_id")
     )
     enc = toks.join(F.broadcast(vocab_ids), "tok", "left").select(
         "doc_id",
@@ -1170,10 +1175,20 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.sqrt(
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
-    return stats.select(
-        "lang",
-        "n",
-        F.round(num / den, 6).alias("corr_quality_xent"),
+    # Degenerate slices (one doc, or constant quality/xent) have zero
+    # variance: correlation is undefined there, so the row is FILTERED
+    # rather than emitted as NaN (Spark) / NULL (DuckDB) — the same
+    # guard convention as events_anomaly_mad's `mad > 0`.
+    return (
+        stats.where(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            "lang",
+            "n",
+            F.round(num / den, 6).alias("corr_quality_xent"),
+        )
     )
 
 
@@ -1199,6 +1214,7 @@ SELECT lang, n,
                 * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
          AS corr_quality_xent
 FROM stats
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 """
 
 

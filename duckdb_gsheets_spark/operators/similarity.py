@@ -623,13 +623,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_topk_frame(
-    spark: SparkSession, sf_dir: str, nprobe: int
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    inputs: tuple[list, list] | None = None,
 ) -> DataFrame:
     """The IVF scan at an explicit probe depth — shared by the
     registered top-k query (``IVF_NPROBE``) and the nprobe recall
-    curve (which sweeps it)."""
+    curve (which sweeps it, passing the centroid/query collect ONCE
+    via ``inputs`` so three depths don't re-run the driver jobs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroid_rows, query_rows = _collect_ivf_inputs(spark, sf_dir)
+    centroid_rows, query_rows = (
+        inputs if inputs is not None else _collect_ivf_inputs(spark, sf_dir)
+    )
     C = np.array([r.emb for r in centroid_rows])
     cids = [r.vec_id for r in centroid_rows]
     unit = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -1326,9 +1332,10 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     depths = spark.createDataFrame(
         [(n,) for n in NPROBE_SWEEP], "nprobe int"
     )
+    inputs = _collect_ivf_inputs(spark, sf_dir)
     approx = None
     for n in NPROBE_SWEEP:
-        fr = _ivf_topk_frame(spark, sf_dir, n).select(
+        fr = _ivf_topk_frame(spark, sf_dir, n, inputs=inputs).select(
             F.lit(n).alias("nprobe"), "vec_a", "vec_b"
         )
         approx = fr if approx is None else approx.unionByName(fr)

@@ -365,22 +365,16 @@ def streaming_oov_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     token/OOV counts.
     """
     from duckdb_gsheets_spark.functions.text import WHITESPACE_SPLIT
-    from duckdb_gsheets_spark.operators.curation import VOCAB_TOP
+    from duckdb_gsheets_spark.operators.curation import frequency_vocab
 
     static = load_table(spark, sf_dir, "documents")
-    vocab = (
-        static.where(F.col("text").isNotNull())
-        .select(
+    vocab = frequency_vocab(
+        static.where(F.col("text").isNotNull()).select(
             F.explode(
                 F.split(F.trim(F.col("text")), WHITESPACE_SPLIT)
             ).alias("tok")
         )
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "tok")
-        .limit(VOCAB_TOP)
-        .select("tok", F.lit(1).alias("in_vocab"))
-    )
+    ).select("tok", F.lit(1).alias("in_vocab"))
     stream = read_documents_stream(spark, sf_dir)
     toks = (
         stream.where(F.col("text").isNotNull())
