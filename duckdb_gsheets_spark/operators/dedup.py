@@ -1733,6 +1733,58 @@ LEFT JOIN inc_near v ON v.doc_id = b.doc_id
 """
 
 
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-level NOVELTY score: per document, the share of its
+    distinct 3-gram shingles that occur in NO other document — the
+    inverse signal of dedup (high novelty = unique content worth
+    keeping; low novelty = assembled from corpus-common passages even
+    when no single near-dup pair fires). Reuses the exact shingle
+    machinery the MinHash family is built on, so "gram" means the
+    same thing across the whole dedup suite.
+
+    Shapes: the per-doc distinct shingle sets are the existing narrow
+    build; ONE map-side-combined document-frequency count over the
+    exploded shingles, then a broadcastless equi-join back (both
+    sides hash on the gram — co-located) and a doc_id rollup. Linear
+    in total shingles at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    grams = sigs.select("doc_id", F.explode("shingles").alias("g"))
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+DOC_NOVELTY_ORACLE = f"""
+WITH {_minhash_core_sql()},
+nv_grams AS (
+  SELECT doc_id, unnest(shingles) AS g FROM mh_shingled
+), nv_df AS (
+  SELECT g, COUNT(*) AS df FROM nv_grams GROUP BY g
+)
+SELECT gr.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_rate
+FROM nv_grams gr JOIN nv_df d USING (g)
+GROUP BY gr.doc_id
+"""
+
+
 #: Jaccard bars scored by the threshold sweep.
 SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
 
@@ -1920,6 +1972,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE, "transitive near-dup clusters via recursive min-label CTE"),
     QueryDef("dedup_savings_report", dedup_savings_report, DEDUP_SAVINGS_ORACLE, "per-language doc/token retention after transitive dedup"),
     QueryDef("source_overlap_matrix", source_overlap_matrix, SOURCE_OVERLAP_ORACLE, "cross-source near-dup provenance-leakage matrix"),
+    QueryDef("doc_ngram_novelty", doc_ngram_novelty, DOC_NOVELTY_ORACLE, "per-doc share of corpus-unique 3-gram shingles (novelty signal)"),
     QueryDef("dedup_threshold_sweep", dedup_threshold_sweep, DEDUP_SWEEP_ORACLE, "Jaccard-bar calibration table over one verified candidate pass"),
     QueryDef("dedup_quality_interaction", dedup_quality_interaction, DEDUP_QUALITY_ORACLE, "avg quality per duplication band (dedup-vs-quality audit)"),
     QueryDef("dedup_upweight_manifest", dedup_upweight_manifest, DEDUP_UPWEIGHT_ORACLE, "keep-one-count-many cluster-representative sampling manifest"),

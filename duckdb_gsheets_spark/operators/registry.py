@@ -54,15 +54,15 @@ class QueryDef:
 #:   window_ntile and vocab_coverage_curve were re-expressed with the
 #:   distributed prefix-sum tiling (their oracles are unchanged — the
 #:   hash must still match);
-#: * the 17 operators ADDED in round 4 (tokenizer encode, bigram
+#: * the 19 operators ADDED in round 4 (tokenizer encode, bigram
 #:   xent, winnowing split contamination, centroid drift, outlier
 #:   audit, path mining, cohort LTV, bounce rate, inter-arrival
 #:   quantiles, shard manifest, length histogram, quality
 #:   calibration, upweight manifest, threshold sweep, dedup-quality
-#:   audit, MAD outliers, nprobe curve) — in the window immediately
-#:   so no new never-driver-checked debt accrues;
-#: * 2 earlier greens re-confirmed as regression guards for the
-#:   modules most edited this round (dedup.py, events.py).
+#:   audit, MAD outliers, nprobe curve, gram novelty, ship-delay
+#:   SLA) — in the window immediately so no new never-driver-checked
+#:   debt accrues. Re-checks of the edited dedup/events modules are
+#:   covered by the round-4 ops living in those same modules.
 #:
 #: Everything after position 50 has a green driver row from an earlier
 #: round and is parity-checked every round by tools/parity.py; the
@@ -110,7 +110,7 @@ _WINDOW: tuple[str, ...] = (
     # -- changed-semantics re-checks (round-4 prefix-sum rewrites) --
     "window_ntile",
     "vocab_coverage_curve",
-    # -- the 17 operators added in round 4 (first driver rows) --
+    # -- the 19 operators added in round 4 (first driver rows) --
     "vocab_tokenize_ids",
     "text_bigram_xent",
     "split_contamination_winnowing",
@@ -128,9 +128,8 @@ _WINDOW: tuple[str, ...] = (
     "events_interarrival_quantiles",
     "events_anomaly_mad",
     "ann_nprobe_recall_curve",
-    # -- regression re-checks: modules edited this round --
-    "dedup_minhash_lsh",
-    "events_funnel",
+    "doc_ngram_novelty",
+    "order_ship_delay_quantiles",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and

@@ -1085,8 +1085,68 @@ LIMIT {BASKET_TOPK}
 """
 
 
+#: Fulfilment SLA bar (days from order to line-item ship).
+SLA_DAYS = 60
+
+
+def order_ship_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SLA report: per order priority, the exact
+    p50/p90/p99 of the order→ship delay (days per line item) and the
+    share of items shipped past the ``SLA_DAYS`` bar — the
+    supply-chain health view Q12's priority classification summarizes
+    away. Date differences are exact integer days; quantiles are the
+    interpolated exact order statistics (sketchable at 100 TB, see
+    events_value_quantiles); the SLA share is a small-integer ratio
+    rounded once. One orderkey-co-located join + a
+    |priorities|-row rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rows = li.select("l_orderkey", "l_shipdate").join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_orderpriority",
+            "o_orderdate",
+        ),
+        "l_orderkey",
+    ).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+    )
+    late = F.sum(F.when(F.col("delay_days") > SLA_DAYS, 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return rows.groupBy("o_orderpriority").agg(
+        n.alias("n_items"),
+        F.round(late.cast("double") / n.cast("double"), 6).alias(
+            "past_sla_share"
+        ),
+        F.round(F.percentile("delay_days", 0.5), 6).alias("p50_days"),
+        F.round(F.percentile("delay_days", 0.9), 6).alias("p90_days"),
+        F.round(F.percentile("delay_days", 0.99), 6).alias("p99_days"),
+    )
+
+
+ORDER_SHIP_DELAY_ORACLE = f"""
+WITH d AS (
+  SELECT o.o_orderpriority,
+         CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+           AS delay_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CASE WHEN delay_days > {SLA_DAYS} THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS past_sla_share,
+       ROUND(quantile_cont(delay_days, 0.5), 6) AS p50_days,
+       ROUND(quantile_cont(delay_days, 0.9), 6) AS p90_days,
+       ROUND(quantile_cont(delay_days, 0.99), 6) AS p99_days
+FROM d
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE, "TPC-H Q2 min-cost supplier"),
+    QueryDef("order_ship_delay_quantiles", order_ship_delay_quantiles, ORDER_SHIP_DELAY_ORACLE, "per-priority order-to-ship delay quantiles + SLA share"),
     QueryDef("basket_part_pairs", basket_part_pairs, BASKET_ORACLE, "market-basket co-purchase pair support (Apriori pair stage)"),
     QueryDef("orders_pareto_share", orders_pareto_share, ORDERS_PARETO_ORACLE, "Pareto/Lorenz revenue-concentration deciles (value-level tiling)"),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),

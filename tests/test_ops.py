@@ -3338,3 +3338,75 @@ def test_prefix_sum_tiling_invariant_to_partition_count(spark):
     for key in ("ntile", "coverage", "pareto"):
         assert results["1"][key] == results["5"][key] == results["32"][key], key
         assert results["1"][key], key  # non-empty
+
+
+def test_doc_ngram_novelty_matches_python(spark):
+    """Novelty shares against a set-arithmetic replay over the same
+    shingle sets the MinHash family uses, plus the planted-duplicate
+    property: exact copies have novelty 0 (every gram shared)."""
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        doc_ngram_novelty,
+        minhash_signatures,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty_rate)
+        for r in doc_ngram_novelty(spark, SF).collect()
+    }
+    sets = {
+        r.doc_id: set(r.shingles)
+        for r in minhash_signatures(
+            load_table(spark, SF, "documents")
+        ).collect()
+    }
+    df = Counter(g for s in sets.values() for g in s)
+    expected = {}
+    for d, s in sets.items():
+        novel = sum(1 for g in s if df[g] == 1)
+        expected[d] = (len(s), novel, round(novel / len(s), 6))
+    assert got == expected
+    rates = [r for _, _, r in got.values()]
+    assert min(rates) < 1.0 and max(rates) > 0.0  # both signals occur
+
+
+def test_order_ship_delay_matches_python(spark):
+    """Per-priority delay quantiles against a numpy replay."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.tpch_extra import (
+        SLA_DAYS,
+        order_ship_delay_quantiles,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.o_orderpriority: (
+            r.n_items,
+            r.past_sla_share,
+            r.p50_days,
+            r.p90_days,
+            r.p99_days,
+        )
+        for r in order_ship_delay_quantiles(spark, SF).collect()
+    }
+    orders = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate)
+        for r in load_table(spark, SF, "orders").collect()
+    }
+    delays = defaultdict(list)
+    for r in load_table(spark, SF, "lineitem").collect():
+        pri, odate = orders[r.l_orderkey]
+        delays[pri].append((r.l_shipdate - odate).days)
+    for pri, (n, share, p50, p90, p99) in got.items():
+        d = np.array(sorted(delays[pri]), dtype=np.float64)
+        assert n == len(d)
+        assert share == round(sum(1 for x in d if x > SLA_DAYS) / len(d), 6)
+        for p, val in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            exp = round(float(np.quantile(d, p, method="linear")), 6)
+            assert abs(val - exp) < 2e-6
+    assert set(got) == set(delays)

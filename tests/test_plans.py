@@ -561,6 +561,29 @@ def test_nprobe_curve_bounded_joins_only(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_novelty_gram_join_colocates(spark):
+    """The df-count join hashes both sides on the gram (co-located) —
+    no cartesian, no nested loop, and the document TEXT reaches no
+    exchange (only hashed shingles shuffle)."""
+    plan = _plan(spark, "doc_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    exchanges = [
+        ln for ln in physical.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges and all("text" not in ln for ln in exchanges)
+
+
+def test_ship_delay_joins_on_orderkey(spark):
+    """The fact-fact join must key on the orderkey (co-located at
+    scale) with no cartesian fallback."""
+    plan = _plan(spark, "order_ship_delay_quantiles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "l_orderkey" in plan
+
+
 def test_no_accidental_cartesian_across_entire_registry(spark):
     """Sweep EVERY registered query's physical plan: no
     CartesianProduct and no BroadcastNestedLoopJoin anywhere, except

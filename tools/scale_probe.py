@@ -35,6 +35,10 @@ def build_scaled(spark, factor: int) -> str:
             docs.crossJoin(copies)
             .withColumn("doc_id", F.col("doc_id") + F.col("copy") * n)
             .drop("copy")
+            # Many output files/row groups: a single-partition write
+            # produces ONE unsplittable row group, which serializes
+            # every narrow per-row stage of the probed queries.
+            .repartition(64)
             .write.mode("overwrite")
             .parquet(docs_out)
         )
@@ -58,6 +62,7 @@ def build_scaled(spark, factor: int) -> str:
                 "user_id", F.col("user_id") + F.col("copy") * n_users
             )
             .drop("copy")
+            .repartition(64)
             .write.mode("overwrite")
             .parquet(events_out)
         )
@@ -77,7 +82,18 @@ def main() -> None:
     from duckdb_gsheets_spark.operators.registry import all_queries
 
     qs = all_queries()
-    spark = get_spark("scale_probe")
+    # Same file-split sizing as bench.py: the replicated parquet files
+    # are a few MB, so the 128 MB default scans each in ONE task and
+    # serializes narrow per-row work (the HOF-heavy dedup family most
+    # of all) — split down so scan parallelism matches the cores, as
+    # it would on a real multi-file 100 TB layout.
+    spark = get_spark(
+        "scale_probe",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "2097152",
+            "spark.sql.files.openCostInBytes": "262144",
+        },
+    )
     scaled_dir = build_scaled(spark, factor)
     for name in names:
         fn = qs[name].spark_fn
