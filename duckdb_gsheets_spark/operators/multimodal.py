@@ -422,8 +422,84 @@ GROUP BY format, shard_id
 """
 
 
+def pipeline_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed MEDIA corpus build: byte-identical payload dedup
+    (min-doc_id survivor per (format, content hash)) feeding the
+    byte-budget shard packer — the end-to-end prep a multimodal
+    training run actually ships, with the duplicate count carried
+    into the manifest so the shard report also documents what dedup
+    dropped.
+
+    Shapes compose without new wide work: one content-hash shuffle
+    (hash+length only — payload bytes never move), then the per-format
+    running-sum window and the |shards| rollup from
+    :func:`multimodal_shard_manifest`.
+    """
+    media = media_table(spark, sf_dir).where(F.col("payload").isNotNull())
+    survivors = (
+        media.select(
+            "doc_id",
+            "format",
+            F.md5("payload").alias("payload_md5"),
+            F.col("meta.byte_len").alias("byte_len"),
+        )
+        .groupBy("format", "payload_md5")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.max("byte_len").cast("long").alias("n_bytes"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+        )
+    )
+    binned = survivors.select(
+        "format",
+        "doc_id",
+        "n_bytes",
+        "n_dropped",
+        F.expr(
+            f"div(sum(n_bytes) over "
+            f"(partition by format order by doc_id "
+            f"rows between unbounded preceding and current row) - n_bytes, "
+            f"{SHARD_BUDGET_BYTES})"
+        ).alias("shard_id"),
+    )
+    return binned.groupBy("format", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum("n_dropped").alias("n_dupes_dropped"),
+    )
+
+
+PIPELINE_MEDIA_ORACLE = f"""
+WITH mp_surv AS (
+  SELECT ['png', 'jpeg', 'wav'][CAST(doc_id % {len(FORMATS)} AS INTEGER) + 1]
+           AS format,
+         md5(text) AS payload_md5,
+         MIN(doc_id) AS doc_id,
+         CAST(MAX(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+         COUNT(*) - 1 AS n_dropped
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY 1, 2
+), mp_binned AS (
+  SELECT format, doc_id, n_bytes, n_dropped,
+         CAST((SUM(n_bytes) OVER (PARTITION BY format ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes)
+           // {SHARD_BUDGET_BYTES} AS BIGINT) AS shard_id
+  FROM mp_surv
+)
+SELECT format, shard_id, COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       CAST(SUM(n_dropped) AS BIGINT) AS n_dupes_dropped
+FROM mp_binned
+GROUP BY format, shard_id
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("multimodal_metadata", multimodal_metadata, MULTIMODAL_META_ORACLE, "binary+struct metadata"),
+    QueryDef("pipeline_media_corpus", pipeline_media_corpus, PIPELINE_MEDIA_ORACLE, "composed media build: payload dedup feeding byte-budget shards"),
     QueryDef("multimodal_shard_manifest", multimodal_shard_manifest, MULTIMODAL_SHARD_ORACLE, "WebDataset-style byte-budget shard packing manifest"),
     QueryDef("multimodal_payload_dedup", multimodal_payload_dedup, MULTIMODAL_DEDUP_ORACLE, "byte-identical media dedup on the binary payload hash"),
     QueryDef("multimodal_decode_features", multimodal_decode_features, MULTIMODAL_DECODE_ORACLE, "mapInPandas decode stub"),

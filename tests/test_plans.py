@@ -584,6 +584,21 @@ def test_ship_delay_joins_on_orderkey(spark):
     assert "l_orderkey" in plan
 
 
+def test_media_pipeline_payload_never_shuffles(spark):
+    """The composed media build shuffles content hashes and lengths
+    only; the binary payload reaches no Exchange, and no joins
+    appear."""
+    plan = _plan(spark, "pipeline_media_corpus")
+    assert "Join" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    exchanges = [
+        ln for ln in physical.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # `payload_md5` (the 16-byte hash) MAY shuffle; the binary
+    # `payload` attribute itself (prints as payload#N) may not.
+    assert exchanges and all("payload#" not in ln for ln in exchanges)
+
+
 def test_no_accidental_cartesian_across_entire_registry(spark):
     """Sweep EVERY registered query's physical plan: no
     CartesianProduct and no BroadcastNestedLoopJoin anywhere, except
