@@ -70,9 +70,9 @@ class QueryDef:
 #: BY DEFINITION — HLL distinct counts and KLL quantiles) is pinned
 #: LAST so it can never burn a checked slot.
 #:
-#: ROUND-5 ROTATION QUEUE: pipeline_media_corpus (added after the
-#: round-4 window filled — the only operator without a driver row);
-#: then (a) any operators added in round 5 (first-time checks beat
+#: ROUND-5 ROTATION QUEUE: pipeline_media_corpus, text_char_entropy,
+#: customer_order_gap_quantiles (added after the round-4 window
+#: filled — the only operators without driver rows); then (a) any operators added in round 5 (first-time checks beat
 #: re-checks), (b) re-checks for any query whose module changes, and
 #: (c) the r1/r2 greens longest out of a checked window (relational
 #: head, tpch_extra mid-battery, events r2 block).

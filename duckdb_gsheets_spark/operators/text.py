@@ -1015,8 +1015,81 @@ FROM wn_selected
 """
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CHARACTER-level Shannon entropy (nats) — the
+    lowest-level quality signal in the ladder: encrypted/compressed
+    blobs and base64 junk score near ln(alphabet), keyboard-mash and
+    repeated-char padding score near 0, natural language sits in a
+    narrow band per script. Catches garbage that token-level signals
+    (xent, Gopher rules) normalize away.
+
+    Determinism: the per-class ``ln(c/n)`` rounds to the 1e-9 grid
+    and multiplies the exact integer count, so the per-document sum
+    is exact integer arithmetic in both engines (the
+    text_unigram_xent contract). Shapes: one char explode (narrow),
+    one (doc, char) count, a doc-co-located total join, one doc
+    rollup — linear in characters.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .where(F.col("ch") != "")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+    )
+    term = F.col("c") * F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double")) * 1e9
+    ).cast("long")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct_chars")
+        .agg(
+            F.round(
+                -F.sum(term).cast("double") / 1e9 / F.col("n").cast("double"),
+                6,
+            ).alias("char_entropy")
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars_counted"),
+            "n_distinct_chars",
+            "char_entropy",
+        )
+    )
+
+
+TEXT_CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE text IS NOT NULL
+), counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> ''
+  GROUP BY doc_id, ch
+), totals AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         COUNT(*) AS n_distinct_chars
+  FROM counts GROUP BY doc_id
+)
+SELECT c.doc_id,
+       t.n AS n_chars_counted,
+       t.n_distinct_chars,
+       ROUND(-CAST(SUM(c.c * CAST(ROUND(LN(CAST(c.c AS DOUBLE)
+                / CAST(t.n AS DOUBLE)) * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / CAST(t.n AS DOUBLE), 6) AS char_entropy
+FROM counts c JOIN totals t USING (doc_id)
+GROUP BY c.doc_id, t.n, t.n_distinct_chars
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
+    QueryDef("text_char_entropy", text_char_entropy, TEXT_CHAR_ENTROPY_ORACLE, "per-doc character-level Shannon entropy (garbage detector)"),
     QueryDef("winnowing_fingerprints", winnowing_fingerprints, WINNOWING_ORACLE, "MOSS winnowing rolling-hash document fingerprints"),
     QueryDef("bpe_merge_candidates", bpe_merge_candidates, BPE_MERGE_ORACLE, "first-iteration BPE merge-pair mining over the weighted word table"),
     QueryDef("lang_char_trigram_profile", lang_char_trigram_profile, LANG_TRIGRAM_ORACLE, "per-language char-trigram profile (lang-ID training side)"),

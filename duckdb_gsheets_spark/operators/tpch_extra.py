@@ -1144,8 +1144,67 @@ GROUP BY o_orderpriority
 """
 
 
+def customer_order_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: per market segment, the exact
+    p50/p90/p99 of the days between a customer's consecutive orders —
+    the relational twin of events_interarrival_quantiles and the
+    input to churn-window definitions ("after how many silent days is
+    a BUILDING customer actually gone?").
+
+    Gaps are exact integer day differences from ONE lag window per
+    customer; the segment lookup is a broadcast-sized dimension join;
+    quantiles are the exact interpolated order statistics
+    (sketchable at 100 TB, see events_value_quantiles).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+        .join(
+            F.broadcast(
+                customer.select(
+                    F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+                )
+            ),
+            "o_custkey",
+        )
+    )
+    return gaps.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile("gap_days", 0.5), 6).alias("p50_days"),
+        F.round(F.percentile("gap_days", 0.9), 6).alias("p90_days"),
+        F.round(F.percentile("gap_days", 0.99), 6).alias("p99_days"),
+    )
+
+
+CUSTOMER_GAP_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE)
+           - LAG(CAST(o_orderdate AS DATE)) OVER w AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT c.c_mktsegment, COUNT(*) AS n_gaps,
+       ROUND(quantile_cont(g.gap_days, 0.5), 6) AS p50_days,
+       ROUND(quantile_cont(g.gap_days, 0.9), 6) AS p90_days,
+       ROUND(quantile_cont(g.gap_days, 0.99), 6) AS p99_days
+FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+WHERE g.gap_days IS NOT NULL
+GROUP BY c.c_mktsegment
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE, "TPC-H Q2 min-cost supplier"),
+    QueryDef("customer_order_gap_quantiles", customer_order_gap_quantiles, CUSTOMER_GAP_ORACLE, "per-segment repeat-order gap quantiles (churn-window input)"),
     QueryDef("order_ship_delay_quantiles", order_ship_delay_quantiles, ORDER_SHIP_DELAY_ORACLE, "per-priority order-to-ship delay quantiles + SLA share"),
     QueryDef("basket_part_pairs", basket_part_pairs, BASKET_ORACLE, "market-basket co-purchase pair support (Apriori pair stage)"),
     QueryDef("orders_pareto_share", orders_pareto_share, ORDERS_PARETO_ORACLE, "Pareto/Lorenz revenue-concentration deciles (value-level tiling)"),

@@ -3505,3 +3505,71 @@ def test_pipeline_media_corpus_drops_planted_dups(spark, tmp_path):
     assert out[("png", 0)] == (1, 2, 0)
     assert sum(v[0] for v in out.values()) == 3  # 3 survivors total
     assert sum(v[1] for v in out.values()) == 2
+
+
+def test_text_char_entropy_matches_python(spark):
+    """Char entropy against a Counter/math.log replay with the same
+    1e-9 grid, plus the signal properties: repeated-char text scores
+    0, and entropy never exceeds ln(alphabet size)."""
+    import math
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.text import text_char_entropy
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.n_chars_counted, r.n_distinct_chars, r.char_entropy)
+        for r in text_char_entropy(spark, SF).collect()
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").collect()
+        if r.text is not None
+    }
+    assert set(got) == set(docs)
+    for d, text in docs.items():
+        counts = Counter(text)
+        n = sum(counts.values())
+        s = sum(
+            c * int(round(math.log(c / n) * 1e9)) for c in counts.values()
+        )
+        expected = round(-s / 1e9 / n, 6)
+        assert got[d] == (n, len(counts), expected)
+        assert got[d][2] <= round(math.log(len(counts)), 6) + 1e-6
+    assert max(h for _, _, h in got.values()) > 1.0  # natural text
+
+
+def test_customer_order_gap_matches_python(spark):
+    """Per-segment order-gap quantiles against a numpy replay."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.tpch_extra import (
+        customer_order_gap_quantiles,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.c_mktsegment: (r.n_gaps, r.p50_days, r.p90_days, r.p99_days)
+        for r in customer_order_gap_quantiles(spark, SF).collect()
+    }
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in load_table(spark, SF, "customer").collect()
+    }
+    orders = defaultdict(list)
+    for r in load_table(spark, SF, "orders").collect():
+        orders[r.o_custkey].append((r.o_orderdate, r.o_orderkey))
+    gaps = defaultdict(list)
+    for ck, os_ in orders.items():
+        os_.sort()
+        for (a, _), (b, _) in zip(os_, os_[1:]):
+            gaps[seg[ck]].append((b - a).days)
+    assert set(got) == {s for s, g in gaps.items() if g}
+    for s, (n, p50, p90, p99) in got.items():
+        g = np.array(sorted(gaps[s]), dtype=np.float64)
+        assert n == len(g)
+        for p, val in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            exp = round(float(np.quantile(g, p, method="linear")), 6)
+            assert abs(val - exp) < 2e-6

@@ -599,6 +599,27 @@ def test_media_pipeline_payload_never_shuffles(spark):
     assert exchanges and all("payload#" not in ln for ln in exchanges)
 
 
+def test_char_entropy_doc_colocated(spark):
+    """The totals join must co-locate on doc_id (both sides hash on
+    it) — no cartesian, no nested loop; raw text never shuffles."""
+    plan = _plan(spark, "text_char_entropy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    exchanges = [
+        ln for ln in physical.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges and all("text" not in ln for ln in exchanges)
+
+
+def test_order_gap_broadcasts_dimension(spark):
+    """One custkey window pass; the segment lookup broadcasts."""
+    plan = _plan(spark, "customer_order_gap_quantiles")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(o_custkey" in plan
+
+
 def test_no_accidental_cartesian_across_entire_registry(spark):
     """Sweep EVERY registered query's physical plan: no
     CartesianProduct and no BroadcastNestedLoopJoin anywhere, except
