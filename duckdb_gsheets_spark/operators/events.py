@@ -1282,6 +1282,47 @@ FROM counted
 """
 
 
+def events_error_share_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily reliability timeline: per day, total events, error
+    events, the error share, and how many distinct users hit at least
+    one error — the on-call dashboard's top row (error COUNT alone
+    hides whether one user retried 500 times or 500 users each failed
+    once). One map-side-combinable rollup; the distinct-user count is
+    exact (sketchable via HLL at 100 TB, as
+    approx_count_distinct_users documents).
+    """
+    events = load_table(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    return events.groupBy(
+        F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_err.cast("int")).alias("n_errors"),
+        F.round(
+            F.sum(is_err.cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("error_share"),
+        F.countDistinct(
+            F.when(is_err, F.col("user_id"))
+        ).alias("n_users_affected"),
+    )
+
+
+EVENTS_ERROR_SHARE_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS error_share,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'error' THEN user_id END)
+            AS BIGINT) AS n_users_affected
+FROM events
+GROUP BY 1
+"""
+
+
 #: MAD outlier bar: |value − median| > MAD_K · (1.4826 · MAD) — the
 #: robust-z equivalent of the z-score detector's 3σ.
 MAD_K = 3.0
@@ -1585,4 +1626,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_bounce_rate", events_bounce_rate, EVENTS_BOUNCE_ORACLE, "per-day single-event-session bounce rate over the sessionizer"),
     QueryDef("events_interarrival_quantiles", events_interarrival_quantiles, EVENTS_INTERARRIVAL_ORACLE, "per-type exact inter-arrival p50/p90/p99"),
     QueryDef("events_anomaly_mad", events_anomaly_mad, EVENTS_MAD_ORACLE, "robust median/MAD outlier detection (heavy-tail-safe)"),
+    QueryDef("events_error_share_daily", events_error_share_daily, EVENTS_ERROR_SHARE_ORACLE, "daily error share + distinct users affected (reliability timeline)"),
 ]

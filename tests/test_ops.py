@@ -3573,3 +3573,28 @@ def test_customer_order_gap_matches_python(spark):
         for p, val in ((0.5, p50), (0.9, p90), (0.99, p99)):
             exp = round(float(np.quantile(g, p, method="linear")), 6)
             assert abs(val - exp) < 2e-6
+
+
+def test_events_error_share_matches_python(spark):
+    """Daily error-share timeline against a dict replay."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.events import events_error_share_daily
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.day: (r.n_events, r.n_errors, r.error_share, r.n_users_affected)
+        for r in events_error_share_daily(spark, SF).collect()
+    }
+    cells = defaultdict(lambda: [0, 0, set()])
+    for r in load_table(spark, SF, "events").collect():
+        c = cells[str(r.ts.date())]
+        c[0] += 1
+        if r.event_type == "error":
+            c[1] += 1
+            c[2].add(r.user_id)
+    expected = {
+        d: (n, e, round(e / n, 6), len(u)) for d, (n, e, u) in cells.items()
+    }
+    assert got == expected
+    assert any(e > 0 for _, e, _, _ in got.values())
