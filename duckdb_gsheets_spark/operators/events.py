@@ -1323,6 +1323,54 @@ GROUP BY 1
 """
 
 
+def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume deltas per event type — the trend view
+    behind every "are errors growing faster than traffic" question.
+    Weeks are Monday-start ``date_trunc`` buckets (identical rule in
+    Spark and DuckDB), and the change is computed with ONE lag window
+    partitioned by event type over the bounded weekly rollup — never
+    a self-join of the rollup to itself.
+
+    Shuffle ledger: one map-side-combined groupBy to
+    |weeks|×|event types| rows, then a lag window partitioned by
+    event_type (bounded partitions: one row per week). First week of
+    each type has NULL prev/change by definition.
+    """
+    events = load_table(spark, sf_dir, "events")
+    weekly = events.groupBy(
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        F.col("wk").cast("string").alias("week"),
+        "event_type",
+        "n_events",
+        prev.alias("prev_events"),
+        F.round(
+            (F.col("n_events") - prev).cast("double")
+            / prev.cast("double"),
+            6,
+        ).alias("wow_change"),
+    )
+
+
+EVENTS_WOW_ORACLE = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(wk AS VARCHAR) AS week, event_type, n_events,
+       LAG(n_events) OVER w AS prev_events,
+       ROUND(CAST(n_events - LAG(n_events) OVER w AS DOUBLE)
+             / CAST(LAG(n_events) OVER w AS DOUBLE), 6) AS wow_change
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+"""
+
+
 #: MAD outlier bar: |value − median| > MAD_K · (1.4826 · MAD) — the
 #: robust-z equivalent of the z-score detector's 3σ.
 MAD_K = 3.0
@@ -1627,4 +1675,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_interarrival_quantiles", events_interarrival_quantiles, EVENTS_INTERARRIVAL_ORACLE, "per-type exact inter-arrival p50/p90/p99"),
     QueryDef("events_anomaly_mad", events_anomaly_mad, EVENTS_MAD_ORACLE, "robust median/MAD outlier detection (heavy-tail-safe)"),
     QueryDef("events_error_share_daily", events_error_share_daily, EVENTS_ERROR_SHARE_ORACLE, "daily error share + distinct users affected (reliability timeline)"),
+    QueryDef("events_wow_change", events_wow_change, EVENTS_WOW_ORACLE, "week-over-week volume change per event type (lag window, no self-join)"),
 ]

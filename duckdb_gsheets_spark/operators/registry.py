@@ -71,8 +71,9 @@ class QueryDef:
 #: LAST so it can never burn a checked slot.
 #:
 #: ROUND-5 ROTATION QUEUE: pipeline_media_corpus, text_char_entropy,
-#: customer_order_gap_quantiles, events_error_share_daily (added
-#: after the round-4 window filled — the only operators without
+#: customer_order_gap_quantiles, events_error_share_daily,
+#: events_wow_change, orders_open_backlog (added after the round-4
+#: window filled — the only operators without
 #: driver rows); then (a) any operators added in round 5 (first-time checks beat
 #: re-checks), (b) re-checks for any query whose module changes, and
 #: (c) the r1/r2 greens longest out of a checked window (relational

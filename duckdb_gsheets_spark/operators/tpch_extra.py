@@ -1202,8 +1202,109 @@ GROUP BY c.c_mktsegment
 """
 
 
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog — the classic interval-stabbing query
+    ("how many orders were in flight on day d") computed the scalable
+    way: each order becomes a +1 delta on its order date and a −1
+    delta on the day its LAST line item ships, the deltas roll up to
+    one row per calendar day, and a running sum over that bounded day
+    table is the backlog. No interval join, no per-day fan-out.
+
+    Interval rule (stated because the synthetic data has noise a real
+    OLTP feed would not): an order closes on
+    ``greatest(o_orderdate, max(l_shipdate))`` — records whose last
+    ship date precedes the order date close same-day (net 0) — and an
+    order with NO line items never closes (it stays in the terminal
+    backlog, which is exactly what an ops dashboard should show).
+
+    Shuffle ledger: one map-side-combined agg of lineitem on
+    l_orderkey, one orderkey-partitioned join against orders, then a
+    rollup to ≤|calendar days| rows. The running sum is a
+    single-partition window over that day table — bounded by the time
+    span (years), not the corpus, so it holds at 100 TB
+    (allowlisted in tests/test_plans.py bounded_ok).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lastship = lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("lastship")
+    )
+    iv = (
+        orders.select(
+            "o_orderkey", F.to_date("o_orderdate").alias("start_day")
+        )
+        .join(
+            lastship,
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left",
+        )
+        .select(
+            "start_day",
+            F.when(
+                F.col("lastship").isNull(), F.lit(None).cast("date")
+            )
+            .otherwise(F.greatest("start_day", "lastship"))
+            .alias("end_day"),
+        )
+    )
+    deltas = iv.select(
+        F.col("start_day").alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).unionAll(
+        iv.where(F.col("end_day").isNotNull()).select(
+            F.col("end_day").alias("day"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("opened").alias("n_opened"),
+        F.sum("closed").alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(w)
+        .alias("backlog"),
+    )
+
+
+ORDERS_BACKLOG_ORACLE = """
+WITH ls AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS lastship
+  FROM lineitem GROUP BY 1
+), iv AS (
+  SELECT CAST(o_orderdate AS DATE) AS start_day,
+         CASE WHEN lastship IS NULL THEN NULL
+              WHEN lastship > CAST(o_orderdate AS DATE) THEN lastship
+              ELSE CAST(o_orderdate AS DATE) END AS end_day
+  FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey
+), deltas AS (
+  SELECT start_day AS day, 1 AS opened, 0 AS closed FROM iv
+  UNION ALL
+  SELECT end_day, 0, 1 FROM iv WHERE end_day IS NOT NULL
+), daily AS (
+  SELECT day, CAST(SUM(opened) AS BIGINT) AS n_opened,
+         CAST(SUM(closed) AS BIGINT) AS n_closed
+  FROM deltas GROUP BY day
+)
+SELECT CAST(day AS VARCHAR) AS day, n_opened, n_closed,
+       CAST(SUM(n_opened - n_closed)
+            OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS backlog
+FROM daily
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE, "TPC-H Q2 min-cost supplier"),
+    QueryDef("orders_open_backlog", orders_open_backlog, ORDERS_BACKLOG_ORACLE, "daily open-order backlog via interval deltas + bounded prefix sum"),
     QueryDef("customer_order_gap_quantiles", customer_order_gap_quantiles, CUSTOMER_GAP_ORACLE, "per-segment repeat-order gap quantiles (churn-window input)"),
     QueryDef("order_ship_delay_quantiles", order_ship_delay_quantiles, ORDER_SHIP_DELAY_ORACLE, "per-priority order-to-ship delay quantiles + SLA share"),
     QueryDef("basket_part_pairs", basket_part_pairs, BASKET_ORACLE, "market-basket co-purchase pair support (Apriori pair stage)"),

@@ -3598,3 +3598,72 @@ def test_events_error_share_matches_python(spark):
     }
     assert got == expected
     assert any(e > 0 for _, e, _, _ in got.values())
+
+
+def test_orders_open_backlog_matches_python(spark):
+    """Interval-delta backlog against a per-day dict replay, plus the
+    invariants the delta encoding must satisfy: the backlog is always
+    >= 0 and the terminal backlog equals the orders that never close
+    (no line items)."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.tpch_extra import orders_open_backlog
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = [
+        (r.day, r.n_opened, r.n_closed, r.backlog)
+        for r in orders_open_backlog(spark, SF).orderBy("day").collect()
+    ]
+
+    lastship = {}
+    for r in load_table(spark, SF, "lineitem").collect():
+        d = r.l_shipdate.date()
+        k = r.l_orderkey
+        if k not in lastship or d > lastship[k]:
+            lastship[k] = d
+    opened = defaultdict(int)
+    closed = defaultdict(int)
+    never_closed = 0
+    for r in load_table(spark, SF, "orders").collect():
+        start = r.o_orderdate.date()
+        opened[start] += 1
+        if r.o_orderkey in lastship:
+            closed[max(start, lastship[r.o_orderkey])] += 1
+        else:
+            never_closed += 1
+    days = sorted(set(opened) | set(closed))
+    bl = 0
+    expected = []
+    for d in days:
+        bl += opened[d] - closed[d]
+        expected.append((str(d), opened[d], closed[d], bl))
+    assert got == expected
+    assert all(b >= 0 for _, _, _, b in got)
+    assert got[-1][3] == never_closed
+
+
+def test_events_wow_change_matches_python(spark):
+    """Week-over-week deltas against a dict replay (Monday-start
+    weeks), including the NULL first-week rule per event type."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from duckdb_gsheets_spark.operators.events import events_wow_change
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.week, r.event_type): (r.n_events, r.prev_events, r.wow_change)
+        for r in events_wow_change(spark, SF).collect()
+    }
+    weekly = defaultdict(int)
+    for r in load_table(spark, SF, "events").collect():
+        d = r.ts.date()
+        weekly[(d - timedelta(days=d.weekday()), r.event_type)] += 1
+    expected = {}
+    for (wk, et), n in weekly.items():
+        prev = weekly.get((wk - timedelta(days=7), et))
+        change = round((n - prev) / prev, 6) if prev else None
+        expected[(str(wk), et)] = (n, prev, change)
+    assert got == expected
+    assert any(p is None for _, p, _ in got.values())
+    assert any(p is not None for _, p, _ in got.values())

@@ -694,7 +694,10 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
     #   * bounded value grids: quality_deciles' round-6 quality grid
     #     (≤1e6 values), and its consumers;
     #   * post-LIMIT winner tables: vocab_tokenize_ids assigns ids by
-    #     ranking the ≤VOCAB_TOP-row vocab.
+    #     ranking the ≤VOCAB_TOP-row vocab;
+    #   * calendar-bounded day tables: orders_open_backlog cumulates
+    #     one row per calendar day — bounded by the time span (years),
+    #     not the corpus.
     bounded_ok = {
         "orders_pareto_share",
         "window_ntile",
@@ -703,6 +706,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "orders_rfm_segments",
         "quality_deciles",
         "vocab_tokenize_ids",
+        "orders_open_backlog",
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
