@@ -1130,6 +1130,165 @@ GROUP BY source, bucket
 """
 
 
+def vocab_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies spectrum: how many distinct
+    token types occur ``2^(b−1) ≤ cnt < 2^b`` times, and what share
+    of the total token mass that bucket carries — the Zipf sanity
+    check ("is the head eating the corpus, is the singleton tail
+    bloated") that sizes vocabularies and smoothing cutoffs.
+
+    Buckets reuse doc_length_histogram's binary-representation-length
+    trick, so bucket assignment is EXACT integer math in both
+    engines. Shuffle ledger: wordcount (map-side-combined groupBy
+    tok), then a rollup to ≤64 bucket rows and a 1-row total-mass
+    broadcast for the share — nothing after the wordcount exceeds 64
+    rows.
+    """
+    toks = _doc_tokens(load_table(spark, sf_dir, "documents")).select(
+        F.explode("toks").alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    spec = (
+        counts.select(
+            F.length(
+                F.conv(F.col("cnt").cast("string"), 10, 2)
+            ).alias("bucket"),
+            "cnt",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("cnt").alias("token_mass"),
+        )
+    )
+    total = spec.agg(F.sum("token_mass").alias("total_mass"))
+    return spec.join(F.broadcast(total)).select(
+        "bucket",
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)").alias("freq_lo"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1").alias("freq_hi"),
+        "n_types",
+        "token_mass",
+        F.round(
+            F.col("token_mass").cast("double")
+            / F.col("total_mass").cast("double"),
+            6,
+        ).alias("mass_share"),
+    )
+
+
+VOCAB_FREQ_SPECTRUM_ORACLE = """
+WITH counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY tok
+), spec AS (
+  SELECT CAST(length(bin(cnt)) AS INTEGER) AS bucket,
+         COUNT(*) AS n_types,
+         CAST(SUM(cnt) AS BIGINT) AS token_mass
+  FROM counts GROUP BY 1
+), total AS (SELECT SUM(token_mass) AS total_mass FROM spec)
+SELECT bucket,
+       (CAST(1 AS BIGINT) << (bucket - 1)) AS freq_lo,
+       (CAST(1 AS BIGINT) << bucket) - 1 AS freq_hi,
+       n_types, token_mass,
+       ROUND(CAST(token_mass AS DOUBLE) / CAST(total_mass AS DOUBLE), 6)
+         AS mass_share
+FROM spec, total
+"""
+
+
+#: Batches for the Heaps'-law growth curve (corpus split into equal
+#: doc_id ranges; the curve reports new-type discovery per batch).
+N_GROWTH_BATCHES = 10
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: split the corpus into
+    ``N_GROWTH_BATCHES`` equal doc_id ranges and report, per batch,
+    the new token types first seen there plus cumulative type and
+    token counts — "how fast does the vocabulary still grow" decides
+    whether more crawl yields new language or just more of the same.
+
+    Cumulative-distinct is NOT computed by re-scanning prefixes:
+    each type maps to its ``min(batch)`` (one wordcount-shaped agg),
+    new-type counts roll up per batch, and the cumsum runs over the
+    ≤N_GROWTH_BATCHES-row spine (bounded, allowlisted). Batch
+    assignment is exact integer division against a broadcast 1-row
+    max — no sort, no rank.
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    maxid = docs.agg(F.max("doc_id").alias("max_id"))
+    batched = docs.join(F.broadcast(maxid)).select(
+        F.expr(
+            f"CAST((doc_id * {N_GROWTH_BATCHES}) DIV (max_id + 1) AS INT)"
+        ).alias("batch"),
+        "toks",
+        "n_tokens",
+    )
+    per_batch = batched.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    news = (
+        batched.select("batch", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("n_new_types"))
+    )
+    w = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    new_types = F.coalesce(F.col("n_new_types"), F.lit(0).cast("long"))
+    return (
+        per_batch.join(news, "batch", "left")
+        .select(
+            "batch",
+            "n_docs",
+            "n_tokens",
+            new_types.alias("n_new_types"),
+        )
+        .select(
+            "batch",
+            "n_docs",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            "n_new_types",
+            F.sum("n_new_types").over(w).alias("cum_types"),
+        )
+    )
+
+
+VOCAB_GROWTH_ORACLE = f"""
+WITH m AS (
+  SELECT MAX(doc_id) AS max_id FROM documents WHERE text IS NOT NULL
+), batched AS (
+  SELECT CAST((doc_id * {N_GROWTH_BATCHES}) // (max_id + 1) AS INTEGER)
+           AS batch,
+         regexp_split_to_array(TRIM(text), '\\s+') AS l
+  FROM documents, m WHERE text IS NOT NULL
+), per_batch AS (
+  SELECT batch, COUNT(*) AS n_docs,
+         CAST(SUM(len(l)) AS BIGINT) AS n_tokens
+  FROM batched GROUP BY 1
+), news AS (
+  SELECT batch, COUNT(*) AS n_new_types FROM (
+    SELECT tok, MIN(batch) AS batch
+    FROM (SELECT batch, unnest(l) AS tok FROM batched)
+    GROUP BY tok
+  ) GROUP BY batch
+)
+SELECT p.batch, p.n_docs, p.n_tokens,
+       CAST(SUM(p.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(COALESCE(n.n_new_types, 0) AS BIGINT) AS n_new_types,
+       CAST(SUM(COALESCE(n.n_new_types, 0)) OVER w AS BIGINT)
+         AS cum_types
+FROM per_batch p LEFT JOIN news n ON n.batch = p.batch
+WINDOW w AS (ORDER BY p.batch ROWS UNBOUNDED PRECEDING)
+"""
+
+
 def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signal-calibration audit: per language, the Pearson correlation
     between the heuristic quality score and the unigram-LM
@@ -1302,5 +1461,17 @@ QUERIES: list[QueryDef] = [
         quality_signal_correlation,
         QUALITY_XENT_CORR_ORACLE,
         "per-language Pearson correlation of quality score vs unigram xent",
+    ),
+    QueryDef(
+        "vocab_freq_spectrum",
+        vocab_freq_spectrum,
+        VOCAB_FREQ_SPECTRUM_ORACLE,
+        "token frequency-of-frequencies spectrum (Zipf head/tail audit)",
+    ),
+    QueryDef(
+        "vocab_growth_curve",
+        vocab_growth_curve,
+        VOCAB_GROWTH_ORACLE,
+        "Heaps'-law vocabulary growth per corpus batch (min-batch trick)",
     ),
 ]

@@ -72,7 +72,8 @@ class QueryDef:
 #:
 #: ROUND-5 ROTATION QUEUE: pipeline_media_corpus, text_char_entropy,
 #: customer_order_gap_quantiles, events_error_share_daily,
-#: events_wow_change, orders_open_backlog (added after the round-4
+#: events_wow_change, orders_open_backlog, text_type_token_ratio,
+#: vocab_freq_spectrum, vocab_growth_curve (added after the round-4
 #: window filled — the only operators without
 #: driver rows); then (a) any operators added in round 5 (first-time checks beat
 #: re-checks), (b) re-checks for any query whose module changes, and

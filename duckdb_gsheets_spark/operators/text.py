@@ -1087,9 +1087,73 @@ GROUP BY c.doc_id, t.n, t.n_distinct_chars
 """
 
 
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: token count, distinct-type
+    count, type-token ratio, and the hapax share (types occurring
+    exactly once in the doc). Low TTR flags keyword-stuffed or
+    looping generations; a high hapax share on a long doc flags
+    OCR noise — the pair is a standard curation signal next to
+    text_repetition_ratio's n-gram view.
+
+    Shuffle ledger: explode → groupBy(doc_id, tok) with map-side
+    combine (the wordcount shape), then a second map-side-combined
+    rollup to one row per doc. Nothing wider than the token stream
+    ever shuffles, and both aggs partial-combine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    per_tok = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_tok.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("ttr"),
+        F.sum((F.col("cnt") == 1).cast("int")).alias("n_hapax"),
+        F.round(
+            F.sum((F.col("cnt") == 1).cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_share"),
+    )
+
+
+TEXT_TTR_ORACLE = """
+WITH per_tok AS (
+  SELECT doc_id, lang, tok, COUNT(*) AS cnt
+  FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS tok
+    FROM documents
+  )
+  GROUP BY doc_id, lang, tok
+)
+SELECT doc_id, lang,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+         AS ttr,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+FROM per_tok
+GROUP BY doc_id, lang
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
     QueryDef("text_char_entropy", text_char_entropy, TEXT_CHAR_ENTROPY_ORACLE, "per-doc character-level Shannon entropy (garbage detector)"),
+    QueryDef("text_type_token_ratio", text_type_token_ratio, TEXT_TTR_ORACLE, "per-doc type-token ratio + hapax share (lexical-diversity signal)"),
     QueryDef("winnowing_fingerprints", winnowing_fingerprints, WINNOWING_ORACLE, "MOSS winnowing rolling-hash document fingerprints"),
     QueryDef("bpe_merge_candidates", bpe_merge_candidates, BPE_MERGE_ORACLE, "first-iteration BPE merge-pair mining over the weighted word table"),
     QueryDef("lang_char_trigram_profile", lang_char_trigram_profile, LANG_TRIGRAM_ORACLE, "per-language char-trigram profile (lang-ID training side)"),

@@ -3667,3 +3667,113 @@ def test_events_wow_change_matches_python(spark):
     assert got == expected
     assert any(p is None for _, p, _ in got.values())
     assert any(p is not None for _, p, _ in got.values())
+
+
+def test_text_type_token_ratio_matches_python(spark):
+    """Per-doc TTR/hapax against a Counter replay."""
+    import re
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.text import text_type_token_ratio
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.n_types, r.ttr, r.n_hapax, r.hapax_share)
+        for r in text_type_token_ratio(spark, SF).collect()
+    }
+    expected = {}
+    for r in load_table(spark, SF, "documents").collect():
+        if r.text is None:
+            continue
+        c = Counter(re.split(r"\s+", r.text.strip().lower()))
+        total = sum(c.values())
+        types = len(c)
+        hapax = sum(1 for v in c.values() if v == 1)
+        expected[r.doc_id] = (
+            r.lang, total, types, round(types / total, 6),
+            hapax, round(hapax / types, 6),
+        )
+    assert got == expected
+    assert all(t[3] <= 1.0 for t in got.values())
+
+
+def test_vocab_freq_spectrum_matches_python(spark):
+    """Frequency-of-frequencies spectrum against a Counter replay;
+    bucket boundaries are exact powers of two and the mass shares sum
+    to 1."""
+    import re
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.curation import vocab_freq_spectrum
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = vocab_freq_spectrum(spark, SF).collect()
+    got = {
+        r.bucket: (r.freq_lo, r.freq_hi, r.n_types, r.token_mass, r.mass_share)
+        for r in rows
+    }
+    counts = Counter()
+    for r in load_table(spark, SF, "documents").collect():
+        if r.text is not None:
+            counts.update(re.split(r"\s+", r.text.strip()))
+    spec = Counter()
+    mass = Counter()
+    for cnt in counts.values():
+        b = cnt.bit_length()
+        spec[b] += 1
+        mass[b] += cnt
+    total = sum(mass.values())
+    expected = {
+        b: (1 << (b - 1), (1 << b) - 1, spec[b], mass[b],
+            round(mass[b] / total, 6))
+        for b in spec
+    }
+    assert got == expected
+    assert abs(sum(r.mass_share for r in rows) - 1.0) < 1e-4
+
+
+def test_vocab_growth_curve_matches_python(spark):
+    """Heaps'-law curve against a set-union replay: per-batch new
+    types must equal the delta of the cumulative distinct vocabulary,
+    which the min-batch trick is supposed to reproduce without
+    prefix re-scans."""
+    import re
+
+    from duckdb_gsheets_spark.operators.curation import (
+        N_GROWTH_BATCHES,
+        vocab_growth_curve,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = sorted(
+        vocab_growth_curve(spark, SF).collect(), key=lambda r: r.batch
+    )
+    docs = [
+        (r.doc_id, re.split(r"\s+", r.text.strip()))
+        for r in load_table(spark, SF, "documents").collect()
+        if r.text is not None
+    ]
+    max_id = max(d for d, _ in docs)
+    batches = {}
+    for d, toks in docs:
+        batches.setdefault(
+            (d * N_GROWTH_BATCHES) // (max_id + 1), []
+        ).append(toks)
+    seen = set()
+    cum_toks = 0
+    expected = []
+    for b in sorted(batches):
+        n_docs = len(batches[b])
+        n_tokens = sum(len(t) for t in batches[b])
+        cum_toks += n_tokens
+        before = len(seen)
+        for t in batches[b]:
+            seen.update(t)
+        expected.append(
+            (b, n_docs, n_tokens, cum_toks, len(seen) - before, len(seen))
+        )
+    assert [
+        (r.batch, r.n_docs, r.n_tokens, r.cum_tokens, r.n_new_types, r.cum_types)
+        for r in rows
+    ] == expected
+    assert rows[-1].cum_types == len(seen)

@@ -661,6 +661,8 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "text_bigram_xent",         # 1-row vocab-size broadcast
         "label_centroid_similarity",  # |labels|²-bounded centroid self-join
         "quality_signal_correlation",  # composes xent's 1-row totals broadcast
+        "vocab_freq_spectrum",      # 1-row total-mass broadcast
+        "vocab_growth_curve",       # 1-row max-doc_id broadcast
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
@@ -697,7 +699,9 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
     #     ranking the ≤VOCAB_TOP-row vocab;
     #   * calendar-bounded day tables: orders_open_backlog cumulates
     #     one row per calendar day — bounded by the time span (years),
-    #     not the corpus.
+    #     not the corpus;
+    #   * fixed-batch spines: vocab_growth_curve cumulates over
+    #     ≤N_GROWTH_BATCHES rows.
     bounded_ok = {
         "orders_pareto_share",
         "window_ntile",
@@ -707,6 +711,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "quality_deciles",
         "vocab_tokenize_ids",
         "orders_open_backlog",
+        "vocab_growth_curve",
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
