@@ -1363,6 +1363,52 @@ GROUP BY t.lang
 """
 
 
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the transitive near-dup
+    components: for each size, how many clusters, how many documents
+    they hold, and how many a keep-one-survivor pass removes. The
+    shape of this histogram is the dedup tuning dial — a fat tail of
+    giant clusters means boilerplate/templating (tighten the
+    threshold or shard the survivors), all-singletons means the pass
+    is a no-op.
+
+    Composition cost on top of :func:`dedup_clusters`: one
+    |components|-row rollup then one ≤|distinct sizes|-row rollup —
+    both map-side-combined, output bounded far below corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _minhash_cluster_labels(docs)
+    sizes = labels.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size")).alias("n_docs"),
+            (
+                F.col("n_clusters") * (F.col("cluster_size") - F.lit(1))
+            ).alias("n_removed"),
+        )
+    )
+
+
+DEDUP_SIZE_HIST_ORACLE = f"""
+WITH RECURSIVE {_minhash_core_sql()},
+{_CC_LABELS_SQL},
+cc_sizes AS (
+  SELECT comp, COUNT(*) AS cluster_size FROM cc_labels GROUP BY comp
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       COUNT(*) * cluster_size AS n_docs,
+       COUNT(*) * (cluster_size - 1) AS n_removed
+FROM cc_sizes
+GROUP BY cluster_size
+"""
+
+
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance-leakage matrix: which SOURCES near-duplicate each
     other. Every verified MinHash near-dup pair maps to its endpoint
@@ -1971,6 +2017,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("simhash_calibration", simhash_calibration, SIMHASH_CALIBRATION_ORACLE, "SimHash Hamming vs exact Jaccard calibration"),
     QueryDef("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE, "transitive near-dup clusters via recursive min-label CTE"),
     QueryDef("dedup_savings_report", dedup_savings_report, DEDUP_SAVINGS_ORACLE, "per-language doc/token retention after transitive dedup"),
+    QueryDef("dedup_cluster_size_hist", dedup_cluster_size_hist, DEDUP_SIZE_HIST_ORACLE, "cluster-size histogram of transitive near-dup components"),
     QueryDef("source_overlap_matrix", source_overlap_matrix, SOURCE_OVERLAP_ORACLE, "cross-source near-dup provenance-leakage matrix"),
     QueryDef("doc_ngram_novelty", doc_ngram_novelty, DOC_NOVELTY_ORACLE, "per-doc share of corpus-unique 3-gram shingles (novelty signal)"),
     QueryDef("dedup_threshold_sweep", dedup_threshold_sweep, DEDUP_SWEEP_ORACLE, "Jaccard-bar calibration table over one verified candidate pass"),

@@ -593,3 +593,35 @@ def streaming_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target").cast("string").alias("day"), "kind"
     ).agg(F.count(F.lit(1)).alias("n_users"))
     return run_to_memory(counts, output_mode="complete")
+
+
+def streaming_error_share_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of operators.events.events_error_share_daily:
+    the live reliability timeline. Streaming allows ONE stateful
+    aggregation and no COUNT DISTINCT, so the three measures ride a
+    kind tag in long format (the streaming_active_users pattern):
+    every event contributes an ``n_events`` row, error events an
+    ``n_errors`` row, and the distinct-users measure is a stateful
+    ``dropDuplicates`` on (day, user) BEFORE its contribution row —
+    state is one entry per (day, error-user), bounded by users ×
+    days, not events. One complete-mode count per (day, kind).
+    """
+    stream = read_events_stream(spark, sf_dir)
+    day = F.to_date("ts").cast("string").alias("day")
+    ev = stream.select(day, F.lit("n_events").alias("kind"))
+    err = stream.where(F.col("event_type") == "error")
+    er = err.select(day, F.lit("n_errors").alias("kind"))
+    eu = (
+        err.select(day, "user_id")
+        .dropDuplicates(["day", "user_id"])
+        .select("day", F.lit("n_users_affected").alias("kind"))
+    )
+    counts = (
+        ev.unionAll(er)
+        .unionAll(eu)
+        .groupBy("day", "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return run_to_memory(counts, output_mode="complete")

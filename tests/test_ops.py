@@ -3777,3 +3777,32 @@ def test_vocab_growth_curve_matches_python(spark):
         for r in rows
     ] == expected
     assert rows[-1].cum_types == len(seen)
+
+
+def test_dedup_cluster_size_hist_matches_clusters(spark):
+    """The histogram must be exactly the size distribution of
+    dedup_clusters' components, and its doc mass must cover the
+    corpus."""
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        dedup_cluster_size_hist,
+        dedup_clusters,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.cluster_size: (r.n_clusters, r.n_docs, r.n_removed)
+        for r in dedup_cluster_size_hist(spark, SF).collect()
+    }
+    sizes = Counter(
+        r.cluster_size
+        for r in dedup_clusters(spark, SF).collect()
+        if r.is_survivor
+    )
+    expected = {
+        s: (n, n * s, n * (s - 1)) for s, n in sizes.items()
+    }
+    assert got == expected
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(d for _, d, _ in got.values()) == n_docs

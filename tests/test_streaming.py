@@ -329,3 +329,26 @@ def test_streaming_active_users_matches_batch(spark):
         expected[(r.day, "wau")] = r.wau
         expected[(r.day, "mau")] = r.mau
     assert got == expected
+
+
+def test_streaming_error_share_matches_batch(spark):
+    """The streaming long-format reliability counts must equal the
+    batch error-share operator's columns for every day."""
+    from duckdb_gsheets_spark.operators.events import (
+        events_error_share_daily,
+    )
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_error_share_counts,
+    )
+
+    got = {
+        (r.day, r.kind): r.n
+        for r in streaming_error_share_counts(spark, SF).collect()
+    }
+    expected = {}
+    for r in events_error_share_daily(spark, SF).collect():
+        expected[(r.day, "n_events")] = r.n_events
+        if r.n_errors:
+            expected[(r.day, "n_errors")] = r.n_errors
+            expected[(r.day, "n_users_affected")] = r.n_users_affected
+    assert got == expected
