@@ -934,6 +934,90 @@ GROUP BY label
 """
 
 
+def knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-prediction probe: predict each query vector's label
+    by majority vote of its exact top-k cosine neighbors — the
+    embedding-quality check ("do neighborhoods agree with labels")
+    run before trusting an embedding space for clustering-based
+    curation, and the exact baseline an approximate-kNN classifier is
+    audited against.
+
+    Deterministic end to end: neighbor ranking reuses
+    :func:`ann_cosine_topk`'s rounded-cosine + vec_id tiebreak, and
+    the vote picks the smallest label on count ties. Shuffle ledger:
+    the heavy work IS the audited top-k scan; after it, the
+    k·|queries|-row neighbor table broadcasts into one corpus-scan
+    label join, then two bounded rollups. Per-query output.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = ann_cosine_topk(spark, sf_dir)
+    neigh = F.broadcast(topk.select("vec_a", "vec_b")).join(
+        emb.select(
+            F.col("vec_id").alias("vec_b"), F.col("label").alias("nb_label")
+        ),
+        "vec_b",
+    )
+    votes = neigh.groupBy("vec_a", "nb_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("vec_a").orderBy(
+        F.desc("votes"), F.col("nb_label")
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_a", F.col("nb_label").alias("pred_label"), "votes")
+    )
+    truth = emb.where(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "vec_a").select(
+        "vec_a",
+        "true_label",
+        "pred_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+KNN_LABEL_PROBE_ORACLE = f"""
+{_ORACLE_VECTOR_CTE},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dp
+  FROM v a JOIN v b ON a.i = b.i
+  WHERE a.vec_id < {N_QUERY_VECTORS} AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT vec_a, vec_b, ROUND(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+), topk AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT vec_a, vec_b,
+           ROW_NUMBER() OVER (PARTITION BY vec_a
+                              ORDER BY cos_sim DESC, vec_b) AS rank
+    FROM scored
+  ) WHERE rank <= {TOPK_K}
+), votes AS (
+  SELECT t.vec_a, e.label AS nb_label, COUNT(*) AS votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.vec_b
+  GROUP BY 1, 2
+), pred AS (
+  SELECT vec_a, nb_label AS pred_label, CAST(votes AS BIGINT) AS votes
+  FROM (
+    SELECT vec_a, nb_label, votes,
+           ROW_NUMBER() OVER (PARTITION BY vec_a
+                              ORDER BY votes DESC, nb_label) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT p.vec_a, q.label AS true_label, p.pred_label, p.votes,
+       p.pred_label = q.label AS correct
+FROM pred p JOIN embeddings q ON q.vec_id = p.vec_a
+"""
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k audit of the approximate ANN paths against the exact
     brute-force baseline — the acceptance gate run before routing
@@ -1416,4 +1500,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("ann_pq_adc_topk", ann_pq_adc_topk, _pq_oracle(), "product-quantization ADC top-k (32x-compressed scan)"),
     QueryDef("ann_recall_report", ann_recall_report, _recall_oracle(), "recall@k audit of LSH/IVF vs exact baseline"),
     QueryDef("ann_nprobe_recall_curve", ann_nprobe_recall_curve, _nprobe_curve_oracle(), "IVF recall-vs-probe-depth tuning curve"),
+    QueryDef("knn_label_probe", knn_label_probe, KNN_LABEL_PROBE_ORACLE, "k-NN majority-vote label prediction probe (embedding-quality gate)"),
 ]

@@ -3806,3 +3806,44 @@ def test_dedup_cluster_size_hist_matches_clusters(spark):
     assert got == expected
     n_docs = load_table(spark, SF, "documents").count()
     assert sum(d for _, d, _ in got.values()) == n_docs
+
+
+def test_knn_label_probe_matches_numpy(spark):
+    """Majority-vote kNN against a numpy brute-force replay with the
+    same rounded-cosine ranking and smallest-label tiebreaks."""
+    from collections import Counter
+
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.similarity import (
+        N_QUERY_VECTORS,
+        TOPK_K,
+        knn_label_probe,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.vec_a: (r.true_label, r.pred_label, r.votes, r.correct)
+        for r in knn_label_probe(spark, SF).collect()
+    }
+    rows = load_table(spark, SF, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    expected = {}
+    for qid in range(N_QUERY_VECTORS):
+        q = vecs[qid]
+        qn = np.sqrt(np.dot(q, q))
+        scored = sorted(
+            (
+                (-round(float(np.dot(q, v) / (qn * np.sqrt(np.dot(v, v)))), 6), b)
+                for b, v in vecs.items()
+                if b != qid
+            )
+        )[:TOPK_K]
+        votes = Counter(labels[b] for _, b in scored)
+        best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+        expected[qid] = (
+            labels[qid], best[0], best[1], best[0] == labels[qid]
+        )
+    assert got == expected
+    assert len(got) == N_QUERY_VECTORS
