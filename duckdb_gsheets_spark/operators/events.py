@@ -1371,6 +1371,75 @@ WINDOW w AS (PARTITION BY event_type ORDER BY wk)
 """
 
 
+def events_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn ledger: per Monday-start week, active users, how
+    many of them churn (no activity the following week), how many are
+    brand new, and how many resurrect after a gap — the lifecycle
+    split behind every retention dashboard. The final data week
+    reports everyone as churned (there is no following week yet);
+    dashboards grey that column out, the number itself is exact.
+
+    Computed from ONE lag/lead window over the distinct (user, week)
+    activity table — never a week-vs-week self-join (which would
+    shuffle the user set once per week pair). Shuffle ledger:
+    map-side-combined distinct on (user_id, week), one user-partitioned
+    window pass, one bounded |weeks|-row rollup.
+    """
+    events = load_table(spark, sf_dir, "events")
+    uw = events.select(
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+        "user_id",
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    flags = uw.select(
+        "wk",
+        F.lead("wk").over(w).alias("next_wk"),
+        F.lag("wk").over(w).alias("prev_wk"),
+    )
+    churned = F.col("next_wk").isNull() | (
+        F.datediff("next_wk", "wk") > 7
+    )
+    new = F.col("prev_wk").isNull()
+    resurrected = F.col("prev_wk").isNotNull() & (
+        F.datediff("wk", "prev_wk") > 7
+    )
+    return flags.groupBy(F.col("wk").cast("string").alias("week")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(churned.cast("int")).alias("n_churned"),
+        F.round(
+            F.sum(churned.cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("churn_rate"),
+        F.sum(new.cast("int")).alias("n_new"),
+        F.sum(resurrected.cast("int")).alias("n_resurrected"),
+    )
+
+
+EVENTS_CHURN_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk, user_id
+  FROM events
+), fl AS (
+  SELECT wk, LEAD(wk) OVER w AS next_wk, LAG(wk) OVER w AS prev_wk
+  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY wk)
+)
+SELECT CAST(wk AS VARCHAR) AS week,
+       COUNT(*) AS n_active,
+       CAST(SUM(CASE WHEN next_wk IS NULL OR next_wk - wk > 7
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       ROUND(CAST(SUM(CASE WHEN next_wk IS NULL OR next_wk - wk > 7
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS churn_rate,
+       CAST(SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN prev_wk IS NOT NULL AND wk - prev_wk > 7
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+FROM fl
+GROUP BY wk
+"""
+
+
 #: MAD outlier bar: |value − median| > MAD_K · (1.4826 · MAD) — the
 #: robust-z equivalent of the z-score detector's 3σ.
 MAD_K = 3.0
@@ -1676,4 +1745,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_anomaly_mad", events_anomaly_mad, EVENTS_MAD_ORACLE, "robust median/MAD outlier detection (heavy-tail-safe)"),
     QueryDef("events_error_share_daily", events_error_share_daily, EVENTS_ERROR_SHARE_ORACLE, "daily error share + distinct users affected (reliability timeline)"),
     QueryDef("events_wow_change", events_wow_change, EVENTS_WOW_ORACLE, "week-over-week volume change per event type (lag window, no self-join)"),
+    QueryDef("events_churn_weekly", events_churn_weekly, EVENTS_CHURN_ORACLE, "weekly churn/new/resurrected lifecycle ledger (one user window pass)"),
 ]

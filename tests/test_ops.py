@@ -3847,3 +3847,44 @@ def test_knn_label_probe_matches_numpy(spark):
         )
     assert got == expected
     assert len(got) == N_QUERY_VECTORS
+
+
+def test_events_churn_weekly_matches_python(spark):
+    """Lifecycle ledger against a per-user week-set replay, plus the
+    conservation law: new + resurrected + continuing = active."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from duckdb_gsheets_spark.operators.events import events_churn_weekly
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.week: (r.n_active, r.n_churned, r.churn_rate, r.n_new, r.n_resurrected)
+        for r in events_churn_weekly(spark, SF).collect()
+    }
+    user_weeks = defaultdict(set)
+    for r in load_table(spark, SF, "events").collect():
+        d = r.ts.date()
+        user_weeks[r.user_id].add(d - timedelta(days=d.weekday()))
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # active, churned, new, res
+    for weeks in user_weeks.values():
+        ordered = sorted(weeks)
+        for i, wk in enumerate(ordered):
+            c = cells[str(wk)]
+            c[0] += 1
+            nxt = ordered[i + 1] if i + 1 < len(ordered) else None
+            if nxt is None or (nxt - wk).days > 7:
+                c[1] += 1
+            if i == 0:
+                c[2] += 1
+            elif (wk - ordered[i - 1]).days > 7:
+                c[3] += 1
+    expected = {
+        wk: (a, ch, round(ch / a, 6), nw, rs)
+        for wk, (a, ch, nw, rs) in cells.items()
+    }
+    assert got == expected
+    # Conservation: every active user is new, resurrected, or continuing
+    # from exactly the previous week; check via the complement count.
+    for wk, (a, ch, rate, nw, rs) in got.items():
+        assert 0 <= nw + rs <= a
