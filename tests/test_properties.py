@@ -239,13 +239,22 @@ def test_scd2_intervals_partition_versions_exactly(spark, seqs):
 def test_round_half_away_matches_duckdb_round(x, ndigits):
     """determinism.round_half_away must equal DuckDB's ROUND for any
     double and scale — including exact .5 ties, where Python's builtin
-    half-even round() diverges."""
+    half-even round() diverges.
+
+    The value MUST reach DuckDB as a bound DOUBLE parameter, not an
+    interpolated SQL literal: a literal like 900719925.5925565 parses
+    as DECIMAL(16,7) first, and when the decimal's scaled integer
+    exceeds 2^53 the DECIMAL→DOUBLE cast lands on a DIFFERENT double
+    than Python's correctly-rounded float() — the comparison would
+    then test two different inputs. (Engine-side this path never
+    occurs: oracle queries read doubles from parquet, bit-exact.)
+    """
     import duckdb
 
     from duckdb_gsheets_spark.operators.determinism import round_half_away
 
     got = round_half_away(x, ndigits)
-    expected = duckdb.sql(
-        f"SELECT ROUND(CAST({x!r} AS DOUBLE), {ndigits})"
+    expected = duckdb.execute(
+        f"SELECT ROUND(CAST(? AS DOUBLE), {ndigits})", [x]
     ).fetchone()[0]
     assert got == expected
