@@ -1087,6 +1087,111 @@ GROUP BY c.doc_id, t.n, t.n_distinct_chars
 """
 
 
+#: Blocklist for the screening stage. Deliberately mixes a term the
+#: synthetic corpus contains with terms it doesn't, so the zero-hit
+#: path (LEFT join + coalesce) is exercised, not just the hot path.
+BLOCKLIST_TERMS = ("slow", "skew", "spill")
+
+
+def text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist screening report per source — the pipeline
+    stage that runs toxicity/NSFW/PII wordlists over a crawl and
+    answers "which feeds are dirty, how dirty, and with what". Per
+    source: total docs, flagged docs (≥1 blocklisted token), flag
+    rate, total hits, and the dominant blocked term (count-desc,
+    term-asc tiebreak).
+
+    The blocklist is a LITERAL IN-list (real lists are 10²–10⁴ terms
+    — still a broadcast-scale constant), so the match is a narrow
+    scan-side filter: no join touches the corpus. Shuffle ledger:
+    everything after the filter is |sources|-bounded rollups; the
+    final assembly joins |sources|-row tables.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.where(F.col("text").isNotNull()).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    hits = docs.select(
+        "doc_id",
+        "source",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"),
+    ).where(F.col("tok").isin(*BLOCKLIST_TERMS))
+    by_src = hits.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs_flagged"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("term_hits"), F.col("tok")
+    )
+    top = (
+        hits.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("term_hits"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("source", F.col("tok").alias("top_term"), "term_hits")
+    )
+    return (
+        totals.join(by_src, "source", "left")
+        .join(top, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_docs_flagged", F.lit(0).cast("long")).alias(
+                "n_docs_flagged"
+            ),
+            F.round(
+                F.coalesce("n_docs_flagged", F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("flag_rate"),
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            "top_term",
+            F.coalesce("term_hits", F.lit(0).cast("long")).alias(
+                "top_term_hits"
+            ),
+        )
+    )
+
+
+_BLOCKLIST_SQL = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+
+TEXT_BLOCKLIST_ORACLE = f"""
+WITH hits AS (
+  SELECT doc_id, source, tok FROM (
+    SELECT doc_id, source,
+           unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok IN ({_BLOCKLIST_SQL})
+), totals AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents
+  WHERE text IS NOT NULL GROUP BY source
+), by_src AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs_flagged,
+         COUNT(*) AS n_hits
+  FROM hits GROUP BY source
+), top AS (
+  SELECT source, tok AS top_term, term_hits FROM (
+    SELECT source, tok, COUNT(*) AS term_hits,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY COUNT(*) DESC, tok) AS rk
+    FROM hits GROUP BY source, tok
+  ) WHERE rk = 1
+)
+SELECT t.source, t.n_docs,
+       CAST(COALESCE(b.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged,
+       ROUND(CAST(COALESCE(b.n_docs_flagged, 0) AS DOUBLE)
+             / CAST(t.n_docs AS DOUBLE), 6) AS flag_rate,
+       CAST(COALESCE(b.n_hits, 0) AS BIGINT) AS n_hits,
+       p.top_term,
+       CAST(COALESCE(p.term_hits, 0) AS BIGINT) AS top_term_hits
+FROM totals t
+LEFT JOIN by_src b ON b.source = t.source
+LEFT JOIN top p ON p.source = t.source
+"""
+
+
 def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document lexical diversity: token count, distinct-type
     count, type-token ratio, and the hapax share (types occurring
@@ -1154,6 +1259,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
     QueryDef("text_char_entropy", text_char_entropy, TEXT_CHAR_ENTROPY_ORACLE, "per-doc character-level Shannon entropy (garbage detector)"),
     QueryDef("text_type_token_ratio", text_type_token_ratio, TEXT_TTR_ORACLE, "per-doc type-token ratio + hapax share (lexical-diversity signal)"),
+    QueryDef("text_blocklist_screen", text_blocklist_screen, TEXT_BLOCKLIST_ORACLE, "per-source term-blocklist screening report (narrow literal IN filter)"),
     QueryDef("winnowing_fingerprints", winnowing_fingerprints, WINNOWING_ORACLE, "MOSS winnowing rolling-hash document fingerprints"),
     QueryDef("bpe_merge_candidates", bpe_merge_candidates, BPE_MERGE_ORACLE, "first-iteration BPE merge-pair mining over the weighted word table"),
     QueryDef("lang_char_trigram_profile", lang_char_trigram_profile, LANG_TRIGRAM_ORACLE, "per-language char-trigram profile (lang-ID training side)"),

@@ -3888,3 +3888,47 @@ def test_events_churn_weekly_matches_python(spark):
     # from exactly the previous week; check via the complement count.
     for wk, (a, ch, rate, nw, rs) in got.items():
         assert 0 <= nw + rs <= a
+
+
+def test_text_blocklist_screen_matches_python(spark):
+    """Blocklist screen against a Counter replay; absent terms must
+    surface through the zero-hit LEFT-join path, and the flag rate is
+    bounded by 1."""
+    import re
+    from collections import Counter, defaultdict
+
+    from duckdb_gsheets_spark.operators.text import (
+        BLOCKLIST_TERMS,
+        text_blocklist_screen,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.source: (r.n_docs, r.n_docs_flagged, r.flag_rate, r.n_hits,
+                   r.top_term, r.top_term_hits)
+        for r in text_blocklist_screen(spark, SF).collect()
+    }
+    n_docs = Counter()
+    flagged = defaultdict(set)
+    hits = Counter()
+    term_hits = Counter()
+    for r in load_table(spark, SF, "documents").collect():
+        if r.text is None:
+            continue
+        n_docs[r.source] += 1
+        for tok in re.split(r"\s+", r.text.strip().lower()):
+            if tok in BLOCKLIST_TERMS:
+                flagged[r.source].add(r.doc_id)
+                hits[r.source] += 1
+                term_hits[(r.source, tok)] += 1
+    expected = {}
+    for src, n in n_docs.items():
+        fl = len(flagged[src])
+        per_term = sorted(
+            ((t, c) for (s, t), c in term_hits.items() if s == src),
+            key=lambda tc: (-tc[1], tc[0]),
+        )
+        top, top_n = per_term[0] if per_term else (None, 0)
+        expected[src] = (n, fl, round(fl / n, 6), hits[src], top, top_n)
+    assert got == expected
+    assert all(0.0 <= t[2] <= 1.0 for t in got.values())

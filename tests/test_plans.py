@@ -732,3 +732,39 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         and not _unpartitioned_windows(_registry_plans(spark)[n])
     ]
     assert not stale, f"allowlist entries no longer needed: {stale}"
+
+
+def test_churn_ledger_single_user_window_no_self_join(spark):
+    """events_churn_weekly: one user-partitioned window pass — no
+    week-vs-week self-join of the activity table (zero joins at all),
+    and the distinct collapses map-side before the user shuffle."""
+    plan = _plan(spark, "events_churn_weekly")
+    assert "hashpartitioning(user_id" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan, f"unexpected {join} in churn plan"
+
+
+def test_wow_change_window_partitioned_by_type(spark):
+    """events_wow_change: the lag window is partitioned (bounded
+    per-type weekly rows), never a global sort."""
+    plan = _plan(spark, "events_wow_change")
+    assert "hashpartitioning(event_type" in plan
+    assert not _unpartitioned_windows(plan)
+
+
+def test_open_backlog_aggregates_lineitem_before_join(spark):
+    """orders_open_backlog: the last-ship lookup must partial-agg
+    lineitem (map-side combine on l_orderkey) before the orders join —
+    the join sides are order-grain, not line-grain."""
+    plan = _plan(spark, "orders_open_backlog")
+    assert "partial_max" in plan.lower() or "partial max" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_probe_broadcasts_neighbor_table(spark):
+    """knn_label_probe: after the audited top-k scan, the label
+    attach must broadcast the bounded neighbor/truth tables — the
+    corpus is never hash-exchanged for the vote joins."""
+    plan = _plan(spark, "knn_label_probe")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
