@@ -1085,6 +1085,110 @@ LIMIT {BASKET_TOPK}
 """
 
 
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule stage on top of :func:`basket_part_pairs`:
+    for the top-support co-purchase pairs, the lift
+    (``N·supp_ab / (supp_a·supp_b)``) and both directional
+    confidences — the numbers that separate "bought together because
+    both are popular" from a real association.
+
+    Shuffle ledger: item supports are one map-side-combined rollup of
+    the deduped (order, part) table; the top-K pair table (≤25 rows)
+    then BROADCASTS into two support lookups, and the basket count N
+    is a 1-row broadcast — nothing pair-shaped ever shuffles the
+    corpus again.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item_supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("supp")
+    )
+    n_baskets = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    pairs = basket_part_pairs(spark, sf_dir)
+    return (
+        F.broadcast(pairs)
+        .join(
+            item_supp.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("supp").alias("supp_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            item_supp.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("supp").alias("supp_b"),
+            ),
+            "part_b",
+        )
+        .join(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "supp_a",
+            "supp_b",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_baskets").cast("double")
+                / (
+                    F.col("supp_a").cast("double")
+                    * F.col("supp_b").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("support").cast("double")
+                / F.col("supp_a").cast("double"),
+                6,
+            ).alias("conf_a_to_b"),
+            F.round(
+                F.col("support").cast("double")
+                / F.col("supp_b").cast("double"),
+                6,
+            ).alias("conf_b_to_a"),
+        )
+    )
+
+
+BASKET_LIFT_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+  ORDER BY support DESC, part_a, part_b
+  LIMIT {BASKET_TOPK}
+), item_supp AS (
+  SELECT l_partkey, COUNT(*) AS supp FROM items GROUP BY 1
+), nb AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items
+)
+SELECT p.part_a, p.part_b, p.support,
+       sa.supp AS supp_a, sb.supp AS supp_b,
+       ROUND(CAST(p.support AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+             / (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE)), 6)
+         AS lift,
+       ROUND(CAST(p.support AS DOUBLE) / CAST(sa.supp AS DOUBLE), 6)
+         AS conf_a_to_b,
+       ROUND(CAST(p.support AS DOUBLE) / CAST(sb.supp AS DOUBLE), 6)
+         AS conf_b_to_a
+FROM pairs p
+JOIN item_supp sa ON sa.l_partkey = p.part_a
+JOIN item_supp sb ON sb.l_partkey = p.part_b
+CROSS JOIN nb
+"""
+
+
 #: Fulfilment SLA bar (days from order to line-item ship).
 SLA_DAYS = 60
 
@@ -1308,6 +1412,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("customer_order_gap_quantiles", customer_order_gap_quantiles, CUSTOMER_GAP_ORACLE, "per-segment repeat-order gap quantiles (churn-window input)"),
     QueryDef("order_ship_delay_quantiles", order_ship_delay_quantiles, ORDER_SHIP_DELAY_ORACLE, "per-priority order-to-ship delay quantiles + SLA share"),
     QueryDef("basket_part_pairs", basket_part_pairs, BASKET_ORACLE, "market-basket co-purchase pair support (Apriori pair stage)"),
+    QueryDef("basket_pair_lift", basket_pair_lift, BASKET_LIFT_ORACLE, "association-rule lift/confidence over the top co-purchase pairs"),
     QueryDef("orders_pareto_share", orders_pareto_share, ORDERS_PARETO_ORACLE, "Pareto/Lorenz revenue-concentration deciles (value-level tiling)"),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),
     QueryDef("q8_market_share", q8_market_share, Q8_ORACLE, "TPC-H Q8 share-of-total"),

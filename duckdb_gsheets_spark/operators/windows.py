@@ -194,6 +194,40 @@ FROM customer
 """
 
 
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over an explicit full-partition frame: each order
+    next to its customer's 2nd- and 3rd-largest order value (NULL
+    when the customer has fewer orders) — the "compare to the
+    runner-up" shape dashboards use for concentration checks.
+    Partitioned by customer with a unique tiebreak, so the frame is
+    deterministic and the shuffle is the usual one custkey exchange.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_best"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_best"),
+    )
+
+
+WINDOW_NTH_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_best,
+       NTH_VALUE(o_totalprice, 3) OVER w AS third_best
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-partition-total (whole-partition frame, no ordering)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -308,4 +342,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("window_share_of_total", window_share_of_total, WINDOW_SHARE_ORACLE, "ratio to total"),
     QueryDef("window_first_last", window_first_last, WINDOW_FIRSTLAST_ORACLE, "first/last value"),
     QueryDef("window_percent_rank", window_percent_rank, WINDOW_PCTRANK_ORACLE, "percent_rank/cume_dist"),
+    QueryDef("window_nth_value", window_nth_value, WINDOW_NTH_ORACLE, "nth_value runner-up frame"),
 ]

@@ -3932,3 +3932,58 @@ def test_text_blocklist_screen_matches_python(spark):
         expected[src] = (n, fl, round(fl / n, 6), hits[src], top, top_n)
     assert got == expected
     assert all(0.0 <= t[2] <= 1.0 for t in got.values())
+
+
+def test_window_nth_value_matches_python(spark):
+    """nth_value runner-up frame against a per-customer sort replay."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.windows import window_nth_value
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.o_orderkey: (r.second_best, r.third_best)
+        for r in window_nth_value(spark, SF).collect()
+    }
+    by_cust = defaultdict(list)
+    orders = load_table(spark, SF, "orders").collect()
+    for r in orders:
+        by_cust[r.o_custkey].append((-r.o_totalprice, r.o_orderkey))
+    for r in orders:
+        ranked = sorted(by_cust[r.o_custkey])
+        second = -ranked[1][0] if len(ranked) > 1 else None
+        third = -ranked[2][0] if len(ranked) > 2 else None
+        assert got[r.o_orderkey] == (second, third)
+
+
+def test_basket_pair_lift_matches_python(spark):
+    """Lift/confidence against a set-based replay over the pair and
+    item supports."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.tpch_extra import basket_pair_lift
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = basket_pair_lift(spark, SF).collect()
+    assert rows, "top pair table must be non-empty at the fixture SF"
+    baskets = defaultdict(set)
+    for r in load_table(spark, SF, "lineitem").collect():
+        baskets[r.l_orderkey].add(r.l_partkey)
+    n = len(baskets)
+    supp = defaultdict(int)
+    pair_supp = defaultdict(int)
+    for parts in baskets.values():
+        for p in parts:
+            supp[p] += 1
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair_supp[(a, b)] += 1
+    for r in rows:
+        s = pair_supp[(r.part_a, r.part_b)]
+        assert r.support == s
+        assert r.supp_a == supp[r.part_a]
+        assert r.supp_b == supp[r.part_b]
+        assert r.lift == round(s * n / (supp[r.part_a] * supp[r.part_b]), 6)
+        assert r.conf_a_to_b == round(s / supp[r.part_a], 6)
+        assert r.conf_b_to_a == round(s / supp[r.part_b], 6)

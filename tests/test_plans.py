@@ -664,6 +664,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "vocab_freq_spectrum",      # 1-row total-mass broadcast
         "vocab_growth_curve",       # 1-row max-doc_id broadcast
         "knn_label_probe",          # composes the cosine baseline's query broadcast
+        "basket_pair_lift",         # 1-row basket-count broadcast
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
