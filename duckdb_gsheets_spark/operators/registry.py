@@ -75,9 +75,9 @@ class QueryDef:
 #: events_wow_change, orders_open_backlog, text_type_token_ratio,
 #: vocab_freq_spectrum, vocab_growth_curve, dedup_cluster_size_hist,
 #: knn_label_probe, events_churn_weekly, text_blocklist_screen,
-#: window_nth_value, basket_pair_lift (added after the round-4
-#: window filled — the only
-#: operators without driver rows); then (a) any operators added in round 5 (first-time checks beat
+#: window_nth_value, basket_pair_lift, bootstrap_replicates,
+#: skew_heavy_hitters (added after the round-4 window filled — the
+#: only operators without driver rows); then (a) any operators added in round 5 (first-time checks beat
 #: re-checks), (b) re-checks for any query whose module changes, and
 #: (c) the r1/r2 greens longest out of a checked window (relational
 #: head, tpch_extra mid-battery, events r2 block).

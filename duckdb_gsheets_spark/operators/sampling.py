@@ -92,6 +92,78 @@ WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
 """
 
 
+#: Bootstrap: number of replicates and the md5-prefix keep threshold
+#: ('80' of 16² hex prefixes ⇒ p = 0.5 per replicate).
+BOOTSTRAP_R = 20
+BOOTSTRAP_THRESHOLD = "80"
+
+
+def bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap: ``BOOTSTRAP_R`` hash-Bernoulli
+    half-samples of the corpus, each reporting doc count, total and
+    mean chars — the replicate table a CI or stability estimate is
+    computed from ("does mean doc length move if we resample the
+    crawl"). Hash-keyed (md5 of doc_id:replicate), NOT rand(): the
+    same replicate membership on every run, cluster layout, and
+    engine — which is what makes the statistic auditable.
+
+    Shuffle ledger: the replicate index explodes NARROWLY per row
+    (work is inherently R×, but no join and no extra scan), the
+    filter drops half scan-side, and ONE map-side-combined rollup
+    lands on ``BOOTSTRAP_R`` rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    rep = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_R - 1))).alias(
+            "replicate"
+        ),
+    ).where(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("replicate").cast("string"),
+                )
+            ),
+            1,
+            2,
+        )
+        < F.lit(BOOTSTRAP_THRESHOLD)
+    )
+    return rep.groupBy("replicate").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            F.sum("n_chars").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_chars"),
+    )
+
+
+BOOTSTRAP_ORACLE = f"""
+SELECT r.replicate,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_chars
+FROM documents d
+CROSS JOIN (
+  SELECT CAST(unnest(range(0, {BOOTSTRAP_R})) AS INTEGER) AS replicate
+) r
+WHERE d.text IS NOT NULL
+  AND SUBSTRING(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                    CAST(r.replicate AS VARCHAR)), 1, 2)
+      < '{BOOTSTRAP_THRESHOLD}'
+GROUP BY r.replicate
+"""
+
+
 def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform k-sample: the ``SAMPLE_K`` documents with the smallest
     md5 keys (doc_id tiebreak, though md5 ties are practically
@@ -412,6 +484,7 @@ GROUP BY split
 
 QUERIES: list[QueryDef] = [
     QueryDef("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE, "per-language hash sampling"),
+    QueryDef("bootstrap_replicates", bootstrap_replicates, BOOTSTRAP_ORACLE, "deterministic hash-Bernoulli bootstrap replicates (CI input)"),
     QueryDef("sample_bottom_k", sample_bottom_k, SAMPLE_BOTTOM_K_ORACLE, "bottom-k / KMV uniform sample"),
     QueryDef("sample_weighted_topk", sample_weighted_topk, _weighted_oracle(), "Efraimidis-Spirakis quality-weighted sample"),
     QueryDef("sample_split_assign", sample_split_assign, SPLIT_ASSIGN_ORACLE, "deterministic train/val/test hash split with per-split audit"),

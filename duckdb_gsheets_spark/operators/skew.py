@@ -11,7 +11,7 @@ the unsalted plan, and the DuckDB oracle is simply the plain SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_gsheets_spark.operators.determinism import dsum, oracle_dsum
@@ -100,7 +100,65 @@ GROUP BY c_mktsegment
 """
 
 
+#: Heavy-hitter report size.
+HH_K = 10
+
+
+def skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter key diagnosis: the ``HH_K`` users producing the
+    most events, with each one's share of total traffic — the report
+    read BEFORE choosing a salting factor or an AQE skew threshold
+    (the salted operators above are the cure; this is the diagnosis).
+
+    Shuffle ledger: one map-side-combined count per user, a k-row
+    TakeOrderedAndProject (count-desc, user-asc tiebreak — no global
+    sort), and a 1-row total broadcast for the share. At 100 TB this
+    is the wordcount shape; for sketch-budget regimes the same report
+    drops in as a count-min/SpaceSaving pass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    total = events.agg(F.count(F.lit(1)).alias("n_total"))
+    top = counts.orderBy(F.desc("n_events"), "user_id").limit(HH_K)
+    w = Window.orderBy(F.desc("n_events"), "user_id")
+    return (
+        F.broadcast(top)
+        .join(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("traffic_share"),
+        )
+    )
+
+
+SKEW_HH_ORACLE = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+), total AS (
+  SELECT COUNT(*) AS n_total FROM events
+), top AS (
+  SELECT user_id, n_events FROM counts
+  ORDER BY n_events DESC, user_id LIMIT {HH_K}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id)
+            AS INTEGER) AS rank,
+       user_id, n_events,
+       ROUND(CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         AS traffic_share
+FROM top CROSS JOIN total
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("skew_salted_agg", skew_salted_agg, SKEW_AGG_ORACLE, "two-phase salted hot-key agg"),
     QueryDef("skew_salted_join", skew_salted_join, SKEW_JOIN_ORACLE, "salted skew shuffle join"),
+    QueryDef("skew_heavy_hitters", skew_heavy_hitters, SKEW_HH_ORACLE, "top-k heavy-hitter keys with traffic share (salting diagnosis)"),
 ]

@@ -3987,3 +3987,63 @@ def test_basket_pair_lift_matches_python(spark):
         assert r.lift == round(s * n / (supp[r.part_a] * supp[r.part_b]), 6)
         assert r.conf_a_to_b == round(s / supp[r.part_a], 6)
         assert r.conf_b_to_a == round(s / supp[r.part_b], 6)
+
+
+def test_bootstrap_replicates_matches_python(spark):
+    """Hash-Bernoulli bootstrap against a hashlib replay; every
+    replicate must be non-empty and roughly half the corpus."""
+    import hashlib
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.sampling import (
+        BOOTSTRAP_R,
+        BOOTSTRAP_THRESHOLD,
+        bootstrap_replicates,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.replicate: (r.n_docs, r.total_chars, r.mean_chars)
+        for r in bootstrap_replicates(spark, SF).collect()
+    }
+    cells = defaultdict(lambda: [0, 0])
+    n_corpus = 0
+    for r in load_table(spark, SF, "documents").collect():
+        if r.text is None:
+            continue
+        n_corpus += 1
+        for rep in range(BOOTSTRAP_R):
+            h = hashlib.md5(f"{r.doc_id}:{rep}".encode()).hexdigest()
+            if h[:2] < BOOTSTRAP_THRESHOLD:
+                cells[rep][0] += 1
+                cells[rep][1] += r.n_chars
+    expected = {
+        rep: (n, tc, round(tc / n, 6)) for rep, (n, tc) in cells.items()
+    }
+    assert got == expected
+    assert len(got) == BOOTSTRAP_R
+    assert all(0 < n < n_corpus for n, _, _ in got.values())
+
+
+def test_skew_heavy_hitters_matches_python(spark):
+    """Heavy-hitter report against a Counter replay with the
+    count-desc, user-asc tiebreak."""
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.skew import HH_K, skew_heavy_hitters
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = sorted(
+        skew_heavy_hitters(spark, SF).collect(), key=lambda r: r.rank
+    )
+    counts = Counter()
+    for r in load_table(spark, SF, "events").collect():
+        counts[r.user_id] += 1
+    total = sum(counts.values())
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:HH_K]
+    assert [
+        (r.rank, r.user_id, r.n_events, r.traffic_share) for r in rows
+    ] == [
+        (i + 1, u, n, round(n / total, 6))
+        for i, (u, n) in enumerate(expected)
+    ]

@@ -665,6 +665,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "vocab_growth_curve",       # 1-row max-doc_id broadcast
         "knn_label_probe",          # composes the cosine baseline's query broadcast
         "basket_pair_lift",         # 1-row basket-count broadcast
+        "skew_heavy_hitters",       # 1-row total broadcast
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
@@ -714,6 +715,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "vocab_tokenize_ids",
         "orders_open_backlog",
         "vocab_growth_curve",
+        "skew_heavy_hitters",  # ranks the post-LIMIT ≤HH_K winner table
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
