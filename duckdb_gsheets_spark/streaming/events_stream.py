@@ -625,3 +625,31 @@ def streaming_error_share_counts(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return run_to_memory(counts, output_mode="complete")
+
+
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.skew.skew_heavy_hitters: the live
+    hot-key monitor. The stream maintains ONE complete-mode count per
+    user (the only stateful op — state is |users| counters, the same
+    bound a count-min sketch would relax at extreme cardinality); the
+    k-row ranking and share happen on the materialized sink, which is
+    already a bounded batch table.
+    """
+    from duckdb_gsheets_spark.operators.skew import HH_K
+
+    stream = read_events_stream(spark, sf_dir)
+    counts = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    sink = run_to_memory(counts, output_mode="complete")
+    total = sink.agg(F.sum("n_events").alias("n_total"))
+    top = sink.orderBy(F.desc("n_events"), "user_id").limit(HH_K)
+    return F.broadcast(top).join(F.broadcast(total)).select(
+        "user_id",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double")
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("traffic_share"),
+    )

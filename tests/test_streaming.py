@@ -352,3 +352,22 @@ def test_streaming_error_share_matches_batch(spark):
             expected[(r.day, "n_errors")] = r.n_errors
             expected[(r.day, "n_users_affected")] = r.n_users_affected
     assert got == expected
+
+
+def test_streaming_heavy_hitters_matches_batch(spark):
+    """The streaming hot-key monitor must equal the batch heavy-hitter
+    report (modulo the batch rank column)."""
+    from duckdb_gsheets_spark.operators.skew import skew_heavy_hitters
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_heavy_hitters,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.traffic_share)
+        for r in streaming_heavy_hitters(spark, SF).collect()
+    }
+    expected = {
+        r.user_id: (r.n_events, r.traffic_share)
+        for r in skew_heavy_hitters(spark, SF).collect()
+    }
+    assert got == expected
