@@ -1189,6 +1189,90 @@ CROSS JOIN nb
 """
 
 
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-base concentration per nation: the Herfindahl–Hirschman
+    index of supplier revenue shares, supplier count, total revenue,
+    and the largest supplier's share — the risk report behind "is
+    this nation's supply one bankruptcy away from a shortage".
+
+    Exactness: supplier revenues accumulate as long CENTS (the
+    determinism contract), and HHI = Σcents² / (Σcents)² is computed
+    on DECIMAL(38,0)/HUGEINT integer sums — no order-dependent double
+    summation anywhere; the two double divisions at the end are in
+    fixed written order. Shuffle ledger: one suppkey-partitioned
+    rollup of lineitem (map-side combined) with the supplier
+    dimension broadcast, then a |nations|-row rollup and a broadcast
+    nation-name join.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.round(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        * F.lit(100.0)
+    ).cast("long")
+    per_supp = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    per_nation = per_supp.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(dec).alias("total_cents"),
+        F.sum(dec * dec).alias("sq_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    total_d = F.col("total_cents").cast("double")
+    return per_nation.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("nation"),
+            )
+        ),
+        "s_nationkey",
+    ).select(
+        "nation",
+        "n_suppliers",
+        (total_d / F.lit(100.0)).alias("revenue"),
+        F.round(
+            F.col("sq_cents").cast("double") / (total_d * total_d), 6
+        ).alias("hhi"),
+        F.round(F.col("max_cents").cast("double") / total_d, 6).alias(
+            "top_share"
+        ),
+    )
+
+
+SUPPLIER_HHI_ORACLE = """
+WITH per_supp AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(SUM(CAST(ROUND((l.l_extendedprice * (1.0 - l.l_discount))
+                             * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+), per_nation AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+         SUM(CAST(cents AS HUGEINT)) AS total_cents,
+         SUM(CAST(cents AS HUGEINT) * cents) AS sq_cents,
+         MAX(cents) AS max_cents
+  FROM per_supp GROUP BY 1
+)
+SELECT n.n_name AS nation, p.n_suppliers,
+       CAST(p.total_cents AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(p.sq_cents AS DOUBLE)
+             / (CAST(p.total_cents AS DOUBLE)
+                * CAST(p.total_cents AS DOUBLE)), 6) AS hhi,
+       ROUND(CAST(p.max_cents AS DOUBLE)
+             / CAST(p.total_cents AS DOUBLE), 6) AS top_share
+FROM per_nation p JOIN nation n ON n.n_nationkey = p.s_nationkey
+"""
+
+
 #: Fulfilment SLA bar (days from order to line-item ship).
 SLA_DAYS = 60
 
@@ -1413,6 +1497,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("order_ship_delay_quantiles", order_ship_delay_quantiles, ORDER_SHIP_DELAY_ORACLE, "per-priority order-to-ship delay quantiles + SLA share"),
     QueryDef("basket_part_pairs", basket_part_pairs, BASKET_ORACLE, "market-basket co-purchase pair support (Apriori pair stage)"),
     QueryDef("basket_pair_lift", basket_pair_lift, BASKET_LIFT_ORACLE, "association-rule lift/confidence over the top co-purchase pairs"),
+    QueryDef("supplier_concentration_hhi", supplier_concentration_hhi, SUPPLIER_HHI_ORACLE, "per-nation supplier-revenue HHI concentration report (exact integer sums)"),
     QueryDef("orders_pareto_share", orders_pareto_share, ORDERS_PARETO_ORACLE, "Pareto/Lorenz revenue-concentration deciles (value-level tiling)"),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),
     QueryDef("q8_market_share", q8_market_share, Q8_ORACLE, "TPC-H Q8 share-of-total"),

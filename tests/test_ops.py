@@ -4047,3 +4047,57 @@ def test_skew_heavy_hitters_matches_python(spark):
         (i + 1, u, n, round(n / total, 6))
         for i, (u, n) in enumerate(expected)
     ]
+
+
+def test_supplier_hhi_matches_python(spark):
+    """HHI report against an integer-cents replay, plus the bounds
+    1/n <= HHI <= 1 and top_share <= 1."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.tpch_extra import (
+        supplier_concentration_hhi,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.nation: (r.n_suppliers, r.revenue, r.hhi, r.top_share)
+        for r in supplier_concentration_hhi(spark, SF).collect()
+    }
+    nation_of = {
+        r.s_suppkey: r.s_nationkey
+        for r in load_table(spark, SF, "supplier").collect()
+    }
+    names = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, SF, "nation").collect()
+    }
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+
+    cents = defaultdict(int)
+    for r in load_table(spark, SF, "lineitem").collect():
+        # Engine ROUND is half-away (see determinism), not Python's
+        # half-even builtin.
+        c = round_half_away(
+            (r.l_extendedprice * (1.0 - r.l_discount)) * 100.0, 0
+        )
+        cents[(nation_of[r.l_suppkey], r.l_suppkey)] += int(c)
+    by_nation = defaultdict(list)
+    for (nk, _), c in cents.items():
+        by_nation[nk].append(c)
+    expected = {}
+    for nk, cs in by_nation.items():
+        total = sum(cs)
+        expected[names[nk]] = (
+            len(cs),
+            total / 100.0,
+            round(sum(c * c for c in cs) / (float(total) * float(total)), 6),
+            round(max(cs) / float(total), 6),
+        )
+    assert set(got) == set(expected)
+    for nation, (n, rev, hhi, top) in expected.items():
+        g = got[nation]
+        assert g[0] == n
+        assert abs(g[1] - rev) < 1e-6
+        assert abs(g[2] - hhi) < 2e-6
+        assert abs(g[3] - top) < 2e-6
+        assert 1.0 / n - 1e-9 <= g[2] <= 1.0 and g[3] <= 1.0
