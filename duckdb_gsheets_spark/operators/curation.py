@@ -1289,6 +1289,65 @@ WINDOW w AS (ORDER BY p.batch ROWS UNBOUNDED PRECEDING)
 """
 
 
+def doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document length — the
+    inequality summary next to doc_length_histogram's shape view
+    (Gini ≈ 0: uniform lengths, templating; high Gini: a few giants
+    carry the source). Uses the rank formula
+    ``G = (2·Σ i·x_i − (n+1)·Σx_i) / (n·Σx_i)`` so the whole
+    computation is ONE ranked pass and integer sums — no pairwise
+    |x_i − x_j| join.
+
+    Exactness: ranks come from a source-partitioned window with a
+    doc_id tiebreak (ties in x make the formula tie-order-invariant),
+    and both sums accumulate in DECIMAL(38,0)/HUGEINT before a single
+    fixed-order double division. Shuffle ledger: one source
+    exchange for the window, then a |sources|-row rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        F.col("n_chars").cast("decimal(38,0)").alias("x"),
+        F.row_number().over(w).cast("decimal(38,0)").alias("i"),
+    )
+    per_src = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("six")
+        - (F.col("n_docs") + F.lit(1)).cast("decimal(38,0)") * F.col("sx")
+    )
+    den = F.col("n_docs").cast("decimal(38,0)") * F.col("sx")
+    return per_src.select(
+        "source",
+        "n_docs",
+        F.col("sx").cast("long").alias("total_chars"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )
+
+
+DOC_LENGTH_GINI_ORACLE = """
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS HUGEINT) AS x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS HUGEINT) AS i
+  FROM documents WHERE text IS NOT NULL
+), per_src AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(x) AS sx, SUM(i * x) AS six
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs, CAST(sx AS BIGINT) AS total_chars,
+       ROUND(CAST(2 * six - (n_docs + 1) * sx AS DOUBLE)
+             / CAST(n_docs * sx AS DOUBLE), 6) AS gini
+FROM per_src
+"""
+
+
 def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signal-calibration audit: per language, the Pearson correlation
     between the heuristic quality score and the unigram-LM
@@ -1473,5 +1532,11 @@ QUERIES: list[QueryDef] = [
         vocab_growth_curve,
         VOCAB_GROWTH_ORACLE,
         "Heaps'-law vocabulary growth per corpus batch (min-batch trick)",
+    ),
+    QueryDef(
+        "doc_length_gini",
+        doc_length_gini,
+        DOC_LENGTH_GINI_ORACLE,
+        "per-source Gini inequality of doc length (rank formula, integer sums)",
     ),
 ]

@@ -1440,6 +1440,64 @@ GROUP BY wk
 """
 
 
+def events_conversion_lag_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution: for users whose first purchase
+    follows their first view, the exact p50/p90/p99 of the delay —
+    the latency twin of events_funnel's count view (a funnel that
+    converts in minutes and one that converts in weeks need different
+    attribution windows). One row out.
+
+    Lags are exact integer microseconds from ONE map-side-combined
+    conditional-min rollup per user (no per-event window, no
+    self-join); quantiles are the exact interpolated order statistics
+    (sketchable at 100 TB, see events_value_quantiles).
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("v"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p"),
+    )
+    # unix_micros needs TIMESTAMP; the NTZ→LTZ cast is exact under the
+    # fixed-UTC session.
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    lags = firsts.where(
+        F.col("v").isNotNull()
+        & F.col("p").isNotNull()
+        & (F.col("p") >= F.col("v"))
+    ).select((us("p") - us("v")).alias("lag_us"))
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("lag_us", 0.5) / F.lit(1e6), 6).alias("p50_s"),
+        F.round(F.percentile("lag_us", 0.9) / F.lit(1e6), 6).alias("p90_s"),
+        F.round(F.percentile("lag_us", 0.99) / F.lit(1e6), 6).alias("p99_s"),
+    )
+
+
+EVENTS_CONVERSION_LAG_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id
+), lags AS (
+  SELECT epoch_us(p) - epoch_us(v) AS lag_us
+  FROM firsts
+  WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+)
+SELECT COUNT(*) AS n_converted,
+       ROUND(quantile_cont(lag_us, 0.5) / 1000000.0, 6) AS p50_s,
+       ROUND(quantile_cont(lag_us, 0.9) / 1000000.0, 6) AS p90_s,
+       ROUND(quantile_cont(lag_us, 0.99) / 1000000.0, 6) AS p99_s
+FROM lags
+"""
+
+
 #: MAD outlier bar: |value − median| > MAD_K · (1.4826 · MAD) — the
 #: robust-z equivalent of the z-score detector's 3σ.
 MAD_K = 3.0
@@ -1746,4 +1804,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_error_share_daily", events_error_share_daily, EVENTS_ERROR_SHARE_ORACLE, "daily error share + distinct users affected (reliability timeline)"),
     QueryDef("events_wow_change", events_wow_change, EVENTS_WOW_ORACLE, "week-over-week volume change per event type (lag window, no self-join)"),
     QueryDef("events_churn_weekly", events_churn_weekly, EVENTS_CHURN_ORACLE, "weekly churn/new/resurrected lifecycle ledger (one user window pass)"),
+    QueryDef("events_conversion_lag_quantiles", events_conversion_lag_quantiles, EVENTS_CONVERSION_LAG_ORACLE, "first-view to first-purchase delay quantiles (funnel latency)"),
 ]

@@ -1273,6 +1273,53 @@ FROM per_nation p JOIN nation n ON n.n_nationkey = p.s_nationkey
 """
 
 
+def orders_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with the year-over-year comparison — the
+    seasonality-aware trend view (January vs last January, not
+    January vs December). The YoY lag uses a window PARTITIONED BY
+    month-of-year ordered by year: 12 bounded partitions, each a few
+    rows per year of history — no unpartitioned calendar window, no
+    self-join on (year−1).
+
+    Revenue accumulates as exact long cents (determinism contract);
+    the monthly rollup map-side-combines to ≤|months| rows before the
+    window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    monthly = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(F.sum(cents).alias("cents"))
+    w = Window.partitionBy(F.month("month")).orderBy(F.year("month"))
+    prev = F.lag("cents").over(w)
+    return monthly.select(
+        F.col("month").cast("string").alias("month"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (prev.cast("double") / F.lit(100.0)).alias("prev_year_revenue"),
+        F.round(
+            (F.col("cents") - prev).cast("double") / prev.cast("double"),
+            6,
+        ).alias("yoy_change"),
+    )
+
+
+ORDERS_YOY_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+)
+SELECT CAST(month AS VARCHAR) AS month,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(LAG(cents) OVER w AS DOUBLE) / 100.0 AS prev_year_revenue,
+       ROUND(CAST(cents - LAG(cents) OVER w AS DOUBLE)
+             / CAST(LAG(cents) OVER w AS DOUBLE), 6) AS yoy_change
+FROM monthly
+WINDOW w AS (PARTITION BY month(month) ORDER BY year(month))
+"""
+
+
 #: Fulfilment SLA bar (days from order to line-item ship).
 SLA_DAYS = 60
 
@@ -1498,6 +1545,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("basket_part_pairs", basket_part_pairs, BASKET_ORACLE, "market-basket co-purchase pair support (Apriori pair stage)"),
     QueryDef("basket_pair_lift", basket_pair_lift, BASKET_LIFT_ORACLE, "association-rule lift/confidence over the top co-purchase pairs"),
     QueryDef("supplier_concentration_hhi", supplier_concentration_hhi, SUPPLIER_HHI_ORACLE, "per-nation supplier-revenue HHI concentration report (exact integer sums)"),
+    QueryDef("orders_revenue_yoy", orders_revenue_yoy, ORDERS_YOY_ORACLE, "monthly revenue with YoY change via month-of-year partitioned lag"),
     QueryDef("orders_pareto_share", orders_pareto_share, ORDERS_PARETO_ORACLE, "Pareto/Lorenz revenue-concentration deciles (value-level tiling)"),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),
     QueryDef("q8_market_share", q8_market_share, Q8_ORACLE, "TPC-H Q8 share-of-total"),

@@ -4101,3 +4101,90 @@ def test_supplier_hhi_matches_python(spark):
         assert abs(g[2] - hhi) < 2e-6
         assert abs(g[3] - top) < 2e-6
         assert 1.0 / n - 1e-9 <= g[2] <= 1.0 and g[3] <= 1.0
+
+
+def test_doc_length_gini_matches_python(spark):
+    """Gini against the rank-formula replay plus bounds [0, 1)."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.curation import doc_length_gini
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.source: (r.n_docs, r.total_chars, r.gini)
+        for r in doc_length_gini(spark, SF).collect()
+    }
+    by_src = defaultdict(list)
+    for r in load_table(spark, SF, "documents").collect():
+        if r.text is not None:
+            by_src[r.source].append(r.n_chars)
+    expected = {}
+    for src, xs in by_src.items():
+        xs.sort()
+        n, sx = len(xs), sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        expected[src] = (
+            n, sx, round((2 * six - (n + 1) * sx) / float(n * sx), 6)
+        )
+    assert got == expected
+    assert all(0.0 <= g < 1.0 for _, _, g in got.values())
+
+
+def test_events_conversion_lag_matches_python(spark):
+    """Conversion-lag quantiles against a per-user first-event replay."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.events import (
+        events_conversion_lag_quantiles,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    row = events_conversion_lag_quantiles(spark, SF).collect()[0]
+    firsts = {}
+    for r in load_table(spark, SF, "events").collect():
+        if r.event_type not in ("view", "purchase"):
+            continue
+        v, p = firsts.get(r.user_id, (None, None))
+        if r.event_type == "view" and (v is None or r.ts < v):
+            v = r.ts
+        if r.event_type == "purchase" and (p is None or r.ts < p):
+            p = r.ts
+        firsts[r.user_id] = (v, p)
+    lags = [
+        (p - v).total_seconds() * 1e6
+        for v, p in firsts.values()
+        if v is not None and p is not None and p >= v
+    ]
+    assert row.n_converted == len(lags) > 0
+    for q, val in ((0.5, row.p50_s), (0.9, row.p90_s), (0.99, row.p99_s)):
+        exp = round(float(np.quantile(lags, q, method="linear")) / 1e6, 6)
+        assert abs(val - exp) < 2e-6
+
+
+def test_orders_revenue_yoy_matches_python(spark):
+    """YoY trend against a month-dict replay (lag within the same
+    calendar month across years)."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+    from duckdb_gsheets_spark.operators.tpch_extra import orders_revenue_yoy
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.month: (r.revenue, r.prev_year_revenue, r.yoy_change)
+        for r in orders_revenue_yoy(spark, SF).collect()
+    }
+    cents = defaultdict(int)
+    for r in load_table(spark, SF, "orders").collect():
+        d = r.o_orderdate.date().replace(day=1)
+        cents[d] += int(round_half_away(r.o_totalprice * 100.0, 0))
+    expected = {}
+    for d, c in cents.items():
+        prev = cents.get(d.replace(year=d.year - 1))
+        expected[str(d)] = (
+            c / 100.0,
+            prev / 100.0 if prev is not None else None,
+            round((c - prev) / prev, 6) if prev is not None else None,
+        )
+    assert got == expected
+    assert any(v[2] is not None for v in got.values())
