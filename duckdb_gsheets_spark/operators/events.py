@@ -13,7 +13,7 @@ scan per partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_gsheets_spark.operators.determinism import (
@@ -29,6 +29,17 @@ EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 #: 30-minute inactivity gap, in microseconds.
 SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _epoch_us(col: Column | str) -> Column:
+    """Exact epoch microseconds of the (NTZ-inferred) timestamp:
+    ``unix_micros`` needs TIMESTAMP, and the NTZ→LTZ cast is exact
+    under the engine's fixed UTC session timezone. THE single place
+    encoding that cast rule — every epoch conversion in this module
+    must go through it so a session-timezone change cannot make
+    operators silently diverge."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,9 +104,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # unix_micros needs TIMESTAMP; the NTZ→LTZ cast is exact under the
-    # engine's fixed UTC session timezone.
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ts_us = _epoch_us("ts")
     with_gap = events.withColumn("prev_us", F.lag(ts_us).over(w)).withColumn(
         "new_session",
         F.when(
@@ -245,7 +254,7 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = Window.partitionBy("user_id").orderBy("ts", "is_event")
     w_back = order.rowsBetween(Window.unboundedPreceding, 0)
     w_fwd = order.rowsBetween(0, Window.unboundedFollowing)
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    us = _epoch_us
     with_both = (
         unioned.withColumn(
             "prev_signup", F.last("signup_ts", ignorenulls=True).over(w_back)
@@ -743,7 +752,7 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             # min/max commute with the monotone epoch conversion, so
             # profiling epoch_us(min) == min(epoch_us) — and the NTZ→
             # LTZ cast is exact under the UTC session timezone.
-            ts_us = F.unix_micros(col.cast("timestamp")).cast("double")
+            ts_us = _epoch_us(col).cast("double")
             aggs.append(F.min(ts_us).alias(f"mn_{c}"))
             aggs.append(F.max(ts_us).alias(f"mx_{c}"))
         else:
@@ -1068,8 +1077,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("touch_type").isNotNull()
                 & (
-                    F.unix_micros(F.col("ts").cast("timestamp"))
-                    - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+                    _epoch_us("ts") - _epoch_us("touch_ts")
                     <= ATTRIB_WINDOW_S * 1_000_000
                 ),
                 F.col("touch_type"),
@@ -1333,8 +1341,11 @@ def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffle ledger: one map-side-combined groupBy to
     |weeks|×|event types| rows, then a lag window partitioned by
-    event_type (bounded partitions: one row per week). First week of
-    each type has NULL prev/change by definition.
+    event_type (bounded partitions: one row per week).
+    ``prev_events``/``wow_change`` are NULL for a type's first week
+    AND after a zero-event gap week — "week over week" strictly means
+    the previous CALENDAR week, never the last week that happened to
+    have data.
     """
     events = load_table(spark, sf_dir, "events")
     weekly = events.groupBy(
@@ -1342,7 +1353,8 @@ def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n_events"))
     w = Window.partitionBy("event_type").orderBy("wk")
-    prev = F.lag("n_events").over(w)
+    adjacent = F.datediff(F.col("wk"), F.lag("wk").over(w)) == 7
+    prev = F.when(adjacent, F.lag("n_events").over(w))
     return weekly.select(
         F.col("wk").cast("string").alias("week"),
         "event_type",
@@ -1361,13 +1373,17 @@ WITH weekly AS (
   SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, event_type,
          COUNT(*) AS n_events
   FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT wk, event_type, n_events,
+         CASE WHEN wk - LAG(wk) OVER w = 7
+              THEN LAG(n_events) OVER w END AS prev_events
+  FROM weekly
+  WINDOW w AS (PARTITION BY event_type ORDER BY wk)
 )
-SELECT CAST(wk AS VARCHAR) AS week, event_type, n_events,
-       LAG(n_events) OVER w AS prev_events,
-       ROUND(CAST(n_events - LAG(n_events) OVER w AS DOUBLE)
-             / CAST(LAG(n_events) OVER w AS DOUBLE), 6) AS wow_change
-FROM weekly
-WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+SELECT CAST(wk AS VARCHAR) AS week, event_type, n_events, prev_events,
+       ROUND(CAST(n_events - prev_events AS DOUBLE)
+             / CAST(prev_events AS DOUBLE), 6) AS wow_change
+FROM lagged
 """
 
 
@@ -1463,9 +1479,7 @@ def events_conversion_lag_quantiles(
             F.when(F.col("event_type") == "purchase", F.col("ts"))
         ).alias("p"),
     )
-    # unix_micros needs TIMESTAMP; the NTZ→LTZ cast is exact under the
-    # fixed-UTC session.
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    us = _epoch_us
     lags = firsts.where(
         F.col("v").isNotNull()
         & F.col("p").isNotNull()
@@ -1621,7 +1635,7 @@ def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ts_us = _epoch_us("ts")
     gaps = (
         events.select(
             "event_type",

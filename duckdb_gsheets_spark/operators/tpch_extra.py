@@ -1283,7 +1283,10 @@ def orders_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Revenue accumulates as exact long cents (determinism contract);
     the monthly rollup map-side-combines to ≤|months| rows before the
-    window.
+    window. ``prev_year_revenue``/``yoy_change`` are NULL unless that
+    calendar month EXISTS exactly one year back — after a zero-order
+    gap year the comparison resets rather than silently reaching
+    further into history.
     """
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")
@@ -1291,7 +1294,8 @@ def orders_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
     ).agg(F.sum(cents).alias("cents"))
     w = Window.partitionBy(F.month("month")).orderBy(F.year("month"))
-    prev = F.lag("cents").over(w)
+    adjacent = (F.year("month") - F.lag(F.year("month")).over(w)) == 1
+    prev = F.when(adjacent, F.lag("cents").over(w))
     return monthly.select(
         F.col("month").cast("string").alias("month"),
         (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
@@ -1309,14 +1313,19 @@ WITH monthly AS (
          CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
            AS cents
   FROM orders GROUP BY 1
+), lagged AS (
+  SELECT month, cents,
+         CASE WHEN year(month) - LAG(year(month)) OVER w = 1
+              THEN LAG(cents) OVER w END AS prev_cents
+  FROM monthly
+  WINDOW w AS (PARTITION BY month(month) ORDER BY year(month))
 )
 SELECT CAST(month AS VARCHAR) AS month,
        CAST(cents AS DOUBLE) / 100.0 AS revenue,
-       CAST(LAG(cents) OVER w AS DOUBLE) / 100.0 AS prev_year_revenue,
-       ROUND(CAST(cents - LAG(cents) OVER w AS DOUBLE)
-             / CAST(LAG(cents) OVER w AS DOUBLE), 6) AS yoy_change
-FROM monthly
-WINDOW w AS (PARTITION BY month(month) ORDER BY year(month))
+       CAST(prev_cents AS DOUBLE) / 100.0 AS prev_year_revenue,
+       ROUND(CAST(cents - prev_cents AS DOUBLE)
+             / CAST(prev_cents AS DOUBLE), 6) AS yoy_change
+FROM lagged
 """
 
 
