@@ -4188,3 +4188,37 @@ def test_orders_revenue_yoy_matches_python(spark):
         )
     assert got == expected
     assert any(v[2] is not None for v in got.values())
+
+
+def test_round4_session2_ops_invariant_to_partition_count(spark):
+    """The session's bounded-window and min-batch operators
+    (orders_open_backlog, vocab_growth_curve, doc_length_gini) must
+    produce IDENTICAL results at any shuffle-partition count — same
+    bar the prefix-sum tilings are held to."""
+    from duckdb_gsheets_spark.operators.curation import (
+        doc_length_gini,
+        vocab_growth_curve,
+    )
+    from duckdb_gsheets_spark.operators.tpch_extra import orders_open_backlog
+
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("1", "5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results[n] = {
+                "backlog": sorted(
+                    map(tuple, orders_open_backlog(spark, SF).collect())
+                ),
+                "growth": sorted(
+                    map(tuple, vocab_growth_curve(spark, SF).collect())
+                ),
+                "gini": sorted(
+                    map(tuple, doc_length_gini(spark, SF).collect())
+                ),
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    for key in ("backlog", "growth", "gini"):
+        assert results["1"][key] == results["5"][key] == results["32"][key], key
+        assert results["1"][key], key
