@@ -77,7 +77,8 @@ class QueryDef:
 #: knn_label_probe, events_churn_weekly, text_blocklist_screen,
 #: window_nth_value, basket_pair_lift, bootstrap_replicates,
 #: skew_heavy_hitters, supplier_concentration_hhi, doc_length_gini,
-#: events_conversion_lag_quantiles, orders_revenue_yoy (added after
+#: events_conversion_lag_quantiles, orders_revenue_yoy,
+#: fk_integrity_report (added after
 #: the round-4 window filled — the
 #: only operators without driver rows); then (a) any operators added in round 5 (first-time checks beat
 #: re-checks), (b) re-checks for any query whose module changes, and

@@ -1329,6 +1329,90 @@ FROM lagged
 """
 
 
+#: The star schema's FK edges: (label, child table, child key,
+#: parent table, parent key).
+FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema: child row count, orphan count (child key with no parent —
+    NULL keys count as orphans, matching anti-join semantics), and
+    the orphan rate. The nightly data-quality gate a warehouse load
+    runs before publishing a snapshot.
+
+    Shuffle ledger: one LEFT ANTI join per edge — fixed-size parents
+    (dims) broadcast, the one fact-fact edge (lineitem→orders)
+    shuffles on the shared orderkey — then each branch collapses to a
+    1-row aggregate and the 7 rows union. Orphan checks are
+    embarrassingly parallel across edges.
+    """
+    tables = {
+        name: load_table(spark, sf_dir, name)
+        for name in (
+            "lineitem",
+            "orders",
+            "part",
+            "supplier",
+            "customer",
+            "nation",
+            "region",
+        )
+    }
+    reports = []
+    for label, child, ckey, parent, pkey in FK_EDGES:
+        c = tables[child]
+        p = tables[parent].select(F.col(pkey).alias(ckey)).distinct()
+        orphans = c.select(ckey).join(p, ckey, "left_anti")
+        stats = c.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        reports.append(
+            stats.select(
+                F.lit(label).alias("relationship"),
+                "n_rows",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_rows").cast("double"),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for label, child, ckey, parent, pkey in FK_EDGES:
+        parts.append(f"""
+SELECT '{label}' AS relationship,
+       (SELECT COUNT(*) FROM {child}) AS n_rows,
+       (SELECT COUNT(*) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pkey} = c.{ckey})) AS n_orphans,
+       ROUND(CAST((SELECT COUNT(*) FROM {child} c
+                   WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                     WHERE p.{pkey} = c.{ckey})) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM {child}) AS DOUBLE), 6)
+         AS orphan_rate""")
+    return "\nUNION ALL\n".join(parts)
+
+
+FK_INTEGRITY_ORACLE = _fk_oracle()
+
+
 #: Fulfilment SLA bar (days from order to line-item ship).
 SLA_DAYS = 60
 
@@ -1555,6 +1639,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("basket_pair_lift", basket_pair_lift, BASKET_LIFT_ORACLE, "association-rule lift/confidence over the top co-purchase pairs"),
     QueryDef("supplier_concentration_hhi", supplier_concentration_hhi, SUPPLIER_HHI_ORACLE, "per-nation supplier-revenue HHI concentration report (exact integer sums)"),
     QueryDef("orders_revenue_yoy", orders_revenue_yoy, ORDERS_YOY_ORACLE, "monthly revenue with YoY change via month-of-year partitioned lag"),
+    QueryDef("fk_integrity_report", fk_integrity_report, FK_INTEGRITY_ORACLE, "referential-integrity orphan audit across every star-schema FK edge"),
     QueryDef("orders_pareto_share", orders_pareto_share, ORDERS_PARETO_ORACLE, "Pareto/Lorenz revenue-concentration deciles (value-level tiling)"),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),
     QueryDef("q8_market_share", q8_market_share, Q8_ORACLE, "TPC-H Q8 share-of-total"),

@@ -4222,3 +4222,34 @@ def test_round4_session2_ops_invariant_to_partition_count(spark):
     for key in ("backlog", "growth", "gini"):
         assert results["1"][key] == results["5"][key] == results["32"][key], key
         assert results["1"][key], key
+
+
+def test_fk_integrity_report_matches_python(spark):
+    """FK audit against set-membership replays; the synthetic data's
+    known orphan-free edges must report zero."""
+    from duckdb_gsheets_spark.operators.tpch_extra import (
+        FK_EDGES,
+        fk_integrity_report,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.relationship: (r.n_rows, r.n_orphans, r.orphan_rate)
+        for r in fk_integrity_report(spark, SF).collect()
+    }
+    rows = {
+        t: load_table(spark, SF, t).collect()
+        for t in ("lineitem", "orders", "part", "supplier",
+                  "customer", "nation", "region")
+    }
+    expected = {}
+    for label, child, ckey, parent, pkey in FK_EDGES:
+        parents = {getattr(r, pkey) for r in rows[parent]}
+        n = len(rows[child])
+        orphans = sum(
+            1 for r in rows[child]
+            if getattr(r, ckey) not in parents or getattr(r, ckey) is None
+        )
+        expected[label] = (n, orphans, round(orphans / n, 6))
+    assert got == expected
+    assert len(got) == len(FK_EDGES)

@@ -666,6 +666,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "knn_label_probe",          # composes the cosine baseline's query broadcast
         "basket_pair_lift",         # 1-row basket-count broadcast
         "skew_heavy_hitters",       # 1-row total broadcast
+        "fk_integrity_report",      # 1-row × 1-row per-edge stat join
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
