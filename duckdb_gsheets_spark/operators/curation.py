@@ -1348,6 +1348,78 @@ FROM per_src
 """
 
 
+#: Columns profiled by the completeness audit.
+PROFILE_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def documents_completeness_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-column completeness/cardinality profile of ``documents``:
+    null count, null rate, and exact distinct count for every column
+    — the dbt-style schema test battery as one operator (doc_id's
+    distinct == row count IS the primary-key uniqueness check;
+    distinct counts are exact here, HLL-sketchable at extreme
+    cardinality as approx_count_distinct_users documents).
+
+    Shuffle ledger: ONE aggregation pass computes every per-column
+    statistic simultaneously (null sums map-side-combine; the
+    distinct counts expand per-column, Spark plans them as a single
+    multi-distinct aggregate), then a ``stack`` reshapes the 1-row
+    result to |columns| rows — the corpus is scanned once, not once
+    per column.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLUMNS:
+        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in PROFILE_COLUMNS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLUMNS)}, {stack_args}) "
+            "AS (col_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        F.round(
+            F.col("n_nulls").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        ).alias("null_rate"),
+        "n_distinct",
+    )
+
+
+def _completeness_oracle() -> str:
+    aggs = ["COUNT(*) AS n_rows"]
+    for c in PROFILE_COLUMNS:
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nn_{c}"
+        )
+        aggs.append(f"COUNT(DISTINCT {c}) AS nd_{c}")
+    branches = [
+        f"""SELECT '{c}' AS col_name, n_rows, nn_{c} AS n_nulls,
+       ROUND(CAST(nn_{c} AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS null_rate,
+       nd_{c} AS n_distinct FROM a"""
+        for c in PROFILE_COLUMNS
+    ]
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM documents)\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+COMPLETENESS_ORACLE = _completeness_oracle()
+
+
 def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signal-calibration audit: per language, the Pearson correlation
     between the heuristic quality score and the unigram-LM
@@ -1538,5 +1610,11 @@ QUERIES: list[QueryDef] = [
         doc_length_gini,
         DOC_LENGTH_GINI_ORACLE,
         "per-source Gini inequality of doc length (rank formula, integer sums)",
+    ),
+    QueryDef(
+        "documents_completeness_profile",
+        documents_completeness_profile,
+        COMPLETENESS_ORACLE,
+        "per-column null/cardinality profile in one scan (dbt-style tests)",
     ),
 ]

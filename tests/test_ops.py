@@ -4253,3 +4253,30 @@ def test_fk_integrity_report_matches_python(spark):
         expected[label] = (n, orphans, round(orphans / n, 6))
     assert got == expected
     assert len(got) == len(FK_EDGES)
+
+
+def test_documents_completeness_matches_python(spark):
+    """Completeness profile against a direct replay; doc_id must be a
+    perfect primary key (0 nulls, distinct == rows)."""
+    from duckdb_gsheets_spark.operators.curation import (
+        PROFILE_COLUMNS,
+        documents_completeness_profile,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.col_name: (r.n_rows, r.n_nulls, r.null_rate, r.n_distinct)
+        for r in documents_completeness_profile(spark, SF).collect()
+    }
+    rows = load_table(spark, SF, "documents").collect()
+    n = len(rows)
+    expected = {}
+    for c in PROFILE_COLUMNS:
+        vals = [getattr(r, c) for r in rows]
+        nulls = sum(1 for v in vals if v is None)
+        expected[c] = (
+            n, nulls, round(nulls / n, 6),
+            len({v for v in vals if v is not None}),
+        )
+    assert got == expected
+    assert got["doc_id"] == (n, 0, 0.0, n)
