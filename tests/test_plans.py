@@ -772,3 +772,35 @@ def test_knn_probe_broadcasts_neighbor_table(spark):
     plan = _plan(spark, "knn_label_probe")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gini_window_partitioned_by_source(spark):
+    """doc_length_gini: the rank window partitions by source — never
+    a corpus-global sort."""
+    plan = _plan(spark, "doc_length_gini")
+    assert "hashpartitioning(source" in plan
+    assert not _unpartitioned_windows(plan)
+
+
+def test_bootstrap_is_explode_filter_rollup(spark):
+    """bootstrap_replicates: no join anywhere — the replicate fan-out
+    is a narrow generator into one rollup."""
+    plan = _plan(spark, "bootstrap_replicates")
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_completeness_profile_scans_documents_once(spark):
+    """documents_completeness_profile: ONE parquet scan feeds every
+    per-column statistic — no per-column re-scan."""
+    plan = _plan(spark, "documents_completeness_profile")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("Scan parquet") == 1
+
+
+def test_supplier_hhi_broadcasts_dimension(spark):
+    """supplier_concentration_hhi: the supplier dim broadcasts onto
+    the lineitem scan; no sort-merge join of fact against dim."""
+    plan = _plan(spark, "supplier_concentration_hhi")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
