@@ -4280,3 +4280,73 @@ def test_documents_completeness_matches_python(spark):
         )
     assert got == expected
     assert got["doc_id"] == (n, 0, 0.0, n)
+
+
+def test_events_wow_change_gap_week_resets(spark, tmp_path):
+    """A zero-event gap week must reset the WoW comparison to NULL —
+    'week over week' means the previous CALENDAR week, not the last
+    week with data (the fixture is gap-free, so this path needs a
+    synthetic frame)."""
+    import os
+    from datetime import datetime
+
+    from duckdb_gsheets_spark.operators.events import events_wow_change
+
+    def ev(i, day, n):
+        return [
+            (i * 100 + j, datetime(2024, 1, day, 10, 0, 0), 1, "click",
+             1.0, "{}")
+            for j in range(n)
+        ]
+
+    # Mondays: Jan 1, Jan 8, (Jan 15 silent), Jan 22.
+    rows = ev(1, 1, 4) + ev(2, 8, 6) + ev(3, 22, 3)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+    got = {
+        r.week: (r.n_events, r.prev_events, r.wow_change)
+        for r in events_wow_change(spark, sf_dir).collect()
+    }
+    assert got == {
+        "2024-01-01": (4, None, None),
+        "2024-01-08": (6, 4, 0.5),
+        "2024-01-22": (3, None, None),  # gap week resets, not vs Jan 8
+    }
+
+
+def test_orders_revenue_yoy_gap_year_resets(spark, tmp_path):
+    """A month missing one year back must yield NULL YoY — never a
+    silent comparison against 2+ years ago."""
+    import os
+    from datetime import datetime
+
+    from duckdb_gsheets_spark.operators.tpch_extra import orders_revenue_yoy
+
+    rows = [
+        (1, 1, "F", 100.0, datetime(2020, 3, 5), "1-URGENT"),
+        (2, 1, "F", 150.0, datetime(2021, 3, 9), "1-URGENT"),
+        # 2022-03 silent
+        (3, 1, "F", 90.0, datetime(2023, 3, 2), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "orders.parquet"))
+    got = {
+        r.month: (r.revenue, r.prev_year_revenue, r.yoy_change)
+        for r in orders_revenue_yoy(spark, sf_dir).collect()
+    }
+    assert got == {
+        "2020-03-01": (100.0, None, None),
+        "2021-03-01": (150.0, 100.0, 0.5),
+        "2023-03-01": (90.0, None, None),  # gap year resets
+    }
