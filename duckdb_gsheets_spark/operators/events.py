@@ -422,6 +422,49 @@ GROUP BY event_type
 """
 
 
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` paths — the modern engine path for JSON-shaped
+    columns (parse once, extract many, no per-path re-parse the way
+    repeated ``get_json_object`` calls re-scan the string). Reports
+    per-type count, distinct payload keys seen, and the k-sum —
+    the VARIANT twin of events_json_extract's string path.
+
+    Shuffle ledger: narrow parse+extract into one map-side-combined
+    rollup; distinct-count expands per group (exact; HLL-sketchable).
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return events.select("event_type", k.alias("k")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.sum("k").alias("sum_k"),
+        F.round(
+            F.sum("k").cast("double") / F.count("k").cast("double"), 6
+        ).alias("mean_k"),
+    )
+
+
+EVENTS_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS n_distinct_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS DOUBLE)
+             / CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS DOUBLE), 6) AS mean_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (2-hour length, 1-hour slide): each event lands
     in exactly two overlapping windows via Spark's native ``window``
@@ -1819,4 +1862,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_wow_change", events_wow_change, EVENTS_WOW_ORACLE, "week-over-week volume change per event type (lag window, no self-join)"),
     QueryDef("events_churn_weekly", events_churn_weekly, EVENTS_CHURN_ORACLE, "weekly churn/new/resurrected lifecycle ledger (one user window pass)"),
     QueryDef("events_conversion_lag_quantiles", events_conversion_lag_quantiles, EVENTS_CONVERSION_LAG_ORACLE, "first-view to first-purchase delay quantiles (funnel latency)"),
+    QueryDef("events_variant_extract", events_variant_extract, EVENTS_VARIANT_ORACLE, "typed extraction through Spark 4 VARIANT (parse once, extract many)"),
 ]

@@ -4350,3 +4350,39 @@ def test_orders_revenue_yoy_gap_year_resets(spark, tmp_path):
         "2021-03-01": (150.0, 100.0, 0.5),
         "2023-03-01": (90.0, None, None),  # gap year resets
     }
+
+
+def test_events_variant_extract_matches_python(spark):
+    """VARIANT-path extraction against a json replay, and it must
+    agree with the string-path twin events_json_extract on the shared
+    columns."""
+    import json
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.events import (
+        events_json_extract,
+        events_variant_extract,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.event_type: (r.n_events, r.n_distinct_k, r.sum_k, r.mean_k)
+        for r in events_variant_extract(spark, SF).collect()
+    }
+    cells = defaultdict(lambda: [0, set(), 0])
+    for r in load_table(spark, SF, "events").collect():
+        k = json.loads(r.props)["k"]
+        c = cells[r.event_type]
+        c[0] += 1
+        c[1].add(k)
+        c[2] += k
+    expected = {
+        t: (n, len(ks), s, round(s / n, 6))
+        for t, (n, ks, s) in cells.items()
+    }
+    assert got == expected
+    twin = {
+        r.event_type: (r.n_events, r.sum_k)
+        for r in events_json_extract(spark, SF).collect()
+    }
+    assert {t: (v[0], v[2]) for t, v in got.items()} == twin
