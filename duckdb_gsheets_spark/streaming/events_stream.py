@@ -653,3 +653,35 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("traffic_share"),
     )
+
+
+def streaming_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.events.events_conversion_lag_quantiles:
+    the live funnel-latency monitor. The stream maintains ONE
+    complete-mode conditional-min pair per user (state: two
+    timestamps per user — the same bound the batch rollup shuffles);
+    the quantile summary runs on the materialized |users|-row sink,
+    already a bounded batch table.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    firsts = stream.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("v"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p"),
+    )
+    sink = run_to_memory(firsts, output_mode="complete")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    lags = sink.where(
+        F.col("v").isNotNull()
+        & F.col("p").isNotNull()
+        & (F.col("p") >= F.col("v"))
+    ).select((us("p") - us("v")).alias("lag_us"))
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("lag_us", 0.5) / F.lit(1e6), 6).alias("p50_s"),
+        F.round(F.percentile("lag_us", 0.9) / F.lit(1e6), 6).alias("p90_s"),
+        F.round(F.percentile("lag_us", 0.99) / F.lit(1e6), 6).alias("p99_s"),
+    )

@@ -371,3 +371,20 @@ def test_streaming_heavy_hitters_matches_batch(spark):
         for r in skew_heavy_hitters(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_streaming_conversion_lag_matches_batch(spark):
+    """The streaming funnel-latency monitor must equal the batch
+    conversion-lag operator exactly."""
+    from duckdb_gsheets_spark.operators.events import (
+        events_conversion_lag_quantiles,
+    )
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_conversion_lag,
+    )
+
+    got = streaming_conversion_lag(spark, SF).collect()[0]
+    exp = events_conversion_lag_quantiles(spark, SF).collect()[0]
+    assert (got.n_converted, got.p50_s, got.p90_s, got.p99_s) == (
+        exp.n_converted, exp.p50_s, exp.p90_s, exp.p99_s,
+    )
