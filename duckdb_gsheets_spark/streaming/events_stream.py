@@ -673,7 +673,8 @@ def streaming_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     )
     sink = run_to_memory(firsts, output_mode="complete")
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    from duckdb_gsheets_spark.operators.events import _epoch_us as us
+
     lags = sink.where(
         F.col("v").isNotNull()
         & F.col("p").isNotNull()
