@@ -1413,6 +1413,68 @@ SELECT '{label}' AS relationship,
 FK_INTEGRITY_ORACLE = _fk_oracle()
 
 
+#: Edit-distance bar for the fuzzy name matcher.
+FUZZY_LEV_MAX = 4
+
+
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution stage: near-identical part names found by a
+    BLOCKED edit-distance join — the record-linkage pattern ("Acme
+    Corp" vs "Acme Corp.") that neither exact dedup nor shingle
+    MinHash covers for short strings. Names are deduped to their
+    (vocabulary-bounded) distinct table with part counts, BLOCKED on
+    the last name token, and only within-block pairs pay a
+    levenshtein evaluation — never a names×names cartesian.
+
+    Shuffle ledger: one map-side-combined name rollup, one
+    block-keyed equi-self-join of the distinct-name table (the
+    classic blocking trade: recall bounded by the blocking key,
+    candidates bounded by block sizes), distance filter post-join in
+    codegen. Spark and DuckDB agree exactly on levenshtein.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    blocked = names.select(
+        F.col("p_name").alias("name"),
+        "n_parts",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+    )
+    a = blocked.select(
+        F.col("name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "block",
+    )
+    b = blocked.select(
+        F.col("name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "block",
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .where(F.col("lev") <= FUZZY_LEV_MAX)
+        .select("block", "name_a", "name_b", "lev", "n_parts_a", "n_parts_b")
+    )
+
+
+PART_FUZZY_ORACLE = f"""
+WITH names AS (
+  SELECT p_name AS name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+), blocked AS (
+  SELECT name, n_parts,
+         list_extract(regexp_split_to_array(name, ' '), -1) AS block
+  FROM names
+)
+SELECT a.block, a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS lev,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {FUZZY_LEV_MAX}
+"""
+
+
 #: Fulfilment SLA bar (days from order to line-item ship).
 SLA_DAYS = 60
 
@@ -1640,6 +1702,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("supplier_concentration_hhi", supplier_concentration_hhi, SUPPLIER_HHI_ORACLE, "per-nation supplier-revenue HHI concentration report (exact integer sums)"),
     QueryDef("orders_revenue_yoy", orders_revenue_yoy, ORDERS_YOY_ORACLE, "monthly revenue with YoY change via month-of-year partitioned lag"),
     QueryDef("fk_integrity_report", fk_integrity_report, FK_INTEGRITY_ORACLE, "referential-integrity orphan audit across every star-schema FK edge"),
+    QueryDef("part_name_fuzzy_pairs", part_name_fuzzy_pairs, PART_FUZZY_ORACLE, "blocked edit-distance entity resolution over part names"),
     QueryDef("orders_pareto_share", orders_pareto_share, ORDERS_PARETO_ORACLE, "Pareto/Lorenz revenue-concentration deciles (value-level tiling)"),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),
     QueryDef("q8_market_share", q8_market_share, Q8_ORACLE, "TPC-H Q8 share-of-total"),

@@ -4386,3 +4386,46 @@ def test_events_variant_extract_matches_python(spark):
         for r in events_json_extract(spark, SF).collect()
     }
     assert {t: (v[0], v[2]) for t, v in got.items()} == twin
+
+
+def test_part_name_fuzzy_pairs_matches_python(spark):
+    """Blocked fuzzy matcher against a DP edit-distance replay; the
+    planted near-pairs (same noun, different adjective) must appear."""
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.tpch_extra import (
+        FUZZY_LEV_MAX,
+        part_name_fuzzy_pairs,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    got = {
+        (r.name_a, r.name_b): (r.block, r.lev, r.n_parts_a, r.n_parts_b)
+        for r in part_name_fuzzy_pairs(spark, SF).collect()
+    }
+    counts = Counter(
+        r.p_name for r in load_table(spark, SF, "part").collect()
+    )
+    names = sorted(counts)
+    expected = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if a.split(" ")[-1] != b.split(" ")[-1]:
+                continue
+            d = lev(a, b)
+            if d <= FUZZY_LEV_MAX:
+                expected[(a, b)] = (
+                    a.split(" ")[-1], d, counts[a], counts[b]
+                )
+    assert got == expected
+    assert got, "fixture must contain same-noun near pairs"
