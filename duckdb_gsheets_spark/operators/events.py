@@ -422,6 +422,114 @@ GROUP BY event_type
 """
 
 
+#: Sequence pattern for the session matcher: a view, then a later
+#: click, then a later purchase (other events may interleave).
+CONVERSION_PATTERN = "v.*c.*p"
+
+
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-flavor sequence matching over sessions: per
+    day, how many sessions contain a view→click→purchase subsequence,
+    and how many of those are CLEAN (no error event) — the
+    order-aware twin of events_funnel's set-based counts (a funnel
+    counts users who did all three EVER; this demands the order,
+    within one session).
+
+    Each session collapses to a signature string (one letter per
+    event, (ts, event_id)-ordered), and the pattern is a regex over
+    that signature — sequence logic becomes a narrow string op
+    instead of N self-joins. Shuffle ledger: the sessionizer's user
+    window pass, a session rollup (signature bounded by session
+    length), one |days|-row rollup.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = _epoch_us("ts")
+    with_session = (
+        events.withColumn("prev_us", F.lag(ts_us).over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull()
+                | (ts_us - F.col("prev_us") > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    sigs = with_session.groupBy("user_id", "session_id").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("letter"),
+                        )
+                    )
+                ),
+                lambda x: x["letter"],
+            ),
+            "",
+        ).alias("sig"),
+    )
+    matched = F.col("sig").rlike(CONVERSION_PATTERN)
+    clean = matched & ~F.col("sig").contains("e")
+    return sigs.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(matched.cast("int")).alias("n_matched"),
+        F.sum(clean.cast("int")).alias("n_clean"),
+        F.round(
+            F.sum(matched.cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("match_rate"),
+    )
+
+
+EVENTS_PATTERN_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                   > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sigs AS (
+  SELECT user_id, session_id, CAST(MIN(ts) AS DATE) AS day,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS sig
+  FROM sessioned GROUP BY user_id, session_id
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN regexp_matches(sig, '{CONVERSION_PATTERN}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN regexp_matches(sig, '{CONVERSION_PATTERN}')
+                      AND NOT contains(sig, 'e')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       ROUND(CAST(SUM(CASE WHEN regexp_matches(sig, '{CONVERSION_PATTERN}')
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS match_rate
+FROM sigs
+GROUP BY day
+"""
+
+
 def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction through Spark 4's VARIANT type:
     ``parse_json`` once into the binary variant encoding, then typed
@@ -1863,4 +1971,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_churn_weekly", events_churn_weekly, EVENTS_CHURN_ORACLE, "weekly churn/new/resurrected lifecycle ledger (one user window pass)"),
     QueryDef("events_conversion_lag_quantiles", events_conversion_lag_quantiles, EVENTS_CONVERSION_LAG_ORACLE, "first-view to first-purchase delay quantiles (funnel latency)"),
     QueryDef("events_variant_extract", events_variant_extract, EVENTS_VARIANT_ORACLE, "typed extraction through Spark 4 VARIANT (parse once, extract many)"),
+    QueryDef("events_pattern_match", events_pattern_match, EVENTS_PATTERN_ORACLE, "ordered view->click->purchase session matching via signature regex"),
 ]

@@ -4429,3 +4429,87 @@ def test_part_name_fuzzy_pairs_matches_python(spark):
                 )
     assert got == expected
     assert got, "fixture must contain same-noun near pairs"
+
+
+def test_events_pattern_match_matches_python(spark):
+    """Session-signature pattern matching against a full Python
+    sessionize + regex replay."""
+    import re
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.events import (
+        CONVERSION_PATTERN,
+        SESSION_GAP_US,
+        events_pattern_match,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.day: (r.n_sessions, r.n_matched, r.n_clean, r.match_rate)
+        for r in events_pattern_match(spark, SF).collect()
+    }
+    by_user = defaultdict(list)
+    for r in load_table(spark, SF, "events").collect():
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    pat = re.compile(CONVERSION_PATTERN)
+    cells = defaultdict(lambda: [0, 0, 0])
+    for evs in by_user.values():
+        evs.sort()
+        sessions = []
+        prev = None
+        for ts, eid, et in evs:
+            if prev is None or (ts - prev).total_seconds() * 1e6 > SESSION_GAP_US:
+                sessions.append([])
+            sessions[-1].append((ts, et))
+            prev = ts
+        for s in sessions:
+            day = str(min(ts for ts, _ in s).date())
+            sig = "".join(et[0] for _, et in s)
+            c = cells[day]
+            c[0] += 1
+            if pat.search(sig):
+                c[1] += 1
+                if "e" not in sig:
+                    c[2] += 1
+    expected = {
+        d: (n, m, cl, round(m / n, 6)) for d, (n, m, cl) in cells.items()
+    }
+    assert got == expected
+
+
+def test_events_pattern_match_planted_sessions(spark, tmp_path):
+    """Non-vacuity on a planted frame (the sf0.001 fixture happens to
+    contain no ordered v→c→p session): one clean match, one match
+    with an error, one wrong-order session, in two gap-split
+    sessions for one user."""
+    import os
+    from datetime import datetime, timedelta
+
+    from duckdb_gsheets_spark.operators.events import events_pattern_match
+
+    t0 = datetime(2024, 5, 6, 9, 0, 0)
+
+    def row(i, user, minutes, et):
+        return (i, t0 + timedelta(minutes=minutes), user, et, 1.0, "{}")
+
+    rows = [
+        # user 1 session A: view, click, purchase — clean match.
+        row(1, 1, 0, "view"), row(2, 1, 1, "click"), row(3, 1, 2, "purchase"),
+        # user 1 session B (after 31-min gap): v, e, c, p — match, dirty.
+        row(4, 1, 33, "view"), row(5, 1, 34, "error"),
+        row(6, 1, 35, "click"), row(7, 1, 36, "purchase"),
+        # user 2: purchase before view — no match.
+        row(8, 2, 0, "purchase"), row(9, 2, 1, "view"), row(10, 2, 2, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+    out = {
+        r.day: (r.n_sessions, r.n_matched, r.n_clean)
+        for r in events_pattern_match(spark, sf_dir).collect()
+    }
+    assert out == {"2024-05-06": (3, 2, 1)}
