@@ -463,6 +463,134 @@ GROUP BY lang
 """
 
 
+def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: per source, the chi-square distance
+    between its unigram distribution and the corpus-global one over
+    the shared ``frequency_vocab`` support — the "is this feed
+    topically unlike the rest of the crawl" screen run before mixing
+    a new source in, plus the single most-drifted term as the
+    explanation.
+
+    Determinism: each of the K per-term summands is computed in ONE
+    written double-op order, snapped to the 1e-9 grid as a LONG
+    (text_unigram_xent's pattern), and summed exactly — so the
+    chi-square is independent of Spark's aggregation order. Shapes:
+    wordcount + broadcast-vocab filter, then everything is
+    |sources|×K-bounded (grid cross of two broadcast-scale tables,
+    bounded rollups, partitioned top-term window).
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("source", F.explode("toks").alias("tok"))
+    vocab = frequency_vocab(toks).select("tok")
+    counts = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sources = toks.select("source").distinct()
+    grid = sources.crossJoin(F.broadcast(vocab))
+    filled = grid.join(counts, ["source", "tok"], "left").select(
+        "source",
+        "tok",
+        F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+    )
+    per_src = filled.groupBy("source").agg(F.sum("c").alias("t_s"))
+    per_tok = filled.groupBy("tok").agg(F.sum("c").alias("c_g"))
+    total = filled.agg(F.sum("c").alias("t_g"))
+    ps = F.when(F.col("t_s") == 0, F.lit(0.0)).otherwise(
+        F.col("c").cast("double") / F.col("t_s").cast("double")
+    )
+    pg = F.col("c_g").cast("double") / F.col("t_g").cast("double")
+    dv = ps - pg
+    scaled = F.round((dv * dv / pg) * F.lit(1e9)).cast("long")
+    terms = (
+        filled.join(per_src, "source")
+        .join(F.broadcast(per_tok), "tok")
+        .join(F.broadcast(total))
+        .select("source", "tok", "t_s", scaled.alias("sv"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("sv"), F.col("tok"))
+    top = (
+        terms.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("tok").alias("top_drift_term"),
+            F.round(F.col("sv").cast("double") / F.lit(1e9), 6).alias(
+                "top_drift_val"
+            ),
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        F.max("t_s").alias("n_vocab_tokens"),
+        F.round(F.sum("sv").cast("double") / F.lit(1e9), 6).alias("chisq"),
+    )
+    return agg.join(top, "source").select(
+        "source", "n_vocab_tokens", "chisq", "top_drift_term", "top_drift_val"
+    )
+
+
+SOURCE_DRIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok LIMIT {VOCAB_TOP}
+  )
+), counts AS (
+  SELECT t.source, t.tok, COUNT(*) AS c
+  FROM toks t JOIN vocab v ON v.tok = t.tok
+  GROUP BY t.source, t.tok
+), grid AS (
+  SELECT s.source, v.tok
+  FROM (SELECT DISTINCT source FROM toks) s CROSS JOIN vocab v
+), filled AS (
+  SELECT g.source, g.tok, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c
+    ON c.source = g.source AND c.tok = g.tok
+), per_src AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS t_s FROM filled GROUP BY source
+), per_tok AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS c_g FROM filled GROUP BY tok
+), total AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_g FROM filled
+), terms AS (
+  SELECT f.source, f.tok, p.t_s,
+         CAST(ROUND((
+           (CASE WHEN p.t_s = 0 THEN 0.0
+                 ELSE CAST(f.c AS DOUBLE) / CAST(p.t_s AS DOUBLE) END
+            - CAST(k.c_g AS DOUBLE) / CAST(t.t_g AS DOUBLE))
+           * (CASE WHEN p.t_s = 0 THEN 0.0
+                   ELSE CAST(f.c AS DOUBLE) / CAST(p.t_s AS DOUBLE) END
+              - CAST(k.c_g AS DOUBLE) / CAST(t.t_g AS DOUBLE))
+           / (CAST(k.c_g AS DOUBLE) / CAST(t.t_g AS DOUBLE))
+         ) * 1000000000.0) AS BIGINT) AS sv
+  FROM filled f
+  JOIN per_src p ON p.source = f.source
+  JOIN per_tok k ON k.tok = f.tok
+  CROSS JOIN total t
+), top AS (
+  SELECT source, tok AS top_drift_term,
+         ROUND(CAST(sv AS DOUBLE) / 1000000000.0, 6) AS top_drift_val
+  FROM (
+    SELECT source, tok, sv,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY sv DESC, tok) AS rk
+    FROM terms
+  ) WHERE rk = 1
+)
+SELECT a.source, a.n_vocab_tokens, a.chisq,
+       p.top_drift_term, p.top_drift_val
+FROM (
+  SELECT source, MAX(t_s) AS n_vocab_tokens,
+         ROUND(CAST(SUM(sv) AS DOUBLE) / 1000000000.0, 6) AS chisq
+  FROM terms GROUP BY source
+) a JOIN top p ON p.source = a.source
+"""
+
+
 def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-decile corpus report over the heuristic quality score —
     the audit behind threshold-based data selection ("keep the top 30%
@@ -1616,5 +1744,11 @@ QUERIES: list[QueryDef] = [
         documents_completeness_profile,
         COMPLETENESS_ORACLE,
         "per-column null/cardinality profile in one scan (dbt-style tests)",
+    ),
+    QueryDef(
+        "source_unigram_drift",
+        source_unigram_drift,
+        SOURCE_DRIFT_ORACLE,
+        "per-source chi-square unigram drift vs the corpus (grid-exact sums)",
     ),
 ]

@@ -4513,3 +4513,57 @@ def test_events_pattern_match_planted_sessions(spark, tmp_path):
         for r in events_pattern_match(spark, sf_dir).collect()
     }
     assert out == {"2024-05-06": (3, 2, 1)}
+
+
+def test_source_unigram_drift_matches_python(spark):
+    """Chi-square drift against a Counter replay using the same
+    1e-9-grid snapping, plus chisq >= 0 and the top term really being
+    the argmax summand."""
+    import re
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.curation import (
+        VOCAB_TOP,
+        source_unigram_drift,
+    )
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.source: (r.n_vocab_tokens, r.chisq, r.top_drift_term, r.top_drift_val)
+        for r in source_unigram_drift(spark, SF).collect()
+    }
+    tok_stream = []
+    for r in load_table(spark, SF, "documents").collect():
+        if r.text is not None:
+            for t in re.split(r"\s+", r.text.strip()):
+                tok_stream.append((r.source, t))
+    global_counts = Counter(t for _, t in tok_stream)
+    vocab = sorted(
+        global_counts, key=lambda t: (-global_counts[t], t)
+    )[:VOCAB_TOP]
+    vset = set(vocab)
+    per_src = Counter()
+    cells = Counter()
+    for s, t in tok_stream:
+        if t in vset:
+            per_src[s] += 1
+            cells[(s, t)] += 1
+    c_g = {t: sum(cells[(s, t)] for s in per_src) for t in vocab}
+    t_g = sum(c_g.values())
+    expected = {}
+    for s in per_src:
+        svs = {}
+        for t in vocab:
+            ps = cells[(s, t)] / per_src[s] if per_src[s] else 0.0
+            pg = c_g[t] / t_g
+            svs[t] = int(round_half_away(((ps - pg) * (ps - pg) / pg) * 1e9, 0))
+        top = min(svs, key=lambda t: (-svs[t], t))
+        expected[s] = (
+            per_src[s],
+            round(sum(svs.values()) / 1e9, 6),
+            top,
+            round(svs[top] / 1e9, 6),
+        )
+    assert got == expected
+    assert all(v[1] >= 0 for v in got.values())

@@ -667,6 +667,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "basket_pair_lift",         # 1-row basket-count broadcast
         "skew_heavy_hitters",       # 1-row total broadcast
         "fk_integrity_report",      # 1-row × 1-row per-edge stat join
+        "source_unigram_drift",     # |sources|×K grid cross + 1-row total
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
