@@ -1018,6 +1018,99 @@ FROM pred p JOIN embeddings q ON q.vec_id = p.vec_a
 """
 
 
+#: Cosine bar for semantic corroboration of a lexical near-dup pair.
+SEMANTIC_CONFIRM_THRESHOLD = 0.5
+
+
+def dedup_lexical_semantic_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-signal dedup audit: every MinHash-verified lexical near-dup
+    pair scored with the cosine of the documents' embeddings — the
+    cheap-candidates/semantic-verify composition production dedup
+    uses ("lexical twins that embeddings disagree on are templating,
+    not duplication"). A pair is ``semantically_confirmed`` when its
+    rounded cosine clears ``SEMANTIC_CONFIRM_THRESHOLD``.
+
+    Cost on top of the audited LSH pass: the LSH-bounded pair table
+    BROADCASTS into two embedding lookups and one HOF cosine per pair
+    — the corpus's vectors never shuffle and never pair beyond the
+    lexical candidates. Cites dedup_minhash_lsh for the candidate
+    semantics; the DuckDB oracle replays both chains end to end.
+    """
+    from duckdb_gsheets_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("emb")
+    )
+    emb = emb.withColumn("nrm", norm(F.col("emb")))
+    a = emb.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("norm_b"),
+    )
+    cos = F.round(
+        cosine_pre(
+            F.col("emb_a"), F.col("emb_b"), F.col("norm_a"), F.col("norm_b")
+        ),
+        6,
+    )
+    return (
+        F.broadcast(pairs)
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            cos.alias("cos_sim"),
+            (cos >= F.lit(SEMANTIC_CONFIRM_THRESHOLD)).alias(
+                "semantically_confirmed"
+            ),
+        )
+    )
+
+
+def _lexical_semantic_oracle() -> str:
+    from duckdb_gsheets_spark.operators.dedup import (
+        MINHASH_JACCARD_THRESHOLD,
+        _minhash_core_sql,
+    )
+
+    return f"""
+WITH {_minhash_core_sql()},
+lex AS (
+  SELECT doc_a, doc_b, jaccard FROM mh_pairs
+  WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+), v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+), dots AS (
+  SELECT l.doc_a, l.doc_b, l.jaccard, SUM(a.x * b.x) AS dp
+  FROM lex l
+  JOIN v a ON a.vec_id = l.doc_a
+  JOIN v b ON b.vec_id = l.doc_b AND b.i = a.i
+  GROUP BY 1, 2, 3
+)
+SELECT d.doc_a, d.doc_b, d.jaccard,
+       ROUND(d.dp / (na.nrm * nb.nrm), 6) AS cos_sim,
+       ROUND(d.dp / (na.nrm * nb.nrm), 6)
+         >= {SEMANTIC_CONFIRM_THRESHOLD} AS semantically_confirmed
+FROM dots d
+JOIN norms na ON na.vec_id = d.doc_a
+JOIN norms nb ON nb.vec_id = d.doc_b
+"""
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k audit of the approximate ANN paths against the exact
     brute-force baseline — the acceptance gate run before routing
@@ -1501,4 +1594,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("ann_recall_report", ann_recall_report, _recall_oracle(), "recall@k audit of LSH/IVF vs exact baseline"),
     QueryDef("ann_nprobe_recall_curve", ann_nprobe_recall_curve, _nprobe_curve_oracle(), "IVF recall-vs-probe-depth tuning curve"),
     QueryDef("knn_label_probe", knn_label_probe, KNN_LABEL_PROBE_ORACLE, "k-NN majority-vote label prediction probe (embedding-quality gate)"),
+    QueryDef("dedup_lexical_semantic_pairs", dedup_lexical_semantic_pairs, _lexical_semantic_oracle(), "lexical near-dup pairs scored by embedding cosine (two-signal dedup)"),
 ]

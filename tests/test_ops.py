@@ -4567,3 +4567,87 @@ def test_source_unigram_drift_matches_python(spark):
         )
     assert got == expected
     assert all(v[1] >= 0 for v in got.values())
+
+
+def test_lexical_semantic_pairs_matches_numpy(spark):
+    """Two-signal audit: pair set must equal the lexical operator's,
+    and each cosine must match a numpy replay on those pairs."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.dedup import dedup_minhash_lsh
+    from duckdb_gsheets_spark.operators.similarity import (
+        SEMANTIC_CONFIRM_THRESHOLD,
+        dedup_lexical_semantic_pairs,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.doc_a, r.doc_b): (r.jaccard, r.cos_sim, r.semantically_confirmed)
+        for r in dedup_lexical_semantic_pairs(spark, SF).collect()
+    }
+    lex = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh(spark, SF).collect()
+    }
+    assert set(got) == set(lex)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    for (a, b), (jac, cos, conf) in got.items():
+        assert jac == lex[(a, b)]
+        va, vb = vecs[a], vecs[b]
+        exp = round(
+            float(
+                np.dot(va, vb)
+                / (np.sqrt(np.dot(va, va)) * np.sqrt(np.dot(vb, vb)))
+            ),
+            6,
+        )
+        assert abs(cos - exp) < 2e-6
+        assert conf == (cos >= SEMANTIC_CONFIRM_THRESHOLD)
+
+
+def test_lexical_semantic_pairs_planted_confirmation(spark, tmp_path):
+    """Non-vacuity of the confirmed path: identical texts with
+    identical embeddings must confirm; identical texts with opposed
+    embeddings must not (synthetic data has no naturally confirmed
+    pair)."""
+    import os
+
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.similarity import (
+        dedup_lexical_semantic_pairs,
+    )
+
+    t1 = BASE
+    t2 = UNRELATED
+    docs = spark.createDataFrame(
+        [(1, t1, "en", "s", len(t1)), (2, t1, "en", "s", len(t1)),
+         (3, t2, "en", "s", len(t2)), (4, t2, "en", "s", len(t2))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rng = np.random.RandomState(7)
+    u = rng.randn(64).astype("float32")
+    w = rng.randn(64).astype("float32")
+    emb = spark.createDataFrame(
+        [
+            (1, u.tolist(), 0), (2, u.tolist(), 0),        # same vector
+            (3, w.tolist(), 1), (4, (-w).tolist(), 1),     # opposed
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    emb.write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.semantically_confirmed
+        for r in dedup_lexical_semantic_pairs(spark, sf_dir).collect()
+    }
+    assert got[(1, 2)] is True
+    assert got[(3, 4)] is False
