@@ -89,6 +89,93 @@ FROM documents
 """
 
 
+def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free corruption screen: per-payload BYTE-level Shannon
+    entropy (nats). Needs no codec, so it runs on any format —
+    truncated/zero-padded payloads score near 0, encrypted or
+    bit-rotted blobs score near ln(256), healthy media sits in a
+    per-format band; the triage that decides what is worth sending to
+    the (expensive) decode stage. Byte histograms ride the JVM: the
+    payload hexes and splits into 2-char chunks — no Python touches
+    the bytes.
+
+    Determinism: text_char_entropy's 1e-9-grid ln contract, so the
+    per-payload sum is exact integer arithmetic in both engines.
+    Shapes: narrow hex+chunk explode, one (doc, byte) count
+    (map-side-combined), a doc-co-located total join, one rollup.
+    """
+    media = media_table(spark, sf_dir)
+    bytes_ = media.where(F.col("payload").isNotNull()).select(
+        "doc_id",
+        "format",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, (length(hex(payload)) div 2) - 1), "
+                "i -> substring(hex(payload), i * 2 + 1, 2))"
+            )
+        ).alias("b"),
+    )
+    counts = bytes_.groupBy("doc_id", "format", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct_bytes"),
+    )
+    term = F.col("c") * F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double")) * 1e9
+    ).cast("long")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id", "format", "n", "n_distinct_bytes")
+        .agg(
+            F.round(
+                -F.sum(term).cast("double") / 1e9 / F.col("n").cast("double"),
+                6,
+            ).alias("byte_entropy")
+        )
+        .select(
+            "doc_id",
+            "format",
+            F.col("n").alias("n_bytes"),
+            "n_distinct_bytes",
+            "byte_entropy",
+        )
+    )
+
+
+PAYLOAD_ENTROPY_ORACLE = f"""
+WITH media AS (
+  SELECT doc_id,
+         ['png', 'jpeg', 'wav'][CAST(doc_id % {len(FORMATS)} AS INTEGER) + 1]
+           AS format,
+         hex(encode(text)) AS h
+  FROM documents WHERE text IS NOT NULL
+), bytes_ AS (
+  SELECT doc_id, format,
+         unnest(list_transform(range(0, CAST(length(h) // 2 AS BIGINT)),
+                               i -> substring(h, CAST(i * 2 + 1 AS INTEGER), 2)))
+           AS b
+  FROM media
+), counts AS (
+  SELECT doc_id, format, b, COUNT(*) AS c
+  FROM bytes_ GROUP BY doc_id, format, b
+), totals AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         COUNT(*) AS n_distinct_bytes
+  FROM counts GROUP BY doc_id
+)
+SELECT c.doc_id, c.format,
+       t.n AS n_bytes,
+       t.n_distinct_bytes,
+       ROUND(-CAST(SUM(c.c * CAST(ROUND(LN(CAST(c.c AS DOUBLE)
+                / CAST(t.n AS DOUBLE)) * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / CAST(t.n AS DOUBLE), 6) AS byte_entropy
+FROM counts c JOIN totals t USING (doc_id)
+GROUP BY c.doc_id, c.format, t.n, t.n_distinct_bytes
+"""
+
+
 def _decode_payload(payload: bytes, fmt: str) -> tuple[int, int, float, int]:
     """Deterministic fake decoder: (width, height, mean_byte, n_frames).
 
@@ -505,4 +592,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("multimodal_decode_features", multimodal_decode_features, MULTIMODAL_DECODE_ORACLE, "mapInPandas decode stub"),
     QueryDef("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_ORACLE, "mapInPandas resize planning"),
     QueryDef("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE, "one-to-many frame sampling"),
+    QueryDef("multimodal_payload_entropy", multimodal_payload_entropy, PAYLOAD_ENTROPY_ORACLE, "decode-free byte-entropy corruption screen (JVM hex chunking)"),
 ]

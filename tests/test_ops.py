@@ -4651,3 +4651,44 @@ def test_lexical_semantic_pairs_planted_confirmation(spark, tmp_path):
     }
     assert got[(1, 2)] is True
     assert got[(3, 4)] is False
+
+
+def test_multimodal_payload_entropy_matches_python(spark):
+    """Byte entropy against a Counter replay with the same ln-grid
+    snapping; must equal text_char_entropy's value for pure-ASCII
+    payloads (bytes == chars there)."""
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+    from duckdb_gsheets_spark.operators.multimodal import (
+        multimodal_payload_entropy,
+    )
+    from duckdb_gsheets_spark.operators.text import text_char_entropy
+    from duckdb_gsheets_spark.plans.catalog import load_table
+    import math
+
+    got = {
+        r.doc_id: (r.format, r.n_bytes, r.n_distinct_bytes, r.byte_entropy)
+        for r in multimodal_payload_entropy(spark, SF).collect()
+    }
+    fmts = ("png", "jpeg", "wav")
+    expected = {}
+    for r in load_table(spark, SF, "documents").collect():
+        if r.text is None:
+            continue
+        data = r.text.encode()
+        c = Counter(data)
+        n = len(data)
+        s = sum(
+            v * int(round_half_away(math.log(v / n) * 1e9, 0))
+            for v in c.values()
+        )
+        expected[r.doc_id] = (
+            fmts[r.doc_id % 3], n, len(c), round(-s / 1e9 / n, 6)
+        )
+    assert got == expected
+    char_side = {
+        r.doc_id: r.char_entropy for r in text_char_entropy(spark, SF).collect()
+    }
+    # The synthetic corpus is pure ASCII: byte and char entropy agree.
+    assert all(got[d][3] == char_side[d] for d in got)
