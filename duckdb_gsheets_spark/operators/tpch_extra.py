@@ -1475,6 +1475,77 @@ WHERE levenshtein(a.name, b.name) <= {FUZZY_LEV_MAX}
 """
 
 
+def orders_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table monetary reconciliation: does each order's header
+    total equal the sum of its line revenues
+    (``Σ extprice·(1+tax)·(1−discount)``, TPC-H's own invariant)?
+    One summary row: orders with/without lines, exact reconciliations,
+    mismatches, and the worst and total absolute gaps — the ledger
+    closing check a finance pipeline runs nightly (on THIS synthetic
+    feed the header totals are independent of the lines, and the
+    audit says so: 100 % mismatched).
+
+    Exactness: both sides accumulate as long cents with ONE written
+    op order; gap totals sum in DECIMAL(38,0)/HUGEINT. Shuffle
+    ledger: one map-side-combined lineitem rollup on l_orderkey, one
+    orderkey-partitioned join, then a 1-row aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    line_cents = F.round(
+        (
+            (F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax")))
+            * (F.lit(1.0) - F.col("l_discount"))
+        )
+        * F.lit(100.0)
+    ).cast("long")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(line_cents).alias("lc")
+    )
+    joined = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * F.lit(100.0))
+        .cast("long")
+        .alias("oc"),
+    ).join(per_order, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    diff = F.abs(F.col("oc") - F.col("lc"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("lc").isNull().cast("int")).alias("n_no_lines"),
+        F.sum((diff == 0).cast("int")).alias("n_reconciled"),
+        F.sum((diff > 0).cast("int")).alias("n_mismatched"),
+        (F.max(diff).cast("double") / F.lit(100.0)).alias("max_abs_gap"),
+        (
+            F.sum(diff.cast("decimal(38,0)")).cast("double") / F.lit(100.0)
+        ).alias("total_abs_gap"),
+    )
+
+
+ORDERS_RECONCILIATION_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(((l_extendedprice * (1.0 + l_tax))
+                              * (1.0 - l_discount)) * 100.0) AS BIGINT))
+              AS BIGINT) AS lc
+  FROM lineitem GROUP BY 1
+), joined AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS oc, lc
+  FROM orders LEFT JOIN per_order ON l_orderkey = o_orderkey
+)
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN lc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_lines,
+       CAST(SUM(CASE WHEN ABS(oc - lc) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reconciled,
+       CAST(SUM(CASE WHEN ABS(oc - lc) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatched,
+       CAST(MAX(ABS(oc - lc)) AS DOUBLE) / 100.0 AS max_abs_gap,
+       CAST(SUM(CAST(ABS(oc - lc) AS HUGEINT)) AS DOUBLE) / 100.0
+         AS total_abs_gap
+FROM joined
+"""
+
+
 #: Fulfilment SLA bar (days from order to line-item ship).
 SLA_DAYS = 60
 
@@ -1703,6 +1774,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("orders_revenue_yoy", orders_revenue_yoy, ORDERS_YOY_ORACLE, "monthly revenue with YoY change via month-of-year partitioned lag"),
     QueryDef("fk_integrity_report", fk_integrity_report, FK_INTEGRITY_ORACLE, "referential-integrity orphan audit across every star-schema FK edge"),
     QueryDef("part_name_fuzzy_pairs", part_name_fuzzy_pairs, PART_FUZZY_ORACLE, "blocked edit-distance entity resolution over part names"),
+    QueryDef("orders_reconciliation_audit", orders_reconciliation_audit, ORDERS_RECONCILIATION_ORACLE, "header-vs-lines monetary reconciliation (exact cents, 1-row report)"),
     QueryDef("orders_pareto_share", orders_pareto_share, ORDERS_PARETO_ORACLE, "Pareto/Lorenz revenue-concentration deciles (value-level tiling)"),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE, "TPC-H Q7 nation-pair"),
     QueryDef("q8_market_share", q8_market_share, Q8_ORACLE, "TPC-H Q8 share-of-total"),

@@ -4692,3 +4692,49 @@ def test_multimodal_payload_entropy_matches_python(spark):
     }
     # The synthetic corpus is pure ASCII: byte and char entropy agree.
     assert all(got[d][3] == char_side[d] for d in got)
+
+
+def test_orders_reconciliation_matches_python(spark):
+    """Reconciliation report against an integer-cents replay; the
+    accounting identity n_orders = no_lines + reconciled + mismatched
+    must hold."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+    from duckdb_gsheets_spark.operators.tpch_extra import (
+        orders_reconciliation_audit,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    r = orders_reconciliation_audit(spark, SF).collect()[0]
+    lc = defaultdict(int)
+    for li in load_table(spark, SF, "lineitem").collect():
+        lc[li.l_orderkey] += int(
+            round_half_away(
+                ((li.l_extendedprice * (1.0 + li.l_tax))
+                 * (1.0 - li.l_discount)) * 100.0,
+                0,
+            )
+        )
+    n = no_lines = reconciled = mismatched = 0
+    max_gap = 0
+    total_gap = 0
+    for o in load_table(spark, SF, "orders").collect():
+        n += 1
+        oc = int(round_half_away(o.o_totalprice * 100.0, 0))
+        if o.o_orderkey not in lc:
+            no_lines += 1
+            continue
+        d = abs(oc - lc[o.o_orderkey])
+        if d == 0:
+            reconciled += 1
+        else:
+            mismatched += 1
+        max_gap = max(max_gap, d)
+        total_gap += d
+    assert (r.n_orders, r.n_no_lines, r.n_reconciled, r.n_mismatched) == (
+        n, no_lines, reconciled, mismatched
+    )
+    assert r.max_abs_gap == max_gap / 100.0
+    assert r.total_abs_gap == total_gap / 100.0
+    assert r.n_orders == r.n_no_lines + r.n_reconciled + r.n_mismatched
