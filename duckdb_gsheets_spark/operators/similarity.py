@@ -1018,6 +1018,67 @@ FROM pred p JOIN embeddings q ON q.vec_id = p.vec_a
 """
 
 
+def ann_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: vectors per inverted list, each list's
+    corpus share, and its load factor vs the perfectly-balanced ideal
+    (``n / num_lists``) — the metric that predicts probe latency (a
+    hot list makes every query probing it scan a corpus-sized
+    bucket; the fix is re-training or splitting the hot centroid).
+    Audits the SAME assignment the registered IVF top-k serves from.
+
+    Cost: the assignment's narrow GEMM pass, one |lists|-row rollup,
+    a 1-row total broadcast. Empty lists (never assigned) don't
+    appear — their absence from the |lists|-row output IS the signal.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroid_rows, _ = _collect_ivf_inputs(spark, sf_dir)
+    _, assignment = ivf_assignments(emb, centroid_rows)
+    sizes = assignment.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    total = assignment.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("list_id").alias("n_lists"),
+    )
+    return sizes.join(F.broadcast(total)).select(
+        "list_id",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors").cast("double") / F.col("n_total").cast("double"),
+            6,
+        ).alias("corpus_share"),
+        F.round(
+            F.col("n_vectors").cast("double")
+            / (
+                F.col("n_total").cast("double")
+                / F.col("n_lists").cast("double")
+            ),
+            6,
+        ).alias("load_factor"),
+    )
+
+
+def _ivf_balance_oracle() -> str:
+    return f"""
+{_ORACLE_VECTOR_CTE},
+{_ivf_cte()},
+sizes AS (
+  SELECT list_id, COUNT(*) AS n_vectors FROM ivf_assign GROUP BY list_id
+), total AS (
+  SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total,
+         COUNT(*) AS n_lists
+  FROM sizes
+)
+SELECT s.list_id, s.n_vectors,
+       ROUND(CAST(s.n_vectors AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+         AS corpus_share,
+       ROUND(CAST(s.n_vectors AS DOUBLE)
+             / (CAST(t.n_total AS DOUBLE) / CAST(t.n_lists AS DOUBLE)), 6)
+         AS load_factor
+FROM sizes s CROSS JOIN total t
+"""
+
+
 #: Cosine bar for semantic corroboration of a lexical near-dup pair.
 SEMANTIC_CONFIRM_THRESHOLD = 0.5
 
@@ -1595,4 +1656,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("ann_nprobe_recall_curve", ann_nprobe_recall_curve, _nprobe_curve_oracle(), "IVF recall-vs-probe-depth tuning curve"),
     QueryDef("knn_label_probe", knn_label_probe, KNN_LABEL_PROBE_ORACLE, "k-NN majority-vote label prediction probe (embedding-quality gate)"),
     QueryDef("dedup_lexical_semantic_pairs", dedup_lexical_semantic_pairs, _lexical_semantic_oracle(), "lexical near-dup pairs scored by embedding cosine (two-signal dedup)"),
+    QueryDef("ann_ivf_balance_report", ann_ivf_balance_report, _ivf_balance_oracle(), "IVF inverted-list load-balance audit (probe-latency predictor)"),
 ]

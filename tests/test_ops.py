@@ -4738,3 +4738,37 @@ def test_orders_reconciliation_matches_python(spark):
     assert r.max_abs_gap == max_gap / 100.0
     assert r.total_abs_gap == total_gap / 100.0
     assert r.n_orders == r.n_no_lines + r.n_reconciled + r.n_mismatched
+
+
+def test_ann_ivf_balance_matches_assignment(spark):
+    """Balance report must be exactly the size distribution of the
+    audited IVF assignment; shares sum to 1 and load factors average
+    to 1 over non-empty lists."""
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.similarity import (
+        _collect_ivf_inputs,
+        ann_ivf_balance_report,
+        ivf_assignments,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = ann_ivf_balance_report(spark, SF).collect()
+    got = {r.list_id: (r.n_vectors, r.corpus_share, r.load_factor) for r in rows}
+    emb = load_table(spark, SF, "embeddings")
+    centroid_rows, _ = _collect_ivf_inputs(spark, SF)
+    _, assignment = ivf_assignments(emb, centroid_rows)
+    sizes = Counter(r.list_id for r in assignment.collect())
+    total = sum(sizes.values())
+    n_lists = len(sizes)
+    expected = {
+        lid: (
+            n,
+            round(n / total, 6),
+            round(n / (total / n_lists), 6),
+        )
+        for lid, n in sizes.items()
+    }
+    assert got == expected
+    assert abs(sum(s for _, s, _ in got.values()) - 1.0) < 1e-4
+    assert abs(sum(f for _, _, f in got.values()) / n_lists - 1.0) < 1e-4

@@ -668,6 +668,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "skew_heavy_hitters",       # 1-row total broadcast
         "fk_integrity_report",      # 1-row × 1-row per-edge stat join
         "source_unigram_drift",     # |sources|×K grid cross + 1-row total
+        "ann_ivf_balance_report",   # 1-row total broadcast
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
