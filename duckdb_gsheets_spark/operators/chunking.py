@@ -378,6 +378,115 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Boilerplate suppression: segment granularity (tokens) and the
+#: document-frequency floor above which a segment counts as corpus
+#: boilerplate (RefinedWeb/CCNet drop lines repeated across enough
+#: distinct pages; this corpus has no line structure, so the unit is
+#: the non-overlapping token segment, as elsewhere in this module).
+BOILER_SEG_SIZE = 8
+BOILER_MIN_DOCS = 3
+
+
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate suppression: drop EVERY occurrence of
+    any ``BOILER_SEG_SIZE``-token segment that appears in at least
+    ``BOILER_MIN_DOCS`` distinct documents, and report the per-document
+    token retention.
+
+    This is the RefinedWeb/CCNet repeated-line filter re-expressed on
+    token segments: unlike :func:`segment_dedup_stats` (which keeps the
+    FIRST occurrence — near-dup hygiene), a boilerplate pass removes
+    ALL occurrences, because a segment shared by many unrelated
+    documents is template chrome (headers, navboxes, license
+    blurbs), not content worth keeping once.
+
+    Shuffle ledger (100 TB): document text never reaches an exchange —
+    the segment explode and md5 are narrow and fused into the scan,
+    so only (doc_id, seg_hash, seg_tokens) rows move. Three shuffles,
+    all on uniform keys: (1) the document-frequency aggregate on the
+    16-byte segment hash (md5 cannot skew), (2) the join of segments
+    back to their frequency row on the same hash (AQE turns this into
+    a broadcast when the segment dictionary is small; the shuffle
+    plan is the unconditional-scale path), (3) the per-document
+    rollup on doc_id. Output is one row per document regardless of
+    corpus size.
+    """
+    toks = _tokens_df(load_table(spark, sf_dir, "documents"))
+    n_segs = F.expr(f"div(n_tokens + {BOILER_SEG_SIZE - 1}, {BOILER_SEG_SIZE})")
+    seg_toks = F.slice(
+        F.col("toks"), F.col("seg_id") * BOILER_SEG_SIZE + 1, BOILER_SEG_SIZE
+    )
+    segs = (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_id"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(seg_toks, " ")).alias("seg_hash"),
+            F.size(seg_toks).alias("seg_tokens"),
+        )
+    )
+    seg_df = segs.groupBy("seg_hash").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = F.col("df") >= BOILER_MIN_DOCS
+    flagged = segs.join(seg_df, "seg_hash")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(boiler.cast("long")).alias("n_boiler_segments"),
+        F.sum(F.col("seg_tokens").cast("long")).alias("tokens_total"),
+        F.sum(
+            F.when(boiler, F.lit(0)).otherwise(F.col("seg_tokens")).cast("long")
+        ).alias("tokens_retained"),
+        F.round(
+            F.sum(
+                F.when(boiler, F.lit(0))
+                .otherwise(F.col("seg_tokens"))
+                .cast("long")
+            ).cast("double")
+            / F.sum(F.col("seg_tokens").cast("long")).cast("double"),
+            6,
+        ).alias("retained_ratio"),
+    )
+
+
+BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(text), '\\s+') AS t,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n
+  FROM documents WHERE text IS NOT NULL
+), segs AS (
+  SELECT doc_id,
+         unnest(range(0, (n + {BOILER_SEG_SIZE - 1}) // {BOILER_SEG_SIZE})) AS seg_id,
+         t
+  FROM toks
+), hashed AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, seg_id * {BOILER_SEG_SIZE} + 1,
+                                        seg_id * {BOILER_SEG_SIZE} + {BOILER_SEG_SIZE}), ' ')) AS seg_hash,
+         len(list_slice(t, seg_id * {BOILER_SEG_SIZE} + 1,
+                        seg_id * {BOILER_SEG_SIZE} + {BOILER_SEG_SIZE})) AS seg_tokens
+  FROM segs
+), seg_df AS (
+  SELECT seg_hash, COUNT(DISTINCT doc_id) AS df FROM hashed GROUP BY seg_hash
+)
+SELECT h.doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN d.df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_segments,
+       CAST(SUM(h.seg_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN d.df >= {BOILER_MIN_DOCS} THEN 0 ELSE h.seg_tokens END) AS BIGINT)
+         AS tokens_retained,
+       ROUND(CAST(SUM(CASE WHEN d.df >= {BOILER_MIN_DOCS} THEN 0 ELSE h.seg_tokens END) AS DOUBLE)
+             / CAST(SUM(h.seg_tokens) AS DOUBLE), 6) AS retained_ratio
+FROM hashed h JOIN seg_df d USING (seg_hash)
+GROUP BY h.doc_id
+"""
+
+
 DUPLICATE_PASSAGES_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -432,5 +541,12 @@ QUERIES: list[QueryDef] = [
         duplicate_passages,
         DUPLICATE_PASSAGES_ORACLE,
         "top-K most-duplicated token passages corpus-wide (Lee et al. report)",
+    ),
+    QueryDef(
+        "boilerplate_segment_removal",
+        boilerplate_segment_removal,
+        BOILERPLATE_ORACLE,
+        "corpus boilerplate suppression: drop all occurrences of "
+        "high-document-frequency segments, report per-doc retention",
     ),
 ]

@@ -1609,6 +1609,141 @@ JOIN pg_pr{PR_ITERS} p ON p.doc_id = v.doc_id
 """
 
 
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle count and local clustering coefficient
+    over the lexical near-dup graph (the bounded top-K Jaccard match
+    set of :func:`dedup_ngram_jaccard`, undirected-canonicalized).
+
+    Triangle density is the structural dedup signal the pairwise ops
+    miss: a high clustering coefficient marks cohesive template
+    families (every copy matches every other copy — safe to collapse
+    to one representative), while high degree with LOW coefficient
+    marks hub pages that merely share boilerplate with many unrelated
+    documents (collapsing those would destroy distinct content).
+
+    Algorithm, sized for 100 TB: naive wedge-join fan-out is
+    quadratic in the hottest vertex's degree (top-K bounds only
+    OUT-degree — a popular template appears in arbitrarily many other
+    documents' top-K lists, so in-degree is unbounded). The fix is
+    the degree-ordered orientation of Suri & Vassilvitskii ("Counting
+    Triangles and the Curse of the Last Reducer", WWW 2011): orient
+    every edge from its lower-(degree, id) endpoint to the higher,
+    build wedges only between OUT-neighbors, and close them against
+    oriented edges. Every node's out-degree is then O(√m), total
+    wedge volume O(m^1.5), and each triangle is emitted exactly once
+    (at its order-minimal vertex, with the closing edge oriented by
+    the same total order). The slim edge list is localCheckpoint'ed
+    once so the PPJoin candidate chain never re-executes; all joins
+    key on node ids (uniform) — no cartesian anywhere.
+    """
+    matches = dedup_ngram_jaccard(spark, sf_dir)
+    edges = (
+        matches.select(
+            F.least("doc_id", "match_id").alias("a"),
+            F.greatest("doc_id", "match_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    with_deg = edges.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a")),
+        "a",
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b")),
+        "b",
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    tri_nodes = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_tri = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+    return (
+        deg.join(tri_nodes, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            "degree",
+            n_tri.alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    (F.lit(2) * n_tri).cast("double")
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))).cast(
+                        "double"
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+NEARDUP_TRIANGLES_ORACLE = f"""
+WITH m AS ({DEDUP_NGRAM_ORACLE}),
+tr_edges AS (
+  SELECT DISTINCT LEAST(doc_id, match_id) AS a, GREATEST(doc_id, match_id) AS b
+  FROM m
+), tr_deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT a AS node FROM tr_edges UNION ALL SELECT b AS node FROM tr_edges
+  ) GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN (da.degree, e.a) < (db.degree, e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.degree, e.a) < (db.degree, e.b) THEN e.b ELSE e.a END AS v,
+         CASE WHEN (da.degree, e.a) < (db.degree, e.b) THEN db.degree ELSE da.degree END AS deg_v
+  FROM tr_edges e
+  JOIN tr_deg da ON da.node = e.a
+  JOIN tr_deg db ON db.node = e.b
+), tri AS (
+  SELECT o1.u, o1.v AS v1, o2.v AS v2
+  FROM oriented o1
+  JOIN oriented o2 ON o1.u = o2.u
+   AND ((o1.deg_v, o1.v) < (o2.deg_v, o2.v))
+  JOIN oriented oc ON oc.u = o1.v AND oc.v = o2.v
+), tn AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v1 AS node FROM tri
+    UNION ALL SELECT v2 AS node FROM tri
+  ) GROUP BY node
+)
+SELECT d.node AS doc_id,
+       d.degree,
+       COALESCE(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN ROUND(CAST(2 * COALESCE(t.n_triangles, CAST(0 AS BIGINT)) AS DOUBLE)
+                       / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM tr_deg d LEFT JOIN tn t ON t.node = d.node
+"""
+
+
 #: Incremental-dedup delta batch: the slice of the corpus standing in
 #: for a freshly-crawled ingest (deterministic and present at every
 #: SF — the generator assigns sources round-robin).
@@ -2025,4 +2160,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_upweight_manifest", dedup_upweight_manifest, DEDUP_UPWEIGHT_ORACLE, "keep-one-count-many cluster-representative sampling manifest"),
     QueryDef("dedup_incremental_batch", dedup_incremental_batch, DEDUP_INCREMENTAL_ORACLE, "delta-vs-corpus incremental dedup verdicts (O(delta) ingest check)"),
     QueryDef("neardup_pagerank", neardup_pagerank, _neardup_pagerank_oracle(), "all-integer PageRank duplication-centrality over the near-dup graph"),
+    QueryDef("neardup_triangles", neardup_triangles, NEARDUP_TRIANGLES_ORACLE, "degree-ordered triangle counting + clustering coefficient over the lexical near-dup graph"),
 ]

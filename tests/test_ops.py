@@ -1134,6 +1134,55 @@ def test_segment_dedup_matches_python_recompute(spark):
         assert ratio == round(d / n, 6)
 
 
+def test_boilerplate_removal_matches_python_recompute(spark):
+    """Per-doc retention after dropping ALL occurrences of segments
+    that appear in >= BOILER_MIN_DOCS distinct documents, recomputed
+    directly in Python. The fixture must actually contain boilerplate
+    (otherwise the drop path is untested)."""
+    import re
+
+    from duckdb_gsheets_spark.operators.chunking import (
+        BOILER_MIN_DOCS,
+        BOILER_SEG_SIZE,
+        boilerplate_segment_removal,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (
+            r.n_segments,
+            r.n_boiler_segments,
+            r.tokens_total,
+            r.tokens_retained,
+            r.retained_ratio,
+        )
+        for r in boilerplate_segment_removal(spark, SF).collect()
+    }
+    doc_segs: dict[int, list[list[str]]] = {}
+    for r in load_table(spark, SF, "documents").select("doc_id", "text").collect():
+        if r.text is None:
+            continue
+        toks = re.split(r"\s+", r.text.strip())
+        doc_segs[r.doc_id] = [
+            toks[i : i + BOILER_SEG_SIZE]
+            for i in range(0, len(toks), BOILER_SEG_SIZE)
+        ]
+    df_count: dict[str, set[int]] = {}
+    for d, segs in doc_segs.items():
+        for seg in segs:
+            df_count.setdefault(" ".join(seg), set()).add(d)
+    boiler = {s for s, ds in df_count.items() if len(ds) >= BOILER_MIN_DOCS}
+    assert boiler, "fixture has no cross-doc boilerplate — test is vacuous"
+    expected = {}
+    for d, segs in doc_segs.items():
+        total = sum(len(s) for s in segs)
+        kept = sum(len(s) for s in segs if " ".join(s) not in boiler)
+        nboil = sum(1 for s in segs if " ".join(s) in boiler)
+        expected[d] = (len(segs), nboil, total, kept, round(kept / total, 6))
+    assert got == expected
+    assert any(v[1] > 0 for v in got.values())
+
+
 def test_contamination_matches_python_recompute(spark):
     import re
 
@@ -1972,6 +2021,38 @@ def test_neardup_pagerank_matches_python_recompute(spark):
         top = max(pr.values())
         if isolated is not None:
             assert top > pr[isolated] == PR_BASE
+
+
+def test_neardup_triangles_match_python_recompute(spark):
+    """Triangle counts and clustering coefficients against a direct
+    Python adjacency-set-intersection count over the same registered
+    top-K Jaccard edge set (independent of the degree-ordered
+    distributed algorithm under test)."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        neardup_triangles,
+    )
+
+    got = {
+        r.doc_id: (r.degree, r.n_triangles, r.clustering_coeff)
+        for r in neardup_triangles(spark, SF).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for p in dedup_ngram_jaccard(spark, SF).collect():
+        a, b = min(p.doc_id, p.match_id), max(p.doc_id, p.match_id)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for node, ns in adj.items():
+        tri = sum(len(adj[n] & ns) for n in ns) // 2
+        deg = len(ns)
+        coeff = round(2 * tri / (deg * (deg - 1)), 6) if deg >= 2 else 0.0
+        expected[node] = (deg, tri, coeff)
+    assert got == expected
+    # Non-vacuity: the fixture graph must contain real triangles and a
+    # spread of coefficients, or the counting path is untested.
+    assert any(t > 0 for _, t, _ in got.values())
+    assert any(0.0 < c < 1.0 for _, _, c in got.values())
 
 
 def test_incremental_dedup_consistent_with_full_dedup(spark):

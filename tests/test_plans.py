@@ -152,6 +152,23 @@ def test_doc_chunking_is_narrow(spark):
     assert "struct<doc_id:bigint,text:string>" in plan
 
 
+def test_boilerplate_removal_text_never_shuffles(spark):
+    """The boilerplate pass moves only (doc_id, seg_hash, seg_tokens)
+    rows through its exchanges — the document text/token arrays stay
+    fused into the scan side. No cartesian; the df join is an
+    equi-join on the uniform md5 hash."""
+    plan = _plan(spark, "boilerplate_segment_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    offending = [
+        ln
+        for ln in physical.splitlines()
+        if "Exchange" in ln and ("text#" in ln or "toks#" in ln)
+    ]
+    assert not offending, f"document text reached an exchange: {offending}"
+
+
 def test_contamination_broadcasts_benchmark(spark):
     """The benchmark gram set must broadcast; the raw corpus gram
     stream must reach the join unshuffled."""
@@ -290,6 +307,25 @@ def test_scd2_history_single_doc_id_exchange(spark):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(set(exchanges)) == 1
+
+
+def test_neardup_triangles_wedge_joins_are_equi_joins(spark):
+    """The triangle count must never plan a cartesian/BNLJ: the wedge
+    build and the closing-edge check are equi-joins on node ids (the
+    degree-ordered orientation makes their fan-out O(m^1.5)). The
+    edge list is checkpointed, so the plan roots at the slim edge
+    scan — the PPJoin chain must not reappear."""
+    plan = _plan(spark, "neardup_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # wedge + closing + the final degree/triangle left join (the two
+    # degree-attach joins are sealed inside the oriented checkpoint)
+    assert (
+        plan.count("BroadcastHashJoin")
+        + plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+    ) >= 3
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan  # checkpoint root
 
 
 def test_incremental_dedup_broadcasts_delta_never_shuffles_corpus(spark):
