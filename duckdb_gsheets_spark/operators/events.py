@@ -1938,8 +1938,84 @@ GROUP BY 1, 2
 """
 
 
+def events_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level algebraic rollup (the hypertable / continuous-
+    aggregate pattern): materialize hourly PARTIALS (count, scaled-long
+    sum, min, max per (hour, type)), then serve the DAILY statistics —
+    including the average — purely by merging partials, never
+    re-reading raw rows.
+
+    This is the pattern that makes interactive analytics affordable at
+    100 TB: the hourly partial table is |hours|×|types| rows (a few
+    thousand per year), so every coarser grain (day/week/month) is an
+    aggregation over a table ~10⁶× smaller than the raw stream. The
+    merges are exact because every partial is algebraic integer state:
+    counts and scaled-long sums add, mins/maxes combine, and the daily
+    average is derived from the MERGED sum and count — not an average
+    of hourly averages, the classic partial-aggregation bug. The
+    DuckDB oracle computes the same dailies directly from raw rows, so
+    the hash match proves the two-level rollup is lossless. (Distinct
+    users are deliberately absent: COUNT(DISTINCT) is not algebraic —
+    the mergeable form is an HLL sketch, covered by
+    ``approx_count_distinct_users``.)
+
+    Plan: two hash aggregations, each with a map-side partial combine;
+    the second one's input is the tiny partial table, so the raw
+    stream is shuffled once, on (hour, type).
+    """
+    events = load_table(spark, sf_dir, "events")
+    vs = F.round(F.col("value") * 100).cast("long")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vs).alias("s1"),
+        F.min(vs).alias("mn"),
+        F.max(vs).alias("mx"),
+    )
+    return (
+        hourly.groupBy(
+            F.col("hour_start").cast("date").cast("string").alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s1").alias("s1"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .select(
+            "day_start",
+            "event_type",
+            "n_events",
+            (F.col("s1").cast("double") / F.lit(100.0)).alias("sum_value"),
+            (
+                (F.col("s1").cast("double") / F.lit(100.0))
+                / F.col("n_events")
+            ).alias("avg_value"),
+            (F.col("mn").cast("double") / F.lit(100.0)).alias("min_value"),
+            (F.col("mx").cast("double") / F.lit(100.0)).alias("max_value"),
+        )
+    )
+
+
+EVENTS_ROLLUP_ORACLE = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS sum_value,
+       ({oracle_dsum('value')} / COUNT(*)) AS avg_value,
+       (CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS min_value,
+       (CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
+    QueryDef("events_rollup_hypertable", events_rollup_hypertable, EVENTS_ROLLUP_ORACLE, "two-level algebraic rollup: daily stats merged exactly from hourly partials"),
     QueryDef("events_markov_transitions", events_markov_transitions, EVENTS_MARKOV_ORACLE, "first-order event-type Markov transition matrix"),
     QueryDef("events_attribution", events_attribution, EVENTS_ATTRIBUTION_ORACLE, "last-touch purchase attribution within a 24h lookback"),
     QueryDef("events_forecast_baseline", events_forecast_baseline, EVENTS_FORECAST_ORACLE, "seasonal-naive hourly forecast accuracy report"),

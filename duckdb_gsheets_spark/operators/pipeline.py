@@ -431,6 +431,81 @@ GROUP BY doc_id, island, state
 """
 
 
+#: The snapshot pair the as-of diff compares (full version span: v1 is
+#: the base ingest, v3 carries both mutation waves and the deletions).
+SCD2_DIFF_FROM = 1
+SCD2_DIFF_TO = 3
+
+
+def scd2_diff_from_ledger(
+    ledger: DataFrame, v_from: int, v_to: int
+) -> DataFrame:
+    """Generic point-in-time diff over an SCD2 interval ledger: the
+    state as of ``v_from`` full-outer-joined to the state as of
+    ``v_to`` on doc_id, classified added/deleted/changed/unchanged.
+
+    As-of reconstruction is the read path an SCD2 ledger exists FOR:
+    ``valid_from <= v <= valid_to`` is a partition-prunable filter, so
+    a snapshot never replays history. The diff then shuffles only the
+    two snapshot projections (doc_id + 32-char hash), never text.
+    """
+    at_from = ledger.where(
+        (F.col("valid_from") <= v_from) & (F.col("valid_to") >= v_from)
+    ).select("doc_id", F.col("text_md5").alias("md5_before"))
+    at_to = ledger.where(
+        (F.col("valid_from") <= v_to) & (F.col("valid_to") >= v_to)
+    ).select("doc_id", F.col("text_md5").alias("md5_after"))
+    status = (
+        F.when(F.col("md5_before").isNull(), F.lit("added"))
+        .when(F.col("md5_after").isNull(), F.lit("deleted"))
+        .when(F.col("md5_before") == F.col("md5_after"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return at_from.join(at_to, "doc_id", "full_outer").select(
+        "doc_id", "md5_before", "md5_after", status.alias("status")
+    )
+
+
+def scd2_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changed between two pinned corpus snapshots, answered from
+    the SCD2 ledger alone — the audit a reproducible training run does
+    before re-training on a new corpus version ("how much moved?").
+
+    Composes :func:`corpus_scd2_history` (the interval ledger) with
+    :func:`scd2_diff_from_ledger` (as-of reconstruction + full-outer
+    diff). An SCD2 interval row serves ANY version's snapshot with one
+    filter, so diffing v1→v3 costs two filters + one doc_id join —
+    raw snapshots are never materialized. On this corpus the diff
+    classes are deleted (every 13th doc), changed (the normalize and
+    uppercase waves where they alter content), and unchanged;
+    ``added`` requires a reappearing doc and is exercised by the
+    synthetic-ledger pytest.
+    """
+    return scd2_diff_from_ledger(
+        corpus_scd2_history(spark, sf_dir), SCD2_DIFF_FROM, SCD2_DIFF_TO
+    )
+
+
+SCD2_ASOF_DIFF_ORACLE = f"""
+WITH ledger AS ({CORPUS_SCD2_ORACLE}),
+s_before AS (
+  SELECT doc_id, text_md5 AS md5_before FROM ledger
+  WHERE valid_from <= {SCD2_DIFF_FROM} AND valid_to >= {SCD2_DIFF_FROM}
+), s_after AS (
+  SELECT doc_id, text_md5 AS md5_after FROM ledger
+  WHERE valid_from <= {SCD2_DIFF_TO} AND valid_to >= {SCD2_DIFF_TO}
+)
+SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+       b.md5_before,
+       a.md5_after,
+       CASE WHEN b.md5_before IS NULL THEN 'added'
+            WHEN a.md5_after IS NULL THEN 'deleted'
+            WHEN b.md5_before = a.md5_after THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM s_before b FULL OUTER JOIN s_after a ON b.doc_id = a.doc_id
+"""
+
+
 def pipeline_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third composed pipeline: hash-split the corpus, exact-dedup
     WITHIN each split, then remove from train every doc whose content
@@ -568,5 +643,12 @@ QUERIES: list[QueryDef] = [
         pipeline_split_corpus,
         _split_pipeline_oracle(),
         "split→in-split dedup→train decontamination composed pipeline",
+    ),
+    QueryDef(
+        "scd2_asof_diff",
+        scd2_asof_diff,
+        SCD2_ASOF_DIFF_ORACLE,
+        "point-in-time snapshot diff (added/deleted/changed/unchanged) "
+        "reconstructed from the SCD2 ledger",
     ),
 ]

@@ -2163,6 +2163,101 @@ def test_scd2_history_matches_python_recompute(spark):
     assert got == sorted(expected)
 
 
+def test_scd2_asof_diff_matches_python_recompute(spark):
+    """The v1→v3 snapshot diff against a direct Python replay of the
+    snapshot rules (same state function as the ledger test)."""
+    import hashlib
+    import re
+
+    from duckdb_gsheets_spark.operators.pipeline import (
+        SCD2_DIFF_FROM,
+        SCD2_DIFF_TO,
+        scd2_asof_diff,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.md5_before, r.md5_after, r.status)
+        for r in scd2_asof_diff(spark, SF).collect()
+    }
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def state(doc_id: int, text: str, v: int) -> str | None:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        if v == 1:
+            return md5(text)
+        if doc_id % 13 == 0:
+            return None
+        if v == 3 and doc_id % 5 == 0:
+            return md5(text.upper())
+        if doc_id % 7 == 0:
+            return md5(norm)
+        return md5(text)
+
+    expected = {}
+    for r in load_table(spark, SF, "documents").select("doc_id", "text").collect():
+        if r.text is None:
+            continue
+        b = state(r.doc_id, r.text, SCD2_DIFF_FROM)
+        a = state(r.doc_id, r.text, SCD2_DIFF_TO)
+        if b is None and a is None:
+            continue
+        status = (
+            "added" if b is None
+            else "deleted" if a is None
+            else "unchanged" if a == b
+            else "changed"
+        )
+        expected[r.doc_id] = (b, a, status)
+    assert got == expected
+    # The fixture must exercise deletion and change, or the diff paths
+    # are untested ('added' needs a reappearing doc — synthetic test).
+    statuses = {s for _, _, s in got.values()}
+    assert {"deleted", "changed", "unchanged"} <= statuses
+
+
+def test_scd2_asof_diff_synthetic_ledger_covers_added(spark):
+    """A reappearing document (absent at v_from, present at v_to) must
+    classify as 'added' — unreachable on the generated corpus, so a
+    synthetic grid drives the full status matrix through the same
+    scd2_intervals → diff composition as the registered query."""
+    from duckdb_gsheets_spark.operators.pipeline import (
+        _SCD2_ABSENT,
+        scd2_diff_from_ledger,
+        scd2_intervals,
+    )
+
+    grid = spark.createDataFrame(
+        [
+            (1, [("A"), ("A"), ("A")]),  # unchanged
+            (2, [("A"), (_SCD2_ABSENT), ("B")]),  # delete then re-ingest
+            (3, [(_SCD2_ABSENT), ("B"), ("B")]),  # added after v1
+            (4, [("A"), ("B"), (_SCD2_ABSENT)]),  # deleted by v3
+            (5, [("A"), ("A"), ("B")]),  # changed
+        ],
+        "doc_id long, states array<string>",
+    ).select(
+        "doc_id",
+        F.posexplode("states").alias("pos", "state"),
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("long").alias("version"), "state"
+    )
+    ledger = scd2_intervals(grid, n_versions=3)
+    diff = {
+        r.doc_id: r.status
+        for r in scd2_diff_from_ledger(ledger, 1, 3).collect()
+    }
+    assert diff == {
+        1: "unchanged",
+        2: "changed",  # present at both endpoints with different content
+        3: "added",
+        4: "deleted",
+        5: "changed",
+    }
+
+
 def test_kmeans_matches_numpy_recompute(spark):
     """Same-recipe spherical Lloyd in numpy over the collected corpus
     must reproduce sizes and (to rounding) the per-cluster stats."""
@@ -2933,6 +3028,54 @@ def test_events_path_topk_matches_python_recompute(spark):
     )[:PATH_TOPK]
     assert got == expected
     assert len(got) == PATH_TOPK  # fixture has enough path diversity
+
+
+def test_events_rollup_hypertable_matches_python_recompute(spark):
+    """The daily stats served from hourly partials must equal a direct
+    single-level Python recompute from raw rows — replayed here through
+    an explicit two-level merge so the partial-combine path itself is
+    exercised (hourly partials built first, then merged per day)."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.events import (
+        events_rollup_hypertable,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.day_start, r.event_type): (
+            r.n_events,
+            r.sum_value,
+            r.avg_value,
+            r.min_value,
+            r.max_value,
+        )
+        for r in events_rollup_hypertable(spark, SF).collect()
+    }
+    hourly = defaultdict(lambda: [0, 0, None, None])
+    for r in load_table(spark, SF, "events").select("ts", "event_type", "value").collect():
+        v = round(r.value * 100)
+        key = (r.ts.replace(minute=0, second=0, microsecond=0), r.event_type)
+        st = hourly[key]
+        st[0] += 1
+        st[1] += v
+        st[2] = v if st[2] is None else min(st[2], v)
+        st[3] = v if st[3] is None else max(st[3], v)
+    daily = defaultdict(lambda: [0, 0, None, None])
+    for (hour, etype), (n, s1, mn, mx) in hourly.items():
+        st = daily[(str(hour.date()), etype)]
+        st[0] += n
+        st[1] += s1
+        st[2] = mn if st[2] is None else min(st[2], mn)
+        st[3] = mx if st[3] is None else max(st[3], mx)
+    expected = {
+        k: (n, s1 / 100.0, (s1 / 100.0) / n, mn / 100.0, mx / 100.0)
+        for k, (n, s1, mn, mx) in daily.items()
+    }
+    assert got == expected
+    # Non-vacuity: at least one day must span multiple hours, or the
+    # merge path degenerates to a relabel.
+    assert any(n > 1 for n, *_ in got.values())
 
 
 def test_events_cohort_ltv_matches_python_recompute(spark):

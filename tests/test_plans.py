@@ -309,6 +309,34 @@ def test_scd2_history_single_doc_id_exchange(spark):
     assert len(set(exchanges)) == 1
 
 
+def test_scd2_asof_diff_joins_snapshots_on_doc_id(spark):
+    """The snapshot diff must be an equi-join of two slim ledger
+    projections on doc_id — no cartesian, and document text never
+    reaches an exchange (only doc_id + md5 move)."""
+    plan = _plan(spark, "scd2_asof_diff")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    offending = [
+        ln
+        for ln in physical.splitlines()
+        if "Exchange" in ln and "text#" in ln
+    ]
+    assert not offending, f"document text reached an exchange: {offending}"
+
+
+def test_events_rollup_merges_partials_without_rescanning(spark):
+    """The hypertable rollup must scan the raw events exactly once and
+    stack two hash aggregations (each with a map-side partial), with
+    no join back to the raw stream."""
+    plan = _plan(spark, "events_rollup_hypertable")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("Scan parquet") + physical.count("BatchScan") == 1
+    assert physical.count("HashAggregate") >= 4  # partial+final × 2 levels
+    assert "Join" not in physical
+
+
 def test_neardup_triangles_wedge_joins_are_equi_joins(spark):
     """The triangle count must never plan a cartesian/BNLJ: the wedge
     build and the closing-edge check are equi-joins on node ids (the
