@@ -1974,6 +1974,14 @@ def events_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(vs).alias("mn"),
         F.max(vs).alias("mx"),
     )
+    return daily_from_hourly_partials(hourly)
+
+
+def daily_from_hourly_partials(hourly: DataFrame) -> DataFrame:
+    """Merge an hourly partial table (hour_start, event_type, n, s1,
+    mn, mx — scaled-long state) into final daily statistics. Shared by
+    the batch rollup and its streaming twin (the streaming job
+    maintains the hourly partials; any serving grain merges them)."""
     return (
         hourly.groupBy(
             F.col("hour_start").cast("date").cast("string").alias("day_start"),
@@ -2013,8 +2021,47 @@ GROUP BY 1, 2
 """
 
 
+def events_multigrain_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users at three grains — (day, type), (day),
+    (type) — in ONE grouping-sets pass over the stream.
+
+    The multi-grain distinct is the query distinct counts make
+    expensive at scale: distinct does NOT roll up (daily uniques don't
+    sum to monthly uniques), so each grain naively costs its own full
+    scan. GROUPING SETS shares the scan: Catalyst expands each row to
+    its |sets| grain memberships (a narrow 3× multiply, fused into the
+    scan), then one two-phase distinct aggregation serves all grains —
+    partial dedup of (grain, user) map-side, exact counts after one
+    shuffle. NULL grain columns identify the set, as in SQL.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        "event_type",
+        "user_id",
+    )
+    return events.groupingSets(
+        [["day", "event_type"], ["day"], ["event_type"]],
+        "day",
+        "event_type",
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENTS_MULTIGRAIN_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY GROUPING SETS ((day, event_type), (day), (event_type))
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
+    QueryDef("events_multigrain_users", events_multigrain_users, EVENTS_MULTIGRAIN_ORACLE, "exact distinct users at three grains in one grouping-sets pass"),
     QueryDef("events_rollup_hypertable", events_rollup_hypertable, EVENTS_ROLLUP_ORACLE, "two-level algebraic rollup: daily stats merged exactly from hourly partials"),
     QueryDef("events_markov_transitions", events_markov_transitions, EVENTS_MARKOV_ORACLE, "first-order event-type Markov transition matrix"),
     QueryDef("events_attribution", events_attribution, EVENTS_ATTRIBUTION_ORACLE, "last-touch purchase attribution within a 24h lookback"),

@@ -686,3 +686,46 @@ def streaming_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lag_us", 0.9) / F.lit(1e6), 6).alias("p90_s"),
         F.round(F.percentile("lag_us", 0.99) / F.lit(1e6), 6).alias("p99_s"),
     )
+
+
+def hourly_partials_stream(events: DataFrame) -> DataFrame:
+    """Streaming hourly PARTIALS (count + scaled-long sum/min/max per
+    tumbling hour and type) — the state a live hypertable-rollup job
+    maintains. Watermarked, so state for closed hours is dropped; the
+    partials stay algebraic (exact integer) so ANY later grain merges
+    them losslessly."""
+    vs = F.round(F.col("value") * F.lit(100.0)).cast("long")
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vs).alias("s1"),
+            F.min(vs).alias("mn"),
+            F.max(vs).alias("mx"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "s1",
+            "mn",
+            "mx",
+        )
+    )
+
+
+def streaming_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_rollup_hypertable: the stream
+    maintains hourly partials; the serving read merges them to daily
+    via the SAME daily_from_hourly_partials the batch operator uses —
+    so twin-equality proves the streamed partial state is exactly the
+    batch partial state."""
+    from duckdb_gsheets_spark.operators.events import (
+        daily_from_hourly_partials,
+    )
+
+    partials = run_to_memory(
+        hourly_partials_stream(read_events_stream(spark, sf_dir))
+    )
+    return daily_from_hourly_partials(partials)

@@ -3078,6 +3078,37 @@ def test_events_rollup_hypertable_matches_python_recompute(spark):
     assert any(n > 1 for n, *_ in got.values())
 
 
+def test_events_multigrain_users_matches_python_recompute(spark):
+    """Distinct users at each grain against direct Python set counts;
+    distinct must NOT roll up (the reason the grouping-sets pass
+    exists), so also assert a day where summing per-type uniques
+    over-counts the day's true uniques."""
+    from duckdb_gsheets_spark.operators.events import (
+        events_multigrain_users,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.day, r.event_type): (r.n_users, r.n_events)
+        for r in events_multigrain_users(spark, SF).collect()
+    }
+    by_grain: dict[tuple, set] = {}
+    counts: dict[tuple, int] = {}
+    for r in load_table(spark, SF, "events").select("ts", "event_type", "user_id").collect():
+        day = str(r.ts.date())
+        for key in ((day, r.event_type), (day, None), (None, r.event_type)):
+            by_grain.setdefault(key, set()).add(r.user_id)
+            counts[key] = counts.get(key, 0) + 1
+    expected = {k: (len(v), counts[k]) for k, v in by_grain.items()}
+    assert got == expected
+    days = {d for d, t in got if t is None and d is not None}
+    assert any(
+        sum(got[(d, t)][0] for d2, t in got if d2 == d and t is not None)
+        > got[(d, None)][0]
+        for d in days
+    ), "no day with cross-type user overlap — rollup-vs-distinct untested"
+
+
 def test_events_cohort_ltv_matches_python_recompute(spark):
     """Cohort LTV against a dict replay: first-day cohorts, integer
     week offsets, exact cents."""

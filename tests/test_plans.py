@@ -309,6 +309,16 @@ def test_scd2_history_single_doc_id_exchange(spark):
     assert len(set(exchanges)) == 1
 
 
+def test_events_multigrain_shares_one_scan(spark):
+    """The three-grain distinct must be one scan + one Expand — not a
+    union of three scans, and no join anywhere."""
+    plan = _plan(spark, "events_multigrain_users")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("Scan parquet") + physical.count("BatchScan") == 1
+    assert "Expand" in physical
+    assert "Join" not in physical
+
+
 def test_scd2_asof_diff_joins_snapshots_on_doc_id(spark):
     """The snapshot diff must be an equi-join of two slim ledger
     projections on doc_id — no cartesian, and document text never

@@ -388,3 +388,37 @@ def test_streaming_conversion_lag_matches_batch(spark):
     assert (got.n_converted, got.p50_s, got.p90_s, got.p99_s) == (
         exp.n_converted, exp.p50_s, exp.p90_s, exp.p99_s,
     )
+
+
+def test_streaming_rollup_daily_matches_batch(spark):
+    """The streamed hourly partials merged to daily must equal the
+    batch hypertable rollup exactly (same merge helper, so equality
+    proves the streamed partial state matches the batch partials)."""
+    from duckdb_gsheets_spark.operators.events import (
+        events_rollup_hypertable,
+    )
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_rollup_daily,
+    )
+
+    got = {
+        (r.day_start, r.event_type): (
+            r.n_events,
+            r.sum_value,
+            r.avg_value,
+            r.min_value,
+            r.max_value,
+        )
+        for r in streaming_rollup_daily(spark, SF).collect()
+    }
+    expected = {
+        (r.day_start, r.event_type): (
+            r.n_events,
+            r.sum_value,
+            r.avg_value,
+            r.min_value,
+            r.max_value,
+        )
+        for r in events_rollup_hypertable(spark, SF).collect()
+    }
+    assert got == expected
