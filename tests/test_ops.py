@@ -3109,6 +3109,52 @@ def test_events_multigrain_users_matches_python_recompute(spark):
     ), "no day with cross-type user overlap — rollup-vs-distinct untested"
 
 
+def test_rollup_incremental_refresh_matches_full_recompute(spark):
+    """The merged (base-partials ∪ fresh-hour-partials) day must equal
+    the full batch rollup's row for that day, and the base/delta
+    slices must BOTH be non-empty (otherwise the merge path is
+    untested)."""
+    from duckdb_gsheets_spark.operators.events import (
+        events_rollup_hypertable,
+        rollup_incremental_refresh,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.day_start, r.event_type): (
+            r.n_events,
+            r.sum_value,
+            r.avg_value,
+            r.min_value,
+            r.max_value,
+        )
+        for r in rollup_incremental_refresh(spark, SF).collect()
+    }
+    days = {d for d, _ in got}
+    assert len(days) == 1  # exactly the affected day
+    full = {
+        (r.day_start, r.event_type): (
+            r.n_events,
+            r.sum_value,
+            r.avg_value,
+            r.min_value,
+            r.max_value,
+        )
+        for r in events_rollup_hypertable(spark, SF).collect()
+        if r.day_start in days
+    }
+    assert got == full
+    ts = [
+        r.ts
+        for r in load_table(spark, SF, "events").select("ts").collect()
+    ]
+    last = max(ts)
+    last_hour = last.replace(minute=0, second=0, microsecond=0)
+    day_events = [t for t in ts if t.date() == last.date()]
+    assert any(t < last_hour for t in day_events), "base slice empty"
+    assert any(t >= last_hour for t in day_events), "delta slice empty"
+
+
 def test_events_cohort_ltv_matches_python_recompute(spark):
     """Cohort LTV against a dict replay: first-day cohorts, integer
     week offsets, exact cents."""

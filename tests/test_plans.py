@@ -309,6 +309,18 @@ def test_scd2_history_single_doc_id_exchange(spark):
     assert len(set(exchanges)) == 1
 
 
+def test_rollup_refresh_merges_base_and_delta_partials(spark):
+    """The incremental refresh must be a Union of two partial
+    aggregations (base-day slice + fresh hour) merged by a third —
+    with only the 1-row max-hour broadcast as a join."""
+    plan = _plan(spark, "rollup_incremental_refresh")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Union" in physical
+    assert physical.count("HashAggregate") >= 6  # 3 aggs × partial+final
+    assert "CartesianProduct" not in physical
+    assert "SortMergeJoin" not in physical
+
+
 def test_events_multigrain_shares_one_scan(spark):
     """The three-grain distinct must be one scan + one Expand — not a
     union of three scans, and no join anywhere."""
@@ -743,6 +755,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "fk_integrity_report",      # 1-row × 1-row per-edge stat join
         "source_unigram_drift",     # |sources|×K grid cross + 1-row total
         "ann_ivf_balance_report",   # 1-row total broadcast
+        "rollup_incremental_refresh",  # 1-row max-hour broadcast
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
