@@ -1636,6 +1636,123 @@ WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 """
 
 
+def quality_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-free quality ensembling: rank every document under each
+    of three heterogeneous signals (token length, lexical diversity,
+    mean word length) and average the ranks (Borda blend). Rank
+    averaging is how incomparable signals combine without hand-tuned
+    normalization — a z-score blend breaks the moment one signal's
+    distribution is heavy-tailed; ranks are invariant to any monotone
+    rescaling.
+
+    Shapes, sized for 100 TB: the three per-doc signals are one narrow
+    scan pass, melted long (3 rows/doc). Each signal's global rank
+    uses the distributed prefix-sum tiling (orders_pareto_share /
+    vocab_coverage_curve), generalized to RESPECT A GROUP KEY: one
+    range-partition on (signal, value desc, doc_id), per-(signal, pid)
+    row counts, offsets via a bounded |signals|×|pids|-row window
+    broadcast back — so no signal ever funnels through a single window
+    task (a 3-partition ``Window.partitionBy(signal)`` would be
+    exactly the corpus-sized window the plan sweep forbids). The
+    pivot back to wide is one doc_id rollup.
+    """
+    base = _doc_tokens(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.length(F.array_join("toks", "")).cast("long").alias("n_tok_chars"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    long = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("len").alias("signal"), nt.alias("value")
+                ),
+                F.struct(
+                    F.lit("div").alias("signal"),
+                    (F.col("n_distinct").cast("double") / nt).alias("value"),
+                ),
+                F.struct(
+                    F.lit("wlen").alias("signal"),
+                    (F.col("n_tok_chars").cast("double") / nt).alias("value"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.signal", "s.value")
+    ranged = (
+        long.repartitionByRange("signal", F.desc("value"), "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_off = (
+        Window.partitionBy("signal")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("signal", "pid")
+        .agg(F.count(F.lit(1)).alias("pcnt"))
+        .select(
+            "signal",
+            "pid",
+            F.coalesce(
+                F.sum("pcnt").over(w_off), F.lit(0).cast("long")
+            ).alias("rank_off"),
+        )
+    )
+    w_local = Window.partitionBy("signal", "pid").orderBy(
+        F.desc("value"), "doc_id"
+    )
+    ranked = ranged.join(F.broadcast(offsets), ["signal", "pid"]).select(
+        "doc_id",
+        "signal",
+        (F.col("rank_off") + F.row_number().over(w_local))
+        .cast("int")
+        .alias("rank"),
+    )
+    r = lambda s: F.max(  # noqa: E731 — one-use pivot shorthand
+        F.when(F.col("signal") == s, F.col("rank"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        r("len").alias("rank_len"),
+        r("div").alias("rank_diversity"),
+        r("wlen").alias("rank_wordlen"),
+        F.round(
+            (
+                r("len") + r("div") + r("wlen")
+            ).cast("double")
+            / F.lit(3.0),
+            6,
+        ).alias("avg_rank"),
+    )
+
+
+QUALITY_RANK_ENSEMBLE_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(regexp_split_to_array(TRIM(text), '\\s+'))) AS BIGINT) AS n_distinct,
+         CAST(length(array_to_string(regexp_split_to_array(TRIM(text), '\\s+'), '')) AS BIGINT) AS n_tok_chars
+  FROM documents WHERE text IS NOT NULL
+), ranks AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(n_tokens AS DOUBLE) DESC, doc_id) AS INTEGER) AS rank_len,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC, doc_id) AS INTEGER) AS rank_diversity,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(n_tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC, doc_id) AS INTEGER) AS rank_wordlen
+  FROM base
+)
+SELECT doc_id, rank_len, rank_diversity, rank_wordlen,
+       ROUND(CAST(rank_len + rank_diversity + rank_wordlen AS DOUBLE) / 3.0, 6)
+         AS avg_rank
+FROM ranks
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "dataset_datasheet",
@@ -1750,5 +1867,12 @@ QUERIES: list[QueryDef] = [
         source_unigram_drift,
         SOURCE_DRIFT_ORACLE,
         "per-source chi-square unigram drift vs the corpus (grid-exact sums)",
+    ),
+    QueryDef(
+        "quality_rank_ensemble",
+        quality_rank_ensemble,
+        QUALITY_RANK_ENSEMBLE_ORACLE,
+        "Borda rank-average of three quality signals via a "
+        "group-respecting distributed prefix-sum",
     ),
 ]

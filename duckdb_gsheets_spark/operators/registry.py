@@ -85,7 +85,8 @@ class QueryDef:
 #: orders_reconciliation_audit, ann_ivf_balance_report,
 #: boilerplate_segment_removal, neardup_triangles,
 #: events_rollup_hypertable, scd2_asof_diff,
-#: events_multigrain_users, rollup_incremental_refresh (added
+#: events_multigrain_users, rollup_incremental_refresh,
+#: quality_rank_ensemble (added
 #: after the round-4 window filled — the
 #: only operators without driver rows); then (a) any operators added in round 5 (first-time checks beat
 #: re-checks), (b) re-checks for any query whose module changes, and

@@ -2114,6 +2114,46 @@ def test_incremental_dedup_consistent_with_full_dedup(spark):
             assert r.n_matches == 0 and r.best_match == -1
 
 
+def test_quality_rank_ensemble_matches_python_recompute(spark):
+    """Borda ranks against a direct Python sort of the three signals
+    (same tiebreaks), plus the invariant that each rank column is a
+    permutation of 1..n."""
+    import re
+
+    from duckdb_gsheets_spark.operators.curation import (
+        quality_rank_ensemble,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.rank_len, r.rank_diversity, r.rank_wordlen, r.avg_rank)
+        for r in quality_rank_ensemble(spark, SF).collect()
+    }
+    sigs = {}
+    for r in load_table(spark, SF, "documents").select("doc_id", "text").collect():
+        if r.text is None:
+            continue
+        toks = re.split(r"\s+", r.text.strip())
+        nt = len(toks)
+        sigs[r.doc_id] = (
+            float(nt),
+            len(set(toks)) / nt,
+            sum(len(t) for t in toks) / nt,
+        )
+    n = len(sigs)
+    expected_ranks: dict[int, list[int]] = {d: [0, 0, 0] for d in sigs}
+    for i in range(3):
+        order = sorted(sigs, key=lambda d: (-sigs[d][i], d))
+        for pos, d in enumerate(order, start=1):
+            expected_ranks[d][i] = pos
+    expected = {
+        d: (*rs, round(sum(rs) / 3.0, 6)) for d, rs in expected_ranks.items()
+    }
+    assert got == expected
+    for i in range(3):
+        assert sorted(v[i] for v in got.values()) == list(range(1, n + 1))
+
+
 def test_scd2_history_matches_python_recompute(spark):
     """SCD2 intervals against a direct Python replay of the three
     snapshot rules (independent of the DuckDB oracle)."""

@@ -309,6 +309,26 @@ def test_scd2_history_single_doc_id_exchange(spark):
     assert len(set(exchanges)) == 1
 
 
+def test_quality_rank_ensemble_tiles_every_window(spark):
+    """Every window in the ensemble must include the pid tile in its
+    partitioning — ranking by Window.partitionBy(signal) alone would
+    funnel each signal's whole corpus through one task. The offsets
+    window (signal-partitioned over |pids| rows) is the only bounded
+    exception."""
+    plan = _plan(spark, "quality_rank_ensemble")
+    physical = plan.split("== Physical Plan ==")[-1]
+    windows = [
+        ln for ln in physical.splitlines() if "Window" in ln and "#" in ln
+    ]
+    corpus_sized = [
+        ln
+        for ln in windows
+        if "row_number" in ln and "pid#" not in ln
+    ]
+    assert not corpus_sized, f"untiled corpus window: {corpus_sized}"
+    assert "ExistingRDD" in physical or "LogicalRDD" in physical
+
+
 def test_rollup_refresh_merges_base_and_delta_partials(spark):
     """The incremental refresh must be a Union of two partial
     aggregations (base-day slice + fresh hour) merged by a third —
