@@ -729,3 +729,78 @@ def streaming_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly_partials_stream(read_events_stream(spark, sf_dir))
     )
     return daily_from_hourly_partials(partials)
+
+
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — the Structured Streaming operator
+    class the other twins don't cover: purchases joined to the same
+    user's views from the preceding hour, both sides watermarked so
+    the join state for closed intervals is dropped (without the time
+    bound + watermarks the state would grow forever).
+
+    The join emits (purchase, prior view) pairs in append mode; the
+    daily rollup runs on the materialized sink (aggregation after a
+    stream-stream join would need its own watermark pass — the sink
+    rollup keeps the streaming query a pure join, which is the
+    operator under test). Batch-verified against the identical
+    DataFrame join on the static table.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    sink = run_to_memory(joined, output_mode="append")
+    return sink.groupBy(
+        F.col("p_ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.countDistinct("p_event_id").alias("n_purchases_with_view"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+def batch_equivalent_view_purchase_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The identical interval join + rollup on the static table."""
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    return joined.groupBy(
+        F.col("p_ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.countDistinct("p_event_id").alias("n_purchases_with_view"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )

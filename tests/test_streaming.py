@@ -422,3 +422,25 @@ def test_streaming_rollup_daily_matches_batch(spark):
         for r in events_rollup_hypertable(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_streaming_view_purchase_join_matches_batch(spark):
+    """The watermarked stream-stream interval join must emit exactly
+    the pairs the identical batch join produces, and the fixture must
+    actually contain qualifying (view → purchase ≤ 1h) pairs."""
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        batch_equivalent_view_purchase_join,
+        streaming_view_purchase_join,
+    )
+
+    got = {
+        r.day: (r.n_purchases_with_view, r.n_pairs)
+        for r in streaming_view_purchase_join(spark, SF).collect()
+    }
+    expected = {
+        r.day: (r.n_purchases_with_view, r.n_pairs)
+        for r in batch_equivalent_view_purchase_join(spark, SF).collect()
+    }
+    assert got == expected
+    assert expected, "no view→purchase pairs in fixture — join untested"
+    assert sum(n for n, _ in expected.values()) > 0
