@@ -1729,6 +1729,124 @@ def quality_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token allocation under a fixed training budget via
+    integer WATERFILLING: every source is granted up to a common level
+    c chosen so that ``Σ min(avail_i, c) = B`` — small sources keep
+    everything, large sources are capped at the water level. This is
+    the budgeted counterpart of corpus_mix_weights: instead of a p^α
+    tilt, a hard token budget (here ``B = total // 2``) is split as
+    evenly as the source inventory allows.
+
+    Exact integer construction (no floats until the final share):
+    sort sources by (avail asc, source), k* = the largest rank whose
+    source fits fully under the budget when all later sources are
+    held at its level (``prefix_k + avail_k·(n−k) ≤ B``), then
+    ``level = (B − prefix_k*) div (n − k*)`` and the integer remainder
+    goes one token each to the first ``rem`` uncapped sources in the
+    same total order — allocations sum to exactly B and never exceed
+    a source's inventory (largest-remainder rounding).
+
+    Scale: the corpus-wide work is ONE map-side-combined per-source
+    token count; the waterfilling itself runs on the |sources|-row
+    table (its unpartitioned window is bounded by the source count,
+    not the corpus — allowlisted in the plan sweep).
+    """
+    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("source").agg(
+        F.sum(F.col("n_tokens").cast("long")).alias("avail")
+    )
+    w = Window.orderBy("avail", "source")
+    w_cur = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    st = counts.select(
+        "source",
+        "avail",
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.sum("avail").over(w_cur).alias("prefix"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("avail").over(w_all).alias("total"),
+    ).withColumn("b", F.expr("total div 2"))
+    st = st.withColumn(
+        "capped",
+        (F.col("prefix") + F.col("avail") * (F.col("n") - F.col("pos")))
+        <= F.col("b"),
+    )
+    ks = st.select(
+        "*",
+        F.coalesce(
+            F.max(F.when(F.col("capped"), F.col("pos"))).over(w_all),
+            F.lit(0).cast("long"),
+        ).alias("k_star"),
+        F.coalesce(
+            F.max(F.when(F.col("capped"), F.col("prefix"))).over(w_all),
+            F.lit(0).cast("long"),
+        ).alias("p"),
+    )
+    lv = ks.withColumn(
+        "level_", F.expr("(b - p) div (n - k_star)")
+    ).withColumn(
+        "rem", F.expr("(b - p) - ((b - p) div (n - k_star)) * (n - k_star)")
+    )
+    allocated = (
+        F.when(F.col("capped"), F.col("avail"))
+        .when(F.col("pos") - F.col("k_star") <= F.col("rem"), F.col("level_") + 1)
+        .otherwise(F.col("level_"))
+    )
+    return lv.select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        allocated.cast("long").alias("allocated_tokens"),
+        "capped",
+        F.round(
+            allocated.cast("double") / F.col("b").cast("double"), 6
+        ).alias("alloc_share"),
+    )
+
+
+TOKEN_WATERFILL_ORACLE = """
+WITH wf_counts AS (
+  SELECT source,
+         CAST(SUM(len(regexp_split_to_array(TRIM(text), '\\s+'))) AS BIGINT) AS avail
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+), wf_st AS (
+  SELECT source, avail,
+         CAST(ROW_NUMBER() OVER (ORDER BY avail, source) AS BIGINT) AS pos,
+         CAST(SUM(avail) OVER (ORDER BY avail, source
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(avail) OVER () AS BIGINT) AS total
+  FROM wf_counts
+), wf_b AS (
+  SELECT *, total // 2 AS b,
+         (prefix + avail * (n - pos)) <= (total // 2) AS capped
+  FROM wf_st
+), wf_ks AS (
+  SELECT *,
+         CAST(COALESCE(MAX(CASE WHEN capped THEN pos END) OVER (), 0) AS BIGINT) AS k_star,
+         CAST(COALESCE(MAX(CASE WHEN capped THEN prefix END) OVER (), 0) AS BIGINT) AS p
+  FROM wf_b
+), wf_lv AS (
+  SELECT *, (b - p) // (n - k_star) AS level_,
+         (b - p) - ((b - p) // (n - k_star)) * (n - k_star) AS rem
+  FROM wf_ks
+)
+SELECT source,
+       avail AS avail_tokens,
+       CAST(CASE WHEN capped THEN avail
+                 WHEN pos - k_star <= rem THEN level_ + 1
+                 ELSE level_ END AS BIGINT) AS allocated_tokens,
+       capped,
+       ROUND(CAST(CASE WHEN capped THEN avail
+                       WHEN pos - k_star <= rem THEN level_ + 1
+                       ELSE level_ END AS DOUBLE) / CAST(b AS DOUBLE), 6)
+         AS alloc_share
+FROM wf_lv
+"""
+
+
 QUALITY_RANK_ENSEMBLE_ORACLE = """
 WITH base AS (
   SELECT doc_id,
@@ -1874,5 +1992,12 @@ QUERIES: list[QueryDef] = [
         QUALITY_RANK_ENSEMBLE_ORACLE,
         "Borda rank-average of three quality signals via a "
         "group-respecting distributed prefix-sum",
+    ),
+    QueryDef(
+        "token_budget_waterfill",
+        token_budget_waterfill,
+        TOKEN_WATERFILL_ORACLE,
+        "integer waterfilling of a fixed token budget across sources "
+        "(exact min(avail, level) allocation summing to B)",
     ),
 ]

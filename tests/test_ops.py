@@ -2114,6 +2114,53 @@ def test_incremental_dedup_consistent_with_full_dedup(spark):
             assert r.n_matches == 0 and r.best_match == -1
 
 
+def test_token_budget_waterfill_invariants_and_recompute(spark):
+    """Waterfilling against a direct Python bisection on the same
+    inventory, plus the hard invariants: allocations sum to exactly B,
+    never exceed a source's inventory, capped sources keep everything,
+    uncapped allocations differ by at most one token."""
+    import re
+
+    from duckdb_gsheets_spark.operators.curation import (
+        token_budget_waterfill,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = token_budget_waterfill(spark, SF).collect()
+    got = {
+        r.source: (r.avail_tokens, r.allocated_tokens, r.capped)
+        for r in rows
+    }
+    avail: dict[str, int] = {}
+    for r in load_table(spark, SF, "documents").select("source", "text").collect():
+        if r.text is None:
+            continue
+        avail[r.source] = avail.get(r.source, 0) + len(
+            re.split(r"\s+", r.text.strip())
+        )
+    total = sum(avail.values())
+    budget = total // 2
+    assert {s: a for s, (a, _, _) in got.items()} == avail
+    assert sum(a for _, a, _ in got.values()) == budget
+    assert all(a <= av for av, a, _ in got.values())
+    assert all(a == av for av, a, c in got.values() if c)
+    uncapped = sorted(a for _, a, c in got.values() if not c)
+    assert uncapped, "budget capped nothing — waterfill path untested"
+    assert uncapped[-1] - uncapped[0] <= 1
+    # Independent recompute: integer bisection on the water level.
+    lo, hi = 0, max(avail.values())
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if sum(min(a, mid) for a in avail.values()) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    base = sum(min(a, lo) for a in avail.values())
+    assert budget - base < sum(1 for a in avail.values() if a > lo)
+    for s, (av, a, c) in got.items():
+        assert a in (min(av, lo), min(av, lo + 1))
+
+
 def test_quality_rank_ensemble_matches_python_recompute(spark):
     """Borda ranks against a direct Python sort of the three signals
     (same tiebreaks), plus the invariant that each rank column is a

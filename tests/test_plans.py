@@ -309,6 +309,16 @@ def test_scd2_history_single_doc_id_exchange(spark):
     assert len(set(exchanges)) == 1
 
 
+def test_token_waterfill_single_corpus_pass(spark):
+    """The corpus-wide work must be exactly one scan feeding one
+    map-side-combined per-source count; the waterfilling windows run
+    on the |sources|-row table only."""
+    plan = _plan(spark, "token_budget_waterfill")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("Scan parquet") + physical.count("BatchScan") == 1
+    assert "Join" not in physical
+
+
 def test_quality_rank_ensemble_tiles_every_window(spark):
     """Every window in the ensemble must include the pid tile in its
     partitioning — ranking by Window.partitionBy(signal) alone would
@@ -826,6 +836,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "orders_open_backlog",
         "vocab_growth_curve",
         "skew_heavy_hitters",  # ranks the post-LIMIT ≤HH_K winner table
+        "token_budget_waterfill",  # waterfills the |sources|-row inventory
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
