@@ -1643,6 +1643,205 @@ GROUP BY nprobe
 """
 
 
+#: MMR reranking: query vector, candidate pool size, selections, and
+#: the relevance/diversity trade-off weight (written as the same
+#: literal in both engines so the doubles agree bitwise).
+MMR_QUERY_ID = 0
+MMR_POOL = 20
+MMR_K = 5
+
+
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily select ``MMR_K`` results from the top-
+    ``MMR_POOL`` cosine candidates, each step maximizing
+    ``0.7·rel(q,d) − 0.3·max_{s∈S} sim(d,s)`` — the diversification
+    pass retrieval stacks run after ANN so near-duplicate hits don't
+    crowd out distinct results (directly useful on a deduplicated
+    corpus where residual near-dups still cluster).
+
+    Scale shape: the corpus-wide stage is the broadcast one-query
+    cosine scan + a TakeOrdered top-POOL (identical to the ANN
+    baseline's plan class). Everything after operates on the BOUNDED
+    pool — pool×pool similarities and MMR_K greedy argmax steps, each
+    a 1-row TakeOrdered checkpointed eagerly so the iteration's plan
+    stays flat. No unbounded state anywhere; the oracle unrolls the
+    same greedy selection into a generated CTE chain.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        to_double(F.col("embedding")).alias("emb_b"),
+    ).withColumn("norm_b", norm(F.col("emb_b")))
+    q_rows = _driver_vec_rows(sf_dir, [MMR_QUERY_ID])
+    query = spark.createDataFrame(
+        [(int(r.vec_id), list(r.emb)) for r in q_rows],
+        "vec_a long, emb_a array<double>",
+    ).withColumn("norm_a", norm(F.col("emb_a")))
+    rel = (
+        F.broadcast(query)
+        .crossJoin(corpus)
+        .where(F.col("vec_b") != MMR_QUERY_ID)
+        .select(
+            F.col("vec_b").alias("vec_id"),
+            F.round(
+                cosine_pre(
+                    F.col("emb_a"), F.col("emb_b"),
+                    F.col("norm_a"), F.col("norm_b"),
+                ),
+                6,
+            ).alias("rel"),
+        )
+    )
+    pool = (
+        rel.orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    pe = pool.join(
+        corpus.withColumnRenamed("vec_b", "vec_id"), "vec_id"
+    ).select("vec_id", "rel", "emb_b", "norm_b")
+    a = pe.select(
+        F.col("vec_id").alias("d"),
+        F.col("emb_b").alias("e_d"),
+        F.col("norm_b").alias("n_d"),
+    )
+    b = pe.select(
+        F.col("vec_id").alias("s"),
+        F.col("emb_b").alias("e_s"),
+        F.col("norm_b").alias("n_s"),
+    )
+    sims = (
+        a.crossJoin(b)
+        .where(F.col("d") != F.col("s"))
+        .select(
+            "d",
+            "s",
+            F.round(
+                cosine_pre(
+                    F.col("e_d"), F.col("e_s"), F.col("n_d"), F.col("n_s")
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam, one_m = F.lit(0.7), F.lit(0.3)
+    winners: list[DataFrame] = []
+    sel_ids: DataFrame | None = None
+    for t in range(1, MMR_K + 1):
+        if sel_ids is None:
+            cand = pool.select(
+                "vec_id", "rel", F.lit(0.0).alias("pen")
+            )
+        else:
+            pen = (
+                sims.join(
+                    F.broadcast(sel_ids.withColumnRenamed("vec_id", "s")),
+                    "s",
+                )
+                .groupBy("d")
+                .agg(F.max("sim").alias("pen"))
+                .withColumnRenamed("d", "vec_id")
+            )
+            cand = (
+                pool.join(sel_ids, "vec_id", "left_anti")
+                .join(pen, "vec_id", "left")
+                .select(
+                    "vec_id",
+                    "rel",
+                    F.coalesce("pen", F.lit(0.0)).alias("pen"),
+                )
+            )
+        scored = cand.select(
+            "vec_id",
+            "rel",
+            "pen",
+            (lam * F.col("rel") - one_m * F.col("pen")).alias("score"),
+        )
+        winner = (
+            scored.orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(t).cast("int").alias("rank"),
+                "vec_id",
+                F.col("rel").alias("relevance"),
+                F.col("pen").alias("diversity"),
+                F.round("score", 6).alias("mmr_score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        winners.append(winner)
+        ids_t = winner.select("vec_id")
+        sel_ids = ids_t if sel_ids is None else sel_ids.unionAll(ids_t)
+    out = winners[0]
+    for w_df in winners[1:]:
+        out = out.unionAll(w_df)
+    return out
+
+
+def _mmr_oracle() -> str:
+    """DuckDB oracle for :func:`ann_mmr_rerank`: the greedy selection
+    unrolled into MMR_K generated CTEs over the same pool/sims."""
+    parts = [
+        _ORACLE_VECTOR_CTE.strip().rstrip(),
+        f""",
+mmr_rel AS (
+  SELECT b.vec_id AS vec_id,
+         ROUND(SUM(a.x * b.x) / (na.nrm * nb.nrm), 6) AS rel
+  FROM v a JOIN v b ON a.i = b.i
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  WHERE a.vec_id = {MMR_QUERY_ID} AND b.vec_id <> {MMR_QUERY_ID}
+  GROUP BY b.vec_id, na.nrm, nb.nrm
+),
+mmr_pool AS (
+  SELECT vec_id, rel FROM mmr_rel ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
+),
+mmr_sims AS (
+  SELECT a.vec_id AS d, b.vec_id AS s,
+         ROUND(SUM(a.x * b.x) / (na.nrm * nb.nrm), 6) AS sim
+  FROM v a JOIN v b ON a.i = b.i
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  WHERE a.vec_id IN (SELECT vec_id FROM mmr_pool)
+    AND b.vec_id IN (SELECT vec_id FROM mmr_pool)
+    AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+),
+mmr_sel1 AS (
+  SELECT CAST(1 AS INTEGER) AS rank, vec_id, rel AS relevance,
+         CAST(0.0 AS DOUBLE) AS diversity,
+         ROUND(0.7 * rel - 0.3 * CAST(0.0 AS DOUBLE), 6) AS mmr_score
+  FROM mmr_pool ORDER BY 0.7 * rel - 0.3 * CAST(0.0 AS DOUBLE) DESC, vec_id LIMIT 1
+),
+mmr_ids1 AS (SELECT vec_id FROM mmr_sel1)""",
+    ]
+    for t in range(2, MMR_K + 1):
+        parts.append(
+            f""",
+mmr_pen{t} AS (
+  SELECT d AS vec_id, MAX(sim) AS pen FROM mmr_sims
+  WHERE s IN (SELECT vec_id FROM mmr_ids{t - 1}) GROUP BY d
+),
+mmr_cand{t} AS (
+  SELECT p.vec_id, p.rel, COALESCE(pe.pen, CAST(0.0 AS DOUBLE)) AS pen
+  FROM mmr_pool p LEFT JOIN mmr_pen{t} pe USING (vec_id)
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM mmr_ids{t - 1})
+),
+mmr_sel{t} AS (
+  SELECT CAST({t} AS INTEGER) AS rank, vec_id, rel AS relevance,
+         pen AS diversity, ROUND(0.7 * rel - 0.3 * pen, 6) AS mmr_score
+  FROM mmr_cand{t} ORDER BY 0.7 * rel - 0.3 * pen DESC, vec_id LIMIT 1
+),
+mmr_ids{t} AS (SELECT vec_id FROM mmr_ids{t - 1} UNION ALL SELECT vec_id FROM mmr_sel{t})""",
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM mmr_sel{t}" for t in range(1, MMR_K + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QueryDef("embedding_doc_coverage", embedding_doc_coverage, EMBEDDING_COVERAGE_ORACLE, "doc-embedding referential-integrity coverage report"),
@@ -1657,4 +1856,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("knn_label_probe", knn_label_probe, KNN_LABEL_PROBE_ORACLE, "k-NN majority-vote label prediction probe (embedding-quality gate)"),
     QueryDef("dedup_lexical_semantic_pairs", dedup_lexical_semantic_pairs, _lexical_semantic_oracle(), "lexical near-dup pairs scored by embedding cosine (two-signal dedup)"),
     QueryDef("ann_ivf_balance_report", ann_ivf_balance_report, _ivf_balance_oracle(), "IVF inverted-list load-balance audit (probe-latency predictor)"),
+    QueryDef("ann_mmr_rerank", ann_mmr_rerank, _mmr_oracle(), "MMR diversification rerank of the cosine top-pool (unrolled greedy oracle)"),
 ]

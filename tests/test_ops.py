@@ -2345,6 +2345,66 @@ def test_scd2_asof_diff_synthetic_ledger_covers_added(spark):
     }
 
 
+def test_ann_mmr_rerank_matches_numpy_recompute(spark):
+    """Greedy MMR replayed in numpy over the collected embeddings
+    (same pool, same round-6 sims, same tiebreaks) — plus the
+    diversification property: the MMR list must not equal the plain
+    relevance top-K (otherwise the penalty term did nothing)."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+    from duckdb_gsheets_spark.operators.similarity import (
+        MMR_K,
+        MMR_POOL,
+        MMR_QUERY_ID,
+        ann_mmr_rerank,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = [
+        (r.rank, r.vec_id, r.relevance, r.diversity, r.mmr_score)
+        for r in sorted(
+            ann_mmr_rerank(spark, SF).collect(), key=lambda r: r.rank
+        )
+    ]
+    vecs = {
+        r.vec_id: np.array([float(x) for x in r.embedding])
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    q = vecs[MMR_QUERY_ID]
+
+    def cos(u, v):
+        return round_half_away(
+            float(u @ v / (np.sqrt(u @ u) * np.sqrt(v @ v))), 6
+        )
+
+    rel = {d: cos(q, v) for d, v in vecs.items() if d != MMR_QUERY_ID}
+    pool = sorted(rel, key=lambda d: (-rel[d], d))[:MMR_POOL]
+    sims = {
+        (d, s): cos(vecs[d], vecs[s]) for d in pool for s in pool if d != s
+    }
+    selected: list[int] = []
+    expected = []
+    for t in range(1, MMR_K + 1):
+        best = None
+        for d in pool:
+            if d in selected:
+                continue
+            pen = max((sims[(d, s)] for s in selected), default=0.0)
+            score = 0.7 * rel[d] - 0.3 * pen
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, pen, score)
+        _, d, pen, score = best
+        selected.append(d)
+        expected.append((t, d, rel[d], pen, round_half_away(score, 6)))
+    assert got == expected
+    top_by_rel = pool[:MMR_K]
+    assert [d for _, d, *_ in got] != top_by_rel, (
+        "MMR equals the plain top-K — diversification vacuous"
+    )
+
+
 def test_kmeans_matches_numpy_recompute(spark):
     """Same-recipe spherical Lloyd in numpy over the collected corpus
     must reproduce sizes and (to rounding) the per-cluster stats."""

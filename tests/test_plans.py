@@ -309,6 +309,18 @@ def test_scd2_history_single_doc_id_exchange(spark):
     assert len(set(exchanges)) == 1
 
 
+def test_ann_mmr_rerank_iterates_on_bounded_checkpoints(spark):
+    """The greedy selection must root on the checkpointed ≤MMR_POOL
+    pool/sims tables (flat plans per step, no corpus re-scan in the
+    final composition) and use no window at all — every argmax is a
+    1-row TakeOrdered."""
+    plan = _plan(spark, "ann_mmr_rerank")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "ExistingRDD" in physical or "LogicalRDD" in physical
+    assert "Scan parquet" not in physical and "BatchScan" not in physical
+    assert "Window" not in physical
+
+
 def test_token_waterfill_single_corpus_pass(spark):
     """The corpus-wide work must be exactly one scan feeding one
     map-side-combined per-source count; the waterfilling windows run
@@ -786,6 +798,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "source_unigram_drift",     # |sources|×K grid cross + 1-row total
         "ann_ivf_balance_report",   # 1-row total broadcast
         "rollup_incremental_refresh",  # 1-row max-hour broadcast
+        "ann_mmr_rerank",           # 1-query broadcast + ≤MMR_POOL² pool sims
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
