@@ -482,6 +482,116 @@ GROUP BY split
 """
 
 
+#: Deterministic negatives per anchor document, and the hash salt
+#: separating this sampler's stream from the other hash consumers.
+K_NEGATIVES = 3
+
+
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor document, draw ``K_NEGATIVES`` uniform candidate
+    negatives from the id space via the portable hash, then REJECT any
+    candidate that is the anchor itself or sits in the anchor's
+    near-dup cluster — a "random negative" that is secretly a
+    near-duplicate of the anchor is a false negative that corrupts the
+    contrastive objective (the standard in-batch-negatives failure).
+
+    Construction: candidate ``j`` of anchor ``d`` is
+    ``tok_hash60(d || ':' || j) mod (max_id + 1)`` (1-row max-id
+    broadcast), inner-joined to the corpus (ids outside the corpus
+    drop out), labeled through the SAME transitive MinHash clusters as
+    ``dedup_clusters``, and filtered on label inequality. Output is
+    ≤ K per anchor by construction — collisions and cluster hits are
+    rejected, not resampled, so the operator is a pure composition of
+    deterministic maps and equi-joins (the audit column of how many
+    negatives survived is one rollup away).
+
+    Scale: the candidate build is narrow (|docs|·K rows of (id, id)
+    pairs); both joins key on doc_id. Cluster labels come from the
+    checkpointed CC build — the expensive part is shared with the
+    dedup family, not duplicated per anchor.
+    """
+    from duckdb_gsheets_spark.functions.portable_hash import tok_hash60
+    from duckdb_gsheets_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    cands = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(K_NEGATIVES))
+            ).alias("j"),
+            "m",
+        )
+        .select(
+            "doc_id",
+            F.col("j").cast("int").alias("j"),
+            (
+                tok_hash60(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % F.col("m")
+            ).alias("neg_id"),
+        )
+    )
+    labels = (
+        dedup_clusters(spark, sf_dir)
+        .select("doc_id", "cluster_id")
+        .localCheckpoint(eager=True)
+    )
+    la = labels.withColumnRenamed("cluster_id", "label_a")
+    lb = labels.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("cluster_id").alias("label_b"),
+    )
+    return (
+        cands.join(docs.select(F.col("doc_id").alias("neg_id")), "neg_id")
+        .join(la, "doc_id")
+        .join(lb, "neg_id")
+        .where(
+            (F.col("neg_id") != F.col("doc_id"))
+            & (F.col("label_a") != F.col("label_b"))
+        )
+        .select("doc_id", "j", "neg_id")
+    )
+
+
+def _contrastive_negatives_oracle() -> str:
+    from duckdb_gsheets_spark.functions import portable_hash as PH
+    from duckdb_gsheets_spark.operators.dedup import (
+        _CC_LABELS_SQL,
+        _minhash_core_sql,
+    )
+
+    hash_expr = PH.oracle_tok_hash60(
+        "CAST(c.doc_id AS VARCHAR) || ':' || CAST(c.j AS VARCHAR)"
+    )
+    return f"""
+WITH RECURSIVE {_minhash_core_sql()},
+{_CC_LABELS_SQL},
+cn_mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+cn_cands AS (
+  SELECT c.doc_id, CAST(c.j AS INTEGER) AS j,
+         CAST({hash_expr} % mx.m AS BIGINT) AS neg_id
+  FROM (SELECT doc_id, unnest(range(1, {K_NEGATIVES} + 1)) AS j
+        FROM documents) c
+  CROSS JOIN cn_mx mx
+)
+SELECT c.doc_id, c.j, c.neg_id
+FROM cn_cands c
+JOIN documents n ON n.doc_id = c.neg_id
+JOIN cc_labels la ON la.doc_id = c.doc_id
+JOIN cc_labels lb ON lb.doc_id = c.neg_id
+WHERE c.neg_id <> c.doc_id AND la.comp <> lb.comp
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE, "per-language hash sampling"),
     QueryDef("bootstrap_replicates", bootstrap_replicates, BOOTSTRAP_ORACLE, "deterministic hash-Bernoulli bootstrap replicates (CI input)"),
@@ -490,4 +600,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("sample_split_assign", sample_split_assign, SPLIT_ASSIGN_ORACLE, "deterministic train/val/test hash split with per-split audit"),
     QueryDef("split_leakage_check", split_leakage_check, _split_leakage_oracle(), "near-dup pairs straddling hash splits (train/test leakage audit)"),
     QueryDef("split_contamination_winnowing", split_contamination_winnowing, _split_contamination_oracle(), "passage-level eval-vs-train contamination via winnowing fingerprints"),
+    QueryDef("contrastive_negatives", contrastive_negatives, _contrastive_negatives_oracle(), "deterministic negative sampling with near-dup-cluster rejection (contrastive-training prep)"),
 ]

@@ -2161,6 +2161,51 @@ def test_token_budget_waterfill_invariants_and_recompute(spark):
         assert a in (min(av, lo), min(av, lo + 1))
 
 
+def test_contrastive_negatives_match_python_recompute(spark):
+    """Negative sampling against a direct Python replay (hashlib md5
+    replicates tok_hash60), with cluster labels taken from the
+    registered dedup_clusters op. The rejection paths must fire: at
+    least one candidate must be dropped."""
+    import hashlib
+
+    from duckdb_gsheets_spark.operators.dedup import dedup_clusters
+    from duckdb_gsheets_spark.operators.sampling import (
+        K_NEGATIVES,
+        contrastive_negatives,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.doc_id, r.j, r.neg_id)
+        for r in contrastive_negatives(spark, SF).collect()
+    }
+    doc_ids = sorted(
+        r.doc_id
+        for r in load_table(spark, SF, "documents").select("doc_id").collect()
+    )
+    labels = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(spark, SF).collect()
+    }
+    m = max(doc_ids) + 1
+    id_set = set(doc_ids)
+    expected = set()
+    n_rejected = 0
+    for d in doc_ids:
+        for j in range(1, K_NEGATIVES + 1):
+            h = int(hashlib.md5(f"{d}:{j}".encode()).hexdigest()[:15], 16)
+            neg = h % m
+            if (
+                neg in id_set
+                and neg != d
+                and labels.get(neg) != labels.get(d)
+            ):
+                expected.add((d, j, neg))
+            else:
+                n_rejected += 1
+    assert got == expected
+    assert n_rejected > 0, "no candidate rejected — filter paths untested"
+
+
 def test_quality_rank_ensemble_matches_python_recompute(spark):
     """Borda ranks against a direct Python sort of the three signals
     (same tiebreaks), plus the invariant that each rank column is a

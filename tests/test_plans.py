@@ -309,6 +309,16 @@ def test_scd2_history_single_doc_id_exchange(spark):
     assert len(set(exchanges)) == 1
 
 
+def test_contrastive_negatives_all_equi_joins(spark):
+    """The sampler is maps + equi-joins on doc ids: no cartesian
+    beyond the 1-row max-id broadcast, and the cluster-label build is
+    sealed in a checkpoint (not recomputed per join side)."""
+    plan = _plan(spark, "contrastive_negatives")
+    assert "CartesianProduct" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "ExistingRDD" in physical or "LogicalRDD" in physical
+
+
 def test_ann_mmr_rerank_iterates_on_bounded_checkpoints(spark):
     """The greedy selection must root on the checkpointed ≤MMR_POOL
     pool/sims tables (flat plans per step, no corpus re-scan in the
@@ -799,6 +809,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "ann_ivf_balance_report",   # 1-row total broadcast
         "rollup_incremental_refresh",  # 1-row max-hour broadcast
         "ann_mmr_rerank",           # 1-query broadcast + ≤MMR_POOL² pool sims
+        "contrastive_negatives",    # 1-row max-id broadcast
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
