@@ -599,6 +599,32 @@ SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation
 """
 
 
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the raw SQL surface: each
+    customer joined to their top-2 orders by value — the "top-N per
+    group via LATERAL" idiom, submitted as SQL text (the one API
+    surface the DataFrame-built battery doesn't otherwise exercise).
+
+    Catalyst DE-CORRELATES the lateral: the per-customer LIMIT becomes
+    a partitioned row_number window over orders plus one equi-join on
+    custkey — no per-row subquery execution, so the 100 TB plan is the
+    same two-shuffle shape a hand-written window version gets
+    (verified by the plan test). DuckDB runs the identical SQL.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(JOIN_LATERAL_ORACLE)
+
+
+JOIN_LATERAL_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
 # --------------------------------------------------------------------------
 # Scalar functions, conditionals, subqueries
 # --------------------------------------------------------------------------
@@ -938,6 +964,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("join_outer", join_outer, JOIN_OUTER_ORACLE, "left-outer join"),
     QueryDef("join_full_outer", join_full_outer, JOIN_FULL_ORACLE, "full-outer join"),
     QueryDef("join_cross", join_cross, JOIN_CROSS_ORACLE, "cross join"),
+    QueryDef("join_lateral_topn", join_lateral_topn, JOIN_LATERAL_ORACLE, "correlated LATERAL top-N per group via the raw SQL surface (Catalyst de-correlates to window+join)"),
     QueryDef("scalar_functions", scalar_functions, SCALAR_ORACLE, "scalar fn battery"),
     QueryDef("date_functions", date_functions, DATE_ORACLE, "temporal fn battery"),
     QueryDef("case_conditional_agg", case_conditional_agg, CASE_AGG_ORACLE, "CASE in agg"),

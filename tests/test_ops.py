@@ -2161,6 +2161,39 @@ def test_token_budget_waterfill_invariants_and_recompute(spark):
         assert a in (min(av, lo), min(av, lo + 1))
 
 
+def test_join_lateral_topn_matches_python_recompute(spark):
+    """LATERAL top-2 orders per customer against a direct Python
+    group-sort (customers with no orders emit nothing — inner lateral
+    semantics)."""
+    from duckdb_gsheets_spark.operators.relational import join_lateral_topn
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = sorted(
+        (r.c_custkey, r.o_orderkey, r.o_totalprice)
+        for r in join_lateral_topn(spark, SF).collect()
+    )
+    by_cust: dict[int, list[tuple[float, int]]] = {}
+    for r in load_table(spark, SF, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    ).collect():
+        by_cust.setdefault(r.o_custkey, []).append(
+            (-r.o_totalprice, r.o_orderkey)
+        )
+    custkeys = {
+        r.c_custkey
+        for r in load_table(spark, SF, "customer").select("c_custkey").collect()
+    }
+    expected = sorted(
+        (c, k, -negp)
+        for c, orders in by_cust.items()
+        if c in custkeys
+        for negp, k in sorted(orders)[:2]
+    )
+    assert got == expected
+    # Inner-lateral semantics: exactly the customers with orders emit.
+    assert {c for c, _, _ in got} == set(by_cust) & custkeys
+
+
 def test_contrastive_negatives_match_python_recompute(spark):
     """Negative sampling against a direct Python replay (hashlib md5
     replicates tok_hash60), with cluster labels taken from the

@@ -309,6 +309,19 @@ def test_scd2_history_single_doc_id_exchange(spark):
     assert len(set(exchanges)) == 1
 
 
+def test_join_lateral_decorrelates_to_window_join(spark):
+    """Catalyst must de-correlate the LATERAL top-N into a partitioned
+    row_number window + one equi-join — not per-row subquery execution
+    and not a nested-loop join."""
+    plan = _plan(spark, "join_lateral_topn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "row_number" in physical
+    win = next(ln for ln in physical.splitlines() if "row_number" in ln)
+    assert "o_custkey" in win  # partitioned window, not a global one
+
+
 def test_contrastive_negatives_all_equi_joins(spark):
     """The sampler is maps + equi-joins on doc ids: no cartesian
     beyond the 1-row max-id broadcast, and the cluster-label build is
