@@ -20,9 +20,12 @@ training. These three operators cover that surface:
   operators don't give: the top-K most-duplicated token passages with
   occurrence/document counts and their first occurrence (the report a
   dedup pass starts from — Lee et al., "Deduplicating Training Data
-  Makes Language Models Better", arXiv:2107.06499).
+  Makes Language Models Better", arXiv:2107.06499);
+* :func:`boilerplate_segment_removal` — the RefinedWeb/CCNet
+  repeated-line filter on segments: drop ALL occurrences of segments
+  shared by enough distinct documents, report per-doc token retention.
 
-All three are pure JVM column programs (``split``/``slice``/
+All are pure JVM column programs (``split``/``slice``/
 ``sequence``/``md5`` + joins) with exact DuckDB oracles — no Python in
 the data path.
 
