@@ -2081,6 +2081,111 @@ GROUP BY 1, 2
 """
 
 
+#: Lateness buckets (µs): on-time, within a minute, within an hour,
+#: beyond an hour — the grid a watermark decision reads off.
+LATENESS_MINUTE_US = 60_000_000
+LATENESS_HOUR_US = 3_600_000_000
+
+
+def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How out-of-order is the stream, really — the measurement a
+    watermark choice should come from instead of a guess. Treating
+    event_id as arrival order, an event's LATENESS is how far the
+    event-time high-water mark had already advanced past it when it
+    arrived (``running_max(ts) − ts``); the bucketed distribution says
+    what share of data a 1-minute or 1-hour watermark would drop.
+
+    The running max over arrival order is a corpus-sized prefix scan —
+    a single unpartitioned window at 100 TB. It runs here as the
+    distributed prefix-scan tiling (third instance of the pattern,
+    generalized from SUM to MAX, which is equally associative):
+    range-partition by arrival id, per-partition running max in
+    parallel windows, then per-partition max offsets from a bounded
+    |pids|-row window broadcast back. Output is |buckets| rows.
+
+    The generated test stream happens to arrive perfectly in order, so
+    its honest audit is one all-``on_time`` row (max lateness 0); the
+    disorder paths are exercised by the pytest's synthetic shuffled
+    frame through the same :func:`lateness_buckets` core.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", _epoch_us("ts").alias("us")
+    )
+    return lateness_buckets(ev)
+
+
+def lateness_buckets(ev: DataFrame) -> DataFrame:
+    """Bucketed lateness distribution of an ``(event_id, us)`` frame:
+    arrival order = event_id asc, lateness = running max(us) − us,
+    computed with the tiled distributed prefix-scan (MAX)."""
+    ranged = (
+        ev.repartitionByRange("event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_off = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.max("us").alias("pmax"))
+        .select(
+            "pid",
+            F.max("pmax").over(w_off).alias("off_max"),  # NULL for pid 0
+        )
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = ranged.join(F.broadcast(offsets), "pid").select(
+        "us",
+        F.greatest(
+            F.max("us").over(w_local),
+            F.coalesce(F.col("off_max"), F.lit(-(2**62)).cast("long")),
+        ).alias("runmax"),
+    )
+    lateness = (F.col("runmax") - F.col("us")).alias("late_us")
+    bucket = (
+        F.when(F.col("late_us") == 0, "on_time")
+        .when(F.col("late_us") <= LATENESS_MINUTE_US, "le_1m")
+        .when(F.col("late_us") <= LATENESS_HOUR_US, "le_1h")
+        .otherwise("gt_1h")
+    )
+    return (
+        run.select(lateness)
+        .select(bucket.alias("bucket"), "late_us")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.max("late_us").cast("double") / F.lit(1e6), 6
+            ).alias("max_lateness_s"),
+        )
+    )
+
+
+EVENTS_LATENESS_ORACLE = f"""
+WITH la_run AS (
+  SELECT epoch_us(ts) AS us,
+         MAX(epoch_us(ts)) OVER (ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING) AS runmax
+  FROM events
+), la_buck AS (
+  SELECT runmax - us AS late_us,
+         CASE WHEN runmax - us = 0 THEN 'on_time'
+              WHEN runmax - us <= {LATENESS_MINUTE_US} THEN 'le_1m'
+              WHEN runmax - us <= {LATENESS_HOUR_US} THEN 'le_1h'
+              ELSE 'gt_1h' END AS bucket
+  FROM la_run
+)
+SELECT bucket, COUNT(*) AS n_events,
+       ROUND(CAST(MAX(late_us) AS DOUBLE) / 1e6, 6) AS max_lateness_s
+FROM la_buck GROUP BY bucket
+"""
+
+
 def events_multigrain_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users at three grains — (day, type), (day),
     (type) — in ONE grouping-sets pass over the stream.
@@ -2123,6 +2228,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
     QueryDef("events_multigrain_users", events_multigrain_users, EVENTS_MULTIGRAIN_ORACLE, "exact distinct users at three grains in one grouping-sets pass"),
     QueryDef("rollup_incremental_refresh", rollup_incremental_refresh, ROLLUP_REFRESH_ORACLE, "incremental daily-rollup refresh: affected-day partials merged with the fresh hour (algebraic IVM)"),
+    QueryDef("events_lateness_audit", events_lateness_audit, EVENTS_LATENESS_ORACLE, "out-of-order lateness distribution vs arrival order (watermark sizing; tiled prefix-scan MAX)"),
     QueryDef("events_rollup_hypertable", events_rollup_hypertable, EVENTS_ROLLUP_ORACLE, "two-level algebraic rollup: daily stats merged exactly from hourly partials"),
     QueryDef("events_markov_transitions", events_markov_transitions, EVENTS_MARKOV_ORACLE, "first-order event-type Markov transition matrix"),
     QueryDef("events_attribution", events_attribution, EVENTS_ATTRIBUTION_ORACLE, "last-touch purchase attribution within a 24h lookback"),

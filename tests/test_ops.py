@@ -3334,6 +3334,62 @@ def test_events_multigrain_users_matches_python_recompute(spark):
     ), "no day with cross-type user overlap — rollup-vs-distinct untested"
 
 
+def test_events_lateness_audit_real_stream_is_in_order(spark):
+    """The generated stream arrives in event-time order, so the honest
+    audit is a single all-on_time row with zero max lateness."""
+    from duckdb_gsheets_spark.operators.events import events_lateness_audit
+
+    rows = events_lateness_audit(spark, SF).collect()
+    assert [(r.bucket, r.max_lateness_s) for r in rows] == [("on_time", 0.0)]
+
+
+def test_lateness_buckets_synthetic_disorder_covers_all_paths(spark):
+    """A deliberately shuffled synthetic stream must hit every bucket,
+    and the tiled prefix-scan MAX must equal a direct Python running
+    max regardless of partition count."""
+    from duckdb_gsheets_spark.operators.events import (
+        LATENESS_HOUR_US,
+        LATENESS_MINUTE_US,
+        lateness_buckets,
+    )
+
+    # Arrival slots (event_id asc) carry event times that jump ahead
+    # and fall back by controlled amounts.
+    minute, hour = LATENESS_MINUTE_US, LATENESS_HOUR_US
+    us = [
+        0,                    # on_time (first)
+        10 * hour,            # on_time (new max)
+        10 * hour - minute,   # le_1m
+        10 * hour - hour,     # le_1h
+        20 * hour,            # on_time (new max)
+        5 * hour,             # gt_1h
+        20 * hour,            # on_time (ties the max)
+    ]
+    ev = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(us)], "event_id long, us long"
+    ).repartition(4)
+    got = {
+        r.bucket: (r.n_events, r.max_lateness_s)
+        for r in lateness_buckets(ev).collect()
+    }
+    runmax, expected = -1, {}
+    for t in us:
+        runmax = max(runmax, t)
+        late = runmax - t
+        b = (
+            "on_time" if late == 0
+            else "le_1m" if late <= minute
+            else "le_1h" if late <= hour
+            else "gt_1h"
+        )
+        n, mx = expected.get(b, (0, 0))
+        expected[b] = (n + 1, max(mx, late))
+    assert got == {
+        b: (n, round(mx / 1e6, 6)) for b, (n, mx) in expected.items()
+    }
+    assert set(got) == {"on_time", "le_1m", "le_1h", "gt_1h"}
+
+
 def test_rollup_incremental_refresh_matches_full_recompute(spark):
     """The merged (base-partials ∪ fresh-hour-partials) day must equal
     the full batch rollup's row for that day, and the base/delta

@@ -309,6 +309,24 @@ def test_scd2_history_single_doc_id_exchange(spark):
     assert len(set(exchanges)) == 1
 
 
+def test_lateness_audit_tiles_the_running_max(spark):
+    """The arrival-order running max must run tiled: the corpus-sized
+    window partitions by pid; the only unpartitioned window is the
+    bounded |pids|-row offsets table."""
+    plan = _plan(spark, "events_lateness_audit")
+    physical = plan.split("== Physical Plan ==")[-1]
+    corpus_windows = [
+        ln
+        for ln in physical.splitlines()
+        if "windowspecdefinition" in ln
+        and "max(us" in ln
+        and "pid#" not in ln
+        and "pmax" not in ln
+    ]
+    assert not corpus_windows, f"untiled running max: {corpus_windows}"
+    assert "ExistingRDD" in physical or "LogicalRDD" in physical
+
+
 def test_join_lateral_decorrelates_to_window_join(spark):
     """Catalyst must de-correlate the LATERAL top-N into a partitioned
     row_number window + one equi-join — not per-row subquery execution
@@ -874,6 +892,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "vocab_growth_curve",
         "skew_heavy_hitters",  # ranks the post-LIMIT ≤HH_K winner table
         "token_budget_waterfill",  # waterfills the |sources|-row inventory
+        "events_lateness_audit",  # pid-offset table of the prefix-scan tiling
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
