@@ -1786,27 +1786,33 @@ def _mmr_oracle() -> str:
     parts = [
         _ORACLE_VECTOR_CTE.strip().rstrip(),
         f""",
+mmr_qv AS (SELECT i, x FROM v WHERE vec_id = {MMR_QUERY_ID}),
 mmr_rel AS (
+  -- query side pre-filtered to one vector so the dim-index join
+  -- never builds the |v|×|v| intermediate
   SELECT b.vec_id AS vec_id,
          ROUND(SUM(a.x * b.x) / (na.nrm * nb.nrm), 6) AS rel
-  FROM v a JOIN v b ON a.i = b.i
-  JOIN norms na ON na.vec_id = a.vec_id
+  FROM mmr_qv a JOIN v b ON a.i = b.i
+  JOIN norms na ON na.vec_id = {MMR_QUERY_ID}
   JOIN norms nb ON nb.vec_id = b.vec_id
-  WHERE a.vec_id = {MMR_QUERY_ID} AND b.vec_id <> {MMR_QUERY_ID}
+  WHERE b.vec_id <> {MMR_QUERY_ID}
   GROUP BY b.vec_id, na.nrm, nb.nrm
 ),
 mmr_pool AS (
   SELECT vec_id, rel FROM mmr_rel ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
 ),
+mmr_pv AS (
+  -- pool-filtered vector slice: ≤ MMR_POOL · dim rows, so the
+  -- pairwise-similarity join is pool-sized, not corpus-sized
+  SELECT v.vec_id, v.i, v.x FROM v
+  WHERE v.vec_id IN (SELECT vec_id FROM mmr_pool)
+),
 mmr_sims AS (
   SELECT a.vec_id AS d, b.vec_id AS s,
          ROUND(SUM(a.x * b.x) / (na.nrm * nb.nrm), 6) AS sim
-  FROM v a JOIN v b ON a.i = b.i
+  FROM mmr_pv a JOIN mmr_pv b ON a.i = b.i AND a.vec_id <> b.vec_id
   JOIN norms na ON na.vec_id = a.vec_id
   JOIN norms nb ON nb.vec_id = b.vec_id
-  WHERE a.vec_id IN (SELECT vec_id FROM mmr_pool)
-    AND b.vec_id IN (SELECT vec_id FROM mmr_pool)
-    AND a.vec_id <> b.vec_id
   GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
 ),
 mmr_sel1 AS (
@@ -1839,7 +1845,13 @@ mmr_ids{t} AS (SELECT vec_id FROM mmr_ids{t - 1} UNION ALL SELECT vec_id FROM mm
     union = "\nUNION ALL\n".join(
         f"SELECT * FROM mmr_sel{t}" for t in range(1, MMR_K + 1)
     )
-    return "".join(parts) + "\n" + union
+    # Same rule as ml._materialize_ctes: the chained selection CTEs
+    # reference each other multiply, and DuckDB's default inlining
+    # re-evaluates each reference — exponential in MMR_K (28 s → <1 s
+    # at sf0.01 with materialization pinned).
+    return ("".join(parts) + "\n" + union).replace(
+        " AS (", " AS MATERIALIZED ("
+    )
 
 
 QUERIES: list[QueryDef] = [
