@@ -2186,6 +2186,86 @@ FROM la_buck GROUP BY bucket
 """
 
 
+#: k-anonymity threshold: groups with fewer distinct users than K are
+#: re-identifiable under the quasi-identifier.
+K_ANON = 5
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit (Sweeney's k-anonymity): group the
+    event log by the quasi-identifier an "anonymized" export typically
+    retains — (day, hour, event_type) — and band each group by its
+    distinct-user count. A group with one user IS that user; groups
+    under ``K_ANON`` are linkable with modest side information. The
+    report drives the release decision: how many groups (and how many
+    event rows) would need suppression or coarser generalization
+    before an export meets k≥5.
+
+    Shapes: one QI-grouped distinct-count aggregate (map-side partial
+    dedup, one shuffle on the QI — bounded cardinality: days × 24 ×
+    |types|), a |bands|-row rollup, and a 1-row total broadcast for
+    the share column. Output is ≤3 rows regardless of corpus size.
+    """
+    return k_anonymity_bands(load_table(spark, sf_dir, "events"))
+
+
+def k_anonymity_bands(events: DataFrame) -> DataFrame:
+    """The banding core over any ``(ts, event_type, user_id)`` frame
+    (the pytest drives the k≥K band through a synthetic frame when the
+    fixture SF has no group that large)."""
+    groups = events.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").alias("h"),
+        "event_type",
+    ).agg(
+        F.countDistinct("user_id").alias("nu"),
+        F.count(F.lit(1)).alias("ne"),
+    )
+    band = (
+        F.when(F.col("nu") >= K_ANON, F.lit(f"k_ge_{K_ANON}"))
+        .when(F.col("nu") >= 2, F.lit(f"k_2_{K_ANON - 1}"))
+        .otherwise(F.lit("k_1"))
+    )
+    banded = groups.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("ne").cast("long")).alias("n_events"),
+        F.sum(F.col("nu").cast("long")).alias("user_slots"),
+    )
+    total = banded.agg(F.sum("n_groups").alias("tot"))
+    return banded.crossJoin(F.broadcast(total)).select(
+        "band",
+        "n_groups",
+        "n_events",
+        "user_slots",
+        F.round(
+            F.col("n_groups").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("groups_share"),
+    )
+
+
+PRIVACY_K_ANON_ORACLE = f"""
+WITH ka_groups AS (
+  SELECT CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h, event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu,
+         COUNT(*) AS ne
+  FROM events GROUP BY 1, 2, 3
+), ka_banded AS (
+  SELECT CASE WHEN nu >= {K_ANON} THEN 'k_ge_{K_ANON}'
+              WHEN nu >= 2 THEN 'k_2_{K_ANON - 1}'
+              ELSE 'k_1' END AS band,
+         COUNT(*) AS n_groups,
+         CAST(SUM(ne) AS BIGINT) AS n_events,
+         CAST(SUM(nu) AS BIGINT) AS user_slots
+  FROM ka_groups GROUP BY 1
+)
+SELECT band, n_groups, n_events, user_slots,
+       ROUND(CAST(n_groups AS DOUBLE)
+             / CAST((SELECT SUM(n_groups) FROM ka_banded) AS DOUBLE), 6)
+         AS groups_share
+FROM ka_banded
+"""
+
+
 def events_multigrain_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users at three grains — (day, type), (day),
     (type) — in ONE grouping-sets pass over the stream.
@@ -2229,6 +2309,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_multigrain_users", events_multigrain_users, EVENTS_MULTIGRAIN_ORACLE, "exact distinct users at three grains in one grouping-sets pass"),
     QueryDef("rollup_incremental_refresh", rollup_incremental_refresh, ROLLUP_REFRESH_ORACLE, "incremental daily-rollup refresh: affected-day partials merged with the fresh hour (algebraic IVM)"),
     QueryDef("events_lateness_audit", events_lateness_audit, EVENTS_LATENESS_ORACLE, "out-of-order lateness distribution vs arrival order (watermark sizing; tiled prefix-scan MAX)"),
+    QueryDef("privacy_k_anonymity", privacy_k_anonymity, PRIVACY_K_ANON_ORACLE, "k-anonymity re-identification risk bands over the export quasi-identifier"),
     QueryDef("events_rollup_hypertable", events_rollup_hypertable, EVENTS_ROLLUP_ORACLE, "two-level algebraic rollup: daily stats merged exactly from hourly partials"),
     QueryDef("events_markov_transitions", events_markov_transitions, EVENTS_MARKOV_ORACLE, "first-order event-type Markov transition matrix"),
     QueryDef("events_attribution", events_attribution, EVENTS_ATTRIBUTION_ORACLE, "last-touch purchase attribution within a 24h lookback"),

@@ -3334,6 +3334,76 @@ def test_events_multigrain_users_matches_python_recompute(spark):
     ), "no day with cross-type user overlap — rollup-vs-distinct untested"
 
 
+def test_privacy_k_anonymity_matches_python_recompute(spark):
+    """Band counts against a direct Python regroup; all three risk
+    bands must be populated at the fixture SF or the banding paths are
+    untested."""
+    from duckdb_gsheets_spark.operators.events import (
+        K_ANON,
+        privacy_k_anonymity,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.band: (r.n_groups, r.n_events, r.user_slots, r.groups_share)
+        for r in privacy_k_anonymity(spark, SF).collect()
+    }
+    groups: dict[tuple, set] = {}
+    counts: dict[tuple, int] = {}
+    for r in load_table(spark, SF, "events").select("ts", "event_type", "user_id").collect():
+        k = (r.ts.date(), r.ts.hour, r.event_type)
+        groups.setdefault(k, set()).add(r.user_id)
+        counts[k] = counts.get(k, 0) + 1
+    bands: dict[str, list[int]] = {}
+    for k, users in groups.items():
+        nu = len(users)
+        b = (
+            f"k_ge_{K_ANON}" if nu >= K_ANON
+            else f"k_2_{K_ANON - 1}" if nu >= 2
+            else "k_1"
+        )
+        st = bands.setdefault(b, [0, 0, 0])
+        st[0] += 1
+        st[1] += counts[k]
+        st[2] += nu
+    tot = sum(v[0] for v in bands.values())
+    expected = {
+        b: (g, e, u, round(g / tot, 6)) for b, (g, e, u) in bands.items()
+    }
+    assert got == expected
+    # The fixture SF populates the risky bands; the safe k≥K band is
+    # driven by the synthetic test below when absent here.
+    assert {"k_1", f"k_2_{K_ANON - 1}"} <= set(got)
+
+
+def test_k_anonymity_bands_synthetic_covers_safe_band(spark):
+    """A synthetic frame with one ≥K-user group must land in the
+    k_ge band with exact counts through the same banding core."""
+    import datetime as dt
+
+    from duckdb_gsheets_spark.operators.events import (
+        K_ANON,
+        k_anonymity_bands,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [(t0, "click", u) for u in range(K_ANON + 2)]  # one big group
+    rows += [(t0.replace(hour=10), "view", 1), (t0.replace(hour=10), "view", 1)]
+    rows += [(t0.replace(hour=11), "error", 1), (t0.replace(hour=11), "error", 2)]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long"
+    )
+    got = {
+        r.band: (r.n_groups, r.n_events, r.user_slots, r.groups_share)
+        for r in k_anonymity_bands(ev).collect()
+    }
+    assert got == {
+        f"k_ge_{K_ANON}": (1, K_ANON + 2, K_ANON + 2, round(1 / 3, 6)),
+        "k_1": (1, 2, 1, round(1 / 3, 6)),
+        f"k_2_{K_ANON - 1}": (1, 2, 2, round(1 / 3, 6)),
+    }
+
+
 def test_events_lateness_audit_real_stream_is_in_order(spark):
     """The generated stream arrives in event-time order, so the honest
     audit is a single all-on_time row with zero max lateness."""

@@ -841,6 +841,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "rollup_incremental_refresh",  # 1-row max-hour broadcast
         "ann_mmr_rerank",           # 1-query broadcast + ≤MMR_POOL² pool sims
         "contrastive_negatives",    # 1-row max-id broadcast
+        "privacy_k_anonymity",      # 1-row total-groups broadcast
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
@@ -894,6 +895,8 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "token_budget_waterfill",  # waterfills the |sources|-row inventory
         "events_lateness_audit",  # pid-offset table of the prefix-scan tiling
     }
+    # privacy_k_anonymity's total-share broadcast is over the ≤3-row
+    # band table — covered by bnlj_ok below, no window involved.
     offenders = {}
     for name, plan in _registry_plans(spark).items():
         hits = _unpartitioned_windows(plan)
