@@ -1609,6 +1609,59 @@ JOIN pg_pr{PR_ITERS} p ON p.doc_id = v.doc_id
 """
 
 
+def _canonical_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected-canonicalized edge set of the bounded top-K Jaccard
+    match graph, checkpointed once so the PPJoin candidate chain never
+    re-executes across consumers."""
+    matches = dedup_ngram_jaccard(spark, sf_dir)
+    return (
+        matches.select(
+            F.least("doc_id", "match_id").alias("a"),
+            F.greatest("doc_id", "match_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _edge_degrees(edges: DataFrame) -> DataFrame:
+    """(node, degree) of a canonical (a < b) edge list."""
+    return (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def _oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Triangle list (u, v1, v2) via degree-ordered orientation —
+    every node's out-degree is O(√m) so wedge volume is O(m^1.5)."""
+    with_deg = edges.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a")),
+        "a",
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b")),
+        "b",
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    return wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+
+
 def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle count and local clustering coefficient
     over the lexical near-dup graph (the bounded top-K Jaccard match
@@ -1636,46 +1689,9 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     once so the PPJoin candidate chain never re-executes; all joins
     key on node ids (uniform) — no cartesian anywhere.
     """
-    matches = dedup_ngram_jaccard(spark, sf_dir)
-    edges = (
-        matches.select(
-            F.least("doc_id", "match_id").alias("a"),
-            F.greatest("doc_id", "match_id").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        edges.select(F.col("a").alias("node"))
-        .unionAll(edges.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    with_deg = edges.join(
-        deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a")),
-        "a",
-    ).join(
-        deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b")),
-        "b",
-    )
-    a_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
-    )
-    oriented = with_deg.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
-    ).localCheckpoint(eager=True)
-    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
-    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
-    wedges = o1.join(o2, "u").where(
-        (F.col("d1") < F.col("d2"))
-        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
-    )
-    closing = oriented.select(
-        F.col("u").alias("v1"), F.col("v").alias("v2")
-    )
-    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    edges = _canonical_topk_edges(spark, sf_dir)
+    deg = _edge_degrees(edges)
+    tri = _oriented_triangles(edges, deg)
     tri_nodes = (
         tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
         .groupBy("node")
@@ -1704,8 +1720,12 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEARDUP_TRIANGLES_ORACLE = f"""
-WITH m AS ({DEDUP_NGRAM_ORACLE}),
+def _tri_core_sql() -> str:
+    """Shared DuckDB CTE chain: canonical edge set of the top-K
+    Jaccard graph, degrees, degree-ordered orientation, and the
+    triangle list — used by both the per-node triangle oracle and the
+    global graph-stats oracle."""
+    return f"""m AS ({DEDUP_NGRAM_ORACLE}),
 tr_edges AS (
   SELECT DISTINCT LEAST(doc_id, match_id) AS a, GREATEST(doc_id, match_id) AS b
   FROM m
@@ -1726,7 +1746,11 @@ tr_edges AS (
   JOIN oriented o2 ON o1.u = o2.u
    AND ((o1.deg_v, o1.v) < (o2.deg_v, o2.v))
   JOIN oriented oc ON oc.u = o1.v AND oc.v = o2.v
-), tn AS (
+)"""
+
+
+NEARDUP_TRIANGLES_ORACLE = f"""
+WITH {_tri_core_sql()}, tn AS (
   SELECT node, COUNT(*) AS n_triangles FROM (
     SELECT u AS node FROM tri
     UNION ALL SELECT v1 AS node FROM tri
@@ -1741,6 +1765,130 @@ SELECT d.node AS doc_id,
                        / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
             ELSE 0.0 END AS clustering_coeff
 FROM tr_deg d LEFT JOIN tn t ON t.node = d.node
+"""
+
+
+def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row global health summary of the lexical near-dup graph:
+    nodes, edges, average/max degree, total triangles, transitivity
+    (3·triangles / wedges — how clique-like duplication is overall),
+    and degree ASSORTATIVITY (Newman 2002: Pearson correlation of
+    endpoint degrees over the doubled edge list). The combination is
+    the triage read: high transitivity + positive assortativity means
+    duplication lives in dense template families (collapse clusters
+    wholesale); low transitivity + negative assortativity means hub
+    pages sharing boilerplate with many singletons (segment-level
+    suppression, not document collapse).
+
+    Shapes: the edge build is the shared checkpointed top-K graph;
+    degrees, wedge counts and degree co-moments are map-side-combined
+    integer aggregates over edges; triangles ride the degree-ordered
+    orientation. The three 1-row aggregates combine via broadcast
+    cross joins. Degree co-moments stay in int64 here (Σ deg² over
+    edges); a hub-heavy trillion-edge graph would move them to
+    DECIMAL(38,0) accumulators, same as dsum_decimal.
+    """
+    edges = _canonical_topk_edges(spark, sf_dir)
+    deg = _edge_degrees(edges)
+    tri = _oriented_triangles(edges, deg)
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("degree").alias("sum_deg"),
+        F.max("degree").alias("max_degree"),
+        F.sum(F.expr("degree * (degree - 1) div 2")).alias("wedges"),
+    )
+    t_row = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    pairs = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    directed = pairs.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("x")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("y")), "b"
+    )
+    moments = directed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    den = F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    return (
+        node_stats.crossJoin(F.broadcast(t_row))
+        .crossJoin(F.broadcast(moments))
+        .select(
+            "n_nodes",
+            F.expr("sum_deg div 2").alias("n_edges"),
+            F.round(
+                F.col("sum_deg").cast("double") / F.col("n_nodes"), 6
+            ).alias("avg_degree"),
+            "max_degree",
+            "n_triangles",
+            F.when(
+                F.col("wedges") > 0,
+                F.round(
+                    (F.lit(3) * F.col("n_triangles")).cast("double")
+                    / F.col("wedges").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+            F.when((varx > 0) & (vary > 0), F.round(num / den, 6))
+            .otherwise(F.lit(0.0))
+            .alias("assortativity"),
+        )
+    )
+
+
+NEARDUP_GRAPH_STATS_ORACLE = f"""
+WITH {_tri_core_sql()},
+gs_nodes AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(degree) AS BIGINT) AS sum_deg,
+         MAX(degree) AS max_degree,
+         CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS wedges
+  FROM tr_deg
+), gs_t AS (
+  SELECT COUNT(*) AS n_triangles FROM tri
+), gs_pairs AS (
+  SELECT da.degree AS x, db.degree AS y
+  FROM tr_edges e
+  JOIN tr_deg da ON da.node = e.a
+  JOIN tr_deg db ON db.node = e.b
+  UNION ALL
+  SELECT db.degree AS x, da.degree AS y
+  FROM tr_edges e
+  JOIN tr_deg da ON da.node = e.a
+  JOIN tr_deg db ON db.node = e.b
+), gs_m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM gs_pairs
+)
+SELECT n_nodes,
+       sum_deg // 2 AS n_edges,
+       ROUND(CAST(sum_deg AS DOUBLE) / n_nodes, 6) AS avg_degree,
+       max_degree,
+       n_triangles,
+       CASE WHEN wedges > 0
+            THEN ROUND(CAST(3 * n_triangles AS DOUBLE)
+                       / CAST(wedges AS DOUBLE), 6)
+            ELSE 0.0 END AS transitivity,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+            ELSE 0.0 END AS assortativity
+FROM gs_nodes, gs_t, gs_m
 """
 
 
@@ -2161,4 +2309,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_incremental_batch", dedup_incremental_batch, DEDUP_INCREMENTAL_ORACLE, "delta-vs-corpus incremental dedup verdicts (O(delta) ingest check)"),
     QueryDef("neardup_pagerank", neardup_pagerank, _neardup_pagerank_oracle(), "all-integer PageRank duplication-centrality over the near-dup graph"),
     QueryDef("neardup_triangles", neardup_triangles, NEARDUP_TRIANGLES_ORACLE, "degree-ordered triangle counting + clustering coefficient over the lexical near-dup graph"),
+    QueryDef("neardup_graph_stats", neardup_graph_stats, NEARDUP_GRAPH_STATS_ORACLE, "one-row global graph health: transitivity + degree assortativity (exact integer moments)"),
 ]

@@ -2055,6 +2055,48 @@ def test_neardup_triangles_match_python_recompute(spark):
     assert any(0.0 < c < 1.0 for _, _, c in got.values())
 
 
+def test_neardup_graph_stats_match_python_recompute(spark):
+    """Global graph metrics against a direct Python computation over
+    the same registered top-K edge set (networkx-free: adjacency sets
+    + Newman's assortativity formula)."""
+    import math
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        neardup_graph_stats,
+    )
+
+    r = neardup_graph_stats(spark, SF).collect()[0]
+    adj: dict[int, set[int]] = {}
+    for p in dedup_ngram_jaccard(spark, SF).collect():
+        a, b = min(p.doc_id, p.match_id), max(p.doc_id, p.match_id)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(s) for n, s in adj.items()}
+    edges = {(a, b) for a, s in adj.items() for b in s if a < b}
+    tri = sum(
+        len(adj[n] & adj[m]) for n, m in edges
+    ) // 3  # each triangle counted once per edge
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    xs = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    ys = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    assort = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    assert r.n_nodes == len(deg)
+    assert r.n_edges == len(edges)
+    assert r.max_degree == max(deg.values())
+    assert r.n_triangles == tri and tri > 0
+    assert r.transitivity == round(3 * tri / wedges, 6)
+    assert abs(r.assortativity - assort) < 2e-6
+    assert -1.0 <= r.assortativity <= 1.0
+
+
 def test_incremental_dedup_consistent_with_full_dedup(spark):
     """The delta-vs-corpus incremental check must agree with the
     registered full-corpus operators: exact verdicts with a direct

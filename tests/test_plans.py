@@ -842,6 +842,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "ann_mmr_rerank",           # 1-query broadcast + ≤MMR_POOL² pool sims
         "contrastive_negatives",    # 1-row max-id broadcast
         "privacy_k_anonymity",      # 1-row total-groups broadcast
+        "neardup_graph_stats",      # three 1-row aggregate cross joins
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
