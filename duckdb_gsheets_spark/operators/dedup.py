@@ -1159,6 +1159,124 @@ FROM mh_scored GROUP BY est_bucket
 """
 
 
+def minhash_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC of the MinHash estimate as a RANKER of true near-dups
+    over the LSH candidate pairs — the single-number complement to
+    :func:`minhash_calibration`'s bucket table. AUC answers the
+    decision question directly: if you rank candidates by signature
+    agreement and verify top-down (the budgeted-verification setup at
+    100 TB), what's the probability a true near-dup outranks a false
+    candidate?
+
+    All-integer Mann-Whitney construction: the estimate takes only
+    ``MINHASH_PERMS + 1`` values (k agreeing components), the label is
+    the exact integer comparison ``2·|A∩B| ≥ |A∪B|`` (Jaccard ≥ 0.5
+    with no float), so the per-k positive/negative counts, the tie
+    correction (½·pos·neg per tied group, doubled to stay integral)
+    and U are exact; the single division happens at the end. The only
+    window runs over the ≤17-row estimate grid.
+    """
+    assert MINHASH_JACCARD_THRESHOLD == 0.5  # the 2·inter ≥ union form
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = _minhash_candidates(sigs)
+    payload = sigs.select("doc_id", "signature", "shingles")
+    pairs = cands.join(
+        payload.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("signature").alias("sig_a"),
+            F.col("shingles").alias("sh_a"),
+        ),
+        "doc_a",
+    ).join(
+        payload.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("signature").alias("sig_b"),
+            F.col("shingles").alias("sh_b"),
+        ),
+        "doc_b",
+    )
+    k = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    pos = (
+        F.lit(2) * F.size(F.array_intersect("sh_a", "sh_b"))
+        >= F.size(F.array_union("sh_a", "sh_b"))
+    ).cast("long")
+    grid = pairs.select(k.alias("k"), pos.alias("is_pos")).groupBy("k").agg(
+        F.sum("is_pos").alias("pos"),
+        F.sum(F.lit(1) - F.col("is_pos")).alias("neg"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grid.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0).cast("long")).alias(
+            "neg_below"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("neg_below") + F.col("neg"))
+        ).alias("u2"),
+    )
+    return agg.select(
+        (F.col("n_pos") + F.col("n_neg")).alias("n_pairs"),
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("u2").cast("double")
+                / (
+                    F.lit(2) * F.col("n_pos") * F.col("n_neg")
+                ).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("auc"),
+    )
+
+
+MINHASH_AUC_ORACLE = f"""
+WITH {_minhash_core_sql()},
+auc_grid AS (
+  SELECT CAST(len(list_filter(range(1, {MINHASH_PERMS} + 1),
+                              i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN 2 * len(list_intersect(sa.shingles, sb.shingles))
+                        >= len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN 2 * len(list_intersect(sa.shingles, sb.shingles))
+                        >= len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                       THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM mh_cands c
+  JOIN mh_sigs sa ON sa.doc_id = c.doc_a
+  JOIN mh_sigs sb ON sb.doc_id = c.doc_b
+  GROUP BY 1
+), auc_ranked AS (
+  SELECT pos, neg,
+         CAST(COALESCE(SUM(neg) OVER (ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_below
+  FROM auc_grid
+), auc_agg AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS u2
+  FROM auc_ranked
+)
+SELECT n_pos + n_neg AS n_pairs, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN ROUND(CAST(u2 AS DOUBLE)
+                       / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+            ELSE 0.0 END AS auc
+FROM auc_agg
+"""
+
+
 def _simhash_pairs_sql() -> str:
     """DuckDB CTE chain mirroring simhash_signatures → band blocking →
     Hamming verification. The 60-bit signature is non-negative, so
@@ -2296,6 +2414,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE, "asymmetric token-containment pairs"),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "MinHash LSH near-dup"),
     QueryDef("minhash_calibration", minhash_calibration, MINHASH_CALIBRATION_ORACLE, "MinHash estimate vs exact Jaccard calibration"),
+    QueryDef("minhash_auc_report", minhash_auc_report, MINHASH_AUC_ORACLE, "exact Mann-Whitney AUC of the MinHash estimate ranking true near-dups"),
     QueryDef("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "SimHash near-dup"),
     QueryDef("simhash_calibration", simhash_calibration, SIMHASH_CALIBRATION_ORACLE, "SimHash Hamming vs exact Jaccard calibration"),
     QueryDef("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE, "transitive near-dup clusters via recursive min-label CTE"),

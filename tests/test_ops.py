@@ -2055,6 +2055,52 @@ def test_neardup_triangles_match_python_recompute(spark):
     assert any(0.0 < c < 1.0 for _, _, c in got.values())
 
 
+def test_minhash_auc_matches_python_recompute(spark):
+    """AUC against a direct Python Mann-Whitney with tie correction
+    over the same candidate pairs (reconstructed from the registered
+    calibration internals); both classes must be present and the
+    sketch must rank better than chance on this corpus."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        MINHASH_JACCARD_THRESHOLD,
+        _minhash_candidates,
+        minhash_auc_report,
+        minhash_signatures,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    r = minhash_auc_report(spark, SF).collect()[0]
+    docs = load_table(spark, SF, "documents")
+    sigs = {
+        row.doc_id: (list(row.signature), set(row.shingles))
+        for row in minhash_signatures(docs).collect()
+    }
+    cands = [
+        (row.doc_a, row.doc_b)
+        for row in _minhash_candidates(minhash_signatures(docs)).collect()
+    ]
+    scored = []
+    for a, b in cands:
+        sa, sha = sigs[a]
+        sb, shb = sigs[b]
+        k = sum(1 for x, y in zip(sa, sb) if x == y)
+        inter, union = len(sha & shb), len(sha | shb)
+        scored.append((k, 2 * inter >= union))
+    pos = [k for k, p in scored if p]
+    neg = [k for k, p in scored if not p]
+    assert pos and neg, "one class empty — AUC vacuous"
+    u = sum(
+        (1.0 if kp > kn else 0.5 if kp == kn else 0.0)
+        for kp in pos
+        for kn in neg
+    )
+    auc = u / (len(pos) * len(neg))
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert r.n_pairs == len(scored)
+    assert r.auc == round(auc, 6)
+    assert r.auc > 0.5  # the sketch must beat chance or it's useless
+    assert MINHASH_JACCARD_THRESHOLD == 0.5
+
+
 def test_neardup_graph_stats_match_python_recompute(spark):
     """Global graph metrics against a direct Python computation over
     the same registered top-K edge set (networkx-free: adjacency sets

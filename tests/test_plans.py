@@ -895,6 +895,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "skew_heavy_hitters",  # ranks the post-LIMIT ≤HH_K winner table
         "token_budget_waterfill",  # waterfills the |sources|-row inventory
         "events_lateness_audit",  # pid-offset table of the prefix-scan tiling
+        "minhash_auc_report",  # cumulates the ≤PERMS+1-row estimate grid
     }
     # privacy_k_anonymity's total-share broadcast is over the ≤3-row
     # band table — covered by bnlj_ok below, no window involved.
