@@ -1847,6 +1847,99 @@ FROM wf_lv
 """
 
 
+def quality_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between each pair of the ensemble's
+    quality signals — the redundancy check that decides whether a
+    signal earns its compute: ρ near 1 means two signals rank the
+    corpus identically (drop one), ρ near 0 means they carry
+    independent information (keep both in the blend).
+
+    Exact by construction: Spearman is Pearson over RANKS, and the
+    ranks come from :func:`quality_rank_ensemble`'s tiled per-signal
+    ranking — unique integers 1..n — so every co-moment is exact
+    integer arithmetic and the single division per pair happens at
+    the end (identical in both engines). One extra rollup over the
+    ensemble's output; no new corpus pass.
+    """
+    ranks = quality_rank_ensemble(spark, sf_dir)
+    pairs = [
+        ("len_vs_diversity", "rank_len", "rank_diversity"),
+        ("len_vs_wordlen", "rank_len", "rank_wordlen"),
+        ("diversity_vs_wordlen", "rank_diversity", "rank_wordlen"),
+    ]
+    out = None
+    for label, cx, cy in pairs:
+        x = F.col(cx).cast("long")
+        y = F.col(cy).cast("long")
+        m = ranks.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+        num = (
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        ).cast("double")
+        den = F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ) * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        )
+        row = m.select(
+            F.lit(label).alias("signal_pair"),
+            F.col("n").alias("n_docs"),
+            F.round(num / den, 6).alias("spearman_rho"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _spearman_oracle() -> str:
+    rank_cte = """
+sp_base AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(regexp_split_to_array(TRIM(text), '\\s+'))) AS BIGINT) AS n_distinct,
+         CAST(length(array_to_string(regexp_split_to_array(TRIM(text), '\\s+'), '')) AS BIGINT) AS n_tok_chars
+  FROM documents WHERE text IS NOT NULL
+), sp_ranks AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(n_tokens AS DOUBLE) DESC, doc_id) AS BIGINT) AS rank_len,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC, doc_id) AS BIGINT) AS rank_diversity,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(n_tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC, doc_id) AS BIGINT) AS rank_wordlen
+  FROM sp_base
+)"""
+    selects = []
+    for label, cx, cy in (
+        ("len_vs_diversity", "rank_len", "rank_diversity"),
+        ("len_vs_wordlen", "rank_len", "rank_wordlen"),
+        ("diversity_vs_wordlen", "rank_diversity", "rank_wordlen"),
+    ):
+        selects.append(f"""
+SELECT '{label}' AS signal_pair, n AS n_docs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+FROM (
+  SELECT COUNT(*) AS n,
+         CAST(SUM({cx}) AS BIGINT) AS sx, CAST(SUM({cy}) AS BIGINT) AS sy,
+         CAST(SUM({cx} * {cx}) AS BIGINT) AS sxx,
+         CAST(SUM({cy} * {cy}) AS BIGINT) AS syy,
+         CAST(SUM({cx} * {cy}) AS BIGINT) AS sxy
+  FROM sp_ranks
+)""")
+    return "WITH " + rank_cte + "\n" + "\nUNION ALL\n".join(selects)
+
+
 QUALITY_RANK_ENSEMBLE_ORACLE = """
 WITH base AS (
   SELECT doc_id,
@@ -1999,5 +2092,12 @@ QUERIES: list[QueryDef] = [
         TOKEN_WATERFILL_ORACLE,
         "integer waterfilling of a fixed token budget across sources "
         "(exact min(avail, level) allocation summing to B)",
+    ),
+    QueryDef(
+        "quality_signal_spearman",
+        quality_signal_spearman,
+        _spearman_oracle(),
+        "exact Spearman rank correlation between quality-signal pairs "
+        "(signal-redundancy audit over integer ranks)",
     ),
 ]

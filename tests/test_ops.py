@@ -2367,6 +2367,63 @@ def test_quality_rank_ensemble_matches_python_recompute(spark):
         assert sorted(v[i] for v in got.values()) == list(range(1, n + 1))
 
 
+def test_quality_signal_spearman_matches_python_recompute(spark):
+    """Spearman rho per signal pair against a direct Python rank
+    correlation (same unique-rank tiebreaks); the three signals must
+    not be perfectly redundant (some rho must be meaningfully < 1)."""
+    import math
+    import re
+
+    from duckdb_gsheets_spark.operators.curation import (
+        quality_signal_spearman,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.signal_pair: (r.n_docs, r.spearman_rho)
+        for r in quality_signal_spearman(spark, SF).collect()
+    }
+    sigs = {}
+    for r in load_table(spark, SF, "documents").select("doc_id", "text").collect():
+        if r.text is None:
+            continue
+        toks = re.split(r"\s+", r.text.strip())
+        nt = len(toks)
+        sigs[r.doc_id] = (
+            float(nt),
+            len(set(toks)) / nt,
+            sum(len(t) for t in toks) / nt,
+        )
+    n = len(sigs)
+    ranks: dict[int, list[int]] = {d: [0, 0, 0] for d in sigs}
+    for i in range(3):
+        for pos, d in enumerate(
+            sorted(sigs, key=lambda d: (-sigs[d][i], d)), start=1
+        ):
+            ranks[d][i] = pos
+
+    def rho(i, j):
+        xs = [ranks[d][i] for d in sigs]
+        ys = [ranks[d][j] for d in sigs]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        return (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+
+    expected = {
+        "len_vs_diversity": (n, round(rho(0, 1), 6)),
+        "len_vs_wordlen": (n, round(rho(0, 2), 6)),
+        "diversity_vs_wordlen": (n, round(rho(1, 2), 6)),
+    }
+    for k in expected:
+        assert got[k][0] == expected[k][0]
+        assert abs(got[k][1] - expected[k][1]) < 2e-6
+    assert any(abs(v[1]) < 0.95 for v in got.values())
+
+
 def test_scd2_history_matches_python_recompute(spark):
     """SCD2 intervals against a direct Python replay of the three
     snapshot rules (independent of the DuckDB oracle)."""
