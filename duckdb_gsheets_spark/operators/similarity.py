@@ -18,6 +18,7 @@ blocking (LSH/IVF) bounds the candidate set; both stages ship here.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -1643,6 +1644,117 @@ GROUP BY nprobe
 """
 
 
+#: Position discounts for nDCG@k, scaled to exact integers
+#: (``round(1e9 / log2(i+1))``) so neither engine ever parses a float
+#: literal — a 17-digit double literal round-trips differently through
+#: DuckDB's DECIMAL parser than through Python (determinism.py note).
+NDCG_DISCOUNTS: tuple[int, ...] = tuple(
+    round(1e9 / math.log2(i + 1)) for i in range(1, TOPK_K + 1)
+)
+NDCG_IDCG = sum(NDCG_DISCOUNTS)
+
+
+def ann_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k audit of the ANN paths — recall@k's rank-aware sibling:
+    recall says WHETHER the true neighbors were found, nDCG says
+    whether they surfaced at the TOP, which is what a retrieval
+    consumer actually sees. Binary relevance (membership in the exact
+    top-k), position discounts as exact scaled integers, so per-query
+    DCG is integer arithmetic and the single division per output row
+    happens at the end.
+
+    Same shape as ann_recall_report: the heavy work is inside the
+    audited method queries; the audit itself joins k·|queries|-row
+    rankings and rolls up per method.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("vec_a", "vec_b")
+    spine = exact.select("vec_a").distinct()
+    methods = spark.createDataFrame(
+        [("lsh",), ("ivf",), ("pq",)], "method string"
+    )
+    approx = (
+        ann_lsh_topk(spark, sf_dir)
+        .select(F.lit("lsh").alias("method"), "vec_a", "vec_b", "rank")
+        .unionByName(
+            ann_ivf_topk(spark, sf_dir).select(
+                F.lit("ivf").alias("method"), "vec_a", "vec_b", "rank"
+            )
+        )
+        .unionByName(
+            ann_pq_adc_topk(spark, sf_dir).select(
+                F.lit("pq").alias("method"), "vec_a", "vec_b", "rank"
+            )
+        )
+    )
+    discount = F.element_at(
+        F.array(*[F.lit(d) for d in NDCG_DISCOUNTS]), F.col("rank")
+    )
+    dcg = (
+        approx.join(exact.withColumn("rel", F.lit(1)), ["vec_a", "vec_b"])
+        .groupBy("method", "vec_a")
+        .agg(F.sum(discount.cast("long")).alias("dcg_s"))
+    )
+    per_query = (
+        spine.crossJoin(methods)
+        .join(dcg, ["method", "vec_a"], "left")
+        .select(
+            "method",
+            "vec_a",
+            F.coalesce(F.col("dcg_s"), F.lit(0).cast("long")).alias("dcg_s"),
+        )
+    )
+    return per_query.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(
+            F.sum("dcg_s").cast("double")
+            / (F.count(F.lit(1)) * F.lit(NDCG_IDCG)).cast("double"),
+            6,
+        ).alias("mean_ndcg"),
+        F.round(
+            F.min("dcg_s").cast("double") / F.lit(NDCG_IDCG).cast("double"),
+            6,
+        ).alias("min_ndcg"),
+    )
+
+
+def _ndcg_oracle() -> str:
+    """DuckDB oracle for :func:`ann_ndcg_report`: the same method
+    chains as the recall oracle, with the integer discount lookup."""
+    disc_list = ", ".join(str(d) for d in NDCG_DISCOUNTS)
+    return f"""
+{_ORACLE_VECTOR_CTE},
+{_exact_topk_cte()},
+{_lsh_cte()},
+{_ivf_cte()},
+{_pq_cte()},
+nd_approx AS (
+  SELECT 'lsh' AS method, vec_a, vec_b, rank FROM lsh_topk
+  UNION ALL
+  SELECT 'ivf' AS method, vec_a, vec_b, rank FROM ivf_topk
+  UNION ALL
+  SELECT 'pq' AS method, vec_a, vec_b, rank FROM pq_topk
+), nd_dcg AS (
+  SELECT a.method, a.vec_a,
+         CAST(SUM([{disc_list}][a.rank]) AS BIGINT) AS dcg_s
+  FROM nd_approx a JOIN ex_topk e
+    ON e.vec_a = a.vec_a AND e.vec_b = a.vec_b
+  GROUP BY a.method, a.vec_a
+), nd_per_query AS (
+  SELECT m.method, s.vec_a, COALESCE(x.dcg_s, 0) AS dcg_s
+  FROM (SELECT DISTINCT vec_a FROM ex_topk) s
+  CROSS JOIN (VALUES ('lsh'), ('ivf'), ('pq')) m(method)
+  LEFT JOIN nd_dcg x ON x.method = m.method AND x.vec_a = s.vec_a
+)
+SELECT method, COUNT(*) AS n_queries,
+       ROUND(CAST(SUM(dcg_s) AS DOUBLE)
+             / CAST(COUNT(*) * {NDCG_IDCG} AS DOUBLE), 6) AS mean_ndcg,
+       ROUND(CAST(MIN(dcg_s) AS DOUBLE)
+             / CAST({NDCG_IDCG} AS DOUBLE), 6) AS min_ndcg
+FROM nd_per_query
+GROUP BY method
+"""
+
+
 #: MMR reranking: query vector, candidate pool size, selections, and
 #: the relevance/diversity trade-off weight (written as the same
 #: literal in both engines so the doubles agree bitwise).
@@ -1869,4 +1981,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_lexical_semantic_pairs", dedup_lexical_semantic_pairs, _lexical_semantic_oracle(), "lexical near-dup pairs scored by embedding cosine (two-signal dedup)"),
     QueryDef("ann_ivf_balance_report", ann_ivf_balance_report, _ivf_balance_oracle(), "IVF inverted-list load-balance audit (probe-latency predictor)"),
     QueryDef("ann_mmr_rerank", ann_mmr_rerank, _mmr_oracle(), "MMR diversification rerank of the cosine top-pool (unrolled greedy oracle)"),
+    QueryDef("ann_ndcg_report", ann_ndcg_report, _ndcg_oracle(), "nDCG@k audit of the ANN paths (rank-aware recall sibling; integer-scaled discounts)"),
 ]

@@ -2055,6 +2055,48 @@ def test_neardup_triangles_match_python_recompute(spark):
     assert any(0.0 < c < 1.0 for _, _, c in got.values())
 
 
+def test_ann_ndcg_matches_python_recompute(spark):
+    """nDCG per method against a direct Python recompute from the
+    registered rankings; nDCG must be ≤ the corresponding recall-based
+    ceiling (all relevant items at the worst positions) and positive
+    for every method at the fixture SF."""
+    from duckdb_gsheets_spark.operators.similarity import (
+        NDCG_DISCOUNTS,
+        NDCG_IDCG,
+        ann_cosine_topk,
+        ann_ivf_topk,
+        ann_lsh_topk,
+        ann_ndcg_report,
+        ann_pq_adc_topk,
+    )
+
+    got = {
+        r.method: (r.n_queries, r.mean_ndcg, r.min_ndcg)
+        for r in ann_ndcg_report(spark, SF).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b) for r in ann_cosine_topk(spark, SF).collect()
+    }
+    queries = sorted({a for a, _ in exact})
+    expected = {}
+    for name, fn in (
+        ("lsh", ann_lsh_topk),
+        ("ivf", ann_ivf_topk),
+        ("pq", ann_pq_adc_topk),
+    ):
+        dcg = {q: 0 for q in queries}
+        for r in fn(spark, SF).collect():
+            if (r.vec_a, r.vec_b) in exact:
+                dcg[r.vec_a] += NDCG_DISCOUNTS[r.rank - 1]
+        expected[name] = (
+            len(queries),
+            round(sum(dcg.values()) / (len(queries) * NDCG_IDCG), 6),
+            round(min(dcg.values()) / NDCG_IDCG, 6),
+        )
+    assert got == expected
+    assert all(v[1] > 0 for v in got.values())
+
+
 def test_minhash_auc_matches_python_recompute(spark):
     """AUC against a direct Python Mann-Whitney with tie correction
     over the same candidate pairs (reconstructed from the registered
