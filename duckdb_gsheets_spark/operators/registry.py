@@ -90,7 +90,8 @@ class QueryDef:
 #: ann_mmr_rerank, contrastive_negatives, join_lateral_topn,
 #: events_lateness_audit, privacy_k_anonymity,
 #: neardup_graph_stats, minhash_auc_report,
-#: quality_signal_spearman, ann_ndcg_report (added
+#: quality_signal_spearman, ann_ndcg_report,
+#: embedding_isotropy (added
 #: after the round-4 window filled — the
 #: only operators without driver rows); then (a) any operators added in round 5 (first-time checks beat
 #: re-checks), (b) re-checks for any query whose module changes, and

@@ -1644,6 +1644,89 @@ GROUP BY nprobe
 """
 
 
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy audit (Ethayarajh 2019 anisotropy
+    diagnostic): the mean pairwise dot product across ALL vector
+    pairs, computed WITHOUT pairs via the algebraic identity
+    ``Σ_{i≠j} v_i·v_j = ‖Σ_i v_i‖² − Σ_i ‖v_i‖²`` — one narrow pass
+    over n·d components instead of an O(n²) join. A mean pairwise
+    similarity far above zero means the space has collapsed toward a
+    dominant direction (anisotropy), which silently inflates every
+    cosine-based dedup/retrieval threshold calibrated on it.
+
+    Exactness: components scale to 1e6-grid longs (exact — float32
+    casts to double exactly), so the per-dimension sums and
+    per-vector norms are exact integers; their squares accumulate in
+    DECIMAL(38,0)/HUGEINT (a trillion-vector corpus overflows int64
+    here), and the only doubles are the final divisions, performed in
+    the same order in both engines. ``isotropy_ratio`` is the mean
+    pairwise dot over the mean squared norm — equal to mean cosine
+    when vectors share a norm, and exactly defined regardless.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id",
+        F.posexplode(to_double(F.col("embedding"))).alias("d", "x"),
+    ).select(
+        "vec_id",
+        "d",
+        F.round(F.col("x") * F.lit(1e6)).cast("long").alias("s"),
+    )
+    per_dim = comps.groupBy("d").agg(F.sum("s").alias("sd"))
+    per_vec = comps.groupBy("vec_id").agg(
+        F.sum(F.col("s") * F.col("s")).alias("nrm2")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot_dim = per_dim.agg(
+        F.sum(dec("sd") * dec("sd")).alias("sum_sd2")
+    )
+    tot_vec = per_vec.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(dec("nrm2")).alias("sum_nrm2"),
+    )
+    pair_dot = (
+        (F.col("sum_sd2") - F.col("sum_nrm2")).cast("double") / F.lit(1e12)
+    ) / (F.col("n_vectors") * (F.col("n_vectors") - F.lit(1))).cast("double")
+    mean_sq_norm = (
+        F.col("sum_nrm2").cast("double") / F.lit(1e12)
+    ) / F.col("n_vectors").cast("double")
+    return tot_vec.crossJoin(F.broadcast(tot_dim)).select(
+        "n_vectors",
+        F.round(mean_sq_norm, 6).alias("mean_sq_norm"),
+        F.round(pair_dot, 6).alias("mean_pairwise_dot"),
+        F.round(pair_dot / mean_sq_norm, 6).alias("isotropy_ratio"),
+    )
+
+
+EMBEDDING_ISOTROPY_ORACLE = """
+WITH iso_comps AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS s
+  FROM embeddings
+), iso_dim AS (
+  SELECT d, CAST(SUM(s) AS BIGINT) AS sd FROM iso_comps GROUP BY d
+), iso_vec AS (
+  SELECT vec_id, CAST(SUM(s * s) AS BIGINT) AS nrm2
+  FROM iso_comps GROUP BY vec_id
+), iso_tot AS (
+  SELECT (SELECT SUM(CAST(sd AS HUGEINT) * sd) FROM iso_dim) AS sum_sd2,
+         (SELECT COUNT(*) FROM iso_vec) AS n_vectors,
+         (SELECT SUM(CAST(nrm2 AS HUGEINT)) FROM iso_vec) AS sum_nrm2
+)
+SELECT n_vectors,
+       ROUND((CAST(sum_nrm2 AS DOUBLE) / 1e12)
+             / CAST(n_vectors AS DOUBLE), 6) AS mean_sq_norm,
+       ROUND((CAST(sum_sd2 - sum_nrm2 AS DOUBLE) / 1e12)
+             / CAST(n_vectors * (n_vectors - 1) AS DOUBLE), 6)
+         AS mean_pairwise_dot,
+       ROUND(((CAST(sum_sd2 - sum_nrm2 AS DOUBLE) / 1e12)
+              / CAST(n_vectors * (n_vectors - 1) AS DOUBLE))
+             / ((CAST(sum_nrm2 AS DOUBLE) / 1e12)
+                / CAST(n_vectors AS DOUBLE)), 6) AS isotropy_ratio
+FROM iso_tot
+"""
+
+
 #: Position discounts for nDCG@k, scaled to exact integers
 #: (``round(1e9 / log2(i+1))``) so neither engine ever parses a float
 #: literal — a 17-digit double literal round-trips differently through
@@ -1982,4 +2065,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("ann_ivf_balance_report", ann_ivf_balance_report, _ivf_balance_oracle(), "IVF inverted-list load-balance audit (probe-latency predictor)"),
     QueryDef("ann_mmr_rerank", ann_mmr_rerank, _mmr_oracle(), "MMR diversification rerank of the cosine top-pool (unrolled greedy oracle)"),
     QueryDef("ann_ndcg_report", ann_ndcg_report, _ndcg_oracle(), "nDCG@k audit of the ANN paths (rank-aware recall sibling; integer-scaled discounts)"),
+    QueryDef("embedding_isotropy", embedding_isotropy, EMBEDDING_ISOTROPY_ORACLE, "anisotropy audit: exact mean pairwise dot via the sum-vector identity (no pairs)"),
 ]

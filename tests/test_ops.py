@@ -2055,6 +2055,37 @@ def test_neardup_triangles_match_python_recompute(spark):
     assert any(0.0 < c < 1.0 for _, _, c in got.values())
 
 
+def test_embedding_isotropy_matches_bruteforce_pairs(spark):
+    """The pair-free identity must equal the literal O(n²) mean
+    pairwise dot over the same 1e6-grid components — the whole point
+    of the operator is that these agree exactly."""
+    from duckdb_gsheets_spark.operators.similarity import (
+        embedding_isotropy,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    r = embedding_isotropy(spark, SF).collect()[0]
+    vecs = [
+        [round(float(x) * 1e6) for x in row.embedding]
+        for row in load_table(spark, SF, "embeddings").collect()
+    ]
+    n = len(vecs)
+    dots = 0
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                dots += sum(a * b for a, b in zip(vecs[i], vecs[j]))
+    nrm2 = sum(sum(a * a for a in v) for v in vecs)
+    mpd = (dots / 1e12) / (n * (n - 1))
+    msn = (nrm2 / 1e12) / n
+    assert r.n_vectors == n
+    assert abs(r.mean_pairwise_dot - mpd) < 2e-6
+    assert abs(r.mean_sq_norm - msn) < 2e-6
+    assert abs(r.isotropy_ratio - mpd / msn) < 2e-6
+    # Sanity: ratio is a mean cosine-like quantity.
+    assert -1.0 <= r.isotropy_ratio <= 1.0
+
+
 def test_ann_ndcg_matches_python_recompute(spark):
     """nDCG per method against a direct Python recompute from the
     registered rankings; nDCG must be ≤ the corresponding recall-based
