@@ -93,10 +93,11 @@ class QueryDef:
 #: quality_signal_spearman, ann_ndcg_report,
 #: embedding_isotropy (added
 #: after the round-4 window filled — the
-#: only operators without driver rows); then (a) any operators added in round 5 (first-time checks beat
-#: re-checks), (b) re-checks for any query whose module changes, and
-#: (c) the r1/r2 greens longest out of a checked window (relational
-#: head, tpch_extra mid-battery, events r2 block).
+#: only operators without driver rows). The queue holds 49 entries,
+#: so the round-5 window is simply: ALL 49 + 1 re-check slot (suggest
+#: dedup_minhash_lsh — the most-edited module's anchor op); any
+#: operators added in round 5 displace the re-check first, then the
+#: queue's tail waits for round 6.
 _WINDOW: tuple[str, ...] = (
     # -- the 29 never-driver-checked (round-3 additions) --
     "map_functions",

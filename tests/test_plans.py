@@ -801,7 +801,12 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
     # join_cross IS the cartesian coverage op; the recall report and
     # the nprobe curve cross a 10-row query spine with a 3-row
     # method/depth list.
-    cartesian_ok = {"join_cross", "ann_recall_report", "ann_nprobe_recall_curve"}
+    cartesian_ok = {
+        "join_cross",
+        "ann_recall_report",
+        "ann_nprobe_recall_curve",
+        "ann_ndcg_report",  # same |queries|×|methods| spine as the recall report
+    }
     # Scalar-broadcast shapes: a crossJoin against a 1-row (or
     # driver-bounded) side plans as BroadcastNestedLoopJoin — bounded
     # by construction. Naming them keeps the sweep strict for any NEW
@@ -843,6 +848,8 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "contrastive_negatives",    # 1-row max-id broadcast
         "privacy_k_anonymity",      # 1-row total-groups broadcast
         "neardup_graph_stats",      # three 1-row aggregate cross joins
+        "ann_ndcg_report",          # |queries|×|methods| audit spine cross
+        "embedding_isotropy",       # two 1-row aggregate cross joins
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
