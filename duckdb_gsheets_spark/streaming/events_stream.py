@@ -804,3 +804,40 @@ def batch_equivalent_view_purchase_join(
         F.countDistinct("p_event_id").alias("n_purchases_with_view"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+def streaming_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of privacy_k_anonymity: the live release gate.
+    Distinct users per quasi-identifier group are maintained as
+    streaming state via dropDuplicates over (QI, user) within the
+    watermark (streaming frames don't allow COUNT(DISTINCT) directly —
+    dedup-then-count is the supported formulation), followed by one
+    complete-mode count per group; the ≤3-row banding runs on the
+    materialized sink through the same batch core's band rules."""
+    from duckdb_gsheets_spark.operators.events import K_ANON
+
+    stream = read_events_stream(spark, sf_dir)
+    qi_user = (
+        stream.withWatermark("ts", "2 hours")
+        .select(
+            F.col("ts").cast("date").alias("d"),
+            F.hour("ts").alias("h"),
+            "event_type",
+            "user_id",
+            "ts",
+        )
+        .dropDuplicates(["d", "h", "event_type", "user_id"])
+    )
+    per_group = qi_user.groupBy("d", "h", "event_type").agg(
+        F.count(F.lit(1)).alias("nu")
+    )
+    sink = run_to_memory(per_group, output_mode="complete")
+    band = (
+        F.when(F.col("nu") >= K_ANON, F.lit(f"k_ge_{K_ANON}"))
+        .when(F.col("nu") >= 2, F.lit(f"k_2_{K_ANON - 1}"))
+        .otherwise(F.lit("k_1"))
+    )
+    return sink.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("nu").cast("long")).alias("user_slots"),
+    )

@@ -444,3 +444,23 @@ def test_streaming_view_purchase_join_matches_batch(spark):
     assert got == expected
     assert expected, "no view→purchase pairs in fixture — join untested"
     assert sum(n for n, _ in expected.values()) > 0
+
+
+def test_streaming_k_anonymity_matches_batch(spark):
+    """The streamed per-group distinct-user state, banded on the sink,
+    must equal the batch k-anonymity audit's group and user-slot
+    counts for every band."""
+    from duckdb_gsheets_spark.operators.events import privacy_k_anonymity
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_k_anonymity,
+    )
+
+    got = {
+        (r.band): (r.n_groups, r.user_slots)
+        for r in streaming_k_anonymity(spark, SF).collect()
+    }
+    expected = {
+        (r.band): (r.n_groups, r.user_slots)
+        for r in privacy_k_anonymity(spark, SF).collect()
+    }
+    assert got == expected
