@@ -1679,7 +1679,12 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Medians are the exact interpolated order statistics both engines
     define identically; the score is one fixed double expression over
-    them, rounded once. Shapes: two per-type exact-percentile passes
+    them, rounded once — and the ``> MAD_K`` row filter compares the
+    GRID-SNAPPED score (the same round-6 value the row reports), so a
+    1-ulp divergence between the two engines' independent percentile
+    interpolations cannot flip membership for a row sitting exactly
+    at the bar (it would need to straddle a 1e-6 grid boundary too).
+    Shapes: two per-type exact-percentile passes
     (at 100 TB swap in the mergeable sketch, as events_value_quantiles
     documents) with the 5-row stats tables BROADCAST back onto the
     scan — the event stream itself never shuffles.
@@ -1698,7 +1703,9 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = devs.groupBy("event_type").agg(
         F.percentile("adev", 0.5).alias("mad")
     )
-    score = F.col("adev") / (F.col("mad") * F.lit(MAD_SIGMA))
+    score = F.round(
+        F.col("adev") / (F.col("mad") * F.lit(MAD_SIGMA)), 6
+    )
     return (
         devs.join(F.broadcast(mad), "event_type")
         .where(F.col("mad") > 0)
@@ -1708,7 +1715,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "value",
             F.round("med", 6).alias("median_value"),
-            F.round(score, 6).alias("mad_score"),
+            score.alias("mad_score"),
         )
     )
 
@@ -1729,7 +1736,7 @@ SELECT d.event_type, d.event_id, d.value,
        ROUND(d.med, 6) AS median_value,
        ROUND(d.adev / (m.mad * {MAD_SIGMA}), 6) AS mad_score
 FROM devs d JOIN mad m USING (event_type)
-WHERE m.mad > 0 AND d.adev / (m.mad * {MAD_SIGMA}) > {MAD_K}
+WHERE m.mad > 0 AND ROUND(d.adev / (m.mad * {MAD_SIGMA}), 6) > {MAD_K}
 """
 
 

@@ -604,9 +604,18 @@ def streaming_error_share_counts(
     kind tag in long format (the streaming_active_users pattern):
     every event contributes an ``n_events`` row, error events an
     ``n_errors`` row, and the distinct-users measure is a stateful
-    ``dropDuplicates`` on (day, user) BEFORE its contribution row —
-    state is one entry per (day, error-user), bounded by users ×
-    days, not events. One complete-mode count per (day, kind).
+    ``dropDuplicatesWithinWatermark`` on (day, user) BEFORE its
+    contribution row. The *WithinWatermark* variant is what bounds
+    the state: a plain ``dropDuplicates`` whose subset excludes the
+    event-time column is never watermark-evicted and grows with
+    distinct (day, user) keys for the job's lifetime, while this
+    keeps one entry per (day, error-user) seen in the trailing 26 h
+    of event time. The 26 h delay covers the worst in-key gap — two
+    error events of one user sit at most ~24 h apart inside one day
+    bucket, and the source replays in event-time order, so every
+    duplicate arrives before its key's state can be evicted and the
+    result stays exactly the batch answer. One complete-mode count
+    per (day, kind).
     """
     stream = read_events_stream(spark, sf_dir)
     day = F.to_date("ts").cast("string").alias("day")
@@ -614,8 +623,9 @@ def streaming_error_share_counts(
     err = stream.where(F.col("event_type") == "error")
     er = err.select(day, F.lit("n_errors").alias("kind"))
     eu = (
-        err.select(day, "user_id")
-        .dropDuplicates(["day", "user_id"])
+        err.withWatermark("ts", "26 hours")
+        .select(day, "user_id", "ts")
+        .dropDuplicatesWithinWatermark(["day", "user_id"])
         .select("day", F.lit("n_users_affected").alias("kind"))
     )
     counts = (
@@ -809,11 +819,19 @@ def batch_equivalent_view_purchase_join(
 def streaming_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of privacy_k_anonymity: the live release gate.
     Distinct users per quasi-identifier group are maintained as
-    streaming state via dropDuplicates over (QI, user) within the
-    watermark (streaming frames don't allow COUNT(DISTINCT) directly —
-    dedup-then-count is the supported formulation), followed by one
-    complete-mode count per group; the ≤3-row banding runs on the
-    materialized sink through the same batch core's band rules."""
+    streaming state via ``dropDuplicatesWithinWatermark`` over
+    (QI, user) — streaming frames don't allow COUNT(DISTINCT)
+    directly; dedup-then-count is the supported formulation, and the
+    *WithinWatermark* variant is what makes the state bounded: each
+    (QI, user) entry is evicted once the 2 h watermark passes it,
+    instead of accumulating for the job's lifetime as a plain
+    ``dropDuplicates`` (whose subset excludes the event-time column)
+    would. Duplicates inside a QI group share its hour bucket, so
+    their event-time gap is < 1 h and the in-order source replays
+    every duplicate long before its key's eviction bar — the result
+    stays exactly the batch answer. One complete-mode count per
+    group follows; the ≤3-row banding runs on the materialized sink
+    through the same batch core's band rules."""
     from duckdb_gsheets_spark.operators.events import K_ANON
 
     stream = read_events_stream(spark, sf_dir)
@@ -826,7 +844,7 @@ def streaming_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
         )
-        .dropDuplicates(["d", "h", "event_type", "user_id"])
+        .dropDuplicatesWithinWatermark(["d", "h", "event_type", "user_id"])
     )
     per_group = qi_user.groupBy("d", "h", "event_type").agg(
         F.count(F.lit(1)).alias("nu")
