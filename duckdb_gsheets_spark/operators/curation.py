@@ -297,9 +297,18 @@ def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary you drop the broadcast hint and let AQE choose a
     shuffle join on ``tok`` — the shape is otherwise unchanged.
     """
-    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", "n_tokens", F.explode("toks").alias("tok")
+    return _doc_xent(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "unigram_xent"
+    )
+
+
+def _doc_xent(docs: DataFrame) -> DataFrame:
+    """Per-document ``(doc_id, lang, n_tokens, unigram_xent)`` against
+    the corpus's own add-one-smoothed unigram LM — the shared core of
+    :func:`text_unigram_xent` and :func:`quality_lang_tertiles` (one
+    implementation, one oracle CTE — see :func:`_xent_core_sql`)."""
+    toks = _doc_tokens(docs).select(
+        "doc_id", "lang", "n_tokens", F.explode("toks").alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     totals = vocab.agg(
@@ -315,11 +324,12 @@ def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(totals))
         .select(
             "doc_id",
+            "lang",
             "n_tokens",
             F.round(lnp * 1e9).cast("long").alias("lnp_scaled"),
         )
     )
-    return scored.groupBy("doc_id", "n_tokens").agg(
+    return scored.groupBy("doc_id", "lang", "n_tokens").agg(
         F.round(
             -F.sum("lnp_scaled").cast("double")
             / 1e9
@@ -329,23 +339,149 @@ def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-UNIGRAM_XENT_ORACLE = """
-WITH docs AS (
-  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks,
+def _xent_core_sql() -> str:
+    """Shared CTE chain for the corpus unigram LM: per-doc token rows
+    with lang, the smoothed vocabulary, and the per-document xent
+    (round-6 double from the exact 1e-9-grid scaled-long sum). Reused
+    by the xent report and the CCNet tertile bucketing so the two
+    oracles cannot drift."""
+    return """xdocs AS (
+  SELECT doc_id, lang, regexp_split_to_array(TRIM(text), '\\s+') AS toks,
          CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS INTEGER) AS n_tokens
   FROM documents WHERE text IS NOT NULL
-), toks AS (
-  SELECT doc_id, n_tokens, unnest(toks) AS tok FROM docs
-), vocab AS (
-  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
-), totals AS (
-  SELECT SUM(cnt) AS total, COUNT(*) AS vsize FROM vocab
+), xtoks AS (
+  SELECT doc_id, lang, n_tokens, unnest(toks) AS tok FROM xdocs
+), xvocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM xtoks GROUP BY tok
+), xtotals AS (
+  SELECT SUM(cnt) AS total, COUNT(*) AS vsize FROM xvocab
+), xent AS (
+  SELECT doc_id, lang, n_tokens,
+         ROUND(-CAST(SUM(CAST(ROUND(LN((cnt + 1.0) / CAST(total + vsize AS DOUBLE)) * 1e9) AS BIGINT)) AS DOUBLE)
+               / 1e9 / CAST(n_tokens AS DOUBLE), 6) AS unigram_xent
+  FROM xtoks JOIN xvocab USING (tok), xtotals
+  GROUP BY doc_id, lang, n_tokens
+)"""
+
+
+UNIGRAM_XENT_ORACLE = f"""
+WITH {_xent_core_sql()}
+SELECT doc_id, n_tokens, unigram_xent FROM xent
+"""
+
+
+def quality_lang_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: within each language, rank
+    documents by unigram cross-entropy (the shared LM core of
+    :func:`text_unigram_xent`) and split each language into equal
+    thirds — ``head`` (lowest xent, cleanest), ``middle``, ``tail``.
+    CCNet keeps head+middle and drops or down-samples tail; this is
+    the audit table that decision reads: per (lang, bucket) document
+    count, token inventory, and the xent band edges.
+
+    Bucket rule (deliberately NOT SQL NTILE, whose remainder
+    distribution differs): ``bucket = ((rank−1)·3) div n_lang`` over
+    the per-language rank — exact integer math on the global rank,
+    identical in both engines. The rank orders on the ROUND-6 xent
+    with a doc_id tiebreak, so a sub-grid cross-engine ln() wobble
+    cannot reorder rows.
+
+    Shapes, sized for 100 TB: the per-language rank uses the
+    distributed prefix-sum tiling generalized to a group key
+    (:func:`quality_rank_ensemble`): one range-partition on
+    (lang, xent, doc_id), per-(lang, pid) counts, offsets via a
+    bounded |langs|×|pids|-row window broadcast back — no
+    language ever funnels through a single window task (a
+    ``Window.partitionBy(lang)`` with a handful of languages would
+    be exactly the corpus-sized window the plan sweep forbids). The
+    final rollup is |langs|×3 rows.
+    """
+    scored = _doc_xent(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_tokens", "unigram_xent"
+    )
+    ranged = (
+        scored.repartitionByRange("lang", "unigram_xent", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("lang", "pid")
+        .agg(F.count(F.lit(1)).alias("pcnt"))
+        .select(
+            "lang",
+            "pid",
+            F.coalesce(
+                F.sum("pcnt").over(w_off), F.lit(0).cast("long")
+            ).alias("rank_off"),
+        )
+    )
+    n_lang = ranged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang")
+    )
+    w_local = Window.partitionBy("lang", "pid").orderBy(
+        "unigram_xent", "doc_id"
+    )
+    ranked = (
+        ranged.join(F.broadcast(offsets), ["lang", "pid"])
+        .join(F.broadcast(n_lang), "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "unigram_xent",
+            (
+                (
+                    F.col("rank_off")
+                    + F.row_number().over(w_local)
+                    - F.lit(1)
+                )
+                * 3
+            ).alias("rank3"),
+            "n_lang",
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "unigram_xent",
+            F.expr("rank3 div n_lang").alias("tercile"),
+        )
+    )
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        (F.col("tercile") + 1).cast("int"),
+    )
+    return (
+        ranked.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("tok_sum"),
+            F.min("unigram_xent").alias("min_xent"),
+            F.max("unigram_xent").alias("max_xent"),
+        )
+    )
+
+
+LANG_TERTILES_ORACLE = f"""
+WITH {_xent_core_sql()},
+lt_ranked AS (
+  SELECT lang, n_tokens, unigram_xent,
+         (ROW_NUMBER() OVER (PARTITION BY lang
+                             ORDER BY unigram_xent, doc_id) - 1) * 3
+           // COUNT(*) OVER (PARTITION BY lang) AS tercile
+  FROM xent
 )
-SELECT doc_id, n_tokens,
-       ROUND(-CAST(SUM(CAST(ROUND(LN((cnt + 1.0) / CAST(total + vsize AS DOUBLE)) * 1e9) AS BIGINT)) AS DOUBLE)
-             / 1e9 / CAST(n_tokens AS DOUBLE), 6) AS unigram_xent
-FROM toks JOIN vocab USING (tok), totals
-GROUP BY doc_id, n_tokens
+SELECT lang,
+       ['head', 'middle', 'tail'][CAST(tercile + 1 AS INTEGER)] AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+       MIN(unigram_xent) AS min_xent,
+       MAX(unigram_xent) AS max_xent
+FROM lt_ranked
+GROUP BY 1, 2
 """
 
 
@@ -2099,5 +2235,13 @@ QUERIES: list[QueryDef] = [
         _spearman_oracle(),
         "exact Spearman rank correlation between quality-signal pairs "
         "(signal-redundancy audit over integer ranks)",
+    ),
+    # -- round-5 additions (round-6 driver-window rotation queue) --
+    QueryDef(
+        "quality_lang_tertiles",
+        quality_lang_tertiles,
+        LANG_TERTILES_ORACLE,
+        "CCNet-style per-language head/middle/tail perplexity buckets "
+        "(grouped prefix-sum rank, exact integer tercile rule)",
     ),
 ]

@@ -5642,3 +5642,67 @@ def test_ann_ivf_balance_matches_assignment(spark):
     assert got == expected
     assert abs(sum(s for _, s, _ in got.values()) - 1.0) < 1e-4
     assert abs(sum(f for _, _, f in got.values()) / n_lists - 1.0) < 1e-4
+
+
+def test_quality_lang_tertiles_matches_python_recompute(spark):
+    """CCNet tertile buckets against a direct Python recompute of the
+    add-one unigram LM xent (same 1e-9 ln grid), the same
+    (xent, doc_id) rank order, and the same integer tercile rule —
+    plus the structural invariants: every language splits into three
+    buckets whose sizes differ by at most one, and the head bucket's
+    xent band sits at or below the tail's."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from duckdb_gsheets_spark.operators.curation import (
+        quality_lang_tertiles,
+    )
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.lang, r.bucket): (r.n_docs, r.tok_sum, r.min_xent, r.max_xent)
+        for r in quality_lang_tertiles(spark, SF).collect()
+    }
+
+    docs = {}
+    for r in load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect():
+        if r.text is None:
+            continue
+        docs[r.doc_id] = (r.lang, re.split(r"\s+", r.text.strip()))
+    vocab = Counter(t for _, toks in docs.values() for t in toks)
+    total = sum(vocab.values())
+    vsize = len(vocab)
+    scored = []
+    for doc_id, (lang, toks) in docs.items():
+        s = sum(
+            int(round_half_away(
+                math.log((vocab[t] + 1.0) / float(total + vsize)) * 1e9, 0
+            ))
+            for t in toks
+        )
+        xent = round_half_away(-s / 1e9 / len(toks), 6)
+        scored.append((lang, xent, doc_id, len(toks)))
+    by_lang = defaultdict(list)
+    for lang, xent, doc_id, nt in scored:
+        by_lang[lang].append((xent, doc_id, nt))
+    expected = defaultdict(lambda: [0, 0, math.inf, -math.inf])
+    names = ("head", "middle", "tail")
+    for lang, rows in by_lang.items():
+        rows.sort()
+        n = len(rows)
+        for pos, (xent, _, nt) in enumerate(rows):
+            b = (lang, names[pos * 3 // n])
+            agg = expected[b]
+            agg[0] += 1
+            agg[1] += nt
+            agg[2] = min(agg[2], xent)
+            agg[3] = max(agg[3], xent)
+    assert got == {k: tuple(v) for k, v in expected.items()}
+    for lang, rows in by_lang.items():
+        sizes = [got[(lang, b)][0] for b in names]
+        assert max(sizes) - min(sizes) <= 1
+        assert got[(lang, "head")][3] <= got[(lang, "tail")][2]

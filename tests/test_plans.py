@@ -992,3 +992,21 @@ def test_supplier_hhi_broadcasts_dimension(spark):
     plan = _plan(spark, "supplier_concentration_hhi")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lang_tertiles_tiles_the_rank_window(spark):
+    """The per-language rank must ride the pid tile — a bare
+    Window.partitionBy(lang) would funnel each language's whole
+    corpus through one task. Offsets/n_lang maps broadcast back; no
+    cartesian anywhere."""
+    plan = _plan(spark, "quality_lang_tertiles")
+    physical = plan.split("== Physical Plan ==")[-1]
+    corpus_sized = [
+        ln
+        for ln in physical.splitlines()
+        if "Window" in ln and "row_number" in ln and "pid#" not in ln
+    ]
+    assert not corpus_sized, f"untiled corpus window: {corpus_sized}"
+    assert "CartesianProduct" not in physical
+    assert physical.count("BroadcastHashJoin") >= 2
+    assert "ExistingRDD" in physical or "LogicalRDD" in physical
