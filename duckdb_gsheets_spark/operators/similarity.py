@@ -2049,6 +2049,171 @@ mmr_ids{t} AS (SELECT vec_id FROM mmr_ids{t - 1} UNION ALL SELECT vec_id FROM mm
     )
 
 
+#: Matryoshka truncation widths audited by ann_matryoshka_recall —
+#: nested prefixes of the 64-dim embedding (Kusupati et al.,
+#: "Matryoshka Representation Learning", NeurIPS 2022).
+MATRYOSHKA_WIDTHS = (8, 16, 32)
+
+
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: recall@k of PREFIX-DIMENSION
+    cosine retrieval against the full-dimension exact baseline, one
+    row per truncation width. This is the acceptance gate for serving
+    a cheaper prefix of the embedding (Kusupati et al., MRL): if
+    recall@k at width 16 is already ~1.0, the ANN index can store a
+    4× smaller vector — a 100 TB corpus decision worth an audit
+    table.
+
+    For each width w: the query batch (the same driver-side bounded
+    batch as :func:`ann_cosine_topk`) is sliced to its first w dims
+    and broadcast against a ONE-SLICE corpus projection — the scan
+    reads only the embedding column and slices before the fold, so
+    per-width cost falls with w instead of rising with |widths|.
+    Ranking and the rounded-similarity + vec_id tiebreak mirror the
+    baseline exactly. The overlap join keys on (width, query,
+    neighbor) — |widths|·k·|queries| rows, trivially small at any
+    corpus size; the |queries|×|widths| audit spine is the same
+    bounded cross the recall report uses.
+
+    Oracle-checked end to end: per-width truncated norms/dots replay
+    over the shared positional-unnest CTE with ``i <= w`` (DuckDB
+    subscripts are 1-based, matching ``F.slice(…, 1, w)``).
+    """
+    full = ann_cosine_topk(spark, sf_dir).select("vec_a", "vec_b")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = _driver_vec_rows(sf_dir, list(range(N_QUERY_VECTORS)))
+    per_width = []
+    for w in MATRYOSHKA_WIDTHS:
+        corpus = emb.select(
+            F.col("vec_id").alias("vec_b"),
+            to_double(F.slice(F.col("embedding"), 1, w)).alias("emb_b"),
+        ).withColumn("norm_b", norm(F.col("emb_b")))
+        queries = spark.createDataFrame(
+            [(int(r.vec_id), [float(x) for x in list(r.emb)[:w]]) for r in q_rows],
+            "vec_a long, emb_a array<double>",
+        ).withColumn("norm_a", norm(F.col("emb_a")))
+        scored = (
+            F.broadcast(queries)
+            .crossJoin(corpus)
+            .where(F.col("vec_a") != F.col("vec_b"))
+            .select(
+                "vec_a",
+                "vec_b",
+                F.round(
+                    cosine_pre(
+                        F.col("emb_a"), F.col("emb_b"),
+                        F.col("norm_a"), F.col("norm_b"),
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+        wnd = Window.partitionBy("vec_a").orderBy(
+            F.desc("cos_sim"), F.col("vec_b")
+        )
+        per_width.append(
+            scored.withColumn("rank", F.row_number().over(wnd))
+            .where(F.col("rank") <= TOPK_K)
+            .select(
+                F.lit(w).cast("int").alias("width"), "vec_a", "vec_b"
+            )
+        )
+    trunc = per_width[0]
+    for part in per_width[1:]:
+        trunc = trunc.unionByName(part)
+    matched = (
+        F.broadcast(full)
+        .join(trunc, ["vec_a", "vec_b"])
+        .groupBy("width", "vec_a")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    widths = spark.createDataFrame(
+        [(int(w),) for w in MATRYOSHKA_WIDTHS], "width int"
+    )
+    per_query = (
+        full.select("vec_a")
+        .distinct()
+        .crossJoin(widths)
+        .join(F.broadcast(matched), ["width", "vec_a"], "left")
+        .select(
+            "width",
+            "vec_a",
+            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        )
+    )
+    k = float(TOPK_K)
+    return per_query.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum("n_matched") / (F.count(F.lit(1)) * F.lit(k)), 6).alias(
+            "mean_recall"
+        ),
+        F.round(F.min("n_matched") / F.lit(k), 6).alias("min_recall"),
+        F.sum((F.col("n_matched") == TOPK_K).cast("int")).alias("n_perfect"),
+    )
+
+
+def _matryoshka_oracle() -> str:
+    """DuckDB oracle for :func:`ann_matryoshka_recall`: the exact
+    full-dim top-k plus one truncated top-k chain per width over the
+    shared positional-unnest CTE (``i <= w`` — 1-based, exactly the
+    Spark prefix slice), then the same overlap/rollup."""
+    width_ctes = []
+    width_union = []
+    for w in MATRYOSHKA_WIDTHS:
+        width_ctes.append(f"""mt_norms_{w} AS (
+  SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM v WHERE i <= {w}
+  GROUP BY vec_id
+), mt_dots_{w} AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dp
+  FROM v a JOIN v b ON a.i = b.i
+  WHERE a.i <= {w} AND b.i <= {w}
+    AND a.vec_id < {N_QUERY_VECTORS} AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), mt_topk_{w} AS (
+  SELECT CAST({w} AS INTEGER) AS width, vec_a, vec_b
+  FROM (
+    SELECT vec_a, vec_b, ROUND(dp / (na.nrm * nb.nrm), 6) AS cs
+    FROM mt_dots_{w}
+    JOIN mt_norms_{w} na ON na.vec_id = vec_a
+    JOIN mt_norms_{w} nb ON nb.vec_id = vec_b
+  )
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_a
+          ORDER BY cs DESC, vec_b) <= {TOPK_K}
+)""")
+        width_union.append(f"SELECT * FROM mt_topk_{w}")
+    widths_values = ", ".join(
+        f"({w})" for w in MATRYOSHKA_WIDTHS
+    )
+    return f"""
+{_ORACLE_VECTOR_CTE},
+{_exact_topk_cte()},
+{", ".join(width_ctes)},
+mt_trunc AS (
+  {" UNION ALL ".join(width_union)}
+), mt_matched AS (
+  SELECT t.width, e.vec_a, COUNT(*) AS n_matched
+  FROM ex_topk e JOIN mt_trunc t
+    ON t.vec_a = e.vec_a AND t.vec_b = e.vec_b
+  GROUP BY t.width, e.vec_a
+), mt_per_query AS (
+  SELECT CAST(wd.width AS INTEGER) AS width, s.vec_a,
+         COALESCE(x.n_matched, 0) AS n_matched
+  FROM (SELECT DISTINCT vec_a FROM ex_topk) s
+  CROSS JOIN (VALUES {widths_values}) wd(width)
+  LEFT JOIN mt_matched x
+    ON x.width = wd.width AND x.vec_a = s.vec_a
+)
+SELECT width, COUNT(*) AS n_queries,
+       ROUND(SUM(n_matched) / (COUNT(*) * {float(TOPK_K)}), 6)
+         AS mean_recall,
+       ROUND(MIN(n_matched) / {float(TOPK_K)}, 6) AS min_recall,
+       CAST(SUM(CASE WHEN n_matched = {TOPK_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_perfect
+FROM mt_per_query
+GROUP BY width
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QueryDef("embedding_doc_coverage", embedding_doc_coverage, EMBEDDING_COVERAGE_ORACLE, "doc-embedding referential-integrity coverage report"),
@@ -2066,4 +2231,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("ann_mmr_rerank", ann_mmr_rerank, _mmr_oracle(), "MMR diversification rerank of the cosine top-pool (unrolled greedy oracle)"),
     QueryDef("ann_ndcg_report", ann_ndcg_report, _ndcg_oracle(), "nDCG@k audit of the ANN paths (rank-aware recall sibling; integer-scaled discounts)"),
     QueryDef("embedding_isotropy", embedding_isotropy, EMBEDDING_ISOTROPY_ORACLE, "anisotropy audit: exact mean pairwise dot via the sum-vector identity (no pairs)"),
+    # -- round-5 additions (round-6 driver-window rotation queue) --
+    QueryDef("ann_matryoshka_recall", ann_matryoshka_recall, _matryoshka_oracle(), "Matryoshka prefix-dimension recall@k audit vs the full-dim exact baseline"),
 ]

@@ -5706,3 +5706,70 @@ def test_quality_lang_tertiles_matches_python_recompute(spark):
         sizes = [got[(lang, b)][0] for b in names]
         assert max(sizes) - min(sizes) <= 1
         assert got[(lang, "head")][3] <= got[(lang, "tail")][2]
+
+
+def test_ann_matryoshka_recall_matches_python_recompute(spark):
+    """Per-width recall against a direct Python recompute of both the
+    full-dim and prefix-dim top-k rankings (same left-to-right fold,
+    same round-6 + vec_id tiebreak), plus the qualitative Matryoshka
+    invariant on this fixture: mean recall is non-decreasing in the
+    prefix width."""
+    import math
+
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+    from duckdb_gsheets_spark.operators.similarity import (
+        MATRYOSHKA_WIDTHS,
+        N_QUERY_VECTORS,
+        TOPK_K,
+        ann_matryoshka_recall,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.width: (r.n_queries, r.mean_recall, r.min_recall, r.n_perfect)
+        for r in ann_matryoshka_recall(spark, SF).collect()
+    }
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+
+    def topk(width):
+        out = {}
+        for qa, va in vecs.items():
+            if qa >= N_QUERY_VECTORS:
+                continue
+            a = va[:width]
+            na = math.sqrt(sum(x * x for x in a))
+            scored = []
+            for qb, vb in vecs.items():
+                if qb == qa:
+                    continue
+                b = vb[:width]
+                dp = 0.0
+                for x, y in zip(a, b):
+                    dp += x * y
+                nb = math.sqrt(sum(y * y for y in b))
+                scored.append(
+                    (-round_half_away(dp / (na * nb), 6), qb)
+                )
+            scored.sort()
+            out[qa] = {qb for _, qb in scored[:TOPK_K]}
+        return out
+
+    full = topk(64)
+    expected = {}
+    for w in MATRYOSHKA_WIDTHS:
+        t = topk(w)
+        matches = [len(full[q] & t[q]) for q in full]
+        n = len(matches)
+        expected[w] = (
+            n,
+            round_half_away(sum(matches) / (n * float(TOPK_K)), 6),
+            round_half_away(min(matches) / float(TOPK_K), 6),
+            sum(1 for m in matches if m == TOPK_K),
+        )
+    assert got == expected
+    recalls = [got[w][1] for w in sorted(got)]
+    assert recalls == sorted(recalls), "recall not monotone in width"

@@ -806,6 +806,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "ann_recall_report",
         "ann_nprobe_recall_curve",
         "ann_ndcg_report",  # same |queries|×|methods| spine as the recall report
+        "ann_matryoshka_recall",  # same |queries|×|widths| audit spine
     }
     # Scalar-broadcast shapes: a crossJoin against a 1-row (or
     # driver-bounded) side plans as BroadcastNestedLoopJoin — bounded
@@ -850,6 +851,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "neardup_graph_stats",      # three 1-row aggregate cross joins
         "ann_ndcg_report",          # |queries|×|methods| audit spine cross
         "embedding_isotropy",       # two 1-row aggregate cross joins
+        "ann_matryoshka_recall",    # per-width broadcast query batch × corpus
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
@@ -1010,3 +1012,21 @@ def test_lang_tertiles_tiles_the_rank_window(spark):
     assert "CartesianProduct" not in physical
     assert physical.count("BroadcastHashJoin") >= 2
     assert "ExistingRDD" in physical or "LogicalRDD" in physical
+
+
+def test_matryoshka_recall_slices_before_the_fold(spark):
+    """Each width's scorer must broadcast the bounded query batch
+    (BNLJ against the corpus scan, never a shuffle) and slice the
+    embedding BEFORE the cosine fold; rank windows are per-query
+    partitioned; no sort-merge join anywhere."""
+    plan = _plan(spark, "ann_matryoshka_recall")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("BroadcastNestedLoopJoin") >= 3  # one per width
+    assert "SortMergeJoin" not in physical
+    assert "slice(" in plan, "prefix slice folded away"
+    unpartitioned = [
+        ln
+        for ln in physical.splitlines()
+        if "Window" in ln and "row_number" in ln and "vec_a" not in ln
+    ]
+    assert not unpartitioned, f"rank window lost its partitioning: {unpartitioned}"
