@@ -370,6 +370,76 @@ SELECT doc_id, n_tokens, unigram_xent FROM xent
 """
 
 
+def lang_tercile_ranked(scored: DataFrame) -> DataFrame:
+    """Per-language tercile assignment over a scored corpus —
+    ``(doc_id, lang, n_tokens, unigram_xent, tercile ∈ {0,1,2})`` —
+    the shared core of :func:`quality_lang_tertiles` (the audit table)
+    and ``pipeline.pipeline_ccnet_corpus`` (the composed gate).
+
+    Bucket rule: ``tercile = ((rank−1)·3) div n_lang`` over the
+    per-language (xent, doc_id) rank — exact integer math, identical
+    in both engines (deliberately NOT SQL NTILE, whose remainder
+    distribution differs). The rank rides the grouped distributed
+    prefix-sum tiling (see :func:`quality_rank_ensemble`): one
+    range-partition on (lang, xent, doc_id), per-(lang, pid) counts,
+    offsets via a bounded |langs|×|pids|-row window broadcast back —
+    no language ever funnels through a single window task.
+    """
+    ranged = (
+        scored.repartitionByRange("lang", "unigram_xent", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("lang", "pid")
+        .agg(F.count(F.lit(1)).alias("pcnt"))
+        .select(
+            "lang",
+            "pid",
+            F.coalesce(
+                F.sum("pcnt").over(w_off), F.lit(0).cast("long")
+            ).alias("rank_off"),
+        )
+    )
+    n_lang = ranged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang")
+    )
+    w_local = Window.partitionBy("lang", "pid").orderBy(
+        "unigram_xent", "doc_id"
+    )
+    return (
+        ranged.join(F.broadcast(offsets), ["lang", "pid"])
+        .join(F.broadcast(n_lang), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "unigram_xent",
+            (
+                (
+                    F.col("rank_off")
+                    + F.row_number().over(w_local)
+                    - F.lit(1)
+                )
+                * 3
+            ).alias("rank3"),
+            "n_lang",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "unigram_xent",
+            F.expr("rank3 div n_lang").alias("tercile"),
+        )
+    )
+
+
 def quality_lang_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing: within each language, rank
     documents by unigram cross-entropy (the shared LM core of
@@ -399,57 +469,7 @@ def quality_lang_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _doc_xent(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "n_tokens", "unigram_xent"
     )
-    ranged = (
-        scored.repartitionByRange("lang", "unigram_xent", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    w_off = (
-        Window.partitionBy("lang")
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        ranged.groupBy("lang", "pid")
-        .agg(F.count(F.lit(1)).alias("pcnt"))
-        .select(
-            "lang",
-            "pid",
-            F.coalesce(
-                F.sum("pcnt").over(w_off), F.lit(0).cast("long")
-            ).alias("rank_off"),
-        )
-    )
-    n_lang = ranged.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_lang")
-    )
-    w_local = Window.partitionBy("lang", "pid").orderBy(
-        "unigram_xent", "doc_id"
-    )
-    ranked = (
-        ranged.join(F.broadcast(offsets), ["lang", "pid"])
-        .join(F.broadcast(n_lang), "lang")
-        .select(
-            "lang",
-            "n_tokens",
-            "unigram_xent",
-            (
-                (
-                    F.col("rank_off")
-                    + F.row_number().over(w_local)
-                    - F.lit(1)
-                )
-                * 3
-            ).alias("rank3"),
-            "n_lang",
-        )
-        .select(
-            "lang",
-            "n_tokens",
-            "unigram_xent",
-            F.expr("rank3 div n_lang").alias("tercile"),
-        )
-    )
+    ranked = lang_tercile_ranked(scored)
     bucket = F.element_at(
         F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
         (F.col("tercile") + 1).cast("int"),

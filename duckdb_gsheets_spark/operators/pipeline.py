@@ -613,6 +613,97 @@ GROUP BY 1, 2
 """
 
 
+#: CCNet tail policy: head+middle kept whole; the tail (highest-xent
+#: third) is down-sampled to ~1/4 by the deterministic hash-Bernoulli
+#: rule — first 8 md5 hex digits of doc_id below this comparand
+#: (0x40000000 / 2^32 = 25%). Same digest rule as corpus_resample.
+CCNET_TAIL_KEEP_HEX = "40000000"
+
+
+def pipeline_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-gated corpus build (Wenzek et al., LREC
+    2020): score every document against the corpus's own unigram LM
+    (the shared ``_doc_xent`` core), split each language into xent
+    terciles, keep ``head`` and ``middle`` whole, and down-sample the
+    ``tail`` to ~25% with the deterministic md5 hash-Bernoulli rule —
+    CCNet's actual production policy, composed the way
+    :func:`pipeline_curated_corpus` composes the Gopher gate. Output
+    is the release ledger per (lang, bucket): documents in, documents
+    and tokens kept, keep rate.
+
+    Shuffle ledger: the xent core's token explode + vocab agg
+    (broadcast back), ONE range-partition for the grouped prefix-sum
+    tercile rank (``curation.lang_tercile_ranked`` — no per-language
+    window funnel), then a |langs|×3-row rollup. The keep decision is
+    a per-row hash compare fused into the scan of the ranked table —
+    no extra shuffle, no collect; at 100 TB the corpus moves twice
+    (explode agg, range partition), same as the standalone tertile
+    audit.
+    """
+    from duckdb_gsheets_spark.operators.curation import (
+        _doc_xent,
+        lang_tercile_ranked,
+    )
+
+    scored = _doc_xent(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "lang", "n_tokens", "unigram_xent")
+    ranked = lang_tercile_ranked(scored)
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        (F.col("tercile") + 1).cast("int"),
+    )
+    kept = (F.col("tercile") < 2) | (
+        F.upper(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8))
+        < F.lit(CCNET_TAIL_KEEP_HEX)
+    )
+    return ranked.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_docs_kept"),
+        F.sum(
+            F.when(kept, F.col("n_tokens").cast("long")).otherwise(0)
+        ).alias("tok_kept"),
+        F.round(
+            F.sum(kept.cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
+def _ccnet_oracle() -> str:
+    from duckdb_gsheets_spark.operators.curation import _xent_core_sql
+
+    return f"""
+WITH {_xent_core_sql()},
+cc_ranked AS (
+  SELECT doc_id, lang, n_tokens, unigram_xent,
+         (ROW_NUMBER() OVER (PARTITION BY lang
+                             ORDER BY unigram_xent, doc_id) - 1) * 3
+           // COUNT(*) OVER (PARTITION BY lang) AS tercile
+  FROM xent
+), cc_flag AS (
+  SELECT lang,
+         ['head', 'middle', 'tail'][CAST(tercile + 1 AS INTEGER)] AS bucket,
+         n_tokens,
+         CASE WHEN tercile < 2
+                OR UPPER(SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   < '{CCNET_TAIL_KEEP_HEX}'
+              THEN 1 ELSE 0 END AS kept
+  FROM cc_ranked
+)
+SELECT lang, bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tok_kept,
+       ROUND(CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS keep_rate
+FROM cc_flag
+GROUP BY lang, bucket
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "pipeline_training_corpus",
@@ -650,5 +741,13 @@ QUERIES: list[QueryDef] = [
         SCD2_ASOF_DIFF_ORACLE,
         "point-in-time snapshot diff (added/deleted/changed/unchanged) "
         "reconstructed from the SCD2 ledger",
+    ),
+    # -- round-6 additions --
+    QueryDef(
+        "pipeline_ccnet_corpus",
+        pipeline_ccnet_corpus,
+        _ccnet_oracle(),
+        "CCNet perplexity gate: keep head+middle terciles, hash-downsample "
+        "the tail to 25%, per-(lang, bucket) release ledger",
     ),
 ]

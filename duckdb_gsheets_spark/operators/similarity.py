@@ -628,19 +628,28 @@ def _ivf_topk_frame(
     sf_dir: str,
     nprobe: int,
     inputs: tuple[list, list] | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """The IVF scan at an explicit probe depth — shared by the
-    registered top-k query (``IVF_NPROBE``) and the nprobe recall
+    registered top-k query (``IVF_NPROBE``), the nprobe recall
     curve (which sweeps it, passing the centroid/query collect ONCE
-    via ``inputs`` so three depths don't re-run the driver jobs)."""
+    via ``inputs`` so three depths don't re-run the driver jobs) and
+    the Matryoshka prefix-IVF audit (``width`` truncates centroids,
+    queries and the corpus to the first ``width`` dims — re-quantizing
+    the index on the prefix, with the slice applied BEFORE the Arrow
+    kernel so per-width scan cost falls with the width)."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroid_rows, query_rows = (
         inputs if inputs is not None else _collect_ivf_inputs(spark, sf_dir)
     )
     C = np.array([r.emb for r in centroid_rows])
+    if width is not None:
+        C = C[:, :width]
     cids = [r.vec_id for r in centroid_rows]
     unit = C / np.linalg.norm(C, axis=1, keepdims=True)
     Q = np.array([r.emb for r in query_rows])
+    if width is not None:
+        Q = Q[:, :width]
     qids = np.array([r.vec_id for r in query_rows])
     qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
     sims = np.round((Q @ unit.T) / qnorm[:, None], 6)
@@ -689,9 +698,14 @@ def _ivf_topk_frame(
             if outs:
                 yield pd.concat(outs)
 
+    emb_col = (
+        F.col("embedding")
+        if width is None
+        else F.slice(F.col("embedding"), 1, width)
+    )
     cands = (
         fan_out(emb)
-        .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+        .select("vec_id", to_double(emb_col).alias("emb"))
         .mapInPandas(score_batches, "vec_a long, vec_b long, cos_sim double")
         .where(F.col("vec_a") != F.col("vec_b"))
     )
@@ -721,10 +735,18 @@ SELECT vec_a, vec_b, cos_sim, rank FROM ivf_topk
 """
 
 
-def _ivf_cte(nprobe: int = IVF_NPROBE, prefix: str = "ivf") -> str:
-    """CTE chain (no WITH header) from v/norms to ``{prefix}_topk`` at
-    an explicit probe depth — the nprobe recall curve instantiates it
-    once per swept depth under distinct prefixes."""
+def _ivf_cte(
+    nprobe: int = IVF_NPROBE,
+    prefix: str = "ivf",
+    vname: str = "v",
+    nname: str = "norms",
+) -> str:
+    """CTE chain (no WITH header) from ``vname``/``nname`` (positional
+    components + per-vector norms, default the shared full-width
+    v/norms) to ``{prefix}_topk`` at an explicit probe depth — the
+    nprobe recall curve instantiates it once per swept depth under
+    distinct prefixes; the prefix-IVF audit points it at width-sliced
+    component CTEs."""
     p = prefix
     return f"""
 {p}_cids AS (
@@ -733,12 +755,12 @@ def _ivf_cte(nprobe: int = IVF_NPROBE, prefix: str = "ivf") -> str:
   ORDER BY vec_id LIMIT {IVF_CENTROIDS}
 ), {p}_cunit AS (
   SELECT v.vec_id AS cid, v.i, v.x / n.nrm AS u
-  FROM v JOIN norms n ON n.vec_id = v.vec_id
+  FROM {vname} v JOIN {nname} n ON n.vec_id = v.vec_id
   WHERE v.vec_id IN (SELECT cid FROM {p}_cids)
 ), {p}_sims AS (
   SELECT v.vec_id, c.cid, ROUND(SUM(v.x * c.u) / n.nrm, 6) AS s
-  FROM v JOIN {p}_cunit c ON c.i = v.i
-  JOIN norms n ON n.vec_id = v.vec_id
+  FROM {vname} v JOIN {p}_cunit c ON c.i = v.i
+  JOIN {nname} n ON n.vec_id = v.vec_id
   GROUP BY v.vec_id, c.cid, n.nrm
 ), {p}_assign AS (
   SELECT vec_id, cid AS list_id FROM {p}_sims
@@ -756,10 +778,10 @@ def _ivf_cte(nprobe: int = IVF_NPROBE, prefix: str = "ivf") -> str:
   SELECT c.vec_a, c.vec_b,
          ROUND(SUM(qa.x * qb.x) / (na.nrm * nb.nrm), 6) AS cos_sim
   FROM {p}_cand c
-  JOIN v qa ON qa.vec_id = c.vec_a
-  JOIN v qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
-  JOIN norms na ON na.vec_id = c.vec_a
-  JOIN norms nb ON nb.vec_id = c.vec_b
+  JOIN {vname} qa ON qa.vec_id = c.vec_a
+  JOIN {vname} qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
+  JOIN {nname} na ON na.vec_id = c.vec_a
+  JOIN {nname} nb ON nb.vec_id = c.vec_b
   GROUP BY c.vec_a, c.vec_b, na.nrm, nb.nrm
 ), {p}_topk AS (
   SELECT vec_a, vec_b, cos_sim,
@@ -2214,6 +2236,120 @@ GROUP BY width
 """
 
 
+def ann_prefix_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-prefix IVF serving audit: recall@k of the IVF index
+    RE-QUANTIZED at each prefix width against the full-dimension exact
+    baseline — the table that closes the loop
+    :func:`ann_matryoshka_recall` opens. That audit grades prefix
+    cosine in isolation; the serving decision needs the deployed index
+    family at the narrow width, because truncation moves both the
+    centroids and the list assignments, so prefix-IVF recall is NOT
+    prefix-recall × IVF-recall (list-boundary errors compound).
+
+    For each width w in ``MATRYOSHKA_WIDTHS``: centroids and the query
+    batch are sliced driver-side (bounded structures), the corpus is
+    sliced in the scan projection BEFORE the fused Arrow
+    quantize+probe+score kernel (per-width scan cost FALLS with w — a
+    w=8 index reads 1/8 the vector bytes), and the standard
+    ``IVF_NPROBE`` probe runs against the re-quantized lists. Overlap
+    joins key on (width, query, neighbor) — |widths|·k·|queries| rows;
+    the audit spine is the same bounded |queries|×|widths| cross the
+    width-recall audit uses. Shuffle ledger: nothing but the bounded
+    candidate sets and the k-row rank windows per width; the corpus
+    itself never shuffles (mapInPandas over the scan, exactly the
+    registered IVF plan class).
+
+    Oracle: per-width component/norm CTEs (``i <= w``, 1-based like
+    ``F.slice``) feed the shared :func:`_ivf_cte` chain — the same
+    deterministic strided quantizer replayed in SQL at each width.
+    """
+    full = ann_cosine_topk(spark, sf_dir).select("vec_a", "vec_b")
+    inputs = _collect_ivf_inputs(spark, sf_dir)
+    trunc = None
+    for w in MATRYOSHKA_WIDTHS:
+        fr = _ivf_topk_frame(
+            spark, sf_dir, IVF_NPROBE, inputs=inputs, width=w
+        ).select(F.lit(w).cast("int").alias("width"), "vec_a", "vec_b")
+        trunc = fr if trunc is None else trunc.unionByName(fr)
+    matched = (
+        F.broadcast(full)
+        .join(trunc, ["vec_a", "vec_b"])
+        .groupBy("width", "vec_a")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    widths = spark.createDataFrame(
+        [(int(w),) for w in MATRYOSHKA_WIDTHS], "width int"
+    )
+    per_query = (
+        full.select("vec_a")
+        .distinct()
+        .crossJoin(widths)
+        .join(F.broadcast(matched), ["width", "vec_a"], "left")
+        .select(
+            "width",
+            "vec_a",
+            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        )
+    )
+    k = float(TOPK_K)
+    return per_query.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum("n_matched") / (F.count(F.lit(1)) * F.lit(k)), 6).alias(
+            "mean_recall"
+        ),
+        F.round(F.min("n_matched") / F.lit(k), 6).alias("min_recall"),
+        F.sum((F.col("n_matched") == TOPK_K).cast("int")).alias("n_perfect"),
+    )
+
+
+def _prefix_ivf_oracle() -> str:
+    """DuckDB oracle for :func:`ann_prefix_ivf_recall`: the exact
+    full-dim top-k plus one re-quantized IVF chain per width, each
+    over width-sliced component/norm CTEs, then the same
+    overlap/rollup as the width-recall audit."""
+    width_ctes = []
+    width_union = []
+    for w in MATRYOSHKA_WIDTHS:
+        width_ctes.append(f"""pv{w} AS (
+  SELECT vec_id, i, x FROM v WHERE i <= {w}
+), pn{w} AS (
+  SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM pv{w} GROUP BY vec_id
+), {_ivf_cte(nprobe=IVF_NPROBE, prefix=f"pw{w}", vname=f"pv{w}", nname=f"pn{w}").strip()}""")
+        width_union.append(
+            f"SELECT CAST({w} AS INTEGER) AS width, vec_a, vec_b "
+            f"FROM pw{w}_topk"
+        )
+    widths_values = ", ".join(f"({w})" for w in MATRYOSHKA_WIDTHS)
+    return f"""
+{_ORACLE_VECTOR_CTE},
+{_exact_topk_cte()},
+{", ".join(width_ctes)},
+pi_trunc AS (
+  {" UNION ALL ".join(width_union)}
+), pi_matched AS (
+  SELECT t.width, e.vec_a, COUNT(*) AS n_matched
+  FROM ex_topk e JOIN pi_trunc t
+    ON t.vec_a = e.vec_a AND t.vec_b = e.vec_b
+  GROUP BY t.width, e.vec_a
+), pi_per_query AS (
+  SELECT CAST(wd.width AS INTEGER) AS width, s.vec_a,
+         COALESCE(x.n_matched, 0) AS n_matched
+  FROM (SELECT DISTINCT vec_a FROM ex_topk) s
+  CROSS JOIN (VALUES {widths_values}) wd(width)
+  LEFT JOIN pi_matched x
+    ON x.width = wd.width AND x.vec_a = s.vec_a
+)
+SELECT width, COUNT(*) AS n_queries,
+       ROUND(SUM(n_matched) / (COUNT(*) * {float(TOPK_K)}), 6)
+         AS mean_recall,
+       ROUND(MIN(n_matched) / {float(TOPK_K)}, 6) AS min_recall,
+       CAST(SUM(CASE WHEN n_matched = {TOPK_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_perfect
+FROM pi_per_query
+GROUP BY width
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QueryDef("embedding_doc_coverage", embedding_doc_coverage, EMBEDDING_COVERAGE_ORACLE, "doc-embedding referential-integrity coverage report"),
@@ -2233,4 +2369,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("embedding_isotropy", embedding_isotropy, EMBEDDING_ISOTROPY_ORACLE, "anisotropy audit: exact mean pairwise dot via the sum-vector identity (no pairs)"),
     # -- round-5 additions (round-6 driver-window rotation queue) --
     QueryDef("ann_matryoshka_recall", ann_matryoshka_recall, _matryoshka_oracle(), "Matryoshka prefix-dimension recall@k audit vs the full-dim exact baseline"),
+    # -- round-6 additions --
+    QueryDef("ann_prefix_ivf_recall", ann_prefix_ivf_recall, _prefix_ivf_oracle(), "recall@k of the IVF index re-quantized at each Matryoshka prefix width"),
 ]

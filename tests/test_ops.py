@@ -5773,3 +5773,154 @@ def test_ann_matryoshka_recall_matches_python_recompute(spark):
     assert got == expected
     recalls = [got[w][1] for w in sorted(got)]
     assert recalls == sorted(recalls), "recall not monotone in width"
+
+
+def test_ann_prefix_ivf_recall_matches_numpy_recompute(spark):
+    """Per-width prefix-IVF recall against a numpy recompute of the
+    FULL pipeline at each width — strided centroid sample, prefix
+    slice, unit-normalized coarse quantization with the (−sim, cid)
+    tiebreak, nprobe probe selection, in-list round-6 cosine rerank —
+    scored against the full-dim exact top-k."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        IVF_ID_STRIDE,
+        IVF_NPROBE,
+        MATRYOSHKA_WIDTHS,
+        N_QUERY_VECTORS,
+        TOPK_K,
+        ann_cosine_topk,
+        ann_prefix_ivf_recall,
+    )
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.width: (r.n_queries, r.mean_recall, r.min_recall, r.n_perfect)
+        for r in ann_prefix_ivf_recall(spark, SF).collect()
+    }
+
+    full = {}
+    for r in ann_cosine_topk(spark, SF).collect():
+        full.setdefault(r.vec_a, set()).add(r.vec_b)
+
+    rows = sorted(
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    cids = [i for i in ids if i % IVF_ID_STRIDE == 0][:IVF_CENTROIDS]
+    cid_arr = np.asarray(cids)
+
+    expected = {}
+    for w in MATRYOSHKA_WIDTHS:
+        Xw = X[:, :w]
+        C = Xw[np.isin(ids, cids)]
+        unit = C / np.linalg.norm(C, axis=1, keepdims=True)
+        norms = np.sqrt(np.einsum("ij,ij->i", Xw, Xw))
+        s = np.round((Xw @ unit.T) / norms[:, None], 6)
+        # first-occurrence argmax over ascending cids == (−s, cid) min
+        assigned = cid_arr[s.argmax(axis=1)]
+        matches = []
+        for qi in np.flatnonzero(ids < N_QUERY_VECTORS):
+            qid = ids[qi]
+            order = sorted(
+                range(len(cids)), key=lambda j: (-s[qi, j], cids[j])
+            )[:IVF_NPROBE]
+            probed = {cids[j] for j in order}
+            cand = np.flatnonzero(
+                np.isin(assigned, list(probed)) & (ids != qid)
+            )
+            cos = np.round(
+                (Xw[cand] @ Xw[qi]) / (norms[cand] * norms[qi]), 6
+            )
+            ranked = sorted(zip(-cos, ids[cand]))[:TOPK_K]
+            matches.append(
+                len(full[qid] & {vb for _, vb in ranked})
+            )
+        n = len(matches)
+        expected[w] = (
+            n,
+            round_half_away(sum(matches) / (n * float(TOPK_K)), 6),
+            round_half_away(min(matches) / float(TOPK_K), 6),
+            sum(1 for m in matches if m == TOPK_K),
+        )
+    assert got == expected
+    # Structural invariant: the full-width prefix index can't beat
+    # exhaustive search — recall stays in [0, 1] with n_perfect ≤ n.
+    for w, (n, mean_r, min_r, n_perf) in got.items():
+        assert 0.0 <= min_r <= mean_r <= 1.0
+        assert 0 <= n_perf <= n
+
+
+def test_pipeline_ccnet_corpus_matches_python_recompute(spark):
+    """CCNet gate ledger against a direct Python recompute: the shared
+    xent core + tercile rank (identical to the tertiles test) plus the
+    md5 hash-Bernoulli tail downsample — and the policy invariants:
+    head/middle keep everything, tail keeps a strict subset."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+    from duckdb_gsheets_spark.operators.pipeline import (
+        CCNET_TAIL_KEEP_HEX,
+        pipeline_ccnet_corpus,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.lang, r.bucket): (r.n_docs, r.n_docs_kept, r.tok_kept, r.keep_rate)
+        for r in pipeline_ccnet_corpus(spark, SF).collect()
+    }
+
+    docs = {}
+    for r in load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect():
+        if r.text is None:
+            continue
+        docs[r.doc_id] = (r.lang, re.split(r"\s+", r.text.strip()))
+    vocab = Counter(t for _, toks in docs.values() for t in toks)
+    total = sum(vocab.values())
+    vsize = len(vocab)
+    by_lang = defaultdict(list)
+    for doc_id, (lang, toks) in docs.items():
+        s = sum(
+            int(round_half_away(
+                math.log((vocab[t] + 1.0) / float(total + vsize)) * 1e9, 0
+            ))
+            for t in toks
+        )
+        xent = round_half_away(-s / 1e9 / len(toks), 6)
+        by_lang[lang].append((xent, doc_id, len(toks)))
+    names = ("head", "middle", "tail")
+    expected = defaultdict(lambda: [0, 0, 0])
+    for lang, rows in by_lang.items():
+        rows.sort()
+        n = len(rows)
+        for pos, (_, doc_id, nt) in enumerate(rows):
+            bucket = names[pos * 3 // n]
+            keep = bucket != "tail" or (
+                hashlib.md5(str(doc_id).encode()).hexdigest()[:8].upper()
+                < CCNET_TAIL_KEEP_HEX
+            )
+            agg = expected[(lang, bucket)]
+            agg[0] += 1
+            if keep:
+                agg[1] += 1
+                agg[2] += nt
+    assert got == {
+        k: (v[0], v[1], v[2], round_half_away(v[1] / v[0], 6))
+        for k, v in expected.items()
+    }
+    for (lang, bucket), (n, kept, _, rate) in got.items():
+        if bucket in ("head", "middle"):
+            assert kept == n and rate == 1.0
+        else:
+            assert kept < n  # the tail must actually downsample

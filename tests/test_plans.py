@@ -807,6 +807,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "ann_nprobe_recall_curve",
         "ann_ndcg_report",  # same |queries|×|methods| spine as the recall report
         "ann_matryoshka_recall",  # same |queries|×|widths| audit spine
+        "ann_prefix_ivf_recall",  # same |queries|×|widths| audit spine
     }
     # Scalar-broadcast shapes: a crossJoin against a 1-row (or
     # driver-bounded) side plans as BroadcastNestedLoopJoin — bounded
@@ -852,6 +853,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "ann_ndcg_report",          # |queries|×|methods| audit spine cross
         "embedding_isotropy",       # two 1-row aggregate cross joins
         "ann_matryoshka_recall",    # per-width broadcast query batch × corpus
+        "ann_prefix_ivf_recall",    # composes the cosine baseline's query broadcast
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
@@ -1030,3 +1032,42 @@ def test_matryoshka_recall_slices_before_the_fold(spark):
         if "Window" in ln and "row_number" in ln and "vec_a" not in ln
     ]
     assert not unpartitioned, f"rank window lost its partitioning: {unpartitioned}"
+
+
+def test_prefix_ivf_slices_in_the_scan_projection(spark):
+    """ann_prefix_ivf_recall: each width's corpus pass is the fused
+    Arrow IVF kernel over a SLICED scan projection — the slice must
+    survive into the plan (per-width bytes fall with the width), rank
+    windows stay per-query partitioned, and no sort-merge join
+    appears anywhere in the composition."""
+    plan = _plan(spark, "ann_prefix_ivf_recall")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "slice(" in plan, "prefix slice folded away"
+    # one fused python kernel per width
+    assert physical.count("MapInPandas") >= 3
+    assert "SortMergeJoin" not in physical
+    unpartitioned = [
+        ln
+        for ln in physical.splitlines()
+        if "Window" in ln and "row_number" in ln and "vec_a" not in ln
+    ]
+    assert not unpartitioned, f"rank window lost its partitioning: {unpartitioned}"
+
+
+def test_ccnet_pipeline_tiles_the_rank_window(spark):
+    """pipeline_ccnet_corpus: the per-language tercile rank must ride
+    the pid tile (same contract as quality_lang_tertiles — no
+    language-funnel window), the keep decision is fused into the
+    ranked-table scan (no extra join for the hash gate), and no
+    cartesian appears post-checkpoint."""
+    plan = _plan(spark, "pipeline_ccnet_corpus")
+    physical = plan.split("== Physical Plan ==")[-1]
+    corpus_sized = [
+        ln
+        for ln in physical.splitlines()
+        if "Window" in ln and "row_number" in ln and "pid#" not in ln
+    ]
+    assert not corpus_sized, f"untiled corpus window: {corpus_sized}"
+    assert "CartesianProduct" not in physical
+    assert physical.count("BroadcastHashJoin") >= 2
+    assert "md5" in physical  # hash gate fused as a row expression
