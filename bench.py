@@ -53,6 +53,10 @@ HEADLINE = (
     "duplicate_passages",
     "dedup_incremental_batch",
     "ann_pq_adc_topk",
+    "quality_lang_tertiles",
+    "ann_matryoshka_recall",
+    "ann_prefix_ivf_recall",
+    "pipeline_ccnet_corpus",
 )
 
 
@@ -81,6 +85,18 @@ def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
             "spark.sql.files.maxPartitionBytes": "2097152",
             "spark.sql.files.openCostInBytes": "262144",
         },
+    )
+    # Silence WindowExec's "No Partition Defined" warning for this
+    # bench process ONLY: every unpartitioned window in the registry
+    # is an allowlisted provably-bounded input (pid-offset tables,
+    # fixed-K spines — see tests/test_plans.py bounded_ok, which
+    # FAILS on any new corpus-sized one), and the repeated warning is
+    # indistinguishable from a real corpus-global window in a log
+    # scrape of the bench tail.
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        jvm.org.apache.logging.log4j.Level.ERROR,
     )
     qs = all_queries()
     # Warm the JVM/session on a tiny plan so query 1 isn't charged

@@ -628,28 +628,19 @@ def _ivf_topk_frame(
     sf_dir: str,
     nprobe: int,
     inputs: tuple[list, list] | None = None,
-    width: int | None = None,
 ) -> DataFrame:
     """The IVF scan at an explicit probe depth — shared by the
-    registered top-k query (``IVF_NPROBE``), the nprobe recall
+    registered top-k query (``IVF_NPROBE``) and the nprobe recall
     curve (which sweeps it, passing the centroid/query collect ONCE
-    via ``inputs`` so three depths don't re-run the driver jobs) and
-    the Matryoshka prefix-IVF audit (``width`` truncates centroids,
-    queries and the corpus to the first ``width`` dims — re-quantizing
-    the index on the prefix, with the slice applied BEFORE the Arrow
-    kernel so per-width scan cost falls with the width)."""
+    via ``inputs`` so three depths don't re-run the driver jobs)."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroid_rows, query_rows = (
         inputs if inputs is not None else _collect_ivf_inputs(spark, sf_dir)
     )
     C = np.array([r.emb for r in centroid_rows])
-    if width is not None:
-        C = C[:, :width]
     cids = [r.vec_id for r in centroid_rows]
     unit = C / np.linalg.norm(C, axis=1, keepdims=True)
     Q = np.array([r.emb for r in query_rows])
-    if width is not None:
-        Q = Q[:, :width]
     qids = np.array([r.vec_id for r in query_rows])
     qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
     sims = np.round((Q @ unit.T) / qnorm[:, None], 6)
@@ -698,14 +689,9 @@ def _ivf_topk_frame(
             if outs:
                 yield pd.concat(outs)
 
-    emb_col = (
-        F.col("embedding")
-        if width is None
-        else F.slice(F.col("embedding"), 1, width)
-    )
     cands = (
         fan_out(emb)
-        .select("vec_id", to_double(emb_col).alias("emb"))
+        .select("vec_id", to_double(F.col("embedding")).alias("emb"))
         .mapInPandas(score_batches, "vec_a long, vec_b long, cos_sim double")
         .where(F.col("vec_a") != F.col("vec_b"))
     )
@@ -2236,6 +2222,98 @@ GROUP BY width
 """
 
 
+def _prefix_ivf_topk(
+    spark: SparkSession, sf_dir: str, widths: tuple[int, ...]
+) -> DataFrame:
+    """IVF top-k at EVERY prefix width in one fused Arrow pass:
+    ``(width, vec_a, vec_b, cos_sim, rank)``. Per batch, per width:
+    prefix-slice → coarse-quantize against the width's re-derived
+    unit centroids (first-occurrence argmax = (−sim, cid) rule) →
+    score the probes targeting the batch's lists — the single-width
+    kernel of :func:`_ivf_topk_frame` looped over widths inside one
+    corpus read."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroid_rows, query_rows = _collect_ivf_inputs(spark, sf_dir)
+    cids = [r.vec_id for r in centroid_rows]
+    id_arr = np.asarray(cids)
+    C_full = np.array([r.emb for r in centroid_rows])
+    Q_full = np.array([r.emb for r in query_rows])
+    qids = np.array([r.vec_id for r in query_rows])
+    per_width = {}
+    for w in widths:
+        C = C_full[:, :w]
+        unit = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Q = Q_full[:, :w]
+        qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        sims = np.round((Q @ unit.T) / qnorm[:, None], 6)
+        by_list: dict[int, list[int]] = {}
+        for qi in range(len(qids)):
+            for j in sorted(
+                range(len(cids)), key=lambda j: (-sims[qi, j], cids[j])
+            )[:IVF_NPROBE]:
+                by_list.setdefault(cids[j], []).append(qi)
+        probes = {
+            lid: (qids[ix], Q[ix], qnorm[ix]) for lid, ix in by_list.items()
+        }
+        per_width[w] = (unit, probes)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M_full = np.stack(pdf["emb"].to_numpy())
+            vec_ids = pdf["vec_id"].to_numpy()
+            outs = []
+            for w, (unit, probes) in per_width.items():
+                M = M_full[:, :w]
+                norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+                s = np.round((M @ unit.T) / norms[:, None], 6)
+                lists = id_arr[s.argmax(axis=1)]
+                for lid in np.unique(lists):
+                    if lid not in probes:
+                        continue
+                    qid_a, qmat, qn = probes[lid]
+                    mask = lists == lid
+                    S = np.round(
+                        (M[mask] @ qmat.T)
+                        / (norms[mask][:, None] * qn[None, :]),
+                        6,
+                    )
+                    nb, nq = int(mask.sum()), len(qid_a)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "width": np.full(nb * nq, w, dtype="int32"),
+                                "vec_a": np.repeat(
+                                    qid_a[None, :], nb, axis=0
+                                ).ravel(),
+                                "vec_b": np.repeat(vec_ids[mask], nq),
+                                "cos_sim": S.ravel(),
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs)
+
+    cands = (
+        fan_out(emb)
+        .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+        .mapInPandas(
+            score_batches,
+            "width int, vec_a long, vec_b long, cos_sim double",
+        )
+        .where(F.col("vec_a") != F.col("vec_b"))
+    )
+    w_rank = Window.partitionBy("width", "vec_a").orderBy(
+        F.desc("cos_sim"), F.col("vec_b")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= TOPK_K)
+        .select("width", "vec_a", "vec_b", "cos_sim", "rank")
+    )
+
+
 def ann_prefix_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-prefix IVF serving audit: recall@k of the IVF index
     RE-QUANTIZED at each prefix width against the full-dimension exact
@@ -2246,31 +2324,31 @@ def ann_prefix_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids and the list assignments, so prefix-IVF recall is NOT
     prefix-recall × IVF-recall (list-boundary errors compound).
 
-    For each width w in ``MATRYOSHKA_WIDTHS``: centroids and the query
-    batch are sliced driver-side (bounded structures), the corpus is
-    sliced in the scan projection BEFORE the fused Arrow
-    quantize+probe+score kernel (per-width scan cost FALLS with w — a
-    w=8 index reads 1/8 the vector bytes), and the standard
-    ``IVF_NPROBE`` probe runs against the re-quantized lists. Overlap
-    joins key on (width, query, neighbor) — |widths|·k·|queries| rows;
-    the audit spine is the same bounded |queries|×|widths| cross the
-    width-recall audit uses. Shuffle ledger: nothing but the bounded
-    candidate sets and the k-row rank windows per width; the corpus
-    itself never shuffles (mapInPandas over the scan, exactly the
-    registered IVF plan class).
+    All widths run in ONE fused Arrow kernel over ONE corpus scan
+    (``mapInPandas``): centroids and the query batch are sliced
+    driver-side (bounded structures), and each batch is sliced,
+    re-quantized and probe-scored per width inside the kernel — the
+    embedding column is read from parquet exactly once for the whole
+    audit instead of once per width (array slicing happens after the
+    columnar read, so per-width scan projections would re-read the
+    full vector bytes |widths| times at 100 TB). The standard
+    ``IVF_NPROBE`` probe runs against each width's re-quantized
+    lists. Overlap joins key on (width, query, neighbor) —
+    |widths|·k·|queries| rows; the audit spine is the same bounded
+    |queries|×|widths| cross the width-recall audit uses. Shuffle
+    ledger: nothing but the bounded candidate sets and the k-row rank
+    windows (partitioned per (width, query)); the corpus itself never
+    shuffles.
 
     Oracle: per-width component/norm CTEs (``i <= w``, 1-based like
-    ``F.slice``) feed the shared :func:`_ivf_cte` chain — the same
-    deterministic strided quantizer replayed in SQL at each width.
+    the kernel's prefix slice) feed the shared :func:`_ivf_cte`
+    chain — the same deterministic strided quantizer replayed in SQL
+    at each width.
     """
     full = ann_cosine_topk(spark, sf_dir).select("vec_a", "vec_b")
-    inputs = _collect_ivf_inputs(spark, sf_dir)
-    trunc = None
-    for w in MATRYOSHKA_WIDTHS:
-        fr = _ivf_topk_frame(
-            spark, sf_dir, IVF_NPROBE, inputs=inputs, width=w
-        ).select(F.lit(w).cast("int").alias("width"), "vec_a", "vec_b")
-        trunc = fr if trunc is None else trunc.unionByName(fr)
+    trunc = _prefix_ivf_topk(spark, sf_dir, MATRYOSHKA_WIDTHS).select(
+        "width", "vec_a", "vec_b"
+    )
     matched = (
         F.broadcast(full)
         .join(trunc, ["vec_a", "vec_b"])

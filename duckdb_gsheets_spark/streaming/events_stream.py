@@ -612,10 +612,14 @@ def streaming_error_share_counts(
     keeps one entry per (day, error-user) seen in the trailing 26 h
     of event time. The 26 h delay covers the worst in-key gap — two
     error events of one user sit at most ~24 h apart inside one day
-    bucket, and the source replays in event-time order, so every
-    duplicate arrives before its key's state can be evicted and the
-    result stays exactly the batch answer. One complete-mode count
-    per (day, kind).
+    bucket. Exactness caveat: batch equality holds for the in-order
+    (or single-micro-batch ``availableNow``) replay used here, where
+    every duplicate arrives before its key's state can be evicted;
+    on a production out-of-order stream the watermark delay bounds
+    BOTH the state size and the tolerated disorder — an event
+    arriving more than 26 h late (in event time) is dropped rather
+    than deduplicated/counted, the standard streaming trade the
+    delay parameter prices. One complete-mode count per (day, kind).
     """
     stream = read_events_stream(spark, sf_dir)
     day = F.to_date("ts").cast("string").alias("day")
@@ -827,11 +831,16 @@ def streaming_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of accumulating for the job's lifetime as a plain
     ``dropDuplicates`` (whose subset excludes the event-time column)
     would. Duplicates inside a QI group share its hour bucket, so
-    their event-time gap is < 1 h and the in-order source replays
-    every duplicate long before its key's eviction bar — the result
-    stays exactly the batch answer. One complete-mode count per
-    group follows; the ≤3-row banding runs on the materialized sink
-    through the same batch core's band rules."""
+    their event-time gap is < 1 h. Exactness caveat: batch equality
+    holds for the in-order (or single-micro-batch ``availableNow``)
+    replay used here, where every duplicate arrives before its key's
+    eviction bar; on a production out-of-order stream the 2 h delay
+    bounds BOTH the state and the tolerated disorder — an event more
+    than 2 h late in event time is dropped (not double-counted into
+    its QI group), the trade the delay parameter prices. One
+    complete-mode count per group follows; the ≤3-row banding runs
+    on the materialized sink through the same batch core's band
+    rules."""
     from duckdb_gsheets_spark.operators.events import K_ANON
 
     stream = read_events_stream(spark, sf_dir)

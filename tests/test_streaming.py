@@ -464,3 +464,86 @@ def test_streaming_k_anonymity_matches_batch(spark):
         for r in privacy_k_anonymity(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_within_watermark_dedup_actually_evicts_state(spark, tmp_path):
+    """The state-bound guarantee behind the two
+    dropDuplicatesWithinWatermark twins, pinned as a NEGATIVE test: a
+    multi-micro-batch stream whose keys span far more event time than
+    the watermark horizon must EVICT old keys — the state store's row
+    count at the final progress stays bounded by the keys inside the
+    horizon, strictly below the total distinct-key count. A revert to
+    plain ``dropDuplicates`` (whose subset excludes the event-time
+    column, so nothing is ever watermark-evicted) accumulates one
+    state row per distinct key for the job's lifetime and fails the
+    bound."""
+    import datetime
+    import os
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_batches, keys_per_batch = 6, 10
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    base = datetime.datetime(2026, 1, 1)
+    t0 = time.time() - 600
+    for b in range(n_batches):
+        day = base + datetime.timedelta(days=b)
+        tbl = pa.table(
+            {
+                "ts": pa.array(
+                    [day] * keys_per_batch, type=pa.timestamp("us")
+                ),
+                "user_id": pa.array(
+                    [f"u{b}_{j}" for j in range(keys_per_batch)]
+                ),
+            }
+        )
+        path = str(src / f"batch_{b}.parquet")
+        pq.write_table(tbl, path)
+        # Distinct ascending mtimes: the file source orders batches by
+        # modification time, and the eviction argument needs the days
+        # to arrive in order.
+        os.utime(path, (t0 + b, t0 + b))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    name = f"evict_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 120
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.2)
+    query.awaitTermination(5)
+    progresses = [p for p in query.recentProgress if p["stateOperators"]]
+    assert len(progresses) >= n_batches  # one micro-batch per file
+    # Every unique key is emitted exactly once (dedup semantics hold).
+    assert (
+        spark.table(name).count() == n_batches * keys_per_batch
+    )
+    final_state_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    # By the last batch the watermark sits at day N-2's events minus
+    # 1 h, so only the last two days' keys may legally remain. A plain
+    # dropDuplicates retains all 60.
+    assert final_state_rows <= 2 * keys_per_batch, (
+        f"state not evicted: {final_state_rows} rows retained "
+        f"of {n_batches * keys_per_batch} total keys"
+    )
+    evicted = [
+        p["stateOperators"][0]["numRowsRemoved"] for p in progresses
+    ]
+    assert sum(evicted) > 0, "watermark never removed a state row"
