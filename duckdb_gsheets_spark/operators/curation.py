@@ -2120,6 +2120,190 @@ FROM ranks
 """
 
 
+#: DSIR hashed-feature space: unigrams + bigrams bucketed into
+#: DSIR_BUCKETS by the portable 60-bit md5 hash. The paper (Xie et
+#: al., "Data Selection for Language Models via Importance
+#: Resampling", NeurIPS 2023) uses 10k buckets over a web-scale
+#: corpus; 1024 keeps the oracle's bucket tables readable while
+#: preserving the collision-smoothing the estimator relies on.
+DSIR_BUCKETS = 1024
+
+#: The "trusted" target slice the importance weights steer toward —
+#: a stand-in for the paper's Wikipedia/books target. Any predicate
+#: over the corpus works; sources make the oracle trivial to audit.
+DSIR_TARGET_SOURCES = ("src0", "src1")
+
+
+def _dsir_weights(docs: DataFrame) -> DataFrame:
+    """Per-document DSIR importance weight on the exact 1e-9 grid —
+    ``(doc_id, lang, source, n_tokens, n_feats, w_scaled)`` where
+    ``w_scaled`` is the scaled-long ``Σ_f [ln p_target(b(f)) −
+    ln p_raw(b(f))]`` over the document's hashed unigram+bigram
+    features (multiplicity counted, add-one smoothing over
+    ``DSIR_BUCKETS`` buckets).
+
+    Shared core of :func:`dsir_importance_weights` (the audit table)
+    and ``pipeline.pipeline_dsir_corpus`` (the Gumbel-top-k selection
+    gate) — one implementation, one oracle CTE
+    (:func:`_dsir_core_sql`), so the two cannot drift.
+
+    Determinism: each ln is individually rounded to the 1e-9 grid and
+    scaled to a long (libm drift ≤ 1 ulp ≈ 1e-15 ≪ grid), so the
+    per-bucket log-ratio and every per-document sum are exact integer
+    arithmetic in both engines.
+
+    Shapes, sized for 100 TB: the feature stream (one explode of
+    unigrams ⧺ zipped bigrams) is consumed three times — two
+    map-side-combined aggregations that collapse to ≤ DSIR_BUCKETS
+    rows each (broadcast back), and one per-document rollup — i.e.
+    three corpus scans, zero corpus-sized shuffles: the only wide
+    exchange is the (doc_id)-keyed rollup whose partial aggregates
+    combine map-side. A production run would persist the tokenized
+    projection once instead of rescanning; the shape is otherwise
+    unchanged.
+    """
+    from duckdb_gsheets_spark.functions import portable_hash as PH
+
+    toks = _doc_tokens(docs)
+    n_bi = F.size("toks") - 1  # ≥ 0: split() yields ≥ 1 token
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, n_bi),
+                    F.slice(F.col("toks"), 2, n_bi),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            )
+        ).alias("feat"),
+    ).withColumn("bucket", PH.tok_hash60(F.col("feat")) % DSIR_BUCKETS)
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    raw_cnt = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum(is_target.cast("long")).alias("t_cnt"),
+    )
+    totals = raw_cnt.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    lnp = lambda cnt, tot: F.round(  # noqa: E731 — grid-snapped ln
+        F.log(
+            (cnt + F.lit(1.0))
+            / (tot + F.lit(DSIR_BUCKETS)).cast("double")
+        )
+        * 1e9
+    ).cast("long")
+    llr = raw_cnt.join(F.broadcast(totals)).select(
+        "bucket",
+        (
+            lnp(F.col("t_cnt"), F.col("t_tot"))
+            - lnp(F.col("r_cnt"), F.col("r_tot"))
+        ).alias("llr"),
+    )
+    return (
+        feats.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id", "lang", "source", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("llr").alias("w_scaled"),
+        )
+    )
+
+
+def _dsir_core_sql() -> str:
+    """Shared CTE chain replaying :func:`_dsir_weights` in DuckDB —
+    ends at ``dw(doc_id, lang, source, n_tokens, n_feats, w_scaled)``.
+    Reused by the audit and the selection gate so the oracles cannot
+    drift."""
+    from duckdb_gsheets_spark.functions import portable_hash as PH
+
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    b = DSIR_BUCKETS
+    return f"""ddocs AS (
+  SELECT doc_id, lang, source,
+         regexp_split_to_array(TRIM(text), '\\s+') AS toks,
+         CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS INTEGER)
+           AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), dfeat AS (
+  SELECT doc_id, lang, source, n_tokens, unnest(toks) AS feat FROM ddocs
+  UNION ALL
+  SELECT doc_id, lang, source, n_tokens, w1 || ' ' || w2 AS feat
+  FROM (
+    SELECT doc_id, lang, source, n_tokens,
+           unnest(toks[1:len(toks) - 1]) AS w1,
+           unnest(toks[2:len(toks)]) AS w2
+    FROM ddocs
+  )
+), dbuck AS (
+  SELECT doc_id, lang, source, n_tokens,
+         ({PH.oracle_tok_hash60("feat")} % {b}) AS bucket
+  FROM dfeat
+), dcnt AS (
+  SELECT bucket, COUNT(*) AS r_cnt,
+         SUM(CASE WHEN source IN ({tgt}) THEN 1 ELSE 0 END) AS t_cnt
+  FROM dbuck GROUP BY bucket
+), dtot AS (
+  SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM dcnt
+), dllr AS (
+  SELECT bucket,
+         CAST(ROUND(LN((t_cnt + 1.0) / CAST(t_tot + {b} AS DOUBLE)) * 1e9)
+              AS BIGINT)
+       - CAST(ROUND(LN((r_cnt + 1.0) / CAST(r_tot + {b} AS DOUBLE)) * 1e9)
+              AS BIGINT) AS llr
+  FROM dcnt, dtot
+), dw AS (
+  SELECT doc_id, lang, source, n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(llr) AS BIGINT) AS w_scaled
+  FROM dbuck JOIN dllr USING (bucket)
+  GROUP BY doc_id, lang, source, n_tokens
+)"""
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-weight audit table (Xie et al., NeurIPS 2023):
+    every document's hashed-n-gram log importance weight
+    ``Σ_f [ln p_target(b(f)) − ln p_raw(b(f))]`` against a trusted
+    target slice (``DSIR_TARGET_SOURCES``) — the raw material for
+    importance-resampled data selection. Positive = looks more like
+    the target than the average raw document.
+
+    See :func:`_dsir_weights` for the determinism contract and the
+    100 TB shuffle ledger; the composed selection gate is
+    ``pipeline.pipeline_dsir_corpus``.
+    """
+    w = _dsir_weights(load_table(spark, sf_dir, "documents"))
+    return w.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_feats",
+        F.round(F.col("w_scaled").cast("double") / 1e9, 6).alias(
+            "dsir_logratio"
+        ),
+        F.col("source").isin(*DSIR_TARGET_SOURCES).cast("int").alias(
+            "is_target"
+        ),
+    )
+
+
+def _dsir_weights_oracle() -> str:
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return f"""
+WITH {_dsir_core_sql()}
+SELECT doc_id, lang, source, n_feats,
+       ROUND(CAST(w_scaled AS DOUBLE) / 1e9, 6) AS dsir_logratio,
+       CAST(CASE WHEN source IN ({tgt}) THEN 1 ELSE 0 END AS INTEGER)
+         AS is_target
+FROM dw
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "dataset_datasheet",
@@ -2263,5 +2447,13 @@ QUERIES: list[QueryDef] = [
         LANG_TERTILES_ORACLE,
         "CCNet-style per-language head/middle/tail perplexity buckets "
         "(grouped prefix-sum rank, exact integer tercile rule)",
+    ),
+    # -- round-6 additions --
+    QueryDef(
+        "dsir_importance_weights",
+        dsir_importance_weights,
+        _dsir_weights_oracle(),
+        "DSIR hashed-n-gram log importance weights vs a trusted "
+        "target slice (exact 1e-9-grid integer sums)",
     ),
 ]

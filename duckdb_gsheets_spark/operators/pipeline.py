@@ -704,6 +704,170 @@ GROUP BY lang, bucket
 """
 
 
+#: DSIR selection rate: keep NUM/DEN of the candidate (non-target)
+#: corpus by Gumbel-perturbed importance weight.
+DSIR_KEEP_NUM = 1
+DSIR_KEEP_DEN = 4
+
+#: 2^60 — the portable 60-bit hash domain (functions.portable_hash).
+_HASH60_DOMAIN = float(1 << 60)
+
+
+def pipeline_dsir_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING gate (Xie et al., NeurIPS 2023),
+    composed end to end: score every non-target document with the
+    shared hashed-n-gram importance weight
+    (``curation._dsir_weights``), perturb with a deterministic Gumbel
+    key, and keep the global top ``DSIR_KEEP_NUM/DSIR_KEEP_DEN`` —
+    exactly the paper's Gumbel-top-k sampling-without-replacement
+    ∝ softmax(weight), made replayable: the Gumbel noise is
+    ``−ln(−ln(u))`` with ``u = (md5_60(doc_id) + ½) / 2^60``, so both
+    engines draw the SAME sample. Output is the release ledger per
+    language: candidates, selected docs/tokens, selection rate, and
+    the mean selected log-ratio.
+
+    Determinism: the weight is already an exact scaled long; both ln
+    draws snap to the 1e-9 grid individually (the inner draw is
+    clamped to ≤ −1 so ``u → 1`` can never produce ``ln 0``), so the
+    Gumbel key is exact long arithmetic and the top-k cut
+    ``rank·DEN ≤ n·NUM`` is pure integers — no float boundary exists
+    for the engines to disagree on.
+
+    Shapes, sized for 100 TB: the weight core's ledger (three corpus
+    scans, bucket tables broadcast) plus ONE range partition for the
+    global rank via the distributed prefix-sum tiling
+    (orders_pareto_share) — per-pid counts, offsets from a bounded
+    |pids|-row window broadcast back; no single-task global window.
+    The final rollup is |langs| rows.
+    """
+    from duckdb_gsheets_spark.functions import portable_hash as PH
+    from duckdb_gsheets_spark.operators.curation import (
+        DSIR_TARGET_SOURCES,
+        _dsir_weights,
+    )
+
+    w = _dsir_weights(load_table(spark, sf_dir, "documents"))
+    cand = w.where(~F.col("source").isin(*DSIR_TARGET_SOURCES))
+    u = (
+        PH.tok_hash60(F.col("doc_id").cast("string")).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_HASH60_DOMAIN)
+    l1 = F.least(
+        F.round(F.log(u) * 1e9).cast("long"), F.lit(-1).cast("long")
+    )
+    l2 = F.round(
+        F.log((-l1).cast("double") / F.lit(1e9)) * 1e9
+    ).cast("long")
+    keyed = cand.withColumn("gkey", F.col("w_scaled") - l2)
+    ranged = (
+        keyed.repartitionByRange(F.desc("gkey"), "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("pcnt"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("pcnt").over(w_off), F.lit(0).cast("long")
+            ).alias("rank_off"),
+        )
+    )
+    n_tot = ranged.agg(F.count(F.lit(1)).alias("n_cand"))
+    w_local = Window.partitionBy("pid").orderBy(
+        F.desc("gkey"), "doc_id"
+    )
+    kept = (
+        (F.col("rank_off") + F.row_number().over(w_local))
+        * DSIR_KEEP_DEN
+    ) <= F.col("n_cand") * DSIR_KEEP_NUM
+    flagged = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .join(F.broadcast(n_tot))
+        .select(
+            "lang",
+            "n_tokens",
+            "w_scaled",
+            kept.cast("long").alias("kept"),
+        )
+    )
+    n_sel = F.sum("kept")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        n_sel.alias("n_selected"),
+        F.sum(
+            F.when(F.col("kept") == 1, F.col("n_tokens").cast("long"))
+            .otherwise(0)
+        ).alias("tok_selected"),
+        F.round(
+            n_sel.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("sel_rate"),
+        F.when(
+            n_sel > 0,
+            F.round(
+                F.sum(
+                    F.when(F.col("kept") == 1, F.col("w_scaled"))
+                    .otherwise(0)
+                ).cast("double")
+                / 1e9
+                / n_sel.cast("double"),
+                6,
+            ),
+        ).alias("mean_logratio_sel"),
+    )
+
+
+def _dsir_gate_oracle() -> str:
+    from duckdb_gsheets_spark.functions import portable_hash as PH
+    from duckdb_gsheets_spark.operators.curation import (
+        DSIR_TARGET_SOURCES,
+        _dsir_core_sql,
+    )
+
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    h60 = PH.oracle_tok_hash60("CAST(doc_id AS VARCHAR)")
+    dom = f"{float(1 << 60):.1f}"
+    return f"""
+WITH {_dsir_core_sql()},
+dg_l1 AS (
+  SELECT doc_id, lang, n_tokens, w_scaled,
+         LEAST(CAST(ROUND(LN((CAST({h60} AS DOUBLE) + 0.5) / {dom})
+                    * 1e9) AS BIGINT), -1) AS l1
+  FROM dw WHERE source NOT IN ({tgt})
+), dg_key AS (
+  SELECT doc_id, lang, n_tokens, w_scaled,
+         w_scaled - CAST(ROUND(LN(CAST(-l1 AS DOUBLE) / 1e9) * 1e9)
+                         AS BIGINT) AS gkey
+  FROM dg_l1
+), dg_flag AS (
+  SELECT lang, n_tokens, w_scaled,
+         CASE WHEN ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id)
+                   * {DSIR_KEEP_DEN}
+                <= COUNT(*) OVER () * {DSIR_KEEP_NUM}
+              THEN 1 ELSE 0 END AS kept
+  FROM dg_key
+)
+SELECT lang,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(kept) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tok_selected,
+       ROUND(CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS sel_rate,
+       CASE WHEN SUM(kept) > 0
+            THEN ROUND(CAST(SUM(CASE WHEN kept = 1 THEN w_scaled ELSE 0 END)
+                            AS DOUBLE) / 1e9
+                       / CAST(SUM(kept) AS DOUBLE), 6)
+       END AS mean_logratio_sel
+FROM dg_flag
+GROUP BY lang
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "pipeline_training_corpus",
@@ -749,5 +913,12 @@ QUERIES: list[QueryDef] = [
         _ccnet_oracle(),
         "CCNet perplexity gate: keep head+middle terciles, hash-downsample "
         "the tail to 25%, per-(lang, bucket) release ledger",
+    ),
+    QueryDef(
+        "pipeline_dsir_corpus",
+        pipeline_dsir_corpus,
+        _dsir_gate_oracle(),
+        "DSIR Gumbel-top-k importance resampling gate (deterministic "
+        "md5 Gumbel keys, exact integer top-k cut), per-language ledger",
     ),
 ]

@@ -5924,3 +5924,185 @@ def test_pipeline_ccnet_corpus_matches_python_recompute(spark):
             assert kept == n and rate == 1.0
         else:
             assert kept < n  # the tail must actually downsample
+
+
+def test_dsir_importance_weights_matches_python_recompute(spark):
+    """DSIR hashed-n-gram weights against a direct Python recompute:
+    the same md5-60 bucket hash, the same add-one bucket LM on the
+    1e-9 ln grid, the same per-document integer sum — plus the
+    semantic invariant the estimator exists for: target-slice
+    documents score higher on average than the raw remainder."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from duckdb_gsheets_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCES,
+        dsir_importance_weights,
+    )
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.doc_id: (r.lang, r.source, r.n_feats, r.dsir_logratio, r.is_target)
+        for r in dsir_importance_weights(spark, SF).collect()
+    }
+
+    def bucket(feat):
+        return (
+            int(hashlib.md5(feat.encode()).hexdigest()[:15], 16)
+            % DSIR_BUCKETS
+        )
+
+    docs = {}
+    for r in load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source", "text"
+    ).collect():
+        if r.text is None:
+            continue
+        toks = re.split(r"\s+", r.text.strip())
+        feats = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        docs[r.doc_id] = (r.lang, r.source, [bucket(f) for f in feats])
+    r_cnt, t_cnt = Counter(), Counter()
+    for _, source, buckets in docs.values():
+        r_cnt.update(buckets)
+        if source in DSIR_TARGET_SOURCES:
+            t_cnt.update(buckets)
+    r_tot, t_tot = sum(r_cnt.values()), sum(t_cnt.values())
+
+    def lnp(cnt, tot):
+        return int(round_half_away(
+            math.log((cnt + 1.0) / float(tot + DSIR_BUCKETS)) * 1e9, 0
+        ))
+
+    llr = {
+        b: lnp(t_cnt[b], t_tot) - lnp(r_cnt[b], r_tot) for b in r_cnt
+    }
+    expected = {}
+    for doc_id, (lang, source, buckets) in docs.items():
+        w = sum(llr[b] for b in buckets)
+        expected[doc_id] = (
+            lang,
+            source,
+            len(buckets),
+            round_half_away(w / 1e9, 6),
+            int(source in DSIR_TARGET_SOURCES),
+        )
+    assert got == expected
+    by_side = defaultdict(list)
+    for _, (_, _, _, w, is_t) in got.items():
+        by_side[is_t].append(w)
+    assert (
+        sum(by_side[1]) / len(by_side[1])
+        > sum(by_side[0]) / len(by_side[0])
+    )
+
+
+def test_pipeline_dsir_corpus_matches_python_recompute(spark):
+    """DSIR Gumbel-top-k gate ledger against a direct Python recompute
+    of the weights (shared with the audit test), the deterministic
+    Gumbel keys and the exact integer top-k cut — plus the policy
+    invariants: exactly ⌊n/4⌋ docs selected overall, and the selected
+    mean log-ratio beats the candidate-pool mean (importance sampling
+    must actually steer toward the target)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from duckdb_gsheets_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCES,
+    )
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+    from duckdb_gsheets_spark.operators.pipeline import (
+        DSIR_KEEP_DEN,
+        DSIR_KEEP_NUM,
+        pipeline_dsir_corpus,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.lang: (
+            r.n_candidates,
+            r.n_selected,
+            r.tok_selected,
+            r.sel_rate,
+            r.mean_logratio_sel,
+        )
+        for r in pipeline_dsir_corpus(spark, SF).collect()
+    }
+
+    def bucket(feat):
+        return (
+            int(hashlib.md5(feat.encode()).hexdigest()[:15], 16)
+            % DSIR_BUCKETS
+        )
+
+    docs = {}
+    for r in load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source", "text"
+    ).collect():
+        if r.text is None:
+            continue
+        toks = re.split(r"\s+", r.text.strip())
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        docs[r.doc_id] = (
+            r.lang, r.source, len(toks), [bucket(f) for f in feats]
+        )
+    r_cnt, t_cnt = Counter(), Counter()
+    for _, source, _, buckets in docs.values():
+        r_cnt.update(buckets)
+        if source in DSIR_TARGET_SOURCES:
+            t_cnt.update(buckets)
+    r_tot, t_tot = sum(r_cnt.values()), sum(t_cnt.values())
+
+    def lnp(cnt, tot):
+        return int(round_half_away(
+            math.log((cnt + 1.0) / float(tot + DSIR_BUCKETS)) * 1e9, 0
+        ))
+
+    llr = {b: lnp(t_cnt[b], t_tot) - lnp(r_cnt[b], r_tot) for b in r_cnt}
+    cand = []
+    for doc_id, (lang, source, n_tokens, buckets) in docs.items():
+        if source in DSIR_TARGET_SOURCES:
+            continue
+        w = sum(llr[b] for b in buckets)
+        h = int(
+            hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16
+        )
+        u = (h + 0.5) / float(1 << 60)
+        l1 = min(int(round_half_away(math.log(u) * 1e9, 0)), -1)
+        l2 = int(round_half_away(math.log(-l1 / 1e9) * 1e9, 0))
+        cand.append((w - l2, doc_id, lang, n_tokens, w))
+    cand.sort(key=lambda t: (-t[0], t[1]))
+    n = len(cand)
+    expected = defaultdict(lambda: [0, 0, 0, 0])
+    for rank, (_, _, lang, n_tokens, w) in enumerate(cand, start=1):
+        agg = expected[lang]
+        agg[0] += 1
+        if rank * DSIR_KEEP_DEN <= n * DSIR_KEEP_NUM:
+            agg[1] += 1
+            agg[2] += n_tokens
+            agg[3] += w
+    assert got == {
+        lang: (
+            v[0],
+            v[1],
+            v[2],
+            round_half_away(v[1] / v[0], 6),
+            round_half_away(v[3] / 1e9 / v[1], 6) if v[1] else None,
+        )
+        for lang, v in expected.items()
+    }
+    assert sum(v[1] for v in got.values()) == (
+        n * DSIR_KEEP_NUM // DSIR_KEEP_DEN
+    )
+    pool_mean = sum(w for *_, w in cand) / n / 1e9
+    sel_tot = sum(v[3] for v in expected.values())
+    sel_n = sum(v[1] for v in expected.values())
+    assert sel_tot / 1e9 / sel_n > pool_mean

@@ -854,6 +854,8 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "embedding_isotropy",       # two 1-row aggregate cross joins
         "ann_matryoshka_recall",    # per-width broadcast query batch × corpus
         "ann_prefix_ivf_recall",    # composes the cosine baseline's query broadcast
+        "dsir_importance_weights",  # 1-row bucket-LM totals broadcast
+        "pipeline_dsir_corpus",     # composes the totals broadcast + 1-row n_cand
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
@@ -907,6 +909,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "token_budget_waterfill",  # waterfills the |sources|-row inventory
         "events_lateness_audit",  # pid-offset table of the prefix-scan tiling
         "minhash_auc_report",  # cumulates the ≤PERMS+1-row estimate grid
+        "pipeline_dsir_corpus",  # pid-offset table of the prefix-sum tiling
     }
     # privacy_k_anonymity's total-share broadcast is over the ≤3-row
     # band table — covered by bnlj_ok below, no window involved.
@@ -1070,3 +1073,39 @@ def test_ccnet_pipeline_tiles_the_rank_window(spark):
     assert "CartesianProduct" not in physical
     assert physical.count("BroadcastHashJoin") >= 2
     assert "md5" in physical  # hash gate fused as a row expression
+
+
+def test_dsir_weights_broadcast_the_bucket_lm(spark):
+    """dsir_importance_weights: the ≤DSIR_BUCKETS-row log-ratio table
+    BROADCASTS back onto the feature stream (no sort-merge join of
+    the exploded corpus against anything), the bucket hash is a JVM
+    row expression fused into the scan (md5 → conv, no Python UDF),
+    and the only corpus-keyed exchange is the per-document rollup."""
+    plan = _plan(spark, "dsir_importance_weights")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" not in physical
+    assert "BroadcastHashJoin" in physical  # llr ⋈ feature stream
+    assert "md5" in physical and "conv" in physical
+    assert "PythonUDF" not in physical.replace("MapInPandas", "")
+    assert "hashpartitioning(doc_id" in physical  # the one wide rollup
+
+
+def test_dsir_gate_tiles_the_global_rank(spark):
+    """pipeline_dsir_corpus: the global Gumbel-top-k rank must ride
+    the pid tile (no single-task corpus window), the Gumbel key is a
+    fused row expression (md5 → conv → LN grid — no extra join or
+    Python stage for the noise), and no cartesian appears."""
+    plan = _plan(spark, "pipeline_dsir_corpus")
+    physical = plan.split("== Physical Plan ==")[-1]
+    corpus_sized = [
+        ln
+        for ln in physical.splitlines()
+        if "Window" in ln and "row_number" in ln and "pid#" not in ln
+    ]
+    assert not corpus_sized, f"untiled corpus window: {corpus_sized}"
+    assert "CartesianProduct" not in physical
+    assert "SortMergeJoin" not in physical
+    # The range partition lives BEFORE the eager localCheckpoint, so
+    # the final plan reads the materialized tile (pid column present),
+    # not a re-sort — same contract the ccnet pin checks.
+    assert "Scan ExistingRDD" in physical and "pid#" in physical

@@ -18,6 +18,9 @@ in a checked query is already suspect.
 
 Usage: python tools/parity.py [sf_dir] [query ...]
        python tools/parity.py --window [sf_dir]   # first-50 driver gate
+       python tools/parity.py --exclude a,b [sf_dir]  # skip named queries
+                                                      # (O(n^2)-oracle shapes
+                                                      # at larger SFs)
 """
 
 from __future__ import annotations
@@ -78,6 +81,11 @@ def main() -> int:
     args = sys.argv[1:]
     window_only = "--window" in args
     args = [a for a in args if a != "--window"]
+    excluded: set[str] = set()
+    if "--exclude" in args:
+        i = args.index("--exclude")
+        excluded = set(args[i + 1].split(","))
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
     if window_only:
@@ -106,6 +114,9 @@ def main() -> int:
     checked = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in excluded:
+            print(f"skip  {name}: excluded on the command line")
             continue
         checked += 1
         t0 = time.time()
