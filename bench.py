@@ -57,6 +57,8 @@ HEADLINE = (
     "ann_matryoshka_recall",
     "ann_prefix_ivf_recall",
     "pipeline_ccnet_corpus",
+    "dsir_importance_weights",
+    "pipeline_dsir_corpus",
 )
 
 

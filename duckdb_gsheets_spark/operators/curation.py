@@ -2147,6 +2147,19 @@ def _dsir_weights(docs: DataFrame) -> DataFrame:
     gate) — one implementation, one oracle CTE
     (:func:`_dsir_core_sql`), so the two cannot drift.
 
+    Documented deviation from Xie et al.: ``p_raw`` is estimated over
+    the FULL corpus (target slice included), whereas the paper fits
+    the raw distribution on the raw/candidate corpus only. With the
+    target slice included, log-ratios shrink toward zero by a factor
+    that grows with the target share — a monotone, rank-preserving
+    contraction when the slice is small (the intended regime: the
+    target is a quality exemplar, a few % of candidates), so the
+    top-k selection the weight feeds is unchanged there. One pass
+    instead of two over the feature stream is the payoff at 100 TB;
+    callers with a dominant target slice should subtract ``t_cnt``
+    from ``r_cnt`` (both already computed in this rollup) and adjust
+    the oracle CTE identically.
+
     Determinism: each ln is individually rounded to the 1e-9 grid and
     scaled to a long (libm drift ≤ 1 ulp ≈ 1e-15 ≪ grid), so the
     per-bucket log-ratio and every per-document sum are exact integer
@@ -2162,26 +2175,62 @@ def _dsir_weights(docs: DataFrame) -> DataFrame:
     projection once instead of rescanning; the shape is otherwise
     unchanged.
     """
+    feats = _dsir_feats(docs)
+    llr = dsir_bucket_llr(feats)
+    return (
+        feats.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id", "lang", "source", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("llr").alias("w_scaled"),
+        )
+    )
+
+
+def dsir_feat_array():
+    """Column expression: the DSIR hashed-feature stream of a tokenized
+    document row (``toks`` column) as ONE array — unigrams ⧺ adjacent
+    bigrams, multiplicity preserved. Shared by the batch explode path
+    (:func:`_dsir_feats`) and the per-row streaming scorer
+    (streaming.events_stream.streaming_dsir_weight_counts), so the
+    feature definition cannot drift between the two."""
+    n_bi = F.size("toks") - 1  # ≥ 0: split() yields ≥ 1 token
+    return F.concat(
+        F.col("toks"),
+        F.zip_with(
+            F.slice(F.col("toks"), 1, n_bi),
+            F.slice(F.col("toks"), 2, n_bi),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+
+
+def _dsir_feats(docs: DataFrame) -> DataFrame:
+    """Exploded per-feature stream with bucket assignment:
+    ``(doc_id, lang, source, n_tokens, feat, bucket)``."""
     from duckdb_gsheets_spark.functions import portable_hash as PH
 
-    toks = _doc_tokens(docs)
-    n_bi = F.size("toks") - 1  # ≥ 0: split() yields ≥ 1 token
-    feats = toks.select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_tokens",
-        F.explode(
-            F.concat(
-                F.col("toks"),
-                F.zip_with(
-                    F.slice(F.col("toks"), 1, n_bi),
-                    F.slice(F.col("toks"), 2, n_bi),
-                    lambda a, b: F.concat_ws(" ", a, b),
-                ),
-            )
-        ).alias("feat"),
-    ).withColumn("bucket", PH.tok_hash60(F.col("feat")) % DSIR_BUCKETS)
+    return (
+        _doc_tokens(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.explode(dsir_feat_array()).alias("feat"),
+        )
+        .withColumn("bucket", PH.tok_hash60(F.col("feat")) % DSIR_BUCKETS)
+    )
+
+
+def dsir_bucket_llr(feats: DataFrame) -> DataFrame:
+    """The ≤``DSIR_BUCKETS``-row smoothed log-ratio table
+    ``(bucket, llr)`` — the persisted artifact a production ingest
+    gate loads. ``llr`` is the 1e-9-grid scaled-long
+    ``ln p_target − ln p_raw`` per observed bucket (add-one smoothing
+    over all ``DSIR_BUCKETS`` buckets; only observed buckets emit a
+    row, and every scorable feature maps to an observed bucket when
+    the scored slice ⊆ the fitting corpus)."""
     is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
     raw_cnt = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("r_cnt"),
@@ -2197,20 +2246,12 @@ def _dsir_weights(docs: DataFrame) -> DataFrame:
         )
         * 1e9
     ).cast("long")
-    llr = raw_cnt.join(F.broadcast(totals)).select(
+    return raw_cnt.join(F.broadcast(totals)).select(
         "bucket",
         (
             lnp(F.col("t_cnt"), F.col("t_tot"))
             - lnp(F.col("r_cnt"), F.col("r_tot"))
         ).alias("llr"),
-    )
-    return (
-        feats.join(F.broadcast(llr), "bucket")
-        .groupBy("doc_id", "lang", "source", "n_tokens")
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("llr").alias("w_scaled"),
-        )
     )
 
 

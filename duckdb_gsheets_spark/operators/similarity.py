@@ -2063,6 +2063,85 @@ mmr_ids{t} AS (SELECT vec_id FROM mmr_ids{t - 1} UNION ALL SELECT vec_id FROM mm
 MATRYOSHKA_WIDTHS = (8, 16, 32)
 
 
+def _prefix_cosine_topk(
+    spark: SparkSession, sf_dir: str, widths: tuple[int, ...]
+) -> DataFrame:
+    """Exact prefix-cosine top-k at EVERY width in one fused Arrow
+    pass: ``(width, vec_a, vec_b, cos_sim, rank)``.
+
+    The bounded query batch (the same driver-side batch as
+    :func:`ann_cosine_topk`) ships in the kernel closure, pre-sliced
+    per width. Each corpus batch is read ONCE; inside the kernel the
+    width-w scorer reuses the already-decoded float matrix (a prefix
+    view, no copy), so adding a width costs one GEMM, not one more
+    parquet scan. Per (width, query) the kernel emits only its
+    batch-local top ``TOPK_K`` by the global (−cos_sim, vec_b) order —
+    the map-side-combine of top-k, sound because the global top-k is a
+    subset of the union of batch top-ks — so the rank window sees
+    ≤ |widths|·|queries|·k rows per batch, never the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = _driver_vec_rows(sf_dir, list(range(N_QUERY_VECTORS)))
+    Q_full = np.array([r.emb for r in q_rows])
+    qids = np.asarray([r.vec_id for r in q_rows], dtype="int64")
+    per_width = {}
+    for w in widths:
+        Q = Q_full[:, :w]
+        per_width[w] = (Q, np.sqrt(np.einsum("ij,ij->i", Q, Q)))
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M_full = np.stack(pdf["emb"].to_numpy())
+            vec_ids = pdf["vec_id"].to_numpy()
+            outs = []
+            for w, (Q, qn) in per_width.items():
+                M = M_full[:, :w]
+                norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+                S = np.round((M @ Q.T) / (norms[:, None] * qn[None, :]), 6)
+                for qi in range(len(qids)):
+                    keep = vec_ids != qids[qi]
+                    ids_k = vec_ids[keep]
+                    col = S[keep, qi]
+                    # batch-local top-k by the exact global order:
+                    # rounded cos_sim desc, vec_b asc tiebreak.
+                    order = np.lexsort((ids_k, -col))[:TOPK_K]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "width": np.full(
+                                    len(order), w, dtype="int32"
+                                ),
+                                "vec_a": np.full(
+                                    len(order), qids[qi], dtype="int64"
+                                ),
+                                "vec_b": ids_k[order],
+                                "cos_sim": col[order],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs)
+
+    cands = (
+        fan_out(emb)
+        .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+        .mapInPandas(
+            score_batches,
+            "width int, vec_a long, vec_b long, cos_sim double",
+        )
+    )
+    w_rank = Window.partitionBy("width", "vec_a").orderBy(
+        F.desc("cos_sim"), F.col("vec_b")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= TOPK_K)
+        .select("width", "vec_a", "vec_b", "cos_sim", "rank")
+    )
+
+
 def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation audit: recall@k of PREFIX-DIMENSION
     cosine retrieval against the full-dimension exact baseline, one
@@ -2072,63 +2151,49 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     4× smaller vector — a 100 TB corpus decision worth an audit
     table.
 
-    For each width w: the query batch (the same driver-side bounded
-    batch as :func:`ann_cosine_topk`) is sliced to its first w dims
-    and broadcast against a ONE-SLICE corpus projection — the scan
-    reads only the embedding column and slices before the fold, so
-    per-width cost falls with w instead of rising with |widths|.
-    Ranking and the rounded-similarity + vec_id tiebreak mirror the
-    baseline exactly. The overlap join keys on (width, query,
+    ALL widths run in ONE fused Arrow kernel over ONE corpus scan
+    (:func:`_prefix_cosine_topk`) — the same fusion
+    :func:`ann_prefix_ivf_recall` uses, because a per-width scan
+    re-reads the same embedding bytes |widths| times at 100 TB.
+    Width-w scores are GEMMs over prefix views of the once-decoded
+    batch, each (width, query) pre-reduced to its batch-local top-k,
+    then one rank window per (width, query) over the bounded
+    candidates. Ranking uses the same rounded-similarity + vec_id
+    tiebreak as the baseline. The overlap join keys on (width, query,
     neighbor) — |widths|·k·|queries| rows, trivially small at any
     corpus size; the |queries|×|widths| audit spine is the same
     bounded cross the recall report uses.
 
     Oracle-checked end to end: per-width truncated norms/dots replay
     over the shared positional-unnest CTE with ``i <= w`` (DuckDB
-    subscripts are 1-based, matching ``F.slice(…, 1, w)``).
+    subscripts are 1-based, matching the kernel's prefix view).
     """
     full = ann_cosine_topk(spark, sf_dir).select("vec_a", "vec_b")
-    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = _prefix_cosine_topk(spark, sf_dir, MATRYOSHKA_WIDTHS).select(
+        "width", "vec_a", "vec_b"
+    )
+    return _width_recall_rollup(spark, sf_dir, full, trunc)
+
+
+def _width_recall_rollup(
+    spark: SparkSession, sf_dir: str, full: DataFrame, trunc: DataFrame
+) -> DataFrame:
+    """Shared overlap/rollup for the per-width recall audits:
+    ``(width, n_queries, mean_recall, min_recall, n_perfect)``.
+
+    The |queries|×|widths| audit spine is built from the DRIVER-SIDE
+    bounded query batch (the same pyarrow read every ANN query uses
+    for its broadcast side), not by re-deriving ``DISTINCT vec_a``
+    from the baseline — that re-derivation would duplicate the whole
+    baseline subtree in the plan and double the corpus scans. The
+    oracle's ``SELECT DISTINCT vec_a FROM ex_topk`` agrees with it
+    whenever the corpus holds ≥ 2 vectors (every query then ranks at
+    least one neighbor), which every SF satisfies.
+    """
     q_rows = _driver_vec_rows(sf_dir, list(range(N_QUERY_VECTORS)))
-    per_width = []
-    for w in MATRYOSHKA_WIDTHS:
-        corpus = emb.select(
-            F.col("vec_id").alias("vec_b"),
-            to_double(F.slice(F.col("embedding"), 1, w)).alias("emb_b"),
-        ).withColumn("norm_b", norm(F.col("emb_b")))
-        queries = spark.createDataFrame(
-            [(int(r.vec_id), [float(x) for x in list(r.emb)[:w]]) for r in q_rows],
-            "vec_a long, emb_a array<double>",
-        ).withColumn("norm_a", norm(F.col("emb_a")))
-        scored = (
-            F.broadcast(queries)
-            .crossJoin(corpus)
-            .where(F.col("vec_a") != F.col("vec_b"))
-            .select(
-                "vec_a",
-                "vec_b",
-                F.round(
-                    cosine_pre(
-                        F.col("emb_a"), F.col("emb_b"),
-                        F.col("norm_a"), F.col("norm_b"),
-                    ),
-                    6,
-                ).alias("cos_sim"),
-            )
-        )
-        wnd = Window.partitionBy("vec_a").orderBy(
-            F.desc("cos_sim"), F.col("vec_b")
-        )
-        per_width.append(
-            scored.withColumn("rank", F.row_number().over(wnd))
-            .where(F.col("rank") <= TOPK_K)
-            .select(
-                F.lit(w).cast("int").alias("width"), "vec_a", "vec_b"
-            )
-        )
-    trunc = per_width[0]
-    for part in per_width[1:]:
-        trunc = trunc.unionByName(part)
+    spine = spark.createDataFrame(
+        [(int(r.vec_id),) for r in q_rows], "vec_a long"
+    )
     matched = (
         F.broadcast(full)
         .join(trunc, ["vec_a", "vec_b"])
@@ -2139,9 +2204,7 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(w),) for w in MATRYOSHKA_WIDTHS], "width int"
     )
     per_query = (
-        full.select("vec_a")
-        .distinct()
-        .crossJoin(widths)
+        spine.crossJoin(widths)
         .join(F.broadcast(matched), ["width", "vec_a"], "left")
         .select(
             "width",
@@ -2349,35 +2412,7 @@ def ann_prefix_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = _prefix_ivf_topk(spark, sf_dir, MATRYOSHKA_WIDTHS).select(
         "width", "vec_a", "vec_b"
     )
-    matched = (
-        F.broadcast(full)
-        .join(trunc, ["vec_a", "vec_b"])
-        .groupBy("width", "vec_a")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-    )
-    widths = spark.createDataFrame(
-        [(int(w),) for w in MATRYOSHKA_WIDTHS], "width int"
-    )
-    per_query = (
-        full.select("vec_a")
-        .distinct()
-        .crossJoin(widths)
-        .join(F.broadcast(matched), ["width", "vec_a"], "left")
-        .select(
-            "width",
-            "vec_a",
-            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
-        )
-    )
-    k = float(TOPK_K)
-    return per_query.groupBy("width").agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.sum("n_matched") / (F.count(F.lit(1)) * F.lit(k)), 6).alias(
-            "mean_recall"
-        ),
-        F.round(F.min("n_matched") / F.lit(k), 6).alias("min_recall"),
-        F.sum((F.col("n_matched") == TOPK_K).cast("int")).alias("n_perfect"),
-    )
+    return _width_recall_rollup(spark, sf_dir, full, trunc)
 
 
 def _prefix_ivf_oracle() -> str:

@@ -852,7 +852,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "neardup_graph_stats",      # three 1-row aggregate cross joins
         "ann_ndcg_report",          # |queries|×|methods| audit spine cross
         "embedding_isotropy",       # two 1-row aggregate cross joins
-        "ann_matryoshka_recall",    # per-width broadcast query batch × corpus
+        "ann_matryoshka_recall",    # composes the cosine baseline's query broadcast
         "ann_prefix_ivf_recall",    # composes the cosine baseline's query broadcast
         "dsir_importance_weights",  # 1-row bucket-LM totals broadcast
         "pipeline_dsir_corpus",     # composes the totals broadcast + 1-row n_cand
@@ -1019,16 +1019,19 @@ def test_lang_tertiles_tiles_the_rank_window(spark):
     assert "ExistingRDD" in physical or "LogicalRDD" in physical
 
 
-def test_matryoshka_recall_slices_before_the_fold(spark):
-    """Each width's scorer must broadcast the bounded query batch
-    (BNLJ against the corpus scan, never a shuffle) and slice the
-    embedding BEFORE the cosine fold; rank windows are per-query
-    partitioned; no sort-merge join anywhere."""
+def test_matryoshka_recall_single_fused_corpus_pass(spark):
+    """ann_matryoshka_recall: ALL prefix widths ride ONE fused Arrow
+    kernel over ONE corpus scan (same contract as the prefix-IVF
+    audit — a per-width scan re-reads the same embedding bytes
+    |widths| times at 100 TB; the only other corpus read is the
+    full-dim exact baseline it grades against); rank windows stay
+    per-query partitioned and no sort-merge join appears anywhere."""
     plan = _plan(spark, "ann_matryoshka_recall")
     physical = plan.split("== Physical Plan ==")[-1]
-    assert physical.count("BroadcastNestedLoopJoin") >= 3  # one per width
+    assert physical.count("MapInPandas") == 1, "widths not fused into one pass"
+    # exactly 2 corpus reads: the fused prefix kernel + the baseline.
+    assert physical.count("embeddings.parquet") <= 2, "per-width rescans"
     assert "SortMergeJoin" not in physical
-    assert "slice(" in plan, "prefix slice folded away"
     unpartitioned = [
         ln
         for ln in physical.splitlines()

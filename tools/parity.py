@@ -84,6 +84,8 @@ def main() -> int:
     excluded: set[str] = set()
     if "--exclude" in args:
         i = args.index("--exclude")
+        if i + 1 >= len(args):
+            sys.exit("--exclude requires a comma-separated query list")
         excluded = set(args[i + 1].split(","))
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
