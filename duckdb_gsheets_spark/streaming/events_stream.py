@@ -868,3 +868,87 @@ def streaming_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.sum(F.col("nu").cast("long")).alias("user_slots"),
     )
+
+
+def streaming_dsir_weight_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream–static twin of the DSIR scoring pass
+    (operators.curation.dsir_importance_weights): the ≤1024-row
+    bucket log-ratio table is fit ONCE from the static corpus (the
+    persisted artifact a production ingest gate loads), shipped into
+    the stream as a map literal, and every arriving document scores
+    itself STATELESSLY — its hashed unigram+bigram feature array
+    (the batch path's exact ``dsir_feat_array`` expression) folds to
+    the scaled-long weight via a JVM ``aggregate`` over the map, no
+    explode, no stream-side shuffle before the rollup. A single
+    complete-mode aggregation then keeps the per-source ingest
+    ledger: docs, tokens, exact scaled-weight sum, and how many docs
+    score target-like (w > 0) — the dashboard a live DSIR intake
+    gate runs.
+
+    The per-row fold replaces the batch path's explode + broadcast
+    join + per-doc rollup: streaming allows one stateful aggregation,
+    so the per-document combine must happen inside the row — same
+    integers, same result (the batch-equality test pins it). Every
+    stream feature hits the map because the scored slice ⊆ the
+    fitting corpus; a production gate scoring NOVEL documents adds
+    the same add-one default the batch smoothing gives unseen buckets
+    (``coalesce(element_at(...), lit(unseen_llr))``).
+    """
+    scorer = dsir_row_scorer(spark, sf_dir)
+    scored = scorer(read_documents_stream(spark, sf_dir))
+    counts = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+        F.sum("w_scaled").alias("w_scaled_sum"),
+        F.sum((F.col("w_scaled") > 0).cast("long")).alias("n_target_like"),
+    )
+    return run_to_memory(counts, output_mode="complete")
+
+
+def dsir_row_scorer(spark: SparkSession, sf_dir: str):
+    """Build the STATELESS per-row DSIR scorer: fit the bucket
+    log-ratio artifact once from the static corpus, return a
+    transform ``documents-shaped DF → (doc_id, lang, source,
+    n_tokens, n_feats, w_scaled)`` that scores each row with a JVM
+    ``transform``+``aggregate`` fold over the map literal — no
+    explode, no join, no state, so it composes into any streaming
+    plan (and replays identically on checkpoint resume). Shared by
+    :func:`streaming_dsir_weight_counts` and the checkpoint-resume
+    test."""
+    from duckdb_gsheets_spark.functions import portable_hash as PH
+    from duckdb_gsheets_spark.operators.curation import (
+        DSIR_BUCKETS,
+        _doc_tokens,
+        _dsir_feats,
+        dsir_bucket_llr,
+        dsir_feat_array,
+    )
+
+    static = load_table(spark, sf_dir, "documents")
+    llr_rows = dsir_bucket_llr(_dsir_feats(static)).collect()
+    llr_map = F.map_from_arrays(
+        F.lit([int(r.bucket) for r in llr_rows]).cast("array<bigint>"),
+        F.lit([int(r.llr) for r in llr_rows]).cast("array<bigint>"),
+    )
+
+    def score(docs: DataFrame) -> DataFrame:
+        feats = dsir_feat_array()
+        buckets = F.transform(
+            feats, lambda f: PH.tok_hash60(f) % DSIR_BUCKETS
+        )
+        return _doc_tokens(docs).select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.size(feats).cast("bigint").alias("n_feats"),
+            F.aggregate(
+                buckets,
+                F.lit(0).cast("bigint"),
+                lambda acc, b: acc + F.element_at(llr_map, b),
+            ).alias("w_scaled"),
+        )
+
+    return score

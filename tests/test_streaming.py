@@ -547,3 +547,111 @@ def test_within_watermark_dedup_actually_evicts_state(spark, tmp_path):
         p["stateOperators"][0]["numRowsRemoved"] for p in progresses
     ]
     assert sum(evicted) > 0, "watermark never removed a state row"
+
+
+def test_streaming_dsir_weights_match_batch(spark):
+    """The stream-static DSIR scoring pass must reproduce the batch
+    weight core's per-source rollup EXACTLY (same scaled-long sums —
+    the per-row map-fold and the explode+join+rollup are the same
+    integers), including the target-like count."""
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.operators.curation import _dsir_weights
+    from duckdb_gsheets_spark.plans.catalog import load_table
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_dsir_weight_counts,
+    )
+
+    got = {
+        r.source: (r.n_docs, r.n_tokens, r.w_scaled_sum, r.n_target_like)
+        for r in streaming_dsir_weight_counts(spark, SF).collect()
+    }
+    batch = {
+        r.source: (r.n_docs, r.n_tokens, r.w_scaled_sum, r.n_target_like)
+        for r in _dsir_weights(load_table(spark, SF, "documents"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+            F.sum("w_scaled").alias("w_scaled_sum"),
+            F.sum((F.col("w_scaled") > 0).cast("long")).alias(
+                "n_target_like"
+            ),
+        )
+        .collect()
+    }
+    assert got == batch
+    assert len(got) > 1
+    # Qualitative DSIR invariant on this fixture: every target
+    # source's MEAN weight beats every non-target source's (sums are
+    # all negative here — p_raw includes the target slice, shrinking
+    # log-ratios toward zero from below; ranks are what matter).
+    from duckdb_gsheets_spark.operators.curation import DSIR_TARGET_SOURCES
+
+    means = {s: v[2] / v[0] for s, v in got.items()}
+    t_means = [m for s, m in means.items() if s in DSIR_TARGET_SOURCES]
+    r_means = [m for s, m in means.items() if s not in DSIR_TARGET_SOURCES]
+    assert t_means and r_means
+    assert min(t_means) > max(r_means)
+
+
+def test_streaming_dsir_scorer_checkpoint_resume(spark, tmp_path):
+    """Checkpoint-resume for the stateless DSIR ingest scorer: run the
+    scoring stream over half the corpus with a parquet sink +
+    checkpoint, land the second half, rerun on the SAME checkpoint —
+    the second run appends ONLY the new docs (offsets came from the
+    checkpoint, no rescoring/duplication), and every score equals the
+    batch core's weight for that doc."""
+    import time
+    import uuid
+
+    from duckdb_gsheets_spark.operators.curation import _dsir_weights
+    from duckdb_gsheets_spark.plans.catalog import load_table
+    from duckdb_gsheets_spark.streaming.events_stream import dsir_row_scorer
+
+    docs = load_table(spark, SF, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    src = str(tmp_path / "docs_src")
+    half1 = docs.where(docs.doc_id <= cut)
+    half2 = docs.where(docs.doc_id > cut)
+    half1.write.parquet(src)  # first availableNow run sees half 1
+
+    scorer = dsir_row_scorer(spark, SF)  # artifact fit on FULL corpus
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "scored")
+
+    def run_once():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            scorer(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    # The scorer drops NULL texts (same filter as the batch core).
+    n_scorable_1 = half1.where(half1.text.isNotNull()).count()
+    n_scorable = docs.where(docs.text.isNotNull()).count()
+    first = run_once()
+    assert first.count() == n_scorable_1
+
+    # Land the second half as NEW files, resume from the checkpoint.
+    half2.write.mode("append").parquet(src)
+    second = run_once()
+    assert second.count() == n_scorable
+    assert second.select("doc_id").distinct().count() == n_scorable
+
+    got = {
+        r.doc_id: (r.n_feats, r.w_scaled) for r in second.collect()
+    }
+    expected = {
+        r.doc_id: (r.n_feats, r.w_scaled)
+        for r in _dsir_weights(docs).collect()
+    }
+    assert got == expected
