@@ -59,6 +59,7 @@ HEADLINE = (
     "pipeline_ccnet_corpus",
     "dsir_importance_weights",
     "pipeline_dsir_corpus",
+    "pipeline_fineweb_corpus",
 )
 
 

@@ -868,6 +868,140 @@ GROUP BY lang
 """
 
 
+#: C4/RefinedWeb-style document length gate (C4 drops short pages;
+#: RefinedWeb keeps 25-100k-word documents for its quality band).
+C4_MIN_TOKENS = 25
+
+
+def pipeline_fineweb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style staged filtering funnel (Penedo et al., 2024),
+    composed end to end with a per-stage ATTRITION ledger: Gopher
+    quality rules → C4/RefinedWeb heuristics (document length ≥
+    ``C4_MIN_TOKENS``, no curly braces, no "lorem ipsum") → exact
+    dedup among the survivors
+    (min-doc_id canonical per normalized-text fingerprint) — the
+    industry-standard web-corpus recipe, reported the way a release
+    review reads it: how many documents each source loses at each
+    gate, not just the final keep rate. Unlike
+    :func:`pipeline_curated_corpus` (Gopher→dedup→rebalance on a
+    quality SCORE), this composes the rule-based gate sequence and
+    makes the waterfall itself the output.
+
+    C4's terminal-punctuation / sentence-count rules are deliberately
+    NOT in the stage: the synthetic corpus contains no sentence
+    terminators at all, so they would veto every document and turn
+    the rest of the funnel into a count of zeros — the length gate
+    (C4's other document-level rule) carries the stage instead, and
+    the two blacklist vetoes stay as written in C4.
+
+    Dedup runs AFTER the quality gates (FineWeb's actual order):
+    boilerplate-y junk must not claim canonical slots, and at 100 TB
+    filtering first shrinks the dedup shuffle by the gate rate.
+
+    Shuffle ledger: all gate flags and the fingerprint are row
+    expressions fused into the ONE corpus scan (text never shuffles);
+    the canonical-doc aggregate and its join back move only
+    (fp, doc_id) pairs for gate survivors on the uniform md5 key; the
+    rollup is |sources| rows. Two shuffles total plus the final
+    |sources|-row agg — same ledger class as the CCNet gate.
+    """
+    from duckdb_gsheets_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    c = F.col("text")
+    c4_pass = (
+        (F.col("n_tokens") >= C4_MIN_TOKENS)
+        & ~c.contains("{")
+        & ~c.contains("}")
+        & ~F.lower(c).contains("lorem ipsum")
+    )
+    staged = gopher_rules(docs, carry=("source", "text")).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("passes").alias("q_pass"),
+        c4_pass.cast("int").alias("c4_pass"),
+        T.fingerprint(c).alias("fp"),
+    )
+    surv = F.col("q_pass") * F.col("c4_pass")
+    canon = (
+        staged.where(surv == 1)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    kept = (surv == 1) & (F.col("doc_id") == F.col("keep_id"))
+    return (
+        staged.join(canon, "fp", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("q_pass").cast("long")).alias("n_pass_quality"),
+            F.sum(surv.cast("long")).alias("n_pass_c4"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(kept, F.col("n_tokens").cast("long")).otherwise(0)
+            ).alias("tok_kept"),
+            F.round(
+                F.sum(kept.cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+
+
+def _fineweb_oracle() -> str:
+    toks = T.oracle_tokens()
+    return f"""
+WITH fw_base AS (
+  SELECT doc_id, source,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS BIGINT)
+           AS n_nonspace,
+         CAST(len(list_filter({toks},
+                              t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha_tokens,
+         CAST({T.oracle_stopword_hits_total()} AS BIGINT) AS n_stopwords,
+         CAST(len(regexp_extract_all(text, '{T.PUNCT_PATTERN}')) AS BIGINT)
+           AS n_symbols,
+         text LIKE '%{{%' OR text LIKE '%}}%'
+           OR LOWER(text) LIKE '%lorem ipsum%' AS c4_veto,
+         {T.oracle_fingerprint()} AS fp
+  FROM documents WHERE text IS NOT NULL
+), fw_flag AS (
+  SELECT doc_id, source, n_tokens, fp,
+         CAST((100 * n_nonspace) // n_tokens BETWEEN 300 AND 1000
+              AND n_alpha_tokens * 100 >= n_tokens * 80
+              AND n_stopwords >= 2
+              AND n_symbols * 4 <= n_tokens AS INTEGER) AS q_pass,
+         CAST(n_tokens >= {C4_MIN_TOKENS} AND NOT c4_veto AS INTEGER)
+           AS c4_pass
+  FROM fw_base
+), fw_canon AS (
+  SELECT fp, MIN(doc_id) AS keep_id FROM fw_flag
+  WHERE q_pass * c4_pass = 1 GROUP BY fp
+), fw_kept AS (
+  SELECT f.source, f.n_tokens, f.q_pass, f.q_pass * f.c4_pass AS surv,
+         CASE WHEN f.q_pass * f.c4_pass = 1 AND f.doc_id = c.keep_id
+              THEN 1 ELSE 0 END AS kept
+  FROM fw_flag f LEFT JOIN fw_canon c ON f.fp = c.fp
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(q_pass) AS BIGINT) AS n_pass_quality,
+       CAST(SUM(surv) AS BIGINT) AS n_pass_c4,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tok_kept,
+       ROUND(CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS keep_rate
+FROM fw_kept
+GROUP BY source
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "pipeline_training_corpus",
@@ -920,5 +1054,13 @@ QUERIES: list[QueryDef] = [
         _dsir_gate_oracle(),
         "DSIR Gumbel-top-k importance resampling gate (deterministic "
         "md5 Gumbel keys, exact integer top-k cut), per-language ledger",
+    ),
+    # -- round-7 additions --
+    QueryDef(
+        "pipeline_fineweb_corpus",
+        pipeline_fineweb_corpus,
+        _fineweb_oracle(),
+        "FineWeb staged funnel: Gopher rules -> C4 heuristics -> exact "
+        "dedup among survivors, per-source attrition ledger",
     ),
 ]

@@ -57,10 +57,12 @@ class QueryDef:
 #:   ``ann_prefix_ivf_recall`` (its recall rollup now builds the
 #:   query spine from the bounded driver batch instead of
 #:   re-deriving it from the baseline subtree);
-#: * 43 longest-unchecked greens: every remaining row whose latest
+#: * 2 round-7 additions (``pipeline_fineweb_corpus``,
+#:   ``split_leakage_semantic``) — first driver rows;
+#: * 41 longest-unchecked greens: every remaining row whose latest
 #:   driver check is ROUND 2 (32 queries), then the oldest round-3
-#:   rows (11 of them, pipeline/dedup/embedding first). The rest of
-#:   the round-3 rows head the ROUND-8 ROTATION QUEUE.
+#:   rows (9 of them, pipeline/dedup first). The rest of the round-3
+#:   rows head the ROUND-8 ROTATION QUEUE.
 #:
 #: Everything after position 50 has a green driver row from an earlier
 #: round and is parity-checked every round by tools/parity.py; the
@@ -71,6 +73,9 @@ _WINDOW: tuple[str, ...] = (
     # -- round-6-late additions (first driver rows) --
     "dsir_importance_weights",
     "pipeline_dsir_corpus",
+    # -- round-7 additions (first driver rows) --
+    "pipeline_fineweb_corpus",
+    "split_leakage_semantic",
     # -- last round-1 rows (queued in round 6) --
     "grouping_sets_sales",
     "q21_waiting_suppliers",
@@ -121,8 +126,6 @@ _WINDOW: tuple[str, ...] = (
     "dedup_simhash",
     "simhash_calibration",
     "dedup_clusters",
-    "embedding_stats",
-    "embedding_quantize",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and

@@ -592,6 +592,112 @@ WHERE c.neg_id <> c.doc_id AND la.comp <> lb.comp
 """
 
 
+def split_leakage_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split SEMANTIC leakage audit: embedding-cosine near-dup
+    pairs (the LSH-blocked verified set, threshold 0.95) that straddle
+    two different hash splits. The third leg of the leakage tripod:
+    :func:`split_leakage_check` sees lexical near-dups (MinHash),
+    :func:`split_contamination_winnowing` sees verbatim passages, and
+    this sees PARAPHRASE-level train→test leaks neither lexical signal
+    can — the check eval-suite hygiene actually requires (an eval doc
+    rewritten from a train doc shares no shingles but sits at
+    cosine ≥ 0.95).
+
+    Composition cost on top of the near-dup pair set (already
+    materialized by a 100 TB semantic-dedup pass): one id-equi-join
+    per side against the narrow (doc_id, split) projection — the
+    split is a row expression, so each join moves only (id, split)
+    pairs — and a ≤3-row rollup. Orphan vectors (no backing document)
+    carry no split and drop at the join, matching
+    ``embedding_doc_coverage``'s referential contract.
+
+    Oracle: the exact all-pairs cosine replay (the same CTE the
+    registered near-dup oracle uses — the LSH blocking must lose
+    nothing at this threshold) joined to the shared split CASE.
+    """
+    from duckdb_gsheets_spark.operators.similarity import (
+        neardup_pairs_blocked,
+    )
+
+    pairs = neardup_pairs_blocked(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", split_col().alias("split")
+    )
+    return split_leakage_semantic_frame(pairs, docs)
+
+
+def split_leakage_semantic_frame(
+    pairs: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """Rollup core over any (vec_a, vec_b, cos_sim) pair frame and
+    (doc_id, split) assignment — shared by the registered corpus query
+    and the planted-pair pytest (the fixture corpus has no pair at the
+    0.95 bar — max pairwise cosine ≈ 0.51 — so a synthetic frame with
+    cross-split planted near-dups keeps the assertions non-vacuous,
+    the same pattern as ``ml.semantic_neardup_pairs_frame``)."""
+    tagged = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("vec_a"), F.col("split").alias("sp_a")
+            ),
+            "vec_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("vec_b"), F.col("split").alias("sp_b")
+            ),
+            "vec_b",
+        )
+        .where(F.col("sp_a") != F.col("sp_b"))
+        .select(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+            "cos_sim",
+        )
+    )
+    return tagged.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_leaky_pairs"),
+        F.max("cos_sim").alias("worst_cos"),
+    )
+
+
+def _split_leakage_semantic_oracle() -> str:
+    from duckdb_gsheets_spark.operators.similarity import (
+        _ORACLE_VECTOR_CTE,
+        NEARDUP_COSINE_THRESHOLD,
+    )
+
+    return f"""
+{_ORACLE_VECTOR_CTE},
+sls_dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dp
+  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), sls_pairs AS (
+  SELECT vec_a, vec_b, ROUND(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM sls_dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+  WHERE ROUND(dp / (na.nrm * nb.nrm), 6) >= {NEARDUP_COSINE_THRESHOLD}
+), sls_splits AS (
+  SELECT doc_id, {oracle_split_case()} AS split FROM documents
+), sls_tagged AS (
+  SELECT LEAST(sa.split, sb.split) AS split_a,
+         GREATEST(sa.split, sb.split) AS split_b,
+         p.cos_sim
+  FROM sls_pairs p
+  JOIN sls_splits sa ON sa.doc_id = p.vec_a
+  JOIN sls_splits sb ON sb.doc_id = p.vec_b
+  WHERE sa.split <> sb.split
+)
+SELECT split_a, split_b,
+       COUNT(*) AS n_leaky_pairs,
+       MAX(cos_sim) AS worst_cos
+FROM sls_tagged
+GROUP BY 1, 2
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE, "per-language hash sampling"),
     QueryDef("bootstrap_replicates", bootstrap_replicates, BOOTSTRAP_ORACLE, "deterministic hash-Bernoulli bootstrap replicates (CI input)"),
@@ -601,4 +707,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("split_leakage_check", split_leakage_check, _split_leakage_oracle(), "near-dup pairs straddling hash splits (train/test leakage audit)"),
     QueryDef("split_contamination_winnowing", split_contamination_winnowing, _split_contamination_oracle(), "passage-level eval-vs-train contamination via winnowing fingerprints"),
     QueryDef("contrastive_negatives", contrastive_negatives, _contrastive_negatives_oracle(), "deterministic negative sampling with near-dup-cluster rejection (contrastive-training prep)"),
+    # -- round-7 additions --
+    QueryDef("split_leakage_semantic", split_leakage_semantic, _split_leakage_semantic_oracle(), "embedding-cosine near-dup pairs straddling hash splits (paraphrase-level train/test leakage audit)"),
 ]

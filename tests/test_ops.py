@@ -6106,3 +6106,129 @@ def test_pipeline_dsir_corpus_matches_python_recompute(spark):
     sel_tot = sum(v[3] for v in expected.values())
     sel_n = sum(v[1] for v in expected.values())
     assert sel_tot / 1e9 / sel_n > pool_mean
+
+
+def test_split_leakage_semantic_synthetic_pairs(spark):
+    """Planted cross-split near-dups (the fixture corpus has no pair
+    at the 0.95 bar — max pairwise cosine ≈ 0.51 — so the registered
+    query's empty result is correct-but-vacuous; this pins the
+    semantics the same way the SemDeDup frame test does):
+
+    * a train/val pair at cos ≈ 0.998 → one (train, val) leak row;
+    * a train/train pair at cos ≈ 0.998 → same-split, NOT a leak;
+    * a train/test pair at cos ≈ 0.90 → below threshold, not counted;
+    * a vector with no backing document (orphan) near a train doc →
+      drops at the split join, never counted."""
+    import hashlib
+    import math
+
+    from duckdb_gsheets_spark.operators.sampling import (
+        SPLIT_TEST_LO,
+        SPLIT_VAL_LO,
+        split_leakage_semantic_frame,
+    )
+    from duckdb_gsheets_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        neardup_pairs_blocked,
+    )
+
+    def split_of(doc_id: int) -> str:
+        p = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        if p < SPLIT_VAL_LO:
+            return "train"
+        return "val" if p < SPLIT_TEST_LO else "test"
+
+    by_split = {"train": [], "val": [], "test": []}
+    for i in range(200):
+        by_split[split_of(i)].append(i)
+    tr1, tr2, tr3 = by_split["train"][:3]
+    va1 = by_split["val"][0]
+    te1 = by_split["test"][0]
+    orphan_id = 10_000  # no documents row
+
+    def vec(angle_deg: float) -> list[float]:
+        a = math.radians(angle_deg)
+        v = [0.0] * EMBEDDING_DIM
+        v[0], v[1] = math.cos(a), math.sin(a)
+        return v
+
+    rows = [
+        (tr1, vec(0.0)),    # ┐ cross-split dup with va1 (Δ3.5°)
+        (va1, vec(3.5)),    # ┘ cos ≈ 0.998 → the ONE leak row
+        (tr2, vec(90.0)),   # ┐ same-split dup (Δ3.5°) — not a leak
+        (tr3, vec(93.5)),   # ┘
+        (te1, vec(26.0)),   # Δ26° from tr1: cos ≈ 0.90 < 0.95
+        (orphan_id, vec(3.0)),  # near tr1 but unbacked → dropped
+    ]
+    emb = spark.createDataFrame(
+        rows, f"vec_id long, embedding array<double>"
+    )
+    docs = spark.createDataFrame(
+        [(i, split_of(i)) for i in range(200)], "doc_id long, split string"
+    )
+    pairs = neardup_pairs_blocked(emb)
+    got = {
+        (r.split_a, r.split_b): (r.n_leaky_pairs, r.worst_cos)
+        for r in split_leakage_semantic_frame(pairs, docs).collect()
+    }
+    expected_cos = round(math.cos(math.radians(3.5)), 6)
+    assert got == {("train", "val"): (1, expected_cos)}
+
+
+def test_pipeline_fineweb_funnel_composition(spark):
+    """The FineWeb funnel must be monotone per source
+    (docs ≥ quality ≥ quality∧c4 ≥ kept), its quality stage must equal
+    the standalone Gopher gate on the same (non-NULL-text) slice, and
+    its kept count must equal the number of DISTINCT fingerprints
+    among gate survivors (exactly one canonical doc per duplicate
+    group survives)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.functions import text as T
+    from duckdb_gsheets_spark.operators.pipeline import (
+        pipeline_fineweb_corpus,
+    )
+    from duckdb_gsheets_spark.operators.text import gopher_rules
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = pipeline_fineweb_corpus(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= r.n_pass_quality >= r.n_pass_c4 >= r.n_kept >= 0
+        assert r.keep_rate == round(r.n_kept / r.n_docs, 6)
+    # A funnel that filters nothing pins nothing: each gate must bite
+    # somewhere on the fixture.
+    tot = {
+        k: sum(getattr(r, k) for r in rows)
+        for k in ("n_docs", "n_pass_quality", "n_pass_c4", "n_kept")
+    }
+    assert tot["n_docs"] > tot["n_pass_quality"] > 0
+    assert tot["n_pass_quality"] >= tot["n_pass_c4"] > 0
+
+    docs = load_table(spark, SF, "documents").where(
+        F.col("text").isNotNull()
+    )
+    g = gopher_rules(docs, carry=("source",))
+    per_source = {
+        r.source: r.n
+        for r in g.groupBy("source")
+        .agg(F.sum("passes").alias("n"))
+        .collect()
+    }
+    assert {r.source: r.n_pass_quality for r in rows} == per_source
+
+    from duckdb_gsheets_spark.operators.pipeline import C4_MIN_TOKENS
+
+    c = F.col("text")
+    c4 = (
+        (F.col("n_tokens") >= C4_MIN_TOKENS)
+        & ~c.contains("{")
+        & ~c.contains("}")
+        & ~F.lower(c).contains("lorem ipsum")
+    )
+    surv = (
+        gopher_rules(docs, carry=("text",))
+        .where((F.col("passes") == 1) & c4)
+        .select(T.fingerprint(c).alias("fp"))
+    )
+    assert tot["n_kept"] == surv.distinct().count()
