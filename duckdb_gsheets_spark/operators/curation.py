@@ -1714,11 +1714,15 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same determinism recipe as events_corr_value_hour: both signals
     land on the round-6 grid, scale to exact longs, the five
-    co-moments accumulate as exact integer sums, and the correlation
-    is ONE fixed double expression (long bound n·Σx² < 2⁶³ holds
-    through ~sf1; widen to DECIMAL co-moments past that). Shapes: the
-    xent build's LM joins plus one doc_id-keyed join (co-locates at
-    scale) and a |languages|-row rollup.
+    co-moments accumulate as exact DECIMAL(38,0) sums — long sums
+    overflow at n·Σy² ≈ 2e20 already at sf0.1 (the round-7 sf0.1
+    sweep caught exactly this; DuckDB silently widens SUM(BIGINT) to
+    HUGEINT, so only the Spark side blew up) — and the correlation is
+    ONE fixed double expression: the exact integer combination
+    n·Σxy − Σx·Σy fits 38 digits to ~sf10⁴, and the single
+    decimal→double cast is correctly rounded in both engines.
+    Shapes: the xent build's LM joins plus one doc_id-keyed join
+    (co-locates at scale) and a |languages|-row rollup.
     """
     xent = text_unigram_xent(spark, sf_dir)
     scored = load_table(spark, sf_dir, "documents").where(
@@ -1733,36 +1737,28 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("quality") * 1e6).cast("long").alias("x"),
         F.round(F.col("unigram_xent") * 1e6).cast("long").alias("y"),
     )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact widening
     stats = pts.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    )
+    nn = dec(F.col("n"))
+    varx = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
     # Degenerate slices (one doc, or constant quality/xent) have zero
     # variance: correlation is undefined there, so the row is FILTERED
     # rather than emitted as NaN (Spark) / NULL (DuckDB) — the same
     # guard convention as events_anomaly_mad's `mad > 0`.
-    return (
-        stats.where(
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
-            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
-        )
-        .select(
-            "lang",
-            "n",
-            F.round(num / den, 6).alias("corr_quality_xent"),
-        )
+    return stats.where((varx > 0) & (vary > 0)).select(
+        "lang",
+        "n",
+        F.round(num / den, 6).alias("corr_quality_xent"),
     )
 
 

@@ -59,9 +59,13 @@ class QueryDef:
 #:   re-deriving it from the baseline subtree);
 #: * 2 round-7 additions (``pipeline_fineweb_corpus``,
 #:   ``split_leakage_semantic``) — first driver rows;
-#: * 41 longest-unchecked greens: every remaining row whose latest
+#: * 2 changed-SEMANTICS re-checks from the round-7 sf0.1 sweep:
+#:   ``window_percent_rank`` (exact integer-grid ratios replace the
+#:   float-boundary round) and ``quality_signal_correlation``
+#:   (DECIMAL(38,0) co-moments replace the overflowing long sums);
+#: * 39 longest-unchecked greens: every remaining row whose latest
 #:   driver check is ROUND 2 (32 queries), then the oldest round-3
-#:   rows (9 of them, pipeline/dedup first). The rest of the round-3
+#:   rows (7 of them, pipeline/dedup first). The rest of the round-3
 #:   rows head the ROUND-8 ROTATION QUEUE.
 #:
 #: Everything after position 50 has a green driver row from an earlier
@@ -83,6 +87,9 @@ _WINDOW: tuple[str, ...] = (
     # -- changed-plan re-checks (round-7 scan fusion) --
     "ann_matryoshka_recall",
     "ann_prefix_ivf_recall",
+    # -- changed-semantics re-checks (round-7 sf0.1 sweep fixes) --
+    "window_percent_rank",
+    "quality_signal_correlation",
     # -- longest-unchecked rotation (latest driver rows are round-2) --
     "corpus_upsert",
     "ann_cosine_topk",
@@ -124,8 +131,6 @@ _WINDOW: tuple[str, ...] = (
     "dedup_containment",
     "minhash_calibration",
     "dedup_simhash",
-    "simhash_calibration",
-    "dedup_clusters",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and

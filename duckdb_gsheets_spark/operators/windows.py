@@ -306,29 +306,62 @@ FROM events
 
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``percent_rank`` + ``cume_dist`` per nation over customer
-    balances — the remaining ANSI ranking-family functions. Both are
-    exact small-integer ratios ((rank−1)/(n−1), rows≤current / n)
-    under a unique total order, so the doubles are engine-identical
-    before the defensive round. One shuffle on the partition key."""
+    balances — the remaining ANSI ranking-family functions, computed
+    as EXACT integer ratios on the 1e-6 grid.
+
+    Why not ``round(percent_rank(), 6)``: (rank−1)/(n−1) can land
+    exactly on a decimal half (333/640 = 0.5203125 at sf0.1 — the
+    round-7 sf0.1 sweep caught it) that no binary double represents;
+    Spark's round() then rounds the shortest-decimal rendering
+    half-up while DuckDB rounds the binary value, and the engines
+    split by 1e-6. The fix is the repo's standard recipe: round
+    half-up of p/q as ``(2p + q) div (2q)`` in exact longs on BOTH
+    sides, then one identical long→double division by 1e6. Under the
+    unique total order rank = row_number and cume's "rows ≤ current"
+    = row_number, so both ratios need one rank pass plus the
+    partition count. One shuffle on the partition key."""
     customer = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.desc("c_acctbal"), F.col("c_custkey")
     )
-    return customer.select(
+    base = customer.select(
         "c_nationkey",
         "c_custkey",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("c_nationkey"))
+        .alias("n"),
+    )
+    pct_scaled = F.expr(
+        "CASE WHEN n > 1 THEN"
+        " (2 * (r - 1) * 1000000 + (n - 1)) div (2 * (n - 1))"
+        " ELSE 0 END"
+    )
+    cume_scaled = F.expr("(2 * r * 1000000 + n) div (2 * n)")
+    return base.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        (pct_scaled / F.lit(1e6)).alias("pct_rank"),
+        (cume_scaled / F.lit(1e6)).alias("cume"),
     )
 
 
 WINDOW_PCTRANK_ORACLE = """
+WITH pr_base AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS r,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+)
 SELECT c_nationkey, c_custkey, c_acctbal,
-       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-       ROUND(CUME_DIST() OVER w, 6) AS cume
-FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+       (CASE WHEN n > 1
+             THEN (2 * (r - 1) * 1000000 + (n - 1)) // (2 * (n - 1))
+             ELSE 0 END) / 1e6 AS pct_rank,
+       ((2 * r * 1000000 + n) // (2 * n)) / 1e6 AS cume
+FROM pr_base
 """
 
 
