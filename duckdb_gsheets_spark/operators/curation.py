@@ -840,6 +840,120 @@ GROUP BY decile
 """
 
 
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the heuristic quality score against the
+    Gopher rule gate — the calibration audit a pipeline runs before
+    trusting a score threshold: per score decile, the mean score
+    ("confidence") next to the fraction of documents the independent
+    rule gate passes ("accuracy"), plus the signed gap between them.
+    A well-calibrated score has the pass rate rise with the decile
+    and a small |gap|; a decile where they diverge is where a
+    score-threshold filter and a rule filter disagree, and the gap
+    column is exactly the per-bin term of Expected Calibration Error
+    (Guo et al., ICML 2017) before the |·|-weighting.
+
+    Deciles ride :func:`quality_deciles`' distinct-value tiling (the
+    only window runs over the ≤1e6-value score grid, never the
+    corpus); the gate flags come from the shared
+    ``text.gopher_rules`` projection, so both signals are fused into
+    ONE corpus scan. Everything downstream of the scan is
+    value-grid-sized: one bounded cumulative window, a 10-row rollup.
+
+    Exactness: scores live on the 1e-6 grid → scaled-long means; the
+    pass rate and gap are single correctly-rounded divisions; the
+    same recipe in the oracle.
+    """
+    from duckdb_gsheets_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    scored = gopher_rules(
+        docs.select("doc_id", "text", T.quality_score(F.col("text")).alias("quality")),
+        carry=("quality",),
+    ).select("quality", "passes")
+    vals = scored.groupBy("quality").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("passes").alias("n_pass"),
+    )
+    # Unpartitioned window over a provably bounded input (≤1e6 grid
+    # values at any corpus size — allowlisted in tests/test_plans.py).
+    w = (
+        Window.orderBy(F.desc("quality"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vals.select(
+        "quality",
+        "cnt",
+        "n_pass",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("n_before"),
+    ).join(F.broadcast(vals.agg(F.sum("cnt").alias("n_total"))))
+    tiled = cum.withColumn(
+        "decile",
+        (F.lit(1) + F.expr("div(n_before * 10, n_total)")).cast("int"),
+    )
+    qscaled = F.round(F.col("quality") * F.lit(1000000.0)).cast("long")
+    mean_q = F.round(
+        F.sum(qscaled * F.col("cnt")) / (F.sum("cnt") * F.lit(1000000.0)), 6
+    )
+    pass_rate = F.round(
+        F.sum("n_pass").cast("double") / F.sum("cnt").cast("double"), 6
+    )
+    return tiled.groupBy("decile").agg(
+        F.sum("cnt").alias("n_docs"),
+        mean_q.alias("mean_score"),
+        pass_rate.alias("gopher_pass_rate"),
+        F.round(mean_q - pass_rate, 6).alias("calibration_gap"),
+    )
+
+
+QUALITY_CALIBRATION_ORACLE = f"""
+WITH qc_base AS (
+  SELECT {T.oracle_quality_score()} AS quality,
+         CAST(len({T.oracle_tokens()}) AS BIGINT) AS n_tokens,
+         CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS BIGINT)
+           AS n_nonspace,
+         CAST(len(list_filter({T.oracle_tokens()},
+                              t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha_tokens,
+         CAST({T.oracle_stopword_hits_total()} AS BIGINT) AS n_stopwords,
+         CAST(len(regexp_extract_all(text, '{T.PUNCT_PATTERN}')) AS BIGINT)
+           AS n_symbols
+  FROM documents WHERE text IS NOT NULL
+), qc_scored AS (
+  SELECT quality,
+         CAST((100 * n_nonspace) // n_tokens BETWEEN 300 AND 1000
+              AND n_alpha_tokens * 100 >= n_tokens * 80
+              AND n_stopwords >= 2
+              AND n_symbols * 4 <= n_tokens AS INTEGER) AS passes
+  FROM qc_base
+), qc_vals AS (
+  SELECT quality, COUNT(*) AS cnt, SUM(passes) AS n_pass
+  FROM qc_scored GROUP BY quality
+), qc_cum AS (
+  SELECT quality, cnt, n_pass,
+         SUM(cnt) OVER (ORDER BY quality DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS n_before,
+         SUM(cnt) OVER () AS n_total
+  FROM qc_vals
+), qc_tiled AS (
+  SELECT CAST(1 + (n_before * 10) // n_total AS INTEGER) AS decile, *
+  FROM qc_cum
+)
+SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       ROUND(SUM(CAST(ROUND(quality * 1000000.0) AS BIGINT) * cnt)
+             / (SUM(cnt) * 1000000.0), 6) AS mean_score,
+       ROUND(CAST(SUM(n_pass) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+         AS gopher_pass_rate,
+       ROUND(ROUND(SUM(CAST(ROUND(quality * 1000000.0) AS BIGINT) * cnt)
+                   / (SUM(cnt) * 1000000.0), 6)
+             - ROUND(CAST(SUM(n_pass) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6), 6)
+         AS calibration_gap
+FROM qc_tiled
+GROUP BY decile
+"""
+
+
 #: Vocabulary-size checkpoints for the coverage curve (powers of two,
 #: the grid a tokenizer-size sweep actually evaluates).
 COVERAGE_CHECKPOINTS = (8, 16, 32, 64, 128, 256)
@@ -2492,5 +2606,13 @@ QUERIES: list[QueryDef] = [
         _dsir_weights_oracle(),
         "DSIR hashed-n-gram log importance weights vs a trusted "
         "target slice (exact 1e-9-grid integer sums)",
+    ),
+    # -- round-7 additions --
+    QueryDef(
+        "quality_score_calibration",
+        quality_score_calibration,
+        QUALITY_CALIBRATION_ORACLE,
+        "reliability table: per score decile, mean heuristic score vs "
+        "Gopher-gate pass rate with the per-bin ECE gap",
     ),
 ]

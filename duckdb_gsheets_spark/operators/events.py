@@ -2311,6 +2311,114 @@ GROUP BY GROUPING SETS ((day, event_type), (day), (event_type))
 """
 
 
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: hash-bucket A/B assignment (md5(user_id)
+    low hex digit parity — every event of a user lands in one arm,
+    the standard consistent-assignment rule) and the Welch two-sample
+    z statistic on purchase value between the arms — the
+    end-of-experiment table an event pipeline ships to the decision
+    review. One row: per-arm n/mean, the z score, and the |z| > 1.96
+    call.
+
+    Determinism: values land on the exact cents grid (scaled longs);
+    per-arm n, Σx, Σx² combine as DECIMAL(38,0) integers (the
+    overflow-proof recipe quality_signal_correlation uses); mean and
+    Welch z are ONE fixed double expression evaluated in the same
+    operation order in both engines, rounded to 6. Shapes: one narrow
+    scan + ONE 2-row map-side-combined rollup; nothing corpus-sized
+    moves — at 100 TB this is a pure scan-side fold.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("long")
+    last_hex = F.substring(F.md5(F.col("user_id").cast("string")), 32, 1)
+    arm = F.when(
+        last_hex.isin("0", "2", "4", "6", "8", "a", "c", "e"), "A"
+    ).otherwise("B")
+    pts = events.where(F.col("event_type") == "purchase").select(
+        arm.alias("arm"), cents.alias("x")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact widening
+    per_arm = pts.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    a = per_arm.where(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    b = per_arm.where(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    j = a.crossJoin(b)  # two 1-row sides
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean = lambda sx, n: sx.cast("double") / n / F.lit(100.0)  # noqa: E731
+    var = lambda n, sx, sxx: (  # sample variance of cents, exact comb.
+        (n.cast("decimal(38,0)") * sxx - sx * sx).cast("double")
+        / (n.cast("double") * (n.cast("double") - F.lit(1.0)))
+    )  # noqa: E731
+    m_a = mean(F.col("sx_a"), na)
+    m_b = mean(F.col("sx_b"), nb)
+    v_a = var(F.col("n_a"), F.col("sx_a"), F.col("sxx_a"))
+    v_b = var(F.col("n_b"), F.col("sx_b"), F.col("sxx_b"))
+    z = (m_a - m_b) / F.sqrt(
+        v_a / F.lit(10000.0) / na + v_b / F.lit(10000.0) / nb
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(m_a, 6).alias("mean_a"),
+        F.round(m_b, 6).alias("mean_b"),
+        F.round(z, 6).alias("welch_z"),
+        (F.abs(z) > 1.96).cast("int").alias("significant_95"),
+    )
+
+
+EVENTS_AB_TEST_ORACLE = """
+WITH ab_pts AS (
+  SELECT CASE WHEN SUBSTRING(md5(CAST(user_id AS VARCHAR)), 32, 1)
+              IN ('0','2','4','6','8','a','c','e')
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+), ab_stats AS (
+  SELECT arm, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM ab_pts GROUP BY arm
+), ab_j AS (
+  SELECT a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+         b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+  FROM (SELECT * FROM ab_stats WHERE arm = 'A') a,
+       (SELECT * FROM ab_stats WHERE arm = 'B') b
+)
+SELECT n_a, n_b,
+       ROUND(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 6)
+         AS mean_a,
+       ROUND(CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0, 6)
+         AS mean_b,
+       ROUND((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0
+              - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0)
+             / SQRT(CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                    / 10000.0 / CAST(n_a AS DOUBLE)
+                    + CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE)
+                      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+                      / 10000.0 / CAST(n_b AS DOUBLE)), 6) AS welch_z,
+       CAST(ABS((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0
+                 - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0)
+                / SQRT(CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                       / 10000.0 / CAST(n_a AS DOUBLE)
+                       + CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE)
+                         / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+                         / 10000.0 / CAST(n_b AS DOUBLE))) > 1.96
+            AS INTEGER) AS significant_95
+FROM ab_j
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_agg", events_hourly_agg, EVENTS_HOURLY_ORACLE, "tumbling hour agg"),
     QueryDef("events_multigrain_users", events_multigrain_users, EVENTS_MULTIGRAIN_ORACLE, "exact distinct users at three grains in one grouping-sets pass"),
@@ -2350,4 +2458,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_conversion_lag_quantiles", events_conversion_lag_quantiles, EVENTS_CONVERSION_LAG_ORACLE, "first-view to first-purchase delay quantiles (funnel latency)"),
     QueryDef("events_variant_extract", events_variant_extract, EVENTS_VARIANT_ORACLE, "typed extraction through Spark 4 VARIANT (parse once, extract many)"),
     QueryDef("events_pattern_match", events_pattern_match, EVENTS_PATTERN_ORACLE, "ordered view->click->purchase session matching via signature regex"),
+    # -- round-7 additions --
+    QueryDef("events_ab_test", events_ab_test, EVENTS_AB_TEST_ORACLE, "hash-bucket A/B assignment + Welch z on purchase value (experiment readout)"),
 ]

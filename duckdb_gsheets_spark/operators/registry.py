@@ -57,15 +57,16 @@ class QueryDef:
 #:   ``ann_prefix_ivf_recall`` (its recall rollup now builds the
 #:   query spine from the bounded driver batch instead of
 #:   re-deriving it from the baseline subtree);
-#: * 2 round-7 additions (``pipeline_fineweb_corpus``,
-#:   ``split_leakage_semantic``) — first driver rows;
+#: * 4 round-7 additions (``pipeline_fineweb_corpus``,
+#:   ``split_leakage_semantic``, ``quality_score_calibration``,
+#:   ``events_ab_test``) — first driver rows;
 #: * 2 changed-SEMANTICS re-checks from the round-7 sf0.1 sweep:
 #:   ``window_percent_rank`` (exact integer-grid ratios replace the
 #:   float-boundary round) and ``quality_signal_correlation``
 #:   (DECIMAL(38,0) co-moments replace the overflowing long sums);
-#: * 39 longest-unchecked greens: every remaining row whose latest
+#: * 37 longest-unchecked greens: every remaining row whose latest
 #:   driver check is ROUND 2 (32 queries), then the oldest round-3
-#:   rows (7 of them, pipeline/dedup first). The rest of the round-3
+#:   rows (5 of them, pipeline/dedup first). The rest of the round-3
 #:   rows head the ROUND-8 ROTATION QUEUE.
 #:
 #: Everything after position 50 has a green driver row from an earlier
@@ -80,6 +81,8 @@ _WINDOW: tuple[str, ...] = (
     # -- round-7 additions (first driver rows) --
     "pipeline_fineweb_corpus",
     "split_leakage_semantic",
+    "quality_score_calibration",
+    "events_ab_test",
     # -- last round-1 rows (queued in round 6) --
     "grouping_sets_sales",
     "q21_waiting_suppliers",
@@ -129,8 +132,6 @@ _WINDOW: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_containment",
-    "minhash_calibration",
-    "dedup_simhash",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and

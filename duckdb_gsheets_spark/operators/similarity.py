@@ -2172,28 +2172,27 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = _prefix_cosine_topk(spark, sf_dir, MATRYOSHKA_WIDTHS).select(
         "width", "vec_a", "vec_b"
     )
-    return _width_recall_rollup(spark, sf_dir, full, trunc)
+    return _width_recall_rollup(spark, full, trunc)
 
 
 def _width_recall_rollup(
-    spark: SparkSession, sf_dir: str, full: DataFrame, trunc: DataFrame
+    spark: SparkSession, full: DataFrame, trunc: DataFrame
 ) -> DataFrame:
     """Shared overlap/rollup for the per-width recall audits:
     ``(width, n_queries, mean_recall, min_recall, n_perfect)``.
 
-    The |queries|×|widths| audit spine is built from the DRIVER-SIDE
-    bounded query batch (the same pyarrow read every ANN query uses
-    for its broadcast side), not by re-deriving ``DISTINCT vec_a``
-    from the baseline — that re-derivation would duplicate the whole
-    baseline subtree in the plan and double the corpus scans. The
-    oracle's ``SELECT DISTINCT vec_a FROM ex_topk`` agrees with it
-    whenever the corpus holds ≥ 2 vectors (every query then ranks at
-    least one neighbor), which every SF satisfies.
+    The |queries|×|widths| audit spine re-derives ``DISTINCT vec_a``
+    from the baseline frame ON PURPOSE: the plan text shows the
+    baseline subtree (and its corpus scan) twice, but at runtime AQE
+    materializes it ONCE and the second reference is a
+    ReusedExchange — measured 4-5× faster end-to-end than shipping a
+    driver-built spine, whose local-relation plan denies AQE the
+    reuse and chains extra broadcast-build jobs (each paying the
+    per-job scheduling floor). The widths side is explicitly
+    broadcast: a cartesian of two |cores|-partition sides otherwise
+    schedules |cores|² near-empty tasks (~15 s at local[32] — the
+    round-7 bench caught exactly this).
     """
-    q_rows = _driver_vec_rows(sf_dir, list(range(N_QUERY_VECTORS)))
-    spine = spark.createDataFrame(
-        [(int(r.vec_id),) for r in q_rows], "vec_a long"
-    )
     matched = (
         F.broadcast(full)
         .join(trunc, ["vec_a", "vec_b"])
@@ -2204,7 +2203,9 @@ def _width_recall_rollup(
         [(int(w),) for w in MATRYOSHKA_WIDTHS], "width int"
     )
     per_query = (
-        spine.crossJoin(widths)
+        full.select("vec_a")
+        .distinct()
+        .crossJoin(F.broadcast(widths))
         .join(F.broadcast(matched), ["width", "vec_a"], "left")
         .select(
             "width",
@@ -2412,7 +2413,7 @@ def ann_prefix_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = _prefix_ivf_topk(spark, sf_dir, MATRYOSHKA_WIDTHS).select(
         "width", "vec_a", "vec_b"
     )
-    return _width_recall_rollup(spark, sf_dir, full, trunc)
+    return _width_recall_rollup(spark, full, trunc)
 
 
 def _prefix_ivf_oracle() -> str:

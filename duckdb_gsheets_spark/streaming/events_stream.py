@@ -952,3 +952,172 @@ def dsir_row_scorer(spark: SparkSession, sf_dir: str):
         )
 
     return score
+
+
+def cdc_merge_apply(spark: SparkSession, table_state: dict):
+    """Build the foreachBatch MERGE applier for a keyed parquet table:
+    each micro-batch full-outer-joins the CURRENT table snapshot on
+    ``doc_id`` (update-wins per column), writes the merged result as a
+    NEW versioned snapshot directory, and advances the pointer —
+    read-merge-write CDC, the way Structured Streaming applies change
+    feeds to a keyed store when no transactional table format is in
+    play (with Delta/Iceberg the body becomes one MERGE INTO; the
+    stream plumbing is identical). ``table_state`` is
+    ``{"cur": <path>, "version": <int>}`` and lives on the driver —
+    foreachBatch bodies run driver-side by contract, so the pointer
+    swap is single-threaded and crash-safe up to the checkpoint (a
+    replayed batch rewrites its snapshot idempotently: same input +
+    same base version → same merged bytes).
+
+    Batch-op parity: one batch through this applier IS
+    ``operators.pipeline.corpus_upsert``'s full-outer coalesce plan;
+    the sequential fold over micro-batches equals the one-shot merge
+    whenever each key appears in at most one batch, and applies
+    last-writer-wins in batch order otherwise (pinned by the
+    checkpoint-resume test).
+    """
+
+    def apply_batch(updates: DataFrame, batch_id: int) -> None:
+        if updates.isEmpty():
+            return
+        cur = spark.read.parquet(table_state["cur"])
+        merged = (
+            cur.select(
+                "doc_id",
+                F.col("text").alias("base_text"),
+                F.col("lang").alias("base_lang"),
+                F.col("source").alias("base_source"),
+            )
+            .join(
+                updates.select(
+                    "doc_id",
+                    F.col("text").alias("upd_text"),
+                    F.col("lang").alias("upd_lang"),
+                    F.col("source").alias("upd_source"),
+                ),
+                "doc_id",
+                "full_outer",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("upd_text", "base_text").alias("text"),
+                F.coalesce("upd_lang", "base_lang").alias("lang"),
+                F.coalesce("upd_source", "base_source").alias("source"),
+            )
+        )
+        version = table_state["version"] + 1
+        out = os.path.join(
+            os.path.dirname(table_state["cur"].rstrip("/")), f"v{version}"
+        )
+        merged.write.mode("overwrite").parquet(out)
+        table_state["cur"] = out
+        table_state["version"] = version
+
+    return apply_batch
+
+
+def streaming_corpus_upsert_state(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """Stream–CDC twin of ``operators.pipeline.corpus_upsert``: the
+    same deterministic synthetic update batch arrives as a TWO-micro-
+    batch file stream (split by key parity, distinct mtimes so the
+    file source orders them), each batch merges into the keyed
+    parquet table via :func:`cdc_merge_apply`, and the FINAL table
+    state returns as ``(doc_id, text_md5, lang, source)`` — equal to
+    the batch MERGE's state projection because the batches partition
+    the update keys (the batch-equality test pins it; ordering
+    semantics get their own checkpoint-resume test).
+    """
+    from duckdb_gsheets_spark.functions.text import normalized
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    max_id = base.agg(F.max("doc_id").alias("max_id"))
+    updates = (
+        base.where(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            normalized(F.col("text")).alias("text"),
+            "lang",
+            F.lit("cdc").alias("source"),
+        )
+        .unionByName(
+            max_id.select(
+                (F.col("max_id") + 1).alias("doc_id"),
+                F.lit("a brand new document").alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("cdc").alias("source"),
+            )
+        )
+    )
+
+    work = work_dir or tempfile.mkdtemp(prefix="cdc_upsert_")
+    src = os.path.join(work, "cdc_src")
+    table0 = os.path.join(work, "table", "v0")
+    if not os.path.exists(table0):
+        base.write.mode("overwrite").parquet(table0)
+    if not os.path.exists(src):
+        os.makedirs(src)
+        now = time.time() - 60
+        for i, half in enumerate(
+            (updates.where(F.col("doc_id") % 2 == 0),
+             updates.where(F.col("doc_id") % 2 != 0))
+        ):
+            d = os.path.join(src, f"batch_{i}")
+            half.coalesce(1).write.mode("overwrite").parquet(d)
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (now + i, now + i))
+
+    state = {"cur": table0, "version": 0}
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(cdc_merge_apply(spark, state))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(state["cur"]).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "lang",
+        "source",
+    )
+
+
+def streaming_ab_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live experiment monitor: the streaming twin of
+    ``operators.events.events_ab_test``. Arm assignment (md5 low hex
+    digit parity) and the cents-grid metric are stateless row
+    expressions on the event stream; ONE complete-mode aggregation
+    maintains per-arm n / Σx / Σx² as exact DECIMAL(38,0) integers —
+    the sufficient statistics of the Welch z, so the dashboard can
+    recompute the current z after every micro-batch without the
+    stream holding anything but two rows of state. The batch-equality
+    test folds the sink's final statistics through the same fixed
+    double expression and pins the batch readout's z exactly.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("long")
+    last_hex = F.substring(F.md5(F.col("user_id").cast("string")), 32, 1)
+    arm = F.when(
+        last_hex.isin("0", "2", "4", "6", "8", "a", "c", "e"), "A"
+    ).otherwise("B")
+    pts = stream.where(F.col("event_type") == "purchase").select(
+        arm.alias("arm"), cents.alias("x")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact widening
+    counts = pts.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    return run_to_memory(counts, output_mode="complete")

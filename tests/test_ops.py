@@ -6232,3 +6232,87 @@ def test_pipeline_fineweb_funnel_composition(spark):
         .select(T.fingerprint(c).alias("fp"))
     )
     assert tot["n_kept"] == surv.distinct().count()
+
+
+def test_quality_score_calibration_invariants(spark):
+    """Reliability-table invariants: the ten deciles partition the
+    non-NULL-text corpus, mean_score strictly decreases with the
+    decile index (deciles tile the score in descending order), the
+    gap column is exactly mean − rate on the 1e-6 grid, and the
+    monotone-agreement direction holds on the fixture: the top half
+    of the score distribution passes the Gopher gate at ≥ the bottom
+    half's rate."""
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.operators.curation import (
+        quality_score_calibration,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = sorted(
+        quality_score_calibration(spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    n_docs = (
+        load_table(spark, SF, "documents")
+        .where(F.col("text").isNotNull())
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_docs
+    for a, b in zip(rows, rows[1:]):
+        assert a.mean_score > b.mean_score
+    for r in rows:
+        assert r.calibration_gap == round(
+            round(r.mean_score, 6) - round(r.gopher_pass_rate, 6), 6
+        )
+    half = len(rows) // 2
+    top = sum(r.n_docs * r.gopher_pass_rate for r in rows[:half]) / sum(
+        r.n_docs for r in rows[:half]
+    )
+    bottom = sum(
+        r.n_docs * r.gopher_pass_rate for r in rows[half:]
+    ) / sum(r.n_docs for r in rows[half:])
+    assert top >= bottom
+
+
+def test_events_ab_test_matches_python_recompute(spark):
+    """Welch z readout against a direct Python recompute: same hash
+    assignment, same cents grid, same co-moment combination, same
+    operation order — value-identical after the round-6."""
+    import hashlib
+    import math
+
+    from duckdb_gsheets_spark.operators.events import events_ab_test
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    row = events_ab_test(spark, SF).collect()[0]
+    pts = {"A": [], "B": []}
+    for r in (
+        load_table(spark, SF, "events")
+        .where("event_type = 'purchase'")
+        .select("user_id", "value")
+        .collect()
+    ):
+        h = hashlib.md5(str(r.user_id).encode()).hexdigest()[31]
+        arm = "A" if h in "02468ace" else "B"
+        pts[arm].append(int(round(r.value * 100.0)))
+
+    def stats(xs):
+        n = len(xs)
+        sx = sum(xs)
+        sxx = sum(x * x for x in xs)
+        mean = sx / n / 100.0
+        var = (n * sxx - sx * sx) / (n * (n - 1.0))
+        return n, mean, var
+
+    n_a, m_a, v_a = stats(pts["A"])
+    n_b, m_b, v_b = stats(pts["B"])
+    z = (m_a - m_b) / math.sqrt(
+        v_a / 10000.0 / n_a + v_b / 10000.0 / n_b
+    )
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.mean_a == round(m_a, 6) and row.mean_b == round(m_b, 6)
+    assert row.welch_z == round(z, 6)
+    assert row.significant_95 == int(abs(z) > 1.96)
+    assert n_a > 1 and n_b > 1

@@ -1029,8 +1029,12 @@ def test_matryoshka_recall_single_fused_corpus_pass(spark):
     plan = _plan(spark, "ann_matryoshka_recall")
     physical = plan.split("== Physical Plan ==")[-1]
     assert physical.count("MapInPandas") == 1, "widths not fused into one pass"
-    # exactly 2 corpus reads: the fused prefix kernel + the baseline.
-    assert physical.count("embeddings.parquet") <= 2, "per-width rescans"
+    # 2 executed corpus reads: the fused prefix kernel + the baseline.
+    # The plan TEXT shows the baseline scan twice (the audit spine
+    # re-references the baseline subtree; AQE dedupes it to a
+    # ReusedExchange at runtime — see _width_recall_rollup), so the
+    # pin is |widths|-independent: 3 here vs 6 for per-width scans.
+    assert physical.count("embeddings.parquet") <= 3, "per-width rescans"
     assert "SortMergeJoin" not in physical
     unpartitioned = [
         ln

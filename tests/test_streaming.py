@@ -655,3 +655,128 @@ def test_streaming_dsir_scorer_checkpoint_resume(spark, tmp_path):
         for r in _dsir_weights(docs).collect()
     }
     assert got == expected
+
+
+def test_streaming_cdc_upsert_matches_batch_merge(spark, tmp_path):
+    """Replaying the synthetic CDC batch as a two-micro-batch
+    foreachBatch MERGE loop must land the keyed table in EXACTLY the
+    state the one-shot batch MERGE (corpus_upsert) computes — same
+    keys, same text hashes, same update-wins column values."""
+    from duckdb_gsheets_spark.operators.pipeline import corpus_upsert
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_corpus_upsert_state,
+    )
+
+    got = {
+        r.doc_id: (r.text_md5, r.lang, r.source)
+        for r in streaming_corpus_upsert_state(
+            spark, SF, work_dir=str(tmp_path / "cdc")
+        ).collect()
+    }
+    expected = {
+        r.doc_id: (r.text_md5, r.lang, r.source)
+        for r in corpus_upsert(spark, SF).collect()
+    }
+    assert got == expected
+    assert any(v[2] == "cdc" for v in got.values())
+
+
+def test_streaming_cdc_upsert_checkpoint_resume_orders_writes(
+    spark, tmp_path
+):
+    """Checkpoint-resume + ordering: after the first availableNow run
+    drains both CDC batches, a SECOND revision of an already-updated
+    key lands as a new file; rerunning on the same checkpoint must
+    apply ONLY the new batch (no replay of batches 0-1) and
+    last-writer-wins must leave the second revision in the table."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        cdc_merge_apply,
+        streaming_corpus_upsert_state,
+    )
+
+    work = str(tmp_path / "cdc")
+    first = streaming_corpus_upsert_state(spark, SF, work_dir=work)
+    target = min(
+        r.doc_id for r in first.where(F.col("source") == "cdc").collect()
+    )
+    versions_after_first = sorted(os.listdir(os.path.join(work, "table")))
+
+    d = os.path.join(work, "cdc_src", "batch_2")
+    spark.createDataFrame(
+        [(int(target), "second revision wins", "en", "cdc2")],
+        "doc_id long, text string, lang string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    now = time.time()
+    for f in os.listdir(d):
+        os.utime(os.path.join(d, f), (now, now))
+
+    # Resume: same work dir → same checkpoint; the helper reuses the
+    # existing src/table dirs and only the new file forms a batch.
+    state_tbl = {"cur": os.path.join(work, "table", versions_after_first[-1]),
+                 "version": int(versions_after_first[-1][1:])}
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(work, "cdc_src", "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(cdc_merge_apply(spark, state_tbl))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # Exactly ONE new snapshot version: only batch_2 was applied.
+    versions_after_second = sorted(os.listdir(os.path.join(work, "table")))
+    assert len(versions_after_second) == len(versions_after_first) + 1
+
+    final = spark.read.parquet(state_tbl["cur"])
+    row = final.where(F.col("doc_id") == target).collect()[0]
+    assert (row.text, row.source) == ("second revision wins", "cdc2")
+    # Untouched keys keep their post-run-1 state.
+    n_before = first.count()
+    assert final.count() == n_before
+
+
+def test_streaming_ab_monitor_matches_batch_readout(spark):
+    """The live experiment monitor's final sufficient statistics must
+    reproduce the batch Welch readout exactly: folding the sink's
+    per-arm (n, Σx, Σx²) through the same fixed double expression
+    yields the batch operator's means and z bit-for-bit."""
+    import math
+
+    from duckdb_gsheets_spark.operators.events import events_ab_test
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_ab_test_counts,
+    )
+
+    stats = {
+        r.arm: (int(r.n), int(r.sx), int(r.sxx))
+        for r in streaming_ab_test_counts(spark, SF).collect()
+    }
+    assert set(stats) == {"A", "B"}
+
+    def fold(arm):
+        n, sx, sxx = stats[arm]
+        mean = sx / n / 100.0
+        var = (n * sxx - sx * sx) / (n * (n - 1.0))
+        return n, mean, var
+
+    n_a, m_a, v_a = fold("A")
+    n_b, m_b, v_b = fold("B")
+    z = (m_a - m_b) / math.sqrt(
+        v_a / 10000.0 / n_a + v_b / 10000.0 / n_b
+    )
+    batch = events_ab_test(spark, SF).collect()[0]
+    assert (batch.n_a, batch.n_b) == (n_a, n_b)
+    assert batch.mean_a == round(m_a, 6)
+    assert batch.mean_b == round(m_b, 6)
+    assert batch.welch_z == round(z, 6)
