@@ -57,16 +57,17 @@ class QueryDef:
 #:   ``ann_prefix_ivf_recall`` (its recall rollup now builds the
 #:   query spine from the bounded driver batch instead of
 #:   re-deriving it from the baseline subtree);
-#: * 4 round-7 additions (``pipeline_fineweb_corpus``,
+#: * 6 round-7 additions (``pipeline_fineweb_corpus``,
 #:   ``split_leakage_semantic``, ``quality_score_calibration``,
-#:   ``events_ab_test``) — first driver rows;
+#:   ``events_ab_test``, ``text_kneser_ney_bigram``,
+#:   ``text_lang_confidence_margin``) — first driver rows;
 #: * 2 changed-SEMANTICS re-checks from the round-7 sf0.1 sweep:
 #:   ``window_percent_rank`` (exact integer-grid ratios replace the
 #:   float-boundary round) and ``quality_signal_correlation``
 #:   (DECIMAL(38,0) co-moments replace the overflowing long sums);
-#: * 37 longest-unchecked greens: every remaining row whose latest
+#: * 35 longest-unchecked greens: every remaining row whose latest
 #:   driver check is ROUND 2 (32 queries), then the oldest round-3
-#:   rows (5 of them, pipeline/dedup first). The rest of the round-3
+#:   rows (3 of them, pipeline/dedup first). The rest of the round-3
 #:   rows head the ROUND-8 ROTATION QUEUE.
 #:
 #: Everything after position 50 has a green driver row from an earlier
@@ -83,6 +84,8 @@ _WINDOW: tuple[str, ...] = (
     "split_leakage_semantic",
     "quality_score_calibration",
     "events_ab_test",
+    "text_kneser_ney_bigram",
+    "text_lang_confidence_margin",
     # -- last round-1 rows (queued in round 6) --
     "grouping_sets_sales",
     "q21_waiting_suppliers",
@@ -130,8 +133,6 @@ _WINDOW: tuple[str, ...] = (
     "pipeline_training_corpus",
     "pipeline_curated_corpus",
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and

@@ -1255,6 +1255,201 @@ GROUP BY doc_id, lang
 """
 
 
+def text_lang_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFIDENCE gate audit: the margin between the
+    top-2 marker scores is the detector's confidence, and routing
+    decisions (FineWeb keeps a page only when the lang classifier is
+    confident) should key on it. Per (detected language, margin
+    band ∈ {0, 1, 2+}): document count, agreement count with the
+    declared label, and the agreement rate — the table that shows
+    whether low-margin detections are actually the unreliable ones
+    (they are: margin 0 means two languages tied).
+
+    One narrow projection (the 4 marker scores + argmax + sorted-pair
+    margin, all JVM expressions fused into the scan) and a ≤|langs|·3
+    rollup — nothing corpus-sized moves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    scores = F.sort_array(
+        F.array(
+            T.marker_hits_distinct(c, "en"),
+            T.marker_hits_distinct(c, "es"),
+            T.marker_hits_distinct(c, "de"),
+            T.marker_hits_distinct(c, "fr"),
+        ),
+        asc=False,
+    )
+    margin = scores.getItem(0) - scores.getItem(1)
+    band = (
+        F.when(margin >= 2, F.lit("2+"))
+        .when(margin == 1, F.lit("1"))
+        .otherwise(F.lit("0"))
+    )
+    base = docs.select(
+        "lang",
+        T.language_id(c).alias("detected_lang"),
+        band.alias("margin_band"),
+    )
+    agree = (F.col("detected_lang") == F.col("lang")).cast("long")
+    return base.groupBy("detected_lang", "margin_band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(agree).alias("n_agree"),
+        F.round(
+            F.sum(agree).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("agree_rate"),
+    )
+
+
+TEXT_LANG_MARGIN_ORACLE = f"""
+WITH lm_base AS (
+  SELECT lang,
+         {T.oracle_language_id()} AS detected_lang,
+         list_sort([
+           CAST({T.oracle_marker_hits_distinct('en')} AS INTEGER),
+           CAST({T.oracle_marker_hits_distinct('es')} AS INTEGER),
+           CAST({T.oracle_marker_hits_distinct('de')} AS INTEGER),
+           CAST({T.oracle_marker_hits_distinct('fr')} AS INTEGER)
+         ], 'DESC') AS s
+  FROM documents
+), lm_band AS (
+  SELECT lang, detected_lang,
+         CASE WHEN s[1] - s[2] >= 2 THEN '2+'
+              WHEN s[1] - s[2] = 1 THEN '1'
+              ELSE '0' END AS margin_band
+  FROM lm_base
+)
+SELECT detected_lang, margin_band,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN detected_lang = lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       ROUND(CAST(SUM(CASE WHEN detected_lang = lang THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS agree_rate
+FROM lm_band
+GROUP BY detected_lang, margin_band
+"""
+
+
+#: Kneser-Ney absolute discount, exact as the rational 3/4 — all
+#: count arithmetic scales by 4 so the discounted numerator is the
+#: integer max(4c−3, 0).
+KN_TOP_K = 25
+
+
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities for the top-K
+    corpus bigrams (Kneser & Ney 1995; Chen & Goodman 1999) — the LM
+    estimator that backs real perplexity-based quality scoring, one
+    rung above the add-one unigram/bigram xent proxies:
+
+        P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+                      + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    with D = 3/4. The continuation distribution N1+(·w2)/N1+(··) is
+    what distinguishes KN: a word seen after MANY distinct contexts
+    (productive continuations) absorbs the discounted mass, a word
+    frequent only inside one collocation does not. The report pairs
+    P_KN with the MLE ratio so the audit shows exactly where
+    smoothing moves mass.
+
+    Exactness: D = 3/4 makes every term a ratio of integers after
+    scaling by 4 — numerator max(4c−3, 0), denominators 4c(w1·) —
+    so both engines evaluate ONE identical fixed double expression
+    over exact longs, rounded to 6.
+
+    Shapes, sized for 100 TB: bigram build is the narrow HOF map
+    (:func:`text_bigram_topk`); c(w1w2) is one map-side-combined agg;
+    c(w1·) and N1+(w1·) derive from the BIGRAM TYPE table (one more
+    agg over |vocab²-observed| rows, not the corpus), N1+(·w2)
+    likewise; N1+(··) is a 1-row broadcast. The final joins key on
+    w1 / w2 over vocabulary-sized tables (hash-partition co-located;
+    never corpus-sized), and top-K is TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select(T.tokens(F.lower(F.col("text"))).alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1p_fw"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw"))
+    nbig = c12.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    j = (
+        c12.join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nbig))
+    )
+    num = F.greatest(F.lit(4) * F.col("c12") - F.lit(3), F.lit(0))
+    den = (F.lit(4) * F.col("c1")).cast("double")
+    p_kn = num.cast("double") / den + (
+        (F.lit(3) * F.col("n1p_fw")).cast("double") / den
+    ) * (
+        F.col("n1p_bw").cast("double")
+        / F.col("n_bigram_types").cast("double")
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.col("c12").cast("double") / F.col("c1").cast("double"), 6
+            ).alias("p_mle"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(KN_TOP_K)
+    )
+
+
+TEXT_KN_ORACLE = f"""
+WITH kn_toks AS (
+  SELECT regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL
+    AND len(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) >= 2
+), kn_idx AS (
+  SELECT toks, unnest(range(1, len(toks))) AS i FROM kn_toks
+), kn_pairs AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM kn_idx
+), kn_c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM kn_pairs GROUP BY w1, w2
+), kn_left AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p_fw FROM kn_c12 GROUP BY w1
+), kn_cont AS (
+  SELECT w2, COUNT(*) AS n1p_bw FROM kn_c12 GROUP BY w2
+), kn_nbig AS (
+  SELECT COUNT(*) AS n_bigram_types FROM kn_c12
+)
+SELECT c.w1, c.w2, c.c12,
+       ROUND(CAST(c.c12 AS DOUBLE) / CAST(l.c1 AS DOUBLE), 6) AS p_mle,
+       ROUND(CAST(GREATEST(4 * c.c12 - 3, 0) AS DOUBLE)
+               / CAST(4 * l.c1 AS DOUBLE)
+             + (CAST(3 * l.n1p_fw AS DOUBLE) / CAST(4 * l.c1 AS DOUBLE))
+               * (CAST(r.n1p_bw AS DOUBLE)
+                  / CAST(b.n_bigram_types AS DOUBLE)), 6) AS p_kn
+FROM kn_c12 c
+JOIN kn_left l ON l.w1 = c.w1
+JOIN kn_cont r ON r.w2 = c.w2
+CROSS JOIN kn_nbig b
+ORDER BY c.c12 DESC, c.w1, c.w2
+LIMIT {KN_TOP_K}
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("text_stats", text_stats, TEXT_STATS_ORACLE, "token/char/punct stats"),
     QueryDef("text_char_entropy", text_char_entropy, TEXT_CHAR_ENTROPY_ORACLE, "per-doc character-level Shannon entropy (garbage detector)"),
@@ -1266,6 +1461,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("text_pmi_collocations", text_pmi_collocations, TEXT_PMI_ORACLE, "top-K collocations by exact-ratio PMI (no transcendentals)"),
     QueryDef("text_top_terms", text_top_terms, TEXT_TOP_TERMS_ORACLE, "corpus term frequency top-k"),
     QueryDef("text_bigram_topk", text_bigram_topk, TEXT_BIGRAM_ORACLE, "corpus bigram top-k (narrow HOF build)"),
+    QueryDef("text_kneser_ney_bigram", text_kneser_ney_bigram, TEXT_KN_ORACLE, "interpolated Kneser-Ney bigram LM (exact 3/4-discount rationals) vs MLE"),
+    QueryDef("text_lang_confidence_margin", text_lang_confidence_margin, TEXT_LANG_MARGIN_ORACLE, "lang-ID top-2 score margin bands vs declared-label agreement (confidence gate audit)"),
     QueryDef("text_language_id", text_language_id, TEXT_LANG_ORACLE, "marker-word lang-ID"),
     QueryDef("text_lang_confusion", text_lang_confusion, TEXT_LANG_CONFUSION_ORACLE, "declared-vs-detected language confusion matrix"),
     QueryDef("text_quality_score", text_quality_score, TEXT_QUALITY_ORACLE, "quality heuristic"),

@@ -6316,3 +6316,107 @@ def test_events_ab_test_matches_python_recompute(spark):
     assert row.welch_z == round(z, 6)
     assert row.significant_95 == int(abs(z) > 1.96)
     assert n_a > 1 and n_b > 1
+
+
+def test_text_kneser_ney_matches_python_recompute(spark):
+    """KN bigram probabilities against a direct Python recompute
+    (same counts, same 3/4-discount rational arithmetic, same
+    operation order), plus the smoothing invariants: 0 < p_kn,
+    p_kn < p_mle for every reported high-count bigram (the discount
+    moves mass away from observed bigrams; the continuation share
+    returns less than 3/(4c1) of it unless the right word continues
+    nearly every context), and for fixed w1 the KN conditional mass
+    over ALL observed continuations stays below 1 (the reserve
+    belongs to unseen continuations)."""
+    from collections import Counter, defaultdict
+
+    from duckdb_gsheets_spark.operators.text import (
+        text_kneser_ney_bigram,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.w1, r.w2): (r.c12, r.p_mle, r.p_kn)
+        for r in text_kneser_ney_bigram(spark, SF).collect()
+    }
+    assert len(got) == 25
+
+    c12 = Counter()
+    for r in load_table(spark, SF, "documents").collect():
+        if r.text is None:
+            continue
+        toks = r.text.strip().lower().split()
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter()
+    n1p_fw = Counter()
+    n1p_bw = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1p_fw[a] += 1
+        n1p_bw[b] += 1
+    nbig = len(c12)
+
+    def kn(a, b):
+        den = 4.0 * c1[a]
+        return max(4 * c12[(a, b)] - 3, 0) / den + (
+            3.0 * n1p_fw[a] / den
+        ) * (n1p_bw[b] / float(nbig))
+
+    for (a, b), (c, p_mle, p_kn) in got.items():
+        assert c == c12[(a, b)]
+        assert p_mle == round(c / c1[a], 6)
+        assert p_kn == round(kn(a, b), 6)
+        assert 0 < p_kn
+    # Conditional mass check for the most frequent left context.
+    top_w1 = got and max(got, key=lambda k: got[k][0])[0]
+    mass = sum(kn(top_w1, b) for (a, b) in c12 if a == top_w1)
+    assert mass < 1.0
+
+
+def test_text_lang_confidence_margin_matches_python_recompute(spark):
+    """Margin-band audit vs a direct Python recompute of the marker
+    scores, argmax rule, and band edges. (On this synthetic corpus
+    the agreement rate does NOT rise with margin — the declared langs
+    don't track the markers — which is exactly what the audit exists
+    to reveal, so the pin is exact-value, not monotonicity.)"""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.functions.text import LANG_MARKERS
+    from duckdb_gsheets_spark.operators.text import (
+        text_lang_confidence_margin,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        (r.detected_lang, r.margin_band): (r.n_docs, r.n_agree, r.agree_rate)
+        for r in text_lang_confidence_margin(spark, SF).collect()
+    }
+
+    expected = defaultdict(lambda: [0, 0])
+    for r in load_table(spark, SF, "documents").collect():
+        toks = set((r.text or "").strip().lower().split())
+        s = {
+            lang: len(toks & set(ws)) for lang, ws in LANG_MARKERS.items()
+        }
+        if s["en"] >= s["es"] and s["en"] >= s["de"] and s["en"] >= s["fr"] and s["en"] > 0:
+            det = "en"
+        elif s["es"] >= s["de"] and s["es"] >= s["fr"] and s["es"] > 0:
+            det = "es"
+        elif s["de"] >= s["fr"] and s["de"] > 0:
+            det = "de"
+        elif s["fr"] > 0:
+            det = "fr"
+        else:
+            det = "unknown"
+        top = sorted(s.values(), reverse=True)
+        margin = top[0] - top[1]
+        band = "2+" if margin >= 2 else ("1" if margin == 1 else "0")
+        cell = expected[(det, band)]
+        cell[0] += 1
+        cell[1] += int(det == r.lang)
+    exp = {
+        k: (n, a, round(a / n, 6)) for k, (n, a) in expected.items()
+    }
+    assert got == exp
+    assert sum(v[0] for v in got.values()) > 0
