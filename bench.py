@@ -60,6 +60,9 @@ HEADLINE = (
     "dsir_importance_weights",
     "pipeline_dsir_corpus",
     "pipeline_fineweb_corpus",
+    "text_kneser_ney_bigram",
+    "quality_score_calibration",
+    "events_ab_test",
 )
 
 

@@ -856,6 +856,9 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "ann_prefix_ivf_recall",    # composes the cosine baseline's query broadcast
         "dsir_importance_weights",  # 1-row bucket-LM totals broadcast
         "pipeline_dsir_corpus",     # composes the totals broadcast + 1-row n_cand
+        "quality_score_calibration",  # 1-row n_total broadcast (deciles recipe)
+        "events_ab_test",           # two 1-row per-arm stat sides
+        "text_kneser_ney_bigram",   # 1-row N1+(..) bigram-type-count broadcast
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
@@ -910,6 +913,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "events_lateness_audit",  # pid-offset table of the prefix-scan tiling
         "minhash_auc_report",  # cumulates the ≤PERMS+1-row estimate grid
         "pipeline_dsir_corpus",  # pid-offset table of the prefix-sum tiling
+        "quality_score_calibration",  # cumulates the ≤1e6-value score grid
     }
     # privacy_k_anonymity's total-share broadcast is over the ≤3-row
     # band table — covered by bnlj_ok below, no window involved.
