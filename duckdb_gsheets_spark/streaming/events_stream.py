@@ -1121,3 +1121,51 @@ def streaming_ab_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
     )
     return run_to_memory(counts, output_mode="complete")
+
+
+def streaming_fineweb_gate_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming form of the FineWeb intake gates
+    (operators.pipeline.pipeline_fineweb_corpus stages 1-2): the
+    Gopher rule projection and the C4/RefinedWeb length+blacklist
+    flags are stateless row expressions on the document stream, and
+    ONE complete-mode rollup keeps the per-source attrition ledger
+    (docs seen, quality passes, quality∧C4 passes, tokens surviving
+    the gates). The batch funnel's third stage — exact dedup — is
+    deliberately NOT here: canonical-survivor selection needs corpus
+    state, which is the incremental-dedup ingest gate's job
+    (:func:`streaming_incremental_dedup_counts`); a production intake
+    chains the two. Batch equality pins stages 1-2 against the batch
+    funnel's ledger columns.
+    """
+    from duckdb_gsheets_spark.operators.pipeline import C4_MIN_TOKENS
+    from duckdb_gsheets_spark.operators.text import gopher_rules
+
+    stream = read_documents_stream(spark, sf_dir).where(
+        F.col("text").isNotNull()
+    )
+    c = F.col("text")
+    flags = gopher_rules(stream, carry=("source", "text"))
+    c4_pass = (
+        (F.col("n_tokens") >= C4_MIN_TOKENS)
+        & ~c.contains("{")
+        & ~c.contains("}")
+        & ~F.lower(c).contains("lorem ipsum")
+    )
+    staged = flags.select(
+        "source",
+        "n_tokens",
+        F.col("passes").alias("q_pass"),
+        (c4_pass.cast("int") * F.col("passes")).alias("surv"),
+    )
+    counts = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("q_pass").cast("long")).alias("n_pass_quality"),
+        F.sum(F.col("surv").cast("long")).alias("n_pass_c4"),
+        F.sum(
+            F.when(F.col("surv") == 1, F.col("n_tokens").cast("long"))
+            .otherwise(0)
+        ).alias("tok_surviving"),
+    )
+    return run_to_memory(counts, output_mode="complete")

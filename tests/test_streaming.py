@@ -780,3 +780,28 @@ def test_streaming_ab_monitor_matches_batch_readout(spark):
     assert batch.mean_a == round(m_a, 6)
     assert batch.mean_b == round(m_b, 6)
     assert batch.welch_z == round(z, 6)
+
+
+def test_streaming_fineweb_gates_match_batch_funnel(spark):
+    """The streaming FineWeb intake gate must reproduce the batch
+    funnel's stage-1/2 ledger columns exactly (n_docs,
+    n_pass_quality, n_pass_c4 per source) — the dedup stage is
+    chained separately by design."""
+    from duckdb_gsheets_spark.operators.pipeline import (
+        pipeline_fineweb_corpus,
+    )
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_fineweb_gate_counts,
+    )
+
+    got = {
+        r.source: (r.n_docs, r.n_pass_quality, r.n_pass_c4)
+        for r in streaming_fineweb_gate_counts(spark, SF).collect()
+    }
+    batch = {
+        r.source: (r.n_docs, r.n_pass_quality, r.n_pass_c4)
+        for r in pipeline_fineweb_corpus(spark, SF).collect()
+    }
+    assert got == batch
+    assert len(got) > 1
+    assert any(v[1] > 0 for v in got.values())
