@@ -1331,6 +1331,145 @@ GROUP BY detected_lang, margin_band
 """
 
 
+#: BPE training rounds unrolled by bpe_merge_iterative (and replayed
+#: round-for-round by its generated oracle CTEs).
+BPE_ITER_ROUNDS = 3
+
+
+def bpe_merge_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE tokenizer training (Sennrich et al. 2016),
+    ``BPE_ITER_ROUNDS`` merges deep — the loop
+    :func:`bpe_merge_candidates` runs one step of: count adjacent
+    symbol pairs over the frequency-weighted vocabulary, learn the
+    argmax pair, APPLY the merge to every word, repeat. Output is the
+    learned merge table ``(round, left_sym, right_sym, pair_count)``
+    — the actual artifact a BPE trainer persists.
+
+    Symbol representation: each word is the wrapped-symbol string
+    ``(c)(a)(t)``; applying merge (a, b) is the literal
+    ``replace(sym, '(a)(b)', '(ab)')``, which both engines evaluate
+    with identical left-to-right NON-OVERLAPPING semantics (the fold
+    rule BPE specifies: ``aaa`` + merge (a,a) → ``(aa)(a)``) because
+    every symbol's wrapper makes occurrences disjoint — no shared
+    boundary character for a second overlapping match. Scope is
+    ``^[a-z]+$`` words (standard BPE pre-tokenization strips
+    punctuation), which also keeps the wrapper characters out of the
+    symbol alphabet.
+
+    Like the unrolled-iteration ML family (kmeans_lloyd), the
+    per-round argmax is bounded MODEL STATE the driver legitimately
+    holds (one pair per round); the vocabulary table materializes
+    once via ``localCheckpoint`` (|vocab| rows — the BPE trainer's
+    working set, corpus-independent) and each round is one
+    vocab-sized pair count. At 100 TB the corpus is touched ONCE
+    (the word-frequency collapse); rounds never rescan it. Oracle:
+    generated round-for-round CTE replay, argmax via scalar
+    subqueries, same tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(T.tokens(F.lower(F.col("text")))).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_freq"))
+    )
+    base = words.select(
+        # regexp_replace wraps EVERY char: "cat" -> "(c)(a)(t)".
+        F.regexp_replace(F.col("word"), "(.)", "($1)").alias("sym"),
+        "word_freq",
+    ).localCheckpoint(eager=True)
+
+    cur = base
+    out_rows = []
+    for rnd in range(1, BPE_ITER_ROUNDS + 1):
+        syms = cur.withColumn(
+            "syms",
+            F.split(
+                F.expr("substring(sym, 2, length(sym) - 2)"), r"\)\("
+            ),
+        )
+        pairs = syms.select(
+            "word_freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("word_freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        out_rows.append((rnd, top.l, top.r, int(top.pair_count)))
+        cur = cur.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(f"({top.l})({top.r})"),
+                F.lit(f"({top.l}{top.r})"),
+            ),
+        )
+    return spark.createDataFrame(
+        out_rows, "round int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def _bpe_iter_oracle() -> str:
+    """Round-for-round CTE replay of :func:`bpe_merge_iterative`:
+    each round's pair count runs over the previous round's merged
+    symbol strings, the argmax arrives via scalar subqueries with the
+    same (count DESC, l, r) tiebreak, and the merge applies with the
+    same literal REPLACE."""
+    parts = [f"""bpe0 AS (
+  SELECT REGEXP_REPLACE(word, '(.)', '(\\1)', 'g') AS sym,
+         word_freq
+  FROM (
+    SELECT word, COUNT(*) AS word_freq
+    FROM (
+      SELECT unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS word
+      FROM documents WHERE text IS NOT NULL
+    )
+    WHERE REGEXP_MATCHES(word, '^[a-z]+$') AND LENGTH(word) >= 2
+    GROUP BY word
+  )
+)"""]
+    for r in range(1, BPE_ITER_ROUNDS + 1):
+        prev = f"bpe{r - 1}"
+        parts.append(f"""bp{r}_syms AS (
+  SELECT string_split(sym[2:LENGTH(sym) - 1], ')(') AS s, word_freq
+  FROM {prev}
+), bp{r}_idx AS (
+  SELECT s, word_freq, unnest(range(1, len(s))) AS i FROM bp{r}_syms
+), bp{r}_pairs AS (
+  SELECT s[i] AS l, s[i + 1] AS r, SUM(word_freq) AS pair_count
+  FROM bp{r}_idx
+  GROUP BY 1, 2
+), bp{r}_top AS (
+  SELECT l, r, pair_count FROM bp{r}_pairs
+  ORDER BY pair_count DESC, l, r LIMIT 1
+), bpe{r} AS (
+  SELECT REPLACE(sym,
+                 '(' || (SELECT l FROM bp{r}_top) || ')(' ||
+                       (SELECT r FROM bp{r}_top) || ')',
+                 '(' || (SELECT l FROM bp{r}_top) ||
+                       (SELECT r FROM bp{r}_top) || ')') AS sym,
+         word_freq
+  FROM {prev}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, l AS left_sym, "
+        f"r AS right_sym, CAST(pair_count AS BIGINT) AS pair_count "
+        f"FROM bp{r}_top"
+        for r in range(1, BPE_ITER_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
 #: Kneser-Ney absolute discount, exact as the rational 3/4 — all
 #: count arithmetic scales by 4 so the discounted numerator is the
 #: integer max(4c−3, 0).
@@ -1463,6 +1602,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("text_bigram_topk", text_bigram_topk, TEXT_BIGRAM_ORACLE, "corpus bigram top-k (narrow HOF build)"),
     QueryDef("text_kneser_ney_bigram", text_kneser_ney_bigram, TEXT_KN_ORACLE, "interpolated Kneser-Ney bigram LM (exact 3/4-discount rationals) vs MLE"),
     QueryDef("text_lang_confidence_margin", text_lang_confidence_margin, TEXT_LANG_MARGIN_ORACLE, "lang-ID top-2 score margin bands vs declared-label agreement (confidence gate audit)"),
+    QueryDef("bpe_merge_iterative", bpe_merge_iterative, _bpe_iter_oracle(), "iterative BPE training: 3 unrolled merge rounds with applied merges (learned merge table)"),
     QueryDef("text_language_id", text_language_id, TEXT_LANG_ORACLE, "marker-word lang-ID"),
     QueryDef("text_lang_confusion", text_lang_confusion, TEXT_LANG_CONFUSION_ORACLE, "declared-vs-detected language confusion matrix"),
     QueryDef("text_quality_score", text_quality_score, TEXT_QUALITY_ORACLE, "quality heuristic"),

@@ -6420,3 +6420,62 @@ def test_text_lang_confidence_margin_matches_python_recompute(spark):
     }
     assert got == exp
     assert sum(v[0] for v in got.values()) > 0
+
+
+def test_bpe_merge_iterative_matches_python_trainer(spark):
+    """The unrolled BPE rounds against a direct Python BPE trainer on
+    the same vocabulary (frequency-weighted pair counts, argmax with
+    the (count DESC, l, r) tiebreak, left-to-right non-overlapping
+    merge application) — the merge table must match round for round,
+    and the learned pairs must be pairwise distinct (a merge removes
+    its own adjacency for good)."""
+    import re
+    from collections import Counter
+
+    from duckdb_gsheets_spark.operators.text import (
+        BPE_ITER_ROUNDS,
+        bpe_merge_iterative,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.pair_count)
+        for r in sorted(
+            bpe_merge_iterative(spark, SF).collect(), key=lambda r: r.round
+        )
+    ]
+
+    vocab = Counter()
+    for r in load_table(spark, SF, "documents").collect():
+        for w in (r.text or "").strip().lower().split():
+            if re.fullmatch("[a-z]+", w) and len(w) >= 2:
+                vocab[w] += 1
+    words = {w: [list(w), f] for w, f in vocab.items()}
+
+    expected = []
+    for rnd in range(1, BPE_ITER_ROUNDS + 1):
+        counts = Counter()
+        for syms, f in words.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        (l, r_), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rnd, l, r_, c))
+        for entry in words.values():
+            syms = entry[0]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r_:
+                    out.append(l + r_)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            entry[0] = out
+    assert got == expected
+    # Applying a merge removes every (l, r) adjacency and can never
+    # re-create one (fusing neighbors only produces NEW symbols), so
+    # a learned pair must be unique across rounds.
+    assert len({(l, r) for _, l, r, _ in got}) == BPE_ITER_ROUNDS
+    assert all(c > 0 for _, _, _, c in got)

@@ -12,7 +12,9 @@ SF = "/root/testdata/sf0.001"
 #: LocalTableScan — stringifying their plan would execute the full
 #: iteration for zero shape coverage. Their internal shapes are
 #: pinned by dedicated tests/pytest recomputes instead.
-DRIVER_ASSEMBLED = frozenset({"kmeans_lloyd", "pca_power_topcomp", "logreg_probe"})
+DRIVER_ASSEMBLED = frozenset(
+    {"kmeans_lloyd", "pca_power_topcomp", "logreg_probe", "bpe_merge_iterative"}
+)
 
 _PLAN_CACHE: dict[str, str] = {}
 
