@@ -2375,6 +2375,113 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER readout — the planning half of the A/B family
+    (:func:`events_ab_test` is the outcome half): from the two arms'
+    observed variance, (a) the minimum detectable effect at 80% power
+    / α = 0.05 two-sided for the CURRENT sample sizes
+    (MDE = (z_{α/2} + z_{β}) · √(s²_a/n_a + s²_b/n_b)) and (b) the
+    per-arm n required to detect a 1% relative lift of arm A's mean
+    at the same power (n = (z_{α/2} + z_{β})² · (s²_a + s²_b) / Δ²,
+    ceiling) — the two numbers an experiment review asks before
+    trusting a null result.
+
+    z constants are fixed literals (1.959964, 0.841621 — the standard
+    normal quantiles to 6 dp) so both engines evaluate one identical
+    fixed double expression over the exact DECIMAL co-moments; same
+    shapes as the readout: one scan-side fold to a 2-row stat table.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("long")
+    last_hex = F.substring(F.md5(F.col("user_id").cast("string")), 32, 1)
+    arm = F.when(
+        last_hex.isin("0", "2", "4", "6", "8", "a", "c", "e"), "A"
+    ).otherwise("B")
+    pts = events.where(F.col("event_type") == "purchase").select(
+        arm.alias("arm"), cents.alias("x")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact widening
+    per_arm = pts.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    a = per_arm.where(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    b = per_arm.where(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    j = a.crossJoin(b)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    var = lambda n, sx, sxx: (  # noqa: E731 — sample var of VALUE units
+        (n.cast("decimal(38,0)") * sxx - sx * sx).cast("double")
+        / (n.cast("double") * (n.cast("double") - F.lit(1.0)))
+        / F.lit(10000.0)
+    )
+    v_a = var(F.col("n_a"), F.col("sx_a"), F.col("sxx_a"))
+    v_b = var(F.col("n_b"), F.col("sx_b"), F.col("sxx_b"))
+    z = F.lit(1.959964) + F.lit(0.841621)
+    mde = z * F.sqrt(v_a / na + v_b / nb)
+    m_a = F.col("sx_a").cast("double") / na / F.lit(100.0)
+    delta = m_a * F.lit(0.01)
+    n_req = F.ceil(z * z * (v_a + v_b) / (delta * delta))
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(F.sqrt(v_a), 6).alias("sd_a"),
+        F.round(F.sqrt(v_b), 6).alias("sd_b"),
+        F.round(mde, 6).alias("mde_80pct"),
+        n_req.cast("bigint").alias("n_per_arm_for_1pct_lift"),
+    )
+
+
+EVENTS_POWER_ORACLE = """
+WITH pw_pts AS (
+  SELECT CASE WHEN SUBSTRING(md5(CAST(user_id AS VARCHAR)), 32, 1)
+              IN ('0','2','4','6','8','a','c','e')
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+), pw_stats AS (
+  SELECT arm, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM pw_pts GROUP BY arm
+), pw_j AS (
+  SELECT a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+         b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+  FROM (SELECT * FROM pw_stats WHERE arm = 'A') a,
+       (SELECT * FROM pw_stats WHERE arm = 'B') b
+), pw_v AS (
+  SELECT n_a, n_b, sx_a,
+         CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+           / 10000.0 AS v_a,
+         CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE)
+           / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+           / 10000.0 AS v_b
+  FROM pw_j
+)
+SELECT n_a, n_b,
+       ROUND(SQRT(v_a), 6) AS sd_a,
+       ROUND(SQRT(v_b), 6) AS sd_b,
+       ROUND((1.959964 + 0.841621)
+             * SQRT(v_a / CAST(n_a AS DOUBLE)
+                    + v_b / CAST(n_b AS DOUBLE)), 6) AS mde_80pct,
+       CAST(CEIL((1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 * (v_a + v_b)
+                 / ((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0
+                     * 0.01)
+                    * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0
+                       * 0.01))) AS BIGINT)
+         AS n_per_arm_for_1pct_lift
+FROM pw_v
+"""
+
+
 EVENTS_AB_TEST_ORACLE = """
 WITH ab_pts AS (
   SELECT CASE WHEN SUBSTRING(md5(CAST(user_id AS VARCHAR)), 32, 1)
@@ -2460,4 +2567,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_pattern_match", events_pattern_match, EVENTS_PATTERN_ORACLE, "ordered view->click->purchase session matching via signature regex"),
     # -- round-7 additions --
     QueryDef("events_ab_test", events_ab_test, EVENTS_AB_TEST_ORACLE, "hash-bucket A/B assignment + Welch z on purchase value (experiment readout)"),
+    QueryDef("events_power_analysis", events_power_analysis, EVENTS_POWER_ORACLE, "experiment power: MDE at 80% power + required n per arm for a 1% lift"),
 ]

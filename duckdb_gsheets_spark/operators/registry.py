@@ -57,18 +57,18 @@ class QueryDef:
 #:   ``ann_prefix_ivf_recall`` (its recall rollup now builds the
 #:   query spine from the bounded driver batch instead of
 #:   re-deriving it from the baseline subtree);
-#: * 7 round-7 additions (``pipeline_fineweb_corpus``,
+#: * 8 round-7 additions (``pipeline_fineweb_corpus``,
 #:   ``split_leakage_semantic``, ``quality_score_calibration``,
 #:   ``events_ab_test``, ``text_kneser_ney_bigram``,
-#:   ``text_lang_confidence_margin``, ``bpe_merge_iterative``) —
-#:   first driver rows;
+#:   ``text_lang_confidence_margin``, ``bpe_merge_iterative``,
+#:   ``events_power_analysis``) — first driver rows;
 #: * 2 changed-SEMANTICS re-checks from the round-7 sf0.1 sweep:
 #:   ``window_percent_rank`` (exact integer-grid ratios replace the
 #:   float-boundary round) and ``quality_signal_correlation``
 #:   (DECIMAL(38,0) co-moments replace the overflowing long sums);
-#: * 34 longest-unchecked greens: every remaining row whose latest
-#:   driver check is ROUND 2 (32 queries), then the 2 oldest round-3
-#:   rows (the composed pipelines). The rest of the round-3 rows
+#: * 33 longest-unchecked greens: every remaining row whose latest
+#:   driver check is ROUND 2 (32 queries), then the oldest round-3
+#:   row (pipeline_training_corpus). The rest of the round-3 rows
 #:   head the ROUND-8 ROTATION QUEUE.
 #:
 #: Everything after position 50 has a green driver row from an earlier
@@ -88,6 +88,7 @@ _WINDOW: tuple[str, ...] = (
     "text_kneser_ney_bigram",
     "text_lang_confidence_margin",
     "bpe_merge_iterative",
+    "events_power_analysis",
     # -- last round-1 rows (queued in round 6) --
     "grouping_sets_sales",
     "q21_waiting_suppliers",
@@ -133,7 +134,6 @@ _WINDOW: tuple[str, ...] = (
     "range_join_shipments",
     # -- oldest round-3 rows (fill to 50) --
     "pipeline_training_corpus",
-    "pipeline_curated_corpus",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and

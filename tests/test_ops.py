@@ -6479,3 +6479,55 @@ def test_bpe_merge_iterative_matches_python_trainer(spark):
     # a learned pair must be unique across rounds.
     assert len({(l, r) for _, l, r, _ in got}) == BPE_ITER_ROUNDS
     assert all(c > 0 for _, _, _, c in got)
+
+
+def test_events_power_analysis_matches_python_recompute(spark):
+    """Power readout vs direct recompute: same hash arms, same
+    variance combination, the standard normal constants, and the
+    consistency tie to the Welch readout — an observed |welch_z| and
+    the MDE must agree on which side of detectability the observed
+    effect sits (|mean_a − mean_b| ≥ MDE ⟺ the z exceeds
+    z_alpha + z_beta)."""
+    import hashlib
+    import math
+
+    from duckdb_gsheets_spark.operators.events import (
+        events_ab_test,
+        events_power_analysis,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    row = events_power_analysis(spark, SF).collect()[0]
+    pts = {"A": [], "B": []}
+    for r in (
+        load_table(spark, SF, "events")
+        .where("event_type = 'purchase'")
+        .select("user_id", "value")
+        .collect()
+    ):
+        h = hashlib.md5(str(r.user_id).encode()).hexdigest()[31]
+        pts["A" if h in "02468ace" else "B"].append(
+            int(round(r.value * 100.0))
+        )
+
+    def stats(xs):
+        n = len(xs)
+        sx, sxx = sum(xs), sum(x * x for x in xs)
+        var = (n * sxx - sx * sx) / (n * (n - 1.0)) / 10000.0
+        return n, sx, var
+
+    n_a, sx_a, v_a = stats(pts["A"])
+    n_b, _, v_b = stats(pts["B"])
+    z = 1.959964 + 0.841621
+    mde = z * math.sqrt(v_a / n_a + v_b / n_b)
+    delta = sx_a / n_a / 100.0 * 0.01
+    n_req = math.ceil(z * z * (v_a + v_b) / (delta * delta))
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.sd_a == round(math.sqrt(v_a), 6)
+    assert row.sd_b == round(math.sqrt(v_b), 6)
+    assert row.mde_80pct == round(mde, 6)
+    assert row.n_per_arm_for_1pct_lift == n_req
+    # Consistency with the Welch readout on this fixture.
+    ab = events_ab_test(spark, SF).collect()[0]
+    observed = abs(ab.mean_a - ab.mean_b)
+    assert (observed >= row.mde_80pct) == (abs(ab.welch_z) >= z - 1e-9)

@@ -860,6 +860,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "pipeline_dsir_corpus",     # composes the totals broadcast + 1-row n_cand
         "quality_score_calibration",  # 1-row n_total broadcast (deciles recipe)
         "events_ab_test",           # two 1-row per-arm stat sides
+        "events_power_analysis",    # same two 1-row per-arm stat sides
         "text_kneser_ney_bigram",   # 1-row N1+(..) bigram-type-count broadcast
     }
     offenders = {}
