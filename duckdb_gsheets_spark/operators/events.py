@@ -2482,6 +2482,140 @@ FROM pw_v
 """
 
 
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout — the third leg of the
+    experiment family: when treatment could not be randomized at
+    event time, compare each arm's purchase-value CHANGE across the
+    pre/post boundary; the arm-level trend cancels and
+    DiD = (post_A − pre_A) − (post_B − pre_B) estimates the
+    treatment effect under parallel trends. The boundary is the
+    deterministic midpoint of the observed date span
+    (``2·(d − d_min) > d_max − d_min`` ⇒ post — pure integer date
+    arithmetic, identical in both engines), so the op is replayable
+    with no parameters.
+
+    One row out: the four cell sizes, the DiD estimate, and its z
+    (SE = √Σ s²_c/n_c over the four cells — the standard
+    independent-samples form). Shapes: ONE conditional-aggregation
+    fold over the scan into a 1-row stat table (12 exact DECIMAL
+    sums), the date bounds ride a 1-row broadcast; nothing
+    corpus-sized moves.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purch = events.where(F.col("event_type") == "purchase")
+    bounds = purch.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("long")
+    last_hex = F.substring(F.md5(F.col("user_id").cast("string")), 32, 1)
+    arm = F.when(
+        last_hex.isin("0", "2", "4", "6", "8", "a", "c", "e"), "A"
+    ).otherwise("B")
+    post = (
+        F.lit(2) * F.datediff(F.to_date("ts"), F.col("d0"))
+        > F.datediff(F.col("d1"), F.col("d0"))
+    ).cast("int")
+    pts = purch.crossJoin(F.broadcast(bounds)).select(
+        arm.alias("arm"), post.alias("post"), cents.alias("x")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact widening
+    cells = (("a0", "A", 0), ("a1", "A", 1), ("b0", "B", 0), ("b1", "B", 1))
+    aggs = []
+    for tag, a_, p_ in cells:
+        cond = (F.col("arm") == a_) & (F.col("post") == p_)
+        aggs += [
+            F.sum(cond.cast("long")).alias(f"n_{tag}"),
+            F.sum(F.when(cond, dec(F.col("x"))).otherwise(dec(F.lit(0)))).alias(f"sx_{tag}"),
+            F.sum(
+                F.when(cond, dec(F.col("x") * F.col("x"))).otherwise(dec(F.lit(0)))
+            ).alias(f"sxx_{tag}"),
+        ]
+    j = pts.agg(*aggs)
+
+    def mean(tag):
+        return (
+            F.col(f"sx_{tag}").cast("double")
+            / F.col(f"n_{tag}").cast("double")
+            / F.lit(100.0)
+        )
+
+    def vn(tag):  # s²_c/n_c in value units
+        n = F.col(f"n_{tag}").cast("double")
+        comb = (
+            F.col(f"n_{tag}").cast("decimal(38,0)") * F.col(f"sxx_{tag}")
+            - F.col(f"sx_{tag}") * F.col(f"sx_{tag}")
+        ).cast("double")
+        return comb / (n * (n - F.lit(1.0))) / F.lit(10000.0) / n
+
+    did = (mean("a1") - mean("a0")) - (mean("b1") - mean("b0"))
+    se = F.sqrt(vn("a0") + vn("a1") + vn("b0") + vn("b1"))
+    return j.select(
+        "n_a0",
+        "n_a1",
+        "n_b0",
+        "n_b1",
+        F.round(did, 6).alias("did_estimate"),
+        F.round(did / se, 6).alias("did_z"),
+    )
+
+
+EVENTS_DID_ORACLE = """
+WITH dd_bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events WHERE event_type = 'purchase'
+), dd_pts AS (
+  SELECT CASE WHEN SUBSTRING(md5(CAST(user_id AS VARCHAR)), 32, 1)
+              IN ('0','2','4','6','8','a','c','e')
+              THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN 2 * (CAST(ts AS DATE) - d0) > (d1 - d0)
+              THEN 1 ELSE 0 END AS post,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS x
+  FROM events, dd_bounds WHERE event_type = 'purchase'
+), dd_j AS (
+  SELECT
+    SUM(CASE WHEN arm = 'A' AND post = 0 THEN 1 ELSE 0 END) AS n_a0,
+    SUM(CASE WHEN arm = 'A' AND post = 0 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx_a0,
+    SUM(CASE WHEN arm = 'A' AND post = 0 THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) ELSE 0 END) AS sxx_a0,
+    SUM(CASE WHEN arm = 'A' AND post = 1 THEN 1 ELSE 0 END) AS n_a1,
+    SUM(CASE WHEN arm = 'A' AND post = 1 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx_a1,
+    SUM(CASE WHEN arm = 'A' AND post = 1 THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) ELSE 0 END) AS sxx_a1,
+    SUM(CASE WHEN arm = 'B' AND post = 0 THEN 1 ELSE 0 END) AS n_b0,
+    SUM(CASE WHEN arm = 'B' AND post = 0 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx_b0,
+    SUM(CASE WHEN arm = 'B' AND post = 0 THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) ELSE 0 END) AS sxx_b0,
+    SUM(CASE WHEN arm = 'B' AND post = 1 THEN 1 ELSE 0 END) AS n_b1,
+    SUM(CASE WHEN arm = 'B' AND post = 1 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx_b1,
+    SUM(CASE WHEN arm = 'B' AND post = 1 THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) ELSE 0 END) AS sxx_b1
+  FROM dd_pts
+)
+SELECT CAST(n_a0 AS BIGINT) AS n_a0, CAST(n_a1 AS BIGINT) AS n_a1,
+       CAST(n_b0 AS BIGINT) AS n_b0, CAST(n_b1 AS BIGINT) AS n_b1,
+       ROUND((CAST(sx_a1 AS DOUBLE) / CAST(n_a1 AS DOUBLE) / 100.0
+              - CAST(sx_a0 AS DOUBLE) / CAST(n_a0 AS DOUBLE) / 100.0)
+             - (CAST(sx_b1 AS DOUBLE) / CAST(n_b1 AS DOUBLE) / 100.0
+                - CAST(sx_b0 AS DOUBLE) / CAST(n_b0 AS DOUBLE) / 100.0), 6)
+         AS did_estimate,
+       ROUND(((CAST(sx_a1 AS DOUBLE) / CAST(n_a1 AS DOUBLE) / 100.0
+               - CAST(sx_a0 AS DOUBLE) / CAST(n_a0 AS DOUBLE) / 100.0)
+              - (CAST(sx_b1 AS DOUBLE) / CAST(n_b1 AS DOUBLE) / 100.0
+                 - CAST(sx_b0 AS DOUBLE) / CAST(n_b0 AS DOUBLE) / 100.0))
+             / SQRT(
+                 CAST(n_a0 * sxx_a0 - sx_a0 * sx_a0 AS DOUBLE)
+                   / (CAST(n_a0 AS DOUBLE) * (CAST(n_a0 AS DOUBLE) - 1.0))
+                   / 10000.0 / CAST(n_a0 AS DOUBLE)
+               + CAST(n_a1 * sxx_a1 - sx_a1 * sx_a1 AS DOUBLE)
+                   / (CAST(n_a1 AS DOUBLE) * (CAST(n_a1 AS DOUBLE) - 1.0))
+                   / 10000.0 / CAST(n_a1 AS DOUBLE)
+               + CAST(n_b0 * sxx_b0 - sx_b0 * sx_b0 AS DOUBLE)
+                   / (CAST(n_b0 AS DOUBLE) * (CAST(n_b0 AS DOUBLE) - 1.0))
+                   / 10000.0 / CAST(n_b0 AS DOUBLE)
+               + CAST(n_b1 * sxx_b1 - sx_b1 * sx_b1 AS DOUBLE)
+                   / (CAST(n_b1 AS DOUBLE) * (CAST(n_b1 AS DOUBLE) - 1.0))
+                   / 10000.0 / CAST(n_b1 AS DOUBLE)), 6) AS did_z
+FROM dd_j
+"""
+
+
 EVENTS_AB_TEST_ORACLE = """
 WITH ab_pts AS (
   SELECT CASE WHEN SUBSTRING(md5(CAST(user_id AS VARCHAR)), 32, 1)
@@ -2568,4 +2702,5 @@ QUERIES: list[QueryDef] = [
     # -- round-7 additions --
     QueryDef("events_ab_test", events_ab_test, EVENTS_AB_TEST_ORACLE, "hash-bucket A/B assignment + Welch z on purchase value (experiment readout)"),
     QueryDef("events_power_analysis", events_power_analysis, EVENTS_POWER_ORACLE, "experiment power: MDE at 80% power + required n per arm for a 1% lift"),
+    QueryDef("events_did", events_did, EVENTS_DID_ORACLE, "difference-in-differences readout across the deterministic midpoint boundary (parallel-trends estimator + z)"),
 ]

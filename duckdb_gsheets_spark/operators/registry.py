@@ -57,19 +57,18 @@ class QueryDef:
 #:   ``ann_prefix_ivf_recall`` (its recall rollup now builds the
 #:   query spine from the bounded driver batch instead of
 #:   re-deriving it from the baseline subtree);
-#: * 8 round-7 additions (``pipeline_fineweb_corpus``,
+#: * 9 round-7 additions (``pipeline_fineweb_corpus``,
 #:   ``split_leakage_semantic``, ``quality_score_calibration``,
 #:   ``events_ab_test``, ``text_kneser_ney_bigram``,
 #:   ``text_lang_confidence_margin``, ``bpe_merge_iterative``,
-#:   ``events_power_analysis``) — first driver rows;
+#:   ``events_power_analysis``, ``events_did``) — first driver rows;
 #: * 2 changed-SEMANTICS re-checks from the round-7 sf0.1 sweep:
 #:   ``window_percent_rank`` (exact integer-grid ratios replace the
 #:   float-boundary round) and ``quality_signal_correlation``
 #:   (DECIMAL(38,0) co-moments replace the overflowing long sums);
-#: * 33 longest-unchecked greens: every remaining row whose latest
-#:   driver check is ROUND 2 (32 queries), then the oldest round-3
-#:   row (pipeline_training_corpus). The rest of the round-3 rows
-#:   head the ROUND-8 ROTATION QUEUE.
+#: * 32 longest-unchecked greens: every remaining row whose latest
+#:   driver check is ROUND 2. The round-3 rows head the ROUND-8
+#:   ROTATION QUEUE.
 #:
 #: Everything after position 50 has a green driver row from an earlier
 #: round and is parity-checked every round by tools/parity.py; the
@@ -89,6 +88,7 @@ _WINDOW: tuple[str, ...] = (
     "text_lang_confidence_margin",
     "bpe_merge_iterative",
     "events_power_analysis",
+    "events_did",
     # -- last round-1 rows (queued in round 6) --
     "grouping_sets_sales",
     "q21_waiting_suppliers",
@@ -132,8 +132,6 @@ _WINDOW: tuple[str, ...] = (
     "sample_stratified",
     "q2_min_cost_supplier",
     "range_join_shipments",
-    # -- oldest round-3 rows (fill to 50) --
-    "pipeline_training_corpus",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and

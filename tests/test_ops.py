@@ -6531,3 +6531,48 @@ def test_events_power_analysis_matches_python_recompute(spark):
     ab = events_ab_test(spark, SF).collect()[0]
     observed = abs(ab.mean_a - ab.mean_b)
     assert (observed >= row.mde_80pct) == (abs(ab.welch_z) >= z - 1e-9)
+
+
+def test_events_did_matches_python_recompute(spark):
+    """DiD readout vs a direct Python recompute: same hash arms, the
+    deterministic midpoint boundary, four-cell means on the cents
+    grid, the independent-samples SE, and the algebraic identity
+    DiD = (Δ_A) − (Δ_B)."""
+    import hashlib
+    import math
+
+    from duckdb_gsheets_spark.operators.events import events_did
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    row = events_did(spark, SF).collect()[0]
+    rows = (
+        load_table(spark, SF, "events")
+        .where("event_type = 'purchase'")
+        .selectExpr("user_id", "value", "to_date(ts) AS d")
+        .collect()
+    )
+    d0 = min(r.d for r in rows)
+    d1 = max(r.d for r in rows)
+    cells = {}
+    for r in rows:
+        h = hashlib.md5(str(r.user_id).encode()).hexdigest()[31]
+        a = "a" if h in "02468ace" else "b"
+        p = 1 if 2 * (r.d - d0).days > (d1 - d0).days else 0
+        cells.setdefault(f"{a}{p}", []).append(int(round(r.value * 100.0)))
+
+    def stats(xs):
+        n = len(xs)
+        sx, sxx = sum(xs), sum(x * x for x in xs)
+        mean = sx / n / 100.0
+        vn = (n * sxx - sx * sx) / (n * (n - 1.0)) / 10000.0 / n
+        return n, mean, vn
+
+    s = {k: stats(v) for k, v in cells.items()}
+    did = (s["a1"][1] - s["a0"][1]) - (s["b1"][1] - s["b0"][1])
+    se = math.sqrt(s["a0"][2] + s["a1"][2] + s["b0"][2] + s["b1"][2])
+    assert (row.n_a0, row.n_a1, row.n_b0, row.n_b1) == (
+        s["a0"][0], s["a1"][0], s["b0"][0], s["b1"][0],
+    )
+    assert row.did_estimate == round(did, 6)
+    assert row.did_z == round(did / se, 6)
+    assert all(v[0] > 1 for v in s.values())

@@ -861,6 +861,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "quality_score_calibration",  # 1-row n_total broadcast (deciles recipe)
         "events_ab_test",           # two 1-row per-arm stat sides
         "events_power_analysis",    # same two 1-row per-arm stat sides
+        "events_did",               # 1-row date-bounds broadcast
         "text_kneser_ney_bigram",   # 1-row N1+(..) bigram-type-count broadcast
     }
     offenders = {}
