@@ -2560,6 +2560,94 @@ def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS value trend — the regression member of the
+    analytics battery (seasonal-naive forecasting and WoW deltas
+    exist; this is the LINE): regress the cents-grid value on the day
+    index (days since the global first event day, a 1-row broadcast)
+    and report slope (value units/day), intercept, and R² from the
+    EXACT integer co-moments — the five sums accumulate as
+    DECIMAL(38,0) (the overflow-proof recipe), and slope/intercept/R²
+    are fixed double expressions evaluated in the same operation
+    order in both engines.
+
+    Shapes: one narrow scan projection + ONE |event types|-row
+    map-side-combined rollup; degenerate types (zero x- or
+    y-variance) are FILTERED, matching the correlation op's guard
+    convention.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.min(F.to_date("ts")).alias("d0"))
+    pts = events.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.col("d0"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * F.lit(100.0)).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact widening
+    stats = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    nn = dec(F.col("n"))
+    num = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / vx  # cents per day
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double") / F.lit(100.0)
+    return stats.where(
+        (nn * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (nn * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).select(
+        "event_type",
+        "n",
+        F.round(slope / F.lit(100.0), 6).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(num * num / (vx * vy), 6).alias("r2"),
+    )
+
+
+EVENTS_OLS_ORACLE = """
+WITH ol_bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events
+), ol_pts AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - d0 AS BIGINT) AS x,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS y
+  FROM events, ol_bounds
+), ol_stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+         SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+  FROM ol_pts GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6)
+         AS slope_per_day,
+       ROUND((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 100.0, 6) AS intercept,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM ol_stats
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
 EVENTS_DID_ORACLE = """
 WITH dd_bounds AS (
   SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
@@ -2703,4 +2791,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_ab_test", events_ab_test, EVENTS_AB_TEST_ORACLE, "hash-bucket A/B assignment + Welch z on purchase value (experiment readout)"),
     QueryDef("events_power_analysis", events_power_analysis, EVENTS_POWER_ORACLE, "experiment power: MDE at 80% power + required n per arm for a 1% lift"),
     QueryDef("events_did", events_did, EVENTS_DID_ORACLE, "difference-in-differences readout across the deterministic midpoint boundary (parallel-trends estimator + z)"),
+    QueryDef("events_ols_trend", events_ols_trend, EVENTS_OLS_ORACLE, "per-type OLS value-vs-day trend (exact integer co-moments: slope/intercept/R^2)"),
 ]

