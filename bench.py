@@ -184,8 +184,22 @@ def main() -> None:
     # "--duckdb" is accepted for backward compatibility.
     if "--no-duckdb" not in sys.argv:
         duck = run_duckdb(sf_dir, HEADLINE)
-        result["duckdb_baseline"] = duck
         result["duckdb_total"] = round(sum(duck.values()), 3)
+        if result["duckdb_total"] > 0:
+            result["ratio_vs_duckdb"] = round(
+                result["value_oracle_subset"] / result["duckdb_total"], 3
+            )
+        # Per-query DuckDB timings stay OFF the stdout summary line —
+        # round 7's 38-query headline pushed the two-dict line past
+        # the driver's tail-capture window and BENCH_r07.json recorded
+        # "parsed": null. Full detail goes to a sidecar file instead.
+        detail = dict(result)
+        detail["duckdb_baseline"] = duck
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
     print(json.dumps(result))
 
 

@@ -634,21 +634,45 @@ def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wordcount + broadcast-vocab filter, then everything is
     |sources|×K-bounded (grid cross of two broadcast-scale tables,
     bounded rollups, partitioned top-term window).
+
+    Scan ledger (round-8 fix — the round-7 plan audit caught this
+    query re-expanding the vocab subtree into EVERY downstream
+    branch: 32 parquet scans / 34 exchanges). The K-row vocab and
+    the |sources|×K filled grid are both bounded regardless of
+    corpus size, so each is eagerly ``localCheckpoint``'ed; the four
+    rollups and the top-term window then read materialized blocks.
+    Exactly three corpus scans remain: the vocab wordcount, the
+    per-(source, tok) count, and a column-pruned source spine.
     """
-    docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("source", F.explode("toks").alias("tok"))
-    vocab = frequency_vocab(toks).select("tok")
+    docs_tbl = load_table(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs_tbl).select(
+        "source", F.explode("toks").alias("tok")
+    )
+    vocab = frequency_vocab(toks).select("tok").localCheckpoint(eager=True)
     counts = (
         toks.join(F.broadcast(vocab), "tok")
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sources = toks.select("source").distinct()
+    # Source spine via a column-pruned base-table scan, not the
+    # tokenized stream: split() yields >= 1 token for every non-NULL
+    # text, so DISTINCT source over tokens == DISTINCT source over
+    # non-NULL-text rows (the oracle's `SELECT DISTINCT source FROM
+    # toks` agrees by the same argument).
+    sources = (
+        docs_tbl.where(F.col("text").isNotNull())
+        .select("source")
+        .distinct()
+    )
     grid = sources.crossJoin(F.broadcast(vocab))
-    filled = grid.join(counts, ["source", "tok"], "left").select(
-        "source",
-        "tok",
-        F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+    filled = (
+        grid.join(F.broadcast(counts), ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+        )
+        .localCheckpoint(eager=True)
     )
     per_src = filled.groupBy("source").agg(F.sum("c").alias("t_s"))
     per_tok = filled.groupBy("tok").agg(F.sum("c").alias("c_g"))
@@ -660,7 +684,7 @@ def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = ps - pg
     scaled = F.round((dv * dv / pg) * F.lit(1e9)).cast("long")
     terms = (
-        filled.join(per_src, "source")
+        filled.join(F.broadcast(per_src), "source")
         .join(F.broadcast(per_tok), "tok")
         .join(F.broadcast(total))
         .select("source", "tok", "t_s", scaled.alias("sv"))
@@ -681,7 +705,7 @@ def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t_s").alias("n_vocab_tokens"),
         F.round(F.sum("sv").cast("double") / F.lit(1e9), 6).alias("chisq"),
     )
-    return agg.join(top, "source").select(
+    return agg.join(F.broadcast(top), "source").select(
         "source", "n_vocab_tokens", "chisq", "top_drift_term", "top_drift_val"
     )
 
@@ -1613,10 +1637,15 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     new-type counts roll up per batch, and the cumsum runs over the
     ≤N_GROWTH_BATCHES-row spine (bounded, allowlisted). Batch
     assignment is exact integer division against a broadcast 1-row
-    max — no sort, no rank.
+    max — eagerly ``localCheckpoint``'ed, because ``batched`` is
+    consumed twice (doc-level stats + the explode) and an
+    unmaterialized max would re-scan the corpus inside BOTH branches
+    (round 7's plan: 4 scans; now 2 — one per distinct projection).
     """
     docs = _doc_tokens(load_table(spark, sf_dir, "documents"))
-    maxid = docs.agg(F.max("doc_id").alias("max_id"))
+    maxid = docs.agg(F.max("doc_id").alias("max_id")).localCheckpoint(
+        eager=True
+    )
     batched = docs.join(F.broadcast(maxid)).select(
         F.expr(
             f"CAST((doc_id * {N_GROWTH_BATCHES}) DIV (max_id + 1) AS INT)"
@@ -2244,7 +2273,7 @@ DSIR_BUCKETS = 1024
 DSIR_TARGET_SOURCES = ("src0", "src1")
 
 
-def _dsir_weights(docs: DataFrame) -> DataFrame:
+def _dsir_weights(docs: DataFrame, raw_excludes_target: bool = False) -> DataFrame:
     """Per-document DSIR importance weight on the exact 1e-9 grid —
     ``(doc_id, lang, source, n_tokens, n_feats, w_scaled)`` where
     ``w_scaled`` is the scaled-long ``Σ_f [ln p_target(b(f)) −
@@ -2265,28 +2294,37 @@ def _dsir_weights(docs: DataFrame) -> DataFrame:
     contraction when the slice is small (the intended regime: the
     target is a quality exemplar, a few % of candidates), so the
     top-k selection the weight feeds is unchanged there. One pass
-    instead of two over the feature stream is the payoff at 100 TB;
-    callers with a dominant target slice should subtract ``t_cnt``
-    from ``r_cnt`` (both already computed in this rollup) and adjust
-    the oracle CTE identically.
+    instead of two over the feature stream is the payoff at 100 TB.
+    ``raw_excludes_target=True`` switches to the paper-faithful
+    estimator (``p_raw`` over the non-target slice only, computed by
+    subtracting the already-tallied ``t_cnt``/``t_tot`` — no extra
+    pass); the default stays False so the registered oracle is
+    stable, and :func:`_dsir_core_sql` takes the same flag so the
+    two modes stay oracle-checkable.
 
     Determinism: each ln is individually rounded to the 1e-9 grid and
     scaled to a long (libm drift ≤ 1 ulp ≈ 1e-15 ≪ grid), so the
     per-bucket log-ratio and every per-document sum are exact integer
     arithmetic in both engines.
 
-    Shapes, sized for 100 TB: the feature stream (one explode of
-    unigrams ⧺ zipped bigrams) is consumed three times — two
-    map-side-combined aggregations that collapse to ≤ DSIR_BUCKETS
-    rows each (broadcast back), and one per-document rollup — i.e.
-    three corpus scans, zero corpus-sized shuffles: the only wide
-    exchange is the (doc_id)-keyed rollup whose partial aggregates
-    combine map-side. A production run would persist the tokenized
-    projection once instead of rescanning; the shape is otherwise
-    unchanged.
+    Shapes, sized for 100 TB: the slim bucketed feature stream
+    (``feat`` string dropped — 4 narrow dims + one int per row) is
+    materialized ONCE via eager ``localCheckpoint`` (the "persist
+    the tokenized projection once" production pattern; block-manager
+    storage spills to local disk). Its two consumers — the
+    ≤ DSIR_BUCKETS-row bucket LM fit (broadcast back) and the
+    per-document rollup — then read materialized blocks instead of
+    re-tokenizing the corpus (round 7 paid three tokenize+explode
+    passes here and benched 5.4× its DuckDB twin). Zero corpus-sized
+    shuffles: the only wide exchange is the (doc_id)-keyed rollup
+    whose partial aggregates combine map-side.
     """
-    feats = _dsir_feats(docs)
-    llr = dsir_bucket_llr(feats)
+    feats = (
+        _dsir_feats(docs)
+        .select("doc_id", "lang", "source", "n_tokens", "bucket")
+        .localCheckpoint(eager=True)
+    )
+    llr = dsir_bucket_llr(feats, raw_excludes_target=raw_excludes_target)
     return (
         feats.join(F.broadcast(llr), "bucket")
         .groupBy("doc_id", "lang", "source", "n_tokens")
@@ -2333,18 +2371,34 @@ def _dsir_feats(docs: DataFrame) -> DataFrame:
     )
 
 
-def dsir_bucket_llr(feats: DataFrame) -> DataFrame:
+def dsir_bucket_llr(
+    feats: DataFrame, raw_excludes_target: bool = False
+) -> DataFrame:
     """The ≤``DSIR_BUCKETS``-row smoothed log-ratio table
     ``(bucket, llr)`` — the persisted artifact a production ingest
     gate loads. ``llr`` is the 1e-9-grid scaled-long
     ``ln p_target − ln p_raw`` per observed bucket (add-one smoothing
     over all ``DSIR_BUCKETS`` buckets; only observed buckets emit a
     row, and every scorable feature maps to an observed bucket when
-    the scored slice ⊆ the fitting corpus)."""
+    the scored slice ⊆ the fitting corpus).
+
+    ``raw_excludes_target=True`` fits ``p_raw`` on the NON-target
+    slice only (Xie et al.'s exact formulation) by subtracting the
+    target tally from the full-corpus one — same single pass over
+    ``feats``, different arithmetic. Default False = the documented
+    full-corpus deviation (see :func:`_dsir_weights`)."""
     is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
-    raw_cnt = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("r_cnt"),
-        F.sum(is_target.cast("long")).alias("t_cnt"),
+    # The bucket tally is consumed twice (the totals fold and the
+    # final per-bucket select); it is ≤ DSIR_BUCKETS rows, so an
+    # eager localCheckpoint stops the corpus subtree re-expanding
+    # into both branches.
+    raw_cnt = (
+        feats.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("r_cnt"),
+            F.sum(is_target.cast("long")).alias("t_cnt"),
+        )
+        .localCheckpoint(eager=True)
     )
     totals = raw_cnt.agg(
         F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
@@ -2356,24 +2410,33 @@ def dsir_bucket_llr(feats: DataFrame) -> DataFrame:
         )
         * 1e9
     ).cast("long")
+    if raw_excludes_target:
+        r_cnt = F.col("r_cnt") - F.col("t_cnt")
+        r_tot = F.col("r_tot") - F.col("t_tot")
+    else:
+        r_cnt = F.col("r_cnt")
+        r_tot = F.col("r_tot")
     return raw_cnt.join(F.broadcast(totals)).select(
         "bucket",
         (
-            lnp(F.col("t_cnt"), F.col("t_tot"))
-            - lnp(F.col("r_cnt"), F.col("r_tot"))
+            lnp(F.col("t_cnt"), F.col("t_tot")) - lnp(r_cnt, r_tot)
         ).alias("llr"),
     )
 
 
-def _dsir_core_sql() -> str:
+def _dsir_core_sql(raw_excludes_target: bool = False) -> str:
     """Shared CTE chain replaying :func:`_dsir_weights` in DuckDB —
     ends at ``dw(doc_id, lang, source, n_tokens, n_feats, w_scaled)``.
     Reused by the audit and the selection gate so the oracles cannot
-    drift."""
+    drift. ``raw_excludes_target`` mirrors the engine flag: the
+    ``dllr`` CTE fits ``p_raw`` on ``r_cnt - t_cnt`` over
+    ``r_tot - t_tot`` when set."""
     from duckdb_gsheets_spark.functions import portable_hash as PH
 
     tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
     b = DSIR_BUCKETS
+    raw_c = "(r_cnt - t_cnt)" if raw_excludes_target else "r_cnt"
+    raw_t = "(r_tot - t_tot)" if raw_excludes_target else "r_tot"
     return f"""ddocs AS (
   SELECT doc_id, lang, source,
          regexp_split_to_array(TRIM(text), '\\s+') AS toks,
@@ -2404,7 +2467,7 @@ def _dsir_core_sql() -> str:
   SELECT bucket,
          CAST(ROUND(LN((t_cnt + 1.0) / CAST(t_tot + {b} AS DOUBLE)) * 1e9)
               AS BIGINT)
-       - CAST(ROUND(LN((r_cnt + 1.0) / CAST(r_tot + {b} AS DOUBLE)) * 1e9)
+       - CAST(ROUND(LN(({raw_c} + 1.0) / CAST({raw_t} + {b} AS DOUBLE)) * 1e9)
               AS BIGINT) AS llr
   FROM dcnt, dtot
 ), dw AS (

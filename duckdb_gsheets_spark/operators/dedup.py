@@ -2408,6 +2408,193 @@ FROM uw_sizes s JOIN uw_toks t ON t.doc_id = s.comp
 """
 
 
+#: Suffix-LCP longest-repeated-substring report: suffix keys are
+#: capped at LRS_CAP tokens (bounds per-row state — a repeat longer
+#: than the cap reports AS the cap), candidates need an LCP of at
+#: least LRS_MIN_MATCH tokens, and the report keeps the LRS_TOPK
+#: longest.
+LRS_CAP = 12
+LRS_MIN_MATCH = 4
+LRS_TOPK = 10
+
+
+def dedup_longest_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K LONGEST repeated token substrings across the corpus —
+    suffix-array semantics at the sub-passage grain (the other half
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", 2022: their ExactSubstr dedup finds repeats the
+    fixed-width window pass — :func:`operators.chunking.duplicate_passages`
+    — cannot, because repeats live at arbitrary offsets and lengths).
+    Output: ``(match_len, substring, n_occurrences, n_docs)`` for the
+    ``LRS_TOPK`` longest distinct repeated substrings (ranked
+    match_len desc, substring tiebreak), where ``n_occurrences``
+    counts every corpus position the substring occurs at and
+    ``n_docs`` the distinct documents containing it.
+
+    The classic suffix-array theorem drives the plan: every repeated
+    substring is a prefix of the longest-common-prefix of two
+    suffixes that are ADJACENT in suffix-sorted order, so only the
+    n−1 adjacent LCPs — not all n² pairs — need computing. The
+    Spark shape is the distributed suffix sort:
+
+    * one row per token position, carrying the suffix's first
+      ``LRS_CAP`` tokens (bounded row state — the time/space knob of
+      every distributed suffix-array construction); eagerly
+      ``localCheckpoint``'ed, since four consumers read it;
+    * global suffix order = range partition on the space-joined key
+      (binary string compare — identical in both engines) with
+      (doc_id, pos) tiebreak; adjacency = per-partition ``lag`` in
+      parallel windows plus the bounded |pids|-row boundary seam
+      (first row of each partition paired with the previous
+      non-empty partition's last row) — the repo's tiled prefix-scan
+      pattern, no corpus-sized single window anywhere;
+    * token-level LCP is one JVM expression per adjacent pair
+      (``zip_with`` null-safe equality + first-mismatch position);
+    * the K surviving candidates broadcast back over ONE suffix-table
+      pass to count occurrences/documents (K·n cheap array-prefix
+      probes, no shuffle of the corpus).
+
+    At 100 TB the dominant cost is the one range-partition sort of
+    the (cap×tokens)-byte suffix table — O(n log n) and
+    embarrassingly partition-parallel, exactly how Lee et al.'s
+    suffix pipeline scales, vs. the quadratic all-pairs this
+    replaces. Oracle: same chain replayed with one global ``LAG``
+    window and DuckDB list lambdas.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    sfx = (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.posexplode("toks").alias("p0", "_tok"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.slice(F.col("toks"), F.col("p0") + 1, F.lit(LRS_CAP)).alias(
+                "key"
+            ),
+        )
+    )
+    ranged = (
+        sfx.withColumn("ks", F.concat_ws(" ", "key"))
+        .repartitionByRange("ks", "doc_id", "pos")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+    def lcp(a: Column, b: Column) -> Column:
+        # leading-equal-token run; zip_with pads the shorter side
+        # with NULL and <=> maps NULL-vs-token to false, so the run
+        # is naturally bounded by min(len(a), len(b)).
+        eq = F.zip_with(a, b, lambda x, y: x.eqNullSafe(y))
+        first_bad = F.array_position(eq, F.lit(False))
+        return F.when(first_bad == 0, F.least(F.size(a), F.size(b))).otherwise(
+            first_bad - 1
+        ).cast("int")
+
+    w_local = Window.partitionBy("pid").orderBy("ks", "doc_id", "pos")
+    inner = (
+        ranged.select(
+            "key", F.lag("key").over(w_local).alias("pk")
+        )
+        .where(F.col("pk").isNotNull())
+    )
+    w_first = Window.partitionBy("pid").orderBy("ks", "doc_id", "pos")
+    w_last = Window.partitionBy("pid").orderBy(
+        F.desc("ks"), F.desc("doc_id"), F.desc("pos")
+    )
+    firsts = (
+        ranged.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        .select("pid", "key")
+    )
+    lasts = (
+        ranged.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("pid", F.col("key").alias("lkey"))
+    )
+    # |pids|-row seam: unpartitioned lag over a bounded frame
+    # (allowlisted pattern — one row per non-empty partition).
+    w_pid = Window.orderBy("pid")
+    seam = (
+        lasts.withColumn("pk", F.lag("lkey").over(w_pid))
+        .join(firsts, "pid")
+        .where(F.col("pk").isNotNull())
+        .select("key", "pk")
+    )
+    pairs = inner.unionByName(seam).select(lcp(F.col("key"), F.col("pk")).alias("l"), "key")
+    cands = (
+        pairs.where(F.col("l") >= LRS_MIN_MATCH)
+        .select(
+            "l",
+            F.concat_ws(" ", F.slice(F.col("key"), 1, F.col("l"))).alias(
+                "substring"
+            ),
+        )
+        .distinct()
+        .orderBy(F.desc("l"), "substring")
+        .limit(LRS_TOPK)
+        .withColumn("sub_arr", F.split("substring", " "))
+    )
+    occ = (
+        ranged.join(
+            F.broadcast(cands),
+            F.slice(F.col("key"), F.lit(1), F.col("l")) == F.col("sub_arr"),
+        )
+        .groupBy("l", "substring")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    return occ.select(
+        F.col("l").alias("match_len"),
+        "substring",
+        "n_occurrences",
+        "n_docs",
+    )
+
+
+DEDUP_LRS_ORACLE = f"""
+WITH lr_toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+), lr_sfx AS (
+  SELECT doc_id, pos,
+         t[pos:least(pos + {LRS_CAP - 1}, len(t))] AS k
+  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS pos FROM lr_toks)
+), lr_adj AS (
+  SELECT k,
+         LAG(k) OVER (ORDER BY array_to_string(k, ' '), doc_id, pos) AS pk
+  FROM lr_sfx
+), lr_lcp AS (
+  SELECT k,
+         CAST(COALESCE(
+           NULLIF(list_position(
+             list_transform(range(1, least(len(k), len(pk)) + 1),
+                            i -> k[i] = pk[i]),
+             false), 0) - 1,
+           least(len(k), len(pk))) AS INTEGER) AS l
+  FROM lr_adj WHERE pk IS NOT NULL
+), lr_cand AS (
+  SELECT DISTINCT l, array_to_string(k[1:l], ' ') AS substring
+  FROM lr_lcp WHERE l >= {LRS_MIN_MATCH}
+), lr_topk AS (
+  SELECT l, substring, string_split(substring, ' ') AS sub_arr
+  FROM lr_cand ORDER BY l DESC, substring LIMIT {LRS_TOPK}
+)
+SELECT c.l AS match_len, c.substring,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT s.doc_id) AS n_docs
+FROM lr_topk c JOIN lr_sfx s ON list_slice(s.k, 1, c.l) = c.sub_arr
+GROUP BY c.l, c.substring
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact fingerprint dedup"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "token Jaccard pairs"),
@@ -2429,4 +2616,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("neardup_pagerank", neardup_pagerank, _neardup_pagerank_oracle(), "all-integer PageRank duplication-centrality over the near-dup graph"),
     QueryDef("neardup_triangles", neardup_triangles, NEARDUP_TRIANGLES_ORACLE, "degree-ordered triangle counting + clustering coefficient over the lexical near-dup graph"),
     QueryDef("neardup_graph_stats", neardup_graph_stats, NEARDUP_GRAPH_STATS_ORACLE, "one-row global graph health: transitivity + degree assortativity (exact integer moments)"),
+    QueryDef("dedup_longest_substring", dedup_longest_substring, DEDUP_LRS_ORACLE, "suffix-LCP top-K longest repeated substrings (ExactSubstr grain, distributed suffix sort)"),
 ]

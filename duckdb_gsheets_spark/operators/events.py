@@ -2351,7 +2351,14 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_b"), F.col("sx").alias("sx_b"),
         F.col("sxx").alias("sxx_b"),
     )
-    j = a.crossJoin(b)  # two 1-row sides
+    # Degenerate-arm guard (repo convention, same as the correlation
+    # op's zero-variance filter): an arm with n <= 1 has no sample
+    # variance — the Welch z would divide by zero. Filter the 1-row
+    # stat table instead of emitting NaN/Inf; the oracle applies the
+    # identical WHERE.
+    j = a.crossJoin(b).where(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    )  # two 1-row sides
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     mean = lambda sx, n: sx.cast("double") / n / F.lit(100.0)  # noqa: E731
     var = lambda n, sx, sxx: (  # sample variance of cents, exact comb.
@@ -2414,7 +2421,9 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_b"), F.col("sx").alias("sx_b"),
         F.col("sxx").alias("sxx_b"),
     )
-    j = a.crossJoin(b)
+    # Same degenerate-arm guard as events_ab_test: n <= 1 leaves no
+    # sample variance to plan with.
+    j = a.crossJoin(b).where((F.col("n_a") > 1) & (F.col("n_b") > 1))
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     var = lambda n, sx, sxx: (  # noqa: E731 — sample var of VALUE units
         (n.cast("decimal(38,0)") * sxx - sx * sx).cast("double")
@@ -2479,6 +2488,7 @@ SELECT n_a, n_b,
                        * 0.01))) AS BIGINT)
          AS n_per_arm_for_1pct_lift
 FROM pw_v
+WHERE n_a > 1 AND n_b > 1
 """
 
 
@@ -2531,7 +2541,16 @@ def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(cond, dec(F.col("x") * F.col("x"))).otherwise(dec(F.lit(0)))
             ).alias(f"sxx_{tag}"),
         ]
-    j = pts.agg(*aggs)
+    # Degenerate-cell guard (repo convention): any pre/post×arm cell
+    # with n <= 1 has no sample variance and the DiD z would divide
+    # by zero — filter the 1-row table; the oracle applies the
+    # identical WHERE.
+    j = pts.agg(*aggs).where(
+        (F.col("n_a0") > 1)
+        & (F.col("n_a1") > 1)
+        & (F.col("n_b0") > 1)
+        & (F.col("n_b1") > 1)
+    )
 
     def mean(tag):
         return (
@@ -2701,6 +2720,7 @@ SELECT CAST(n_a0 AS BIGINT) AS n_a0, CAST(n_a1 AS BIGINT) AS n_a1,
                    / (CAST(n_b1 AS DOUBLE) * (CAST(n_b1 AS DOUBLE) - 1.0))
                    / 10000.0 / CAST(n_b1 AS DOUBLE)), 6) AS did_z
 FROM dd_j
+WHERE n_a0 > 1 AND n_a1 > 1 AND n_b0 > 1 AND n_b1 > 1
 """
 
 
@@ -2745,6 +2765,7 @@ SELECT n_a, n_b,
                          / 10000.0 / CAST(n_b AS DOUBLE))) > 1.96
             AS INTEGER) AS significant_95
 FROM ab_j
+WHERE n_a > 1 AND n_b > 1
 """
 
 

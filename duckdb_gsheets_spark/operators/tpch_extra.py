@@ -828,15 +828,27 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-bucketing) — never over the customer table, so the shape holds
     at any customer count. Score joins broadcast back onto the
     per-customer aggregate; money flows through scaled-long sums.
+
+    The per-customer aggregate is consumed FOUR times (three
+    value-level count tables + the final score join), so it is
+    eagerly ``localCheckpoint``'ed: one orders scan + one
+    (o_custkey) shuffle materialize the narrow 5-column table once,
+    and every branch reads blocks (round 7's plan re-derived the
+    scan per branch: 7 scans / 14 exchanges).
     """
     orders = load_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("r_date"),
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("monetary"),
-    ).withColumn(
-        "m_bucket",
-        F.floor(F.col("monetary") / F.lit(RFM_M_BUCKET)).cast("long"),
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("r_date"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .withColumn(
+            "m_bucket",
+            F.floor(F.col("monetary") / F.lit(RFM_M_BUCKET)).cast("long"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def counts(col):

@@ -107,7 +107,14 @@ def run_to_memory(
     deadline = time.time() + timeout_s
     while query.isActive and time.time() < deadline:
         time.sleep(0.2)
-    query.awaitTermination(5)
+    if not query.awaitTermination(5):
+        # Timed out with the availableNow trigger still running:
+        # the memory sink holds a PARTIAL result. Returning it would
+        # silently corrupt the batch-equality contract — fail loud.
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {name} did not drain within {timeout_s}s"
+        )
     spark = stream_df.sparkSession
     return spark.table(name)
 
@@ -974,12 +981,39 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
     the sequential fold over micro-batches equals the one-shot merge
     whenever each key appears in at most one batch, and applies
     last-writer-wins in batch order otherwise (pinned by the
-    checkpoint-resume test).
+    checkpoint-resume test). WITHIN a batch, multiple changes to one
+    key pre-reduce to a single row (greatest source-file path wins,
+    row-struct tiebreak) before the merge, so the keyed-table
+    invariant — exactly one row per doc_id — holds for every batch
+    composition, not just key-partitioned ones.
     """
 
     def apply_batch(updates: DataFrame, batch_id: int) -> None:
         if updates.isEmpty():
             return
+        # One micro-batch can pack several changes for the same key
+        # (the file source admits multiple CDC files per trigger);
+        # joining them raw would fan the full-outer out and write
+        # DUPLICATE doc_id rows into the keyed snapshot. Pre-reduce
+        # to one row per key: last-writer = greatest source-file
+        # path (CDC feed directories embed arrival order in the file
+        # name), with the row struct as a deterministic tiebreak for
+        # within-file duplicates. Falls back to the struct order
+        # alone when the batch has no file lineage.
+        try:
+            upd = updates.withColumn("_src", F.col("_metadata.file_path"))
+        except Exception:  # non-file source: no lineage column
+            upd = updates.withColumn("_src", F.lit(""))
+        updates_1 = (
+            upd.groupBy("doc_id")
+            .agg(
+                F.max_by(
+                    F.struct("text", "lang", "source"),
+                    F.struct("_src", "text", "lang", "source"),
+                ).alias("u")
+            )
+            .select("doc_id", "u.text", "u.lang", "u.source")
+        )
         cur = spark.read.parquet(table_state["cur"])
         merged = (
             cur.select(
@@ -989,7 +1023,7 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
                 F.col("source").alias("base_source"),
             )
             .join(
-                updates.select(
+                updates_1.select(
                     "doc_id",
                     F.col("text").alias("upd_text"),
                     F.col("lang").alias("upd_lang"),
@@ -1084,7 +1118,11 @@ def streaming_corpus_upsert_state(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        # availableNow didn't drain: state["cur"] points at a
+        # PARTIALLY merged snapshot — fail loud rather than return it.
+        q.stop()
+        raise TimeoutError("CDC upsert stream did not drain within 120s")
     return spark.read.parquet(state["cur"]).select(
         "doc_id",
         F.md5(F.col("text")).alias("text_md5"),

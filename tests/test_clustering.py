@@ -34,17 +34,20 @@ def test_clustered_envelopes_are_disjoint_and_prunable(spark, tmp_path):
     env_n = file_envelopes(naive, "ts_s")
     assert len(env_c) == N_FILES and len(env_n) == N_FILES
 
-    # (a) clustered: pairwise disjoint envelopes; naive: all overlap.
+    # (a) clustered: STRICTLY disjoint envelopes (repartitionByRange
+    # keeps equal keys in one partition, so adjacent files can never
+    # share a boundary value) — strictness is what the (N-1)/N skip
+    # assertion in (b) relies on; naive: all overlap.
     for (_, mx1, _), (mn2, _, _) in zip(env_c, env_c[1:]):
-        assert mx1 <= mn2, "range clustering produced overlapping files"
+        assert mx1 < mn2, "range clustering produced overlapping files"
     # naive: every file's envelope overlaps every other's (they share
     # a common region: the largest min sits below the smallest max).
     assert max(mn for mn, _, _ in env_n) < min(mx for _, mx, _ in env_n)
 
     # (b) a predicate inside ONE clustered file's envelope.
-    lo, hi = env_c[1][0], env_c[1][1]
+    lo = env_c[1][0]
     probe_lo = lo
-    probe_hi = min(hi, lo)  # single-point range at the file's min
+    probe_hi = lo  # single-point range at the file's min
     assert skip_ratio(env_c, probe_lo, probe_hi) >= (N_FILES - 1) / N_FILES
     assert skip_ratio(env_n, probe_lo, probe_hi) == 0.0
 

@@ -789,6 +789,75 @@ def test_connected_components_transitive_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 42: 42}
 
 
+def test_dedup_longest_substring_matches_python_suffix_sort(spark):
+    """Suffix-LCP top-K longest repeated substrings against a direct
+    Python recompute: a real (single-process) suffix sort of the same
+    capped keys, adjacent-pair LCPs, the same (len desc, substring)
+    top-K — and occurrence counts re-derived INDEPENDENTLY from the
+    raw token streams (window compare, not the suffix keys), so a
+    keying bug on the engine side cannot self-confirm."""
+    import re
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        LRS_CAP,
+        LRS_MIN_MATCH,
+        LRS_TOPK,
+        dedup_longest_substring,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    got = sorted(
+        (r.match_len, r.substring, r.n_occurrences, r.n_docs)
+        for r in dedup_longest_substring(spark, SF).collect()
+    )
+
+    toks_by_doc = {
+        r.doc_id: re.split(r"\s+", r.text.strip())
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r.text is not None
+    }
+    suffixes = []  # (key_string, doc_id, pos, key_tokens)
+    for doc_id, toks in toks_by_doc.items():
+        for p in range(len(toks)):
+            key = toks[p : p + LRS_CAP]
+            suffixes.append((" ".join(key), doc_id, p + 1, key))
+    suffixes.sort(key=lambda s: (s[0], s[1], s[2]))
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    cands = set()
+    for (_, _, _, pk), (_, _, _, k) in zip(suffixes, suffixes[1:]):
+        ln = lcp(pk, k)
+        if ln >= LRS_MIN_MATCH:
+            cands.add((ln, " ".join(k[:ln])))
+    topk = sorted(cands, key=lambda c: (-c[0], c[1]))[:LRS_TOPK]
+
+    expected = []
+    for ln, sub in topk:
+        sub_toks = sub.split(" ")
+        n_occ = n_docs = 0
+        for doc_id, toks in toks_by_doc.items():
+            hits = sum(
+                1
+                for p in range(len(toks) - ln + 1)
+                if toks[p : p + ln] == sub_toks
+            )
+            n_occ += hits
+            n_docs += 1 if hits else 0
+        expected.append((ln, sub, n_occ, n_docs))
+    assert got == sorted(expected)
+    # every reported repeat really repeats, in >= 1 doc
+    assert all(occ >= 2 and nd >= 1 for _, _, occ, nd in got)
+
+
 def test_dedup_clusters_on_planted_corpus(spark, tmp_path):
     """End-to-end: a chain of near-duplicates clusters transitively, the
     survivor is the min doc_id, unrelated docs stay singletons."""
@@ -6000,6 +6069,51 @@ def test_dsir_importance_weights_matches_python_recompute(spark):
         sum(by_side[1]) / len(by_side[1])
         > sum(by_side[0]) / len(by_side[0])
     )
+
+
+def test_dsir_raw_excludes_target_mode_matches_oracle(spark):
+    """The paper-faithful DSIR mode (``raw_excludes_target=True``:
+    p_raw fit on the NON-target slice only, Xie et al.'s exact
+    formulation) must replay exactly in DuckDB through the same flag
+    on ``_dsir_core_sql`` — both modes stay oracle-checkable — and
+    must move weights in the predicted direction: removing target
+    mass from the raw fit pushes target documents' log-ratios UP
+    relative to the default full-corpus estimator."""
+    import duckdb
+
+    from duckdb_gsheets_spark.operators.curation import (
+        DSIR_TARGET_SOURCES,
+        _dsir_core_sql,
+        _dsir_weights,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    got = {
+        r.doc_id: (r.lang, r.source, r.n_tokens, r.n_feats, r.w_scaled)
+        for r in _dsir_weights(docs, raw_excludes_target=True).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = (
+        f"WITH {_dsir_core_sql(raw_excludes_target=True)} "
+        "SELECT doc_id, lang, source, n_tokens, n_feats, w_scaled FROM dw"
+    )
+    exp = {
+        row[0]: (row[1], row[2], int(row[3]), int(row[4]), int(row[5]))
+        for row in con.execute(sql).fetchall()
+    }
+    assert got == exp
+    base = {r.doc_id: r.w_scaled for r in _dsir_weights(docs).collect()}
+    assert got.keys() == base.keys()
+    tgt_deltas = [
+        got[d][4] - base[d]
+        for d in got
+        if got[d][1] in DSIR_TARGET_SOURCES
+    ]
+    assert tgt_deltas and sum(tgt_deltas) / len(tgt_deltas) > 0
 
 
 def test_pipeline_dsir_corpus_matches_python_recompute(spark):

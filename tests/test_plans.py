@@ -864,6 +864,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "events_did",               # 1-row date-bounds broadcast
         "events_ols_trend",         # 1-row date-origin broadcast
         "text_kneser_ney_bigram",   # 1-row N1+(..) bigram-type-count broadcast
+        "dedup_longest_substring",  # ≤LRS_TOPK-row candidate broadcast probe
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
@@ -919,6 +920,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "minhash_auc_report",  # cumulates the ≤PERMS+1-row estimate grid
         "pipeline_dsir_corpus",  # pid-offset table of the prefix-sum tiling
         "quality_score_calibration",  # cumulates the ≤1e6-value score grid
+        "dedup_longest_substring",  # |pids|-row boundary-seam lag window
     }
     # privacy_k_anonymity's total-share broadcast is over the ≤3-row
     # band table — covered by bnlj_ok below, no window involved.
@@ -1094,16 +1096,33 @@ def test_ccnet_pipeline_tiles_the_rank_window(spark):
 def test_dsir_weights_broadcast_the_bucket_lm(spark):
     """dsir_importance_weights: the ≤DSIR_BUCKETS-row log-ratio table
     BROADCASTS back onto the feature stream (no sort-merge join of
-    the exploded corpus against anything), the bucket hash is a JVM
-    row expression fused into the scan (md5 → conv, no Python UDF),
-    and the only corpus-keyed exchange is the per-document rollup."""
+    the exploded corpus against anything), the final plan roots on
+    the ONE materialized feature checkpoint (round 8: the slim
+    bucketed stream is localCheckpoint'ed so the LM fit and the
+    rollup share a single tokenize+explode pass), and the only
+    corpus-keyed exchange is the per-document rollup. The bucket
+    hash itself (md5 → conv, no Python UDF) is pinned on the
+    PRE-checkpoint feature-stream subtree, where it runs."""
     plan = _plan(spark, "dsir_importance_weights")
     physical = plan.split("== Physical Plan ==")[-1]
     assert "SortMergeJoin" not in physical
     assert "BroadcastHashJoin" in physical  # llr ⋈ feature stream
-    assert "md5" in physical and "conv" in physical
+    assert "ExistingRDD" in physical or "LogicalRDD" in physical  # ckpt root
+    assert "Scan parquet" not in physical  # no post-ckpt corpus rescan
     assert "PythonUDF" not in physical.replace("MapInPandas", "")
     assert "hashpartitioning(doc_id" in physical  # the one wide rollup
+
+    from duckdb_gsheets_spark.operators.curation import _dsir_feats
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    feats_plan = (
+        _dsir_feats(load_table(spark, SF, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "md5" in feats_plan and "conv" in feats_plan
+    assert "PythonUDF" not in feats_plan
 
 
 def test_dsir_gate_tiles_the_global_rank(spark):
