@@ -63,6 +63,7 @@ HEADLINE = (
     "text_kneser_ney_bigram",
     "quality_score_calibration",
     "events_ab_test",
+    "dedup_longest_substring",
 )
 
 
@@ -121,16 +122,22 @@ def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
     ).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in names:
-        df = qs[name].spark_fn(spark, sf_dir)
         # Best-of-3: the first execution pays one-time whole-stage
         # codegen + parquet-footer/file-listing costs that amortize to
         # zero in any sustained workload, and a third run shields the
         # minimum from transient box load; the steady-state number is
         # the honest throughput figure (each run is still a complete
-        # scan→shuffle→agg execution — nothing is cached).
+        # scan→shuffle→agg execution — nothing is cached). The
+        # BUILDER call sits INSIDE the timed region: several queries
+        # eagerly localCheckpoint bounded intermediates at build
+        # time, and that work is part of the query's cost. (The one
+        # deliberate cross-run reuse is the prefix-ANN audits'
+        # memoized exact-baseline artifact — a shared index by
+        # design, documented in similarity._exact_baseline_ckpt.)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
+            df = qs[name].spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
