@@ -250,7 +250,11 @@ def _token_set_groups(toks_arr: DataFrame):
     PER-TOKEN md5s of the sorted token array — separator-free and
     unambiguous (a joined-with-separator key would collide a token
     that itself contains the separator with the split tokens) — one
-    narrow map, one fingerprint shuffle.
+    narrow map, one fingerprint shuffle. That one pass is eagerly
+    ``localCheckpoint``'ed (the tokenize-once production pattern —
+    block-manager storage, spills to local disk): every caller fans
+    the three outputs into several more consumers each, and an
+    unmaterialized frame re-runs the tokenize + 2·md5 map per branch.
     """
     with_fp = toks_arr.withColumn(
         "fp",
@@ -259,7 +263,7 @@ def _token_set_groups(toks_arr: DataFrame):
                 "", F.transform(F.sort_array("toks"), lambda t: F.md5(t))
             )
         ),
-    )
+    ).localCheckpoint(eager=True)
     groups = with_fp.groupBy("fp").agg(
         F.min("doc_id").alias("gid"), F.count(F.lit(1)).alias("g_size")
     )
@@ -295,6 +299,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The result is EXACTLY the naive top-K (same J values, same
     ranks): the DuckDB oracle still scores all pairs and ranks.
+
+    The fingerprinted token-set frame is eagerly
+    ``localCheckpoint``'ed inside :func:`_token_set_groups`: six
+    downstream branches (groups, members, reps, the PPJoin postings,
+    both verify sides) otherwise re-expand the tokenize + per-token
+    md5 subtree per consumer — the round-8 plan audit read 32 scans
+    / 27 exchanges for this query; post-fix the plan roots on the
+    one materialized pass.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks_arr = docs.where(F.col("text").isNotNull()).select(

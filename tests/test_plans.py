@@ -264,25 +264,62 @@ def test_curated_pipeline_broadcasts_thresholds(spark):
     assert "CartesianProduct" not in plan
 
 
+def _token_set_groups_builder_plan(spark):
+    """Physical plan of the fingerprinted token-set pass that
+    _token_set_groups eagerly checkpoints (round 8): the md5
+    set-fingerprint collapse runs HERE, before the checkpoint, so
+    the registered queries' final plans root on an RDD scan and the
+    fingerprint pin must look at this subtree."""
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.operators.dedup import _distinct_tokens
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    toks_arr = (
+        load_table(spark, SF, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", _distinct_tokens(F.col("text")).alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .withColumn(
+            "fp",
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(F.sort_array("toks"), lambda t: F.md5(t)),
+                )
+            ),
+        )
+    )
+    return toks_arr._jdf.queryExecution().executedPlan().toString()
+
+
 def test_jaccard_topk_collapses_identical_sets(spark):
     """The registered top-K Jaccard query must run its pair join on
     distinct-token-set REPRESENTATIVES (the md5 set-fingerprint
     collapse), never on raw documents, and must stay equi-join only —
-    the property that keeps a dup-dense corpus linear."""
+    the property that keeps a dup-dense corpus linear. Round 8: the
+    fingerprint pass is checkpointed, so the final plan must root on
+    the materialized RDD (no parquet rescans) and the md5 collapse is
+    pinned on the builder subtree."""
     plan = _plan(spark, "dedup_ngram_jaccard")
-    assert "md5" in plan  # the set-fingerprint group key
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan  # ckpt root
+    assert "Scan parquet" not in plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "md5" in _token_set_groups_builder_plan(spark)
 
 
 def test_containment_rollup_collapses_identical_sets(spark):
     """Same collapse contract for the containment rollup: group
-    arithmetic over set-fingerprint groups, no expanded pair
-    materialization, equi-joins only."""
+    arithmetic over set-fingerprint groups rooted on the one
+    checkpointed fingerprint pass, no expanded pair materialization,
+    equi-joins only."""
     plan = _plan(spark, "dedup_containment")
-    assert "md5" in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "Scan parquet" not in plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "md5" in _token_set_groups_builder_plan(spark)
 
 
 def test_duplicate_passages_count_shuffle_never_carries_text(spark):
