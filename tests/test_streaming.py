@@ -746,6 +746,65 @@ def test_streaming_cdc_upsert_checkpoint_resume_orders_writes(
     assert final.count() == n_before
 
 
+def test_cdc_merge_dedupes_multi_change_batches(spark, tmp_path):
+    """Keyed-table invariant under HOSTILE batch composition: when one
+    micro-batch carries SEVERAL changes for the same doc_id (the file
+    source packs multiple CDC files into a trigger), the applier must
+    pre-reduce to one row per key — last source file wins — instead
+    of fanning the full-outer merge out into duplicate doc_id rows."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.streaming.events_stream import cdc_merge_apply
+
+    work = str(tmp_path / "cdc_multi")
+    table0 = os.path.join(work, "table", "v0")
+    spark.createDataFrame(
+        [(1, "base one", "en", "seed"), (2, "base two", "en", "seed")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(table0)
+
+    # TWO change files for doc_id 1 in the SAME batch (no
+    # maxFilesPerTrigger cap): file name order is arrival order.
+    src = os.path.join(work, "src")
+    now = time.time() - 60
+    for i, txt in enumerate(("first change", "second change")):
+        d = os.path.join(src, f"change_{i}")
+        spark.createDataFrame(
+            [(1, txt, "en", f"cdc{i}")],
+            "doc_id long, text string, lang string, source string",
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now + i, now + i))
+
+    state = {"cur": table0, "version": 0}
+    q = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(cdc_merge_apply(spark, state))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert state["version"] == 1  # both files arrived as ONE batch
+
+    final = spark.read.parquet(state["cur"])
+    # exactly one row per key — the invariant the pre-reduce protects
+    assert final.count() == 2
+    assert final.groupBy("doc_id").count().agg(
+        F.max("count")
+    ).first()[0] == 1
+    row = final.where(F.col("doc_id") == 1).collect()[0]
+    # change_1 sorts after change_0 in file-path order → it wins
+    assert (row.text, row.source) == ("second change", "cdc1")
+    assert final.where(F.col("doc_id") == 2).collect()[0].text == "base two"
+
+
 def test_streaming_ab_monitor_matches_batch_readout(spark):
     """The live experiment monitor's final sufficient statistics must
     reproduce the batch Welch readout exactly: folding the sink's
