@@ -2473,6 +2473,32 @@ def dedup_longest_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces. Oracle: same chain replayed with one global ``LAG``
     window and DuckDB list lambdas.
     """
+    ranged = _lrs_suffix_table(spark, sf_dir)
+    cands = _lrs_candidates(ranged)
+    occ = (
+        ranged.join(
+            F.broadcast(cands),
+            F.slice(F.col("key"), F.lit(1), F.col("l")) == F.col("sub_arr"),
+        )
+        .groupBy("l", "substring")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    return occ.select(
+        F.col("l").alias("match_len"),
+        "substring",
+        "n_occurrences",
+        "n_docs",
+    )
+
+
+def _lrs_suffix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range-partitioned, eagerly-checkpointed capped suffix table
+    ``(doc_id, pos, key, ks, pid)`` — one row per token position,
+    global suffix order = (pid asc, within-partition (ks, doc_id,
+    pos)). Shared spine of the LRS report and the scrub manifest."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.where(F.col("text").isNotNull()).select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
@@ -2491,12 +2517,19 @@ def dedup_longest_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    ranged = (
+    return (
         sfx.withColumn("ks", F.concat_ws(" ", "key"))
         .repartitionByRange("ks", "doc_id", "pos")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+
+
+def _lrs_candidates(ranged: DataFrame) -> DataFrame:
+    """The ≤``LRS_TOPK``-row candidate table ``(l, substring,
+    sub_arr)``: adjacent-suffix LCPs ≥ ``LRS_MIN_MATCH`` (tiled
+    per-partition lag + the bounded boundary seam), ranked
+    (len desc, substring) and cut to K."""
 
     def lcp(a: Column, b: Column) -> Column:
         # leading-equal-token run; zip_with pads the shorter side
@@ -2539,7 +2572,7 @@ def dedup_longest_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "pk")
     )
     pairs = inner.unionByName(seam).select(lcp(F.col("key"), F.col("pk")).alias("l"), "key")
-    cands = (
+    return (
         pairs.where(F.col("l") >= LRS_MIN_MATCH)
         .select(
             "l",
@@ -2552,23 +2585,77 @@ def dedup_longest_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(LRS_TOPK)
         .withColumn("sub_arr", F.split("substring", " "))
     )
-    occ = (
+
+
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr scrub manifest — the ACTIONABLE half of the
+    suffix-LCP report (Lee et al. 2022 deduplicate by REMOVING the
+    repeated spans, not by dropping documents): for every document
+    containing any of the corpus's top-K longest repeated substrings,
+    the per-document removal ledger ``(doc_id, n_spans,
+    tokens_matched, max_match_len)`` — how many repeated spans start
+    in the document, the token mass they cover (Σ match_len per
+    occurrence; the number a scrub pass would cut), and the longest
+    single match.
+
+    Same spine as :func:`dedup_longest_substring` (shared
+    :func:`_lrs_suffix_table` + :func:`_lrs_candidates`): the K-row
+    candidate table broadcasts over one pass of the checkpointed
+    suffix table, rolled up by doc_id instead of substring — the
+    shuffle is |affected docs|-keyed partial aggregation, nothing
+    corpus-sized. Oracle: the same CTE chain grouped by doc_id.
+    """
+    ranged = _lrs_suffix_table(spark, sf_dir)
+    cands = _lrs_candidates(ranged)
+    return (
         ranged.join(
             F.broadcast(cands),
             F.slice(F.col("key"), F.lit(1), F.col("l")) == F.col("sub_arr"),
         )
-        .groupBy("l", "substring")
+        .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("l").cast("bigint").alias("tokens_matched"),
+            F.max("l").alias("max_match_len"),
         )
     )
-    return occ.select(
-        F.col("l").alias("match_len"),
-        "substring",
-        "n_occurrences",
-        "n_docs",
-    )
+
+
+DEDUP_SCRUB_ORACLE = f"""
+WITH lr_toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+), lr_sfx AS (
+  SELECT doc_id, pos,
+         t[pos:least(pos + {LRS_CAP - 1}, len(t))] AS k
+  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS pos FROM lr_toks)
+), lr_adj AS (
+  SELECT k,
+         LAG(k) OVER (ORDER BY array_to_string(k, ' '), doc_id, pos) AS pk
+  FROM lr_sfx
+), lr_lcp AS (
+  SELECT k,
+         CAST(COALESCE(
+           NULLIF(list_position(
+             list_transform(range(1, least(len(k), len(pk)) + 1),
+                            i -> k[i] = pk[i]),
+             false), 0) - 1,
+           least(len(k), len(pk))) AS INTEGER) AS l
+  FROM lr_adj WHERE pk IS NOT NULL
+), lr_cand AS (
+  SELECT DISTINCT l, array_to_string(k[1:l], ' ') AS substring
+  FROM lr_lcp WHERE l >= {LRS_MIN_MATCH}
+), lr_topk AS (
+  SELECT l, substring, string_split(substring, ' ') AS sub_arr
+  FROM lr_cand ORDER BY l DESC, substring LIMIT {LRS_TOPK}
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(c.l) AS BIGINT) AS tokens_matched,
+       CAST(MAX(c.l) AS INTEGER) AS max_match_len
+FROM lr_topk c JOIN lr_sfx s ON list_slice(s.k, 1, c.l) = c.sub_arr
+GROUP BY s.doc_id
+"""
 
 
 DEDUP_LRS_ORACLE = f"""
@@ -2629,4 +2716,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("neardup_triangles", neardup_triangles, NEARDUP_TRIANGLES_ORACLE, "degree-ordered triangle counting + clustering coefficient over the lexical near-dup graph"),
     QueryDef("neardup_graph_stats", neardup_graph_stats, NEARDUP_GRAPH_STATS_ORACLE, "one-row global graph health: transitivity + degree assortativity (exact integer moments)"),
     QueryDef("dedup_longest_substring", dedup_longest_substring, DEDUP_LRS_ORACLE, "suffix-LCP top-K longest repeated substrings (ExactSubstr grain, distributed suffix sort)"),
+    QueryDef("dedup_substring_scrub", dedup_substring_scrub, DEDUP_SCRUB_ORACLE, "per-document ExactSubstr removal ledger over the top-K repeated substrings"),
 ]

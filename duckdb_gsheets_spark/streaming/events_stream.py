@@ -1207,3 +1207,81 @@ def streaming_fineweb_gate_counts(
         ).alias("tok_surviving"),
     )
     return run_to_memory(counts, output_mode="complete")
+
+
+def streaming_substring_scrub_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ExactSubstr intake scrubber: the stream-static twin
+    of ``operators.dedup.dedup_substring_scrub``. The top-K repeated
+    substrings are fit ONCE from the static corpus (the suffix-sort
+    spine collapses to a ≤LRS_TOPK-row candidate table — bounded
+    model state, same fit-once pattern as the DSIR scorer), shipped
+    to executors as literal arrays, and each streamed document gets a
+    STATELESS per-row removal ledger: occurrences of each candidate
+    counted by a JVM higher-order filter over token positions — no
+    state store, no shuffle, append mode.
+
+    A production intake chains this after the quality gates: the
+    ledger says how many tokens an ExactSubstr scrub would cut from
+    each incoming document BEFORE it enters the corpus. Batch
+    equality pins every (doc_id, n_spans, tokens_matched,
+    max_match_len) row against the batch manifest.
+    """
+    from duckdb_gsheets_spark.functions.text import tokens
+    from duckdb_gsheets_spark.operators.dedup import (
+        _lrs_candidates,
+        _lrs_suffix_table,
+    )
+
+    cands = [
+        (int(r.l), list(r.sub_arr))
+        for r in _lrs_candidates(_lrs_suffix_table(spark, sf_dir)).collect()
+    ]
+    stream = read_documents_stream(spark, sf_dir).where(
+        F.col("text").isNotNull()
+    )
+    toks = tokens(F.col("text"))
+
+    def occ_of(length: int, sub: list[str]):
+        # occurrence count of one candidate: positions p with
+        # toks[p : p+length] == sub. sequence() is guarded to >= 1
+        # element (descending sequences otherwise); a too-short
+        # document fails the slice compare at p=1 naturally.
+        sub_lit = F.array(*[F.lit(t) for t in sub])
+        npos = F.greatest(F.size(toks) - F.lit(length - 1), F.lit(1))
+        return F.size(
+            F.filter(
+                F.sequence(F.lit(1), npos),
+                lambda p: F.slice(toks, p, F.lit(length)) == sub_lit,
+            )
+        )
+
+    sel = stream.select(
+        "doc_id",
+        *[
+            occ_of(length, sub).alias(f"occ_{i}")
+            for i, (length, sub) in enumerate(cands)
+        ],
+    )
+    occ = [F.col(f"occ_{i}") for i in range(len(cands))]
+    lens = [length for length, _ in cands]
+    n_spans = occ[0]
+    tokens_matched = (occ[0] * lens[0]).cast("long")
+    hit_lens = [
+        F.when(occ[i] > 0, F.lit(lens[i])).otherwise(F.lit(0))
+        for i in range(len(cands))
+    ]
+    for i in range(1, len(cands)):
+        n_spans = n_spans + occ[i]
+        tokens_matched = tokens_matched + (occ[i] * lens[i]).cast("long")
+    max_match_len = (
+        F.greatest(*hit_lens) if len(hit_lens) > 1 else hit_lens[0]
+    )
+    out = sel.select(
+        "doc_id",
+        n_spans.cast("long").alias("n_spans"),
+        tokens_matched.alias("tokens_matched"),
+        max_match_len.cast("int").alias("max_match_len"),
+    ).where(F.col("n_spans") > 0)
+    return run_to_memory(out, output_mode="append")

@@ -902,6 +902,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "events_ols_trend",         # 1-row date-origin broadcast
         "text_kneser_ney_bigram",   # 1-row N1+(..) bigram-type-count broadcast
         "dedup_longest_substring",  # ≤LRS_TOPK-row candidate broadcast probe
+        "dedup_substring_scrub",    # same ≤LRS_TOPK-row candidate broadcast probe
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
@@ -958,6 +959,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "pipeline_dsir_corpus",  # pid-offset table of the prefix-sum tiling
         "quality_score_calibration",  # cumulates the ≤1e6-value score grid
         "dedup_longest_substring",  # |pids|-row boundary-seam lag window
+        "dedup_substring_scrub",  # same |pids|-row boundary seam (shared spine)
     }
     # privacy_k_anonymity's total-share broadcast is over the ≤3-row
     # band table — covered by bnlj_ok below, no window involved.

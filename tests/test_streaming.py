@@ -805,6 +805,29 @@ def test_cdc_merge_dedupes_multi_change_batches(spark, tmp_path):
     assert final.where(F.col("doc_id") == 2).collect()[0].text == "base two"
 
 
+def test_streaming_substring_scrub_matches_batch(spark):
+    """The streaming ExactSubstr intake scrubber must reproduce the
+    batch removal manifest EXACTLY: candidates fit once from the
+    static corpus, every streamed document's (n_spans, tokens_matched,
+    max_match_len) row equals dedup_substring_scrub's — and the
+    ledger is non-trivial on the test corpus."""
+    from duckdb_gsheets_spark.operators.dedup import dedup_substring_scrub
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_substring_scrub_counts,
+    )
+
+    got = {
+        r.doc_id: (r.n_spans, r.tokens_matched, r.max_match_len)
+        for r in streaming_substring_scrub_counts(spark, SF).collect()
+    }
+    exp = {
+        r.doc_id: (r.n_spans, r.tokens_matched, r.max_match_len)
+        for r in dedup_substring_scrub(spark, SF).collect()
+    }
+    assert got == exp
+    assert got and all(v[0] >= 1 and v[1] >= v[2] for v in got.values())
+
+
 def test_streaming_ab_monitor_matches_batch_readout(spark):
     """The live experiment monitor's final sufficient statistics must
     reproduce the batch Welch readout exactly: folding the sink's
