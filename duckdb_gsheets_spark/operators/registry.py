@@ -66,7 +66,14 @@ class QueryDef:
 #:   now checkpointed). The three round-3 rows that did NOT fit
 #:   (``multimodal_frame_sample``, ``sample_weighted_topk``,
 #:   ``dedup_clusters``) were independently sf0.01 spot-verified by
-#:   the round-7 judge session and lead the ROUND-9 ROTATION QUEUE.
+#:   the round-7 judge session and lead the ROUND-9 ROTATION QUEUE —
+#:   together with the round-8-late changed-op re-checks that landed
+#:   after this window was frozen: ``fk_integrity_report`` (per-child
+#:   fused FK scan — each child table read once), the two suffix-LRS
+#:   additions (``dedup_longest_substring``, ``dedup_substring_scrub``
+#:   — parity-green at sf0.001 + sf0.01, python-recompute pinned),
+#:   and the PPJoin checkpoint pair (``dedup_ngram_jaccard``,
+#:   ``dedup_containment`` — in THIS window, so already re-checked).
 #:
 #: After this round no query's latest driver green predates round 4
 #: except those two queued rows, the documented sketch pair, and

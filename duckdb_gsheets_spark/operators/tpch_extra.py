@@ -1361,11 +1361,17 @@ def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the orphan rate. The nightly data-quality gate a warehouse load
     runs before publishing a snapshot.
 
-    Shuffle ledger: one LEFT ANTI join per edge — fixed-size parents
-    (dims) broadcast, the one fact-fact edge (lineitem→orders)
-    shuffles on the shared orderkey — then each branch collapses to a
-    1-row aggregate and the 7 rows union. Orphan checks are
-    embarrassingly parallel across edges.
+    Shuffle ledger, sized for 100 TB: every CHILD table is scanned
+    exactly ONCE — all of a child's FK edges fuse into one pass
+    (round 8; the per-edge formulation scanned lineitem, the giant
+    fact table, six times: a count + an anti-join per edge). The
+    child's key projection LEFT-joins each parent's distinct keyset
+    with a presence indicator, and one aggregate emits
+    ``count(*)`` + one orphan sum per edge; dims broadcast, the one
+    fact-fact edge (lineitem→orders) shuffles on the shared
+    orderkey; the final report is a ≤7-row union of 1-row folds.
+    NULL child keys never equi-join, so they count as orphans —
+    identical to the anti-join semantics the oracle replays.
     """
     tables = {
         name: load_table(spark, sf_dir, name)
@@ -1379,21 +1385,48 @@ def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region",
         )
     }
+    by_child: dict[str, list] = {}
+    for edge in FK_EDGES:
+        by_child.setdefault(edge[1], []).append(edge)
     reports = []
-    for label, child, ckey, parent, pkey in FK_EDGES:
-        c = tables[child]
-        p = tables[parent].select(F.col(pkey).alias(ckey)).distinct()
-        orphans = c.select(ckey).join(p, ckey, "left_anti")
-        stats = c.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
-            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+    for child, edges in by_child.items():
+        probe = tables[child].select(*[e[2] for e in edges])
+        for i, (_, _, ckey, parent, pkey) in enumerate(edges):
+            keyset = (
+                tables[parent]
+                .select(F.col(pkey).alias(ckey))
+                .distinct()
+                .withColumn(f"hit_{i}", F.lit(1))
+            )
+            probe = probe.join(keyset, ckey, "left")
+        fold = probe.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(
+                    F.when(F.col(f"hit_{i}").isNull(), 1).otherwise(0)
+                ).alias(f"orph_{i}")
+                for i in range(len(edges))
+            ],
+        )
+        # Unpivot the 1-row fold into |edges| report rows in ONE
+        # consumption (a per-edge select would re-expand the child
+        # scan per edge — the exact shape this rewrite removes).
+        edge_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(label).alias("relationship"),
+                    F.col(f"orph_{i}").alias("n_orphans"),
+                )
+                for i, (label, _, _, _, _) in enumerate(edges)
+            ]
         )
         reports.append(
-            stats.select(
-                F.lit(label).alias("relationship"),
+            fold.select("n_rows", F.explode(edge_structs).alias("e")).select(
+                F.col("e.relationship").alias("relationship"),
                 "n_rows",
-                "n_orphans",
+                F.col("e.n_orphans").alias("n_orphans"),
                 F.round(
-                    F.col("n_orphans").cast("double")
+                    F.col("e.n_orphans").cast("double")
                     / F.col("n_rows").cast("double"),
                     6,
                 ).alias("orphan_rate"),

@@ -881,7 +881,6 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "knn_label_probe",          # composes the cosine baseline's query broadcast
         "basket_pair_lift",         # 1-row basket-count broadcast
         "skew_heavy_hitters",       # 1-row total broadcast
-        "fk_integrity_report",      # 1-row × 1-row per-edge stat join
         "source_unigram_drift",     # |sources|×K grid cross + 1-row total
         "ann_ivf_balance_report",   # 1-row total broadcast
         "rollup_incremental_refresh",  # 1-row max-hour broadcast
@@ -999,6 +998,19 @@ def test_wow_change_window_partitioned_by_type(spark):
     plan = _plan(spark, "events_wow_change")
     assert "hashpartitioning(event_type" in plan
     assert not _unpartitioned_windows(plan)
+
+
+def test_fk_report_scans_each_child_once(spark):
+    """The FK integrity audit must fuse all of a child's edges into
+    ONE scan: lineitem (the giant fact table, three FK edges) appears
+    exactly once in the physical plan (round 7's per-edge shape read
+    it six times), and no cartesian/nested-loop join remains — the
+    per-edge report rows come from ONE unpivot of the fused fold."""
+    plan = _plan(spark, "fk_integrity_report")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
 
 
 def test_open_backlog_aggregates_lineitem_before_join(spark):
