@@ -2621,8 +2621,13 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SCRUB_ORACLE = f"""
-WITH lr_toks AS (
+def _lrs_core_sql() -> str:
+    """Shared CTE chain replaying the suffix-sort spine in DuckDB —
+    ends at ``lr_topk(l, substring, sub_arr)`` with ``lr_sfx`` still
+    in scope for the occurrence probe. One builder for the report
+    and the scrub manifest so the two oracles cannot drift (the
+    house pattern _dsir_core_sql set)."""
+    return f"""lr_toks AS (
   SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
   FROM documents WHERE text IS NOT NULL
 ), lr_sfx AS (
@@ -2648,7 +2653,11 @@ WITH lr_toks AS (
 ), lr_topk AS (
   SELECT l, substring, string_split(substring, ' ') AS sub_arr
   FROM lr_cand ORDER BY l DESC, substring LIMIT {LRS_TOPK}
-)
+)"""
+
+
+DEDUP_SCRUB_ORACLE = f"""
+WITH {_lrs_core_sql()}
 SELECT s.doc_id,
        COUNT(*) AS n_spans,
        CAST(SUM(c.l) AS BIGINT) AS tokens_matched,
@@ -2659,39 +2668,14 @@ GROUP BY s.doc_id
 
 
 DEDUP_LRS_ORACLE = f"""
-WITH lr_toks AS (
-  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
-  FROM documents WHERE text IS NOT NULL
-), lr_sfx AS (
-  SELECT doc_id, pos,
-         t[pos:least(pos + {LRS_CAP - 1}, len(t))] AS k
-  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS pos FROM lr_toks)
-), lr_adj AS (
-  SELECT k,
-         LAG(k) OVER (ORDER BY array_to_string(k, ' '), doc_id, pos) AS pk
-  FROM lr_sfx
-), lr_lcp AS (
-  SELECT k,
-         CAST(COALESCE(
-           NULLIF(list_position(
-             list_transform(range(1, least(len(k), len(pk)) + 1),
-                            i -> k[i] = pk[i]),
-             false), 0) - 1,
-           least(len(k), len(pk))) AS INTEGER) AS l
-  FROM lr_adj WHERE pk IS NOT NULL
-), lr_cand AS (
-  SELECT DISTINCT l, array_to_string(k[1:l], ' ') AS substring
-  FROM lr_lcp WHERE l >= {LRS_MIN_MATCH}
-), lr_topk AS (
-  SELECT l, substring, string_split(substring, ' ') AS sub_arr
-  FROM lr_cand ORDER BY l DESC, substring LIMIT {LRS_TOPK}
-)
+WITH {_lrs_core_sql()}
 SELECT c.l AS match_len, c.substring,
        COUNT(*) AS n_occurrences,
        COUNT(DISTINCT s.doc_id) AS n_docs
 FROM lr_topk c JOIN lr_sfx s ON list_slice(s.k, 1, c.l) = c.sub_arr
 GROUP BY c.l, c.substring
 """
+
 
 
 QUERIES: list[QueryDef] = [
