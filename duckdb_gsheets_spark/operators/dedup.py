@@ -582,6 +582,17 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     IO dominates and the narrow map pipelines into the document scan,
     so the only shuffles in the whole dedup are the band bucket join
     and the candidate verification.
+
+    BATCH frames are eagerly ``localCheckpoint``'ed (round 8): every
+    consumer fans the signature frame into several branches (the band
+    self-join reads it twice, candidate verification re-attaches the
+    shingle payload per side), and an unmaterialized frame re-runs
+    the scan + tokenize + shingle + 16-permutation hash per branch —
+    4-10 corpus scans per registered dedup query in the round-8 plan
+    audit. Materializing the (doc_id, shingles, signature) index once
+    is the production pattern (a MinHash index IS a persisted
+    artifact); streaming frames can't checkpoint and stay narrow —
+    the stream side is single-consumer by construction.
     """
     shingled = _shingle_sets(docs, text_col)
 
@@ -594,7 +605,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
 
     sig = F.array(*[perm_min(i) for i in range(MINHASH_PERMS)])
-    return shingled.select("doc_id", "shingles", sig.alias("signature"))
+    out = shingled.select("doc_id", "shingles", sig.alias("signature"))
+    if not out.isStreaming:
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 def _band_rows(sigs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
@@ -768,6 +782,12 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     with 60 vote sums → assemble the long. Single shuffle; all JVM;
     the signature is non-negative so both engines compare/band it in
     plain signed int64.
+
+    Batch frames are eagerly ``localCheckpoint``'ed (round 8): the
+    output is 16 bytes/doc but costs an explode + 60 vote sums to
+    build, and the pair queries consume it 4+ times (sig-equality
+    self-join sides, distinct-sig band join, two doc fan-out joins)
+    — each consumption re-ran the full build in the plan audit.
     """
     toks = fan_out(docs).select(
         "doc_id", F.explode(T.tokens(F.lower(F.col(text_col)))).alias("tok")
@@ -787,7 +807,10 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         sig = sig + F.when(
             F.col(f"v{k}") > 0, F.lit(2**k).cast("long")
         ).otherwise(0)
-    return votes.select("doc_id", sig.alias("sig"))
+    out = votes.select("doc_id", sig.alias("sig"))
+    if not out.isStreaming:
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 def _band_val(sig: F.Column, b: int) -> F.Column:
