@@ -72,8 +72,14 @@ class QueryDef:
 #:   fused FK scan — each child table read once), the two suffix-LRS
 #:   additions (``dedup_longest_substring``, ``dedup_substring_scrub``
 #:   — parity-green at sf0.001 + sf0.01, python-recompute pinned),
-#:   and the PPJoin checkpoint pair (``dedup_ngram_jaccard``,
-#:   ``dedup_containment`` — in THIS window, so already re-checked).
+#:   and the MinHash/SimHash signature-checkpoint family
+#:   (``dedup_minhash_lsh`` / ``dedup_simhash`` / calibrations /
+#:   ``dedup_clusters`` / ``dedup_quality_interaction`` /
+#:   ``dedup_incremental_batch`` — plan-only, 14/14 family parity at
+#:   sf0.01). EVERY round-8 changed-plan op was additionally covered
+#:   by the post-change full-registry sf0.1 sweep (239/239 —
+#:   BASELINE.md), i.e. verified at 10× the driver gate even where a
+#:   window slot wasn't available.
 #:
 #: After this round no query's latest driver green predates round 4
 #: except those two queued rows, the documented sketch pair, and
