@@ -2522,7 +2522,14 @@ def _lrs_suffix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc_id, pos, key, ks, pid)`` — one row per token position,
     global suffix order = (pid asc, within-partition (ks, doc_id,
     pos)). Shared spine of the LRS report and the scrub manifest."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _lrs_suffix_table_from(load_table(spark, sf_dir, "documents"))
+
+
+def _lrs_suffix_table_from(docs: DataFrame) -> DataFrame:
+    """Suffix-table builder over any ``(doc_id, text)``-shaped frame —
+    split out so pytest can drive the suffix/LCP machinery with
+    adversarial corpora (empty strings, single tokens, unicode,
+    whole-doc repeats) that the generated tables never contain."""
     toks = docs.where(F.col("text").isNotNull()).select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     )

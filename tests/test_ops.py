@@ -858,6 +858,71 @@ def test_dedup_longest_substring_matches_python_suffix_sort(spark):
     assert all(occ >= 2 and nd >= 1 for _, _, occ, nd in got)
 
 
+def test_lrs_candidates_on_adversarial_corpus(spark):
+    """Suffix/LCP machinery against a hostile in-memory corpus — the
+    shapes the generated tables never contain: empty strings (split
+    yields ['']), single tokens, a document shorter than the cap that
+    IS a prefix of another, a whole-document repeat longer than the
+    cap (must truncate AT the cap), unicode tokens, and an all-equal
+    token run. Pinned against the same Python suffix sort as the
+    corpus test."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        LRS_CAP,
+        LRS_MIN_MATCH,
+        LRS_TOPK,
+        _lrs_candidates,
+        _lrs_suffix_table_from,
+    )
+
+    long_repeat = " ".join(f"w{i}" for i in range(LRS_CAP + 5))
+    texts = [
+        (1, ""),                       # split -> ['']
+        (2, "solo"),                   # single token
+        (3, "a b c d e"),              # prefix of doc 4's text
+        (4, "a b c d e f g h"),        # superstring
+        (5, long_repeat),              # whole-doc repeat, > cap
+        (6, long_repeat),
+        (7, "ü ü ü ü ü ü"),            # unicode + all-equal run
+        (8, None),                     # NULL text drops out
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r.l, r.substring)
+        for r in _lrs_candidates(_lrs_suffix_table_from(docs)).collect()
+    )
+
+    import re
+
+    suffixes = []
+    for doc_id, text in texts:
+        if text is None:
+            continue
+        toks = re.split(r"\s+", text.strip())
+        for p in range(len(toks)):
+            key = toks[p : p + LRS_CAP]
+            suffixes.append((" ".join(key), doc_id, p + 1, key))
+    suffixes.sort(key=lambda s: (s[0], s[1], s[2]))
+    cands = set()
+    for (_, _, _, pk), (_, _, _, k) in zip(suffixes, suffixes[1:]):
+        ln = 0
+        for x, y in zip(pk, k):
+            if x != y:
+                break
+            ln += 1
+        if ln >= LRS_MIN_MATCH:
+            cands.add((ln, " ".join(k[:ln])))
+    expected = sorted(
+        sorted(cands, key=lambda c: (-c[0], c[1]))[:LRS_TOPK]
+    )
+    assert got == expected
+    # the whole-doc repeat must be reported, truncated AT the cap
+    assert max(l for l, _ in got) == LRS_CAP
+    # the unicode all-equal run yields a candidate (it may be
+    # outranked by the longer repeat before the top-K cut — the
+    # equality above already pins the cut itself)
+    assert any("ü" in s for _, s in cands)
+
+
 def test_dedup_clusters_on_planted_corpus(spark, tmp_path):
     """End-to-end: a chain of near-duplicates clusters transitively, the
     survivor is the min doc_id, unrelated docs stay singletons."""
