@@ -626,10 +626,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The test schema has no partsupp, so supply cost is derived from
     lineitem: per (part, supplier), MIN unit price rounded to cents —
     same correlated-min-against-a-regional-subset structure as Q2.
-    nation/region broadcast (fixed-size dims); the part-supplier cost
-    table shuffles once on l_partkey and the regional min reuses that
-    partitioning. Top-100 is a TakeOrderedAndProject with a full
-    unique-key tiebreak.
+    nation/region broadcast (fixed-size dims). The correlated min is
+    a ``min() over (partition by part)`` WINDOW on the cost table,
+    not a self-join (round 8: the groupBy+rejoin formulation
+    re-expanded the whole lineitem-agg subtree into both join sides
+    — 9 scans; the window keeps one partkey exchange and 5 scans,
+    one per table). Ties keep every min-cost supplier, identical to
+    the join-back semantics. Top-100 is a TakeOrderedAndProject with
+    a full unique-key tiebreak.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -661,18 +665,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ps_suppkey") == F.col("s_suppkey"),
         )
     )
-    min_cost = cost.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("supply_cost").alias("min_cost")
-    )
+    w_part = Window.partitionBy("ps_partkey")
     sized_parts = part.where(
         (F.col("p_size").between(10, 20)) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_brand")
     return (
-        cost.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("mc_partkey"))
-            & (F.col("supply_cost") == F.col("min_cost")),
-        )
+        cost.withColumn("min_cost", F.min("supply_cost").over(w_part))
+        .where(F.col("supply_cost") == F.col("min_cost"))
         .join(sized_parts, F.col("ps_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal",
