@@ -131,13 +131,17 @@ def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
         # scan→shuffle→agg execution — nothing is cached). The
         # BUILDER call sits INSIDE the timed region: several queries
         # eagerly localCheckpoint bounded intermediates at build
-        # time, and that work is part of the query's cost. (The one
-        # deliberate cross-run reuse is the prefix-ANN audits'
-        # memoized exact-baseline artifact — a shared index by
-        # design, documented in similarity._exact_baseline_ckpt.)
+        # time, and that work is part of the query's cost. The
+        # session-scoped shared-artifact memos (prefix-ANN exact
+        # baseline, suffix-sort spine) are CLEARED before every run —
+        # they exist for composed audits and the harness, but a memo
+        # hit here would time a no-op.
+        from duckdb_gsheets_spark.operators import clear_plan_caches
+
         runs = []
         df = None
         for _ in range(3):
+            clear_plan_caches()
             t0 = time.perf_counter()
             df = qs[name].spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -196,12 +200,18 @@ def main() -> None:
         "value_oracle_subset": round(
             sum(v for k, v in timings.items() if k in with_oracle), 3
         ),
-        # EXEC-ONLY total (prebuilt plan, checkpoints warm) — the
-        # round-7-comparable accounting; per-query detail lives in
-        # BENCH_DETAIL.json to keep this line inside the driver's
-        # tail-capture window.
+        # STEADY-STATE EXEC-ONLY total: re-execution of the prebuilt
+        # plan with any eager checkpoints already materialized. For
+        # checkpointed queries this deliberately excludes the
+        # materialization pass (it is their build-time cost), so it
+        # UNDERSTATES their full cost — which is exactly why `value`
+        # (build inside the clock) is the canonical number. Per-query
+        # detail lives in BENCH_DETAIL.json to keep this line inside
+        # the driver's tail-capture window.
         "value_exec_only": round(sum(exec_timings.values()), 3),
     }
+    detail = dict(result)
+    detail["queries_exec_only"] = exec_timings
     # The DuckDB twin runs BY DEFAULT so every recorded bench artifact
     # carries its own same-box baseline (pass --no-duckdb to skip);
     # "--duckdb" is accepted for backward compatibility.
@@ -212,22 +222,20 @@ def main() -> None:
             result["ratio_vs_duckdb"] = round(
                 result["value_oracle_subset"] / result["duckdb_total"], 3
             )
-        # Per-query DuckDB timings stay OFF the stdout summary line —
-        # round 7's 38-query headline pushed the two-dict line past
-        # the driver's tail-capture window and BENCH_r07.json recorded
-        # "parsed": null. Full detail goes to a sidecar file instead.
-        if result["duckdb_total"] > 0:
             result["ratio_exec_only_vs_duckdb"] = round(
                 result["value_exec_only"] / result["duckdb_total"], 3
             )
-        detail = dict(result)
+        # Per-query DuckDB timings stay OFF the stdout summary line —
+        # round 7's 38-query headline pushed the two-dict line past
+        # the driver's tail-capture window and BENCH_r07.json recorded
+        # "parsed": null. Full detail goes to the sidecar file instead.
+        detail.update(result)
         detail["duckdb_baseline"] = duck
-        detail["queries_exec_only"] = exec_timings
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
-        with open(detail_path, "w") as fh:
-            json.dump(detail, fh, indent=1)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
     print(json.dumps(result))
 
 

@@ -2517,12 +2517,36 @@ def dedup_longest_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Session-scoped memo for the suffix-sort spine shared by the LRS
+#: report, the scrub manifest, and the streaming intake fit — keyed
+#: like similarity's exact-baseline memo: (applicationId, sf_dir,
+#: source mtime), so a new session, another scale factor, or a
+#: rewritten documents table never sees stale checkpoint blocks. The
+#: suffix array is a persisted index artifact in the ExactSubstr
+#: pipeline; building it once per (session, corpus) is the point.
+#: bench.py clears this (clear_plan_caches) before every timed run so
+#: measurements stay cold-plan honest.
+_LRS_SPINE_CACHE: dict = {}
+
+
 def _lrs_suffix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The range-partitioned, eagerly-checkpointed capped suffix table
     ``(doc_id, pos, key, ks, pid)`` — one row per token position,
     global suffix order = (pid asc, within-partition (ks, doc_id,
-    pos)). Shared spine of the LRS report and the scrub manifest."""
-    return _lrs_suffix_table_from(load_table(spark, sf_dir, "documents"))
+    pos)). Shared spine of the LRS report and the scrub manifest,
+    memoized per (session, corpus) — see ``_LRS_SPINE_CACHE``."""
+    import os
+
+    try:
+        mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+    except OSError:
+        mtime = -1.0
+    key = (spark.sparkContext.applicationId, sf_dir, mtime)
+    cached = _LRS_SPINE_CACHE.get(key)
+    if cached is None:
+        cached = _lrs_suffix_table_from(load_table(spark, sf_dir, "documents"))
+        _LRS_SPINE_CACHE[key] = cached
+    return cached
 
 
 def _lrs_suffix_table_from(docs: DataFrame) -> DataFrame:
@@ -2571,6 +2595,8 @@ def _lrs_candidates(ranged: DataFrame) -> DataFrame:
             first_bad - 1
         ).cast("int")
 
+    # ONE ascending window definition: the inner lag and the firsts
+    # extraction MUST share the exact order the seam relies on.
     w_local = Window.partitionBy("pid").orderBy("ks", "doc_id", "pos")
     inner = (
         ranged.select(
@@ -2578,12 +2604,11 @@ def _lrs_candidates(ranged: DataFrame) -> DataFrame:
         )
         .where(F.col("pk").isNotNull())
     )
-    w_first = Window.partitionBy("pid").orderBy("ks", "doc_id", "pos")
     w_last = Window.partitionBy("pid").orderBy(
         F.desc("ks"), F.desc("doc_id"), F.desc("pos")
     )
     firsts = (
-        ranged.withColumn("rn", F.row_number().over(w_first))
+        ranged.withColumn("rn", F.row_number().over(w_local))
         .where(F.col("rn") == 1)
         .select("pid", "key")
     )

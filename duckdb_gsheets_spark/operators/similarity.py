@@ -2176,10 +2176,21 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Session-scoped memo for the exact full-dim baseline the two prefix
-#: audits grade against — keyed by (applicationId, sf_dir) so a new
-#: session (whose checkpoint blocks would be gone) or a different
-#: scale factor never sees a stale frame.
+#: audits grade against — keyed by (applicationId, sf_dir, source
+#: mtime) so a new session (whose checkpoint blocks would be gone), a
+#: different scale factor, or a REWRITTEN embeddings table never sees
+#: a stale frame. Entries are bounded: |queries|·k rows per distinct
+#: (sf_dir, mtime) a session actually benchmarks.
 _EXACT_BASELINE_CACHE: dict = {}
+
+
+def _source_mtime(path: str) -> float:
+    import os
+
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0
 
 
 def _exact_baseline_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2198,7 +2209,11 @@ def _exact_baseline_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     join build, query spine, left-join probe) all read the same
     50-row checkpoint instead of re-deriving the scoring subtree.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _source_mtime(f"{sf_dir}/embeddings.parquet"),
+    )
     cached = _EXACT_BASELINE_CACHE.get(key)
     if cached is None:
         cached = (

@@ -982,10 +982,11 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
     whenever each key appears in at most one batch, and applies
     last-writer-wins in batch order otherwise (pinned by the
     checkpoint-resume test). WITHIN a batch, multiple changes to one
-    key pre-reduce to a single row (greatest source-file path wins,
-    row-struct tiebreak) before the merge, so the keyed-table
-    invariant — exactly one row per doc_id — holds for every batch
-    composition, not just key-partitioned ones.
+    key pre-reduce to a single row (latest source-file modification
+    time wins; file path, then row struct, break ties) before the
+    merge, so the keyed-table invariant — exactly one row per doc_id
+    — holds for every batch composition, not just key-partitioned
+    ones.
     """
 
     def apply_batch(updates: DataFrame, batch_id: int) -> None:
@@ -996,20 +997,24 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
         # joining them raw would fan the full-outer out and write
         # DUPLICATE doc_id rows into the keyed snapshot. Pre-reduce
         # to one row per key: last-writer = greatest source-file
-        # path (CDC feed directories embed arrival order in the file
-        # name), with the row struct as a deterministic tiebreak for
-        # within-file duplicates. Falls back to the struct order
+        # MODIFICATION TIME (true arrival order for a CDC feed
+        # directory — a lexicographic path order would misorder
+        # change_9 vs change_10), file path then row struct as
+        # deterministic tiebreaks. Falls back to the struct order
         # alone when the batch has no file lineage.
         try:
-            upd = updates.withColumn("_src", F.col("_metadata.file_path"))
+            upd = updates.withColumn(
+                "_mt", F.col("_metadata.file_modification_time")
+            ).withColumn("_src", F.col("_metadata.file_path"))
         except Exception:  # non-file source: no lineage column
-            upd = updates.withColumn("_src", F.lit(""))
+            upd = updates.withColumn("_mt", F.lit(None).cast("timestamp")
+            ).withColumn("_src", F.lit(""))
         updates_1 = (
             upd.groupBy("doc_id")
             .agg(
                 F.max_by(
                     F.struct("text", "lang", "source"),
-                    F.struct("_src", "text", "lang", "source"),
+                    F.struct("_mt", "_src", "text", "lang", "source"),
                 ).alias("u")
             )
             .select("doc_id", "u.text", "u.lang", "u.source")
@@ -1241,6 +1246,18 @@ def streaming_substring_scrub_counts(
     stream = read_documents_stream(spark, sf_dir).where(
         F.col("text").isNotNull()
     )
+    if not cands:
+        # No repeated substring >= LRS_MIN_MATCH in the fitting
+        # corpus: the ledger is legitimately EMPTY (the batch twin
+        # returns an empty frame on the same input) — keep the
+        # stream/sink shape, emit no rows.
+        empty = stream.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_spans"),
+            F.lit(0).cast("long").alias("tokens_matched"),
+            F.lit(0).cast("int").alias("max_match_len"),
+        ).where(F.lit(False))
+        return run_to_memory(empty, output_mode="append")
     toks = tokens(F.col("text"))
 
     def occ_of(length: int, sub: list[str]):

@@ -767,11 +767,16 @@ def test_cdc_merge_dedupes_multi_change_batches(spark, tmp_path):
     ).write.mode("overwrite").parquet(table0)
 
     # TWO change files for doc_id 1 in the SAME batch (no
-    # maxFilesPerTrigger cap): file name order is arrival order.
+    # maxFilesPerTrigger cap). The directory names are ADVERSARIAL
+    # on purpose: the later change lands in "change_10", which sorts
+    # BEFORE "change_9" lexicographically — last-writer-wins must
+    # follow file modification time (arrival order), not path order.
     src = os.path.join(work, "src")
     now = time.time() - 60
-    for i, txt in enumerate(("first change", "second change")):
-        d = os.path.join(src, f"change_{i}")
+    for i, (dirname, txt) in enumerate(
+        (("change_9", "first change"), ("change_10", "second change"))
+    ):
+        d = os.path.join(src, dirname)
         spark.createDataFrame(
             [(1, txt, "en", f"cdc{i}")],
             "doc_id long, text string, lang string, source string",
@@ -800,7 +805,8 @@ def test_cdc_merge_dedupes_multi_change_batches(spark, tmp_path):
         F.max("count")
     ).first()[0] == 1
     row = final.where(F.col("doc_id") == 1).collect()[0]
-    # change_1 sorts after change_0 in file-path order → it wins
+    # change_10 arrived LAST (greater mtime) → it wins, even though
+    # "change_10" < "change_9" in path order
     assert (row.text, row.source) == ("second change", "cdc1")
     assert final.where(F.col("doc_id") == 2).collect()[0].text == "base two"
 
