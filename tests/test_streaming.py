@@ -834,6 +834,36 @@ def test_streaming_substring_scrub_matches_batch(spark):
     assert got and all(v[0] >= 1 and v[1] >= v[2] for v in got.values())
 
 
+def test_streaming_substring_scrub_empty_candidates(spark, tmp_path):
+    """A fitting corpus with NO repeated substring of the minimum
+    length is a legitimate intake state: the scrubber must return an
+    EMPTY ledger with the full schema (batch parity on the empty
+    case), not crash building the per-row expression."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        dedup_substring_scrub,
+    )
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_substring_scrub_counts,
+    )
+
+    # every text unique, no 4-token window shared between any two
+    texts = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(8)))
+        for i in range(20)
+    ]
+    sf = str(tmp_path / "nodup_sf")
+    spark.createDataFrame(
+        texts, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = streaming_substring_scrub_counts(spark, sf)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_spans", "tokens_matched", "max_match_len",
+    ]
+    assert dedup_substring_scrub(spark, sf).count() == 0  # batch parity
+
+
 def test_streaming_ab_monitor_matches_batch_readout(spark):
     """The live experiment monitor's final sufficient statistics must
     reproduce the batch Welch readout exactly: folding the sink's
