@@ -64,6 +64,13 @@ HEADLINE = (
     "quality_score_calibration",
     "events_ab_test",
     "dedup_longest_substring",
+    # The widest PLANS.md rows — in the headline so plan changes to
+    # the heaviest exchange/join graphs always carry wall-clock
+    # evidence (round-8 verdict ask #3):
+    "dedup_ngram_jaccard",     # 27 exchanges / 29 BHJ
+    "neardup_pagerank",        # 14 exchanges / 10 SMJ
+    "quality_signal_spearman", # 12 exchanges
+    "fk_integrity_report",     # per-child fused FK scan battery
 )
 
 
@@ -138,10 +145,23 @@ def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
         # hit here would time a no-op.
         from duckdb_gsheets_spark.operators import clear_plan_caches
 
+        import gc
+
         runs = []
         df = None
         for _ in range(3):
             clear_plan_caches()
+            # Storage hygiene BETWEEN runs (outside the clock): each
+            # rebuild orphans the previous run's eager localCheckpoint
+            # blocks, which the ContextCleaner only reclaims lazily
+            # after GC — left alone, block-manager storage accumulates
+            # across 3 runs × many checkpointed queries and can
+            # spill/skew later timings. Drop the Python refs, then
+            # force one JVM GC so every timed run starts from the same
+            # (empty) storage state.
+            df = None
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = qs[name].spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -160,7 +180,13 @@ def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
 
 
 def run_duckdb(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
-    """Diagnostic-only local baseline: same oracle SQL, DuckDB engine."""
+    """Diagnostic-only local baseline: same oracle SQL, DuckDB engine.
+
+    Best-of-3 per query, SYMMETRIC with the Spark clock (round-8
+    verdict ask #4): single-shot timing charged DuckDB cold
+    parquet-footer/file-listing costs that Spark's best-of-3 amortizes
+    away, biasing the ratio in the repo's favor and swinging the
+    denominator ±20% run-to-run."""
     import duckdb
 
     from duckdb_gsheets_spark.operators import all_queries
@@ -176,9 +202,12 @@ def run_duckdb(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
         oracle = qs[name].oracle
         if oracle is None:
             continue
-        t0 = time.perf_counter()
-        con.execute(oracle).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(oracle).fetchall()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
     return timings
 
 

@@ -2391,15 +2391,17 @@ def dsir_bucket_llr(
     # The bucket tally is consumed twice (the totals fold and the
     # final per-bucket select); it is ≤ DSIR_BUCKETS rows, so an
     # eager localCheckpoint stops the corpus subtree re-expanding
-    # into both branches.
-    raw_cnt = (
-        feats.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("r_cnt"),
-            F.sum(is_target.cast("long")).alias("t_cnt"),
-        )
-        .localCheckpoint(eager=True)
+    # into both branches. Guarded like the MinHash/SimHash signature
+    # builders: checkpointing is analysis-illegal on a streaming
+    # frame, and the streaming DSIR scorer fits from this same
+    # builder against its static corpus — a streaming `feats` keeps
+    # the (re-evaluated-per-consumer) lazy plan instead.
+    raw_cnt = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum(is_target.cast("long")).alias("t_cnt"),
     )
+    if not feats.isStreaming:
+        raw_cnt = raw_cnt.localCheckpoint(eager=True)
     totals = raw_cnt.agg(
         F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
     )

@@ -2179,8 +2179,11 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: audits grade against — keyed by (applicationId, sf_dir, source
 #: mtime) so a new session (whose checkpoint blocks would be gone), a
 #: different scale factor, or a REWRITTEN embeddings table never sees
-#: a stale frame. Entries are bounded: |queries|·k rows per distinct
-#: (sf_dir, mtime) a session actually benchmarks.
+#: a stale frame. Entries are bounded two ways: each is a
+#: |queries|·k-row checkpoint, and inserting a key EVICTS every other
+#: entry for the same sf_dir (keep-latest-per-sf_dir) — a long-lived
+#: session sweeping rewritten corpora must not pin every prior
+#: corpus's checkpoint blocks.
 _EXACT_BASELINE_CACHE: dict = {}
 
 
@@ -2221,6 +2224,8 @@ def _exact_baseline_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_a", "vec_b")
             .localCheckpoint(eager=True)
         )
+        for stale in [k for k in _EXACT_BASELINE_CACHE if k[1] == sf_dir]:
+            del _EXACT_BASELINE_CACHE[stale]
         _EXACT_BASELINE_CACHE[key] = cached
     return cached
 

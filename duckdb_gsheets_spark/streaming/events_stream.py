@@ -998,10 +998,13 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
         # DUPLICATE doc_id rows into the keyed snapshot. Pre-reduce
         # to one row per key: last-writer = greatest source-file
         # MODIFICATION TIME (true arrival order for a CDC feed
-        # directory — a lexicographic path order would misorder
-        # change_9 vs change_10), file path then row struct as
-        # deterministic tiebreaks. Falls back to the struct order
-        # alone when the batch has no file lineage.
+        # directory), then the NUMERIC-AWARE file sequence — the
+        # trailing number in the file name, so change_10 outranks
+        # change_9 even when a coarse-clock filesystem stamps both
+        # files with the same mtime (raw lexicographic path order
+        # would misorder exactly that pair) — then file path and row
+        # struct as deterministic tiebreaks. Falls back to the
+        # struct order alone when the batch has no file lineage.
         try:
             upd = updates.withColumn(
                 "_mt", F.col("_metadata.file_modification_time")
@@ -1009,12 +1012,28 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
         except Exception:  # non-file source: no lineage column
             upd = updates.withColumn("_mt", F.lit(None).cast("timestamp")
             ).withColumn("_src", F.lit(""))
+        # Sequence = trailing number of the CDC file-set name: strip
+        # the writer-generated part-file segment (its 00000/c000/uuid
+        # digit runs are not arrival order), then parse the last
+        # digit run — change_10/part-00000-….parquet → 10, flat
+        # change_10.parquet → 10, no digits → -1 (tiebreak inert).
+        upd = upd.withColumn(
+            "_seq",
+            F.coalesce(
+                F.regexp_extract(
+                    F.regexp_replace(F.col("_src"), r"/part-[^/]*$", ""),
+                    r"(\d+)\D*$",
+                    1,
+                ).try_cast("long"),  # no-digits -> '' -> NULL under ANSI
+                F.lit(-1),
+            ),
+        )
         updates_1 = (
             upd.groupBy("doc_id")
             .agg(
                 F.max_by(
                     F.struct("text", "lang", "source"),
-                    F.struct("_mt", "_src", "text", "lang", "source"),
+                    F.struct("_mt", "_seq", "_src", "text", "lang", "source"),
                 ).alias("u")
             )
             .select("doc_id", "u.text", "u.lang", "u.source")
@@ -1236,12 +1255,12 @@ def streaming_substring_scrub_counts(
     from duckdb_gsheets_spark.functions.text import tokens
     from duckdb_gsheets_spark.operators.dedup import (
         _lrs_candidates,
-        _lrs_suffix_table,
+        _lrs_tables,
     )
 
     cands = [
         (int(r.l), list(r.sub_arr))
-        for r in _lrs_candidates(_lrs_suffix_table(spark, sf_dir)).collect()
+        for r in _lrs_candidates(*_lrs_tables(spark, sf_dir)).collect()
     ]
     stream = read_documents_stream(spark, sf_dir).where(
         F.col("text").isNotNull()

@@ -789,17 +789,48 @@ def test_connected_components_transitive_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 42: 42}
 
 
+def _py_lrs_reference(toks_by_doc, key_cap, min_match, topk):
+    """Single-process reference for the two-pass engine: ONE suffix
+    sort with keys capped at ``key_cap`` (= LRS_EXT_CAP — the proof
+    in _lrs_candidates' docstring shows the engine's capped-spine +
+    tied-extension algebra equals this one-stage sort exactly),
+    adjacent-pair LCPs, distinct (len, substring), (len desc,
+    substring) top-K."""
+    suffixes = []  # (key_string, doc_id, pos, key_tokens)
+    for doc_id, toks in toks_by_doc.items():
+        for p in range(len(toks)):
+            key = toks[p : p + key_cap]
+            suffixes.append((" ".join(key), doc_id, p + 1, key))
+    suffixes.sort(key=lambda s: (s[0], s[1], s[2]))
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    cands = set()
+    for (_, _, _, pk), (_, _, _, k) in zip(suffixes, suffixes[1:]):
+        ln = lcp(pk, k)
+        if ln >= min_match:
+            cands.add((ln, " ".join(k[:ln])))
+    return sorted(cands, key=lambda c: (-c[0], c[1]))[:topk]
+
+
 def test_dedup_longest_substring_matches_python_suffix_sort(spark):
     """Suffix-LCP top-K longest repeated substrings against a direct
-    Python recompute: a real (single-process) suffix sort of the same
-    capped keys, adjacent-pair LCPs, the same (len desc, substring)
-    top-K — and occurrence counts re-derived INDEPENDENTLY from the
-    raw token streams (window compare, not the suffix keys), so a
-    keying bug on the engine side cannot self-confirm."""
+    Python recompute: a real (single-process) suffix sort at the
+    LRS_EXT_CAP reporting width, adjacent-pair LCPs, the same
+    (len desc, substring) top-K — and occurrence counts re-derived
+    INDEPENDENTLY from the raw token streams (window compare, not the
+    suffix keys), so a keying bug on the engine side cannot
+    self-confirm."""
     import re
 
     from duckdb_gsheets_spark.operators.dedup import (
-        LRS_CAP,
+        LRS_EXT_CAP,
         LRS_MIN_MATCH,
         LRS_TOPK,
         dedup_longest_substring,
@@ -818,27 +849,7 @@ def test_dedup_longest_substring_matches_python_suffix_sort(spark):
         .collect()
         if r.text is not None
     }
-    suffixes = []  # (key_string, doc_id, pos, key_tokens)
-    for doc_id, toks in toks_by_doc.items():
-        for p in range(len(toks)):
-            key = toks[p : p + LRS_CAP]
-            suffixes.append((" ".join(key), doc_id, p + 1, key))
-    suffixes.sort(key=lambda s: (s[0], s[1], s[2]))
-
-    def lcp(a, b):
-        n = 0
-        for x, y in zip(a, b):
-            if x != y:
-                break
-            n += 1
-        return n
-
-    cands = set()
-    for (_, _, _, pk), (_, _, _, k) in zip(suffixes, suffixes[1:]):
-        ln = lcp(pk, k)
-        if ln >= LRS_MIN_MATCH:
-            cands.add((ln, " ".join(k[:ln])))
-    topk = sorted(cands, key=lambda c: (-c[0], c[1]))[:LRS_TOPK]
+    topk = _py_lrs_reference(toks_by_doc, LRS_EXT_CAP, LRS_MIN_MATCH, LRS_TOPK)
 
     expected = []
     for ln, sub in topk:
@@ -858,20 +869,36 @@ def test_dedup_longest_substring_matches_python_suffix_sort(spark):
     assert all(occ >= 2 and nd >= 1 for _, _, occ, nd in got)
 
 
+def _lrs_cands_of(spark, texts):
+    from duckdb_gsheets_spark.operators.dedup import (
+        _lrs_candidates,
+        _lrs_ext_from,
+        _lrs_suffix_table_from,
+    )
+
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    ranged = _lrs_suffix_table_from(docs)
+    ext = _lrs_ext_from(ranged, docs)
+    return sorted(
+        (r.l, r.substring) for r in _lrs_candidates(ranged, ext).collect()
+    )
+
+
 def test_lrs_candidates_on_adversarial_corpus(spark):
     """Suffix/LCP machinery against a hostile in-memory corpus — the
     shapes the generated tables never contain: empty strings (split
-    yields ['']), single tokens, a document shorter than the cap that
-    IS a prefix of another, a whole-document repeat longer than the
-    cap (must truncate AT the cap), unicode tokens, and an all-equal
-    token run. Pinned against the same Python suffix sort as the
-    corpus test."""
+    yields ['']), single tokens, a document shorter than the spine
+    cap that IS a prefix of another, a whole-document repeat longer
+    than the spine cap (must report its TRUE length via the tied-rows
+    extension), unicode tokens, and an all-equal token run. Pinned
+    against the same Python suffix sort as the corpus test."""
+    import re
+
     from duckdb_gsheets_spark.operators.dedup import (
         LRS_CAP,
+        LRS_EXT_CAP,
         LRS_MIN_MATCH,
         LRS_TOPK,
-        _lrs_candidates,
-        _lrs_suffix_table_from,
     )
 
     long_repeat = " ".join(f"w{i}" for i in range(LRS_CAP + 5))
@@ -880,47 +907,99 @@ def test_lrs_candidates_on_adversarial_corpus(spark):
         (2, "solo"),                   # single token
         (3, "a b c d e"),              # prefix of doc 4's text
         (4, "a b c d e f g h"),        # superstring
-        (5, long_repeat),              # whole-doc repeat, > cap
+        (5, long_repeat),              # whole-doc repeat, > spine cap
         (6, long_repeat),
         (7, "ü ü ü ü ü ü"),            # unicode + all-equal run
         (8, None),                     # NULL text drops out
     ]
-    docs = spark.createDataFrame(texts, "doc_id long, text string")
-    got = sorted(
-        (r.l, r.substring)
-        for r in _lrs_candidates(_lrs_suffix_table_from(docs)).collect()
-    )
+    got = _lrs_cands_of(spark, texts)
 
-    import re
+    toks_by_doc = {
+        doc_id: re.split(r"\s+", text.strip())
+        for doc_id, text in texts
+        if text is not None
+    }
+    topk = _py_lrs_reference(toks_by_doc, LRS_EXT_CAP, LRS_MIN_MATCH, LRS_TOPK)
+    assert got == sorted(topk)
+    # the whole-doc repeat reports its TRUE length (> the spine cap)
+    assert max(l for l, _ in got) == LRS_CAP + 5
 
-    suffixes = []
-    for doc_id, text in texts:
-        if text is None:
-            continue
-        toks = re.split(r"\s+", text.strip())
-        for p in range(len(toks)):
-            key = toks[p : p + LRS_CAP]
-            suffixes.append((" ".join(key), doc_id, p + 1, key))
-    suffixes.sort(key=lambda s: (s[0], s[1], s[2]))
-    cands = set()
-    for (_, _, _, pk), (_, _, _, k) in zip(suffixes, suffixes[1:]):
-        ln = 0
-        for x, y in zip(pk, k):
-            if x != y:
-                break
-            ln += 1
-        if ln >= LRS_MIN_MATCH:
-            cands.add((ln, " ".join(k[:ln])))
-    expected = sorted(
-        sorted(cands, key=lambda c: (-c[0], c[1]))[:LRS_TOPK]
+
+def test_lrs_planted_long_repeat_reports_true_length(spark):
+    """A planted 40-token repeat — ABOVE the 12-token spine cap and
+    below the LRS_EXT_CAP reporting ceiling, the Lee et al. 2022
+    operating range — reports match_len == 40 with the exact
+    substring, plus exact intermediate candidates from the repeat's
+    internal suffix adjacencies."""
+    from duckdb_gsheets_spark.operators.dedup import LRS_CAP
+
+    repeat = " ".join(f"r{i}" for i in range(40))
+    texts = [
+        (1, "alpha beta " + repeat + " gamma delta"),
+        (2, "unrelated filler tokens only here"),
+        (3, repeat + " epsilon zeta"),
+    ]
+    got = _lrs_cands_of(spark, texts)
+    assert max(l for l, _ in got) == 40
+    assert (40, repeat) in got
+    assert all(l > LRS_CAP for l, _ in got)  # nothing shorter competes
+
+
+def test_lrs_repeat_beyond_ext_cap_reports_ceiling(spark):
+    """A repeat LONGER than LRS_EXT_CAP reports AS the ceiling — the
+    documented truncation point of the extension pass (both engine
+    and oracle share it)."""
+    from duckdb_gsheets_spark.operators.dedup import LRS_EXT_CAP
+
+    huge = " ".join(f"t{i}" for i in range(LRS_EXT_CAP + 30))
+    texts = [(1, huge), (2, huge)]
+    got = _lrs_cands_of(spark, texts)
+    assert max(l for l, _ in got) == LRS_EXT_CAP
+
+
+def test_lrs_table_cache_keeps_latest_per_sf_dir(spark, tmp_path):
+    """The (session, corpus) memo for the suffix spine + extension
+    table evicts stale entries for the same sf_dir on insert: after
+    building against two different mtimes of the SAME corpus dir, the
+    cache holds exactly ONE entry for that dir (keep-latest), so a
+    session sweeping rewritten corpora cannot pin every prior
+    corpus's checkpoint blocks."""
+    import os
+
+    from duckdb_gsheets_spark.operators import dedup
+
+    sf = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
     )
-    assert got == expected
-    # the whole-doc repeat must be reported, truncated AT the cap
-    assert max(l for l, _ in got) == LRS_CAP
-    # the unicode all-equal run yields a candidate (it may be
-    # outranked by the longer repeat before the top-K cut — the
-    # equality above already pins the cut itself)
-    assert any("ü" in s for _, s in cands)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    dedup._lrs_tables(spark, sf)
+    # bump the corpus mtime -> new cache key, old entry must evict
+    os.utime(f"{sf}/documents.parquet", (1, 1))
+    dedup._lrs_tables(spark, sf)
+    assert len([k for k in dedup._LRS_SPINE_CACHE if k[1] == sf]) == 1
+
+
+def test_exact_baseline_cache_keeps_latest_per_sf_dir(spark, tmp_path):
+    """Same keep-latest-per-sf_dir eviction contract for the shared
+    exact-ANN baseline memo in operators/similarity.py."""
+    import os
+
+    from duckdb_gsheets_spark.operators import similarity
+
+    sf = str(tmp_path)
+    emb = spark.createDataFrame(
+        [
+            (i, [float(i), float(i + 1), 1.0], i % 2)
+            for i in range(similarity.N_QUERY_VECTORS + 4)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    similarity._exact_baseline_ckpt(spark, sf)
+    os.utime(f"{sf}/embeddings.parquet", (1, 1))
+    similarity._exact_baseline_ckpt(spark, sf)
+    assert len([k for k in similarity._EXACT_BASELINE_CACHE if k[1] == sf]) == 1
 
 
 def test_dedup_clusters_on_planted_corpus(spark, tmp_path):

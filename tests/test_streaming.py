@@ -811,6 +811,58 @@ def test_cdc_merge_dedupes_multi_change_batches(spark, tmp_path):
     assert final.where(F.col("doc_id") == 2).collect()[0].text == "base two"
 
 
+def test_cdc_merge_equal_mtime_numeric_sequence_wins(spark, tmp_path):
+    """Coarse-clock filesystems can stamp change_9 and change_10 with
+    the SAME mtime; the pre-reduce must then fall to the numeric-aware
+    file sequence (trailing number of the CDC file-set name), not raw
+    lexicographic path order, which sorts change_10 before change_9."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.streaming.events_stream import cdc_merge_apply
+
+    work = str(tmp_path / "cdc_eqmtime")
+    table0 = os.path.join(work, "table", "v0")
+    spark.createDataFrame(
+        [(1, "base one", "en", "seed")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(table0)
+
+    src = os.path.join(work, "src")
+    same = time.time() - 60  # identical mtime for BOTH change files
+    for i, (dirname, txt) in enumerate(
+        (("change_9", "first change"), ("change_10", "second change"))
+    ):
+        d = os.path.join(src, dirname)
+        spark.createDataFrame(
+            [(1, txt, "en", f"cdc{i}")],
+            "doc_id long, text string, lang string, source string",
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (same, same))
+
+    state = {"cur": table0, "version": 0}
+    q = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(cdc_merge_apply(spark, state))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = spark.read.parquet(state["cur"])
+    assert final.count() == 1
+    row = final.collect()[0]
+    # change_10's sequence number (10) outranks change_9's (9) at
+    # equal mtime, despite "change_10" < "change_9" in path order
+    assert (row.text, row.source) == ("second change", "cdc1")
+
+
 def test_streaming_substring_scrub_matches_batch(spark):
     """The streaming ExactSubstr intake scrubber must reproduce the
     batch removal manifest EXACTLY: candidates fit once from the
