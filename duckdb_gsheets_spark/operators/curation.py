@@ -395,6 +395,14 @@ def lang_tercile_ranked(scored: DataFrame) -> DataFrame:
         .orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # ONE pass over the checkpoint yields BOTH per-(lang, pid) rank
+    # offsets (exclusive prefix sum) and the per-language total (full
+    # partition sum): the two windows share the lang hash partition,
+    # so Catalyst plans a single exchange — vs. the former separate
+    # n_lang aggregate, which re-read the checkpoint and shipped a
+    # second broadcast (two extra jobs per caller, pure scheduling
+    # floor at bench scale).
+    w_tot = Window.partitionBy("lang")
     offsets = (
         ranged.groupBy("lang", "pid")
         .agg(F.count(F.lit(1)).alias("pcnt"))
@@ -404,17 +412,14 @@ def lang_tercile_ranked(scored: DataFrame) -> DataFrame:
             F.coalesce(
                 F.sum("pcnt").over(w_off), F.lit(0).cast("long")
             ).alias("rank_off"),
+            F.sum("pcnt").over(w_tot).alias("n_lang"),
         )
-    )
-    n_lang = ranged.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_lang")
     )
     w_local = Window.partitionBy("lang", "pid").orderBy(
         "unigram_xent", "doc_id"
     )
     return (
         ranged.join(F.broadcast(offsets), ["lang", "pid"])
-        .join(F.broadcast(n_lang), "lang")
         .select(
             "doc_id",
             "lang",

@@ -2819,6 +2819,80 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_exactsubstr_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr pipeline's LAST MILE (Lee et al. 2022 §4:
+    dedup by REMOVING repeated spans, then train on what remains):
+    apply the scrub ledger to the corpus and report, per source, what
+    survives — ``(source, n_docs, n_docs_scrubbed, tokens_in,
+    tokens_scrubbed, tokens_out, token_retention)``. This is the
+    acceptance report a production scrub pass ships with: which
+    sources lose how much token mass to boilerplate repeats.
+
+    Composition cost on top of :func:`dedup_substring_scrub`: the
+    same shared spine/extension/candidate chain, one per-doc ledger
+    rollup, one LEFT join against the |docs|-row token-count
+    projection, one |sources|-row rollup — nothing corpus-quadratic.
+    Per-document cut is ``least(tokens_matched, n_tokens)``:
+    ``tokens_matched`` counts Σ match_len per occurrence, so
+    OVERLAPPING occurrences can double-count token positions — the
+    ledger is the upper bound a sequential left-to-right scrub never
+    exceeds, and the cap keeps a degenerate all-repeat document from
+    reporting negative retention. Oracle: the shared
+    ``_lrs_core_sql`` chain + the same two joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ranged, ext = _lrs_tables(spark, sf_dir)
+    cands = _lrs_candidates(ranged, ext)
+    ledger = (
+        _lrs_occurrences(ranged, ext, cands)
+        .groupBy("doc_id")
+        .agg(F.sum("l").cast("bigint").alias("tokens_matched"))
+    )
+    per_doc = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .join(ledger, "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.least(
+                F.coalesce(F.col("tokens_matched"), F.lit(0)),
+                F.col("n_tokens"),
+            ).alias("cut"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("cut") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_scrubbed"),
+            F.sum("n_tokens").alias("tokens_in"),
+            F.sum("cut").cast("bigint").alias("tokens_scrubbed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_docs_scrubbed",
+            "tokens_in",
+            "tokens_scrubbed",
+            (F.col("tokens_in") - F.col("tokens_scrubbed")).alias(
+                "tokens_out"
+            ),
+            F.round(
+                (F.col("tokens_in") - F.col("tokens_scrubbed")).cast("double")
+                / F.col("tokens_in"),
+                6,
+            ).alias("token_retention"),
+        )
+    )
+
+
 def _lrs_core_sql() -> str:
     """Shared CTE chain replaying the two-pass suffix algebra in
     DuckDB — the capped spine, the duplicated-key extension to
@@ -2922,6 +2996,34 @@ GROUP BY l, substring
 """
 
 
+PIPELINE_EXACTSUBSTR_ORACLE = f"""
+WITH {_lrs_core_sql()},
+px_ledger AS (
+  SELECT doc_id, CAST(SUM(l) AS BIGINT) AS tokens_matched
+  FROM lr_occ GROUP BY doc_id
+), px_docs AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), px AS (
+  SELECT d.source, d.n_tokens,
+         least(COALESCE(l.tokens_matched, 0), d.n_tokens) AS cut
+  FROM px_docs d LEFT JOIN px_ledger l ON l.doc_id = d.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cut > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_scrubbed,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
+       CAST(SUM(cut) AS BIGINT) AS tokens_scrubbed,
+       CAST(SUM(n_tokens) - SUM(cut) AS BIGINT) AS tokens_out,
+       ROUND(CAST(SUM(n_tokens) - SUM(cut) AS DOUBLE) / SUM(n_tokens), 6)
+         AS token_retention
+FROM px GROUP BY source
+"""
+
+
 
 QUERIES: list[QueryDef] = [
     QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact fingerprint dedup"),
@@ -2946,4 +3048,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("neardup_graph_stats", neardup_graph_stats, NEARDUP_GRAPH_STATS_ORACLE, "one-row global graph health: transitivity + degree assortativity (exact integer moments)"),
     QueryDef("dedup_longest_substring", dedup_longest_substring, DEDUP_LRS_ORACLE, "suffix-LCP top-K longest repeated substrings (ExactSubstr grain, distributed suffix sort)"),
     QueryDef("dedup_substring_scrub", dedup_substring_scrub, DEDUP_SCRUB_ORACLE, "per-document ExactSubstr removal ledger over the top-K repeated substrings"),
+    QueryDef("pipeline_exactsubstr_corpus", pipeline_exactsubstr_corpus, PIPELINE_EXACTSUBSTR_ORACLE, "ExactSubstr last mile: per-source token retention after applying the scrub ledger"),
 ]

@@ -1321,3 +1321,89 @@ def streaming_substring_scrub_counts(
         max_match_len.cast("int").alias("max_match_len"),
     ).where(F.col("n_spans") > 0)
     return run_to_memory(out, output_mode="append")
+
+
+def streaming_exactsubstr_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static twin of ``operators.dedup.pipeline_exactsubstr_corpus``
+    — the ExactSubstr pipeline's last mile at intake time. The top-K
+    repeated substrings are fit ONCE from the static corpus (same
+    bounded candidate fit as the intake scrubber), each arriving
+    document's cut is the STATELESS per-row ledger
+    ``least(Σ occurrences·match_len, n_tokens)``, and the per-source
+    release ledger — documents in/scrubbed, token inventory, token
+    retention — is a streaming aggregation in complete mode (state =
+    |sources| rows). Batch equality pins every
+    (source, n_docs, n_docs_scrubbed, tokens_in, tokens_scrubbed,
+    tokens_out, token_retention) row against the composed batch
+    pipeline.
+    """
+    from duckdb_gsheets_spark.functions.text import tokens
+    from duckdb_gsheets_spark.operators.dedup import (
+        _lrs_candidates,
+        _lrs_tables,
+    )
+
+    cands = [
+        (int(r.l), list(r.sub_arr))
+        for r in _lrs_candidates(*_lrs_tables(spark, sf_dir)).collect()
+    ]
+    stream = read_documents_stream(spark, sf_dir).where(
+        F.col("text").isNotNull()
+    )
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+
+    if cands:
+
+        def occ_of(length: int, sub: list[str]):
+            sub_lit = F.array(*[F.lit(t) for t in sub])
+            npos = F.greatest(F.size(toks) - F.lit(length - 1), F.lit(1))
+            return F.size(
+                F.filter(
+                    F.sequence(F.lit(1), npos),
+                    lambda p: F.slice(toks, p, F.lit(length)) == sub_lit,
+                )
+            )
+
+        matched = occ_of(*cands[0]) * F.lit(cands[0][0])
+        for length, sub in cands[1:]:
+            matched = matched + occ_of(length, sub) * F.lit(length)
+        matched = matched.cast("long")
+    else:
+        matched = F.lit(0).cast("long")
+    per_doc = stream.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.least(matched, n_tokens).alias("cut"),
+    )
+    agg = (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("cut") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_scrubbed"),
+            F.sum("n_tokens").alias("tokens_in"),
+            F.sum("cut").cast("bigint").alias("tokens_scrubbed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_docs_scrubbed",
+            "tokens_in",
+            "tokens_scrubbed",
+            (F.col("tokens_in") - F.col("tokens_scrubbed")).alias(
+                "tokens_out"
+            ),
+            F.round(
+                (F.col("tokens_in") - F.col("tokens_scrubbed")).cast(
+                    "double"
+                )
+                / F.col("tokens_in"),
+                6,
+            ).alias("token_retention"),
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")

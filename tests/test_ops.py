@@ -980,6 +980,39 @@ def test_lrs_table_cache_keeps_latest_per_sf_dir(spark, tmp_path):
     assert len([k for k in dedup._LRS_SPINE_CACHE if k[1] == sf]) == 1
 
 
+def test_pipeline_exactsubstr_corpus_on_planted_corpus(spark, tmp_path):
+    """End-to-end scrub pipeline on a hand-computable corpus: two docs
+    in source 'a' share a 40-token repeat whose suffix candidates
+    (lengths 40..31) cover BOTH docs completely once the per-doc cut
+    is capped at n_tokens; source 'b' is untouched. Retention must be
+    exactly 0.0 for 'a' and 1.0 for 'b'."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        pipeline_exactsubstr_corpus,
+    )
+
+    sf = str(tmp_path)
+    repeat = " ".join(f"r{i}" for i in range(40))
+    spark.createDataFrame(
+        [
+            (1, repeat, "en", "a"),
+            (2, repeat + " tail1 tail2", "en", "a"),
+            (3, " ".join(f"u{i}" for i in range(8)), "en", "b"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        r.source: r
+        for r in pipeline_exactsubstr_corpus(spark, sf).collect()
+    }
+    a, b = got["a"], got["b"]
+    assert (a.n_docs, a.n_docs_scrubbed, a.tokens_in) == (2, 2, 82)
+    # every candidate's occurrence ledger exceeds both doc lengths ->
+    # cut caps at n_tokens, the whole source scrubs away
+    assert (a.tokens_scrubbed, a.tokens_out, a.token_retention) == (82, 0, 0.0)
+    assert (b.n_docs, b.n_docs_scrubbed) == (1, 0)
+    assert (b.tokens_in, b.tokens_out, b.token_retention) == (8, 8, 1.0)
+
+
 def test_exact_baseline_cache_keeps_latest_per_sf_dir(spark, tmp_path):
     """Same keep-latest-per-sf_dir eviction contract for the shared
     exact-ANN baseline memo in operators/similarity.py."""

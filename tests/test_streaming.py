@@ -975,3 +975,42 @@ def test_streaming_fineweb_gates_match_batch_funnel(spark):
     assert got == batch
     assert len(got) > 1
     assert any(v[1] > 0 for v in got.values())
+
+
+def test_streaming_exactsubstr_retention_matches_batch(spark):
+    """The streaming per-source ExactSubstr release ledger must equal
+    the composed batch pipeline row-for-row: same candidates (fit once
+    from the static corpus), same per-doc cut, same per-source rollup
+    and retention ratio — and the ledger is non-trivial (at least one
+    source actually loses tokens on the test corpus)."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        pipeline_exactsubstr_corpus,
+    )
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_exactsubstr_retention,
+    )
+
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_docs_scrubbed,
+            r.tokens_in,
+            r.tokens_scrubbed,
+            r.tokens_out,
+            r.token_retention,
+        )
+        for r in streaming_exactsubstr_retention(spark, SF).collect()
+    }
+    exp = {
+        r.source: (
+            r.n_docs,
+            r.n_docs_scrubbed,
+            r.tokens_in,
+            r.tokens_scrubbed,
+            r.tokens_out,
+            r.token_retention,
+        )
+        for r in pipeline_exactsubstr_corpus(spark, SF).collect()
+    }
+    assert got == exp
+    assert any(v[3] > 0 for v in got.values())
