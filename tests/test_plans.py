@@ -902,6 +902,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "text_kneser_ney_bigram",   # 1-row N1+(..) bigram-type-count broadcast
         "dedup_longest_substring",  # ≤LRS_TOPK-row candidate broadcast probe
         "dedup_substring_scrub",    # same ≤LRS_TOPK-row candidate broadcast probe
+        "pipeline_exactsubstr_corpus",  # same ≤LRS_TOPK-row probe (shared chain)
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
@@ -959,6 +960,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "quality_score_calibration",  # cumulates the ≤1e6-value score grid
         "dedup_longest_substring",  # |pids|-row boundary-seam lag window
         "dedup_substring_scrub",  # same |pids|-row boundary seam (shared spine)
+        "pipeline_exactsubstr_corpus",  # same boundary seam (shared chain)
     }
     # privacy_k_anonymity's total-share broadcast is over the ≤3-row
     # band table — covered by bnlj_ok below, no window involved.
@@ -1066,8 +1068,11 @@ def test_supplier_hhi_broadcasts_dimension(spark):
 def test_lang_tertiles_tiles_the_rank_window(spark):
     """The per-language rank must ride the pid tile — a bare
     Window.partitionBy(lang) would funnel each language's whole
-    corpus through one task. Offsets/n_lang maps broadcast back; no
-    cartesian anywhere."""
+    corpus through one task. ONE offsets map (carrying both the
+    exclusive prefix offsets and the per-language totals from a
+    single lang-partitioned exchange — round 9 folded the former
+    separate n_lang aggregate into it) broadcasts back; no cartesian
+    anywhere."""
     plan = _plan(spark, "quality_lang_tertiles")
     physical = plan.split("== Physical Plan ==")[-1]
     corpus_sized = [
@@ -1077,7 +1082,7 @@ def test_lang_tertiles_tiles_the_rank_window(spark):
     ]
     assert not corpus_sized, f"untiled corpus window: {corpus_sized}"
     assert "CartesianProduct" not in physical
-    assert physical.count("BroadcastHashJoin") >= 2
+    assert physical.count("BroadcastHashJoin") == 1
     assert "ExistingRDD" in physical or "LogicalRDD" in physical
 
 
@@ -1140,7 +1145,9 @@ def test_ccnet_pipeline_tiles_the_rank_window(spark):
     ]
     assert not corpus_sized, f"untiled corpus window: {corpus_sized}"
     assert "CartesianProduct" not in physical
-    assert physical.count("BroadcastHashJoin") >= 2
+    # ONE broadcast: the fused offsets+totals map (round 9 folded the
+    # separate n_lang aggregate into the offsets exchange).
+    assert physical.count("BroadcastHashJoin") == 1
     assert "md5" in physical  # hash gate fused as a row expression
 
 
