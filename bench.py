@@ -74,6 +74,18 @@ HEADLINE = (
 )
 
 
+#: Long-run rule, applied SYMMETRICALLY to both engines: a query whose
+#: FIRST timed run exceeds this many seconds is recorded from that
+#: single run (no best-of-3, one exec-only run). Rationale: best-of-3
+#: exists to amortize sub-second codegen/footer costs that would
+#: otherwise dominate sub-second queries; at tens of seconds those
+#: costs are already noise, and tripling a 45 s query would blow the
+#: harness budget without changing the number. The same cutoff governs
+#: the DuckDB twin so neither side gets an asymmetric warm-run
+#: advantage.
+LONG_RUN_CUTOFF_S = 12.0
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -166,12 +178,14 @@ def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
             df = qs[name].spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            if runs[0] > LONG_RUN_CUTOFF_S:
+                break  # long-run rule: single-shot both engines
         timings[name] = round(min(runs), 3)
         # Round-7-comparable EXEC-ONLY clock: re-execute the already-
         # built plan (checkpoints materialized at build time), so the
         # two accountings are both recorded in every bench artifact.
         runs_exec = []
-        for _ in range(2):
+        for _ in range(1 if runs[0] > LONG_RUN_CUTOFF_S else 2):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs_exec.append(time.perf_counter() - t0)
@@ -207,6 +221,8 @@ def run_duckdb(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
             t0 = time.perf_counter()
             con.execute(oracle).fetchall()
             runs.append(time.perf_counter() - t0)
+            if runs[0] > LONG_RUN_CUTOFF_S:
+                break  # same long-run rule as the Spark clock
         timings[name] = round(min(runs), 3)
     return timings
 
