@@ -80,9 +80,17 @@ HEADLINE = (
 #: exists to amortize sub-second codegen/footer costs that would
 #: otherwise dominate sub-second queries; at tens of seconds those
 #: costs are already noise, and tripling a 45 s query would blow the
-#: harness budget without changing the number. The same cutoff governs
-#: the DuckDB twin so neither side gets an asymmetric warm-run
-#: advantage.
+#: harness budget without changing the number. The rule triggers from
+#: a SHARED signal: a query is "long" when EITHER engine's first run
+#: exceeds the cutoff, and then BOTH engines record their first run —
+#: per-engine triggering would let a borderline query (Spark's first
+#: run includes plan build + eager checkpoint materialization;
+#: DuckDB's is execute-only) be single-shot on one engine and
+#: best-of-3 on the other, skewing the ratio. The timing loops return
+#: RAW run lists and main() applies the shared rule after both have
+#: run (an engine still early-stops its own loop once ITS first run
+#: trips the cutoff — the other engine's first run is always
+#: available to record).
 LONG_RUN_CUTOFF_S = 12.0
 
 
@@ -94,7 +102,9 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
+def run_spark(
+    sf_dir: str, names: tuple[str, ...]
+) -> tuple[dict[str, list[float]], dict[str, list[float]]]:
     from duckdb_gsheets_spark.operators import all_queries
     from duckdb_gsheets_spark.plans.session import get_spark
 
@@ -139,8 +149,8 @@ def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
     spark.range(256).select(dot_np(arr, arr).alias("d")).selectExpr(
         "sum(d)"
     ).write.format("noop").mode("overwrite").save()
-    timings: dict[str, float] = {}
-    exec_timings: dict[str, float] = {}
+    timings: dict[str, list[float]] = {}
+    exec_timings: dict[str, list[float]] = {}
     for name in names:
         # Best-of-3: the first execution pays one-time whole-stage
         # codegen + parquet-footer/file-listing costs that amortize to
@@ -179,8 +189,8 @@ def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
             if runs[0] > LONG_RUN_CUTOFF_S:
-                break  # long-run rule: single-shot both engines
-        timings[name] = round(min(runs), 3)
+                break  # own-side early stop; main() applies shared rule
+        timings[name] = runs
         # Round-7-comparable EXEC-ONLY clock: re-execute the already-
         # built plan (checkpoints materialized at build time), so the
         # two accountings are both recorded in every bench artifact.
@@ -189,18 +199,25 @@ def run_spark(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs_exec.append(time.perf_counter() - t0)
-        exec_timings[name] = round(min(runs_exec), 3)
+        exec_timings[name] = runs_exec
     return timings, exec_timings
 
 
-def run_duckdb(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
+def run_duckdb(
+    sf_dir: str,
+    names: tuple[str, ...],
+    force_single: frozenset[str] = frozenset(),
+) -> dict[str, list[float]]:
     """Diagnostic-only local baseline: same oracle SQL, DuckDB engine.
 
     Best-of-3 per query, SYMMETRIC with the Spark clock (round-8
     verdict ask #4): single-shot timing charged DuckDB cold
     parquet-footer/file-listing costs that Spark's best-of-3 amortizes
     away, biasing the ratio in the repo's favor and swinging the
-    denominator ±20% run-to-run."""
+    denominator ±20% run-to-run. ``force_single`` carries the SHARED
+    long-run signal from the Spark pass (a query whose Spark first
+    run tripped the cutoff is single-shot here too, so neither engine
+    warm-runs a query the other recorded cold)."""
     import duckdb
 
     from duckdb_gsheets_spark.operators import all_queries
@@ -211,28 +228,51 @@ def run_duckdb(sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs = all_queries()
-    timings: dict[str, float] = {}
+    timings: dict[str, list[float]] = {}
     for name in names:
         oracle = qs[name].oracle
         if oracle is None:
             continue
         runs = []
-        for _ in range(3):
+        for _ in range(1 if name in force_single else 3):
             t0 = time.perf_counter()
             con.execute(oracle).fetchall()
             runs.append(time.perf_counter() - t0)
             if runs[0] > LONG_RUN_CUTOFF_S:
-                break  # same long-run rule as the Spark clock
-        timings[name] = round(min(runs), 3)
+                break  # own-side early stop; main() applies shared rule
+        timings[name] = runs
     return timings
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    timings, exec_timings = run_spark(sf_dir, HEADLINE)
+    spark_runs, exec_runs = run_spark(sf_dir, HEADLINE)
     from duckdb_gsheets_spark.operators import all_queries
 
     with_oracle = {n for n, qd in all_queries().items() if qd.oracle is not None}
+    spark_long = frozenset(
+        n for n, rs in spark_runs.items() if rs[0] > LONG_RUN_CUTOFF_S
+    )
+    duck_runs: dict[str, list[float]] = {}
+    if "--no-duckdb" not in sys.argv:
+        duck_runs = run_duckdb(sf_dir, HEADLINE, force_single=spark_long)
+    # SHARED long-run rule: a query is long when EITHER engine's first
+    # run tripped the cutoff; both engines then record their FIRST run
+    # (single-shot accounting), otherwise both record best-of-N. This
+    # keeps a borderline query from being single-shot on one engine
+    # and best-of-3 on the other (Spark's first run carries plan build
+    # + checkpoint materialization that DuckDB's execute-only first
+    # run does not).
+    long_names = spark_long | frozenset(
+        n for n, rs in duck_runs.items() if rs[0] > LONG_RUN_CUTOFF_S
+    )
+
+    def _pick(rs: list[float], name: str) -> float:
+        return round(rs[0] if name in long_names else min(rs), 3)
+
+    timings = {n: _pick(rs, n) for n, rs in spark_runs.items()}
+    exec_timings = {n: _pick(rs, n) for n, rs in exec_runs.items()}
+    duck = {n: _pick(rs, n) for n, rs in duck_runs.items()}
     result = {
         "metric": "headline_query_wall_clock",
         "value": round(sum(timings.values()), 3),
@@ -260,8 +300,7 @@ def main() -> None:
     # The DuckDB twin runs BY DEFAULT so every recorded bench artifact
     # carries its own same-box baseline (pass --no-duckdb to skip);
     # "--duckdb" is accepted for backward compatibility.
-    if "--no-duckdb" not in sys.argv:
-        duck = run_duckdb(sf_dir, HEADLINE)
+    if duck:
         result["duckdb_total"] = round(sum(duck.values()), 3)
         if result["duckdb_total"] > 0:
             result["ratio_vs_duckdb"] = round(

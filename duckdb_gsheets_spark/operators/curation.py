@@ -2392,21 +2392,31 @@ def dsir_bucket_llr(
     target tally from the full-corpus one — same single pass over
     ``feats``, different arithmetic. Default False = the documented
     full-corpus deviation (see :func:`_dsir_weights`)."""
+    # This builder is BATCH-ONLY and fails loudly on a streaming
+    # frame: the plan needs an aggregation-on-aggregation (the totals
+    # fold reads the bucket tally) plus an eager localCheckpoint,
+    # both analysis-illegal under Structured Streaming — skipping the
+    # checkpoint would only move the failure to the totals fold. The
+    # streaming DSIR scorer is unaffected by design: it fits this
+    # artifact ONCE from its STATIC corpus and collects the ≤
+    # DSIR_BUCKETS rows into a map literal (dsir_row_scorer), which
+    # is how a production gate consumes a fitted artifact anyway.
+    if feats.isStreaming:
+        raise ValueError(
+            "dsir_bucket_llr fits from a STATIC corpus only (the llr "
+            "table is an agg-on-agg plan Structured Streaming cannot "
+            "analyze); fit on the static frame and broadcast the "
+            "collected table into the stream, as dsir_row_scorer does"
+        )
     is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
     # The bucket tally is consumed twice (the totals fold and the
     # final per-bucket select); it is ≤ DSIR_BUCKETS rows, so an
     # eager localCheckpoint stops the corpus subtree re-expanding
-    # into both branches. Guarded like the MinHash/SimHash signature
-    # builders: checkpointing is analysis-illegal on a streaming
-    # frame, and the streaming DSIR scorer fits from this same
-    # builder against its static corpus — a streaming `feats` keeps
-    # the (re-evaluated-per-consumer) lazy plan instead.
+    # into both branches.
     raw_cnt = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("r_cnt"),
         F.sum(is_target.cast("long")).alias("t_cnt"),
-    )
-    if not feats.isStreaming:
-        raw_cnt = raw_cnt.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     totals = raw_cnt.agg(
         F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
     )

@@ -245,11 +245,7 @@ def _jaccard_pairs_from(toks_arr: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    tok_ids = (
-        dfs.select("tok")
-        .withColumn("tid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
-    )
+    tok_ids = _token_dictionary(dfs)
     itoks = (
         postings.join(tok_ids, "tok")
         .groupBy("doc_id", "n_tokens")
@@ -276,6 +272,24 @@ def _jaccard_pairs_from(toks_arr: DataFrame) -> DataFrame:
         .join(tb, "doc_b")
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= t)
+    )
+
+
+def _token_dictionary(dfs: DataFrame) -> DataFrame:
+    """Injective tok→tid dictionary for the int-array verify.
+    INVARIANT — this frame MUST be eagerly checkpointed:
+    ``monotonically_increasing_id`` is nondeterministic across
+    re-evaluations, and BOTH verify sides join this frame; two
+    un-materialized evaluations could assign different ids to the
+    same token and silently corrupt every intersection. The eager
+    ``localCheckpoint`` pins ONE materialized assignment that every
+    consumer reads (plan roots on the checkpointed RDD — pinned by
+    tests/test_ops.py::test_token_dictionary_plan_roots_on_checkpoint,
+    which fails if a refactor drops the materialization)."""
+    return (
+        dfs.select("tok")
+        .withColumn("tid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
 
 
@@ -2673,12 +2687,24 @@ def _lrs_ext_from(ranged: DataFrame, docs: DataFrame) -> DataFrame:
     toks = docs.where(F.col("text").isNotNull()).select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     )
-    w_ks = Window.partitionBy("ks")
-    tied = (
-        ranged.where(F.size("key") == LRS_CAP)
-        .withColumn("cnt", F.count(F.lit(1)).over(w_ks))
+    # Duplicated-key detection is groupBy + join, NOT a count-over-
+    # window: the window form funnels every occurrence of each
+    # duplicated 12-gram into ONE task (a single-partition hotspot on
+    # dup-dense corpora — the adversarial case this pass exists for)
+    # and carries whole groups through the window shuffle. groupBy
+    # gets map-side partial aggregation, so the ks-shuffle moves one
+    # (ks, count) row per distinct key per mapper, and the re-join
+    # back to the full-width rows is an ordinary co-partitioned hash
+    # join with no per-group serialization point.
+    full = ranged.where(F.size("key") == LRS_CAP)
+    dup_keys = (
+        full.groupBy("ks")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= 2)
-        .select(F.col("ks").alias("gk"), "doc_id", "pos")
+        .select("ks")
+    )
+    tied = full.join(dup_keys, "ks").select(
+        F.col("ks").alias("gk"), "doc_id", "pos"
     )
     return (
         tied.join(toks, "doc_id")

@@ -1012,19 +1012,36 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
         except Exception:  # non-file source: no lineage column
             upd = updates.withColumn("_mt", F.lit(None).cast("timestamp")
             ).withColumn("_src", F.lit(""))
-        # Sequence = trailing number of the CDC file-set name: strip
-        # the writer-generated part-file segment (its 00000/c000/uuid
-        # digit runs are not arrival order), then parse the last
-        # digit run — change_10/part-00000-….parquet → 10, flat
-        # change_10.parquet → 10, no digits → -1 (tiebreak inert).
+        # Sequence = two components, change-set first. A CDC feed is
+        # either flat files (watch/change_10.parquet — the set number
+        # lives in the LEAF) or change-set directories
+        # (watch/change_10/data-001.parquet — the set number lives in
+        # the PARENT segment, and leaf digit runs are file-local part
+        # numbers that must never be compared ACROSS sets: at equal
+        # mtime, change_9/data-002 would outrank change_10/data-001).
+        # So order by (_seq_dir, _seq_file): the parent-segment
+        # trailing number dominates (constant — hence inert — for the
+        # flat layout, where the parent is the watch dir itself), and
+        # the leaf trailing number breaks ties only WITHIN a set
+        # (carrying the flat layout, where _seq_dir ties). Leaves
+        # named part-* are writer-generated (00000/c000/uuid runs are
+        # not arrival order) → -1. No digits → -1 (tiebreak inert).
+        leaf = F.regexp_extract(F.col("_src"), r"([^/]*)$", 1)
+        parent_seg = F.regexp_extract(F.col("_src"), r"([^/]*)/[^/]*$", 1)
         upd = upd.withColumn(
-            "_seq",
+            "_seq_dir",
             F.coalesce(
-                F.regexp_extract(
-                    F.regexp_replace(F.col("_src"), r"/part-[^/]*$", ""),
-                    r"(\d+)\D*$",
-                    1,
-                ).try_cast("long"),  # no-digits -> '' -> NULL under ANSI
+                # no-digits -> '' -> NULL under ANSI try_cast
+                F.regexp_extract(parent_seg, r"(\d+)\D*$", 1).try_cast("long"),
+                F.lit(-1),
+            ),
+        ).withColumn(
+            "_seq_file",
+            F.coalesce(
+                F.when(
+                    ~leaf.rlike(r"^part-"),
+                    F.regexp_extract(leaf, r"(\d+)\D*$", 1).try_cast("long"),
+                ),
                 F.lit(-1),
             ),
         )
@@ -1033,7 +1050,15 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
             .agg(
                 F.max_by(
                     F.struct("text", "lang", "source"),
-                    F.struct("_mt", "_seq", "_src", "text", "lang", "source"),
+                    F.struct(
+                        "_mt",
+                        "_seq_dir",
+                        "_seq_file",
+                        "_src",
+                        "text",
+                        "lang",
+                        "source",
+                    ),
                 ).alias("u")
             )
             .select("doc_id", "u.text", "u.lang", "u.source")

@@ -980,6 +980,30 @@ def test_lrs_table_cache_keeps_latest_per_sf_dir(spark, tmp_path):
     assert len([k for k in dedup._LRS_SPINE_CACHE if k[1] == sf]) == 1
 
 
+def test_token_dictionary_plan_roots_on_checkpoint(spark):
+    """The PPJoin verify's tok→tid dictionary assigns ids with
+    ``monotonically_increasing_id``, which is nondeterministic across
+    re-evaluations; BOTH verify sides join the dictionary, so its
+    correctness depends on the frame being MATERIALIZED exactly once.
+    Pin the invariant: the returned plan must root on the checkpointed
+    RDD (no live lineage back to the id assignment), and two separate
+    evaluations must see identical injective ids. Fails if a refactor
+    drops the eager localCheckpoint."""
+    from duckdb_gsheets_spark.operators.dedup import _token_dictionary
+
+    dfs = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "tok string"
+    )
+    d = _token_dictionary(dfs)
+    plan = d._jdf.queryExecution().optimizedPlan().toString()
+    assert ("LogicalRDD" in plan) or ("ExistingRDD" in plan), plan
+    assert "monotonically_increasing_id" not in plan, plan
+    first = {r.tok: r.tid for r in d.collect()}
+    second = {r.tok: r.tid for r in d.collect()}
+    assert first == second
+    assert len(set(first.values())) == 3  # injective
+
+
 def test_pipeline_exactsubstr_corpus_on_planted_corpus(spark, tmp_path):
     """End-to-end scrub pipeline on a hand-computable corpus: two docs
     in source 'a' share a 40-token repeat whose suffix candidates

@@ -863,6 +863,87 @@ def test_cdc_merge_equal_mtime_numeric_sequence_wins(spark, tmp_path):
     assert (row.text, row.source) == ("second change", "cdc1")
 
 
+def test_cdc_merge_set_sequence_dominates_leaf_numbers(spark, tmp_path):
+    """Change-set DIRECTORIES with non-part leaf names: at equal mtime
+    the set number (parent segment) must dominate — change_9/data-002
+    must NOT outrank change_10/data-001 just because its file-local
+    part number (2) is bigger. Leaf numbers only break ties WITHIN a
+    set."""
+    import os
+    import time
+
+    from duckdb_gsheets_spark.streaming.events_stream import cdc_merge_apply
+
+    work = str(tmp_path / "cdc_setseq")
+    table0 = os.path.join(work, "table", "v0")
+    spark.createDataFrame(
+        [(1, "base one", "en", "seed")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(table0)
+
+    src = os.path.join(work, "src")
+    same = time.time() - 60
+    for i, (dirname, leafname, txt) in enumerate(
+        (
+            ("change_9", "data-002.parquet", "first change"),
+            ("change_10", "data-001.parquet", "second change"),
+        )
+    ):
+        d = os.path.join(src, dirname)
+        spark.createDataFrame(
+            [(1, txt, "en", f"cdc{i}")],
+            "doc_id long, text string, lang string, source string",
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        # rename the writer part file to the adversarial leaf name
+        part = next(
+            f for f in os.listdir(d)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.rename(os.path.join(d, part), os.path.join(d, leafname))
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (same, same))
+
+    state = {"cur": table0, "version": 0}
+    q = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(cdc_merge_apply(spark, state))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = spark.read.parquet(state["cur"])
+    assert final.count() == 1
+    row = final.collect()[0]
+    # set 10 wins over set 9 despite 9's bigger leaf number
+    assert (row.text, row.source) == ("second change", "cdc1")
+
+
+def test_dsir_bucket_llr_rejects_streaming_frame(spark):
+    """The llr artifact builder is batch-only by design (agg-on-agg +
+    eager checkpoint are analysis-illegal under streaming); a
+    streaming feats frame must fail LOUDLY at build time, not deep in
+    Catalyst analysis — the streaming scorer fits from the static
+    corpus and broadcasts the collected table instead."""
+    import pytest
+
+    from duckdb_gsheets_spark.operators.curation import (
+        _dsir_feats,
+        dsir_bucket_llr,
+    )
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        read_documents_stream,
+    )
+
+    stream_feats = _dsir_feats(read_documents_stream(spark, SF))
+    assert stream_feats.isStreaming
+    with pytest.raises(ValueError, match="STATIC corpus only"):
+        dsir_bucket_llr(stream_feats)
+
+
 def test_streaming_substring_scrub_matches_batch(spark):
     """The streaming ExactSubstr intake scrubber must reproduce the
     batch removal manifest EXACTLY: candidates fit once from the
