@@ -2843,20 +2843,23 @@ def _lrs_occurrences(
     ranged: DataFrame, ext: DataFrame, cands: DataFrame
 ) -> DataFrame:
     """One row per corpus occurrence of a top-K candidate:
-    ``(doc_id, l, substring)``. Candidates at or below the spine cap
-    probe the full suffix table; longer candidates probe only the
-    tied-rows extension table — complete BY CONSTRUCTION, because any
-    position starting a ≥cap-length repeat has a duplicated capped
-    key and is therefore in the extension table. Both probes are a
-    ≤K-row broadcast over one pass of a checkpointed artifact."""
+    ``(doc_id, pos, l, substring)`` — ``pos`` is the 1-based token
+    position the match starts at, so consumers can reason about
+    SPANS (the scrub pipeline unions overlapping ones), not just
+    counts. Candidates at or below the spine cap probe the full
+    suffix table; longer candidates probe only the tied-rows
+    extension table — complete BY CONSTRUCTION, because any position
+    starting a ≥cap-length repeat has a duplicated capped key and is
+    therefore in the extension table. Both probes are a ≤K-row
+    broadcast over one pass of a checkpointed artifact."""
     short = ranged.join(
         F.broadcast(cands.where(F.col("l") <= LRS_CAP)),
         F.slice(F.col("key"), F.lit(1), F.col("l")) == F.col("sub_arr"),
-    ).select("doc_id", "l", "substring")
+    ).select("doc_id", "pos", "l", "substring")
     long_ = ext.join(
         F.broadcast(cands.where(F.col("l") > LRS_CAP)),
         F.slice(F.col("ek"), F.lit(1), F.col("l")) == F.col("sub_arr"),
-    ).select("doc_id", "l", "substring")
+    ).select("doc_id", "pos", "l", "substring")
     return short.unionByName(long_)
 
 
@@ -2905,21 +2908,43 @@ def pipeline_exactsubstr_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shared spine/extension/candidate chain, one per-doc ledger
     rollup, one LEFT join against the |docs|-row token-count
     projection, one |sources|-row rollup — nothing corpus-quadratic.
-    Per-document cut is ``least(tokens_matched, n_tokens)``:
-    ``tokens_matched`` counts Σ match_len per occurrence, so
-    OVERLAPPING occurrences can double-count token positions — the
-    ledger is the upper bound a sequential left-to-right scrub never
-    exceeds, and the cap keeps a degenerate all-repeat document from
-    reporting negative retention. Oracle: the shared
-    ``_lrs_core_sql`` chain + the same two joins.
+    Per-document cut is EXACT sequential-scrub token mass: the
+    occurrence spans ``[pos, pos+l-1]`` are merged by interval union
+    (sort by start per doc, running-max sweep → island ids → per-
+    island coverage), so OVERLAPPING occurrences — a 40-token repeat
+    whose suffix candidates all match inside it is the common case —
+    count each token position ONCE, exactly what a left-to-right
+    scrub removes. The union windows partition by doc_id (occurrence
+    rows only — |affected docs| × ≤K·spans, nothing corpus-sized) and
+    the residual ``least(cut, n_tokens)`` is a pure invariant guard
+    (span ends never exceed the doc, so union coverage ≤ n_tokens by
+    construction). Oracle: the shared ``_lrs_core_sql`` chain + the
+    same island sweep in DuckDB windows.
     """
     docs = load_table(spark, sf_dir, "documents")
     ranged, ext = _lrs_tables(spark, sf_dir)
     cands = _lrs_candidates(ranged, ext)
+    spans = _lrs_occurrences(ranged, ext, cands).select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.col("l") - 1).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = spans.withColumn(
+        "new_isl",
+        (F.col("s") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
     ledger = (
-        _lrs_occurrences(ranged, ext, cands)
+        islands.groupBy("doc_id", "isl")
+        .agg((F.max("e") - F.min("s") + 1).alias("cov"))
         .groupBy("doc_id")
-        .agg(F.sum("l").cast("bigint").alias("tokens_matched"))
+        .agg(F.sum("cov").cast("bigint").alias("tokens_matched"))
     )
     per_doc = (
         docs.where(F.col("text").isNotNull())
@@ -3038,11 +3063,11 @@ def _lrs_core_sql() -> str:
   SELECT l, substring, string_split(substring, ' ') AS sub_arr
   FROM lr_cand ORDER BY l DESC, substring LIMIT {LRS_TOPK}
 ), lr_occ AS (
-  SELECT c.l, c.substring, s.doc_id
+  SELECT c.l, c.substring, s.doc_id, s.pos
   FROM lr_topk c JOIN lr_sfx s
     ON c.l <= {LRS_CAP} AND list_slice(s.k, 1, c.l) = c.sub_arr
   UNION ALL
-  SELECT c.l, c.substring, e.doc_id
+  SELECT c.l, c.substring, e.doc_id, e.pos
   FROM lr_topk c JOIN lr_ext e
     ON c.l > {LRS_CAP} AND list_slice(e.ek, 1, c.l) = c.sub_arr
 )"""
@@ -3071,9 +3096,27 @@ GROUP BY l, substring
 
 PIPELINE_EXACTSUBSTR_ORACLE = f"""
 WITH {_lrs_core_sql()},
-px_ledger AS (
-  SELECT doc_id, CAST(SUM(l) AS BIGINT) AS tokens_matched
-  FROM lr_occ GROUP BY doc_id
+px_spans AS (
+  SELECT doc_id, pos AS s, pos + l - 1 AS e FROM lr_occ
+), px_isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM px_spans
+), px_isl2 AS (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (
+           PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM px_isl
+), px_ledger AS (
+  SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS tokens_matched
+  FROM (
+    SELECT doc_id, MAX(e) - MIN(s) + 1 AS cov
+    FROM px_isl2 GROUP BY doc_id, isl
+  ) GROUP BY doc_id
 ), px_docs AS (
   SELECT doc_id, source,
          CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT)

@@ -1355,14 +1355,18 @@ def streaming_exactsubstr_retention(
     — the ExactSubstr pipeline's last mile at intake time. The top-K
     repeated substrings are fit ONCE from the static corpus (same
     bounded candidate fit as the intake scrubber), each arriving
-    document's cut is the STATELESS per-row ledger
-    ``least(Σ occurrences·match_len, n_tokens)``, and the per-source
-    release ledger — documents in/scrubbed, token inventory, token
-    retention — is a streaming aggregation in complete mode (state =
-    |sources| rows). Batch equality pins every
-    (source, n_docs, n_docs_scrubbed, tokens_in, tokens_scrubbed,
-    tokens_out, token_retention) row against the composed batch
-    pipeline.
+    document's cut is the STATELESS per-row EXACT scrub mass: the
+    per-candidate match spans ``[p, p+l-1]`` are collected, sorted,
+    and interval-UNIONED with one ``aggregate`` sweep (running-max
+    fold), so overlapping occurrences count each token position once
+    — identical semantics to the batch pipeline's doc_id-windowed
+    island sweep, expressed as a per-row JVM fold because a streaming
+    plan cannot window over occurrence rows. The per-source release
+    ledger — documents in/scrubbed, token inventory, token retention
+    — is a streaming aggregation in complete mode (state = |sources|
+    rows). Batch equality pins every (source, n_docs,
+    n_docs_scrubbed, tokens_in, tokens_scrubbed, tokens_out,
+    token_retention) row against the composed batch pipeline.
     """
     from duckdb_gsheets_spark.functions.text import tokens
     from duckdb_gsheets_spark.operators.dedup import (
@@ -1382,20 +1386,50 @@ def streaming_exactsubstr_retention(
 
     if cands:
 
-        def occ_of(length: int, sub: list[str]):
+        def spans_of(length: int, sub: list[str]):
+            # array<struct<s,e>> of this candidate's match spans
             sub_lit = F.array(*[F.lit(t) for t in sub])
             npos = F.greatest(F.size(toks) - F.lit(length - 1), F.lit(1))
-            return F.size(
+            return F.transform(
                 F.filter(
                     F.sequence(F.lit(1), npos),
                     lambda p: F.slice(toks, p, F.lit(length)) == sub_lit,
-                )
+                ),
+                lambda p: F.struct(
+                    p.alias("s"), (p + F.lit(length - 1)).alias("e")
+                ),
             )
 
-        matched = occ_of(*cands[0]) * F.lit(cands[0][0])
-        for length, sub in cands[1:]:
-            matched = matched + occ_of(length, sub) * F.lit(length)
-        matched = matched.cast("long")
+        # Interval union of ALL candidates' spans: array_sort orders
+        # struct<s,e> lexicographically (start, then end) — the exact
+        # order the island sweep needs — then one aggregate() fold
+        # carries (covered, running_max_end) and adds only the part
+        # of each span past the running max. Identical arithmetic to
+        # the batch pipeline's windowed sweep.
+        all_spans = F.array_sort(
+            F.flatten(F.array(*[spans_of(ln, sub) for ln, sub in cands]))
+        )
+        matched = F.aggregate(
+            all_spans,
+            F.struct(
+                F.lit(0).cast("long").alias("cov"),
+                F.lit(0).cast("long").alias("end"),
+            ),
+            lambda acc, iv: F.struct(
+                (
+                    acc["cov"]
+                    + F.greatest(
+                        F.lit(0).cast("long"),
+                        iv["e"].cast("long")
+                        - F.greatest(
+                            iv["s"].cast("long") - 1, acc["end"]
+                        ),
+                    )
+                ).alias("cov"),
+                F.greatest(acc["end"], iv["e"].cast("long")).alias("end"),
+            ),
+            lambda acc: acc["cov"],
+        )
     else:
         matched = F.lit(0).cast("long")
     per_doc = stream.select(

@@ -1005,11 +1005,15 @@ def test_token_dictionary_plan_roots_on_checkpoint(spark):
 
 
 def test_pipeline_exactsubstr_corpus_on_planted_corpus(spark, tmp_path):
-    """End-to-end scrub pipeline on a hand-computable corpus: two docs
-    in source 'a' share a 40-token repeat whose suffix candidates
-    (lengths 40..31) cover BOTH docs completely once the per-doc cut
-    is capped at n_tokens; source 'b' is untouched. Retention must be
-    exactly 0.0 for 'a' and 1.0 for 'b'."""
+    """End-to-end scrub pipeline on a hand-computable corpus with
+    heavily OVERLAPPING occurrences: two docs in source 'a' share a
+    40-token repeat, so the top-10 candidates are the repeat's
+    suffixes (lengths 40..31) and their spans in each doc all overlap
+    into ONE island [1,40]. The exact interval-union cut is 40 tokens
+    per doc — NOT the Σ match_len upper bound (355), which would cap
+    at n_tokens and wrongly scrub doc 2's tail too. Doc 1 (exactly
+    the repeat) scrubs away; doc 2 keeps its 2 tail tokens; source
+    'b' is untouched."""
     from duckdb_gsheets_spark.operators.dedup import (
         pipeline_exactsubstr_corpus,
     )
@@ -1021,6 +1025,9 @@ def test_pipeline_exactsubstr_corpus_on_planted_corpus(spark, tmp_path):
             (1, repeat, "en", "a"),
             (2, repeat + " tail1 tail2", "en", "a"),
             (3, " ".join(f"u{i}" for i in range(8)), "en", "b"),
+            # repeat TWICE with a 3-token gap: two DISJOINT islands
+            # [1,40] and [44,83] -> cut 80 of 83, the gap survives
+            (4, repeat + " gap1 gap2 gap3 " + repeat, "en", "c"),
         ],
         "doc_id long, text string, lang string, source string",
     ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
@@ -1028,13 +1035,16 @@ def test_pipeline_exactsubstr_corpus_on_planted_corpus(spark, tmp_path):
         r.source: r
         for r in pipeline_exactsubstr_corpus(spark, sf).collect()
     }
-    a, b = got["a"], got["b"]
+    a, b, c = got["a"], got["b"], got["c"]
     assert (a.n_docs, a.n_docs_scrubbed, a.tokens_in) == (2, 2, 82)
-    # every candidate's occurrence ledger exceeds both doc lengths ->
-    # cut caps at n_tokens, the whole source scrubs away
-    assert (a.tokens_scrubbed, a.tokens_out, a.token_retention) == (82, 0, 0.0)
+    # union of spans [1,40],[2,40],...,[10,40] = [1,40] -> 40 tokens
+    # cut per doc; doc 2's tail1/tail2 survive (Σl would be 355/doc)
+    assert (a.tokens_scrubbed, a.tokens_out) == (80, 2)
+    assert a.token_retention == round(2 / 82, 6)
     assert (b.n_docs, b.n_docs_scrubbed) == (1, 0)
     assert (b.tokens_in, b.tokens_out, b.token_retention) == (8, 8, 1.0)
+    assert (c.tokens_in, c.tokens_scrubbed, c.tokens_out) == (83, 80, 3)
+    assert c.token_retention == round(3 / 83, 6)
 
 
 def test_exact_baseline_cache_keeps_latest_per_sf_dir(spark, tmp_path):
