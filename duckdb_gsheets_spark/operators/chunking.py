@@ -307,26 +307,39 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact a dedup/boilerplate-removal pass is built from (Lee et
     al. 2021 start exactly here: rank repeated spans, then cut).
 
-    Two-phase plan, sized for 100 TB:
+    ONE-PASS plan, sized for 100 TB:
 
     1. Count phase: explode sliding ``PASSAGE_N``-grams (narrow, fused
-       into the scan), shuffle ONLY ``(md5, doc_id)`` — never text —
-       and aggregate occurrence + distinct-doc counts per hash
-       (uniform 16-byte keys; skew-proof). Top-K by
-       ``(count DESC, hash)`` is a total order, so the K winners are
-       deterministic.
-    2. Annotate phase: re-scan and re-explode (recomputation beats
-       shuffling a 100 TB text stream), broadcast-semi-join the K
-       winning hashes, and take each winner's first occurrence
-       ``(doc_id, pos)`` — the only rows that ever reach the final
-       window are the K passages' own occurrences.
+       into the scan), hash each gram's TOKEN ARRAY directly with two
+       independently-seeded xxhash64s (128 bits of key; no passage
+       string is ever built or shuffled — md5-over-joined-string was
+       ~10× the hashing cost at sf0.1, BASELINE.md round 10), and
+       aggregate occurrence + distinct-doc counts PLUS the first
+       occurrence ``min(struct(doc_id, pos))`` per key in one
+       partial-combining aggregate (uniform 16-byte keys + 16 B of
+       min-struct state; skew-proof; the min folds map-side, so no
+       per-key row stream survives the shuffle).
+    2. Annotate phase: broadcast the ≤K winner rows against the
+       tokenized docs (a K-row join that prunes to ≤K documents) and
+       slice each winner's passage text out of its first-occurrence
+       document. No second corpus-wide explode, no per-occurrence
+       window, no passage text ever shuffled — the round-9 shape
+       re-exploded the corpus and ranked every occurrence of every
+       winner through a row_number window, which was most of the
+       1.8×-vs-DuckDB gap.
+
+    Determinism: rank/tiebreak/K-cut order is ``(n_occurrences DESC,
+    first_doc, first_pos)`` — a TOTAL order because a passage is
+    uniquely identified by any one occurrence position, so distinct
+    passages always differ in their first occurrence. The order is
+    hash-free on purpose: it lets the engine pick its cheapest
+    internal key while the oracle groups by the passage string
+    itself, and the two stay winner-for-winner identical.
     """
     toks = _tokens_df(load_table(spark, sf_dir, "documents")).where(
         F.col("n_tokens") >= PASSAGE_N
     )
-    passage = F.array_join(
-        F.slice(F.col("toks"), F.col("pos"), PASSAGE_N), " "
-    )
+    gram_arr = F.slice(F.col("toks"), F.col("pos"), PASSAGE_N)
     grams = toks.select(
         "doc_id",
         F.explode(
@@ -336,43 +349,56 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
-        F.md5(passage).alias("passage_hash"),
-        passage.alias("passage"),
+        F.xxhash64(gram_arr).alias("h1"),
+        F.xxhash64(F.lit(42), gram_arr).alias("h2"),
     )
     top = (
-        grams.select("doc_id", "passage_hash")
-        .groupBy("passage_hash")
+        grams.groupBy("h1", "h2")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
         )
         .where(F.col("n_occurrences") >= PASSAGE_MIN_OCC)
-        .orderBy(F.desc("n_occurrences"), "passage_hash")
+        .select(
+            "n_occurrences",
+            "n_docs",
+            F.col("first.doc_id").alias("first_doc"),
+            F.col("first.pos").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_occurrences"), "first_doc", "first_pos")
         .limit(TOP_PASSAGES)
     )
-    w = Window.partitionBy("passage_hash").orderBy("doc_id", "pos")
-    firsts = (
-        grams.join(F.broadcast(top.select("passage_hash")), "passage_hash")
-        .withColumn("occ", F.row_number().over(w))
-        .where(F.col("occ") == 1)
-        .select(
-            "passage_hash",
-            "passage",
-            F.col("doc_id").alias("first_doc"),
-            F.col("pos").alias("first_pos"),
-        )
+    # Fetch winner text from the RAW docs so tokenization happens
+    # AFTER the ≤K-row broadcast join (≤K documents re-split, not the
+    # corpus — the projected-before-join form re-tokenized every doc).
+    docs_raw = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    texts = F.broadcast(top).join(
+        docs_raw, top.first_doc == docs_raw.doc_id
     )
     # Unpartitioned window over a provably bounded input: `top` is the
     # broadcast-bounded K=50 winner set, so the single partition holds
     # ≤50 rows at any corpus size (allowlisted in the registry-wide
     # unpartitioned-window sweep, tests/test_plans.py).
-    ranked = Window.orderBy(F.desc("n_occurrences"), "passage_hash")
+    ranked = Window.orderBy(
+        F.desc("n_occurrences"), "first_doc", "first_pos"
+    )
     return (
-        top.join(firsts, "passage_hash")
-        .withColumn("rank", F.row_number().over(ranked))
+        texts.withColumn("rank", F.row_number().over(ranked))
         .select(
             "rank",
-            "passage",
+            F.array_join(
+                F.slice(
+                    F.split(F.trim(F.col("text")), WHITESPACE_SPLIT),
+                    F.col("first_pos").cast("int"),
+                    PASSAGE_N,
+                ),
+                " ",
+            ).alias("passage"),
             "n_occurrences",
             "n_docs",
             "first_doc",
@@ -502,21 +528,30 @@ WITH toks AS (
          array_to_string(list_slice(t, pos, pos + {PASSAGE_N - 1}), ' ') AS passage
   FROM (SELECT doc_id, t, unnest(range(1, n - {PASSAGE_N - 1} + 1)) AS pos FROM toks)
 ), hashed AS (
-  SELECT doc_id, pos, md5(passage) AS passage_hash, passage FROM grams
-), top AS (
-  SELECT passage_hash, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+  -- md5 is the oracle's INTERNAL group key (16-byte keys beat
+  -- grouping by 32-token strings ~6x in DuckDB); the ranking below
+  -- never reads it, so engine and oracle stay hash-independent.
+  SELECT doc_id, pos, md5(passage) AS h FROM grams
+), agg AS (
+  -- first occurrence = min over doc_id*2^20+pos, a single scalar MIN
+  -- (DuckDB's MIN over a struct is ~10x slower). The pack preserves
+  -- (doc_id, pos) lexicographic order while pos < 2^20 — generated
+  -- test docs are well under 1M tokens; the ENGINE uses a true
+  -- struct min with no such bound.
+  SELECT h, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs,
+         MIN(doc_id * 1048576 + pos) AS packed
   FROM hashed GROUP BY 1
   HAVING COUNT(*) >= {PASSAGE_MIN_OCC}
-  ORDER BY n_occurrences DESC, passage_hash LIMIT {TOP_PASSAGES}
-), firsts AS (
-  SELECT passage_hash, passage, doc_id AS first_doc, pos AS first_pos
-  FROM hashed
-  WHERE passage_hash IN (SELECT passage_hash FROM top)
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY passage_hash ORDER BY doc_id, pos) = 1
+), top AS (
+  SELECT n_occurrences, n_docs,
+         packed // 1048576 AS first_doc, packed % 1048576 AS first_pos
+  FROM agg
+  ORDER BY n_occurrences DESC, first_doc, first_pos LIMIT {TOP_PASSAGES}
 )
-SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.n_occurrences DESC, t.passage_hash) AS INTEGER) AS rank,
-       f.passage, t.n_occurrences, t.n_docs, f.first_doc, f.first_pos
-FROM top t JOIN firsts f USING (passage_hash)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, first_doc, first_pos) AS INTEGER) AS rank,
+       array_to_string(list_slice(k.t, t.first_pos, t.first_pos + {PASSAGE_N - 1}), ' ') AS passage,
+       t.n_occurrences, t.n_docs, t.first_doc, CAST(t.first_pos AS BIGINT) AS first_pos
+FROM top t JOIN toks k ON k.doc_id = t.first_doc
 """
 
 

@@ -1530,12 +1530,12 @@ def test_duplicate_passages_match_python_recompute(spark):
             occ[p] += 1
             docs.setdefault(p, set()).add(r.doc_id)
             first.setdefault(p, (r.doc_id, pos + 1))
-    import hashlib
-
     dup = [
         (p, n) for p, n in occ.items() if n >= PASSAGE_MIN_OCC
     ]
-    dup.sort(key=lambda t: (-t[1], hashlib.md5(t[0].encode()).hexdigest()))
+    # Hash-free total order: count desc, then first occurrence
+    # (doc_id, pos) — injective per passage, mirrors engine + oracle.
+    dup.sort(key=lambda t: (-t[1], first[t[0]]))
     expected = dup[:TOP_PASSAGES]
     assert len(rows) == len(expected)
     for r, (p, n) in zip(sorted(rows, key=lambda r: r.rank), expected):
