@@ -43,7 +43,11 @@ from duckdb_gsheets_spark.sources.gsheets.auth import (
     auth_from_options,
     redact_options,
 )
-from duckdb_gsheets_spark.sources.gsheets.client import BASE_URL, GSheetsClient
+from duckdb_gsheets_spark.sources.gsheets.client import (
+    BASE_URL,
+    DRIVE_URL,
+    GSheetsClient,
+)
 from duckdb_gsheets_spark.sources.gsheets.errors import SheetsError
 from duckdb_gsheets_spark.sources.gsheets.inference import (
     SheetSchema,
@@ -93,7 +97,19 @@ def _build_client(options: dict) -> GSheetsClient:
             "GSHEETS_TOKEN / GOOGLE_APPLICATION_CREDENTIALS "
             f"(got options: {redact_options(options)})"
         )
-    return GSheetsClient(transport, auth, options.get("api_base", BASE_URL))
+    api_base = options.get("api_base", BASE_URL)
+    # Drive base for the streaming reader's revision poll: explicit
+    # option wins; otherwise, when a custom api_base points at a
+    # hermetic/proxy host, derive its Drive root on the SAME host
+    # (strip the Sheets /v4 suffix) so one fake server serves both
+    # surfaces; the public default is DRIVE_URL.
+    drive_base = options.get("drive_base")
+    if drive_base is None:
+        if api_base == BASE_URL:
+            drive_base = DRIVE_URL
+        else:
+            drive_base = api_base.rstrip("/").removesuffix("/v4") + "/drive/v3"
+    return GSheetsClient(transport, auth, api_base, drive_base)
 
 
 def _resolve_target(options: dict, client: GSheetsClient, need_sheet: bool) -> ResolvedTarget:
@@ -190,8 +206,23 @@ class GSheetsDataSource(DataSource):
 
 class GSheetsStreamReader(SimpleDataSourceStreamReader):
     """Poll-based micro-batch reader: the offset is the count of data
-    rows already emitted; each batch re-fetches the range and emits
+    rows already emitted plus the spreadsheet's Drive REVISION counter
+    at the time they were read; each batch first polls the cheap
+    revision signal (``files.get(fields=version)`` — one tiny metadata
+    GET) and refetches the grid ONLY when the revision moved, emitting
     the rows appended since the last offset.
+
+    Revision-polling semantics: Drive's ``version`` is a monotonically
+    increasing per-file counter that bumps on EVERY mutation (values,
+    metadata, any sheet in the spreadsheet), so ``version unchanged``
+    is a sound "no new rows" proof, while ``version changed`` merely
+    permits a refetch that may find nothing appended (an edit to
+    another tab) — correct either way, never missing data. When the
+    Drive surface is unavailable (scope, proxy, hermetic server
+    without the route) the poll returns ``None`` and every trigger
+    degrades to the unconditional refetch — revision polling is an
+    optimization, not a correctness dependency (pinned by
+    tests/test_streaming.py::test_gsheets_stream_reader_degrades_without_drive).
 
     The schema is fixed at stream start (Spark's contract). Rows are
     assumed append-only between polls — in-place edits of
@@ -210,24 +241,39 @@ class GSheetsStreamReader(SimpleDataSourceStreamReader):
         self._client: GSheetsClient | None = None
         self._target: ResolvedTarget | None = None
 
-    def _rows(self) -> list[tuple]:
+    def _connect(self) -> None:
         if self._client is None:
             self._client = _build_client(dict(self._options))
             self._target = _resolve_target(
                 dict(self._options), self._client, need_sheet=True
             )
+
+    def _rows(self) -> list[tuple]:
+        self._connect()
         grid = self._client.values(self._target.spreadsheet_id).get(
             self._target.a1()
         )
         return cast_rows(grid.values, self._schema, header=self._header)
 
+    def _version(self) -> int | None:
+        self._connect()
+        return self._client.file_version(self._target.spreadsheet_id)
+
     def initialOffset(self) -> dict:
-        return {"rows": 0}
+        return {"rows": 0, "version": None}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        v = self._version()
+        # Unchanged revision => provably nothing new; skip the grid
+        # fetch entirely and keep the offset (None never equals an
+        # int, so a missing Drive surface always falls through; a
+        # pre-revision checkpoint has no "version" key and refetches
+        # once, then carries the revision forward).
+        if v is not None and start.get("version") == v:
+            return iter(()), start
         rows = self._rows()
         begin = min(start["rows"], len(rows))
-        return iter(rows[begin:]), {"rows": len(rows)}
+        return iter(rows[begin:]), {"rows": len(rows), "version": v}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         rows = self._rows()

@@ -30,6 +30,20 @@ class SpreadsheetStore:
         self.sheets: list[dict] = []
         self.grids: dict[str, Grid] = {}
         self._next_sheet_id = 0
+        #: Drive-style per-file change counter (files.get fields=
+        #: version): bumps on EVERY mutation. Tests that poke
+        #: ``grids`` directly must call touch() (or use append_rows)
+        #: or a revision-polling reader will rightly see "unchanged".
+        self.version = 1
+
+    def touch(self) -> None:
+        self.version += 1
+
+    def append_rows(self, name: str, rows: Grid) -> None:
+        """Test helper: append rows to a sheet AND bump the Drive
+        version, like any real mutation would."""
+        self.grids[name].extend([list(r) for r in rows])
+        self.touch()
 
     def add_sheet(self, name: str, grid: Grid | None = None) -> dict:
         props = {
@@ -41,6 +55,7 @@ class SpreadsheetStore:
         self._next_sheet_id += 1
         self.sheets.append(props)
         self.grids[name] = [list(r) for r in (grid or [])]
+        self.touch()
         return props
 
     def metadata(self) -> dict:
@@ -111,6 +126,7 @@ def _update(store: SpreadsheetStore, a1: str, values: list[list[str]]) -> int:
             _grow(grid, r + 1, c + 1)
             grid[r][c] = cell
             n += 1
+    store.touch()
     return n
 
 
@@ -132,6 +148,7 @@ def _append(store: SpreadsheetStore, a1: str, values: list[list[str]]) -> int:
             _grow(grid, start + i + 1, c0 + j + 1)
             grid[start + i][c0 + j] = cell
             n += 1
+    store.touch()
     return n
 
 
@@ -163,6 +180,7 @@ def _clear(store: SpreadsheetStore, a1: str) -> None:
     grid = store.grids[sheet]
     if b.row_start is None and b.col_start is None and b.row_end is None:
         store.grids[sheet] = []
+        store.touch()
         return
     r0 = b.row_start or 0
     c0 = b.col_start or 0
@@ -172,11 +190,16 @@ def _clear(store: SpreadsheetStore, a1: str) -> None:
         c1 = b.col_end if b.col_end is not None else len(row) - 1
         for c in range(c0, min(c1, len(row) - 1) + 1):
             row[c] = ""
+    store.touch()
 
 
 _VALUES_RE = re.compile(r"^/v4/spreadsheets/(?P<sid>[^/]+)/values/(?P<rest>.+)$")
 _META_RE = re.compile(r"^/v4/spreadsheets/(?P<sid>[^/:]+)$")
 _BATCH_RE = re.compile(r"^/v4/spreadsheets/(?P<sid>[^/:]+):batchUpdate$")
+#: Drive v3 files.get — the revision counter the streaming reader
+#: polls (served on the same host; the connector derives the Drive
+#: root from api_base in hermetic setups).
+_DRIVE_RE = re.compile(r"^/drive/v3/files/(?P<sid>[^/:]+)$")
 
 
 class FakeSheetsServer:
@@ -267,6 +290,12 @@ class FakeSheetsServer:
                     if m and method == "GET":
                         store = registry.stores[m.group("sid")]
                         self._reply(200, store.metadata())
+                        return
+                    m = _DRIVE_RE.match(path)
+                    if m and method == "GET":
+                        store = registry.stores[m.group("sid")]
+                        # Drive serializes version as a string.
+                        self._reply(200, {"version": str(store.version)})
                         return
                     self._reply(404, {"error": {"message": f"no route {path}"}})
                 except KeyError as ex:
