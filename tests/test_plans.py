@@ -1202,3 +1202,27 @@ def test_dsir_gate_tiles_the_global_rank(spark):
     # the final plan reads the materialized tile (pid column present),
     # not a re-sort — same contract the ccnet pin checks.
     assert "Scan ExistingRDD" in physical and "pid#" in physical
+
+
+def test_plans_md_covers_every_registered_query():
+    """PLANS.md (the physical-plan self-audit) must have a row for
+    EVERY registered query — a registry addition without a
+    plan_report.py regeneration fails here, so the audit artifact can
+    never silently lag the code (round-9 verdict: PLANS.md missed
+    pipeline_exactsubstr_corpus and two changed plans)."""
+    import os
+    import re
+
+    from duckdb_gsheets_spark.operators import all_queries
+
+    plans_path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(plans_path) as fh:
+        text = fh.read()
+    listed = set(re.findall(r"^\| (\S+) \|", text, flags=re.MULTILINE))
+    listed.discard("query")  # header row
+    registered = set(all_queries())
+    missing = sorted(registered - listed)
+    assert not missing, (
+        f"PLANS.md is stale — {len(missing)} registered queries have no "
+        f"row (run `python tools/plan_report.py`): {missing[:10]}"
+    )
