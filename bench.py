@@ -182,8 +182,13 @@ def run_spark(
             # force one JVM GC so every timed run starts from the same
             # (empty) storage state.
             df = None
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
+            # SPARK_GRAFT_BENCH_NO_GC=1 skips the forced JVM GC — an
+            # attribution knob for A/B-ing whether the GC itself
+            # perturbs the subsequent timed run (round-10 drift
+            # audit), not a production mode.
+            if not os.environ.get("SPARK_GRAFT_BENCH_NO_GC"):
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = qs[name].spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
