@@ -181,12 +181,14 @@ def _jaccard_pairs_from(toks_arr: DataFrame) -> DataFrame:
     oracle and the group-collapsed registered query (where it runs
     over distinct-token-set representatives).
 
-    The verify stage intersects INTEGER arrays: tokens are
-    dictionary-encoded with an injective (not dense — density is
-    irrelevant to set intersection) id from the vocabulary pass the
-    prefix filter already runs. String-array ``array_intersect`` was
-    the dominant cost of the whole query at sf0.1 (≈9 µs/pair × 4.2M
-    candidate pairs ≈ 37 s; int arrays measure ~5× faster). The
+    The verify stage is VOCAB-ADAPTIVE (decided from the materialized
+    dictionary): small vocabularies (≤ ``BITMASK_MAX_VOCAB``) verify
+    with fixed-width bitmasks — AND + popcount per pair
+    (:func:`_verify_bitmask`); larger ones dictionary-encode tokens
+    to injective int ids and intersect INTEGER arrays
+    (:func:`_verify_int_arrays` — string-array ``array_intersect``
+    was the original dominant cost at sf0.1, ≈9 µs/pair × 4.2M pairs
+    ≈ 37 s; int arrays ~5×, bitmasks far cheaper again). The
     dictionary is vocab-sized — an index artifact, eagerly
     checkpointed because BOTH verify sides join it and
     ``monotonically_increasing_id`` is nondeterministic across
@@ -246,6 +248,46 @@ def _jaccard_pairs_from(toks_arr: DataFrame) -> DataFrame:
         .distinct()
     )
     tok_ids = _token_dictionary(dfs)
+    # Vocab-adaptive verify. SMALL vocabularies (≤ BITMASK_MAX_VOCAB
+    # distinct tokens corpus-wide) verify with fixed-width BITMASKS:
+    # each token set becomes ⌈|vocab|/64⌉ longs, and the per-pair
+    # overlap is zip_with AND + popcount — constant work per pair vs
+    # array_intersect's per-element hashing, which measured ~4 µs/pair
+    # and dominated the whole query (sf0.1: verify ~18.5 s of 31.7 s;
+    # BASELINE.md round 10). LARGE vocabularies keep the int-array
+    # intersect: a 10M-token vocab would need 156 KB of mask per doc
+    # while real sets hold only hundreds of tokens — the sparse
+    # representation is the scale-correct one there. The cutoff is an
+    # index-build decision made from the MATERIALIZED dictionary (one
+    # cheap count on the checkpointed frame).
+    if tok_ids.count() <= BITMASK_MAX_VOCAB:
+        verified = _verify_bitmask(cand, postings, tok_ids)
+    else:
+        verified = _verify_int_arrays(cand, postings, tok_ids)
+    return verified.where(F.col("jaccard") >= t)
+
+
+#: Vocabulary cutoff for the bitmask verify: 4096 tokens = 64 longs
+#: (512 B) per document mask — broadcast-friendly and far below the
+#: point where sparse int arrays win (sets ≪ vocab).
+BITMASK_MAX_VOCAB = 4096
+
+
+def _jaccard_expr(overlap: Column) -> Column:
+    """round(o / (na + nb − o), 6) — one shared formula so the two
+    verify paths cannot drift."""
+    return F.round(
+        overlap.cast("double")
+        / (F.col("na") + F.col("nb") - overlap).cast("double"),
+        6,
+    )
+
+
+def _verify_int_arrays(
+    cand: DataFrame, postings: DataFrame, tok_ids: DataFrame
+) -> DataFrame:
+    """General-vocabulary verify: per-doc sorted int-id arrays,
+    overlap = size(array_intersect) per candidate pair."""
     itoks = (
         postings.join(tok_ids, "tok")
         .groupBy("doc_id", "n_tokens")
@@ -262,16 +304,78 @@ def _jaccard_pairs_from(toks_arr: DataFrame) -> DataFrame:
         F.col("n_tokens").alias("nb"),
     )
     overlap = F.size(F.array_intersect("toks_a", "toks_b"))
-    jaccard = F.round(
-        overlap.cast("double")
-        / (F.col("na") + F.col("nb") - overlap).cast("double"),
-        6,
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", _jaccard_expr(overlap).alias("jaccard"))
+    )
+
+
+def _verify_bitmask(
+    cand: DataFrame, postings: DataFrame, tok_ids: DataFrame
+) -> DataFrame:
+    """Small-vocabulary verify: token sets as ⌈|vocab|/64⌉-long
+    bitmask arrays, overlap = Σ popcount(a AND b) per block. The
+    dense bit positions come from a row_number over the MATERIALIZED
+    ≤``BITMASK_MAX_VOCAB``-row dictionary (bounded single-task window
+    — allowlisted in tests/test_plans.py), and each token's (block,
+    bit value) is precomputed in that tiny frame so the per-posting
+    work is one broadcast-join lookup + a bit_or aggregate."""
+    n_vocab = tok_ids.count()
+    nblocks = max(1, (n_vocab + 63) // 64)
+    dense = (
+        tok_ids.select("tok")
+        .withColumn(
+            "did", F.row_number().over(Window.orderBy("tok")) - 1
+        )
+        .withColumn("block", F.shiftright("did", 6))
+        .withColumn(
+            "bitval", F.expr("shiftleft(1L, CAST(did % 64 AS INT))")
+        )
+        .select("tok", "block", "bitval")
+    )
+    masks = (
+        postings.join(F.broadcast(dense), "tok")
+        .groupBy("doc_id", "n_tokens", "block")
+        .agg(F.expr("bit_or(bitval)").alias("m"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("block", "m"))
+            ).alias("mm")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nblocks - 1)),
+                lambda b: F.coalesce(
+                    F.element_at("mm", b), F.lit(0).cast("long")
+                ),
+            ).alias("mask"),
+        )
+    )
+    ta = masks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("mask").alias("mask_a"),
+        F.col("n_tokens").alias("na"),
+    )
+    tb = masks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("mask").alias("mask_b"),
+        F.col("n_tokens").alias("nb"),
+    )
+    overlap = F.aggregate(
+        F.zip_with(
+            "mask_a", "mask_b", lambda x, y: F.bit_count(x.bitwiseAND(y))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .where(F.col("jaccard") >= t)
+        .select("doc_a", "doc_b", _jaccard_expr(overlap).alias("jaccard"))
     )
 
 

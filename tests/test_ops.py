@@ -320,6 +320,54 @@ def test_neardup_blocked_matches_exact_on_planted(spark):
     assert blocked == exact
 
 
+def test_bitmask_and_int_array_verify_agree(spark):
+    """The vocab-adaptive verify is an exact optimization: on the same
+    candidate set, the small-vocab bitmask path and the general
+    int-array path must produce identical (pair, jaccard) rows —
+    including a vocabulary that spans MULTIPLE 64-bit mask blocks
+    (130 distinct tokens -> 3 blocks) so the cross-block popcount sum
+    is exercised, not just block 0."""
+    import random
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        _token_dictionary,
+        _verify_bitmask,
+        _verify_int_arrays,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"tok{i:03d}" for i in range(130)]
+    docs = [
+        (i, sorted(rng.sample(vocab, rng.randint(5, 60))))
+        for i in range(1, 41)
+    ]
+    toks_arr = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in docs],
+        "doc_id long, toks array<string>, n_tokens int",
+    )
+    postings = toks_arr.select(
+        "doc_id", "n_tokens", F.explode("toks").alias("tok")
+    )
+    dfs = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tok_ids = _token_dictionary(dfs)
+    cand = (
+        toks_arr.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(toks_arr.select(F.col("doc_id").alias("doc_b")))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    bm = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _verify_bitmask(cand, postings, tok_ids).collect()
+    }
+    ia = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _verify_int_arrays(cand, postings, tok_ids).collect()
+    }
+    assert bm == ia
+    assert len(bm) == 40 * 39 // 2
+    assert any(v > 0 for v in bm.values())
+
+
 def test_prefix_filtered_jaccard_equals_all_pairs(spark):
     """Prefix filtering (AllPairs/PPJoin) is an exact optimization:
     the registered query must return precisely the pairs a naive

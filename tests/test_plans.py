@@ -961,6 +961,9 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "dedup_longest_substring",  # |pids|-row boundary-seam lag window
         "dedup_substring_scrub",  # same |pids|-row boundary seam (shared spine)
         "pipeline_exactsubstr_corpus",  # same boundary seam (shared chain)
+        # dense bit positions over the ≤BITMASK_MAX_VOCAB-row
+        # materialized dictionary (small-vocab bitmask verify)
+        "dedup_ngram_jaccard",
     }
     # privacy_k_anonymity's total-share broadcast is over the ≤3-row
     # band table — covered by bnlj_ok below, no window involved.
