@@ -734,6 +734,40 @@ def _ivf_cte(
     distinct prefixes; the prefix-IVF audit points it at width-sliced
     component CTEs."""
     p = prefix
+    return _ivf_assign_cte(nprobe, prefix, vname, nname) + f""", {p}_cand AS (
+  SELECT p.qid AS vec_a, a.vec_id AS vec_b
+  FROM {p}_probes p JOIN {p}_assign a ON a.list_id = p.list_id
+  WHERE p.qid <> a.vec_id
+), {p}_scored AS (
+  SELECT c.vec_a, c.vec_b,
+         ROUND(SUM(qa.x * qb.x) / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM {p}_cand c
+  JOIN {vname} qa ON qa.vec_id = c.vec_a
+  JOIN {vname} qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
+  JOIN {nname} na ON na.vec_id = c.vec_a
+  JOIN {nname} nb ON nb.vec_id = c.vec_b
+  GROUP BY c.vec_a, c.vec_b, na.nrm, nb.nrm
+), {p}_topk AS (
+  SELECT vec_a, vec_b, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+              ORDER BY cos_sim DESC, vec_b) AS INTEGER) AS rank
+  FROM {p}_scored
+  QUALIFY rank <= {TOPK_K}
+)"""
+
+
+def _ivf_assign_cte(
+    nprobe: int = IVF_NPROBE,
+    prefix: str = "ivf",
+    vname: str = "v",
+    nname: str = "norms",
+) -> str:
+    """The quantizer half of :func:`_ivf_cte` — CTE chain (no WITH
+    header) to ``{prefix}_assign`` (corpus → nearest list) and
+    ``{prefix}_probes`` (query → nprobe lists). Shared by the IVF-Flat
+    chain above (which appends its exact in-list rerank) and the
+    IVF-PQ oracle (which appends an ADC rerank instead)."""
+    p = prefix
     return f"""
 {p}_cids AS (
   SELECT vec_id AS cid FROM embeddings
@@ -756,25 +790,6 @@ def _ivf_cte(
   WHERE vec_id < {N_QUERY_VECTORS}
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid)
           <= {nprobe}
-), {p}_cand AS (
-  SELECT p.qid AS vec_a, a.vec_id AS vec_b
-  FROM {p}_probes p JOIN {p}_assign a ON a.list_id = p.list_id
-  WHERE p.qid <> a.vec_id
-), {p}_scored AS (
-  SELECT c.vec_a, c.vec_b,
-         ROUND(SUM(qa.x * qb.x) / (na.nrm * nb.nrm), 6) AS cos_sim
-  FROM {p}_cand c
-  JOIN {vname} qa ON qa.vec_id = c.vec_a
-  JOIN {vname} qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
-  JOIN {nname} na ON na.vec_id = c.vec_a
-  JOIN {nname} nb ON nb.vec_id = c.vec_b
-  GROUP BY c.vec_a, c.vec_b, na.nrm, nb.nrm
-), {p}_topk AS (
-  SELECT vec_a, vec_b, cos_sim,
-         CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
-              ORDER BY cos_sim DESC, vec_b) AS INTEGER) AS rank
-  FROM {p}_scored
-  QUALIFY rank <= {TOPK_K}
 )"""
 
 
@@ -848,6 +863,42 @@ _SQ_E2_SCALE = 1_000_000_000_000.0  # squared-error grid (1e-12)
 _SQ_AB_SCALE = 1_000_000_000.0  # abs-error grid (1e-9)
 
 
+def _absmax_literal(emb: DataFrame) -> F.Column:
+    """Per-dimension absmax scales as a literal array column: one
+    posexplode pass to the EMBEDDING_DIM-row stats table (map-side
+    combined), collected and re-embedded — the trained-quantizer
+    artifact the SQ8 paths ship to executors (same legitimate tiny
+    collect as the IVF centroids). Shared by the quantization-error
+    report and the SQ8 index/recall queries so the scales cannot
+    drift between the audit and the audited index."""
+    dims = (
+        emb.select(
+            F.posexplode(to_double(F.col("embedding"))).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.max(F.abs(F.col("x"))).alias("a"))
+        .orderBy("i")
+        .collect()
+    )
+    return F.array(*[F.lit(float(r.a)) for r in dims])
+
+
+def _sq8_dequant(vec: F.Column, absmax: F.Column) -> F.Column:
+    """Quantize-then-reconstruct ``vec`` on the per-dimension absmax
+    int8 grid (``x̂_i = round(x_i·127/a_i)·a_i/127``) — the exact
+    vector an SQ8 index scores with. All-zero dimensions reconstruct
+    to 0. Same expression ORDER as the SQL oracle replays, per the
+    determinism contract."""
+    return F.zip_with(
+        vec,
+        absmax,
+        lambda x, a: F.when(a == 0.0, F.lit(0.0)).otherwise(
+            F.round(x * F.lit(float(SQ_LEVELS)) / a) * a
+            / F.lit(float(SQ_LEVELS))
+        ),
+    )
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label scalar-quantization (SQ8) error report: quantize every
     embedding to int8 with per-dimension symmetric absmax scales
@@ -866,16 +917,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic in both engines.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = (
-        emb.select(
-            F.posexplode(to_double(F.col("embedding"))).alias("i", "x")
-        )
-        .groupBy("i")
-        .agg(F.max(F.abs(F.col("x"))).alias("a"))
-        .orderBy("i")
-        .collect()
-    )
-    absmax = F.array(*[F.lit(float(r.a)) for r in dims])
+    absmax = _absmax_literal(emb)
     vec = to_double(F.col("embedding"))
     # err_i on the fixed-point grids; absmax==0 dims quantize to 0
     # with zero error.
@@ -1432,6 +1474,32 @@ SELECT vec_a, vec_b, adc_sim, rank FROM pq_topk
 def _pq_cte() -> str:
     """CTE chain (no WITH header) from v/norms to ``pq_topk``.
     Subspace of component ``i`` (1-based) is ``(i-1) // sub``."""
+    return _pq_codes_cte() + f""", pq_adc AS (
+  SELECT q.vec_id AS vec_a, b.vec_id AS vec_b,
+         SUM(q.xc) AS adc_dot, SUM(b.cc) AS rec2
+  FROM pq_codes b
+  JOIN pq_xc q ON q.s = b.s AND q.j = b.code
+  WHERE q.vec_id < {N_QUERY_VECTORS} AND q.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), pq_scored AS (
+  SELECT a.vec_a, a.vec_b,
+         ROUND(a.adc_dot / (n.nrm * SQRT(a.rec2)), 6) AS adc_sim
+  FROM pq_adc a JOIN norms n ON n.vec_id = a.vec_a
+), pq_topk AS (
+  SELECT vec_a, vec_b, adc_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+              ORDER BY adc_sim DESC, vec_b) AS INTEGER) AS rank
+  FROM pq_scored
+  QUALIFY rank <= {TOPK_K}
+)"""
+
+
+def _pq_codes_cte() -> str:
+    """The codebook half of :func:`_pq_cte` — CTE chain (no WITH
+    header) to ``pq_codes`` (per-vector per-subspace codeword) and
+    ``pq_xc`` (query-side LUT terms). Shared by the full-corpus ADC
+    chain above and the IVF-PQ oracle (which restricts the ADC join
+    to probed lists)."""
     sub = EMBEDDING_DIM // PQ_M
     return f"""
 pq_cids AS (
@@ -1459,23 +1527,6 @@ pq_cids AS (
   )
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
                              ORDER BY ascore DESC, j) = 1
-), pq_adc AS (
-  SELECT q.vec_id AS vec_a, b.vec_id AS vec_b,
-         SUM(q.xc) AS adc_dot, SUM(b.cc) AS rec2
-  FROM pq_codes b
-  JOIN pq_xc q ON q.s = b.s AND q.j = b.code
-  WHERE q.vec_id < {N_QUERY_VECTORS} AND q.vec_id <> b.vec_id
-  GROUP BY 1, 2
-), pq_scored AS (
-  SELECT a.vec_a, a.vec_b,
-         ROUND(a.adc_dot / (n.nrm * SQRT(a.rec2)), 6) AS adc_sim
-  FROM pq_adc a JOIN norms n ON n.vec_id = a.vec_a
-), pq_topk AS (
-  SELECT vec_a, vec_b, adc_sim,
-         CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
-              ORDER BY adc_sim DESC, vec_b) AS INTEGER) AS rank
-  FROM pq_scored
-  QUALIFY rank <= {TOPK_K}
 )"""
 
 
@@ -2519,6 +2570,352 @@ GROUP BY width
 """
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (IVFADC — Jégou et al., TPAMI 2011 §V): the
+    production FAISS configuration, composing the two registered
+    quantizers that until now ran separately. The IVF coarse
+    quantizer PRUNES (each query scans only its nprobe nearest
+    inverted lists) and PQ COMPRESSES (in-list candidates are scored
+    through 4-bit codes via asymmetric-distance lookup tables, never
+    touching the floats). At 100 TB that stacks both wins: a probe
+    reads nprobe/nlists of the corpus AND reads it 32× smaller —
+    IVF-Flat re-reads full vectors per candidate, plain PQ scans
+    every code.
+
+    Codes here quantize the RAW vector (not the list residual):
+    both registered quantizers are deterministic strided-id samples,
+    and a residual codebook has no such closed form — the docstring
+    of each sampler owns that contract. Recall therefore lower-bounds
+    a trained residual IVFADC, and the pytest floor pins it against
+    the exact baseline.
+
+    Execution is the same ONE fused Arrow stage as the parents
+    (mapInPandas over the corpus): per batch — coarse-assign (batch ×
+    nlists GEMM, round-6, first-occurrence argmax), keep only rows
+    whose list some query probes, PQ-encode exactly those rows
+    (PQ_M small GEMMs), ADC-score them against the probing queries
+    only (LUT gather), emit scored pairs. Zero corpus shuffle, zero
+    broadcast build; the final per-query top-k window sees only
+    in-probed-list candidates.
+
+    Value-exact DuckDB oracle: the IVF assignment fragment and the
+    PQ codebook fragment replay verbatim (shared CTE builders with
+    the parent oracles), joined by the probe⋈assignment candidate
+    restriction — every comparison after a round-6, the contract the
+    parents are hash-checked under.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroid_rows, query_rows = _collect_ivf_inputs(spark, sf_dir)
+    code_rows, _ = _collect_pq_inputs(spark, sf_dir)
+
+    # Coarse quantizer + probe selection (same math as _ivf_topk_frame).
+    C = np.array([r.emb for r in centroid_rows])
+    cids = [r.vec_id for r in centroid_rows]
+    unit = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Q = np.array([r.emb for r in query_rows])
+    qids = np.array([r.vec_id for r in query_rows])
+    qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    qsims = np.round((Q @ unit.T) / qnorm[:, None], 6)
+    by_list: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for j in sorted(
+            range(len(cids)), key=lambda j: (-qsims[qi, j], cids[j])
+        )[:IVF_NPROBE]:
+            by_list.setdefault(cids[j], []).append(qi)
+    id_arr = np.asarray(cids)
+
+    # PQ codebook + per-query LUTs (same math as ann_pq_adc_topk).
+    Cb = np.array([r.emb for r in code_rows])
+    sub = EMBEDDING_DIM // PQ_M
+    Csub = np.stack([Cb[:, s * sub : (s + 1) * sub] for s in range(PQ_M)])
+    cc = np.einsum("sjd,sjd->sj", Csub, Csub)
+    Qsub = np.stack([Q[:, s * sub : (s + 1) * sub] for s in range(PQ_M)])
+    lut = np.einsum("sqd,sjd->sqj", Qsub, Csub)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["emb"].to_numpy())
+            vec_ids = pdf["vec_id"].to_numpy()
+            norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+            s = np.round((M @ unit.T) / norms[:, None], 6)
+            lists = id_arr[s.argmax(axis=1)]
+            outs = []
+            for lid in np.unique(lists):
+                if lid not in by_list:
+                    continue
+                mask = lists == lid
+                Mm = M[mask]
+                codes = np.empty((len(Mm), PQ_M), dtype=np.int64)
+                for sp in range(PQ_M):
+                    ascore = np.round(
+                        Mm[:, sp * sub : (sp + 1) * sub] @ Csub[sp].T
+                        - 0.5 * cc[sp],
+                        6,
+                    )
+                    codes[:, sp] = ascore.argmax(axis=1)
+                ix = by_list[lid]  # query indices probing this list
+                adc = np.zeros((len(ix), len(Mm)))
+                rec2 = np.zeros(len(Mm))
+                for sp in range(PQ_M):
+                    adc += lut[sp][ix][:, codes[:, sp]]
+                    rec2 += cc[sp][codes[:, sp]]
+                sims = np.round(
+                    adc / (qnorm[ix][:, None] * np.sqrt(rec2)[None, :]), 6
+                )
+                nb, nq = len(Mm), len(ix)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": np.repeat(qids[ix], nb),
+                            "vec_b": np.tile(vec_ids[mask], nq),
+                            "adc_sim": sims.ravel(),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    cands = (
+        fan_out(emb)
+        .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+        .mapInPandas(score_batches, "vec_a long, vec_b long, adc_sim double")
+        .where(F.col("vec_a") != F.col("vec_b"))
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("adc_sim"), F.col("vec_b"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_K)
+        .select("vec_a", "vec_b", "adc_sim", "rank")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB oracle for :func:`ann_ivfpq_topk` — the shared IVF
+    assignment fragment (prefix ``ipq``) supplies probes/assignment,
+    the shared PQ codebook fragment supplies codes/LUT terms, and the
+    ADC join is restricted to probed lists before the rank window."""
+    return f"""
+{_ORACLE_VECTOR_CTE},
+{_ivf_assign_cte(prefix="ipq")},
+{_pq_codes_cte()},
+ipq_cand AS (
+  SELECT p.qid AS vec_a, a.vec_id AS vec_b
+  FROM ipq_probes p JOIN ipq_assign a ON a.list_id = p.list_id
+  WHERE p.qid <> a.vec_id
+), ipq_adc AS (
+  SELECT c.vec_a, c.vec_b,
+         SUM(q.xc) AS adc_dot, SUM(b.cc) AS rec2
+  FROM ipq_cand c
+  JOIN pq_codes b ON b.vec_id = c.vec_b
+  JOIN pq_xc q ON q.vec_id = c.vec_a AND q.s = b.s AND q.j = b.code
+  GROUP BY 1, 2
+), ipq_scored AS (
+  SELECT a.vec_a, a.vec_b,
+         ROUND(a.adc_dot / (n.nrm * SQRT(a.rec2)), 6) AS adc_sim
+  FROM ipq_adc a JOIN norms n ON n.vec_id = a.vec_a
+), ipq_topk AS (
+  SELECT vec_a, vec_b, adc_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+              ORDER BY adc_sim DESC, vec_b) AS INTEGER) AS rank
+  FROM ipq_scored
+  QUALIFY rank <= {TOPK_K}
+)
+SELECT vec_a, vec_b, adc_sim, rank FROM ipq_topk
+"""
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the SQ8-RECONSTRUCTED corpus —
+    what an int8 scalar-quantized index actually returns. Asymmetric
+    by design (queries stay float32-exact, the corpus rides the
+    per-dimension absmax int8 grid from :func:`_absmax_literal`),
+    matching how production SQ8 indexes score.
+
+    embedding_quantize reports the GEOMETRIC error of this grid;
+    this query and :func:`ann_sq8_recall` close the loop by measuring
+    what that error does to RETRIEVAL — the number that actually
+    gates switching the fleet to a 4×-smaller index.
+
+    Plan shape is ann_cosine_topk's: dequantization is a NARROW JVM
+    zip_with over each row (no shuffle, same expression order as the
+    oracle), then the broadcast query batch × corpus scoring with a
+    rounded-sim + vec_id engine-stable ranking.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = _absmax_literal(emb)
+    deq = _sq8_dequant(to_double(F.col("embedding")), absmax)
+    corpus = emb.select(
+        F.col("vec_id").alias("vec_b"), deq.alias("emb_b")
+    ).withColumn("norm_b", norm(F.col("emb_b")))
+    q_rows = _driver_vec_rows(sf_dir, list(range(N_QUERY_VECTORS)))
+    queries = spark.createDataFrame(
+        [(int(r.vec_id), list(r.emb)) for r in q_rows],
+        "vec_a long, emb_a array<double>",
+    ).withColumn("norm_a", norm(F.col("emb_a")))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                cosine_pre(
+                    F.col("emb_a"), F.col("emb_b"),
+                    F.col("norm_a"), F.col("norm_b"),
+                ),
+                6,
+            ).alias("sq_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("sq_sim"), F.col("vec_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_K)
+        .select("vec_a", "vec_b", "sq_sim", "rank")
+    )
+
+
+#: 1e-6 grid for the similarity-shift rollup: both sims are already
+#: round-6 values, so the scaled difference is exact integer mass.
+_SQ8_SHIFT_SCALE = 1_000_000.0
+
+_SQ8_CTE = f"""
+sq_stats AS (
+  SELECT i, MAX(ABS(x)) AS a FROM v GROUP BY i
+), vq AS (
+  SELECT p.vec_id, p.i,
+         CASE WHEN s.a = 0 THEN 0.0
+              ELSE ROUND(p.x * {SQ_LEVELS}.0 / s.a) * s.a / {SQ_LEVELS}.0
+         END AS x
+  FROM v p JOIN sq_stats s USING (i)
+), nq AS (
+  SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM vq GROUP BY vec_id
+), sq_dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dp
+  FROM v a JOIN vq b ON a.i = b.i
+  WHERE a.vec_id < {N_QUERY_VECTORS} AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), sq_scored AS (
+  SELECT vec_a, vec_b, ROUND(dp / (na.nrm * nb.nrm), 6) AS sq_sim
+  FROM sq_dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN nq nb ON nb.vec_id = vec_b
+), sq_topk AS (
+  SELECT vec_a, vec_b, sq_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+              ORDER BY sq_sim DESC, vec_b) AS INTEGER) AS rank
+  FROM sq_scored
+  QUALIFY rank <= {TOPK_K}
+)"""
+
+ANN_SQ8_TOPK_ORACLE = f"""
+{_ORACLE_VECTOR_CTE},
+{_SQ8_CTE}
+SELECT vec_a, vec_b, sq_sim, rank FROM sq_topk
+"""
+
+
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval impact of SQ8 quantization: recall@k of the SQ8
+    index against the exact float baseline, plus the mean similarity
+    shift on the pairs both agree on — the one-row acceptance report
+    for an index-compression rollout (compression itself is audited
+    geometrically by embedding_quantize).
+
+    The overlap join keys on (query, neighbor) pairs — k·|queries|
+    rows per side regardless of corpus size; the heavy work is inside
+    the two audited top-k queries. The shift rides the 1e-6 integer
+    grid (both sims are round-6 values), so the rollup is exact in
+    both engines.
+    """
+    exact = ann_cosine_topk(spark, sf_dir)
+    sq = ann_sq8_topk(spark, sf_dir).select("vec_a", "vec_b", "sq_sim")
+    spine = exact.select("vec_a").distinct()
+    matched = (
+        exact.select("vec_a", "vec_b", "cos_sim")
+        .join(sq, ["vec_a", "vec_b"])
+        .groupBy("vec_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(
+                F.round(
+                    F.abs(F.col("cos_sim") - F.col("sq_sim"))
+                    * F.lit(_SQ8_SHIFT_SCALE)
+                ).cast("long")
+            ).alias("shift_grid"),
+        )
+    )
+    per_query = spine.join(matched, "vec_a", "left").select(
+        "vec_a",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        F.coalesce(F.col("shift_grid"), F.lit(0)).alias("shift_grid"),
+    )
+    k = float(TOPK_K)
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum("n_matched") / (F.count(F.lit(1)) * F.lit(k)), 6).alias(
+            "mean_recall"
+        ),
+        F.round(F.min("n_matched") / F.lit(k), 6).alias("min_recall"),
+        F.sum((F.col("n_matched") == TOPK_K).cast("int")).alias("n_perfect"),
+        F.round(
+            F.sum("shift_grid")
+            / (
+                F.greatest(F.sum("n_matched"), F.lit(1))
+                * F.lit(_SQ8_SHIFT_SCALE)
+            ),
+            6,
+        ).alias("mean_matched_sim_shift"),
+    )
+
+
+ANN_SQ8_RECALL_ORACLE = f"""
+{_ORACLE_VECTOR_CTE},
+ex_dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dp
+  FROM v a JOIN v b ON a.i = b.i
+  WHERE a.vec_id < {N_QUERY_VECTORS} AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), ex_scored AS (
+  SELECT vec_a, vec_b, ROUND(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM ex_dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+), ex_topk AS (
+  SELECT vec_a, vec_b, cos_sim FROM ex_scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_a
+          ORDER BY cos_sim DESC, vec_b) <= {TOPK_K}
+),
+{_SQ8_CTE},
+sr_matched AS (
+  SELECT e.vec_a, COUNT(*) AS n_matched,
+         SUM(CAST(ROUND(ABS(e.cos_sim - s.sq_sim) * {_SQ8_SHIFT_SCALE})
+             AS BIGINT)) AS shift_grid
+  FROM ex_topk e JOIN sq_topk s
+    ON s.vec_a = e.vec_a AND s.vec_b = e.vec_b
+  GROUP BY e.vec_a
+), sr_per_query AS (
+  SELECT q.vec_a, COALESCE(m.n_matched, 0) AS n_matched,
+         COALESCE(m.shift_grid, 0) AS shift_grid
+  FROM (SELECT DISTINCT vec_a FROM ex_topk) q
+  LEFT JOIN sr_matched m ON m.vec_a = q.vec_a
+)
+SELECT COUNT(*) AS n_queries,
+       ROUND(SUM(n_matched) / (COUNT(*) * {float(TOPK_K)}), 6)
+         AS mean_recall,
+       ROUND(MIN(n_matched) / {float(TOPK_K)}, 6) AS min_recall,
+       CAST(SUM(CASE WHEN n_matched = {TOPK_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_perfect,
+       ROUND(SUM(shift_grid) /
+             (GREATEST(SUM(n_matched), 1) * {_SQ8_SHIFT_SCALE}), 6)
+         AS mean_matched_sim_shift
+FROM sr_per_query
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QueryDef("embedding_doc_coverage", embedding_doc_coverage, EMBEDDING_COVERAGE_ORACLE, "doc-embedding referential-integrity coverage report"),
@@ -2528,6 +2925,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("ann_lsh_topk", ann_lsh_topk, _lsh_oracle(), "LSH-bucketed ANN top-k"),
     QueryDef("ann_ivf_topk", ann_ivf_topk, _ivf_oracle(), "IVF-list ANN top-k"),
     QueryDef("ann_pq_adc_topk", ann_pq_adc_topk, _pq_oracle(), "product-quantization ADC top-k (32x-compressed scan)"),
+    QueryDef("ann_ivfpq_topk", ann_ivfpq_topk, _ivfpq_oracle(), "IVF-PQ (IVFADC) top-k: probe-pruned lists scored through 4-bit codes"),
+    QueryDef("ann_sq8_topk", ann_sq8_topk, ANN_SQ8_TOPK_ORACLE, "asymmetric SQ8-index cosine top-k (float queries vs int8-grid corpus)"),
+    QueryDef("ann_sq8_recall", ann_sq8_recall, ANN_SQ8_RECALL_ORACLE, "recall@k + similarity-shift acceptance report for the SQ8 index"),
     QueryDef("ann_recall_report", ann_recall_report, _recall_oracle(), "recall@k audit of LSH/IVF vs exact baseline"),
     QueryDef("ann_nprobe_recall_curve", ann_nprobe_recall_curve, _nprobe_curve_oracle(), "IVF recall-vs-probe-depth tuning curve"),
     QueryDef("knn_label_probe", knn_label_probe, KNN_LABEL_PROBE_ORACLE, "k-NN majority-vote label prediction probe (embedding-quality gate)"),

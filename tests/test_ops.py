@@ -7000,3 +7000,120 @@ def test_events_ols_trend_matches_python_recompute(spark):
     for n, slope, intercept, r2 in got.values():
         assert 0.0 <= r2 <= 1.0
         assert n > 2
+
+
+def test_ivfpq_candidates_stay_in_probed_lists(spark):
+    """IVF-PQ neighbors must come ONLY from the query's probed
+    inverted lists (the pruning contract), and the recall floor of
+    the raw-vector 4-bit codes must hold against the exact baseline
+    (the docstring owns that raw-PQ-over-IVF lower-bounds a trained
+    residual IVFADC)."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.similarity import (
+        IVF_NPROBE,
+        _collect_ivf_inputs,
+        ann_ivfpq_topk,
+        ivf_assignments,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    centroid_rows, query_rows = _collect_ivf_inputs(spark, SF)
+    _, assignment = ivf_assignments(emb, centroid_rows)
+    list_of = {
+        r.vec_id: r.list_id
+        for r in assignment.select("vec_id", "list_id").collect()
+    }
+    C = np.array([r.emb for r in centroid_rows])
+    cids = [r.vec_id for r in centroid_rows]
+    unit = C / np.linalg.norm(C, axis=1, keepdims=True)
+    probed = {}
+    for q in query_rows:
+        x = np.array(q.emb)
+        s = np.round((unit @ x) / np.linalg.norm(x), 6)
+        order = sorted(range(len(cids)), key=lambda j: (-s[j], cids[j]))
+        probed[q.vec_id] = {cids[j] for j in order[:IVF_NPROBE]}
+
+    rows = ann_ivfpq_topk(spark, SF).collect()
+    assert len(rows) == 50  # 10 queries × k
+    for r in rows:
+        assert list_of[r.vec_b] in probed[r.vec_a], (
+            f"neighbor {r.vec_b} of query {r.vec_a} sits in list "
+            f"{list_of[r.vec_b]}, outside probes {probed[r.vec_a]}"
+        )
+
+    exact = {(r.vec_a, r.vec_b) for r in ann_cosine_topk(spark, SF).collect()}
+    got = {(r.vec_a, r.vec_b) for r in rows}
+    assert len(got & exact) >= len(exact) * 0.1
+
+
+def test_sq8_recall_report_bounds(spark):
+    """SQ8 is a gentle quantizer: on this corpus the int8 grid must
+    preserve the exact top-k verbatim (recall 1.0) with a tiny
+    similarity shift — and the report's shape must hold (one row,
+    shift strictly positive: SQ8 is lossy even when ranks survive)."""
+    from duckdb_gsheets_spark.operators.similarity import ann_sq8_recall
+
+    rows = ann_sq8_recall(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_queries == 10
+    assert r.mean_recall >= 0.9
+    assert r.min_recall >= 0.6
+    assert 0.0 < r.mean_matched_sim_shift < 0.01
+
+
+def test_sq8_topk_matches_manual_dequant(spark):
+    """ann_sq8_topk's ranking must equal a driver-side recompute that
+    quantizes with the same absmax grid — pinning the asymmetric
+    (float query × dequantized corpus) contract independently of the
+    SQL oracle."""
+    import numpy as np
+
+    from duckdb_gsheets_spark.operators.similarity import (
+        N_QUERY_VECTORS,
+        SQ_LEVELS,
+        TOPK_K,
+        ann_sq8_topk,
+    )
+    from duckdb_gsheets_spark.functions.vectors import to_double
+    from duckdb_gsheets_spark.plans.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    data = {
+        r.vec_id: np.array(r.x)
+        for r in emb.select(
+            "vec_id", to_double(F.col("embedding")).alias("x")
+        ).collect()
+    }
+    M = np.stack([data[i] for i in sorted(data)])
+    a = np.abs(M).max(axis=0)
+    safe = np.where(a == 0, 1.0, a)
+    # round-half-away-from-even matches F.round(HALF_UP) for the
+    # positive and negative grid alike on this data (no exact .5
+    # ties — asserted below so a future dataset can't silently
+    # diverge).
+    scaled = M * SQ_LEVELS / safe
+    assert not np.any(np.isclose(scaled % 1, 0.5)), "exact .5 tie"
+    deq = np.round(scaled) * safe / SQ_LEVELS
+    deq[:, a == 0] = 0.0
+    ids = np.array(sorted(data))
+    dn = np.sqrt((deq * deq).sum(axis=1))
+    expected = {}
+    for qid in range(N_QUERY_VECTORS):
+        q = data[qid]
+        sims = np.round(
+            (deq @ q) / (dn * np.sqrt(q @ q)), 6
+        )
+        keep = ids != qid
+        order = np.lexsort((ids[keep], -sims[keep]))[:TOPK_K]
+        expected[qid] = list(zip(ids[keep][order], sims[keep][order]))
+    got = {}
+    for r in ann_sq8_topk(spark, SF).collect():
+        got.setdefault(r.vec_a, []).append((r.vec_b, r.sq_sim))
+    for qid, exp in expected.items():
+        assert [v for v, _ in got[qid]] == [int(v) for v, _ in exp]
+        for (_, s_got), (_, s_exp) in zip(got[qid], exp):
+            assert abs(s_got - s_exp) <= 2e-6

@@ -855,6 +855,8 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
     bnlj_ok = {
         "join_cross",
         "ann_cosine_topk",          # broadcast query batch × corpus scan
+        "ann_sq8_topk",             # same broadcast query batch × dequantized corpus
+        "ann_sq8_recall",           # composes the cosine + SQ8 baselines
         "embedding_neardup_pairs",  # broadcast-bounded LSH block pairs
         "ann_recall_report",        # composes the cosine baseline
         "ann_nprobe_recall_curve",  # same spine × depth cross + baseline
