@@ -53,6 +53,8 @@ HEADLINE = (
     "duplicate_passages",
     "dedup_incremental_batch",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "ann_sq8_topk",
     "quality_lang_tertiles",
     "ann_matryoshka_recall",
     "ann_prefix_ivf_recall",

@@ -1466,3 +1466,124 @@ def streaming_exactsubstr_retention(
         )
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the embeddings table (same symlinked
+    create-once stream dir pattern as :func:`read_events_stream`)."""
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"embeddings_stream_{digest}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "embeddings.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
+    return (
+        spark.readStream.schema(static.schema)
+        .format("parquet")
+        .load(stream_dir)
+    )
+
+
+def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ann_ivf_topk: ONLINE vector retrieval —
+    query vectors stream in, the IVF index over the static corpus
+    answers each with its exact-reranked top-k.
+
+    Topology is the DECLARATIVE form of the registered query's fused
+    kernel (whose docstring records the two were verified equivalent
+    at adoption): probe selection is a narrow per-row pandas_udf on
+    the stream (functions.vectors.probe_lists_np — the same GEMM +
+    round-6 + (−sim, cid) ordering), candidates come from a
+    stream-static equi-join on ``list_id`` against the quantized
+    corpus (the index a production service keeps partitioned by
+    list), the rerank is the JVM cosine fold, and per-query top-k is
+    a sorted-slice aggregate (array_sort over (−sim, vec_b) structs —
+    no window over the stream). At scale the static side is the
+    list-partitioned index: each micro-batch touches only the probed
+    partitions, exactly how an online IVF service serves.
+
+    Batch-equality: the drained stream must reproduce the registered
+    ann_ivf_topk rows verbatim (tests/test_streaming.py).
+    """
+    import numpy as np
+
+    from duckdb_gsheets_spark.functions.vectors import (
+        cosine_pre,
+        norm,
+        probe_lists_np,
+        to_double,
+    )
+    from duckdb_gsheets_spark.operators.similarity import (
+        IVF_NPROBE,
+        N_QUERY_VECTORS,
+        TOPK_K,
+        _collect_ivf_inputs,
+        ivf_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroid_rows, _ = _collect_ivf_inputs(spark, sf_dir)
+    _, assignment = ivf_assignments(emb, centroid_rows)
+    index = assignment.select(
+        "list_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("row_norm").alias("norm_b"),
+    )
+    probes = probe_lists_np(
+        np.array([r.emb for r in centroid_rows]),
+        np.array([r.vec_id for r in centroid_rows]),
+        IVF_NPROBE,
+    )
+    queries = (
+        read_embeddings_stream(spark, sf_dir)
+        .where(F.col("vec_id") < N_QUERY_VECTORS)
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            to_double(F.col("embedding")).alias("emb_a"),
+        )
+        .withColumn("norm_a", norm(F.col("emb_a")))
+        .withColumn("list_id", F.explode(probes(F.col("emb_a"))))
+    )
+    scored = (
+        queries.join(index, "list_id")
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                cosine_pre(
+                    F.col("emb_a"), F.col("emb_b"),
+                    F.col("norm_a"), F.col("norm_b"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    topk = scored.groupBy("vec_a").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cos_sim")).alias("neg_sim"),
+                        F.col("vec_b").alias("vec_b"),
+                        F.col("cos_sim").alias("cos_sim"),
+                    )
+                )
+            ),
+            1,
+            TOPK_K,
+        ).alias("top")
+    )
+    out = topk.select(
+        "vec_a", F.posexplode("top").alias("rank0", "t")
+    ).select(
+        "vec_a",
+        F.col("t.vec_b").alias("vec_b"),
+        F.col("t.cos_sim").alias("cos_sim"),
+        (F.col("rank0") + 1).cast("int").alias("rank"),
+    )
+    return run_to_memory(out, output_mode="complete")

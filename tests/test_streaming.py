@@ -1196,3 +1196,26 @@ def test_streaming_exactsubstr_retention_matches_batch(spark):
     }
     assert got == exp
     assert any(v[3] > 0 for v in got.values())
+
+
+def test_streaming_ann_probe_matches_batch_ivf(spark):
+    """The online-retrieval twin must reproduce the registered
+    ann_ivf_topk result verbatim: same probes, same candidates from
+    the stream-static list join, same round-6 rerank, same
+    (−sim, vec_b) ranking — the declarative form of the fused
+    kernel, drained over the query stream."""
+    from duckdb_gsheets_spark.operators.similarity import ann_ivf_topk
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_ann_probe,
+    )
+
+    got = sorted(
+        (r.vec_a, r.vec_b, r.cos_sim, r.rank)
+        for r in streaming_ann_probe(spark, SF).collect()
+    )
+    exp = sorted(
+        (r.vec_a, r.vec_b, r.cos_sim, r.rank)
+        for r in ann_ivf_topk(spark, SF).collect()
+    )
+    assert got == exp
+    assert len(got) == 50  # 10 queries × k
