@@ -67,8 +67,23 @@ def build_scaled(spark, factor: int) -> str:
             .parquet(events_out)
         )
 
+    emb_out = os.path.join(out, "embeddings.parquet")
+    if os.path.islink(emb_out):  # pre-round-10 probe dirs symlinked it
+        os.unlink(emb_out)
+    if not os.path.exists(emb_out):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        n = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+        (
+            emb.crossJoin(copies)
+            .withColumn("vec_id", F.col("vec_id") + F.col("copy") * n)
+            .drop("copy")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(emb_out)
+        )
+
     for t in (
-        "region nation customer supplier part orders lineitem embeddings"
+        "region nation customer supplier part orders lineitem"
     ).split():
         link = os.path.join(out, f"{t}.parquet")
         if not os.path.lexists(link):
