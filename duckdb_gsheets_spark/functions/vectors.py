@@ -138,9 +138,9 @@ def probe_lists_np(centroids: np.ndarray, ids: np.ndarray, nprobe: int):
         sims = np.round((M @ unit.T) / norms[:, None], 6)
         out = []
         for row in sims:
-            order = sorted(
-                range(len(id_arr)), key=lambda j: (-row[j], id_arr[j])
-            )[:nprobe]
+            # lexsort: last key primary — sim desc, centroid id asc
+            # (the vectorized form of the oracle's ORDER BY s DESC, cid).
+            order = np.lexsort((id_arr, -row))[:nprobe]
             out.append([int(id_arr[j]) for j in order])
         return pd.Series(out)
 

@@ -623,6 +623,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk_frame(spark, sf_dir, IVF_NPROBE)
 
 
+def _probe_selection(
+    centroid_rows: list, query_rows: list, nprobe: int
+) -> tuple:
+    """Driver-side coarse-quantizer probe selection, the ONE home of
+    the (round-6 sims, nprobe lowest (−sim, centroid_id)) contract the
+    IVF oracles replay — shared by the IVF-Flat scan, the IVF-PQ scan
+    and (as the per-row streaming twin) functions.vectors'
+    probe_lists_np. Returns ``(unit, id_arr, Q, qids, qnorm,
+    by_list)`` where ``by_list`` inverts probes to
+    {list_id: query indices}."""
+    C = np.array([r.emb for r in centroid_rows])
+    id_arr = np.asarray([r.vec_id for r in centroid_rows])
+    unit = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Q = np.array([r.emb for r in query_rows])
+    qids = np.array([r.vec_id for r in query_rows])
+    qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    sims = np.round((Q @ unit.T) / qnorm[:, None], 6)
+    by_list: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        # lexsort: last key primary — sim desc, centroid id asc.
+        for j in np.lexsort((id_arr, -sims[qi]))[:nprobe]:
+            by_list.setdefault(int(id_arr[j]), []).append(qi)
+    return unit, id_arr, Q, qids, qnorm, by_list
+
+
+def _pq_codebook(code_rows: list) -> tuple:
+    """PQ codebook arrays shared by the plain ADC scan and the IVF-PQ
+    scan: ``(Csub, cc, sub)`` — the per-subspace codeword stack, the
+    codeword squared norms, and the subspace width."""
+    Cb = np.array([r.emb for r in code_rows])
+    sub = EMBEDDING_DIM // PQ_M
+    Csub = np.stack([Cb[:, s * sub : (s + 1) * sub] for s in range(PQ_M)])
+    cc = np.einsum("sjd,sjd->sj", Csub, Csub)
+    return Csub, cc, sub
+
+
 def _ivf_topk_frame(
     spark: SparkSession,
     sf_dir: str,
@@ -637,25 +673,12 @@ def _ivf_topk_frame(
     centroid_rows, query_rows = (
         inputs if inputs is not None else _collect_ivf_inputs(spark, sf_dir)
     )
-    C = np.array([r.emb for r in centroid_rows])
-    cids = [r.vec_id for r in centroid_rows]
-    unit = C / np.linalg.norm(C, axis=1, keepdims=True)
-    Q = np.array([r.emb for r in query_rows])
-    qids = np.array([r.vec_id for r in query_rows])
-    qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
-    sims = np.round((Q @ unit.T) / qnorm[:, None], 6)
-    # nprobe lowest-(−sim, centroid_id) lists per query, inverted to
-    # {list_id: (query ids, query matrix, query norms)} for the scan.
-    by_list: dict[int, list[int]] = {}
-    for qi in range(len(qids)):
-        for j in sorted(
-            range(len(cids)), key=lambda j: (-sims[qi, j], cids[j])
-        )[:nprobe]:
-            by_list.setdefault(cids[j], []).append(qi)
+    unit, id_arr, Q, qids, qnorm, by_list = _probe_selection(
+        centroid_rows, query_rows, nprobe
+    )
     probes = {
         lid: (qids[ix], Q[ix], qnorm[ix]) for lid, ix in by_list.items()
     }
-    id_arr = np.asarray(cids)
 
     def score_batches(batches):
         for pdf in batches:
@@ -1392,11 +1415,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     code_rows, query_rows = _collect_pq_inputs(spark, sf_dir)
-    C = np.array([r.emb for r in code_rows])  # (codes, dim)
-    sub = EMBEDDING_DIM // PQ_M
     # (PQ_M, codes, sub): codebook; (PQ_M, codes): codeword sq-norms.
-    Csub = np.stack([C[:, s * sub : (s + 1) * sub] for s in range(PQ_M)])
-    cc = np.einsum("sjd,sjd->sj", Csub, Csub)
+    Csub, cc, sub = _pq_codebook(code_rows)
     Q = np.array([r.emb for r in query_rows])
     qids = np.array([r.vec_id for r in query_rows])
     qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
@@ -2608,27 +2628,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid_rows, query_rows = _collect_ivf_inputs(spark, sf_dir)
     code_rows, _ = _collect_pq_inputs(spark, sf_dir)
 
-    # Coarse quantizer + probe selection (same math as _ivf_topk_frame).
-    C = np.array([r.emb for r in centroid_rows])
-    cids = [r.vec_id for r in centroid_rows]
-    unit = C / np.linalg.norm(C, axis=1, keepdims=True)
-    Q = np.array([r.emb for r in query_rows])
-    qids = np.array([r.vec_id for r in query_rows])
-    qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
-    qsims = np.round((Q @ unit.T) / qnorm[:, None], 6)
-    by_list: dict[int, list[int]] = {}
-    for qi in range(len(qids)):
-        for j in sorted(
-            range(len(cids)), key=lambda j: (-qsims[qi, j], cids[j])
-        )[:IVF_NPROBE]:
-            by_list.setdefault(cids[j], []).append(qi)
-    id_arr = np.asarray(cids)
-
-    # PQ codebook + per-query LUTs (same math as ann_pq_adc_topk).
-    Cb = np.array([r.emb for r in code_rows])
-    sub = EMBEDDING_DIM // PQ_M
-    Csub = np.stack([Cb[:, s * sub : (s + 1) * sub] for s in range(PQ_M)])
-    cc = np.einsum("sjd,sjd->sj", Csub, Csub)
+    # Coarse quantizer + probe selection and the PQ codebook — the
+    # same helpers the parents use, so the contracts cannot drift.
+    unit, id_arr, Q, qids, qnorm, by_list = _probe_selection(
+        centroid_rows, query_rows, IVF_NPROBE
+    )
+    Csub, cc, sub = _pq_codebook(code_rows)
     Qsub = np.stack([Q[:, s * sub : (s + 1) * sub] for s in range(PQ_M)])
     lut = np.einsum("sqd,sjd->sqj", Qsub, Csub)
 

@@ -102,6 +102,12 @@ def zorder_layout(df: DataFrame, path: str, cols: list[str],
             F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
         )]
     ).collect()[0]
+    missing = [c for c in cols if row[f"mn_{c}"] is None]
+    if missing:
+        raise ValueError(
+            f"zorder_layout: no non-null values to bound column(s) "
+            f"{missing} — empty input or all-null z-column"
+        )
     bounds = [(row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols]
     z = zvalue([F.col(c) for c in cols], bounds, bits)
     (

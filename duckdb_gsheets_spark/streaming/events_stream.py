@@ -26,6 +26,24 @@ from pyspark.sql.types import LongType
 from duckdb_gsheets_spark.plans.catalog import load_table
 
 
+def _table_stream_dir(sf_dir: str, table: str) -> str:
+    """The file stream source requires a directory; expose a single
+    test parquet through a symlinked temp dir (no testdata writes).
+    The dir is DERIVED from sf_dir (create-once, reused) so repeated
+    stream construction in tests/benchmarks doesn't leak temp dirs.
+    One home for the digest/symlink scheme — events/documents/
+    embeddings readers all route through it."""
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"{table}_stream_{digest}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, f"{table}.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    return stream_dir
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (schema from the static
     read; nanos→micros normalization matches plans.catalog)."""
@@ -33,22 +51,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TIMESTAMP(NANOS), unreadable in a vanilla session otherwise.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # The file stream source requires a directory; expose the single
-    # test parquet through a symlinked temp dir (no testdata writes).
-    # The dir is DERIVED from sf_dir (create-once, reused) so repeated
-    # stream construction in tests/benchmarks doesn't leak temp dirs.
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{digest}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     stream = (
         spark.readStream.schema(static.schema)
         .format("parquet")
-        .load(stream_dir)
+        .load(_table_stream_dir(sf_dir, "events"))
     )
     for field in static.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
@@ -278,21 +284,13 @@ def batch_equivalent_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the documents table (same symlinked
-    create-once stream dir pattern as :func:`read_events_stream`)."""
+    """File-source stream of the documents table (shared symlinked
+    create-once stream dir scheme — :func:`_table_stream_dir`)."""
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"documents_stream_{digest}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "documents.parquet")
-    if not os.path.lexists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
     return (
         spark.readStream.schema(static.schema)
         .format("parquet")
-        .load(stream_dir)
+        .load(_table_stream_dir(sf_dir, "documents"))
     )
 
 
@@ -1469,21 +1467,13 @@ def streaming_exactsubstr_retention(
 
 
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the embeddings table (same symlinked
-    create-once stream dir pattern as :func:`read_events_stream`)."""
+    """File-source stream of the embeddings table (shared symlinked
+    create-once stream dir scheme — :func:`_table_stream_dir`)."""
     static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"embeddings_stream_{digest}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "embeddings.parquet")
-    if not os.path.lexists(link):
-        os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
     return (
         spark.readStream.schema(static.schema)
         .format("parquet")
-        .load(stream_dir)
+        .load(_table_stream_dir(sf_dir, "embeddings"))
     )
 
 

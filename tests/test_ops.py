@@ -7049,10 +7049,12 @@ def test_ivfpq_candidates_stay_in_probed_lists(spark):
 
 
 def test_sq8_recall_report_bounds(spark):
-    """SQ8 is a gentle quantizer: on this corpus the int8 grid must
-    preserve the exact top-k verbatim (recall 1.0) with a tiny
-    similarity shift — and the report's shape must hold (one row,
-    shift strictly positive: SQ8 is lossy even when ranks survive)."""
+    """SQ8 is a gentle quantizer: the enforced floor is mean recall
+    ≥ 0.9 / min ≥ 0.6 with a small strictly-positive similarity
+    shift (SQ8 is lossy even when ranks survive). On the current
+    corpus the observed value is a perfect 1.0 — the floors leave
+    headroom for dataset regeneration, not for a code regression
+    (the hash-checked oracle pins exact values)."""
     from duckdb_gsheets_spark.operators.similarity import ann_sq8_recall
 
     rows = ann_sq8_recall(spark, SF).collect()

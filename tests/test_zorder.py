@@ -111,6 +111,13 @@ def test_zvalue_guards(spark):
         zvalue([F.col("x")] * 5, [(0.0, 1.0)] * 5)
     with pytest.raises(ValueError, match="overflows"):
         zvalue([F.col("x")] * 4, [(0.0, 1.0)] * 4, bits=16)
+    with pytest.raises(ValueError, match="no non-null values"):
+        zorder_layout(
+            spark.createDataFrame([], "x int, y int"),
+            "/tmp/zorder_never_written",
+            ["x", "y"],
+            2,
+        )
     df = spark.createDataFrame([(7, 3)], ["x", "y"])
     got = df.select(
         zvalue(

@@ -1,6 +1,7 @@
-"""Ad-hoc scale probe: replicate the sf0.01 documents table N× (doc_ids
-shifted so rows stay distinct) into a temp dir, then time selected
-document-table queries at 1× vs N×. Records go to BASELINE.md by hand.
+"""Ad-hoc scale probe: replicate the sf0.01 documents, events AND
+embeddings tables N× (ids shifted by a data-derived stride per copy so
+rows stay distinct) into a temp dir, then time selected queries at 1×
+vs N×. Records go to BASELINE.md by hand.
 
 Usage: python tools/scale_probe.py [N] [query ...]
 """
@@ -20,8 +21,9 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def build_scaled(spark, factor: int) -> str:
-    """Replicate documents AND events N× (ids/users shifted per copy
-    so rows stay distinct); other tables symlink through unscaled."""
+    """Replicate documents, events AND embeddings N× (ids/users
+    shifted per copy so rows stay distinct); the TPC-H relational
+    tables symlink through unscaled."""
     from pyspark.sql import functions as F
 
     out = os.path.join(tempfile.gettempdir(), f"scale_probe_{factor}x")
