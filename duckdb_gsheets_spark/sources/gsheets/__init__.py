@@ -1,6 +1,7 @@
 from duckdb_gsheets_spark.sources.gsheets.api import (
     read_gsheet,
     register,
+    sheets_sql,
     write_gsheet,
     write_gsheet_stream,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "GSheetsDataSource",
     "read_gsheet",
     "register",
+    "sheets_sql",
     "write_gsheet",
     "write_gsheet_stream",
 ]

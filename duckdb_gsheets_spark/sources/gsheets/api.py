@@ -6,10 +6,15 @@ replacement-scan hook, so the parity surface is:
 
 * ``register(spark)`` once, then
   ``spark.read.format("gsheets").load(url)``, or
-* ``read_gsheet(spark, url, **options)`` — the table function shape.
+* ``read_gsheet(spark, url, **options)`` — the table function shape, or
+* ``sheets_sql(spark, "SELECT ... FROM 'https://docs.google.com/...'")``
+  — literal-URL SQL with the reference's replacement semantics.
 """
 
 from __future__ import annotations
+
+import hashlib
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,6 +35,78 @@ def read_gsheet(spark: SparkSession, url_or_id: str, **options) -> DataFrame:
     for key, value in options.items():
         reader = reader.option(key, value)
     return reader.load(url_or_id)
+
+
+#: Only URLs with this prefix are replaced — the reference's exact
+#: prefix check (src/gsheets_extension.cpp:31-33).
+_SHEET_URL_PREFIX = "https://docs.google.com/spreadsheets/d/"
+
+#: A quoted sheet URL in table position: FROM/JOIN then the literal.
+#: Literals anywhere else (SELECT list, WHERE comparisons) stay
+#: strings, mirroring how a replacement scan only fires when the
+#: parser resolves a TABLE reference.
+_FROM_URL_RE = re.compile(
+    r"(\b(?:from|join)\s+)'(" + re.escape(_SHEET_URL_PREFIX) + r"[^']*)'",
+    re.IGNORECASE,
+)
+
+_ALIAS_PROBE_RE = re.compile(r"\s*(?:as\s+)?(`[^`]+`|[A-Za-z_]\w*)", re.IGNORECASE)
+
+#: Keywords that may legally follow a table reference and therefore do
+#: NOT read as a user-supplied alias.
+_NON_ALIAS_KEYWORDS = frozenset(
+    """where group order limit having union intersect except join inner
+    left right full cross natural on using qualify window semi anti
+    lateral""".split()
+)
+
+
+def _url_base_name(url: str) -> str:
+    """Last path segment with any extension stripped — the alias the
+    reference's FileSystem::ExtractBaseName produces for the replaced
+    table (src/gsheets_extension.cpp:39-42); typically ``edit`` for a
+    browser-copied sheet URL."""
+    path = url.split("?", 1)[0].split("#", 1)[0].rstrip("/")
+    base = path.rsplit("/", 1)[-1]
+    dot = base.rfind(".")
+    return base[:dot] if dot > 0 else base
+
+
+def sheets_sql(spark: SparkSession, sql: str, **options) -> DataFrame:
+    """Run SQL in which a bare spreadsheet URL is a table — the
+    replacement-scan entry point (src/gsheets_extension.cpp:29-46)
+    reproduced as a pre-parse rewrite, since stock PySpark exposes no
+    replacement-scan hook (SURVEY §3 entry point 2).
+
+    Semantics mirror the reference: only single-quoted literals with
+    the exact ``https://docs.google.com/spreadsheets/d/`` prefix in
+    TABLE position (after FROM/JOIN) are replaced; each becomes a
+    registered-connector read (the ``read_gsheet`` analog) aliased to
+    the URL's base name — unless the query supplies its own alias or
+    the URL contains glob characters, matching the HasGlob guard.
+    ``options`` (credentials, api_base, header/range/sheet/
+    all_varchar) apply to every sheet the statement references. Each
+    distinct URL is read once even when referenced twice.
+    """
+    register(spark)
+    views: dict[str, str] = {}
+
+    def _replace(m: re.Match) -> str:
+        url = m.group(2)
+        view = views.get(url)
+        if view is None:
+            view = "gsheet_" + hashlib.md5(url.encode()).hexdigest()[:10]
+            read_gsheet(spark, url, **options).createOrReplaceTempView(view)
+            views[url] = view
+        probe = _ALIAS_PROBE_RE.match(sql, m.end())
+        user_alias = bool(probe) and (
+            probe.group(1).strip("`").lower() not in _NON_ALIAS_KEYWORDS
+        )
+        if user_alias or any(ch in url for ch in "*?["):
+            return f"{m.group(1)}{view}"
+        return f"{m.group(1)}{view} AS `{_url_base_name(url)}`"
+
+    return spark.sql(_FROM_URL_RE.sub(_replace, sql))
 
 
 def write_gsheet(

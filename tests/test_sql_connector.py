@@ -141,3 +141,77 @@ def test_sql_view_missing_credentials_is_actionable(spark, sheets_server, people
             f"OPTIONS (path '{url_for(sid)}', api_base '{sheets_server.base_url}')"
         )
         spark.sql("SELECT * FROM people_noauth").collect()
+
+
+def _sheets_sql(spark, server, sql):
+    from duckdb_gsheets_spark.sources.gsheets import sheets_sql
+
+    return sheets_sql(
+        spark, sql, token="test-token", api_base=server.base_url
+    )
+
+
+def test_literal_url_from_replacement(spark, sheets_server, people_sheet):
+    """Entry point 2 parity (src/gsheets_extension.cpp:29-46): a bare
+    quoted sheet URL after FROM reads the sheet, and the replaced
+    table carries the URL base-name alias (``edit`` for a
+    browser-copied URL) exactly as ExtractBaseName would."""
+    sid, _ = people_sheet
+    rows = _sheets_sql(
+        spark,
+        sheets_server,
+        f"SELECT edit.name, edit.age FROM '{url_for(sid)}' "
+        "WHERE age > 28 ORDER BY edit.name",
+    ).collect()
+    assert [(r.name, r.age) for r in rows] == [
+        ("Alice", 30.0),
+        ("Archie", 99.0),
+        ("Charlie", 45.0),
+    ]
+
+
+def test_literal_url_user_alias_wins(spark, sheets_server, people_sheet):
+    """A user-supplied alias (bare or AS) suppresses the base-name
+    alias, and a self-join through two literal references reads the
+    sheet ONCE (one fetch per distinct URL per statement)."""
+    sid, store = people_sheet
+    out = _sheets_sql(
+        spark,
+        sheets_server,
+        f"SELECT p.name, q.age FROM '{url_for(sid)}' AS p "
+        f"JOIN '{url_for(sid)}' q ON p.name = q.name "
+        "WHERE q.age > 40 ORDER BY p.name",
+    ).collect()
+    assert [(r.name, r.age) for r in out] == [
+        ("Archie", 99.0),
+        ("Charlie", 45.0),
+    ]
+
+
+def test_literal_url_only_in_table_position(spark, sheets_server, people_sheet):
+    """URL literals OUTSIDE table position must stay strings — a
+    replacement scan fires only for table resolution."""
+    sid, _ = people_sheet
+    url = url_for(sid)
+    row = _sheets_sql(
+        spark,
+        sheets_server,
+        f"SELECT name, '{url}' AS src FROM '{url}' "
+        "WHERE name = 'Alice'",
+    ).collect()[0]
+    assert row.name == "Alice" and row.src == url
+
+
+def test_literal_url_prefix_guard(spark, sheets_server, people_sheet):
+    """Non-sheet URLs are NOT replaced (the reference's StartsWith
+    guard): the statement fails as plain SQL would, not by trying to
+    fetch an arbitrary URL."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        _sheets_sql(
+            spark,
+            sheets_server,
+            "SELECT * FROM 'https://example.com/spreadsheets/d/x'",
+        )
