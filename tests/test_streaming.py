@@ -86,7 +86,7 @@ def test_gsheets_stream_reader_incremental(spark, sheets_server, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
+        assert q.awaitTermination(180), "availableNow drain timed out"
         return {r.name: r.score for r in spark.read.parquet(out_dir).collect()}
 
     first = run_batch()
@@ -128,7 +128,7 @@ def test_gsheets_stream_reader_revision_poll_skips_fetch(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
+        assert q.awaitTermination(180), "availableNow drain timed out"
         return {r.name: r.score for r in spark.read.parquet(out_dir).collect()}
 
     def values_gets():
@@ -190,7 +190,7 @@ def test_gsheets_stream_reader_degrades_without_drive(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
+        assert q.awaitTermination(180), "availableNow drain timed out"
         return {r.name: r.score for r in spark.read.parquet(out_dir).collect()}
 
     assert run_batch() == {"ada": 1.0}
@@ -265,7 +265,7 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
+        assert q.awaitTermination(180), "availableNow drain timed out"
         return {r.w: r.n for r in spark.read.parquet(out).collect()}
 
     first = run_once()
@@ -733,7 +733,7 @@ def test_streaming_dsir_scorer_checkpoint_resume(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(180), "availableNow drain timed out"
         return spark.read.parquet(out)
 
     # The scorer drops NULL texts (same filter as the batch core).
@@ -833,7 +833,7 @@ def test_streaming_cdc_upsert_checkpoint_resume_orders_writes(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(180), "availableNow drain timed out"
 
     # Exactly ONE new snapshot version: only batch_2 was applied.
     versions_after_second = sorted(os.listdir(os.path.join(work, "table")))
