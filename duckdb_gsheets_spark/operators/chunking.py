@@ -218,19 +218,17 @@ GROUP BY doc_id
 """
 
 
-def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination screen: for every corpus document,
-    count its distinct ``CONTAM_N``-gram overlaps with the benchmark
-    set (``doc_id % BENCH_MOD == 0`` stands in for the held-out
-    benchmark — deterministic and scale-stable).
-
-    The GPT-3/PaLM decontamination recipe: any training document
-    sharing a long-enough n-gram with an eval benchmark is flagged.
-    Benchmark n-grams are BROADCAST (a benchmark is small by
-    definition), so the 100 TB corpus side is a broadcast hash join
-    fused into its scan-side n-gram explode — the only shuffle is the
-    per-document rollup of matched rows, already reduced by the join.
-    """
+def _contam_gram_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(bench, corpus) md5-gram frames shared by the exact
+    containment screen and the Bloom screen: bench is the DISTINCT
+    (bench_doc, gram) set of the held-out slice, corpus is the raw
+    (doc_id, gram) stream of everything else. No pre-join distinct on
+    the corpus side: the consumers' rollups dedupe, and a distinct
+    here would shuffle the FULL corpus gram stream — downstream
+    broadcast joins / literal-mask probes filter it first, so only
+    matched/flagged rows ever reach an exchange."""
     toks = _tokens_df(load_table(spark, sf_dir, "documents")).where(
         F.col("n_tokens") >= CONTAM_N
     )
@@ -251,13 +249,26 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("bench_doc"), "gram")
         .distinct()
     )
-    # No pre-join distinct on the corpus side: countDistinct in the
-    # rollup already dedupes, and a distinct here would shuffle the
-    # FULL corpus gram stream — the broadcast join filters it to
-    # matches first, so only matched rows ever reach an exchange.
     corpus = grams.where(F.col("doc_id") % BENCH_MOD != 0).select(
         "doc_id", "gram"
     )
+    return bench, corpus
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: for every corpus document,
+    count its distinct ``CONTAM_N``-gram overlaps with the benchmark
+    set (``doc_id % BENCH_MOD == 0`` stands in for the held-out
+    benchmark — deterministic and scale-stable).
+
+    The GPT-3/PaLM decontamination recipe: any training document
+    sharing a long-enough n-gram with an eval benchmark is flagged.
+    Benchmark n-grams are BROADCAST (a benchmark is small by
+    definition), so the 100 TB corpus side is a broadcast hash join
+    fused into its scan-side n-gram explode — the only shuffle is the
+    per-document rollup of matched rows, already reduced by the join.
+    """
+    bench, corpus = _contam_gram_frames(spark, sf_dir)
     return (
         corpus.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
@@ -289,6 +300,194 @@ SELECT c.doc_id,
        COUNT(DISTINCT b.bench_doc) AS n_bench_docs
 FROM corpus c JOIN bench b USING (gram)
 GROUP BY c.doc_id
+"""
+
+
+#: Bloom decontamination screen: hash count and SIZING RULE. The
+#: filter is sized from the benchmark's distinct-gram inventory at a
+#: fixed bits-per-element budget — how production Blooms are sized
+#: (bits/element pins the fill ratio, hence the FP rate, at EVERY
+#: corpus scale: 32 bits/element × 3 hashes ⇒ ~9% fill ⇒ ~7e-4 FP per
+#: probed gram). A constant M would be saturated at one scale and
+#: degenerate-empty at another; the rule is deterministic from the
+#: data, so the oracle computes the identical M.
+BLOOM_K = 3
+BLOOM_BITS_PER_ITEM = 32
+BLOOM_MIN_M = 64
+
+
+def _bloom_bit(gram: Column, seed: int, m) -> Column:
+    """Bit position of ``gram`` under hash ``seed``: the first 8 hex
+    chars of md5(gram + '#' + seed) as an integer, mod ``m`` — the
+    portable construction both engines compute identically (same
+    md5-prefix device as the sampling family)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(gram, F.lit(f"#{seed}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen + its acceptance audit:
+    the benchmark's n-gram set is folded into a Bloom filter sized
+    at BLOOM_BITS_PER_ITEM bits per distinct benchmark gram
+    (BLOOM_K deterministic md5-derived hashes — the sizing rule keeps
+    the FP rate scale-free), every corpus document
+    is screened through it, and the per-source report compares the
+    Bloom verdicts against the exact containment join — flagging the
+    false positives the filter's fill ratio buys.
+
+    Why this exists next to contamination_ngram: at 100 TB you do not
+    ship the benchmark's gram SET to every executor and join — you
+    ship a CONSTANT-SIZE mergeable filter (the CCNet/Gopher-era
+    decontamination deployment shape) and accept a measured FP rate.
+    Unlike the HLL/KLL sketch rows, the construction here is fully
+    deterministic (md5 bit positions), so the sketch itself is
+    value-exact ORACLE-CHECKED — DuckDB rebuilds the same filter as a
+    bit TABLE and replays membership as a count-all-K join.
+
+    Plan shape: the filter ships as a one-row broadcast literal
+    (array<boolean> — the trained-artifact pattern;
+    a word-packed array<long> with shiftright does the same above
+    ~2^24 bits) and membership is BLOOM_K pure-JVM element_at lookups
+    per corpus gram — ZERO corpus-side shuffle before the per-source
+    rollup of per-doc flags. The exact side reuses the broadcast
+    bench join. No false negatives by construction (pytest-pinned);
+    false positives are the report's subject, not a bug.
+    """
+    bench, corpus = _contam_gram_frames(spark, sf_dir)
+    bench_grams = bench.select("gram").distinct()
+    m = max(BLOOM_MIN_M, BLOOM_BITS_PER_ITEM * bench_grams.count())
+    bit_rows = (
+        bench.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_bit(F.col("gram"), s, m)
+                        for s in range(BLOOM_K)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+        .collect()
+    )
+    mask = [False] * m
+    for r in bit_rows:
+        mask[r.bit] = True
+    mask_df = spark.createDataFrame([(mask,)], "bloom_mask array<boolean>")
+
+    contained = None
+    for s in range(BLOOM_K):
+        hit = F.element_at(
+            F.col("bloom_mask"),
+            (_bloom_bit(F.col("gram"), s, m) + 1).cast("int"),
+        )
+        contained = hit if contained is None else (contained & hit)
+    flagged = (
+        corpus.crossJoin(F.broadcast(mask_df))
+        .where(contained)
+        .select("doc_id")
+        .distinct()
+        .withColumn("bloom_hit", F.lit(1))
+    )
+    exact = (
+        corpus.join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    screened = corpus.select("doc_id").distinct()
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        screened.join(flagged, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_screened"),
+            F.sum(F.coalesce(F.col("bloom_hit"), F.lit(0))).alias(
+                "n_bloom_flagged"
+            ),
+            F.sum(F.coalesce(F.col("exact_hit"), F.lit(0))).alias(
+                "n_exact_flagged"
+            ),
+            F.sum(
+                F.coalesce(F.col("bloom_hit"), F.lit(0))
+                * (1 - F.coalesce(F.col("exact_hit"), F.lit(0)))
+            ).alias("n_false_positives"),
+        )
+        .orderBy("source")
+    )
+
+
+_BLOOM_GRAM_CTE = f"""
+toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(text), '\\s+') AS t,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND len(regexp_split_to_array(TRIM(text), '\\s+')) >= {CONTAM_N}
+), grams AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, pos, pos + {CONTAM_N - 1}), ' ')) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, n - {CONTAM_N - 1} + 1)) AS pos FROM toks)
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0
+), corpus AS (
+  SELECT doc_id, gram FROM grams WHERE doc_id % {BENCH_MOD} <> 0
+)"""
+
+CONTAMINATION_BLOOM_ORACLE = f"""
+WITH {_BLOOM_GRAM_CTE},
+msize AS (
+  SELECT GREATEST({BLOOM_MIN_M},
+                  {BLOOM_BITS_PER_ITEM} * COUNT(DISTINCT gram)) AS m
+  FROM bench
+),
+seeds(s) AS (VALUES {", ".join(f"({i})" for i in range(BLOOM_K))}),
+bbits AS (
+  SELECT DISTINCT
+         CAST('0x' || SUBSTRING(md5(gram || '#' || CAST(s AS VARCHAR)), 1, 8)
+              AS BIGINT) % (SELECT m FROM msize) AS bit
+  FROM bench CROSS JOIN seeds
+), cg AS (
+  SELECT DISTINCT doc_id, gram FROM corpus
+), probes AS (
+  SELECT doc_id, gram,
+         CAST('0x' || SUBSTRING(md5(gram || '#' || CAST(s AS VARCHAR)), 1, 8)
+              AS BIGINT) % (SELECT m FROM msize) AS bit
+  FROM cg CROSS JOIN seeds
+), bloomf AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT p.doc_id, p.gram
+    FROM probes p JOIN bbits USING (bit)
+    GROUP BY p.doc_id, p.gram
+    HAVING COUNT(*) = {BLOOM_K}
+  )
+), exactf AS (
+  SELECT DISTINCT c.doc_id FROM cg c JOIN bench b USING (gram)
+), screened AS (
+  SELECT DISTINCT doc_id FROM corpus
+)
+SELECT d.source,
+       COUNT(*) AS n_docs_screened,
+       CAST(SUM(CASE WHEN bf.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_flagged,
+       CAST(SUM(CASE WHEN ef.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_flagged,
+       CAST(SUM(CASE WHEN bf.doc_id IS NOT NULL AND ef.doc_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+FROM screened s
+JOIN documents d USING (doc_id)
+LEFT JOIN bloomf bf ON bf.doc_id = s.doc_id
+LEFT JOIN exactf ef ON ef.doc_id = s.doc_id
+GROUP BY d.source
+ORDER BY d.source
 """
 
 
@@ -567,6 +766,12 @@ QUERIES: list[QueryDef] = [
         segment_dedup_stats,
         SEGMENT_DEDUP_ORACLE,
         "sub-document exact dedup over non-overlapping token segments",
+    ),
+    QueryDef(
+        "contamination_bloom",
+        contamination_bloom,
+        CONTAMINATION_BLOOM_ORACLE,
+        "Bloom-filter decontamination screen + FP audit vs exact containment (deterministic, oracle-checked sketch)",
     ),
     QueryDef(
         "contamination_ngram",

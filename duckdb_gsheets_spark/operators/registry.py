@@ -56,17 +56,18 @@ class QueryDef:
 #:   ``map_functions``, ``window_ntile``, ``sample_split_assign``,
 #:   ``order_ship_delay_quantiles``, ``basket_part_pairs``,
 #:   ``orders_pareto_share``;
-#: * the 3 BRAND-NEW round-10 queries (``ann_ivfpq_topk``,
-#:   ``ann_sq8_topk``, ``ann_sq8_recall``) — a new query outranks any
-#:   stale-green re-check, so they take their first driver row this
-#:   round;
-#: * 36 of the 45 round-5-latest rows. The 9 that did NOT fit —
+#: * the 4 BRAND-NEW round-10 queries (``ann_ivfpq_topk``,
+#:   ``ann_sq8_topk``, ``ann_sq8_recall``, ``contamination_bloom``) —
+#:   a new query outranks any stale-green re-check, so they take
+#:   their first driver row this round;
+#: * 35 of the 45 round-5-latest rows. The 10 that did NOT fit —
 #:   ``window_nth_value``, ``join_lateral_topn``,
 #:   ``events_pattern_match``, ``events_variant_extract``,
 #:   ``events_wow_change``, ``orders_open_backlog`` (simple window/
 #:   relational shapes whose plans and oracles have not changed since
 #:   r5), plus ``text_type_token_ratio``, ``token_budget_waterfill``,
-#:   ``vocab_freq_spectrum`` (displaced by the three new queries) —
+#:   ``vocab_freq_spectrum``, ``supplier_concentration_hhi`` (displaced
+#:   by the four new queries) —
 #:   lead the ROUND-11 ROTATION QUEUE and stay covered by the
 #:   full-registry sf0.1 parity sweep every round.
 _WINDOW: tuple[str, ...] = (
@@ -80,6 +81,7 @@ _WINDOW: tuple[str, ...] = (
     "ann_ivfpq_topk",
     "ann_sq8_topk",
     "ann_sq8_recall",
+    "contamination_bloom",
     # -- round-4-latest stragglers (queued by the round-9 verdict) --
     "map_functions",
     "window_ntile",
@@ -121,7 +123,6 @@ _WINDOW: tuple[str, ...] = (
     "rollup_incremental_refresh",
     "scd2_asof_diff",
     "skew_heavy_hitters",
-    "supplier_concentration_hhi",
     "text_blocklist_screen",
     "text_char_entropy",
 )

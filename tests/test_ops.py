@@ -7119,3 +7119,26 @@ def test_sq8_topk_matches_manual_dequant(spark):
         assert [v for v, _ in got[qid]] == [int(v) for v, _ in exp]
         for (_, s_got), (_, s_exp) in zip(got[qid], exp):
             assert abs(s_got - s_exp) <= 2e-6
+
+
+def test_contamination_bloom_no_false_negatives_and_fp_band(spark):
+    """The Bloom screen may over-flag but NEVER under-flag: per
+    source, bloom-flagged minus false-positives must equal the exact
+    containment count (exact ⊆ bloom — a Bloom filter has no false
+    negatives), and the measured FP mass must sit in the band the
+    32-bits-per-element sizing rule predicts (nonzero — the audit is
+    not degenerate — but well under 20% of screened docs)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.operators.chunking import contamination_bloom
+
+    rows = contamination_bloom(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_bloom_flagged - r.n_false_positives == r.n_exact_flagged
+        assert 0 <= r.n_bloom_flagged <= r.n_docs_screened
+    screened = sum(r.n_docs_screened for r in rows)
+    fp = sum(r.n_false_positives for r in rows)
+    exact = sum(r.n_exact_flagged for r in rows)
+    assert exact >= 1  # the held-out slice does overlap the corpus
+    assert 0 < fp < 0.2 * screened

@@ -855,6 +855,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
     bnlj_ok = {
         "join_cross",
         "ann_cosine_topk",          # broadcast query batch × corpus scan
+        "contamination_bloom",      # 1-row broadcast of the literal filter mask
         "ann_sq8_topk",             # same broadcast query batch × dequantized corpus
         "ann_sq8_recall",           # composes the cosine + SQ8 baselines
         "embedding_neardup_pairs",  # broadcast-bounded LSH block pairs
