@@ -333,6 +333,65 @@ def _bloom_bit(gram: Column, seed: int, m) -> Column:
     )
 
 
+def bloom_artifact(spark, sf_dir: str) -> tuple[int, list[bool]]:
+    """Fit the decontamination Bloom filter from the benchmark slice:
+    ``(m, mask)`` where ``m = max(BLOOM_MIN_M, BLOOM_BITS_PER_ITEM ×
+    |distinct bench grams|)`` and ``mask`` is the m-bit membership
+    array. This is the TRAINED ARTIFACT both consumers ship to
+    executors as a one-row broadcast literal — the batch audit
+    (:func:`contamination_bloom`) and the streaming intake gate
+    (streaming.events_stream.streaming_bloom_gate) fit it through
+    this one function so the gate can never drift from the audit."""
+    bench, _ = _contam_gram_frames(spark, sf_dir)
+    m = max(
+        BLOOM_MIN_M,
+        BLOOM_BITS_PER_ITEM * bench.select("gram").distinct().count(),
+    )
+    bit_rows = (
+        bench.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_bit(F.col("gram"), s, m)
+                        for s in range(BLOOM_K)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+        .collect()
+    )
+    mask = [False] * m
+    for r in bit_rows:
+        mask[r.bit] = True
+    return m, mask
+
+
+def bloom_doc_flag(toks: Column, m: int) -> Column:
+    """TRUE iff ANY ``CONTAM_N``-gram of the token array tests
+    positive against the ``bloom_mask`` column — the whole gate as
+    one per-row JVM expression (transform → exists over higher-order
+    lambdas, no explode, no shuffle): the form a streaming intake
+    gate runs per arriving document. Caller guarantees
+    ``size(toks) >= CONTAM_N`` and a ``bloom_mask`` column in scope
+    (the broadcast artifact row)."""
+    gram = lambda i: F.md5(  # noqa: E731 — md5 of the i-started gram
+        F.array_join(F.slice(toks, i, CONTAM_N), " ")
+    )
+    def _contained(g: Column) -> Column:
+        hit = None
+        for s in range(BLOOM_K):
+            h = F.element_at(
+                F.col("bloom_mask"), (_bloom_bit(g, s, m) + 1).cast("int")
+            )
+            hit = h if hit is None else (hit & h)
+        return hit
+    return F.exists(
+        F.sequence(F.lit(1), F.size(toks) - (CONTAM_N - 1)),
+        lambda i: _contained(gram(i)),
+    )
+
+
 def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination screen + its acceptance audit:
     the benchmark's n-gram set is folded into a Bloom filter sized
@@ -363,24 +422,7 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     bench, corpus = _contam_gram_frames(spark, sf_dir)
     bench_grams = bench.select("gram").distinct()
-    m = max(BLOOM_MIN_M, BLOOM_BITS_PER_ITEM * bench_grams.count())
-    bit_rows = (
-        bench.select(
-            F.explode(
-                F.array(
-                    *[
-                        _bloom_bit(F.col("gram"), s, m)
-                        for s in range(BLOOM_K)
-                    ]
-                )
-            ).alias("bit")
-        )
-        .distinct()
-        .collect()
-    )
-    mask = [False] * m
-    for r in bit_rows:
-        mask[r.bit] = True
+    m, mask = bloom_artifact(spark, sf_dir)
     mask_df = spark.createDataFrame([(mask,)], "bloom_mask array<boolean>")
 
     contained = None

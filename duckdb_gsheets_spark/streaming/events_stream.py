@@ -1577,3 +1577,56 @@ def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rank0") + 1).cast("int").alias("rank"),
     )
     return run_to_memory(out, output_mode="complete")
+
+
+def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of contamination_bloom's GATE half: the
+    decontamination Bloom filter is fit ONCE from the static
+    benchmark slice (chunking.bloom_artifact — the same artifact the
+    batch audit ships), broadcast as a one-row literal, and every
+    arriving document is screened by ONE per-row JVM higher-order
+    expression (transform→exists over its n-grams — no explode, no
+    per-doc shuffle), feeding a single complete-mode per-source
+    rollup. This is the intake-gate deployment shape: the filter is
+    constant-size and mergeable, the verdict is stateless per row, so
+    any arrival order and any micro-batch boundary give the same
+    counts — which the batch-equality test pins against the batch
+    audit's (n_docs_screened, n_bloom_flagged) columns.
+
+    The exact-containment and FP columns stay batch-only by design: a
+    live gate cannot afford the benchmark gram-set join; measuring
+    the FP rate is the OFFLINE audit's job (contamination_bloom).
+    """
+    from duckdb_gsheets_spark.functions.text import WHITESPACE_SPLIT
+    from duckdb_gsheets_spark.operators.chunking import (
+        BENCH_MOD,
+        CONTAM_N,
+        bloom_artifact,
+        bloom_doc_flag,
+    )
+
+    m, mask = bloom_artifact(spark, sf_dir)
+    mask_df = spark.createDataFrame(
+        [(1, mask)], "join_key int, bloom_mask array<boolean>"
+    )
+    docs = (
+        read_documents_stream(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .where(F.col("doc_id") % BENCH_MOD != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.trim(F.col("text")), WHITESPACE_SPLIT).alias("toks"),
+        )
+        .where(F.size("toks") >= CONTAM_N)
+        .withColumn("join_key", F.lit(1))
+    )
+    flagged = docs.join(F.broadcast(mask_df), "join_key").select(
+        "source",
+        bloom_doc_flag(F.col("toks"), m).cast("int").alias("hit"),
+    )
+    counts = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_screened"),
+        F.sum("hit").alias("n_bloom_flagged"),
+    )
+    return run_to_memory(counts, output_mode="complete")

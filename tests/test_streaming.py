@@ -1219,3 +1219,24 @@ def test_streaming_ann_probe_matches_batch_ivf(spark):
     )
     assert got == exp
     assert len(got) == 50  # 10 queries × k
+
+
+def test_streaming_bloom_gate_matches_batch_audit(spark):
+    """The live intake gate must reproduce the batch audit's screen
+    columns exactly: same artifact (fit through the one shared
+    builder), same per-doc verdicts, same per-source counts."""
+    from duckdb_gsheets_spark.operators.chunking import contamination_bloom
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_bloom_gate,
+    )
+
+    got = {
+        r.source: (r.n_docs_screened, r.n_bloom_flagged)
+        for r in streaming_bloom_gate(spark, SF).collect()
+    }
+    exp = {
+        r.source: (r.n_docs_screened, r.n_bloom_flagged)
+        for r in contamination_bloom(spark, SF).collect()
+    }
+    assert got == exp
+    assert sum(v[1] for v in got.values()) > 0  # gate is not degenerate
