@@ -314,6 +314,13 @@ GROUP BY c.doc_id
 BLOOM_K = 3
 BLOOM_BITS_PER_ITEM = 32
 BLOOM_MIN_M = 64
+#: Hard cap on the filter size this IMPLEMENTATION supports: the mask
+#: ships as a literal array<boolean> (fine to ~2^24 bits ≈ 16 MB of
+#: broadcast) and bit positions come from a 32-bit md5 prefix (can't
+#: address past 2^32). A benchmark suite big enough to hit this needs
+#: the word-packed array<long> + 64-bit-hash variant the
+#: contamination_bloom docstring names — fail loud rather than wrap.
+BLOOM_MAX_M = 1 << 24
 
 
 def _bloom_bit(gram: Column, seed: int, m) -> Column:
@@ -333,7 +340,9 @@ def _bloom_bit(gram: Column, seed: int, m) -> Column:
     )
 
 
-def bloom_artifact(spark, sf_dir: str) -> tuple[int, list[bool]]:
+def bloom_artifact(
+    spark, sf_dir: str, bench_grams: DataFrame | None = None
+) -> tuple[int, list[bool]]:
     """Fit the decontamination Bloom filter from the benchmark slice:
     ``(m, mask)`` where ``m = max(BLOOM_MIN_M, BLOOM_BITS_PER_ITEM ×
     |distinct bench grams|)`` and ``mask`` is the m-bit membership
@@ -341,12 +350,27 @@ def bloom_artifact(spark, sf_dir: str) -> tuple[int, list[bool]]:
     executors as a one-row broadcast literal — the batch audit
     (:func:`contamination_bloom`) and the streaming intake gate
     (streaming.events_stream.streaming_bloom_gate) fit it through
-    this one function so the gate can never drift from the audit."""
-    bench, _ = _contam_gram_frames(spark, sf_dir)
-    m = max(
-        BLOOM_MIN_M,
-        BLOOM_BITS_PER_ITEM * bench.select("gram").distinct().count(),
-    )
+    this one function so the gate can never drift from the audit.
+
+    ``bench_grams`` (the distinct-gram frame) may be passed in by a
+    caller that also consumes it elsewhere; when built here it is
+    eagerly checkpointed, since sizing (count) and bit extraction
+    (collect) would otherwise each re-run the corpus tokenize+explode.
+    """
+    if bench_grams is None:
+        bench, _ = _contam_gram_frames(spark, sf_dir)
+        bench_grams = (
+            bench.select("gram").distinct().localCheckpoint(eager=True)
+        )
+    bench = bench_grams
+    m = max(BLOOM_MIN_M, BLOOM_BITS_PER_ITEM * bench_grams.count())
+    if m > BLOOM_MAX_M:
+        raise ValueError(
+            f"bloom filter needs {m} bits (> BLOOM_MAX_M {BLOOM_MAX_M}): "
+            "this literal-mask implementation caps at 2^24 bits — use a "
+            "word-packed array<long> mask with a 64-bit hash for a "
+            "benchmark suite this large"
+        )
     bit_rows = (
         bench.select(
             F.explode(
@@ -421,8 +445,14 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     false positives are the report's subject, not a bug.
     """
     bench, corpus = _contam_gram_frames(spark, sf_dir)
-    bench_grams = bench.select("gram").distinct()
-    m, mask = bloom_artifact(spark, sf_dir)
+    # One distinct-gram frame, eagerly checkpointed, feeds all three
+    # benchmark consumers (filter sizing, bit extraction, the exact
+    # containment join) — without it each would re-run the corpus
+    # tokenize+explode.
+    bench_grams = (
+        bench.select("gram").distinct().localCheckpoint(eager=True)
+    )
+    m, mask = bloom_artifact(spark, sf_dir, bench_grams=bench_grams)
     mask_df = spark.createDataFrame([(mask,)], "bloom_mask array<boolean>")
 
     contained = None

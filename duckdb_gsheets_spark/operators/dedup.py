@@ -247,7 +247,6 @@ def _jaccard_pairs_from(toks_arr: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    tok_ids = _token_dictionary(dfs)
     # Vocab-adaptive verify. SMALL vocabularies (≤ BITMASK_MAX_VOCAB
     # distinct tokens corpus-wide) verify with fixed-width BITMASKS:
     # each token set becomes ⌈|vocab|/64⌉ longs, and the per-pair
@@ -258,12 +257,19 @@ def _jaccard_pairs_from(toks_arr: DataFrame) -> DataFrame:
     # intersect: a 10M-token vocab would need 156 KB of mask per doc
     # while real sets hold only hundreds of tokens — the sparse
     # representation is the scale-correct one there. The cutoff is an
-    # index-build decision made from the MATERIALIZED dictionary (one
-    # cheap count on the checkpointed frame).
-    if tok_ids.count() <= BITMASK_MAX_VOCAB:
-        verified = _verify_bitmask(cand, postings, tok_ids)
+    # index-build decision made from the MATERIALIZED distinct-token
+    # frame (one cheap count on the checkpointed projection). The tid
+    # DICTIONARY (monotonic-id assignment + its pinning checkpoint —
+    # see _token_dictionary) is built only on the int-array path,
+    # its sole consumer: the bitmask path derives dense bit positions
+    # from this same vocab frame and never touches tid.
+    vocab = dfs.select("tok").localCheckpoint(eager=True)
+    if vocab.count() <= BITMASK_MAX_VOCAB:
+        verified = _verify_bitmask(cand, postings, vocab)
     else:
-        verified = _verify_int_arrays(cand, postings, tok_ids)
+        verified = _verify_int_arrays(
+            cand, postings, _token_dictionary(dfs)
+        )
     return verified.where(F.col("jaccard") >= t)
 
 
@@ -317,10 +323,11 @@ def _verify_bitmask(
     """Small-vocabulary verify: token sets as ⌈|vocab|/64⌉-long
     bitmask arrays, overlap = Σ popcount(a AND b) per block. The
     dense bit positions come from a row_number over the MATERIALIZED
-    ≤``BITMASK_MAX_VOCAB``-row dictionary (bounded single-task window
-    — allowlisted in tests/test_plans.py), and each token's (block,
-    bit value) is precomputed in that tiny frame so the per-posting
-    work is one broadcast-join lookup + a bit_or aggregate."""
+    ≤``BITMASK_MAX_VOCAB``-row vocab frame (any frame with a ``tok``
+    column; bounded single-task window — allowlisted in
+    tests/test_plans.py), and each token's (block, bit value) is
+    precomputed in that tiny frame so the per-posting work is one
+    broadcast-join lookup + a bit_or aggregate."""
     n_vocab = tok_ids.count()
     nblocks = max(1, (n_vocab + 63) // 64)
     dense = (

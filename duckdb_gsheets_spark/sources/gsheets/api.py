@@ -53,12 +53,22 @@ _FROM_URL_RE = re.compile(
 _ALIAS_PROBE_RE = re.compile(r"\s*(?:as\s+)?(`[^`]+`|[A-Za-z_]\w*)", re.IGNORECASE)
 
 #: Keywords that may legally follow a table reference and therefore do
-#: NOT read as a user-supplied alias.
+#: NOT read as a user-supplied alias — every clause Spark SQL accepts
+#: in that position, incl. PIVOT/UNPIVOT and the BY-family heads
+#: (verified to parse with an alias injected BEFORE them).
 _NON_ALIAS_KEYWORDS = frozenset(
-    """where group order limit having union intersect except join inner
-    left right full cross natural on using qualify window semi anti
-    lateral""".split()
+    """where group order limit offset having union intersect except
+    join inner left right full cross natural on using qualify window
+    semi anti lateral pivot unpivot sort distribute cluster
+    tablesample""".split()
 )
+
+#: TABLESAMPLE binds tighter than the alias (Spark parses
+#: ``tbl TABLESAMPLE (...) AS a`` but rejects
+#: ``tbl AS a TABLESAMPLE (...)``), so injecting the base-name alias
+#: before it would break the statement — recognize it as a non-alias
+#: but SKIP the injection; the caller aliases after the clause.
+_ALIAS_UNSAFE_KEYWORDS = frozenset({"tablesample"})
 
 
 def _url_base_name(url: str) -> str:
@@ -99,10 +109,13 @@ def sheets_sql(spark: SparkSession, sql: str, **options) -> DataFrame:
             read_gsheet(spark, url, **options).createOrReplaceTempView(view)
             views[url] = view
         probe = _ALIAS_PROBE_RE.match(sql, m.end())
-        user_alias = bool(probe) and (
-            probe.group(1).strip("`").lower() not in _NON_ALIAS_KEYWORDS
-        )
-        if user_alias or any(ch in url for ch in "*?["):
+        word = probe.group(1).strip("`").lower() if probe else ""
+        user_alias = bool(probe) and word not in _NON_ALIAS_KEYWORDS
+        if (
+            user_alias
+            or word in _ALIAS_UNSAFE_KEYWORDS
+            or any(ch in url for ch in "*?[")
+        ):
             return f"{m.group(1)}{view}"
         return f"{m.group(1)}{view} AS `{_url_base_name(url)}`"
 

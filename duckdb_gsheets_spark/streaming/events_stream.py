@@ -1018,19 +1018,33 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
         # numbers that must never be compared ACROSS sets: at equal
         # mtime, change_9/data-002 would outrank change_10/data-001).
         # So order by (_seq_dir, _seq_file): the parent-segment
-        # trailing number dominates (constant — hence inert — for the
-        # flat layout, where the parent is the watch dir itself), and
-        # the leaf trailing number breaks ties only WITHIN a set
-        # (carrying the flat layout, where _seq_dir ties). Leaves
-        # named part-* are writer-generated (00000/c000/uuid runs are
-        # not arrival order) → -1. No digits → -1 (tiebreak inert).
+        # trailing number dominates, and the leaf trailing number
+        # breaks ties only WITHIN a set. For FLAT files (digitless
+        # parent — the watch dir itself) the SET number lives in the
+        # leaf, so the leaf number is promoted into _seq_dir too:
+        # flat change_10.parquet reads (10, 10) and correctly
+        # outranks change_9/data-001 = (9, 1) when a feed migrates
+        # between layouts (leaf numbers compared across layouts ARE
+        # set numbers in both). Remaining undecidable corner,
+        # documented: flat files under a watch dir whose NAME ends in
+        # digits mixed with set directories — the watch-dir digits
+        # read as a constant set number; keep one layout per feed (or
+        # a digitless watch dir) there. Leaves named part-* are
+        # writer-generated (00000/c000/uuid runs are not arrival
+        # order) → excluded. No digits anywhere → -1 (tiebreak
+        # inert).
         leaf = F.regexp_extract(F.col("_src"), r"([^/]*)$", 1)
         parent_seg = F.regexp_extract(F.col("_src"), r"([^/]*)/[^/]*$", 1)
+        leaf_num = F.when(
+            ~leaf.rlike(r"^part-"),
+            F.regexp_extract(leaf, r"(\d+)\D*$", 1).try_cast("long"),
+        )
         upd = upd.withColumn(
             "_seq_dir",
             F.coalesce(
                 # no-digits -> '' -> NULL under ANSI try_cast
                 F.regexp_extract(parent_seg, r"(\d+)\D*$", 1).try_cast("long"),
+                leaf_num,
                 F.lit(-1),
             ),
         ).withColumn(

@@ -215,3 +215,25 @@ def test_literal_url_prefix_guard(spark, sheets_server, people_sheet):
             sheets_server,
             "SELECT * FROM 'https://example.com/spreadsheets/d/x'",
         )
+
+
+def test_literal_url_alias_survives_table_suffix_clauses(spark, sheets_server, people_sheet):
+    """Clauses that may follow a table reference must not be mistaken
+    for a user alias: SORT BY keeps the base-name alias available,
+    and TABLESAMPLE — which Spark only parses with the alias AFTER
+    the clause — still rewrites to runnable SQL (alias suppressed;
+    the user's own post-clause alias binds)."""
+    sid, _ = people_sheet
+    rows = _sheets_sql(
+        spark,
+        sheets_server,
+        f"SELECT edit.name FROM '{url_for(sid)}' SORT BY edit.name",
+    ).collect()
+    assert {r.name for r in rows} >= {"Alice", "Archie"}
+    sampled = _sheets_sql(
+        spark,
+        sheets_server,
+        f"SELECT s.name FROM '{url_for(sid)}' TABLESAMPLE (100 PERCENT) AS s "
+        "WHERE s.name IS NOT NULL ORDER BY s.name LIMIT 2",
+    ).collect()
+    assert [r.name for r in sampled] == ["Alice", "Archie"]

@@ -1240,3 +1240,71 @@ def test_streaming_bloom_gate_matches_batch_audit(spark):
     }
     assert got == exp
     assert sum(v[1] for v in got.values()) > 0  # gate is not degenerate
+
+
+def test_cdc_merge_mixed_flat_and_dir_layouts_order_by_set_number(
+    spark, tmp_path
+):
+    """A feed migrating between layouts at equal mtime: a change-set
+    DIRECTORY (change_9/data-001.parquet, set number in the parent)
+    followed by a FLAT file (change_10.parquet, set number in the
+    leaf) must order by SET number — the flat leaf number promotes
+    into the set component, so (10,10) outranks (9,1); before this
+    fix the flat file read (-1, 10) and the OLDER change_9 won."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.streaming.events_stream import cdc_merge_apply
+
+    work = str(tmp_path / "cdc_mixed")
+    table0 = os.path.join(work, "table", "v0")
+    spark.createDataFrame(
+        [(1, "base one", "en", "seed")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(table0)
+
+    src = os.path.join(work, "src")
+    same = time.time() - 60
+    # Set 9: directory layout with a numbered data file.
+    d9 = os.path.join(src, "change_9")
+    spark.createDataFrame(
+        [(1, "first change", "en", "cdc0")],
+        "doc_id long, text string, lang string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(d9)
+    for f in list(os.listdir(d9)):
+        p = os.path.join(d9, f)
+        if f.endswith(".parquet"):
+            p2 = os.path.join(d9, "data-001.parquet")
+            os.rename(p, p2)
+            p = p2
+        os.utime(p, (same, same))
+    # Set 10: flat layout — the parquet file itself is the change set.
+    tmp10 = os.path.join(work, "tmp10")
+    spark.createDataFrame(
+        [(1, "second change", "en", "cdc1")],
+        "doc_id long, text string, lang string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp10)
+    part = next(f for f in os.listdir(tmp10) if f.endswith(".parquet"))
+    flat = os.path.join(src, "change_10.parquet")
+    shutil.move(os.path.join(tmp10, part), flat)
+    os.utime(flat, (same, same))
+
+    state = {"cur": table0, "version": 0}
+    q = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(cdc_merge_apply(spark, state))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    final = spark.read.parquet(state["cur"])
+    assert final.count() == 1
+    row = final.collect()[0]
+    assert (row.text, row.source) == ("second change", "cdc1")
