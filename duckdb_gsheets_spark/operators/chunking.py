@@ -314,24 +314,34 @@ GROUP BY c.doc_id
 BLOOM_K = 3
 BLOOM_BITS_PER_ITEM = 32
 BLOOM_MIN_M = 64
-#: Hard cap on the filter size this IMPLEMENTATION supports: the mask
-#: ships as a literal array<boolean> (fine to ~2^24 bits ≈ 16 MB of
-#: broadcast) and bit positions come from a 32-bit md5 prefix (can't
-#: address past 2^32). A benchmark suite big enough to hit this needs
-#: the word-packed array<long> + 64-bit-hash variant the
-#: contamination_bloom docstring names — fail loud rather than wrap.
-BLOOM_MAX_M = 1 << 24
+#: The mask is WORD-PACKED: an ``array<long>`` with 63 usable bits per
+#: word. 63 — not 64 — because every per-word value must stay a
+#: non-negative signed 64-bit integer: DuckDB raises "Overflow in left
+#: shift" on ``1::BIGINT << 63``, and keeping words positive lets both
+#: engines build and probe the identical packing with plain
+#: ``& (1 << (bit % 63))`` arithmetic (no unsigned-shift semantics to
+#: reconcile). The 1.6% density loss is irrelevant next to the 64×
+#: footprint win over the round-10 array<boolean> mask.
+BLOOM_WORD_BITS = 63
+#: Hard cap on the filter size: the packed mask ships as a broadcast
+#: literal at ~m/7.9 bytes (2^30 bits ≈ 136 MB — the practical
+#: one-row-broadcast budget), and bit positions come from a 60-bit md5
+#: prefix (addresses to 2^60). At 32 bits/gram this cap admits ~33M
+#: distinct benchmark grams — far past any real decontamination suite;
+#: beyond it you shard the filter, so fail loud rather than degrade.
+BLOOM_MAX_M = 1 << 30
 
 
 def _bloom_bit(gram: Column, seed: int, m) -> Column:
-    """Bit position of ``gram`` under hash ``seed``: the first 8 hex
-    chars of md5(gram + '#' + seed) as an integer, mod ``m`` — the
-    portable construction both engines compute identically (same
-    md5-prefix device as the sampling family)."""
+    """Bit position of ``gram`` under hash ``seed``: the first 15 hex
+    chars of md5(gram + '#' + seed) as a 60-bit integer, mod ``m`` —
+    the portable construction both engines compute identically (same
+    md5-prefix device as the sampling family; 15 hex digits because
+    16 would exceed signed-64 range on the DuckDB side)."""
     return (
         F.conv(
             F.substring(
-                F.md5(F.concat(gram, F.lit(f"#{seed}"))), 1, 8
+                F.md5(F.concat(gram, F.lit(f"#{seed}"))), 1, 15
             ),
             16,
             10,
@@ -340,22 +350,43 @@ def _bloom_bit(gram: Column, seed: int, m) -> Column:
     )
 
 
+def _bloom_word_hit(bit: Column, words: Column) -> Column:
+    """TRUE iff ``bit`` is set in the word-packed mask ``words``:
+    ``words[bit // 63] & (1 << (bit % 63)) != 0`` as pure-JVM
+    expressions. The per-word test uses ``pow(2, bit % 63)`` for the
+    single-bit probe — every power of two through 2^62 is exactly
+    representable in a double, so the cast back to long is exact and
+    identical to the shift the oracle computes."""
+    widx = F.floor(bit / F.lit(BLOOM_WORD_BITS)).cast("int")
+    probe = F.pow(F.lit(2.0), (bit % BLOOM_WORD_BITS).cast("int")).cast(
+        "long"
+    )
+    return F.element_at(words, widx + 1).bitwiseAND(probe) != 0
+
+
 def bloom_artifact(
-    spark, sf_dir: str, bench_grams: DataFrame | None = None
-) -> tuple[int, list[bool]]:
+    spark,
+    sf_dir: str,
+    bench_grams: DataFrame | None = None,
+    bits_per_item: int = BLOOM_BITS_PER_ITEM,
+) -> tuple[int, list[int]]:
     """Fit the decontamination Bloom filter from the benchmark slice:
-    ``(m, mask)`` where ``m = max(BLOOM_MIN_M, BLOOM_BITS_PER_ITEM ×
-    |distinct bench grams|)`` and ``mask`` is the m-bit membership
-    array. This is the TRAINED ARTIFACT both consumers ship to
-    executors as a one-row broadcast literal — the batch audit
-    (:func:`contamination_bloom`) and the streaming intake gate
-    (streaming.events_stream.streaming_bloom_gate) fit it through
+    ``(m, words)`` where ``m = max(BLOOM_MIN_M, bits_per_item ×
+    |distinct bench grams|)`` and ``words`` is the m-bit membership
+    mask packed ``BLOOM_WORD_BITS`` bits per non-negative long
+    (``ceil(m / 63)`` words). This is the TRAINED ARTIFACT both
+    consumers ship to executors as a one-row broadcast literal — the
+    batch audit (:func:`contamination_bloom`) and the streaming intake
+    gate (streaming.events_stream.streaming_bloom_gate) fit it through
     this one function so the gate can never drift from the audit.
 
     ``bench_grams`` (the distinct-gram frame) may be passed in by a
     caller that also consumes it elsewhere; when built here it is
     eagerly checkpointed, since sizing (count) and bit extraction
     (collect) would otherwise each re-run the corpus tokenize+explode.
+    ``bits_per_item`` exists so tests can force a past-2^24-bit mask
+    without a half-million-gram benchmark; production callers use the
+    default sizing rule.
     """
     if bench_grams is None:
         bench, _ = _contam_gram_frames(spark, sf_dir)
@@ -363,13 +394,13 @@ def bloom_artifact(
             bench.select("gram").distinct().localCheckpoint(eager=True)
         )
     bench = bench_grams
-    m = max(BLOOM_MIN_M, BLOOM_BITS_PER_ITEM * bench_grams.count())
+    m = max(BLOOM_MIN_M, bits_per_item * bench_grams.count())
     if m > BLOOM_MAX_M:
         raise ValueError(
             f"bloom filter needs {m} bits (> BLOOM_MAX_M {BLOOM_MAX_M}): "
-            "this literal-mask implementation caps at 2^24 bits — use a "
-            "word-packed array<long> mask with a 64-bit hash for a "
-            "benchmark suite this large"
+            "a mask past 2^30 bits exceeds the one-row broadcast budget "
+            "— shard the filter (partition the benchmark gram space) "
+            "for a suite this large"
         )
     bit_rows = (
         bench.select(
@@ -385,28 +416,28 @@ def bloom_artifact(
         .distinct()
         .collect()
     )
-    mask = [False] * m
+    words = [0] * ((m + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS)
     for r in bit_rows:
-        mask[r.bit] = True
-    return m, mask
+        words[r.bit // BLOOM_WORD_BITS] |= 1 << (r.bit % BLOOM_WORD_BITS)
+    return m, words
 
 
 def bloom_doc_flag(toks: Column, m: int) -> Column:
     """TRUE iff ANY ``CONTAM_N``-gram of the token array tests
-    positive against the ``bloom_mask`` column — the whole gate as
-    one per-row JVM expression (transform → exists over higher-order
-    lambdas, no explode, no shuffle): the form a streaming intake
-    gate runs per arriving document. Caller guarantees
-    ``size(toks) >= CONTAM_N`` and a ``bloom_mask`` column in scope
-    (the broadcast artifact row)."""
+    positive against the word-packed ``bloom_words`` column — the
+    whole gate as one per-row JVM expression (transform → exists over
+    higher-order lambdas, no explode, no shuffle): the form a
+    streaming intake gate runs per arriving document. Caller
+    guarantees ``size(toks) >= CONTAM_N`` and a ``bloom_words``
+    column in scope (the broadcast artifact row)."""
     gram = lambda i: F.md5(  # noqa: E731 — md5 of the i-started gram
         F.array_join(F.slice(toks, i, CONTAM_N), " ")
     )
     def _contained(g: Column) -> Column:
         hit = None
         for s in range(BLOOM_K):
-            h = F.element_at(
-                F.col("bloom_mask"), (_bloom_bit(g, s, m) + 1).cast("int")
+            h = _bloom_word_hit(
+                _bloom_bit(g, s, m), F.col("bloom_words")
             )
             hit = h if hit is None else (hit & h)
         return hit
@@ -435,14 +466,14 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-exact ORACLE-CHECKED — DuckDB rebuilds the same filter as a
     bit TABLE and replays membership as a count-all-K join.
 
-    Plan shape: the filter ships as a one-row broadcast literal
-    (array<boolean> — the trained-artifact pattern;
-    a word-packed array<long> with shiftright does the same above
-    ~2^24 bits) and membership is BLOOM_K pure-JVM element_at lookups
-    per corpus gram — ZERO corpus-side shuffle before the per-source
-    rollup of per-doc flags. The exact side reuses the broadcast
-    bench join. No false negatives by construction (pytest-pinned);
-    false positives are the report's subject, not a bug.
+    Plan shape: the filter ships as a one-row broadcast literal — a
+    WORD-PACKED ``array<long>`` (63 usable bits per word; see
+    BLOOM_WORD_BITS for why not 64) — and membership is BLOOM_K
+    pure-JVM element_at + bitwise-AND probes per corpus gram — ZERO
+    corpus-side shuffle before the per-source rollup of per-doc
+    flags. The exact side reuses the broadcast bench join. No false
+    negatives by construction (pytest-pinned); false positives are
+    the report's subject, not a bug.
     """
     bench, corpus = _contam_gram_frames(spark, sf_dir)
     # One distinct-gram frame, eagerly checkpointed, feeds all three
@@ -452,14 +483,13 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_grams = (
         bench.select("gram").distinct().localCheckpoint(eager=True)
     )
-    m, mask = bloom_artifact(spark, sf_dir, bench_grams=bench_grams)
-    mask_df = spark.createDataFrame([(mask,)], "bloom_mask array<boolean>")
+    m, words = bloom_artifact(spark, sf_dir, bench_grams=bench_grams)
+    mask_df = spark.createDataFrame([(words,)], "bloom_words array<long>")
 
     contained = None
     for s in range(BLOOM_K):
-        hit = F.element_at(
-            F.col("bloom_mask"),
-            (_bloom_bit(F.col("gram"), s, m) + 1).cast("int"),
+        hit = _bloom_word_hit(
+            _bloom_bit(F.col("gram"), s, m), F.col("bloom_words")
         )
         contained = hit if contained is None else (contained & hit)
     flagged = (
@@ -526,20 +556,28 @@ msize AS (
 seeds(s) AS (VALUES {", ".join(f"({i})" for i in range(BLOOM_K))}),
 bbits AS (
   SELECT DISTINCT
-         CAST('0x' || SUBSTRING(md5(gram || '#' || CAST(s AS VARCHAR)), 1, 8)
+         CAST('0x' || SUBSTRING(md5(gram || '#' || CAST(s AS VARCHAR)), 1, 15)
               AS BIGINT) % (SELECT m FROM msize) AS bit
   FROM bench CROSS JOIN seeds
+), bwords AS (
+  -- the word-packed mask, rebuilt exactly as the engine packs it:
+  -- 63 usable bits per non-negative BIGINT word (1 << 63 overflows
+  -- signed 64 in both engines)
+  SELECT bit // {BLOOM_WORD_BITS} AS widx,
+         bit_or(1::BIGINT << CAST(bit % {BLOOM_WORD_BITS} AS INTEGER)) AS w
+  FROM bbits GROUP BY bit // {BLOOM_WORD_BITS}
 ), cg AS (
   SELECT DISTINCT doc_id, gram FROM corpus
 ), probes AS (
   SELECT doc_id, gram,
-         CAST('0x' || SUBSTRING(md5(gram || '#' || CAST(s AS VARCHAR)), 1, 8)
+         CAST('0x' || SUBSTRING(md5(gram || '#' || CAST(s AS VARCHAR)), 1, 15)
               AS BIGINT) % (SELECT m FROM msize) AS bit
   FROM cg CROSS JOIN seeds
 ), bloomf AS (
   SELECT DISTINCT doc_id FROM (
     SELECT p.doc_id, p.gram
-    FROM probes p JOIN bbits USING (bit)
+    FROM probes p JOIN bwords bw ON bw.widx = p.bit // {BLOOM_WORD_BITS}
+    WHERE (bw.w & (1::BIGINT << CAST(p.bit % {BLOOM_WORD_BITS} AS INTEGER))) <> 0
     GROUP BY p.doc_id, p.gram
     HAVING COUNT(*) = {BLOOM_K}
   )

@@ -1619,9 +1619,9 @@ def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_doc_flag,
     )
 
-    m, mask = bloom_artifact(spark, sf_dir)
+    m, words = bloom_artifact(spark, sf_dir)
     mask_df = spark.createDataFrame(
-        [(1, mask)], "join_key int, bloom_mask array<boolean>"
+        [(1, words)], "join_key int, bloom_words array<long>"
     )
     docs = (
         read_documents_stream(spark, sf_dir)

@@ -7142,3 +7142,62 @@ def test_contamination_bloom_no_false_negatives_and_fp_band(spark):
     exact = sum(r.n_exact_flagged for r in rows)
     assert exact >= 1  # the held-out slice does overlap the corpus
     assert 0 < fp < 0.2 * screened
+
+
+def test_bloom_word_packed_mask_past_2e24_bits(spark):
+    """The word-packed mask works PAST the round-10 2^24-bit cap: a
+    ``bits_per_item`` override forces m > 2^24 from a small planted
+    gram set (so the test doesn't need a half-million-gram benchmark),
+    the packed ``array<long>`` artifact stays ceil(m/63) words of
+    non-negative longs, and the per-row gate (bloom_doc_flag) finds
+    every planted member — a Bloom filter has no false negatives at
+    ANY size, which only holds if word index / bit-in-word arithmetic
+    is consistent between fit (python packing) and probe (JVM
+    element_at + bitwise-AND)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.operators.chunking import (
+        BLOOM_WORD_BITS,
+        CONTAM_N,
+        bloom_artifact,
+        bloom_doc_flag,
+    )
+
+    # 600 planted grams × 2^16 bits/item = 39.3M bits > 2^24.
+    texts = [
+        " ".join(f"w{i}_{j}" for j in range(CONTAM_N)) for i in range(600)
+    ]
+    bench_grams = (
+        spark.createDataFrame([(t,) for t in texts], "text string")
+        .select(F.md5(F.col("text")).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m, words = bloom_artifact(
+        spark, SF, bench_grams=bench_grams, bits_per_item=1 << 16
+    )
+    assert m == 600 * (1 << 16) > (1 << 24)
+    assert len(words) == (m + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    assert all(w >= 0 for w in words)
+
+    mask_df = spark.createDataFrame([(words,)], "bloom_words array<long>")
+    docs = spark.createDataFrame(
+        # members: the planted grams; non-members: unseen token runs
+        [(t, True) for t in texts[:50]]
+        + [
+            (" ".join(f"x{i}_{j}" for j in range(CONTAM_N)), False)
+            for i in range(200)
+        ],
+        "text string, planted boolean",
+    ).select(
+        "planted", F.split(F.col("text"), r"\s+").alias("toks")
+    )
+    flagged = (
+        docs.crossJoin(F.broadcast(mask_df))
+        .select("planted", bloom_doc_flag(F.col("toks"), m).alias("hit"))
+        .collect()
+    )
+    assert all(r.hit for r in flagged if r.planted)  # no false negatives
+    # at 2^16 bits/item the fill ratio is ~0, so false positives on the
+    # 200 unseen docs should be essentially absent
+    assert sum(r.hit for r in flagged if not r.planted) <= 2
