@@ -3102,6 +3102,97 @@ def pipeline_exactsubstr_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_exactsubstr_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr APPLY step — the deliverable a pipeline user
+    actually trains on (Lee et al. 2022 §4: after locating repeated
+    spans, CUT them and keep the rest): for every document the scrub
+    touches, emit the per-doc scrubbed token stream as ``(doc_id,
+    n_tokens_in, tokens_removed, n_tokens_out, scrubbed_digest)`` —
+    the digest is md5 of the retained tokens re-joined by single
+    spaces, so the oracle can replay the identical cut and the
+    comparison stays value-exact without shipping full scrubbed text
+    through the driver compare. Untouched documents pass through a
+    real scrub unchanged, so they are NOT re-emitted here (the
+    per-source retention report is :func:`pipeline_exactsubstr_corpus`).
+
+    Plan: the same shared spine/extension/candidate chain, the same
+    interval-union island sweep over the |affected docs|-sized
+    occurrence frame (windows partition by doc_id over occurrence
+    rows only), the merged cut-list collected per doc (≤ spans-per-doc
+    structs — bounded by the ≤K candidates' occurrences, never
+    corpus-sized), then ONE inner join back to the corpus tokens —
+    which prunes the corpus scan to affected docs — and the cut
+    itself as pure-JVM higher-order expressions (transform → filter →
+    exists over the per-doc cut list; no explode of corpus tokens, no
+    Python). Token positions are never re-shuffled: the join ships
+    the small cut-list side to the data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ranged, ext = _lrs_tables(spark, sf_dir)
+    cands = _lrs_candidates(ranged, ext)
+    spans = _lrs_occurrences(ranged, ext, cands).select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.col("l") - 1).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cuts = (
+        spans.withColumn(
+            "new_isl",
+            (F.col("s") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+        )
+        .withColumn(
+            "isl",
+            F.sum("new_isl").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ms"), F.col("me")))
+            ).alias("cut_list")
+        )
+    )
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("toks"),
+            lambda t, i: F.struct(
+                (i + F.lit(1)).alias("p"), t.alias("t")
+            ),
+        ),
+        lambda x: ~F.exists(
+            F.col("cut_list"),
+            lambda iv: (x["p"] >= iv["ms"]) & (x["p"] <= iv["me"]),
+        ),
+    )
+    return (
+        toks.join(cuts, "doc_id")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens_in"),
+            F.transform(kept, lambda x: x["t"]).alias("scrub"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens_in",
+            (F.col("n_tokens_in") - F.size("scrub")).cast("long").alias(
+                "tokens_removed"
+            ),
+            F.size("scrub").cast("long").alias("n_tokens_out"),
+            F.md5(F.array_join("scrub", " ")).alias("scrubbed_digest"),
+        )
+    )
+
+
 def _lrs_core_sql() -> str:
     """Shared CTE chain replaying the two-pass suffix algebra in
     DuckDB — the capped spine, the duplicated-key extension to
@@ -3251,6 +3342,57 @@ FROM px GROUP BY source
 """
 
 
+PIPELINE_EXACTSUBSTR_APPLY_ORACLE = f"""
+WITH {_lrs_core_sql()},
+px_spans AS (
+  SELECT doc_id, pos AS s, pos + l - 1 AS e FROM lr_occ
+), px_isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM px_spans
+), px_isl2 AS (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (
+           PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM px_isl
+), pa_iv AS (
+  SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+  FROM px_isl2 GROUP BY doc_id, isl
+), pa_docs AS (
+  SELECT d.doc_id, regexp_split_to_array(TRIM(d.text), '\\s+') AS t
+  FROM documents d
+  JOIN (SELECT DISTINCT doc_id FROM pa_iv) a USING (doc_id)
+  WHERE d.text IS NOT NULL
+), pa_pos AS (
+  SELECT doc_id, t[pos] AS tok, pos
+  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS pos FROM pa_docs)
+), pa_keep AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM pa_pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pa_iv iv
+    WHERE iv.doc_id = p.doc_id AND p.pos BETWEEN iv.ms AND iv.me
+  )
+), pa_agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens_out,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS scrubbed_digest
+  FROM pa_keep GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.t) AS BIGINT) AS n_tokens_in,
+       CAST(len(d.t) - COALESCE(a.n_tokens_out, 0) AS BIGINT)
+         AS tokens_removed,
+       CAST(COALESCE(a.n_tokens_out, 0) AS BIGINT) AS n_tokens_out,
+       COALESCE(a.scrubbed_digest, md5('')) AS scrubbed_digest
+FROM pa_docs d LEFT JOIN pa_agg a USING (doc_id)
+"""
+
+
 
 QUERIES: list[QueryDef] = [
     QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact fingerprint dedup"),
@@ -3276,4 +3418,5 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_longest_substring", dedup_longest_substring, DEDUP_LRS_ORACLE, "suffix-LCP top-K longest repeated substrings (ExactSubstr grain, distributed suffix sort)"),
     QueryDef("dedup_substring_scrub", dedup_substring_scrub, DEDUP_SCRUB_ORACLE, "per-document ExactSubstr removal ledger over the top-K repeated substrings"),
     QueryDef("pipeline_exactsubstr_corpus", pipeline_exactsubstr_corpus, PIPELINE_EXACTSUBSTR_ORACLE, "ExactSubstr last mile: per-source token retention after applying the scrub ledger"),
+    QueryDef("pipeline_exactsubstr_apply", pipeline_exactsubstr_apply, PIPELINE_EXACTSUBSTR_APPLY_ORACLE, "ExactSubstr apply step: per-doc scrubbed token streams (retained counts + digest)"),
 ]

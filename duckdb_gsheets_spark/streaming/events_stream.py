@@ -959,6 +959,22 @@ def dsir_row_scorer(spark: SparkSession, sf_dir: str):
     return score
 
 
+def with_cdc_lineage(stream: DataFrame) -> DataFrame:
+    """Attach file lineage to a file-source stream BEFORE the sink:
+    ``_mt`` (modification time) and ``_src`` (path) projected from the
+    ``_metadata`` virtual column. This must happen UPSTREAM of
+    ``writeStream`` — Python ``foreachBatch`` receives an RDD-backed
+    frame in which ``_metadata`` no longer resolves, so lineage read
+    inside the batch body is silently absent; captured here it flows
+    through the sink as two ordinary columns that
+    :func:`cdc_merge_apply` orders by (and drops before writing)."""
+    return stream.select(
+        "*",
+        F.col("_metadata.file_modification_time").alias("_mt"),
+        F.col("_metadata.file_path").alias("_src"),
+    )
+
+
 def cdc_merge_apply(spark: SparkSession, table_state: dict):
     """Build the foreachBatch MERGE applier for a keyed parquet table:
     each micro-batch full-outer-joins the CURRENT table snapshot on
@@ -1001,14 +1017,21 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
         # change_9 even when a coarse-clock filesystem stamps both
         # files with the same mtime (raw lexicographic path order
         # would misorder exactly that pair) — then file path and row
-        # struct as deterministic tiebreaks. Falls back to the
-        # struct order alone when the batch has no file lineage.
-        try:
+        # struct as deterministic tiebreaks.
+        #
+        # Lineage must arrive as ORDINARY `_mt`/`_src` columns,
+        # attached on the SOURCE side via :func:`with_cdc_lineage`:
+        # the `_metadata` virtual column does not survive into the
+        # frame foreachBatch hands Python (the batch arrives
+        # RDD-backed, where `_metadata` is unresolvable — reading it
+        # here was dead code that silently degraded every batch to
+        # the struct fallback). Frames without lineage columns
+        # (non-file sources) still fall back to the struct order.
+        if "_mt" in updates.columns and "_src" in updates.columns:
+            upd = updates
+        else:
             upd = updates.withColumn(
-                "_mt", F.col("_metadata.file_modification_time")
-            ).withColumn("_src", F.col("_metadata.file_path"))
-        except Exception:  # non-file source: no lineage column
-            upd = updates.withColumn("_mt", F.lit(None).cast("timestamp")
+                "_mt", F.lit(None).cast("timestamp")
             ).withColumn("_src", F.lit(""))
         # Sequence = two components, change-set first. A CDC feed is
         # either flat files (watch/change_10.parquet — the set number
@@ -1025,18 +1048,40 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
         # flat change_10.parquet reads (10, 10) and correctly
         # outranks change_9/data-001 = (9, 1) when a feed migrates
         # between layouts (leaf numbers compared across layouts ARE
-        # set numbers in both). Remaining undecidable corner,
+        # set numbers in both). The promotion is BATCH-AWARE: when the
+        # batch ALSO contains change-set directories, a flat leaf
+        # following a writer-file convention (data-050.parquet,
+        # part-00000-…) is a file-local part number someone dropped
+        # flat, not a set number — promoting it would let data-050
+        # outrank change_10/… — so in mixed batches the promotion
+        # additionally excludes data-<digits> style leaves (genuine
+        # flat set files like change_10.parquet still promote). The
+        # mixed-layout check reads the batch's distinct file list,
+        # which is bounded by maxFilesPerTrigger, so the driver-side
+        # peek is O(files), not O(rows). Remaining undecidable corner,
         # documented: flat files under a watch dir whose NAME ends in
         # digits mixed with set directories — the watch-dir digits
         # read as a constant set number; keep one layout per feed (or
         # a digitless watch dir) there. Leaves named part-* are
         # writer-generated (00000/c000/uuid runs are not arrival
-        # order) → excluded. No digits anywhere → -1 (tiebreak
+        # order) → always excluded. No digits anywhere → -1 (tiebreak
         # inert).
         leaf = F.regexp_extract(F.col("_src"), r"([^/]*)$", 1)
         parent_seg = F.regexp_extract(F.col("_src"), r"([^/]*)/[^/]*$", 1)
+        import re as _re
+
+        batch_has_set_dirs = any(
+            _re.search(
+                r"\d\D*$", _re.sub(r"/[^/]*$", "", r._src).rsplit("/", 1)[-1]
+            )
+            for r in upd.select("_src").distinct().collect()
+            if r._src
+        )
+        writer_leaf_re = (
+            r"^(part-|data-\d)" if batch_has_set_dirs else r"^part-"
+        )
         leaf_num = F.when(
-            ~leaf.rlike(r"^part-"),
+            ~leaf.rlike(writer_leaf_re),
             F.regexp_extract(leaf, r"(\d+)\D*$", 1).try_cast("long"),
         )
         upd = upd.withColumn(
@@ -1166,7 +1211,7 @@ def streaming_corpus_upsert_state(
                 os.utime(os.path.join(d, f), (now + i, now + i))
 
     state = {"cur": table0, "version": 0}
-    stream = (
+    stream = with_cdc_lineage(
         spark.readStream.schema(
             "doc_id long, text string, lang string, source string"
         )

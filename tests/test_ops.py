@@ -1095,6 +1095,46 @@ def test_pipeline_exactsubstr_corpus_on_planted_corpus(spark, tmp_path):
     assert c.token_retention == round(3 / 83, 6)
 
 
+def test_pipeline_exactsubstr_apply_scrubbed_digests(spark, tmp_path):
+    """The APPLY step on the same planted corpus: the emitted digest
+    must be md5 of exactly the tokens a left-to-right scrub retains —
+    doc 1 (the bare 40-token repeat) scrubs to EMPTY (md5 of ''),
+    doc 2 keeps its two tail tokens, doc 4 keeps only the 3-token gap
+    between its two repeat islands, and untouched doc 3 is absent
+    (a real scrub passes it through unchanged)."""
+    import hashlib
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        pipeline_exactsubstr_apply,
+    )
+
+    sf = str(tmp_path)
+    repeat = " ".join(f"r{i}" for i in range(40))
+    spark.createDataFrame(
+        [
+            (1, repeat, "en", "a"),
+            (2, repeat + " tail1 tail2", "en", "a"),
+            (3, " ".join(f"u{i}" for i in range(8)), "en", "b"),
+            (4, repeat + " gap1 gap2 gap3 " + repeat, "en", "c"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        r.doc_id: r for r in pipeline_exactsubstr_apply(spark, sf).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert set(got) == {1, 2, 4}
+    assert (got[1].n_tokens_in, got[1].tokens_removed, got[1].n_tokens_out) \
+        == (40, 40, 0)
+    assert got[1].scrubbed_digest == md5("")
+    assert (got[2].n_tokens_in, got[2].tokens_removed, got[2].n_tokens_out) \
+        == (42, 40, 2)
+    assert got[2].scrubbed_digest == md5("tail1 tail2")
+    assert (got[4].n_tokens_in, got[4].tokens_removed, got[4].n_tokens_out) \
+        == (83, 80, 3)
+    assert got[4].scrubbed_digest == md5("gap1 gap2 gap3")
+
+
 def test_exact_baseline_cache_keeps_latest_per_sf_dir(spark, tmp_path):
     """Same keep-latest-per-sf_dir eviction contract for the shared
     exact-ANN baseline memo in operators/similarity.py."""

@@ -798,6 +798,7 @@ def test_streaming_cdc_upsert_checkpoint_resume_orders_writes(
     from duckdb_gsheets_spark.streaming.events_stream import (
         cdc_merge_apply,
         streaming_corpus_upsert_state,
+        with_cdc_lineage,
     )
 
     work = str(tmp_path / "cdc")
@@ -820,7 +821,7 @@ def test_streaming_cdc_upsert_checkpoint_resume_orders_writes(
     # existing src/table dirs and only the new file forms a batch.
     state_tbl = {"cur": os.path.join(work, "table", versions_after_first[-1]),
                  "version": int(versions_after_first[-1][1:])}
-    stream = (
+    stream = with_cdc_lineage(
         spark.readStream.schema(
             "doc_id long, text string, lang string, source string"
         )
@@ -858,7 +859,10 @@ def test_cdc_merge_dedupes_multi_change_batches(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from duckdb_gsheets_spark.streaming.events_stream import cdc_merge_apply
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        cdc_merge_apply,
+        with_cdc_lineage,
+    )
 
     work = str(tmp_path / "cdc_multi")
     table0 = os.path.join(work, "table", "v0")
@@ -875,7 +879,7 @@ def test_cdc_merge_dedupes_multi_change_batches(spark, tmp_path):
     src = os.path.join(work, "src")
     now = time.time() - 60
     for i, (dirname, txt) in enumerate(
-        (("change_9", "first change"), ("change_10", "second change"))
+        (("change_9", "z-first change"), ("change_10", "a-second change"))
     ):
         d = os.path.join(src, dirname)
         spark.createDataFrame(
@@ -887,10 +891,11 @@ def test_cdc_merge_dedupes_multi_change_batches(spark, tmp_path):
 
     state = {"cur": table0, "version": 0}
     q = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string"
+        with_cdc_lineage(
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            ).parquet(os.path.join(src, "*"))
         )
-        .parquet(os.path.join(src, "*"))
         .writeStream.foreachBatch(cdc_merge_apply(spark, state))
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
@@ -908,7 +913,7 @@ def test_cdc_merge_dedupes_multi_change_batches(spark, tmp_path):
     row = final.where(F.col("doc_id") == 1).collect()[0]
     # change_10 arrived LAST (greater mtime) → it wins, even though
     # "change_10" < "change_9" in path order
-    assert (row.text, row.source) == ("second change", "cdc1")
+    assert (row.text, row.source) == ("a-second change", "cdc1")
     assert final.where(F.col("doc_id") == 2).collect()[0].text == "base two"
 
 
@@ -922,7 +927,10 @@ def test_cdc_merge_equal_mtime_numeric_sequence_wins(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from duckdb_gsheets_spark.streaming.events_stream import cdc_merge_apply
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        cdc_merge_apply,
+        with_cdc_lineage,
+    )
 
     work = str(tmp_path / "cdc_eqmtime")
     table0 = os.path.join(work, "table", "v0")
@@ -934,7 +942,7 @@ def test_cdc_merge_equal_mtime_numeric_sequence_wins(spark, tmp_path):
     src = os.path.join(work, "src")
     same = time.time() - 60  # identical mtime for BOTH change files
     for i, (dirname, txt) in enumerate(
-        (("change_9", "first change"), ("change_10", "second change"))
+        (("change_9", "z-first change"), ("change_10", "a-second change"))
     ):
         d = os.path.join(src, dirname)
         spark.createDataFrame(
@@ -946,10 +954,11 @@ def test_cdc_merge_equal_mtime_numeric_sequence_wins(spark, tmp_path):
 
     state = {"cur": table0, "version": 0}
     q = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string"
+        with_cdc_lineage(
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            ).parquet(os.path.join(src, "*"))
         )
-        .parquet(os.path.join(src, "*"))
         .writeStream.foreachBatch(cdc_merge_apply(spark, state))
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
@@ -961,7 +970,7 @@ def test_cdc_merge_equal_mtime_numeric_sequence_wins(spark, tmp_path):
     row = final.collect()[0]
     # change_10's sequence number (10) outranks change_9's (9) at
     # equal mtime, despite "change_10" < "change_9" in path order
-    assert (row.text, row.source) == ("second change", "cdc1")
+    assert (row.text, row.source) == ("a-second change", "cdc1")
 
 
 def test_cdc_merge_set_sequence_dominates_leaf_numbers(spark, tmp_path):
@@ -973,7 +982,10 @@ def test_cdc_merge_set_sequence_dominates_leaf_numbers(spark, tmp_path):
     import os
     import time
 
-    from duckdb_gsheets_spark.streaming.events_stream import cdc_merge_apply
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        cdc_merge_apply,
+        with_cdc_lineage,
+    )
 
     work = str(tmp_path / "cdc_setseq")
     table0 = os.path.join(work, "table", "v0")
@@ -986,8 +998,8 @@ def test_cdc_merge_set_sequence_dominates_leaf_numbers(spark, tmp_path):
     same = time.time() - 60
     for i, (dirname, leafname, txt) in enumerate(
         (
-            ("change_9", "data-002.parquet", "first change"),
-            ("change_10", "data-001.parquet", "second change"),
+            ("change_9", "data-002.parquet", "z-first change"),
+            ("change_10", "data-001.parquet", "a-second change"),
         )
     ):
         d = os.path.join(src, dirname)
@@ -1006,10 +1018,11 @@ def test_cdc_merge_set_sequence_dominates_leaf_numbers(spark, tmp_path):
 
     state = {"cur": table0, "version": 0}
     q = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string"
+        with_cdc_lineage(
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            ).parquet(os.path.join(src, "*"))
         )
-        .parquet(os.path.join(src, "*"))
         .writeStream.foreachBatch(cdc_merge_apply(spark, state))
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
@@ -1020,7 +1033,79 @@ def test_cdc_merge_set_sequence_dominates_leaf_numbers(spark, tmp_path):
     assert final.count() == 1
     row = final.collect()[0]
     # set 10 wins over set 9 despite 9's bigger leaf number
-    assert (row.text, row.source) == ("second change", "cdc1")
+    assert (row.text, row.source) == ("a-second change", "cdc1")
+
+
+def test_cdc_merge_stray_flat_writer_file_stays_inert(spark, tmp_path):
+    """A writer-numbered file dropped FLAT in the watch dir
+    (data-050.parquet) alongside genuine change-set directories must
+    NOT have its file-local number promoted to a set number: at equal
+    mtime, change_9/data-001 (set 9) outranks flat data-050
+    ((-1, 50) — inert tiebreaker), even though 50 > 9. Promotion of
+    flat leaf numbers only applies in uniformly-flat batches, where a
+    leaf number IS the set number."""
+    import os
+    import time
+
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        cdc_merge_apply,
+        with_cdc_lineage,
+    )
+
+    work = str(tmp_path / "cdc_strayflat")
+    table0 = os.path.join(work, "table", "v0")
+    spark.createDataFrame(
+        [(1, "base one", "en", "seed")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(table0)
+
+    src = os.path.join(work, "src")
+    same = time.time() - 60
+    # genuine change set: change_9/data-001.parquet
+    d = os.path.join(src, "change_9")
+    spark.createDataFrame(
+        [(1, "set change", "en", "cdc_set")],
+        "doc_id long, text string, lang string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    part = next(
+        f for f in os.listdir(d)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.rename(os.path.join(d, part), os.path.join(d, "data-001.parquet"))
+    for f in os.listdir(d):
+        os.utime(os.path.join(d, f), (same, same))
+    # stray writer file dropped flat: src/data-050.parquet
+    tmp_dir = os.path.join(work, "flat_stage")
+    spark.createDataFrame(
+        [(1, "stray change", "en", "cdc_stray")],
+        "doc_id long, text string, lang string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+    part = next(
+        f for f in os.listdir(tmp_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    flat = os.path.join(src, "data-050.parquet")
+    os.rename(os.path.join(tmp_dir, part), flat)
+    os.utime(flat, (same, same))
+
+    state = {"cur": table0, "version": 0}
+    q = (
+        with_cdc_lineage(
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            ).parquet(os.path.join(src, "*"))
+        )
+        .writeStream.foreachBatch(cdc_merge_apply(spark, state))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = spark.read.parquet(state["cur"])
+    assert final.count() == 1
+    row = final.collect()[0]
+    # the change-set row wins: 50 is a file-local number, not a set
+    assert (row.text, row.source) == ("set change", "cdc_set")
 
 
 def test_dsir_bucket_llr_rejects_streaming_frame(spark):
@@ -1257,7 +1342,10 @@ def test_cdc_merge_mixed_flat_and_dir_layouts_order_by_set_number(
 
     from pyspark.sql import functions as F
 
-    from duckdb_gsheets_spark.streaming.events_stream import cdc_merge_apply
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        cdc_merge_apply,
+        with_cdc_lineage,
+    )
 
     work = str(tmp_path / "cdc_mixed")
     table0 = os.path.join(work, "table", "v0")
@@ -1271,7 +1359,7 @@ def test_cdc_merge_mixed_flat_and_dir_layouts_order_by_set_number(
     # Set 9: directory layout with a numbered data file.
     d9 = os.path.join(src, "change_9")
     spark.createDataFrame(
-        [(1, "first change", "en", "cdc0")],
+        [(1, "z-first change", "en", "cdc0")],
         "doc_id long, text string, lang string, source string",
     ).coalesce(1).write.mode("overwrite").parquet(d9)
     for f in list(os.listdir(d9)):
@@ -1284,7 +1372,7 @@ def test_cdc_merge_mixed_flat_and_dir_layouts_order_by_set_number(
     # Set 10: flat layout — the parquet file itself is the change set.
     tmp10 = os.path.join(work, "tmp10")
     spark.createDataFrame(
-        [(1, "second change", "en", "cdc1")],
+        [(1, "a-second change", "en", "cdc1")],
         "doc_id long, text string, lang string, source string",
     ).coalesce(1).write.mode("overwrite").parquet(tmp10)
     part = next(f for f in os.listdir(tmp10) if f.endswith(".parquet"))
@@ -1294,10 +1382,11 @@ def test_cdc_merge_mixed_flat_and_dir_layouts_order_by_set_number(
 
     state = {"cur": table0, "version": 0}
     q = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string"
+        with_cdc_lineage(
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            ).parquet(os.path.join(src, "*"))
         )
-        .parquet(os.path.join(src, "*"))
         .writeStream.foreachBatch(cdc_merge_apply(spark, state))
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
@@ -1307,4 +1396,4 @@ def test_cdc_merge_mixed_flat_and_dir_layouts_order_by_set_number(
     final = spark.read.parquet(state["cur"])
     assert final.count() == 1
     row = final.collect()[0]
-    assert (row.text, row.source) == ("second change", "cdc1")
+    assert (row.text, row.source) == ("a-second change", "cdc1")
