@@ -62,6 +62,15 @@ def zvalue(cols: list[Column], bounds: list[tuple[float, float]],
     ``b*D + d`` (dimension 0 owns the least-significant lane). Pure
     JVM bit arithmetic — floor/shift/and/or — so the whole expression
     stays inside whole-stage codegen.
+
+    NULL keys place NULLS-FIRST by contract: a NULL in dimension
+    ``d`` maps to grid cell 0 of that dimension (the curve origin
+    lane), so null-key rows cluster together with the dimension's
+    minimum instead of scattering. This is SAFE for skipping —
+    parquet footer min/max stats ignore nulls, so a file holding the
+    null rows keeps a truthful envelope and predicates on ``d``
+    never match NULL anyway — and it is what NULLS FIRST ordering
+    would do in a plain range cluster.
     """
     n_dims = len(cols)
     if not 1 <= n_dims <= _MAX_DIMS:
@@ -77,7 +86,16 @@ def zvalue(cols: list[Column], bounds: list[tuple[float, float]],
         scaled = F.floor(
             (col.cast("double") - F.lit(float(mn))) / F.lit(span) * grid
         ).cast("long")
-        g = F.least(F.lit(grid - 1).cast("long"), F.greatest(F.lit(0).cast("long"), scaled))
+        # Explicit NULL→0 (nulls-first contract above); without the
+        # coalesce, greatest() silently skips the NULL — same cell,
+        # but by accident instead of by contract.
+        g = F.coalesce(
+            F.least(
+                F.lit(grid - 1).cast("long"),
+                F.greatest(F.lit(0).cast("long"), scaled),
+            ),
+            F.lit(0).cast("long"),
+        )
         for b in range(bits):
             bit = F.shiftright(g, b).bitwiseAND(F.lit(1).cast("long"))
             z = z.bitwiseOR(F.shiftleft(bit, b * n_dims + d))

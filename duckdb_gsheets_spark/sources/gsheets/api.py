@@ -41,13 +41,24 @@ def read_gsheet(spark: SparkSession, url_or_id: str, **options) -> DataFrame:
 #: prefix check (src/gsheets_extension.cpp:31-33).
 _SHEET_URL_PREFIX = "https://docs.google.com/spreadsheets/d/"
 
-#: A quoted sheet URL in table position: FROM/JOIN then the literal.
-#: Literals anywhere else (SELECT list, WHERE comparisons) stay
-#: strings, mirroring how a replacement scan only fires when the
-#: parser resolves a TABLE reference.
+#: A quoted sheet URL in table position: FROM/JOIN then the literal,
+#: single- OR double-quoted (the reference's replacement scan sees any
+#: string literal the parser resolved as a table ref; Spark SQL admits
+#: both quote styles for string literals). Literals anywhere else
+#: (SELECT list, WHERE comparisons) stay strings, mirroring how a
+#: replacement scan only fires when the parser resolves a TABLE
+#: reference — which also means comma-separated table refs
+#: (``FROM 'u1', 'u2'``) are NOT rewritten: without a real parse, a
+#: comma before a string literal is indistinguishable from a SELECT
+#: list or an IN list, where a rewrite would corrupt the statement.
+#: The SQL keywords match case-insensitively (``(?i:...)`` group) but
+#: the URL PREFIX is case-sensitive, matching the reference's
+#: StringUtil::StartsWith guard (src/gsheets_extension.cpp:31-33) —
+#: a case-variant prefix stays a plain string literal there too.
 _FROM_URL_RE = re.compile(
-    r"(\b(?:from|join)\s+)'(" + re.escape(_SHEET_URL_PREFIX) + r"[^']*)'",
-    re.IGNORECASE,
+    r"(\b(?i:from|join)\s+)(?:"
+    r"'(" + re.escape(_SHEET_URL_PREFIX) + r"[^']*)'"
+    r"|\"(" + re.escape(_SHEET_URL_PREFIX) + r"[^\"]*)\")"
 )
 
 _ALIAS_PROBE_RE = re.compile(r"\s*(?:as\s+)?(`[^`]+`|[A-Za-z_]\w*)", re.IGNORECASE)
@@ -88,21 +99,30 @@ def sheets_sql(spark: SparkSession, sql: str, **options) -> DataFrame:
     reproduced as a pre-parse rewrite, since stock PySpark exposes no
     replacement-scan hook (SURVEY §3 entry point 2).
 
-    Semantics mirror the reference: only single-quoted literals with
-    the exact ``https://docs.google.com/spreadsheets/d/`` prefix in
-    TABLE position (after FROM/JOIN) are replaced; each becomes a
+    Semantics mirror the reference: only string literals (single- or
+    double-quoted) with the exact case-sensitive
+    ``https://docs.google.com/spreadsheets/d/`` prefix in TABLE
+    position (after FROM/JOIN) are replaced; each becomes a
     registered-connector read (the ``read_gsheet`` analog) aliased to
     the URL's base name — unless the query supplies its own alias or
     the URL contains glob characters, matching the HasGlob guard.
-    ``options`` (credentials, api_base, header/range/sheet/
-    all_varchar) apply to every sheet the statement references. Each
-    distinct URL is read once even when referenced twice.
+    Injected base-name aliases DEDUPLICATE per statement (``edit``,
+    ``edit_2``, …): browser-copied URLs all end in ``/edit``, so two
+    different sheets in one statement would otherwise collide into a
+    duplicate-alias AnalysisException over SQL the user never wrote
+    (in the reference that collision surfaces as DuckDB's own
+    duplicate-alias error; qualify with your own aliases for
+    reference-identical naming). ``options`` (credentials, api_base,
+    header/range/sheet/all_varchar) apply to every sheet the
+    statement references. Each distinct URL is read once even when
+    referenced twice.
     """
     register(spark)
     views: dict[str, str] = {}
+    used_aliases: set[str] = set()
 
     def _replace(m: re.Match) -> str:
-        url = m.group(2)
+        url = m.group(2) or m.group(3)
         view = views.get(url)
         if view is None:
             view = "gsheet_" + hashlib.md5(url.encode()).hexdigest()[:10]
@@ -117,7 +137,13 @@ def sheets_sql(spark: SparkSession, sql: str, **options) -> DataFrame:
             or any(ch in url for ch in "*?[")
         ):
             return f"{m.group(1)}{view}"
-        return f"{m.group(1)}{view} AS `{_url_base_name(url)}`"
+        base = alias = _url_base_name(url)
+        n = 1
+        while alias.lower() in used_aliases:
+            n += 1
+            alias = f"{base}_{n}"
+        used_aliases.add(alias.lower())
+        return f"{m.group(1)}{view} AS `{alias}`"
 
     return spark.sql(_FROM_URL_RE.sub(_replace, sql))
 

@@ -237,3 +237,56 @@ def test_literal_url_alias_survives_table_suffix_clauses(spark, sheets_server, p
         "WHERE s.name IS NOT NULL ORDER BY s.name LIMIT 2",
     ).collect()
     assert [r.name for r in sampled] == ["Alice", "Archie"]
+
+
+def test_literal_url_double_quoted(spark, sheets_server, people_sheet):
+    """Spark SQL admits double-quoted string literals too; the
+    replacement scan must fire on them exactly as on single-quoted
+    ones (the reference fires on any string literal in table
+    position)."""
+    sid, _ = people_sheet
+    rows = _sheets_sql(
+        spark,
+        sheets_server,
+        f'SELECT edit.name FROM "{url_for(sid)}" '
+        "WHERE edit.age > 40 ORDER BY edit.name",
+    ).collect()
+    assert [r.name for r in rows] == ["Archie", "Charlie"]
+
+
+def test_literal_url_prefix_is_case_sensitive(spark, sheets_server, people_sheet):
+    """The reference's StartsWith guard is case-SENSITIVE
+    (src/gsheets_extension.cpp:31-33): a case-variant prefix must stay
+    a plain string literal (and fail as SQL), not fetch a sheet."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    sid, _ = people_sheet
+    shouty = url_for(sid).replace("https://docs", "HTTPS://DOCS")
+    with pytest.raises(AnalysisException):
+        _sheets_sql(spark, sheets_server, f"SELECT * FROM '{shouty}'")
+
+
+def test_literal_url_colliding_base_aliases_deduplicate(
+    spark, sheets_server, people_sheet
+):
+    """Two DIFFERENT sheets whose URLs share the browser-copy '/edit'
+    base name in one statement: the injected aliases must not collide
+    — the second gets a numeric suffix (edit, edit_2) instead of a
+    duplicate-alias AnalysisException over SQL the user never wrote."""
+    sid, _ = people_sheet
+    other = sheets_server.new_spreadsheet("other-people")
+    other.add_sheet(
+        "Sheet1", [["name", "bonus"], ["Alice", "7"], ["Charlie", "9"]]
+    )
+    rows = _sheets_sql(
+        spark,
+        sheets_server,
+        f"SELECT edit.name, edit_2.bonus FROM '{url_for(sid)}' "
+        f"JOIN '{url_for('other-people')}' ON edit.name = edit_2.name "
+        "ORDER BY edit.name",
+    ).collect()
+    assert [(r.name, r.bonus) for r in rows] == [
+        ("Alice", 7.0),
+        ("Charlie", 9.0),
+    ]

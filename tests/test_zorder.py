@@ -127,3 +127,28 @@ def test_zvalue_guards(spark):
     # x is constant (span 0) => only y=3 contributes on odd lanes:
     # 0b1010 = 10.
     assert got == 10
+
+
+def test_zvalue_null_keys_place_nulls_first(spark):
+    """NULLS-FIRST contract: a NULL z-key maps to grid cell 0 of its
+    dimension — the same Morton code as the dimension's minimum value
+    — so null rows cluster at the curve origin by design instead of
+    by greatest()'s accidental NULL-skipping."""
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.plans.zorder import zvalue
+
+    df = spark.createDataFrame(
+        [(None, 3), (0, 3), (3, None), (3, 0)],
+        "x int, y int",
+    )
+    z = [
+        r.z
+        for r in df.select(
+            zvalue(
+                [F.col("x"), F.col("y")], [(0.0, 4.0), (0.0, 4.0)], bits=2
+            ).alias("z")
+        ).collect()
+    ]
+    assert z[0] == z[1]  # NULL x == min x
+    assert z[2] == z[3]  # NULL y == min y
