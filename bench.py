@@ -322,10 +322,23 @@ def main() -> None:
         # "parsed": null. Full detail goes to the sidecar file instead.
         detail.update(result)
         detail["duckdb_baseline"] = duck
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    # Every run writes an IMMUTABLE timestamped sidecar next to the
+    # mutable BENCH_DETAIL.json pointer-copy: round 10's driver re-run
+    # silently overwrote the committed end-of-round record in the
+    # worktree. The stamped file is never rewritten; BENCH_DETAIL.json
+    # is always a copy of the latest run, so both "latest" and "every
+    # recorded run" survive any re-run.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    stamped = os.path.join(
+        repo,
+        "bench_runs",
+        time.strftime("BENCH_DETAIL_%Y%m%dT%H%M%SZ.json", time.gmtime()),
     )
-    with open(detail_path, "w") as fh:
+    os.makedirs(os.path.dirname(stamped), exist_ok=True)
+    with open(stamped, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
     print(json.dumps(result))
 

@@ -19,6 +19,10 @@ import tempfile
 import time
 import uuid
 
+# Module-level so pandas_udf type hints (stringified by the
+# __future__ annotations import) resolve against module globals.
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -1612,14 +1616,30 @@ def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+    return run_to_memory(
+        _stream_topk(scored, "cos_sim"), output_mode="complete"
+    )
+
+
+def _stream_topk(scored: DataFrame, sim_col: str) -> DataFrame:
+    """Per-query top-k over a streaming scored-pairs frame as ONE
+    sorted-slice aggregate — ``array_sort`` over (−sim, vec_b)
+    structs, slice k, posexplode to ranks. No window over the stream
+    (rank windows are unsupported/stateful there); the aggregate
+    state per query is ≤k structs, the same global (−sim, vec_b)
+    total order every batch ANN query ranks by. Shared by the three
+    index-serving twins (IVF, SQ8, IVF-PQ) so their ranking contract
+    cannot drift from one another."""
+    from duckdb_gsheets_spark.operators.similarity import TOPK_K
+
     topk = scored.groupBy("vec_a").agg(
         F.slice(
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        (-F.col("cos_sim")).alias("neg_sim"),
+                        (-F.col(sim_col)).alias("neg_sim"),
                         F.col("vec_b").alias("vec_b"),
-                        F.col("cos_sim").alias("cos_sim"),
+                        F.col(sim_col).alias(sim_col),
                     )
                 )
             ),
@@ -1627,15 +1647,202 @@ def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             TOPK_K,
         ).alias("top")
     )
-    out = topk.select(
+    return topk.select(
         "vec_a", F.posexplode("top").alias("rank0", "t")
     ).select(
         "vec_a",
         F.col("t.vec_b").alias("vec_b"),
-        F.col("t.cos_sim").alias("cos_sim"),
+        F.col(f"t.{sim_col}").alias(sim_col),
         (F.col("rank0") + 1).cast("int").alias("rank"),
     )
-    return run_to_memory(out, output_mode="complete")
+
+
+def streaming_sq8_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ann_sq8_topk: online retrieval against the
+    SQ8 scalar-quantized index. The static side is the corpus
+    RECONSTRUCTED through the per-dimension absmax int8 grid — the
+    same narrow JVM zip_with dequantization the registered query
+    scores (asymmetric SQ8: arriving queries stay float-exact) — and
+    each arriving query brute-scores it through a stream-static join
+    (the non-equi self-filter is the only condition: an SQ8-Flat
+    index has no pruning structure, that is IVF's job), then the
+    shared sorted-slice top-k. At scale the static side is the int8
+    index file: 4× less IO than the float corpus, which is the whole
+    point of serving SQ8.
+
+    Batch-equality: the drained stream must reproduce the registered
+    ann_sq8_topk rows verbatim (tests/test_streaming.py)."""
+    from duckdb_gsheets_spark.functions.vectors import (
+        cosine_pre,
+        norm,
+        to_double,
+    )
+    from duckdb_gsheets_spark.operators.similarity import (
+        N_QUERY_VECTORS,
+        _absmax_literal,
+        _sq8_dequant,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = _absmax_literal(emb)
+    deq = _sq8_dequant(to_double(F.col("embedding")), absmax)
+    index = emb.select(
+        F.col("vec_id").alias("vec_b"), deq.alias("emb_b")
+    ).withColumn("norm_b", norm(F.col("emb_b")))
+    queries = (
+        read_embeddings_stream(spark, sf_dir)
+        .where(F.col("vec_id") < N_QUERY_VECTORS)
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            to_double(F.col("embedding")).alias("emb_a"),
+        )
+        .withColumn("norm_a", norm(F.col("emb_a")))
+    )
+    scored = queries.join(
+        index, F.col("vec_a") != F.col("vec_b")
+    ).select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            cosine_pre(
+                F.col("emb_a"), F.col("emb_b"),
+                F.col("norm_a"), F.col("norm_b"),
+            ),
+            6,
+        ).alias("sq_sim"),
+    )
+    return run_to_memory(
+        _stream_topk(scored, "sq_sim"), output_mode="complete"
+    )
+
+
+def streaming_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ann_ivfpq_topk (IVFADC): online retrieval
+    against the composed IVF-PQ index. The index — ``(list_id,
+    vec_b, codes, rec2)`` — is built ONCE from the static corpus by
+    the same coarse-assign + PQ-encode math as the registered query's
+    fused kernel (identical round-6 + first-occurrence-argmax
+    contracts, codebook from the shared _pq_codebook helper) and
+    eagerly checkpointed: the trained-index artifact a serving fleet
+    loads, 32× smaller than the float corpus. Arriving queries probe
+    their nprobe lists (the same per-row probe_lists_np pandas_udf
+    the IVF twin uses), candidates come from the stream-static
+    equi-join on ``list_id`` — each micro-batch touches only probed
+    partitions — and ADC scoring is a vectorized Arrow udf replaying
+    the kernel's per-subspace LUT einsum and gather in the same
+    subspace order, so similarities agree bit-for-bit before the
+    shared round-6.
+
+    Batch-equality: the drained stream must reproduce the registered
+    ann_ivfpq_topk rows verbatim (tests/test_streaming.py)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from duckdb_gsheets_spark.functions.vectors import (
+        probe_lists_np,
+        to_double,
+    )
+    from duckdb_gsheets_spark.operators.similarity import (
+        IVF_NPROBE,
+        N_QUERY_VECTORS,
+        PQ_M,
+        _collect_ivf_inputs,
+        _collect_pq_inputs,
+        _pq_codebook,
+    )
+    from duckdb_gsheets_spark.plans.catalog import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroid_rows, _ = _collect_ivf_inputs(spark, sf_dir)
+    code_rows, _ = _collect_pq_inputs(spark, sf_dir)
+    unit = np.array([r.emb for r in centroid_rows])
+    unit = unit / np.linalg.norm(unit, axis=1, keepdims=True)
+    id_arr = np.asarray([r.vec_id for r in centroid_rows])
+    Csub, cc, sub = _pq_codebook(code_rows)
+
+    def encode_batches(batches):
+        # index build: coarse-assign + PQ-encode, the registered
+        # kernel's exact math (round-6 scores, argmax = first
+        # occurrence), emitted as rows instead of scored in place
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["emb"].to_numpy())
+            norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+            s = np.round((M @ unit.T) / norms[:, None], 6)
+            lists = id_arr[s.argmax(axis=1)]
+            codes = np.empty((len(M), PQ_M), dtype=np.int64)
+            rec2 = np.zeros(len(M))
+            for sp in range(PQ_M):
+                ascore = np.round(
+                    M[:, sp * sub : (sp + 1) * sub] @ Csub[sp].T
+                    - 0.5 * cc[sp],
+                    6,
+                )
+                codes[:, sp] = ascore.argmax(axis=1)
+                rec2 += cc[sp][codes[:, sp]]
+            yield pd.DataFrame(
+                {
+                    "list_id": lists,
+                    "vec_b": pdf["vec_id"].to_numpy(),
+                    "codes": list(codes),
+                    "rec2": rec2,
+                }
+            )
+
+    index = (
+        fan_out(emb)
+        .select("vec_id", to_double(F.col("embedding")).alias("emb"))
+        .mapInPandas(
+            encode_batches,
+            "list_id long, vec_b long, codes array<long>, rec2 double",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    @pandas_udf("double")
+    def adc_sim_udf(emb_a: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(emb_a) == 0:
+            return pd.Series([], dtype="float64")
+        Q = np.stack(emb_a.to_numpy())
+        Cd = np.stack(codes.to_numpy()).astype(np.int64)
+        qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        adc = np.zeros(len(Q))
+        r2 = np.zeros(len(Q))
+        rows = np.arange(len(Q))
+        for sp in range(PQ_M):
+            lut = np.einsum(
+                "qd,jd->qj", Q[:, sp * sub : (sp + 1) * sub], Csub[sp]
+            )
+            c = Cd[:, sp]
+            adc += lut[rows, c]
+            r2 += cc[sp][c]
+        return pd.Series(np.round(adc / (qnorm * np.sqrt(r2)), 6))
+
+    probes = probe_lists_np(
+        np.array([r.emb for r in centroid_rows]), id_arr, IVF_NPROBE
+    )
+    queries = (
+        read_embeddings_stream(spark, sf_dir)
+        .where(F.col("vec_id") < N_QUERY_VECTORS)
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            to_double(F.col("embedding")).alias("emb_a"),
+        )
+        .withColumn("list_id", F.explode(probes(F.col("emb_a"))))
+    )
+    scored = (
+        queries.join(index, "list_id")
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            adc_sim_udf(F.col("emb_a"), F.col("codes")).alias("adc_sim"),
+        )
+    )
+    return run_to_memory(
+        _stream_topk(scored, "adc_sim"), output_mode="complete"
+    )
 
 
 def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

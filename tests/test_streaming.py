@@ -1306,6 +1306,52 @@ def test_streaming_ann_probe_matches_batch_ivf(spark):
     assert len(got) == 50  # 10 queries × k
 
 
+def test_streaming_sq8_probe_matches_batch(spark):
+    """The SQ8 online-serving twin must reproduce the registered
+    ann_sq8_topk result verbatim: same absmax dequantization grid on
+    the static side, same round-6 asymmetric scoring, same
+    (−sim, vec_b) ranking through the shared sorted-slice top-k."""
+    from duckdb_gsheets_spark.operators.similarity import ann_sq8_topk
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_sq8_probe,
+    )
+
+    got = sorted(
+        (r.vec_a, r.vec_b, r.sq_sim, r.rank)
+        for r in streaming_sq8_probe(spark, SF).collect()
+    )
+    exp = sorted(
+        (r.vec_a, r.vec_b, r.sq_sim, r.rank)
+        for r in ann_sq8_topk(spark, SF).collect()
+    )
+    assert got == exp
+    assert len(got) == 50  # 10 queries x k
+
+
+def test_streaming_ivfpq_probe_matches_batch(spark):
+    """The IVF-PQ online-serving twin must reproduce the registered
+    ann_ivfpq_topk result verbatim: the checkpointed code index is
+    built with the kernel's exact coarse-assign + encode math, the
+    ADC udf replays the per-subspace LUT einsum in the same order,
+    and candidates are restricted to probed lists by the
+    stream-static list_id join."""
+    from duckdb_gsheets_spark.operators.similarity import ann_ivfpq_topk
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_ivfpq_probe,
+    )
+
+    got = sorted(
+        (r.vec_a, r.vec_b, r.adc_sim, r.rank)
+        for r in streaming_ivfpq_probe(spark, SF).collect()
+    )
+    exp = sorted(
+        (r.vec_a, r.vec_b, r.adc_sim, r.rank)
+        for r in ann_ivfpq_topk(spark, SF).collect()
+    )
+    assert got == exp
+    assert len(got) == 50
+
+
 def test_streaming_bloom_gate_matches_batch_audit(spark):
     """The live intake gate must reproduce the batch audit's screen
     columns exactly: same artifact (fit through the one shared
