@@ -1409,6 +1409,111 @@ def streaming_substring_scrub_counts(
     return run_to_memory(out, output_mode="append")
 
 
+def _exactsubstr_fit_candidates(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[str]]]:
+    """Fit the bounded top-K repeated-substring candidate table ONCE
+    from the static corpus (the same shared suffix-sort spine the
+    batch family uses) and collect it — ≤LRS_TOPK rows, the trained
+    artifact every ExactSubstr intake twin ships in its expressions."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        _lrs_candidates,
+        _lrs_tables,
+    )
+
+    return [
+        (int(r.l), list(r.sub_arr))
+        for r in _lrs_candidates(*_lrs_tables(spark, sf_dir)).collect()
+    ]
+
+
+def _exactsubstr_span_array(toks, cands: list[tuple[int, list[str]]]):
+    """``array<struct<s,e>>`` of ALL top-K candidates' match spans in
+    the token array, sorted by (start, end) — one pure-JVM expression
+    (sequence → slice-equality filter → transform per candidate,
+    flattened). Shared by the retention twin (interval-union fold
+    over it) and the apply twin (per-token membership filter against
+    it), so the two read the same spans by construction."""
+
+    def spans_of(length: int, sub: list[str]):
+        sub_lit = F.array(*[F.lit(t) for t in sub])
+        npos = F.greatest(F.size(toks) - F.lit(length - 1), F.lit(1))
+        return F.transform(
+            F.filter(
+                F.sequence(F.lit(1), npos),
+                lambda p: F.slice(toks, p, F.lit(length)) == sub_lit,
+            ),
+            lambda p: F.struct(
+                p.alias("s"), (p + F.lit(length - 1)).alias("e")
+            ),
+        )
+
+    return F.array_sort(
+        F.flatten(F.array(*[spans_of(ln, sub) for ln, sub in cands]))
+    )
+
+
+def streaming_exactsubstr_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static twin of ``operators.dedup.pipeline_exactsubstr_apply``
+    — the scrub APPLY step at intake time: each arriving document is
+    cut against the top-K repeated substrings fit once from the
+    static corpus, emitting the per-doc scrubbed token stream
+    ``(doc_id, n_tokens_in, tokens_removed, n_tokens_out,
+    scrubbed_digest)`` for every document the scrub touches
+    (untouched documents pass through a real intake scrubber
+    unchanged, so — like the batch apply — they are not re-emitted).
+
+    STATELESS per row: the span array is the shared
+    :func:`_exactsubstr_span_array` expression and the cut is a
+    per-token exists-membership filter over it (no interval union
+    needed for membership; a token goes iff ANY span covers it —
+    the same set of tokens the batch plan's merged cut list removes).
+    Append mode, no aggregation state at all. Batch equality pins
+    every row against the registered apply query.
+    """
+    from duckdb_gsheets_spark.functions.text import tokens
+
+    cands = _exactsubstr_fit_candidates(spark, sf_dir)
+    stream = read_documents_stream(spark, sf_dir).where(
+        F.col("text").isNotNull()
+    )
+    toks = tokens(F.col("text"))
+    spans = (
+        _exactsubstr_span_array(toks, cands)
+        if cands
+        else F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct((i + F.lit(1)).alias("p"), t.alias("t")),
+        ),
+        lambda x: ~F.exists(
+            spans, lambda iv: (x["p"] >= iv["s"]) & (x["p"] <= iv["e"])
+        ),
+    )
+    out = (
+        stream.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens_in"),
+            F.transform(kept, lambda x: x["t"]).alias("scrub"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens_in",
+            (F.col("n_tokens_in") - F.size("scrub")).cast("long").alias(
+                "tokens_removed"
+            ),
+            F.size("scrub").cast("long").alias("n_tokens_out"),
+            F.md5(F.array_join("scrub", " ")).alias("scrubbed_digest"),
+        )
+        .where(F.col("tokens_removed") > 0)
+    )
+    return run_to_memory(out, output_mode="append")
+
+
 def streaming_exactsubstr_retention(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1435,10 +1540,7 @@ def streaming_exactsubstr_retention(
         _lrs_tables,
     )
 
-    cands = [
-        (int(r.l), list(r.sub_arr))
-        for r in _lrs_candidates(*_lrs_tables(spark, sf_dir)).collect()
-    ]
+    cands = _exactsubstr_fit_candidates(spark, sf_dir)
     stream = read_documents_stream(spark, sf_dir).where(
         F.col("text").isNotNull()
     )
@@ -1446,30 +1548,13 @@ def streaming_exactsubstr_retention(
     n_tokens = F.size(toks).cast("long")
 
     if cands:
-
-        def spans_of(length: int, sub: list[str]):
-            # array<struct<s,e>> of this candidate's match spans
-            sub_lit = F.array(*[F.lit(t) for t in sub])
-            npos = F.greatest(F.size(toks) - F.lit(length - 1), F.lit(1))
-            return F.transform(
-                F.filter(
-                    F.sequence(F.lit(1), npos),
-                    lambda p: F.slice(toks, p, F.lit(length)) == sub_lit,
-                ),
-                lambda p: F.struct(
-                    p.alias("s"), (p + F.lit(length - 1)).alias("e")
-                ),
-            )
-
         # Interval union of ALL candidates' spans: array_sort orders
         # struct<s,e> lexicographically (start, then end) — the exact
         # order the island sweep needs — then one aggregate() fold
         # carries (covered, running_max_end) and adds only the part
         # of each span past the running max. Identical arithmetic to
         # the batch pipeline's windowed sweep.
-        all_spans = F.array_sort(
-            F.flatten(F.array(*[spans_of(ln, sub) for ln, sub in cands]))
-        )
+        all_spans = _exactsubstr_span_array(toks, cands)
         matched = F.aggregate(
             all_spans,
             F.struct(

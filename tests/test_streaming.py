@@ -1283,6 +1283,33 @@ def test_streaming_exactsubstr_retention_matches_batch(spark):
     assert any(v[3] > 0 for v in got.values())
 
 
+def test_streaming_exactsubstr_apply_matches_batch(spark):
+    """The intake APPLY twin must reproduce the registered
+    pipeline_exactsubstr_apply rows verbatim: same fitted candidate
+    artifact, same span set (exists-membership over the shared span
+    array equals the batch plan's merged cut list token-for-token),
+    same digest of the retained stream."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        pipeline_exactsubstr_apply,
+    )
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_exactsubstr_apply,
+    )
+
+    got = sorted(
+        (r.doc_id, r.n_tokens_in, r.tokens_removed, r.n_tokens_out,
+         r.scrubbed_digest)
+        for r in streaming_exactsubstr_apply(spark, SF).collect()
+    )
+    exp = sorted(
+        (r.doc_id, r.n_tokens_in, r.tokens_removed, r.n_tokens_out,
+         r.scrubbed_digest)
+        for r in pipeline_exactsubstr_apply(spark, SF).collect()
+    )
+    assert got == exp
+    assert len(got) > 0
+
+
 def test_streaming_ann_probe_matches_batch_ivf(spark):
     """The online-retrieval twin must reproduce the registered
     ann_ivf_topk result verbatim: same probes, same candidates from
