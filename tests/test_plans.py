@@ -906,6 +906,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "dedup_longest_substring",  # ≤LRS_TOPK-row candidate broadcast probe
         "dedup_substring_scrub",    # same ≤LRS_TOPK-row candidate broadcast probe
         "pipeline_exactsubstr_corpus",  # same ≤LRS_TOPK-row probe (shared chain)
+        "pipeline_exactsubstr_apply",  # same ≤LRS_TOPK-row probe (shared chain)
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
@@ -964,6 +965,7 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "dedup_longest_substring",  # |pids|-row boundary-seam lag window
         "dedup_substring_scrub",  # same |pids|-row boundary seam (shared spine)
         "pipeline_exactsubstr_corpus",  # same boundary seam (shared chain)
+        "pipeline_exactsubstr_apply",  # same boundary seam (shared chain)
         # dense bit positions over the ≤BITMASK_MAX_VOCAB-row
         # materialized dictionary (small-vocab bitmask verify)
         "dedup_ngram_jaccard",
