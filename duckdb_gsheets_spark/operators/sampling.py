@@ -698,6 +698,93 @@ GROUP BY 1, 2
 """
 
 
+#: Seeded-shuffle manifest parameters: shard count, the epoch seed the
+#: permutation is keyed on, and the modulus of the per-shard set
+#: digest (2^31 keeps SUM(ki % M) inside a signed long for corpora up
+#: to ~4e9 docs per shard; shard twice before that).
+N_SHUFFLE_SHARDS = 16
+SHUFFLE_SEED = "epoch0"
+_SHUFFLE_DIGEST_MOD = 1 << 31
+
+
+def corpus_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SEEDED corpus shuffle for training order — the
+    manifest of the permutation every training run needs and
+    ``df.sample``/``ORDER BY rand()`` cannot give reproducibly: each
+    document's shuffle key is ``md5(seed # doc_id)``, its shard is a
+    bucket of the key space, and within a shard the training order IS
+    the key order (recomputable anywhere from (seed, doc_id) — the
+    manifest doesn't need to ship it). Changing the seed string
+    reshuffles every epoch; the same seed replays byte-identically on
+    any engine.
+
+    Emitted per shard: doc/token inventory (what the data loader
+    budgets), the first/last shuffle keys (the shard's key-range
+    envelope), and a modular set digest — ``SUM(ki % M) % M`` over
+    the 60-bit key ints — that any consumer can recompute to verify
+    it holds exactly the documents the manifest promised.
+
+    Plan: ONE narrow scan projection (md5 + conv + token count, all
+    JVM), one |shards|-keyed partial-combining aggregate. Nothing
+    corpus-sized shuffles: min/max/sum/count all fold map-side; no
+    global rank is ever materialized because the shard assignment is
+    key-space bucketing, not row numbering.
+    """
+    from duckdb_gsheets_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    key = F.md5(
+        F.concat(
+            F.lit(f"{SHUFFLE_SEED}#"), F.col("doc_id").cast("string")
+        )
+    )
+    kint = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    per = docs.select(
+        (kint % N_SHUFFLE_SHARDS).cast("int").alias("shard_id"),
+        key.alias("k"),
+        kint.alias("ki"),
+        token_count(F.col("text")).cast("long").alias("nt"),
+    )
+    return (
+        per.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.min("k").alias("first_key"),
+            F.max("k").alias("last_key"),
+            (
+                F.sum(F.col("ki") % _SHUFFLE_DIGEST_MOD)
+                % _SHUFFLE_DIGEST_MOD
+            ).alias("docset_digest"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+CORPUS_SHUFFLE_ORACLE = f"""
+WITH shf AS (
+  SELECT md5('{SHUFFLE_SEED}#' || CAST(doc_id AS VARCHAR)) AS k,
+         CAST('0x' || SUBSTRING(
+           md5('{SHUFFLE_SEED}#' || CAST(doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) AS ki,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS nt
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(ki % {N_SHUFFLE_SHARDS} AS INTEGER) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       MIN(k) AS first_key,
+       MAX(k) AS last_key,
+       CAST(SUM(ki % {_SHUFFLE_DIGEST_MOD}) % {_SHUFFLE_DIGEST_MOD}
+            AS BIGINT) AS docset_digest
+FROM shf
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE, "per-language hash sampling"),
     QueryDef("bootstrap_replicates", bootstrap_replicates, BOOTSTRAP_ORACLE, "deterministic hash-Bernoulli bootstrap replicates (CI input)"),
@@ -709,4 +796,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("contrastive_negatives", contrastive_negatives, _contrastive_negatives_oracle(), "deterministic negative sampling with near-dup-cluster rejection (contrastive-training prep)"),
     # -- round-7 additions --
     QueryDef("split_leakage_semantic", split_leakage_semantic, _split_leakage_semantic_oracle(), "embedding-cosine near-dup pairs straddling hash splits (paraphrase-level train/test leakage audit)"),
+    # -- round-11 additions --
+    QueryDef("corpus_shuffle_manifest", corpus_shuffle_manifest, CORPUS_SHUFFLE_ORACLE, "seeded deterministic training-shuffle shard manifest with verifiable set digests"),
 ]

@@ -2748,6 +2748,22 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle), then the broadcast query batch × corpus scoring with a
     rounded-sim + vec_id engine-stable ranking.
     """
+    scored, _ = _sq8_scored_frame(spark, sf_dir)
+    w = Window.partitionBy("vec_a").orderBy(F.desc("sq_sim"), F.col("vec_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_K)
+        .select("vec_a", "vec_b", "sq_sim", "rank")
+    )
+
+
+def _sq8_scored_frame(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The SQ8-scored pair frame ``(vec_a, vec_b, sq_sim)`` plus the
+    broadcast-ready query batch — one home for the asymmetric scoring
+    expressions so the flat index (:func:`ann_sq8_topk`) and the
+    two-stage rerank (:func:`ann_sq8_rerank_topk`) cannot drift."""
     emb = load_table(spark, sf_dir, "embeddings")
     absmax = _absmax_literal(emb)
     deq = _sq8_dequant(to_double(F.col("embedding")), absmax)
@@ -2775,11 +2791,70 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sq_sim"),
         )
     )
-    w = Window.partitionBy("vec_a").orderBy(F.desc("sq_sim"), F.col("vec_b"))
+    return scored, queries
+
+
+#: Candidate depth of the two-stage retrieval: the SQ8 index proposes
+#: R candidates per query, the float rerank keeps k. R = 5k is the
+#: classic production setting — deep enough that quantization-rank
+#: inversions almost never push a true top-k neighbor past R.
+SQ8_RERANK_R = 5 * TOPK_K
+
+
+def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval, the production deployment of a quantized
+    index (FAISS's refine/rerank idiom; Jégou et al. §VI re-rank):
+    stage 1 proposes ``SQ8_RERANK_R`` candidates per query from the
+    4×-smaller SQ8 index; stage 2 re-scores ONLY those candidates
+    with exact float cosine and keeps the top k. Retrieval quality
+    recovers toward exact (ann_sq8_rerank_recall measures exactly how
+    much) while the corpus-sized scan still reads int8.
+
+    Plan: stage 1 is the shared SQ8 scoring frame + rank ≤ R; the
+    R·|queries| winner list — bounded regardless of corpus size — is
+    BROADCAST back against the float corpus, so stage 2's exact
+    scoring touches only candidate rows (a semi-join-shaped prune, no
+    second corpus scan shuffle), then a final rank ≤ k. Both ranks
+    use the house (−sim, vec_b) total order; stage-1 ties resolve on
+    the 1e-6 sq_sim grid identically in both engines.
+    """
+    scored, queries = _sq8_scored_frame(spark, sf_dir)
+    w1 = Window.partitionBy("vec_a").orderBy(
+        F.desc("sq_sim"), F.col("vec_b")
+    )
+    cand = (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= SQ8_RERANK_R)
+        .select("vec_a", "vec_b")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_f = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        to_double(F.col("embedding")).alias("emb_bf"),
+    ).withColumn("norm_bf", norm(F.col("emb_bf")))
+    rer = (
+        F.broadcast(cand)
+        .join(corpus_f, "vec_b")
+        .join(F.broadcast(queries), "vec_a")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                cosine_pre(
+                    F.col("emb_a"), F.col("emb_bf"),
+                    F.col("norm_a"), F.col("norm_bf"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("vec_a").orderBy(
+        F.desc("cos_sim"), F.col("vec_b")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rer.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= TOPK_K)
-        .select("vec_a", "vec_b", "sq_sim", "rank")
+        .select("vec_a", "vec_b", "cos_sim", "rank")
     )
 
 
@@ -2820,6 +2895,125 @@ ANN_SQ8_TOPK_ORACLE = f"""
 {_ORACLE_VECTOR_CTE},
 {_SQ8_CTE}
 SELECT vec_a, vec_b, sq_sim, rank FROM sq_topk
+"""
+
+#: Rerank CTE chain on top of _SQ8_CTE: the R-deep SQ8 candidate cut,
+#: then exact float re-scoring of ONLY those pairs.
+_SQ8_RERANK_CTE = f"""
+sq_cand AS (
+  SELECT vec_a, vec_b FROM sq_scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_a
+          ORDER BY sq_sim DESC, vec_b) <= {SQ8_RERANK_R}
+), rr_dots AS (
+  SELECT c.vec_a, c.vec_b, SUM(a.x * b.x) AS dp
+  FROM sq_cand c
+  JOIN v a ON a.vec_id = c.vec_a
+  JOIN v b ON b.vec_id = c.vec_b AND b.i = a.i
+  GROUP BY 1, 2
+), rr_scored AS (
+  SELECT vec_a, vec_b, ROUND(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM rr_dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+), rr_topk AS (
+  SELECT vec_a, vec_b, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+              ORDER BY cos_sim DESC, vec_b) AS INTEGER) AS rank
+  FROM rr_scored
+  QUALIFY rank <= {TOPK_K}
+)"""
+
+ANN_SQ8_RERANK_TOPK_ORACLE = f"""
+{_ORACLE_VECTOR_CTE},
+{_SQ8_CTE},
+{_SQ8_RERANK_CTE}
+SELECT vec_a, vec_b, cos_sim, rank FROM rr_topk
+"""
+
+
+def ann_sq8_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance report for the two-stage retrieval: recall@k of the
+    SQ8→float rerank against the exact baseline, SIDE BY SIDE with
+    the flat SQ8 index's recall and the recovery delta — the one-row
+    answer to "does reranking R=5k candidates buy back what
+    quantization lost?" (it should sit at or near 1.0: a true top-k
+    neighbor is lost only if quantization pushed it past rank R).
+
+    All three top-k frames are bounded (k·|queries| / R·|queries|);
+    the overlap joins and the rollup never touch corpus-sized data.
+    The recovery delta is computed in the same operation order in
+    both engines (two integer-sum ratios subtracted, then one
+    round-6), per the determinism contract.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("vec_a", "vec_b")
+    rr = ann_sq8_rerank_topk(spark, sf_dir).select("vec_a", "vec_b")
+    sq = ann_sq8_topk(spark, sf_dir).select("vec_a", "vec_b")
+    spine = exact.select("vec_a").distinct()
+    m_rr = (
+        exact.join(rr, ["vec_a", "vec_b"])
+        .groupBy("vec_a")
+        .agg(F.count(F.lit(1)).alias("m_rr"))
+    )
+    m_sq = (
+        exact.join(sq, ["vec_a", "vec_b"])
+        .groupBy("vec_a")
+        .agg(F.count(F.lit(1)).alias("m_sq"))
+    )
+    per = (
+        spine.join(m_rr, "vec_a", "left")
+        .join(m_sq, "vec_a", "left")
+        .select(
+            F.coalesce(F.col("m_rr"), F.lit(0)).alias("m_rr"),
+            F.coalesce(F.col("m_sq"), F.lit(0)).alias("m_sq"),
+        )
+    )
+    k = float(TOPK_K)
+    n = F.count(F.lit(1))
+    return per.agg(
+        n.alias("n_queries"),
+        F.round(F.sum("m_rr") / (n * F.lit(k)), 6).alias("mean_recall"),
+        F.round(F.min("m_rr") / F.lit(k), 6).alias("min_recall"),
+        F.sum((F.col("m_rr") == TOPK_K).cast("int")).alias("n_perfect"),
+        F.round(F.sum("m_sq") / (n * F.lit(k)), 6).alias("mean_recall_sq8"),
+        F.round(
+            F.sum("m_rr") / (n * F.lit(k)) - F.sum("m_sq") / (n * F.lit(k)),
+            6,
+        ).alias("recall_recovered"),
+    )
+
+
+ANN_SQ8_RERANK_RECALL_ORACLE = f"""
+{_ORACLE_VECTOR_CTE},
+{_exact_topk_cte()},
+{_SQ8_CTE},
+{_SQ8_RERANK_CTE},
+rrm AS (
+  SELECT e.vec_a, COUNT(*) AS m
+  FROM ex_topk e JOIN rr_topk r
+    ON r.vec_a = e.vec_a AND r.vec_b = e.vec_b
+  GROUP BY 1
+), sqm AS (
+  SELECT e.vec_a, COUNT(*) AS m
+  FROM ex_topk e JOIN sq_topk s
+    ON s.vec_a = e.vec_a AND s.vec_b = e.vec_b
+  GROUP BY 1
+), rr_per AS (
+  SELECT s.vec_a, COALESCE(r.m, 0) AS m_rr, COALESCE(q.m, 0) AS m_sq
+  FROM (SELECT DISTINCT vec_a FROM ex_topk) s
+  LEFT JOIN rrm r ON r.vec_a = s.vec_a
+  LEFT JOIN sqm q ON q.vec_a = s.vec_a
+)
+SELECT COUNT(*) AS n_queries,
+       ROUND(SUM(m_rr) / (COUNT(*) * {float(TOPK_K)}), 6) AS mean_recall,
+       ROUND(MIN(m_rr) / {float(TOPK_K)}, 6) AS min_recall,
+       CAST(SUM(CASE WHEN m_rr = {TOPK_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_perfect,
+       ROUND(SUM(m_sq) / (COUNT(*) * {float(TOPK_K)}), 6)
+         AS mean_recall_sq8,
+       ROUND(SUM(m_rr) / (COUNT(*) * {float(TOPK_K)})
+             - SUM(m_sq) / (COUNT(*) * {float(TOPK_K)}), 6)
+         AS recall_recovered
+FROM rr_per
 """
 
 
@@ -2933,6 +3127,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("ann_ivfpq_topk", ann_ivfpq_topk, _ivfpq_oracle(), "IVF-PQ (IVFADC) top-k: probe-pruned lists scored through 4-bit codes"),
     QueryDef("ann_sq8_topk", ann_sq8_topk, ANN_SQ8_TOPK_ORACLE, "asymmetric SQ8-index cosine top-k (float queries vs int8-grid corpus)"),
     QueryDef("ann_sq8_recall", ann_sq8_recall, ANN_SQ8_RECALL_ORACLE, "recall@k + similarity-shift acceptance report for the SQ8 index"),
+    QueryDef("ann_sq8_rerank_topk", ann_sq8_rerank_topk, ANN_SQ8_RERANK_TOPK_ORACLE, "two-stage retrieval: SQ8 candidate generation (R=5k) + exact float rerank"),
+    QueryDef("ann_sq8_rerank_recall", ann_sq8_rerank_recall, ANN_SQ8_RERANK_RECALL_ORACLE, "recall recovery of the SQ8-then-rerank pipeline vs the flat SQ8 index"),
     QueryDef("ann_recall_report", ann_recall_report, _recall_oracle(), "recall@k audit of LSH/IVF vs exact baseline"),
     QueryDef("ann_nprobe_recall_curve", ann_nprobe_recall_curve, _nprobe_curve_oracle(), "IVF recall-vs-probe-depth tuning curve"),
     QueryDef("knn_label_probe", knn_label_probe, KNN_LABEL_PROBE_ORACLE, "k-NN majority-vote label prediction probe (embedding-quality gate)"),

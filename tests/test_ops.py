@@ -7161,6 +7161,26 @@ def test_sq8_topk_matches_manual_dequant(spark):
             assert abs(s_got - s_exp) <= 2e-6
 
 
+def test_sq8_rerank_recovers_recall(spark):
+    """Two-stage retrieval invariants: the reranked result's recall
+    can never be WORSE than the flat SQ8 index's (the rerank re-scores
+    a superset of what the flat index returns, with exact floats), the
+    recovery delta is exactly their difference, and with R = 5k deep
+    candidates on this corpus the rerank should be perfect or
+    near-perfect."""
+    from duckdb_gsheets_spark.operators.similarity import (
+        ann_sq8_rerank_recall,
+    )
+
+    r = ann_sq8_rerank_recall(spark, SF).collect()[0]
+    assert r.mean_recall >= r.mean_recall_sq8
+    assert abs(
+        r.recall_recovered - round(r.mean_recall - r.mean_recall_sq8, 6)
+    ) < 1e-9
+    assert r.mean_recall >= 0.9
+    assert 0 <= r.n_perfect <= r.n_queries
+
+
 def test_contamination_bloom_no_false_negatives_and_fp_band(spark):
     """The Bloom screen may over-flag but NEVER under-flag: per
     source, bloom-flagged minus false-positives must equal the exact
