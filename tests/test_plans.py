@@ -858,6 +858,8 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "contamination_bloom",      # 1-row broadcast of the literal filter mask
         "ann_sq8_topk",             # same broadcast query batch × dequantized corpus
         "ann_sq8_recall",           # composes the cosine + SQ8 baselines
+        "ann_sq8_rerank_topk",      # same broadcast query batch x corpus, then bounded rerank
+        "ann_sq8_rerank_recall",    # composes the cosine + SQ8 + rerank baselines
         "embedding_neardup_pairs",  # broadcast-bounded LSH block pairs
         "ann_recall_report",        # composes the cosine baseline
         "ann_nprobe_recall_curve",  # same spine × depth cross + baseline
