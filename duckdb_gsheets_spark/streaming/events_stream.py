@@ -1070,10 +1070,10 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
         # writer-generated (00000/c000/uuid runs are not arrival
         # order) → always excluded. No digits anywhere → -1 (tiebreak
         # inert).
-        leaf = F.regexp_extract(F.col("_src"), r"([^/]*)$", 1)
-        parent_seg = F.regexp_extract(F.col("_src"), r"([^/]*)/[^/]*$", 1)
         import re as _re
 
+        leaf = F.regexp_extract(F.col("_src"), r"([^/]*)$", 1)
+        parent_seg = F.regexp_extract(F.col("_src"), r"([^/]*)/[^/]*$", 1)
         batch_has_set_dirs = any(
             _re.search(
                 r"\d\D*$", _re.sub(r"/[^/]*$", "", r._src).rsplit("/", 1)[-1]
@@ -1535,10 +1535,6 @@ def streaming_exactsubstr_retention(
     token_retention) row against the composed batch pipeline.
     """
     from duckdb_gsheets_spark.functions.text import tokens
-    from duckdb_gsheets_spark.operators.dedup import (
-        _lrs_candidates,
-        _lrs_tables,
-    )
 
     cands = _exactsubstr_fit_candidates(spark, sf_dir)
     stream = read_documents_stream(spark, sf_dir).where(
