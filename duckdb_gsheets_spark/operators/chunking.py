@@ -499,6 +499,17 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("bloom_hit", F.lit(1))
     )
+    return _contam_screen_report(spark, sf_dir, corpus, bench_grams, flagged)
+
+
+def _contam_screen_report(
+    spark, sf_dir: str, corpus: DataFrame, bench_grams: DataFrame,
+    flagged: DataFrame,
+) -> DataFrame:
+    """Shared acceptance-report tail for the Bloom screens: per
+    source, screened/bloom-flagged/exact-flagged/false-positive doc
+    counts. ``flagged`` is the screen's positive-doc frame; the exact
+    side is the broadcast containment join both audits compare to."""
     exact = (
         corpus.join(F.broadcast(bench_grams), "gram")
         .select("doc_id")
@@ -527,6 +538,143 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Shard count of the PARTITIONED Bloom screen — the scale path past
+#: a single filter's broadcast budget (BLOOM_MAX_M): grams route to a
+#: shard by an independent hash, each shard fits its OWN filter from
+#: its own gram count, so total capacity is BLOOM_SHARDS × the
+#: single-filter cap and each shard stays individually
+#: broadcast-sized. 4 here exercises the routing; production sets it
+#: to ceil(total_bits / BLOOM_MAX_M).
+BLOOM_SHARDS = 4
+
+
+def _bloom_shard_of(gram: Column) -> Column:
+    """Shard a gram routes to: an independent 60-bit md5 (seed tag
+    '#shard', disjoint from the '#0'..'#K-1' membership hashes) mod
+    BLOOM_SHARDS — both engines compute it identically."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(gram, F.lit("#shard"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_SHARDS
+    )
+
+
+def bloom_artifact_sharded(
+    spark,
+    sf_dir: str,
+    bench_grams: DataFrame | None = None,
+    bits_per_item: int = BLOOM_BITS_PER_ITEM,
+) -> dict[int, tuple[int, list[int]]]:
+    """Fit the PARTITIONED decontamination filter: ``{shard: (m_s,
+    words_s)}`` where each shard's filter is sized from ITS gram
+    count by the same bits-per-item rule (so per-gram FP behavior is
+    identical to the unsharded filter) and word-packed exactly like
+    :func:`bloom_artifact`. Shards with no benchmark grams have no
+    filter — a gram routing there is definitionally not contained.
+    Each shard individually respects BLOOM_MAX_M; total capacity is
+    BLOOM_SHARDS × that."""
+    if bench_grams is None:
+        bench, _ = _contam_gram_frames(spark, sf_dir)
+        bench_grams = (
+            bench.select("gram").distinct().localCheckpoint(eager=True)
+        )
+    sharded = bench_grams.select(
+        "gram", _bloom_shard_of(F.col("gram")).alias("shard")
+    )
+    counts = {
+        int(r.shard): int(r.n)
+        for r in sharded.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ms = {
+        s: max(BLOOM_MIN_M, bits_per_item * n) for s, n in counts.items()
+    }
+    for s, m in ms.items():
+        if m > BLOOM_MAX_M:
+            raise ValueError(
+                f"sharded bloom: shard {s} needs {m} bits (> BLOOM_MAX_M "
+                f"{BLOOM_MAX_M}) — raise BLOOM_SHARDS for a suite this "
+                "large"
+            )
+    m_map = F.create_map(
+        *[F.lit(v) for s, m in ms.items() for v in (s, m)]
+    )
+    bit_rows = (
+        sharded.withColumn("m", F.element_at(m_map, F.col("shard")))
+        .select(
+            "shard",
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_bit(F.col("gram"), s, F.col("m"))
+                        for s in range(BLOOM_K)
+                    ]
+                )
+            ).alias("bit"),
+        )
+        .distinct()
+        .collect()
+    )
+    words: dict[int, list[int]] = {
+        s: [0] * ((m + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS)
+        for s, m in ms.items()
+    }
+    for r in bit_rows:
+        words[r.shard][r.bit // BLOOM_WORD_BITS] |= 1 << (
+            r.bit % BLOOM_WORD_BITS
+        )
+    return {s: (ms[s], words[s]) for s in ms}
+
+
+def contamination_bloom_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED Bloom decontamination screen — the documented
+    scale path past one filter's broadcast budget, as a running
+    operator: grams route to BLOOM_SHARDS independent filters (an
+    independent md5 shard hash), each shard sized from its own gram
+    inventory by the same bits-per-item rule, and membership probes
+    route the same way. Total filter capacity multiplies by the
+    shard count while each shard stays individually shippable; a
+    probe touches exactly ONE shard's words.
+
+    Plan shape: the shard filters are a |shards|-row frame joined to
+    the corpus grams on the shard key — a plain equi-join, which AQE
+    broadcasts at this size and which SCALES by partition-routing
+    when the filter table outgrows broadcast (each executor holds
+    only probed shards, the property the one-row literal cannot
+    give). Everything after the join is the same pure-JVM word-probe
+    and per-source rollup as :func:`contamination_bloom`; the exact
+    side and the report tail are shared code.
+    """
+    bench, corpus = _contam_gram_frames(spark, sf_dir)
+    bench_grams = (
+        bench.select("gram").distinct().localCheckpoint(eager=True)
+    )
+    shards = bloom_artifact_sharded(spark, sf_dir, bench_grams=bench_grams)
+    shard_df = spark.createDataFrame(
+        [(s, m, w) for s, (m, w) in sorted(shards.items())],
+        "shard long, m long, bloom_words array<long>",
+    )
+    contained = None
+    for s in range(BLOOM_K):
+        hit = _bloom_word_hit(
+            _bloom_bit(F.col("gram"), s, F.col("m")), F.col("bloom_words")
+        )
+        contained = hit if contained is None else (contained & hit)
+    flagged = (
+        corpus.withColumn("shard", _bloom_shard_of(F.col("gram")))
+        .join(shard_df, "shard")
+        .where(contained)
+        .select("doc_id")
+        .distinct()
+        .withColumn("bloom_hit", F.lit(1))
+    )
+    return _contam_screen_report(spark, sf_dir, corpus, bench_grams, flagged)
 
 
 _BLOOM_GRAM_CTE = f"""
@@ -578,6 +726,72 @@ bbits AS (
     SELECT p.doc_id, p.gram
     FROM probes p JOIN bwords bw ON bw.widx = p.bit // {BLOOM_WORD_BITS}
     WHERE (bw.w & (1::BIGINT << CAST(p.bit % {BLOOM_WORD_BITS} AS INTEGER))) <> 0
+    GROUP BY p.doc_id, p.gram
+    HAVING COUNT(*) = {BLOOM_K}
+  )
+), exactf AS (
+  SELECT DISTINCT c.doc_id FROM cg c JOIN bench b USING (gram)
+), screened AS (
+  SELECT DISTINCT doc_id FROM corpus
+)
+SELECT d.source,
+       COUNT(*) AS n_docs_screened,
+       CAST(SUM(CASE WHEN bf.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_flagged,
+       CAST(SUM(CASE WHEN ef.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_flagged,
+       CAST(SUM(CASE WHEN bf.doc_id IS NOT NULL AND ef.doc_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+FROM screened s
+JOIN documents d USING (doc_id)
+LEFT JOIN bloomf bf ON bf.doc_id = s.doc_id
+LEFT JOIN exactf ef ON ef.doc_id = s.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+#: Shard-routing SQL fragment: the independent '#shard' 60-bit md5
+#: mod BLOOM_SHARDS, verbatim what _bloom_shard_of computes.
+_BLOOM_SHARD_SQL = (
+    "CAST('0x' || SUBSTRING(md5({g} || '#shard'), 1, 15) AS BIGINT) "
+    f"% {BLOOM_SHARDS}"
+)
+
+CONTAMINATION_BLOOM_SHARDED_ORACLE = f"""
+WITH {_BLOOM_GRAM_CTE},
+shardm AS (
+  SELECT {_BLOOM_SHARD_SQL.format(g="gram")} AS shard,
+         GREATEST({BLOOM_MIN_M},
+                  {BLOOM_BITS_PER_ITEM} * COUNT(DISTINCT gram)) AS m
+  FROM bench GROUP BY 1
+),
+seeds(s) AS (VALUES {", ".join(f"({i})" for i in range(BLOOM_K))}),
+sbits AS (
+  SELECT DISTINCT sm.shard,
+         CAST('0x' || SUBSTRING(md5(gram || '#' || CAST(s AS VARCHAR)), 1, 15)
+              AS BIGINT) % sm.m AS bit
+  FROM bench b
+  JOIN shardm sm ON sm.shard = {_BLOOM_SHARD_SQL.format(g="b.gram")}
+  CROSS JOIN seeds
+), swords AS (
+  SELECT shard, bit // {BLOOM_WORD_BITS} AS widx,
+         bit_or(1::BIGINT << CAST(bit % {BLOOM_WORD_BITS} AS INTEGER)) AS w
+  FROM sbits GROUP BY 1, 2
+), cg AS (
+  SELECT DISTINCT doc_id, gram FROM corpus
+), probes AS (
+  SELECT c.doc_id, c.gram, sm.shard,
+         CAST('0x' || SUBSTRING(md5(c.gram || '#' || CAST(s AS VARCHAR)), 1, 15)
+              AS BIGINT) % sm.m AS bit
+  FROM cg c
+  JOIN shardm sm ON sm.shard = {_BLOOM_SHARD_SQL.format(g="c.gram")}
+  CROSS JOIN seeds
+), bloomf AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT p.doc_id, p.gram
+    FROM probes p
+    JOIN swords w ON w.shard = p.shard
+                 AND w.widx = p.bit // {BLOOM_WORD_BITS}
+    WHERE (w.w & (1::BIGINT << CAST(p.bit % {BLOOM_WORD_BITS} AS INTEGER))) <> 0
     GROUP BY p.doc_id, p.gram
     HAVING COUNT(*) = {BLOOM_K}
   )
@@ -882,6 +1096,12 @@ QUERIES: list[QueryDef] = [
         contamination_bloom,
         CONTAMINATION_BLOOM_ORACLE,
         "Bloom-filter decontamination screen + FP audit vs exact containment (deterministic, oracle-checked sketch)",
+    ),
+    QueryDef(
+        "contamination_bloom_sharded",
+        contamination_bloom_sharded,
+        CONTAMINATION_BLOOM_SHARDED_ORACLE,
+        "partitioned Bloom screen: shard-routed filters multiply capacity past one broadcast budget",
     ),
     QueryDef(
         "contamination_ngram",

@@ -7204,6 +7204,24 @@ def test_contamination_bloom_no_false_negatives_and_fp_band(spark):
     assert 0 < fp < 0.2 * screened
 
 
+def test_contamination_bloom_sharded_no_false_negatives(spark):
+    """The partitioned screen keeps the Bloom contract through shard
+    routing: exact ⊆ bloom per source (a benchmark gram and its
+    corpus twin route to the SAME shard by construction, so no
+    containment can be lost to routing), and the report shape matches
+    the unsharded audit's."""
+    from duckdb_gsheets_spark.operators.chunking import (
+        contamination_bloom_sharded,
+    )
+
+    rows = contamination_bloom_sharded(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_bloom_flagged - r.n_false_positives == r.n_exact_flagged
+        assert 0 <= r.n_bloom_flagged <= r.n_docs_screened
+    assert sum(r.n_exact_flagged for r in rows) >= 1
+
+
 def test_bloom_word_packed_mask_past_2e24_bits(spark):
     """The word-packed mask works PAST the round-10 2^24-bit cap: a
     ``bits_per_item`` override forces m > 2^24 from a small planted
