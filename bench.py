@@ -66,6 +66,10 @@ HEADLINE = (
     "quality_score_calibration",
     "events_ab_test",
     "dedup_longest_substring",
+    # round-11 additions:
+    "contamination_bloom",       # word-packed broadcast-filter screen
+    "pipeline_exactsubstr_apply",  # scrub apply over the shared suffix spine
+    "ann_sq8_rerank_topk",       # two-stage quantized retrieval
     # The widest PLANS.md rows — in the headline so plan changes to
     # the heaviest exchange/join graphs always carry wall-clock
     # evidence (round-8 verdict ask #3):
