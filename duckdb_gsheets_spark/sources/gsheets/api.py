@@ -47,10 +47,11 @@ _SHEET_URL_PREFIX = "https://docs.google.com/spreadsheets/d/"
 #: both quote styles for string literals). Literals anywhere else
 #: (SELECT list, WHERE comparisons) stay strings, mirroring how a
 #: replacement scan only fires when the parser resolves a TABLE
-#: reference — which also means comma-separated table refs
-#: (``FROM 'u1', 'u2'``) are NOT rewritten: without a real parse, a
-#: comma before a string literal is indistinguishable from a SELECT
-#: list or an IN list, where a rewrite would corrupt the statement.
+#: reference. Comma-separated table refs (``FROM 'u1', 'u2'``) are
+#: handled by a second fixpoint pass (_COMMA_URL_RE): a bare comma
+#: before a string literal is ambiguous (SELECT/IN lists), but a
+#: comma directly after a view THIS rewrite just injected is
+#: table-list position by construction.
 #: The SQL keywords match case-insensitively (``(?i:...)`` group) but
 #: the URL PREFIX is case-sensitive, matching the reference's
 #: StringUtil::StartsWith guard (src/gsheets_extension.cpp:31-33) —
@@ -62,6 +63,16 @@ _FROM_URL_RE = re.compile(
 )
 
 _ALIAS_PROBE_RE = re.compile(r"\s*(?:as\s+)?(`[^`]+`|[A-Za-z_]\w*)", re.IGNORECASE)
+
+#: A sheet-URL literal chained by comma to a VIEW THIS REWRITE just
+#: injected (optionally through its alias) — the only comma position
+#: that is provably a table list without a real parse.
+_COMMA_URL_RE = re.compile(
+    r"(\bgsheet_[0-9a-f]{10}"
+    r"(?:\s+(?:(?i:as)\s+)?(?:`[^`]+`|[A-Za-z_]\w*))?\s*,\s*)(?:"
+    r"'(" + re.escape(_SHEET_URL_PREFIX) + r"[^']*)'"
+    r"|\"(" + re.escape(_SHEET_URL_PREFIX) + r"[^\"]*)\")"
+)
 
 #: Keywords that may legally follow a table reference and therefore do
 #: NOT read as a user-supplied alias — every clause Spark SQL accepts
@@ -121,31 +132,47 @@ def sheets_sql(spark: SparkSession, sql: str, **options) -> DataFrame:
     views: dict[str, str] = {}
     used_aliases: set[str] = set()
 
-    def _replace(m: re.Match) -> str:
-        url = m.group(2) or m.group(3)
-        view = views.get(url)
-        if view is None:
-            view = "gsheet_" + hashlib.md5(url.encode()).hexdigest()[:10]
-            read_gsheet(spark, url, **options).createOrReplaceTempView(view)
-            views[url] = view
-        probe = _ALIAS_PROBE_RE.match(sql, m.end())
-        word = probe.group(1).strip("`").lower() if probe else ""
-        user_alias = bool(probe) and word not in _NON_ALIAS_KEYWORDS
-        if (
-            user_alias
-            or word in _ALIAS_UNSAFE_KEYWORDS
-            or any(ch in url for ch in "*?[")
-        ):
-            return f"{m.group(1)}{view}"
-        base = alias = _url_base_name(url)
-        n = 1
-        while alias.lower() in used_aliases:
-            n += 1
-            alias = f"{base}_{n}"
-        used_aliases.add(alias.lower())
-        return f"{m.group(1)}{view} AS `{alias}`"
+    def _make_replacer(text: str):
+        def _replace(m: re.Match) -> str:
+            url = m.group(2) or m.group(3)
+            view = views.get(url)
+            if view is None:
+                view = "gsheet_" + hashlib.md5(url.encode()).hexdigest()[:10]
+                read_gsheet(spark, url, **options).createOrReplaceTempView(
+                    view
+                )
+                views[url] = view
+            probe = _ALIAS_PROBE_RE.match(text, m.end())
+            word = probe.group(1).strip("`").lower() if probe else ""
+            user_alias = bool(probe) and word not in _NON_ALIAS_KEYWORDS
+            if (
+                user_alias
+                or word in _ALIAS_UNSAFE_KEYWORDS
+                or any(ch in url for ch in "*?[")
+            ):
+                return f"{m.group(1)}{view}"
+            base = alias = _url_base_name(url)
+            n = 1
+            while alias.lower() in used_aliases:
+                n += 1
+                alias = f"{base}_{n}"
+            used_aliases.add(alias.lower())
+            return f"{m.group(1)}{view} AS `{alias}`"
 
-    return spark.sql(_FROM_URL_RE.sub(_replace, sql))
+        return _replace
+
+    out = _FROM_URL_RE.sub(_make_replacer(sql), sql)
+    # Comma-chained refs in the same FROM list (``FROM 'u1', 'u2'``):
+    # a bare comma before a string literal is ambiguous (SELECT/IN
+    # lists), but a comma DIRECTLY after a view we just injected is
+    # table-list position by construction — iterate to fixpoint so
+    # arbitrarily long lists resolve one ref per pass.
+    while True:
+        rewritten = _COMMA_URL_RE.sub(_make_replacer(out), out, count=1)
+        if rewritten == out:
+            break
+        out = rewritten
+    return spark.sql(out)
 
 
 def write_gsheet(

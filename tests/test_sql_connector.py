@@ -290,3 +290,42 @@ def test_literal_url_colliding_base_aliases_deduplicate(
         ("Alice", 7.0),
         ("Charlie", 9.0),
     ]
+
+
+def test_literal_url_comma_table_list(spark, sheets_server, people_sheet):
+    """Comma-separated refs in one FROM list — the reference's
+    replacement scan fires per table reference, so
+    ``FROM 'u1', 'u2'`` must resolve both. A comma ref only rewrites
+    when chained directly after an already-injected view (optionally
+    through its alias), so string literals in SELECT/IN lists stay
+    untouched."""
+    sid, _ = people_sheet
+    other = sheets_server.new_spreadsheet("comma-people")
+    other.add_sheet(
+        "Sheet1", [["name", "bonus"], ["Alice", "7"], ["Charlie", "9"]]
+    )
+    # implicit cross join, user aliases on both
+    rows = _sheets_sql(
+        spark,
+        sheets_server,
+        f"SELECT p.name, q.bonus FROM '{url_for(sid)}' p, "
+        f"'{url_for('comma-people')}' q "
+        "WHERE p.name = q.name ORDER BY p.name",
+    ).collect()
+    assert [(r.name, r.bonus) for r in rows] == [
+        ("Alice", 7.0),
+        ("Charlie", 9.0),
+    ]
+    # base-name aliases: first is `edit`, comma-chained second
+    # deduplicates to `edit_2`
+    rows = _sheets_sql(
+        spark,
+        sheets_server,
+        f"SELECT edit.name, edit_2.bonus FROM '{url_for(sid)}', "
+        f"'{url_for('comma-people')}' "
+        "WHERE edit.name = edit_2.name ORDER BY edit.name",
+    ).collect()
+    assert [(r.name, r.bonus) for r in rows] == [
+        ("Alice", 7.0),
+        ("Charlie", 9.0),
+    ]
