@@ -2974,6 +2974,28 @@ def _lrs_occurrences(
     return short.unionByName(long_)
 
 
+def _lrs_cut_islands(spans: DataFrame) -> DataFrame:
+    """Interval-union island sweep over an occurrence-span frame
+    ``(doc_id, s, e)``: sort per doc, running-max end, new-island
+    flag, cumulative island id — the ONE home of the exact
+    sequential-scrub semantics (overlapping occurrences count each
+    token position once) shared by the retention pipeline and the
+    apply step, so the two cannot drift. Windows partition by doc_id
+    over occurrence rows only — |affected docs| × ≤K·spans, never
+    corpus-sized."""
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return spans.withColumn(
+        "new_isl",
+        (F.col("s") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr scrub manifest — the ACTIONABLE half of the
     suffix-LCP report (Lee et al. 2022 deduplicate by REMOVING the
@@ -3040,19 +3062,8 @@ def pipeline_exactsubstr_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("s"),
         (F.col("pos") + F.col("l") - 1).alias("e"),
     )
-    w = Window.partitionBy("doc_id").orderBy("s", "e")
-    prev_end = F.max("e").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = spans.withColumn(
-        "new_isl",
-        (F.col("s") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
-    ).withColumn(
-        "isl",
-        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
     ledger = (
-        islands.groupBy("doc_id", "isl")
+        _lrs_cut_islands(spans).groupBy("doc_id", "isl")
         .agg((F.max("e") - F.min("s") + 1).alias("cov"))
         .groupBy("doc_id")
         .agg(F.sum("cov").cast("bigint").alias("tokens_matched"))
@@ -3135,21 +3146,8 @@ def pipeline_exactsubstr_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("s"),
         (F.col("pos") + F.col("l") - 1).alias("e"),
     )
-    w = Window.partitionBy("doc_id").orderBy("s", "e")
-    prev_end = F.max("e").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
     cuts = (
-        spans.withColumn(
-            "new_isl",
-            (F.col("s") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
-        )
-        .withColumn(
-            "isl",
-            F.sum("new_isl").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
+        _lrs_cut_islands(spans)
         .groupBy("doc_id", "isl")
         .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
         .groupBy("doc_id")
@@ -3296,9 +3294,11 @@ GROUP BY l, substring
 """
 
 
-PIPELINE_EXACTSUBSTR_ORACLE = f"""
-WITH {_lrs_core_sql()},
-px_spans AS (
+#: Shared island-sweep SQL (the oracle twin of _lrs_cut_islands):
+#: occurrence spans -> running-max new-island flags -> island ids.
+#: One fragment for the retention pipeline and the apply step so the
+#: two oracles replay the identical scrub semantics.
+_PX_ISLAND_SQL = """px_spans AS (
   SELECT doc_id, pos AS s, pos + l - 1 AS e FROM lr_occ
 ), px_isl AS (
   SELECT doc_id, s, e,
@@ -3313,7 +3313,12 @@ px_spans AS (
            PARTITION BY doc_id ORDER BY s, e
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
   FROM px_isl
-), px_ledger AS (
+)"""
+
+
+PIPELINE_EXACTSUBSTR_ORACLE = f"""
+WITH {_lrs_core_sql()},
+{_PX_ISLAND_SQL}, px_ledger AS (
   SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS tokens_matched
   FROM (
     SELECT doc_id, MAX(e) - MIN(s) + 1 AS cov
@@ -3344,22 +3349,7 @@ FROM px GROUP BY source
 
 PIPELINE_EXACTSUBSTR_APPLY_ORACLE = f"""
 WITH {_lrs_core_sql()},
-px_spans AS (
-  SELECT doc_id, pos AS s, pos + l - 1 AS e FROM lr_occ
-), px_isl AS (
-  SELECT doc_id, s, e,
-         CASE WHEN s > COALESCE(MAX(e) OVER (
-                PARTITION BY doc_id ORDER BY s, e
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS new_isl
-  FROM px_spans
-), px_isl2 AS (
-  SELECT doc_id, s, e,
-         SUM(new_isl) OVER (
-           PARTITION BY doc_id ORDER BY s, e
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-  FROM px_isl
-), pa_iv AS (
+{_PX_ISLAND_SQL}, pa_iv AS (
   SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
   FROM px_isl2 GROUP BY doc_id, isl
 ), pa_docs AS (

@@ -43,17 +43,22 @@ class QueryDef:
 #: window is not). Round-11 composition — every slot can turn or stay
 #: green (no oracle-less entry wastes a slot):
 #:
-#: * 2 rows with ROUND-11 plan/oracle changes: ``contamination_bloom``
-#:   (word-packed array<long> mask + 60-bit hash, oracle rebuilt in
-#:   lockstep) and the BRAND-NEW ``pipeline_exactsubstr_apply`` (the
-#:   scrubbed-corpus apply step) taking its first driver row;
+#: * 6 rows with ROUND-11 plan/oracle changes or first driver rows:
+#:   ``contamination_bloom`` (word-packed array<long> mask + 60-bit
+#:   hash, oracle rebuilt in lockstep) and the FIVE new round-11
+#:   queries — ``pipeline_exactsubstr_apply`` (the scrubbed-corpus
+#:   apply step), ``ann_sq8_rerank_topk`` + ``ann_sq8_rerank_recall``
+#:   (two-stage retrieval + its recovery report),
+#:   ``contamination_bloom_sharded`` (the partitioned scale path),
+#:   ``corpus_shuffle_manifest`` (seeded training shuffle) — a new
+#:   query outranks any stale-green re-check;
 #: * the 10 named round-11 rotation-queue rows (r5-latest, queued by
 #:   the round-10 verdict): ``window_nth_value``, ``join_lateral_topn``,
 #:   ``events_pattern_match``, ``events_variant_extract``,
 #:   ``events_wow_change``, ``orders_open_backlog``,
 #:   ``text_type_token_ratio``, ``token_budget_waterfill``,
 #:   ``vocab_freq_spectrum``, ``supplier_concentration_hhi``;
-#: * 38 of the 48 round-6-latest rows — including the four rows the
+#: * 34 of the 48 round-6-latest rows — including the four rows the
 #:   round-10 verdict marked perf-`weak` (``ann_matryoshka_recall``
 #:   and ``ann_prefix_ivf_recall`` ride along their r6 families
 #:   ``ann_recall_report``/``ann_nprobe_recall_curve``; the audits
@@ -61,10 +66,11 @@ class QueryDef:
 #:   ``pipeline_ccnet_corpus`` and ``quality_lang_tertiles`` whose
 #:   job-floor decompositions BASELINE.md round-11 records.
 #:
-#: The 10 round-6-latest rows that did NOT fit — ``window_rank``,
+#: The 14 round-6-latest rows that did NOT fit — ``window_rank``,
 #: ``window_running_sum``, ``window_lag_lead``, ``topk_orders``,
 #: ``distinct_projection``, ``agg_distinct``, ``setop_union_all``,
-#: ``setop_intersect``, ``setop_except``, ``join_semi`` (simple
+#: ``setop_intersect``, ``setop_except``, ``join_semi``, ``join_anti``,
+#: ``join_outer``, ``join_full_outer``, ``join_cross`` (simple
 #: window/relational shapes whose plans and oracles have not changed
 #: since r6) — lead the ROUND-12 ROTATION QUEUE and stay covered by
 #: the full-registry sf0.1 parity sweep every round.
@@ -72,6 +78,10 @@ _WINDOW: tuple[str, ...] = (
     # -- round-11 plan changes / first driver rows --
     "contamination_bloom",
     "pipeline_exactsubstr_apply",
+    "ann_sq8_rerank_topk",
+    "ann_sq8_rerank_recall",
+    "contamination_bloom_sharded",
+    "corpus_shuffle_manifest",
     # -- the named round-11 rotation queue (r5-latest) --
     "window_nth_value",
     "join_lateral_topn",
@@ -100,10 +110,6 @@ _WINDOW: tuple[str, ...] = (
     "q18_large_orders",
     "rollup_returns",
     "cube_segment_nation",
-    "join_anti",
-    "join_outer",
-    "join_full_outer",
-    "join_cross",
     "date_functions",
     "case_conditional_agg",
     "having_filter",

@@ -2818,22 +2818,48 @@ def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     use the house (−sim, vec_b) total order; stage-1 ties resolve on
     the 1e-6 sq_sim grid identically in both engines.
     """
+    cut, queries = _sq8_rerank_cut(spark, sf_dir)
+    return _sq8_rerank_from(spark, sf_dir, cut, queries)
+
+
+def _sq8_rerank_cut(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Stage 1 once: the R-deep SQ8 candidate cut ``(vec_a, vec_b,
+    r1)`` as an eagerly-checkpointed R·|queries|-row frame (bounded
+    regardless of corpus size — the trained-candidate artifact), plus
+    the query batch. One corpus scoring pass feeds BOTH the rerank
+    and — because the flat index's top-k is by construction the first
+    k rows of the same (−sq_sim, vec_b) ranking — the flat-SQ8 side
+    of the recovery report, which previously re-ran the corpus
+    scoring through ann_sq8_topk a second time."""
     scored, queries = _sq8_scored_frame(spark, sf_dir)
     w1 = Window.partitionBy("vec_a").orderBy(
         F.desc("sq_sim"), F.col("vec_b")
     )
-    cand = (
+    cut = (
         scored.withColumn("r1", F.row_number().over(w1))
         .where(F.col("r1") <= SQ8_RERANK_R)
-        .select("vec_a", "vec_b")
+        .select("vec_a", "vec_b", "r1")
+        .localCheckpoint(eager=True)
     )
+    return cut, queries
+
+
+def _sq8_rerank_from(
+    spark: SparkSession, sf_dir: str, cut: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """Stage 2: exact float rerank of the bounded candidate cut —
+    broadcast the winner list against the float corpus (semi-join-
+    shaped prune, no second corpus-scan shuffle), round-6 cosine,
+    rank ≤ k on the house (−sim, vec_b) order."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus_f = emb.select(
         F.col("vec_id").alias("vec_b"),
         to_double(F.col("embedding")).alias("emb_bf"),
     ).withColumn("norm_bf", norm(F.col("emb_bf")))
     rer = (
-        F.broadcast(cand)
+        F.broadcast(cut.select("vec_a", "vec_b"))
         .join(corpus_f, "vec_b")
         .join(F.broadcast(queries), "vec_a")
         .select(
@@ -2941,13 +2967,21 @@ def ann_sq8_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All three top-k frames are bounded (k·|queries| / R·|queries|);
     the overlap joins and the rollup never touch corpus-sized data.
-    The recovery delta is computed in the same operation order in
-    both engines (two integer-sum ratios subtracted, then one
-    round-6), per the determinism contract.
+    ONE corpus scoring pass feeds both quantized sides: the flat
+    index's top-k is the first k rows of the R-cut's own ranking
+    (same (−sq_sim, vec_b) total order), so it reads the checkpointed
+    cut instead of re-scoring the corpus, and the exact side reads
+    the shared checkpointed baseline. The recovery delta is computed
+    in the same operation order in both engines (two integer-sum
+    ratios subtracted, then one round-6), per the determinism
+    contract.
     """
-    exact = ann_cosine_topk(spark, sf_dir).select("vec_a", "vec_b")
-    rr = ann_sq8_rerank_topk(spark, sf_dir).select("vec_a", "vec_b")
-    sq = ann_sq8_topk(spark, sf_dir).select("vec_a", "vec_b")
+    exact = _exact_baseline_ckpt(spark, sf_dir)
+    cut, queries = _sq8_rerank_cut(spark, sf_dir)
+    rr = _sq8_rerank_from(spark, sf_dir, cut, queries).select(
+        "vec_a", "vec_b"
+    )
+    sq = cut.where(F.col("r1") <= TOPK_K).select("vec_a", "vec_b")
     spine = exact.select("vec_a").distinct()
     m_rr = (
         exact.join(rr, ["vec_a", "vec_b"])

@@ -86,15 +86,14 @@ def zvalue(cols: list[Column], bounds: list[tuple[float, float]],
         scaled = F.floor(
             (col.cast("double") - F.lit(float(mn))) / F.lit(span) * grid
         ).cast("long")
-        # Explicit NULL→0 (nulls-first contract above); without the
-        # coalesce, greatest() silently skips the NULL — same cell,
-        # but by accident instead of by contract.
-        g = F.coalesce(
-            F.least(
-                F.lit(grid - 1).cast("long"),
-                F.greatest(F.lit(0).cast("long"), scaled),
-            ),
-            F.lit(0).cast("long"),
+        # NULL keys land in cell 0 here: greatest()/least() skip NULL
+        # inputs, so a NULL `scaled` clamps to the 0 bound — the
+        # nulls-first contract in the docstring, pinned by
+        # test_zvalue_null_keys_place_nulls_first rather than by an
+        # (otherwise-unreachable) coalesce branch.
+        g = F.least(
+            F.lit(grid - 1).cast("long"),
+            F.greatest(F.lit(0).cast("long"), scaled),
         )
         for b in range(bits):
             bit = F.shiftright(g, b).bitwiseAND(F.lit(1).cast("long"))

@@ -130,7 +130,17 @@ def sheets_sql(spark: SparkSession, sql: str, **options) -> DataFrame:
     """
     register(spark)
     views: dict[str, str] = {}
+    # Seed the dedup set with every USER-written alias on a sheet ref
+    # (pre-scanned before any rewrite): an injected base-name alias
+    # must not collide with an alias the user chose for another ref —
+    # `FROM 'a' AS edit JOIN 'b'` would otherwise inject a second
+    # `edit`, regardless of which ref the rewrite visits first.
     used_aliases: set[str] = set()
+    for m in _FROM_URL_RE.finditer(sql):
+        probe = _ALIAS_PROBE_RE.match(sql, m.end())
+        word = probe.group(1).strip("`").lower() if probe else ""
+        if probe and word not in _NON_ALIAS_KEYWORDS:
+            used_aliases.add(word)
 
     def _make_replacer(text: str):
         def _replace(m: re.Match) -> str:
@@ -150,6 +160,10 @@ def sheets_sql(spark: SparkSession, sql: str, **options) -> DataFrame:
                 or word in _ALIAS_UNSAFE_KEYWORDS
                 or any(ch in url for ch in "*?[")
             ):
+                if user_alias:
+                    # comma-pass refs aren't in the pre-scan; make
+                    # their user aliases visible to later injections
+                    used_aliases.add(word)
                 return f"{m.group(1)}{view}"
             base = alias = _url_base_name(url)
             n = 1

@@ -1031,7 +1031,10 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
         # here was dead code that silently degraded every batch to
         # the struct fallback). Frames without lineage columns
         # (non-file sources) still fall back to the struct order.
-        if "_mt" in updates.columns and "_src" in updates.columns:
+        has_lineage = (
+            "_mt" in updates.columns and "_src" in updates.columns
+        )
+        if has_lineage:
             upd = updates
         else:
             upd = updates.withColumn(
@@ -1060,9 +1063,12 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
         # outrank change_10/… — so in mixed batches the promotion
         # additionally excludes data-<digits> style leaves (genuine
         # flat set files like change_10.parquet still promote). The
-        # mixed-layout check reads the batch's distinct file list,
-        # which is bounded by maxFilesPerTrigger, so the driver-side
-        # peek is O(files), not O(rows). Remaining undecidable corner,
+        # mixed-layout check distincts the batch's _src values — one
+        # narrow scan per batch whose RESULT is bounded by
+        # maxFilesPerTrigger (the driver transfer is O(files); the
+        # scan itself is the price of the corner) and which is
+        # skipped entirely on the no-lineage fallback, where _src is
+        # a constant ''. Remaining undecidable corner,
         # documented: flat files under a watch dir whose NAME ends in
         # digits mixed with set directories — the watch-dir digits
         # read as a constant set number; keep one layout per feed (or
@@ -1074,7 +1080,7 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
 
         leaf = F.regexp_extract(F.col("_src"), r"([^/]*)$", 1)
         parent_seg = F.regexp_extract(F.col("_src"), r"([^/]*)/[^/]*$", 1)
-        batch_has_set_dirs = any(
+        batch_has_set_dirs = has_lineage and any(
             _re.search(
                 r"\d\D*$", _re.sub(r"/[^/]*$", "", r._src).rsplit("/", 1)[-1]
             )
@@ -1882,22 +1888,25 @@ def streaming_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     @pandas_udf("double")
-    def adc_sim_udf(emb_a: pd.Series, codes: pd.Series) -> pd.Series:
+    def adc_sim_udf(
+        emb_a: pd.Series, codes: pd.Series, rec2: pd.Series
+    ) -> pd.Series:
         if len(emb_a) == 0:
             return pd.Series([], dtype="float64")
         Q = np.stack(emb_a.to_numpy())
         Cd = np.stack(codes.to_numpy()).astype(np.int64)
         qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
         adc = np.zeros(len(Q))
-        r2 = np.zeros(len(Q))
         rows = np.arange(len(Q))
         for sp in range(PQ_M):
             lut = np.einsum(
                 "qd,jd->qj", Q[:, sp * sub : (sp + 1) * sub], Csub[sp]
             )
-            c = Cd[:, sp]
-            adc += lut[rows, c]
-            r2 += cc[sp][c]
+            adc += lut[rows, Cd[:, sp]]
+        # rec2 rides the index (computed once per corpus row at build,
+        # same sp-ascending fold) instead of being re-gathered per
+        # scored pair.
+        r2 = rec2.to_numpy()
         return pd.Series(np.round(adc / (qnorm * np.sqrt(r2)), 6))
 
     probes = probe_lists_np(
@@ -1918,7 +1927,9 @@ def streaming_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            adc_sim_udf(F.col("emb_a"), F.col("codes")).alias("adc_sim"),
+            adc_sim_udf(
+                F.col("emb_a"), F.col("codes"), F.col("rec2")
+            ).alias("adc_sim"),
         )
     )
     return run_to_memory(

@@ -329,3 +329,31 @@ def test_literal_url_comma_table_list(spark, sheets_server, people_sheet):
         ("Alice", 7.0),
         ("Charlie", 9.0),
     ]
+
+
+def test_literal_url_injected_alias_avoids_user_alias(
+    spark, sheets_server, people_sheet
+):
+    """A USER-written alias must never be shadowed by an injected
+    base-name alias: with the user claiming `edit` on one ref, the
+    other ref's injected alias deduplicates away from it (user
+    aliases are pre-scanned before any rewrite, so visit order
+    doesn't matter)."""
+    sid, _ = people_sheet
+    other = sheets_server.new_spreadsheet("alias-people")
+    other.add_sheet(
+        "Sheet1", [["name", "bonus"], ["Alice", "7"], ["Charlie", "9"]]
+    )
+    # user alias `edit` on the SECOND ref: the first ref's injected
+    # alias must skip to edit_2 even though it rewrites first
+    rows = _sheets_sql(
+        spark,
+        sheets_server,
+        f"SELECT edit_2.name, edit.bonus FROM '{url_for(sid)}' "
+        f"JOIN '{url_for('alias-people')}' AS edit "
+        "ON edit_2.name = edit.name ORDER BY edit_2.name",
+    ).collect()
+    assert [(r.name, r.bonus) for r in rows] == [
+        ("Alice", 7.0),
+        ("Charlie", 9.0),
+    ]
