@@ -332,22 +332,25 @@ BLOOM_WORD_BITS = 63
 BLOOM_MAX_M = 1 << 30
 
 
-def _bloom_bit(gram: Column, seed: int, m) -> Column:
-    """Bit position of ``gram`` under hash ``seed``: the first 15 hex
-    chars of md5(gram + '#' + seed) as a 60-bit integer, mod ``m`` —
-    the portable construction both engines compute identically (same
+def _bloom_hash60(gram: Column, seed: int) -> Column:
+    """Raw 60-bit hash of ``gram`` under hash ``seed``: the first 15
+    hex chars of md5(gram + '#' + seed) as a 60-bit integer — the
+    portable construction both engines compute identically (same
     md5-prefix device as the sampling family; 15 hex digits because
-    16 would exceed signed-64 range on the DuckDB side)."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(gram, F.lit(f"#{seed}"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m
-    )
+    16 would exceed signed-64 range on the DuckDB side). PRE-mod so
+    the artifact builders can collect it before the filter size m is
+    known and reduce mod m on the driver."""
+    return F.conv(
+        F.substring(F.md5(F.concat(gram, F.lit(f"#{seed}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def _bloom_bit(gram: Column, seed: int, m) -> Column:
+    """Bit position of ``gram`` under hash ``seed``:
+    ``_bloom_hash60 % m``."""
+    return _bloom_hash60(gram, seed) % m
 
 
 def _bloom_word_hit(bit: Column, words: Column) -> Column:
@@ -380,21 +383,27 @@ def bloom_artifact(
     gate (streaming.events_stream.streaming_bloom_gate) fit it through
     this one function so the gate can never drift from the audit.
 
+    The whole fit is ONE distributed action: a single collect of the
+    K raw 60-bit hashes per distinct gram. The sizing count is the
+    length of that same result (no separate ``.count()`` job), and
+    the mod-m reduction + word packing run on the driver over the
+    already-bounded artifact rows (the round-11 shape collected
+    distinct post-mod bits instead, which cost an extra count job and
+    a full distinct shuffle per fit — the round-12 job-floor cut).
     ``bench_grams`` (the distinct-gram frame) may be passed in by a
-    caller that also consumes it elsewhere; when built here it is
-    eagerly checkpointed, since sizing (count) and bit extraction
-    (collect) would otherwise each re-run the corpus tokenize+explode.
-    ``bits_per_item`` exists so tests can force a past-2^24-bit mask
-    without a half-million-gram benchmark; production callers use the
-    default sizing rule.
+    caller that also consumes it elsewhere. ``bits_per_item`` exists
+    so tests can force a past-2^24-bit mask without a
+    half-million-gram benchmark; production callers use the default
+    sizing rule.
     """
     if bench_grams is None:
         bench, _ = _contam_gram_frames(spark, sf_dir)
-        bench_grams = (
-            bench.select("gram").distinct().localCheckpoint(eager=True)
-        )
-    bench = bench_grams
-    m = max(BLOOM_MIN_M, bits_per_item * bench_grams.count())
+        # single consumer below — no checkpoint needed on this path
+        bench_grams = bench.select("gram").distinct()
+    hash_rows = bench_grams.select(
+        *[_bloom_hash60(F.col("gram"), s).alias(f"h{s}") for s in range(BLOOM_K)]
+    ).collect()
+    m = max(BLOOM_MIN_M, bits_per_item * len(hash_rows))
     if m > BLOOM_MAX_M:
         raise ValueError(
             f"bloom filter needs {m} bits (> BLOOM_MAX_M {BLOOM_MAX_M}): "
@@ -402,23 +411,11 @@ def bloom_artifact(
             "— shard the filter (partition the benchmark gram space) "
             "for a suite this large"
         )
-    bit_rows = (
-        bench.select(
-            F.explode(
-                F.array(
-                    *[
-                        _bloom_bit(F.col("gram"), s, m)
-                        for s in range(BLOOM_K)
-                    ]
-                )
-            ).alias("bit")
-        )
-        .distinct()
-        .collect()
-    )
     words = [0] * ((m + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS)
-    for r in bit_rows:
-        words[r.bit // BLOOM_WORD_BITS] |= 1 << (r.bit % BLOOM_WORD_BITS)
+    for r in hash_rows:
+        for s in range(BLOOM_K):
+            b = r[s] % m
+            words[b // BLOOM_WORD_BITS] |= 1 << (b % BLOOM_WORD_BITS)
     return m, words
 
 
@@ -476,8 +473,8 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     the report's subject, not a bug.
     """
     bench, corpus = _contam_gram_frames(spark, sf_dir)
-    # One distinct-gram frame, eagerly checkpointed, feeds all three
-    # benchmark consumers (filter sizing, bit extraction, the exact
+    # One distinct-gram frame, eagerly checkpointed, feeds both
+    # benchmark consumers (the one-pass artifact fit and the exact
     # containment join) — without it each would re-run the corpus
     # tokenize+explode.
     bench_grams = (
@@ -577,21 +574,25 @@ def bloom_artifact_sharded(
     :func:`bloom_artifact`. Shards with no benchmark grams have no
     filter — a gram routing there is definitionally not contained.
     Each shard individually respects BLOOM_MAX_M; total capacity is
-    BLOOM_SHARDS × that."""
+    BLOOM_SHARDS × that.
+
+    Like :func:`bloom_artifact`, the fit is ONE distributed action —
+    a single collect of (shard, K raw 60-bit hashes) per distinct
+    gram; per-shard counts, sizing, the mod-m_s reduction and word
+    packing all run driver-side over those bounded rows (round 12
+    fused the former per-shard count job + bit distinct shuffle into
+    this pass)."""
     if bench_grams is None:
         bench, _ = _contam_gram_frames(spark, sf_dir)
-        bench_grams = (
-            bench.select("gram").distinct().localCheckpoint(eager=True)
-        )
-    sharded = bench_grams.select(
-        "gram", _bloom_shard_of(F.col("gram")).alias("shard")
-    )
-    counts = {
-        int(r.shard): int(r.n)
-        for r in sharded.groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+        # single consumer below — no checkpoint needed on this path
+        bench_grams = bench.select("gram").distinct()
+    hash_rows = bench_grams.select(
+        _bloom_shard_of(F.col("gram")).alias("shard"),
+        *[_bloom_hash60(F.col("gram"), s).alias(f"h{s}") for s in range(BLOOM_K)],
+    ).collect()
+    counts: dict[int, int] = {}
+    for r in hash_rows:
+        counts[int(r.shard)] = counts.get(int(r.shard), 0) + 1
     ms = {
         s: max(BLOOM_MIN_M, bits_per_item * n) for s, n in counts.items()
     }
@@ -602,33 +603,17 @@ def bloom_artifact_sharded(
                 f"{BLOOM_MAX_M}) — raise BLOOM_SHARDS for a suite this "
                 "large"
             )
-    m_map = F.create_map(
-        *[F.lit(v) for s, m in ms.items() for v in (s, m)]
-    )
-    bit_rows = (
-        sharded.withColumn("m", F.element_at(m_map, F.col("shard")))
-        .select(
-            "shard",
-            F.explode(
-                F.array(
-                    *[
-                        _bloom_bit(F.col("gram"), s, F.col("m"))
-                        for s in range(BLOOM_K)
-                    ]
-                )
-            ).alias("bit"),
-        )
-        .distinct()
-        .collect()
-    )
     words: dict[int, list[int]] = {
         s: [0] * ((m + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS)
         for s, m in ms.items()
     }
-    for r in bit_rows:
-        words[r.shard][r.bit // BLOOM_WORD_BITS] |= 1 << (
-            r.bit % BLOOM_WORD_BITS
-        )
+    for r in hash_rows:
+        shard, m = int(r.shard), ms[int(r.shard)]
+        for s in range(BLOOM_K):
+            b = r[s + 1] % m
+            words[shard][b // BLOOM_WORD_BITS] |= 1 << (
+                b % BLOOM_WORD_BITS
+            )
     return {s: (ms[s], words[s]) for s in ms}
 
 

@@ -2045,27 +2045,116 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_topk_bounded_sql() -> str:
+    """BOUNDED DuckDB CTE chain for the top-K n-gram-Jaccard match set
+    — the oracle-side mirror of :func:`dedup_ngram_jaccard`'s own
+    plan (group-collapse → prefix-filtered PPJoin over representatives
+    → bounded top-K assembly), ending in a CTE ``m`` with the exact
+    shape and content of ``DEDUP_NGRAM_ORACLE``.
+
+    Exists because the graph-family oracles (triangles, global stats)
+    embed the match set as a sub-CTE: the all-pairs replay that is
+    tolerable as ONE standalone oracle at sf0.1 spills unboundedly
+    when the triangle chain re-references it (the round-7 sweep saw
+    > 80 GB of DuckDB temp before dying) — the sole reason those
+    sweeps carried exclusions through round 11. Correctness argument:
+    verification is exact (``list_intersect`` on the full token
+    lists), so ANY candidate superset of the true ≥-threshold pairs
+    yields identical output; every pruning bound below is the Spark
+    side's own, slackened by 1e-9 before CEIL so cross-engine float
+    drift can only UNDER-prune. The K+1-smallest-members assembly is
+    the same bounded expansion the Spark plan ships (hash-verified
+    against the all-pairs oracle since round 4)."""
+    t = NGRAM_JACCARD_THRESHOLD
+    k = NGRAM_TOPK_K
+    return f"""bm_sized AS (
+  SELECT doc_id,
+         list_sort(list_distinct(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))) AS toks
+  FROM documents WHERE text IS NOT NULL
+), bm_mem AS MATERIALIZED (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         MIN(doc_id) OVER (PARTITION BY toks) AS gid,
+         COUNT(*) OVER (PARTITION BY toks) AS g_size,
+         ROW_NUMBER() OVER (PARTITION BY toks ORDER BY doc_id) AS rk
+  FROM bm_sized
+), bm_reps AS MATERIALIZED (
+  SELECT gid, toks, n_tokens FROM bm_mem WHERE doc_id = gid
+), bm_post AS MATERIALIZED (
+  SELECT gid, n_tokens, unnest(toks) AS tok FROM bm_reps
+), bm_df AS (
+  SELECT tok, COUNT(*) AS df FROM bm_post GROUP BY tok
+), bm_pref AS MATERIALIZED (
+  SELECT gid, n_tokens, tok, pos FROM (
+    SELECT p.gid, p.n_tokens, p.tok,
+           ROW_NUMBER() OVER (PARTITION BY p.gid ORDER BY d.df, p.tok) AS pos
+    FROM bm_post p JOIN bm_df d ON d.tok = p.tok
+  ) WHERE pos <= n_tokens - CEIL(n_tokens * {t} - 1e-9) + 1
+), bm_cand AS (
+  SELECT DISTINCT a.gid AS ga, b.gid AS gb
+  FROM bm_pref a JOIN bm_pref b ON a.tok = b.tok AND a.gid < b.gid
+  WHERE LEAST(a.n_tokens, b.n_tokens)
+          >= GREATEST(a.n_tokens, b.n_tokens) * {t} - 1e-9
+    AND LEAST(a.n_tokens - a.pos, b.n_tokens - b.pos) + 1
+          >= CEIL((a.n_tokens + b.n_tokens) * {t / (1.0 + t)} - 1e-9)
+), bm_rep_pairs AS MATERIALIZED (
+  SELECT ga, gb, jaccard FROM (
+    SELECT c.ga, c.gb,
+           ROUND(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+                 / CAST(sa.n_tokens + sb.n_tokens
+                        - len(list_intersect(sa.toks, sb.toks)) AS DOUBLE),
+                 6) AS jaccard
+    FROM bm_cand c
+    JOIN bm_reps sa ON sa.gid = c.ga
+    JOIN bm_reps sb ON sb.gid = c.gb
+  ) WHERE jaccard >= {t}
+), bm_dir AS (
+  SELECT ga AS gid, gb AS gid_dst, jaccard FROM bm_rep_pairs
+  UNION ALL
+  SELECT gb AS gid, ga AS gid_dst, jaccard FROM bm_rep_pairs
+), bm_k AS MATERIALIZED (
+  SELECT gid, doc_id AS match_id FROM bm_mem WHERE rk <= {k} + 1
+), m AS MATERIALIZED (
+  SELECT doc_id, match_id, jaccard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY jaccard DESC, match_id) AS INTEGER) AS rank
+  FROM (
+    SELECT mm.doc_id, kk.match_id, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM bm_mem mm JOIN bm_k kk ON kk.gid = mm.gid
+    WHERE mm.g_size > 1 AND kk.match_id <> mm.doc_id
+    UNION ALL
+    SELECT mm.doc_id, kk.match_id, d.jaccard
+    FROM bm_mem mm
+    JOIN bm_dir d ON d.gid = mm.gid
+    JOIN bm_k kk ON kk.gid = d.gid_dst
+  )
+  QUALIFY rank <= {k}
+)"""
+
+
 def _tri_core_sql() -> str:
     """Shared DuckDB CTE chain: canonical edge set of the top-K
     Jaccard graph, degrees, degree-ordered orientation, and the
     triangle list — used by both the per-node triangle oracle and the
-    global graph-stats oracle."""
-    return f"""m AS ({DEDUP_NGRAM_ORACLE}),
-tr_edges AS (
+    global graph-stats oracle. Rides the BOUNDED match-set chain
+    (:func:`_ngram_topk_bounded_sql`) so the whole oracle is
+    sf0.1-tractable — the round-12 fix that retires the sweep's
+    O(n²)-oracle exclusions."""
+    return f"""{_ngram_topk_bounded_sql()},
+tr_edges AS MATERIALIZED (
   SELECT DISTINCT LEAST(doc_id, match_id) AS a, GREATEST(doc_id, match_id) AS b
   FROM m
-), tr_deg AS (
+), tr_deg AS MATERIALIZED (
   SELECT node, COUNT(*) AS degree FROM (
     SELECT a AS node FROM tr_edges UNION ALL SELECT b AS node FROM tr_edges
   ) GROUP BY node
-), oriented AS (
+), oriented AS MATERIALIZED (
   SELECT CASE WHEN (da.degree, e.a) < (db.degree, e.b) THEN e.a ELSE e.b END AS u,
          CASE WHEN (da.degree, e.a) < (db.degree, e.b) THEN e.b ELSE e.a END AS v,
          CASE WHEN (da.degree, e.a) < (db.degree, e.b) THEN db.degree ELSE da.degree END AS deg_v
   FROM tr_edges e
   JOIN tr_deg da ON da.node = e.a
   JOIN tr_deg db ON db.node = e.b
-), tri AS (
+), tri AS MATERIALIZED (
   SELECT o1.u, o1.v AS v1, o2.v AS v2
   FROM oriented o1
   JOIN oriented o2 ON o1.u = o2.u

@@ -52,12 +52,18 @@ _SHEET_URL_PREFIX = "https://docs.google.com/spreadsheets/d/"
 #: before a string literal is ambiguous (SELECT/IN lists), but a
 #: comma directly after a view THIS rewrite just injected is
 #: table-list position by construction.
-#: The SQL keywords match case-insensitively (``(?i:...)`` group) but
-#: the URL PREFIX is case-sensitive, matching the reference's
-#: StringUtil::StartsWith guard (src/gsheets_extension.cpp:31-33) —
-#: a case-variant prefix stays a plain string literal there too.
+#: The SQL keywords match case-insensitively but the URL PREFIX is
+#: case-sensitive, matching the reference's StringUtil::StartsWith
+#: guard (src/gsheets_extension.cpp:31-33) — a case-variant prefix
+#: stays a plain string literal there too. Case-insensitivity is
+#: spelled with character classes, NOT scoped ``(?i:...)`` groups:
+#: scoped inline flags require Python >= 3.11 and this module declares
+#: no interpreter floor.
+_KW_FROM_JOIN = r"(?:[Ff][Rr][Oo][Mm]|[Jj][Oo][Ii][Nn])"
+_KW_AS = r"[Aa][Ss]"
+
 _FROM_URL_RE = re.compile(
-    r"(\b(?i:from|join)\s+)(?:"
+    r"(\b" + _KW_FROM_JOIN + r"\s+)(?:"
     r"'(" + re.escape(_SHEET_URL_PREFIX) + r"[^']*)'"
     r"|\"(" + re.escape(_SHEET_URL_PREFIX) + r"[^\"]*)\")"
 )
@@ -69,7 +75,18 @@ _ALIAS_PROBE_RE = re.compile(r"\s*(?:as\s+)?(`[^`]+`|[A-Za-z_]\w*)", re.IGNORECA
 #: that is provably a table list without a real parse.
 _COMMA_URL_RE = re.compile(
     r"(\bgsheet_[0-9a-f]{10}"
-    r"(?:\s+(?:(?i:as)\s+)?(?:`[^`]+`|[A-Za-z_]\w*))?\s*,\s*)(?:"
+    r"(?:\s+(?:" + _KW_AS + r"\s+)?(?:`[^`]+`|[A-Za-z_]\w*))?\s*,\s*)(?:"
+    r"'(" + re.escape(_SHEET_URL_PREFIX) + r"[^']*)'"
+    r"|\"(" + re.escape(_SHEET_URL_PREFIX) + r"[^\"]*)\")"
+)
+
+#: A comma-chained sheet ref BEFORE any rewrite (pre-scan only): the
+#: raw-SQL twin of _COMMA_URL_RE, used to walk FROM-list chains so a
+#: user alias on a LATER comma ref is seen before the FIRST ref's
+#: base-name alias is injected (``FROM 'a', 'b' AS edit`` must not
+#: inject a colliding ``edit`` for 'a').
+_RAW_COMMA_URL_RE = re.compile(
+    r"\s*,\s*(?:"
     r"'(" + re.escape(_SHEET_URL_PREFIX) + r"[^']*)'"
     r"|\"(" + re.escape(_SHEET_URL_PREFIX) + r"[^\"]*)\")"
 )
@@ -135,12 +152,22 @@ def sheets_sql(spark: SparkSession, sql: str, **options) -> DataFrame:
     # must not collide with an alias the user chose for another ref —
     # `FROM 'a' AS edit JOIN 'b'` would otherwise inject a second
     # `edit`, regardless of which ref the rewrite visits first.
+    # Comma-chained refs hanging off a FROM/JOIN sheet ref are walked
+    # too, so `FROM 'a', 'b' AS edit` sees the user's `edit` before
+    # injecting 'a''s base-name alias.
     used_aliases: set[str] = set()
     for m in _FROM_URL_RE.finditer(sql):
-        probe = _ALIAS_PROBE_RE.match(sql, m.end())
-        word = probe.group(1).strip("`").lower() if probe else ""
-        if probe and word not in _NON_ALIAS_KEYWORDS:
-            used_aliases.add(word)
+        pos = m.end()
+        while True:
+            probe = _ALIAS_PROBE_RE.match(sql, pos)
+            word = probe.group(1).strip("`").lower() if probe else ""
+            if probe and word not in _NON_ALIAS_KEYWORDS:
+                used_aliases.add(word)
+                pos = probe.end()
+            chain = _RAW_COMMA_URL_RE.match(sql, pos)
+            if chain is None:
+                break
+            pos = chain.end()
 
     def _make_replacer(text: str):
         def _replace(m: re.Match) -> str:

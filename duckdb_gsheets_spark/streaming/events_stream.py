@@ -1062,31 +1062,45 @@ def cdc_merge_apply(spark: SparkSession, table_state: dict):
         # flat, not a set number — promoting it would let data-050
         # outrank change_10/… — so in mixed batches the promotion
         # additionally excludes data-<digits> style leaves (genuine
-        # flat set files like change_10.parquet still promote). The
-        # mixed-layout check distincts the batch's _src values — one
-        # narrow scan per batch whose RESULT is bounded by
-        # maxFilesPerTrigger (the driver transfer is O(files); the
-        # scan itself is the price of the corner) and which is
-        # skipped entirely on the no-lineage fallback, where _src is
-        # a constant ''. Remaining undecidable corner,
-        # documented: flat files under a watch dir whose NAME ends in
-        # digits mixed with set directories — the watch-dir digits
-        # read as a constant set number; keep one layout per feed (or
-        # a digitless watch dir) there. Leaves named part-* are
-        # writer-generated (00000/c000/uuid runs are not arrival
-        # order) → always excluded. No digits anywhere → -1 (tiebreak
-        # inert).
-        import re as _re
-
+        # flat set files like change_10.parquet still promote). A
+        # batch "contains set directories" only when it spans AT LEAST
+        # TWO distinct parent segments with a digit-suffixed one among
+        # them: a single distinct parent is the watch dir itself (or
+        # one set dir, where the parent number dominates the sequence
+        # anyway), so a uniformly-flat feed under a digit-suffixed
+        # watch dir (feed2/data-050.parquet) no longer flips into
+        # mixed mode. The check is ONE 1-row aggregate per lineage
+        # batch (count-distinct parents + digit flag — O(1) driver
+        # transfer, vs. collecting every distinct _src) and is skipped
+        # entirely on the no-lineage fallback, where _src is a
+        # constant ''. Remaining undecidable corner, documented: flat
+        # files under a watch dir whose NAME ends in digits MIXED with
+        # set directories — the watch-dir digits read as a constant
+        # set number; keep one layout per feed (or a digitless watch
+        # dir) there. Leaves named part-* are writer-generated
+        # (00000/c000/uuid runs are not arrival order) → always
+        # excluded. No digits anywhere → -1 (tiebreak inert).
         leaf = F.regexp_extract(F.col("_src"), r"([^/]*)$", 1)
         parent_seg = F.regexp_extract(F.col("_src"), r"([^/]*)/[^/]*$", 1)
-        batch_has_set_dirs = has_lineage and any(
-            _re.search(
-                r"\d\D*$", _re.sub(r"/[^/]*$", "", r._src).rsplit("/", 1)[-1]
+        if has_lineage:
+            stats = (
+                upd.select(parent_seg.alias("_p"))
+                .where(F.col("_p") != "")
+                .agg(
+                    F.count_distinct("_p").alias("n"),
+                    F.max(
+                        F.col("_p").rlike(r"\d\D*$").cast("int")
+                    ).alias("d"),
+                )
+                .first()
             )
-            for r in upd.select("_src").distinct().collect()
-            if r._src
-        )
+            batch_has_set_dirs = bool(
+                stats is not None
+                and (stats.n or 0) >= 2
+                and stats.d == 1
+            )
+        else:
+            batch_has_set_dirs = False
         writer_leaf_re = (
             r"^(part-|data-\d)" if batch_has_set_dirs else r"^part-"
         )

@@ -357,3 +357,29 @@ def test_literal_url_injected_alias_avoids_user_alias(
         ("Alice", 7.0),
         ("Charlie", 9.0),
     ]
+
+
+def test_literal_url_comma_user_alias_prescanned(
+    spark, sheets_server, people_sheet
+):
+    """A user alias in COMMA-list position is seen by the pre-scan:
+    ``FROM 'a', 'b' AS edit`` must inject `edit_2` for 'a' instead of
+    colliding with the user's `edit` on 'b' (the comma ref is only
+    REWRITTEN after 'a' resolves, but its alias must be reserved
+    before 'a''s base-name alias is chosen)."""
+    sid, _ = people_sheet
+    other = sheets_server.new_spreadsheet("comma-alias-people")
+    other.add_sheet(
+        "Sheet1", [["name", "bonus"], ["Alice", "7"], ["Charlie", "9"]]
+    )
+    rows = _sheets_sql(
+        spark,
+        sheets_server,
+        f"SELECT edit_2.name, edit.bonus FROM '{url_for(sid)}', "
+        f"'{url_for('comma-alias-people')}' AS edit "
+        "WHERE edit_2.name = edit.name ORDER BY edit_2.name",
+    ).collect()
+    assert [(r.name, r.bonus) for r in rows] == [
+        ("Alice", 7.0),
+        ("Charlie", 9.0),
+    ]

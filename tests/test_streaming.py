@@ -1108,6 +1108,70 @@ def test_cdc_merge_stray_flat_writer_file_stays_inert(spark, tmp_path):
     assert (row.text, row.source) == ("set change", "cdc_set")
 
 
+def test_cdc_merge_flat_feed_under_digit_suffixed_watch_dir(
+    spark, tmp_path
+):
+    """A uniformly-flat data-NNN feed under a DIGIT-SUFFIXED watch dir
+    (feed2/data-050.parquet): the batch has only ONE distinct parent
+    segment (the watch dir itself), so it must NOT flip into mixed
+    mode — set numbers in the leaves keep ordering the merge at equal
+    mtime (data-050 outranks data-049 despite "data-050" losing a
+    struct/path tiebreak to nothing in particular)."""
+    import os
+    import time
+
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        cdc_merge_apply,
+        with_cdc_lineage,
+    )
+
+    work = str(tmp_path / "cdc_digitwatch")
+    table0 = os.path.join(work, "table", "v0")
+    spark.createDataFrame(
+        [(1, "base one", "en", "seed")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(table0)
+
+    src = os.path.join(work, "feed2")
+    os.makedirs(src, exist_ok=True)
+    same = time.time() - 60
+    for leaf, text in (
+        ("data-049.parquet", "z-first change"),
+        ("data-050.parquet", "a-second change"),
+    ):
+        tmp_dir = os.path.join(work, "stage_" + leaf)
+        spark.createDataFrame(
+            [(1, text, "en", "cdc_" + leaf[:8])],
+            "doc_id long, text string, lang string, source string",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = next(
+            f for f in os.listdir(tmp_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(src, leaf)
+        os.rename(os.path.join(tmp_dir, part), dest)
+        os.utime(dest, (same, same))
+
+    state = {"cur": table0, "version": 0}
+    q = (
+        with_cdc_lineage(
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            ).parquet(src)
+        )
+        .writeStream.foreachBatch(cdc_merge_apply(spark, state))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = spark.read.parquet(state["cur"])
+    assert final.count() == 1
+    row = final.collect()[0]
+    # set 50 (the later flat set file) wins at equal mtime
+    assert (row.text, row.source) == ("a-second change", "cdc_data-050")
+
+
 def test_dsir_bucket_llr_rejects_streaming_frame(spark):
     """The llr artifact builder is batch-only by design (agg-on-agg +
     eager checkpoint are analysis-illegal under streaming); a

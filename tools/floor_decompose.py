@@ -47,18 +47,26 @@ def main() -> None:
     print("| query | jobs (warm) | floor = jobs x f | warm wall | floor share |")
     print("|---|---|---|---|---|")
 
+    # Job counts via max(jobId) deltas, NOT list-length deltas: the
+    # statusTracker only retains spark.ui.retainedJobs ids (default
+    # 1000), so len() plateaus once a session's total job count
+    # crosses it and every subsequent delta undercounts. Job ids are
+    # monotonically increasing and never evicted from the COUNTER, so
+    # max-id deltas stay exact for any session length.
+    def _max_job_id() -> int:
+        ids = sc.statusTracker().getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
     for name in names:
         fn = qs[name].spark_fn
         fn(spark, sf_dir).collect()  # cold: plan + artifact caches
         walls, jobs = [], []
         for _ in range(2):
-            before = len(sc.statusTracker().getJobIdsForGroup(None))
+            before = _max_job_id()
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             walls.append(time.perf_counter() - t0)
-            jobs.append(
-                len(sc.statusTracker().getJobIdsForGroup(None)) - before
-            )
+            jobs.append(_max_job_id() - before)
         wall = min(walls)
         nj = jobs[-1]
         est = nj * floor
