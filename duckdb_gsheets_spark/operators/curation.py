@@ -310,6 +310,11 @@ def _doc_xent(docs: DataFrame) -> DataFrame:
     toks = _doc_tokens(docs).select(
         "doc_id", "lang", "n_tokens", F.explode("toks").alias("tok")
     )
+    # NOTE (round 12): checkpointing the vocab + folding totals into
+    # driver literals was MEASURED SLOWER here (16 jobs / 3.9 s warm
+    # vs 15 / 2.2 s at sf0.1): the vocab materialization costs more
+    # than the duplicated lightweight agg the two broadcast builds
+    # share — so this keeps the two-broadcast shape on purpose.
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     totals = vocab.agg(
         F.sum("cnt").alias("total"),
@@ -2409,17 +2414,26 @@ def dsir_bucket_llr(
             "collected table into the stream, as dsir_row_scorer does"
         )
     is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
-    # The bucket tally is consumed twice (the totals fold and the
-    # final per-bucket select); it is ≤ DSIR_BUCKETS rows, so an
-    # eager localCheckpoint stops the corpus subtree re-expanding
-    # into both branches.
-    raw_cnt = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("r_cnt"),
-        F.sum(is_target.cast("long")).alias("t_cnt"),
-    ).localCheckpoint(eager=True)
-    totals = raw_cnt.agg(
-        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    # The bucket tally is ≤ DSIR_BUCKETS rows — the trained artifact.
+    # ONE action collects it; the totals fold is exact integer
+    # summation on the driver (no float, nothing to drift) and the
+    # llr table re-enters the plan as a LOCAL relation with the
+    # totals inlined as literals. Round 11 ran this as checkpoint +
+    # totals aggregate + broadcast exchange (3 jobs); the single
+    # collect replaces all three. The ln stays a JVM expression
+    # (evaluated over the local relation), so the 1e-9 grid snap
+    # keeps the exact cross-engine contract — no Python math.log is
+    # introduced.
+    tally = (
+        feats.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("r_cnt"),
+            F.sum(is_target.cast("long")).alias("t_cnt"),
+        )
+        .collect()
     )
+    r_tot = sum(r.r_cnt for r in tally)
+    t_tot = sum(r.t_cnt for r in tally)
     lnp = lambda cnt, tot: F.round(  # noqa: E731 — grid-snapped ln
         F.log(
             (cnt + F.lit(1.0))
@@ -2429,14 +2443,19 @@ def dsir_bucket_llr(
     ).cast("long")
     if raw_excludes_target:
         r_cnt = F.col("r_cnt") - F.col("t_cnt")
-        r_tot = F.col("r_tot") - F.col("t_tot")
+        r_tot_c = F.lit(r_tot - t_tot).cast("long")
     else:
         r_cnt = F.col("r_cnt")
-        r_tot = F.col("r_tot")
-    return raw_cnt.join(F.broadcast(totals)).select(
+        r_tot_c = F.lit(r_tot).cast("long")
+    raw_cnt = feats.sparkSession.createDataFrame(
+        [(int(r.bucket), int(r.r_cnt), int(r.t_cnt)) for r in tally],
+        "bucket long, r_cnt long, t_cnt long",
+    )
+    return raw_cnt.select(
         "bucket",
         (
-            lnp(F.col("t_cnt"), F.col("t_tot")) - lnp(r_cnt, r_tot)
+            lnp(F.col("t_cnt"), F.lit(t_tot).cast("long"))
+            - lnp(r_cnt, r_tot_c)
         ).alias("llr"),
     )
 

@@ -2824,22 +2824,37 @@ def _lrs_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
       only positions whose full-width capped key duplicates, with the
       suffix re-sliced to ``LRS_EXT_CAP`` tokens.
     """
+    key = _lrs_cache_key(spark, sf_dir)
+    cached = _LRS_SPINE_CACHE.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents")
+        ranged = _lrs_suffix_table_from(docs)
+        cached = (ranged, _lrs_ext_from(ranged, docs))
+        _lrs_cache_put(key, cached)
+    return cached
+
+
+def _lrs_cache_key(spark: SparkSession, sf_dir: str):
+    """Memo key for the spine artifacts: (session, corpus path,
+    corpus mtime) — shared by the in-session builder and the
+    persisted-artifact loader (plans.exactsubstr_spine) so a prebuilt
+    spine registers under exactly the key the family looks up."""
     import os
 
     try:
         mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
     except OSError:
         mtime = -1.0
-    key = (spark.sparkContext.applicationId, sf_dir, mtime)
-    cached = _LRS_SPINE_CACHE.get(key)
-    if cached is None:
-        docs = load_table(spark, sf_dir, "documents")
-        ranged = _lrs_suffix_table_from(docs)
-        cached = (ranged, _lrs_ext_from(ranged, docs))
-        for stale in [k for k in _LRS_SPINE_CACHE if k[1] == sf_dir]:
-            del _LRS_SPINE_CACHE[stale]
-        _LRS_SPINE_CACHE[key] = cached
-    return cached
+    return (spark.sparkContext.applicationId, sf_dir, mtime)
+
+
+def _lrs_cache_put(key, tables) -> None:
+    """Install spine tables under ``key``, evicting stale entries for
+    the same corpus path (a rewritten corpus must never serve a spine
+    built from its previous contents)."""
+    for stale in [k for k in _LRS_SPINE_CACHE if k[1] == key[1]]:
+        del _LRS_SPINE_CACHE[stale]
+    _LRS_SPINE_CACHE[key] = tables
 
 
 def _lrs_suffix_table_from(docs: DataFrame) -> DataFrame:

@@ -764,8 +764,16 @@ def pipeline_dsir_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    # ONE bounded |pids|-row aggregate carries BOTH global-rank inputs
+    # — the per-partition prefix offsets AND the total candidate count
+    # (a full-frame window over the same tiny frame) — so the round-11
+    # shape's separate n_tot aggregate + second broadcast join fold
+    # into this single broadcast (part of the round-12 job-floor cut).
     w_off = Window.orderBy("pid").rowsBetween(
         Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = (
         ranged.groupBy("pid")
@@ -775,9 +783,9 @@ def pipeline_dsir_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 F.sum("pcnt").over(w_off), F.lit(0).cast("long")
             ).alias("rank_off"),
+            F.sum("pcnt").over(w_all).alias("n_cand"),
         )
     )
-    n_tot = ranged.agg(F.count(F.lit(1)).alias("n_cand"))
     w_local = Window.partitionBy("pid").orderBy(
         F.desc("gkey"), "doc_id"
     )
@@ -787,7 +795,6 @@ def pipeline_dsir_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= F.col("n_cand") * DSIR_KEEP_NUM
     flagged = (
         ranged.join(F.broadcast(offsets), "pid")
-        .join(F.broadcast(n_tot))
         .select(
             "lang",
             "n_tokens",

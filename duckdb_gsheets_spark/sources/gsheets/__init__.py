@@ -1,6 +1,7 @@
 from duckdb_gsheets_spark.sources.gsheets.api import (
     read_gsheet,
     register,
+    sheets,
     sheets_sql,
     write_gsheet,
     write_gsheet_stream,
@@ -11,6 +12,7 @@ __all__ = [
     "GSheetsDataSource",
     "read_gsheet",
     "register",
+    "sheets",
     "sheets_sql",
     "write_gsheet",
     "write_gsheet_stream",

@@ -216,6 +216,39 @@ def sheets_sql(spark: SparkSession, sql: str, **options) -> DataFrame:
     return spark.sql(out)
 
 
+def sheets(spark: SparkSession, url_or_id: str, **options) -> DataFrame:
+    """Spreadsheet-as-catalog: enumerate a spreadsheet's tabs as a
+    DataFrame ``(gid, title, sheet_index, sheet_type)`` — the
+    ``spreadsheets.get`` metadata surface (C6/C7,
+    src/sheets/spreadsheet.cpp sheet lookup trio) exposed the way a
+    Spark user lists a database's tables. Each row is directly
+    readable as a table: ``read_gsheet(spark, url, sheet=title)``,
+    by position via the ``sheet_index`` column, or by appending
+    ``?gid=<gid>`` to the spreadsheet URL. ``options`` carry the same
+    credential/transport settings as every other entry point.
+
+    The tab list is bounded metadata (ONE spreadsheets.get call), so
+    it enters the session as a local DataFrame — no job, no scan."""
+    from duckdb_gsheets_spark.sources.gsheets.datasource import _build_client
+    from duckdb_gsheets_spark.sources.gsheets.urls import (
+        extract_spreadsheet_id,
+    )
+
+    opts = dict(options)
+    opts.setdefault("path", url_or_id)
+    client = _build_client(opts)
+    meta = client.spreadsheet(
+        extract_spreadsheet_id(url_or_id)
+    ).get_metadata()
+    rows = [
+        (int(s.sheet_id), s.title, int(s.index), s.sheet_type)
+        for s in meta.sheets
+    ]
+    return spark.createDataFrame(
+        rows, "gid long, title string, sheet_index int, sheet_type string"
+    )
+
+
 def write_gsheet(
     df: DataFrame,
     url_or_id: str,
@@ -260,10 +293,15 @@ def write_gsheet_stream(
     sink, one ordered append stream per micro-batch,
     src/gsheets_copy.cpp:129-181 semantics per batch).
 
-    Batch 0 honors ``mode`` (overwrite clears + writes the header
-    once); every later micro-batch appends rows only — the multi-batch
-    header-once invariant the batch writer already enforces per job,
-    extended across the stream's lifetime. Durability contract: the
+    Batch 0 honors ``mode`` AND the batch writer's full K1 clear
+    matrix (overwrite clears + writes the header once;
+    ``overwrite_range=True`` with a ``range`` option clears ONLY the
+    target range, the ``copy_to_range_flags.test:59-69`` semantics);
+    every later micro-batch appends rows only — both overwrite flags
+    are forced off past batch 0, so a ranged stream never re-clears
+    its own earlier batches — the multi-batch header-once invariant
+    the batch writer already enforces per job, extended across the
+    stream's lifetime. Durability contract: the
     checkpoint gives foreachBatch at-least-once delivery, and Sheets
     appends are not idempotent — a batch retried after a sink-side
     failure can duplicate rows, exactly as re-running the reference's
@@ -287,6 +325,11 @@ def write_gsheet_stream(
         batch_opts = dict(options)
         if batch_id > 0:
             batch_opts["header"] = False
+            # Clears belong to batch 0 only: a later batch re-running
+            # the K1 clear (whole-sheet OR ranged) would wipe the
+            # rows earlier batches appended.
+            batch_opts["overwrite_sheet"] = False
+            batch_opts["overwrite_range"] = False
         write_gsheet(batch_df, url_or_id, mode=batch_mode, **batch_opts)
 
     query = (

@@ -184,3 +184,50 @@ def test_partition_payload_is_sliced_not_replicated():
     # The reader itself ships slim: far smaller than one block.
     assert len(pickle.dumps(reader)) < len(pickle.dumps(blocks[0])) / 100
     assert list(reader.read(blocks[3])) == rows[3 * BATCH_ROWS :]
+
+
+def test_sheets_catalog_lists_tabs_and_reads_each_way(
+    spark, sheets_server
+):
+    """Spreadsheet-as-catalog (C6/C7 surfaced as a helper): sheets()
+    lists every tab of a spreadsheet as (gid, title, sheet_index,
+    sheet_type) rows, and each listed tab is readable as a table by
+    NAME (sheet option), by POSITION (sheet_index), and by GID (URL
+    ?gid= param) — the DuckDB-side workflow a spreadsheets.get user
+    runs, end to end against the fake server."""
+    from duckdb_gsheets_spark.sources.gsheets import read_gsheet, sheets
+
+    store = sheets_server.new_spreadsheet("catalog-book")
+    store.add_sheet("People", [["name"], ["Alice"], ["Bob"]])
+    store.add_sheet("Cities", [["city"], ["Toronto"]])
+    store.add_sheet("Empty headerless", [["x"], ["1"]])
+
+    tabs = sheets(
+        spark, url_for("catalog-book"), **opts(sheets_server)
+    ).collect()
+    assert [(t.title, t.sheet_index) for t in tabs] == [
+        ("People", 0),
+        ("Cities", 1),
+        ("Empty headerless", 2),
+    ]
+    assert len({t.gid for t in tabs}) == 3
+
+    # by NAME
+    by_name = read_gsheet(
+        spark, url_for("catalog-book"), sheet="Cities", **opts(sheets_server)
+    )
+    assert [r.city for r in by_name.collect()] == ["Toronto"]
+    # by POSITION via the catalog row
+    idx1 = next(t for t in tabs if t.sheet_index == 1)
+    by_pos = read_gsheet(
+        spark, url_for("catalog-book"), sheet=idx1.title, **opts(sheets_server)
+    )
+    assert [r.city for r in by_pos.collect()] == ["Toronto"]
+    # by GID in the URL fragment
+    gid = next(t.gid for t in tabs if t.title == "People")
+    by_gid = read_gsheet(
+        spark,
+        url_for("catalog-book") + f"?gid={gid}#gid={gid}",
+        **opts(sheets_server),
+    )
+    assert sorted(r.name for r in by_gid.collect()) == ["Alice", "Bob"]

@@ -317,3 +317,55 @@ def test_streaming_sink_matches_batch_write(spark, sheets_server, tmp_path):
         ["3", "gamma"],
     ]
     assert sum(1 for row in grid if row == ["id", "name"]) == 1
+
+
+def test_streaming_sink_overwrite_range(spark, sheets_server, tmp_path):
+    """Streaming twin of copy_to_range_flags.test:59-69: batch 0
+    clears ONLY the target range (sentinels outside survive), the
+    header lands once at the range anchor, and every later micro-batch
+    appends below WITHOUT re-running the ranged clear — a second
+    batch must never wipe the first batch's rows."""
+    from duckdb_gsheets_spark.sources.gsheets import write_gsheet_stream
+
+    src = tmp_path / "range_stream_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha")], ["id", "name"]
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "p1"))
+    spark.createDataFrame(
+        [(2, "beta")], ["id", "name"]
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "p2"))
+
+    sid, store = _fresh(sheets_server, "stream-range")
+    grid = [[""] * 10 for _ in range(20)]
+    grid[1][0] = "leave this cell alone"
+    grid[13][7] = "More leaving alone"
+    grid[6][2] = "stale-inside-range"  # must be cleared by batch 0
+    store.grids["Sheet1"] = grid
+
+    stream = (
+        spark.readStream.schema("id long, name string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    write_gsheet_stream(
+        stream.select("id", "name"),
+        sid,
+        checkpoint_dir=str(tmp_path / "ckpt_range"),
+        range="C6:D10",
+        overwrite_range=True,
+        **opts(sheets_server),
+    )
+    g = store.grids["Sheet1"]
+    # outside-range sentinels intact; stale in-range cell gone
+    assert g[1][0] == "leave this cell alone"
+    assert g[13][7] == "More leaving alone"
+    assert "stale-inside-range" not in [row[2] for row in g if len(row) > 2]
+    # header once at the C6 anchor, both micro-batches' rows below it
+    assert g[5][2:4] == ["id", "name"]
+    body = sorted(row[2:4] for row in g[6:] if len(row) > 3 and row[2])
+    assert body == [["1", "alpha"], ["2", "beta"]]
+    header_count = sum(
+        1 for row in g if len(row) > 3 and row[2:4] == ["id", "name"]
+    )
+    assert header_count == 1

@@ -7279,3 +7279,40 @@ def test_bloom_word_packed_mask_past_2e24_bits(spark):
     # at 2^16 bits/item the fill ratio is ~0, so false positives on the
     # 200 unseen docs should be essentially absent
     assert sum(r.hit for r in flagged if not r.planted) <= 2
+
+
+def test_bloom_sharded_artifact_load_equals_fit(spark, tmp_path):
+    """Persisted sharded-Bloom artifact (write → parquet → load): the
+    audit run from the LOADED filter must be row-identical to the
+    in-session fit (same shard sizes, same words, hence the same
+    verdicts), and a loader whose filter constants disagree with the
+    artifact's stamped fingerprint must refuse loudly rather than
+    probe the wrong bits."""
+    import pytest
+
+    from duckdb_gsheets_spark.operators.chunking import (
+        contamination_bloom_sharded,
+        load_bloom_artifact_sharded,
+        write_bloom_artifact_sharded,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    art = str(tmp_path / "bloom_shards")
+    write_bloom_artifact_sharded(spark, sf, art)
+    loaded = load_bloom_artifact_sharded(spark, art)
+
+    fit_rows = sorted(
+        map(tuple, contamination_bloom_sharded(spark, sf).collect())
+    )
+    load_rows = sorted(
+        map(
+            tuple,
+            contamination_bloom_sharded(spark, sf, shards=loaded).collect(),
+        )
+    )
+    assert load_rows == fit_rows
+
+    # config drift → loud refusal (a silently-wrong filter would mean
+    # false negatives, the one failure a Bloom screen must never have)
+    with pytest.raises(ValueError, match="different filter constants"):
+        load_bloom_artifact_sharded(spark, art, bits_per_item=16)

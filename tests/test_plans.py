@@ -1236,3 +1236,49 @@ def test_plans_md_covers_every_registered_query():
         f"PLANS.md is stale — {len(missing)} registered queries have no "
         f"row (run `python tools/plan_report.py`): {missing[:10]}"
     )
+
+
+def test_lrs_spine_artifact_reuse_identical_and_no_rebuild(spark, tmp_path):
+    """The persisted ExactSubstr spine (plans.exactsubstr_spine) must
+    (a) register under the family's own memo key so a later "session"
+    (memo cleared) consumes the artifact instead of re-running the
+    distributed suffix sort — pinned by asserting the registered
+    frames read ONLY artifact parquet files — and (b) produce
+    bit-identical family results to the in-session build."""
+    from duckdb_gsheets_spark.operators import dedup as D
+    from duckdb_gsheets_spark.plans.exactsubstr_spine import (
+        register_lrs_spine,
+        write_lrs_spine,
+    )
+
+    art = str(tmp_path / "lrs_artifacts")
+    fresh = sorted(
+        map(tuple, D.dedup_longest_substring(spark, SF).collect())
+    )
+    fresh_scrub = sorted(
+        map(tuple, D.dedup_substring_scrub(spark, SF).collect())
+    )
+    spine_path, ext_path = write_lrs_spine(spark, SF, art)
+
+    # simulate a fresh session: drop the in-session memo, register
+    # the artifact, and verify the family now roots on the parquet
+    D._LRS_SPINE_CACHE.clear()
+    register_lrs_spine(spark, SF, art)
+    ranged, ext = D._lrs_tables(spark, SF)
+    assert ranged.inputFiles() and all(
+        spine_path in f for f in ranged.inputFiles()
+    )
+    assert ext.inputFiles() and all(
+        ext_path in f for f in ext.inputFiles()
+    )
+
+    reused = sorted(
+        map(tuple, D.dedup_longest_substring(spark, SF).collect())
+    )
+    reused_scrub = sorted(
+        map(tuple, D.dedup_substring_scrub(spark, SF).collect())
+    )
+    assert reused == fresh
+    assert reused_scrub == fresh_scrub
+    # leave no prebuilt spine behind for other tests
+    D._LRS_SPINE_CACHE.clear()
