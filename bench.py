@@ -100,6 +100,26 @@ HEADLINE = (
 LONG_RUN_CUTOFF_S = 12.0
 
 
+def _warm_page_cache(sf_dir: str) -> None:
+    """UNTIMED pre-pass: pull every table's parquet bytes through the
+    OS page cache before either engine starts a clock. Round 11's
+    DuckDB denominator swung 61.9→107.6 s across identical-SQL runs
+    purely with page-cache state (the box dropped caches mid-session),
+    making round-over-round per-query comparisons unreadable; warming
+    the files once pins the IO state BOTH engines then see (round-11
+    verdict ask #2). File-level reads warm both engines at once —
+    they scan the same parquet."""
+    from duckdb_gsheets_spark.plans.catalog import TABLES
+
+    for t in TABLES:
+        try:
+            with open(f"{sf_dir}/{t}.parquet", "rb") as fh:
+                while fh.read(16 * 1024 * 1024):
+                    pass
+        except OSError:
+            pass
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -257,6 +277,7 @@ def run_duckdb(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _warm_page_cache(sf_dir)
     spark_runs, exec_runs = run_spark(sf_dir, HEADLINE)
     from duckdb_gsheets_spark.operators import all_queries
 

@@ -40,94 +40,92 @@ class QueryDef:
 #: Queries promoted into the driver's checked window. The driver's
 #: CORRECTNESS harness verifies the FIRST 50 registry entries only, so
 #: membership in the first 50 is a grading surface (order within the
-#: window is not). Round-11 composition — every slot can turn or stay
+#: window is not). Round-12 composition — every slot can turn or stay
 #: green (no oracle-less entry wastes a slot):
 #:
-#: * 6 rows with ROUND-11 plan/oracle changes or first driver rows:
-#:   ``contamination_bloom`` (word-packed array<long> mask + 60-bit
-#:   hash, oracle rebuilt in lockstep) and the FIVE new round-11
-#:   queries — ``pipeline_exactsubstr_apply`` (the scrubbed-corpus
-#:   apply step), ``ann_sq8_rerank_topk`` + ``ann_sq8_rerank_recall``
-#:   (two-stage retrieval + its recovery report),
-#:   ``contamination_bloom_sharded`` (the partitioned scale path),
-#:   ``corpus_shuffle_manifest`` (seeded training shuffle) — a new
-#:   query outranks any stale-green re-check;
-#: * the 10 named round-11 rotation-queue rows (r5-latest, queued by
-#:   the round-10 verdict): ``window_nth_value``, ``join_lateral_topn``,
-#:   ``events_pattern_match``, ``events_variant_extract``,
-#:   ``events_wow_change``, ``orders_open_backlog``,
-#:   ``text_type_token_ratio``, ``token_budget_waterfill``,
-#:   ``vocab_freq_spectrum``, ``supplier_concentration_hhi``;
-#: * 34 of the 48 round-6-latest rows — including the four rows the
-#:   round-10 verdict marked perf-`weak` (``ann_matryoshka_recall``
-#:   and ``ann_prefix_ivf_recall`` ride along their r6 families
-#:   ``ann_recall_report``/``ann_nprobe_recall_curve``; the audits
-#:   themselves are r7/r8-latest and rotate next) plus
-#:   ``pipeline_ccnet_corpus`` and ``quality_lang_tertiles`` whose
-#:   job-floor decompositions BASELINE.md round-11 records.
+#: * 7 rows with ROUND-12 plan or oracle changes (a changed row
+#:   outranks any stale-green re-check): ``contamination_bloom`` +
+#:   ``contamination_bloom_sharded`` (artifact fit fused to one
+#:   collect of raw 60-bit hashes), ``pipeline_dsir_corpus`` +
+#:   ``dsir_importance_weights`` (llr artifact collected once and
+#:   re-entered as a local relation; the gate's rank offsets and
+#:   candidate total fused into one broadcast), and
+#:   ``neardup_triangles`` / ``neardup_graph_stats`` /
+#:   ``contrastive_negatives`` (oracles rewritten to the bounded
+#:   group-collapsed PPJoin chain — the former sf0.1-sweep exclusions,
+#:   retired this round);
+#: * the 14 named round-12 rotation-queue rows (r6-latest, queued by
+#:   the round-11 verdict): ``window_rank``, ``window_running_sum``,
+#:   ``window_lag_lead``, ``topk_orders``, ``distinct_projection``,
+#:   ``agg_distinct``, ``setop_union_all``, ``setop_intersect``,
+#:   ``setop_except``, ``join_semi``, ``join_anti``, ``join_outer``,
+#:   ``join_full_outer``, ``join_cross`` — with these green the r6
+#:   rotation tail is fully retired;
+#: * 29 of the 43 round-7-latest rows (the next-oldest cohort).
 #:
-#: The 14 round-6-latest rows that did NOT fit — ``window_rank``,
-#: ``window_running_sum``, ``window_lag_lead``, ``topk_orders``,
-#: ``distinct_projection``, ``agg_distinct``, ``setop_union_all``,
-#: ``setop_intersect``, ``setop_except``, ``join_semi``, ``join_anti``,
-#: ``join_outer``, ``join_full_outer``, ``join_cross`` (simple
-#: window/relational shapes whose plans and oracles have not changed
-#: since r6) — lead the ROUND-12 ROTATION QUEUE and stay covered by
-#: the full-registry sf0.1 parity sweep every round.
+#: The 14 round-7-latest rows that did NOT fit —
+#: ``text_gopher_quality``, ``text_kneser_ney_bigram``,
+#: ``text_lang_confidence_margin``, ``text_language_id``,
+#: ``text_pii_scrub``, ``text_quality_score``,
+#: ``text_repetition_ratio``, ``text_tfidf_top_terms``,
+#: ``text_top_terms``, ``text_topk_per_lang``, ``udtf_sentences``,
+#: ``window_moving_avg``, ``window_percent_rank``,
+#: ``window_range_frame`` — lead the ROUND-13 ROTATION QUEUE and stay
+#: covered by the full-registry sf0.1 parity sweep every round.
 _WINDOW: tuple[str, ...] = (
-    # -- round-11 plan changes / first driver rows --
+    # -- round-12 plan/oracle changes --
     "contamination_bloom",
-    "pipeline_exactsubstr_apply",
-    "ann_sq8_rerank_topk",
-    "ann_sq8_rerank_recall",
     "contamination_bloom_sharded",
-    "corpus_shuffle_manifest",
-    # -- the named round-11 rotation queue (r5-latest) --
-    "window_nth_value",
-    "join_lateral_topn",
-    "events_pattern_match",
-    "events_variant_extract",
-    "events_wow_change",
-    "orders_open_backlog",
-    "text_type_token_ratio",
-    "token_budget_waterfill",
-    "vocab_freq_spectrum",
-    "supplier_concentration_hhi",
-    # -- longest-unchecked rotation (latest driver rows are round-6) --
-    "pipeline_ccnet_corpus",
-    "quality_lang_tertiles",
-    "ann_ivf_topk",
-    "ann_recall_report",
-    "ann_nprobe_recall_curve",
-    "events_anomaly_mad",
-    "events_error_share_daily",
-    "unpivot_part_attrs",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "rollup_returns",
-    "cube_segment_nation",
-    "date_functions",
-    "case_conditional_agg",
-    "having_filter",
-    "correlated_above_avg",
-    "in_subquery",
-    "string_like_filters",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q16_supplier_relationship",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q20_promotion_suppliers",
-    "text_unigram_xent",
+    "pipeline_dsir_corpus",
+    "dsir_importance_weights",
+    "neardup_triangles",
+    "neardup_graph_stats",
+    "contrastive_negatives",
+    # -- the named round-12 rotation queue (r6-latest) --
+    "window_rank",
+    "window_running_sum",
+    "window_lag_lead",
+    "topk_orders",
+    "distinct_projection",
+    "agg_distinct",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "join_semi",
+    "join_anti",
+    "join_outer",
+    "join_full_outer",
+    "join_cross",
+    # -- longest-unchecked rotation (latest driver rows are round-7) --
+    "ann_cosine_topk",
+    "bpe_merge_iterative",
+    "corpus_upsert",
+    "embedding_neardup_pairs",
+    "events_anomaly_zscore",
+    "events_asof_join",
+    "events_funnel",
+    "events_gapfill_locf",
+    "events_histogram",
+    "events_json_extract",
+    "events_ols_trend",
+    "events_pivot",
+    "events_retention",
+    "events_sliding_window",
+    "events_value_quantiles",
+    "grouping_sets_sales",
+    "multimodal_metadata",
+    "pipeline_fineweb_corpus",
+    "q21_waiting_suppliers",
+    "q22_global_customers",
+    "q2_min_cost_supplier",
+    "quality_score_calibration",
+    "quality_signal_correlation",
+    "sample_stratified",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "split_leakage_semantic",
+    "text_corpus_by_lang",
+    "text_fingerprint",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and
