@@ -945,6 +945,93 @@ def _verified_minhash_pairs(
     )
 
 
+def dedup_source_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication FLOW MATRIX: the verified MinHash
+    pair set rolled up by (source, source) — for every pair of corpus
+    sources, how many near-dup pairs straddle them and at what mean
+    similarity. The provenance view a dedup pass ships alongside its
+    savings report: a hot ``(src_a, src_b, cross_source=true)`` row
+    means one feed is re-crawling or mirroring another (dedup the
+    JOIN of the two feeds, or drop one), while a hot diagonal row
+    (``cross_source=false``) means a feed duplicates internally
+    (fix the crawler, not the corpus). No existing registry row
+    answers "WHERE does the duplication flow from/to" — the cluster
+    family labels documents, this labels SOURCE RELATIONSHIPS.
+
+    Shapes, sized for 100 TB: rides the shared banded-LSH pair build
+    (never all-pairs), two doc_id-keyed equi-joins against the narrow
+    (doc_id, source) projection (only pair rows move — the pair set
+    is bounded by the LSH verify), and a ≤|sources|²-row rollup. The
+    mean similarity aggregates a SCALED-LONG per pair (exact integer
+    sum, one correctly-rounded division at the end — the determinism
+    contract's standard shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _verified_minhash_pairs(minhash_signatures(docs))
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_of_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_of_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("src_of_a", "src_of_b").alias("src_a"),
+            F.greatest("src_of_a", "src_of_b").alias("src_b"),
+            F.round(F.col("jaccard") * 1e6).cast("long").alias("jm"),
+        )
+    )
+    return (
+        tagged.groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("jm").cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_jaccard"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_pairs",
+            "mean_jaccard",
+            (F.col("src_a") != F.col("src_b")).alias("cross_source"),
+        )
+    )
+
+
+def _source_flow_oracle() -> str:
+    return f"""
+WITH {_minhash_core_sql()},
+fl AS (
+  SELECT LEAST(da.source, db.source) AS src_a,
+         GREATEST(da.source, db.source) AS src_b,
+         CAST(ROUND(p.jaccard * 1e6) AS BIGINT) AS jm
+  FROM mh_pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+  WHERE p.jaccard >= {MINHASH_JACCARD_THRESHOLD}
+)
+SELECT src_a, src_b,
+       COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(jm) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_jaccard,
+       src_a <> src_b AS cross_source
+FROM fl
+GROUP BY src_a, src_b
+"""
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, sig): 60-bit SimHash over word tokens.
 
@@ -3493,6 +3580,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "token Jaccard pairs"),
     QueryDef("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE, "asymmetric token-containment pairs"),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "MinHash LSH near-dup"),
+    QueryDef("dedup_source_flow_matrix", dedup_source_flow_matrix, _source_flow_oracle(), "cross-source near-duplication flow matrix (which feed mirrors which)"),
     QueryDef("minhash_calibration", minhash_calibration, MINHASH_CALIBRATION_ORACLE, "MinHash estimate vs exact Jaccard calibration"),
     QueryDef("minhash_auc_report", minhash_auc_report, MINHASH_AUC_ORACLE, "exact Mann-Whitney AUC of the MinHash estimate ranking true near-dups"),
     QueryDef("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "SimHash near-dup"),

@@ -704,6 +704,168 @@ GROUP BY lang, bucket
 """
 
 
+#: DoReMi smoothing: final mixture = (1 − 1/DEN)·softmax + (1/DEN)/k
+#: uniform (Xie et al. 2023 eq. 3's smoothing term), all in exact
+#: micro-unit integer arithmetic.
+DOREMI_SMOOTH_DEN = 100
+
+
+def pipeline_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style DOMAIN MIXTURE REWEIGHTING (Xie et al., NeurIPS
+    2023), the deterministic analytics half: per language-domain,
+    compute the EXCESS LOSS signal (domain mean unigram cross-entropy
+    above the corpus mean — the hard-domain signal the paper's proxy
+    model supplies; here the corpus's own LM, so the operator is
+    exact and oracle-checkable), one exponentiated-gradient update
+    ``w ∝ exp(excess)``, uniform smoothing, and the training-epoch
+    multiplier ``w_domain / natural_token_share`` — the number a
+    data-mixing pipeline actually consumes (how many times domain i's
+    tokens are seen relative to uniform sampling).
+
+    Every output is an exact micro-unit LONG: per-doc xent (already
+    round-6) snaps to micro units, domain/corpus means are integer
+    divisions of exact sums, the single ``exp`` snaps to the 1e9 grid
+    (same device as the ln snaps corpus-wide), and weights/epochs are
+    integer products and floor divisions — no float ever reaches the
+    output, so the cross-engine hash has nothing to drift on.
+
+    Shapes, sized for 100 TB: the xent core's one corpus pass (token
+    explode + broadcast LM), one |domains|-row groupBy, then pure
+    tiny-frame algebra — two 1-row broadcasts over the ≤|domains|-row
+    table. Token tallies stay int64 here (micro-products bounded by
+    1e12); a trillion-token corpus moves the share product to
+    DECIMAL(38,0), the same note as the graph-stats moments.
+    """
+    from duckdb_gsheets_spark.operators.curation import _doc_xent
+
+    per_doc = _doc_xent(load_table(spark, sf_dir, "documents")).select(
+        "lang",
+        "n_tokens",
+        F.round(F.col("unigram_xent") * 1e6).cast("long").alias("xm"),
+    )
+    # The per-domain tally is the bounded artifact (≤|langs| rows):
+    # ONE action collects it, the corpus totals fold to exact Python
+    # integer sums, and the table re-enters the plan as a LOCAL
+    # relation — re-referencing the grouped frame lazily would
+    # re-expand the whole corpus xent subtree into every downstream
+    # branch (a first cut of this operator planned 12 scans). All
+    # driver arithmetic is floor division of non-negative exact
+    # integers — identical to Spark `div` and DuckDB `//` — and the
+    # one transcendental (exp) stays a JVM expression over the local
+    # relation, so the cross-engine grid contract is untouched.
+    dom_rows = (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+            F.sum("xm").alias("sxm"),
+        )
+        .collect()
+    )
+    nn = sum(int(r.n_docs) for r in dom_rows)
+    tt = sum(int(r.n_tokens) for r in dom_rows)
+    gmean = sum(int(r.sxm) for r in dom_rows) // nn
+    k = len(dom_rows)
+    dom = spark.createDataFrame(
+        [
+            (
+                r.lang,
+                int(r.n_docs),
+                int(r.n_tokens),
+                int(r.sxm) // int(r.n_docs),
+                max(0, int(r.sxm) // int(r.n_docs) - gmean),
+            )
+            for r in dom_rows
+        ],
+        "lang string, n_docs long, n_tokens long, "
+        "mean_xent_micro long, excess_micro long",
+    )
+    scored = dom.withColumn(
+        "es",
+        F.round(
+            F.exp(F.col("excess_micro").cast("double") / F.lit(1e6))
+            * 1e9
+        ).cast("long"),
+    )
+    es_tot = scored.agg(F.sum("es").alias("sum_es"))
+    den = DOREMI_SMOOTH_DEN
+    return (
+        scored.crossJoin(F.broadcast(es_tot))
+        .withColumn("tt", F.lit(tt).cast("long"))
+        .withColumn("k", F.lit(k).cast("long"))
+        .withColumn("weight_micro", F.expr("es * 1000000 div sum_es"))
+        .withColumn(
+            "weight_smoothed_micro",
+            F.expr(
+                f"({den - 1} * weight_micro) div {den}"
+                f" + 1000000 div ({den} * k)"
+            ),
+        )
+        .withColumn("share_micro", F.expr("n_tokens * 1000000 div tt"))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "mean_xent_micro",
+            "excess_micro",
+            "weight_micro",
+            "weight_smoothed_micro",
+            F.when(
+                F.col("share_micro") > 0,
+                F.expr("weight_smoothed_micro * 1000000 div share_micro"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("epochs_micro"),
+        )
+    )
+
+
+def _doremi_oracle() -> str:
+    from duckdb_gsheets_spark.operators.curation import _xent_core_sql
+
+    den = DOREMI_SMOOTH_DEN
+    return f"""
+WITH {_xent_core_sql()},
+dm_doc AS (
+  SELECT lang, n_tokens,
+         CAST(ROUND(unigram_xent * 1e6) AS BIGINT) AS xm
+  FROM xent
+), dm_dom AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(xm) AS BIGINT) AS sxm
+  FROM dm_doc GROUP BY lang
+), dm_tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+         CAST(SUM(n_tokens) AS BIGINT) AS tt,
+         CAST(SUM(sxm) AS BIGINT) AS sx,
+         COUNT(*) AS k
+  FROM dm_dom
+), dm_es AS (
+  SELECT d.lang, d.n_docs, d.n_tokens, t.tt, t.k,
+         d.sxm // d.n_docs AS mean_xent_micro,
+         GREATEST(CAST(0 AS BIGINT),
+                  d.sxm // d.n_docs - t.sx // t.nn) AS excess_micro,
+         CAST(ROUND(EXP(CAST(GREATEST(CAST(0 AS BIGINT),
+                    d.sxm // d.n_docs - t.sx // t.nn) AS DOUBLE) / 1e6)
+                    * 1e9) AS BIGINT) AS es
+  FROM dm_dom d, dm_tot t
+), dm_se AS (
+  SELECT CAST(SUM(es) AS BIGINT) AS sum_es FROM dm_es
+)
+SELECT lang, n_docs, n_tokens, mean_xent_micro, excess_micro,
+       es * 1000000 // sum_es AS weight_micro,
+       ({den - 1} * (es * 1000000 // sum_es)) // {den}
+         + 1000000 // ({den} * k) AS weight_smoothed_micro,
+       CASE WHEN n_tokens * 1000000 // tt > 0
+            THEN (({den - 1} * (es * 1000000 // sum_es)) // {den}
+                  + 1000000 // ({den} * k)) * 1000000
+                 // (n_tokens * 1000000 // tt)
+            ELSE CAST(0 AS BIGINT) END AS epochs_micro
+FROM dm_es, dm_se
+"""
+
+
 #: DSIR selection rate: keep NUM/DEN of the candidate (non-target)
 #: corpus by Gumbel-perturbed importance weight.
 DSIR_KEEP_NUM = 1
@@ -1069,5 +1231,14 @@ QUERIES: list[QueryDef] = [
         _fineweb_oracle(),
         "FineWeb staged funnel: Gopher rules -> C4 heuristics -> exact "
         "dedup among survivors, per-source attrition ledger",
+    ),
+    # -- round-12 additions --
+    QueryDef(
+        "pipeline_doremi_weights",
+        pipeline_doremi_weights,
+        _doremi_oracle(),
+        "DoReMi domain-mixture reweighting: excess-xent signal -> "
+        "exponentiated-gradient weights (exact micro-unit integers) -> "
+        "per-domain training-epoch multipliers",
     ),
 ]

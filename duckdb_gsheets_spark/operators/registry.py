@@ -43,6 +43,10 @@ class QueryDef:
 #: window is not). Round-12 composition — every slot can turn or stay
 #: green (no oracle-less entry wastes a slot):
 #:
+#: * 2 NEW round-12 queries (first driver rows — a new query outranks
+#:   any stale-green re-check): ``pipeline_doremi_weights`` (DoReMi
+#:   domain-mixture reweighting) and ``dedup_source_flow_matrix``
+#:   (cross-source near-duplication flow);
 #: * 7 rows with ROUND-12 plan or oracle changes (a changed row
 #:   outranks any stale-green re-check): ``contamination_bloom`` +
 #:   ``contamination_bloom_sharded`` (artifact fit fused to one
@@ -61,9 +65,10 @@ class QueryDef:
 #:   ``setop_except``, ``join_semi``, ``join_anti``, ``join_outer``,
 #:   ``join_full_outer``, ``join_cross`` — with these green the r6
 #:   rotation tail is fully retired;
-#: * 29 of the 43 round-7-latest rows (the next-oldest cohort).
+#: * 27 of the 43 round-7-latest rows (the next-oldest cohort).
 #:
-#: The 14 round-7-latest rows that did NOT fit —
+#: The 16 round-7-latest rows that did NOT fit —
+#: ``text_corpus_by_lang``, ``text_fingerprint``,
 #: ``text_gopher_quality``, ``text_kneser_ney_bigram``,
 #: ``text_lang_confidence_margin``, ``text_language_id``,
 #: ``text_pii_scrub``, ``text_quality_score``,
@@ -73,6 +78,9 @@ class QueryDef:
 #: ``window_range_frame`` — lead the ROUND-13 ROTATION QUEUE and stay
 #: covered by the full-registry sf0.1 parity sweep every round.
 _WINDOW: tuple[str, ...] = (
+    # -- new round-12 queries (first driver rows) --
+    "pipeline_doremi_weights",
+    "dedup_source_flow_matrix",
     # -- round-12 plan/oracle changes --
     "contamination_bloom",
     "contamination_bloom_sharded",
@@ -124,8 +132,6 @@ _WINDOW: tuple[str, ...] = (
     "skew_salted_agg",
     "skew_salted_join",
     "split_leakage_semantic",
-    "text_corpus_by_lang",
-    "text_fingerprint",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and

@@ -7316,3 +7316,66 @@ def test_bloom_sharded_artifact_load_equals_fit(spark, tmp_path):
     # false negatives, the one failure a Bloom screen must never have)
     with pytest.raises(ValueError, match="different filter constants"):
         load_bloom_artifact_sharded(spark, art, bits_per_item=16)
+
+
+def test_source_flow_matrix_planted_and_invariants(spark, tmp_path):
+    """dedup_source_flow_matrix on a PLANTED two-source corpus: a text
+    duplicated within src_x and across into src_y must produce an
+    intra-source diagonal row (cross_source=false) and a cross-source
+    row (cross_source=true), with canonical (src_a <= src_b) ordering
+    and mean similarity at 1.0 for verbatim copies."""
+    import os
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        dedup_source_flow_matrix,
+    )
+
+    sf = str(tmp_path / "flow_sf")
+    os.makedirs(sf, exist_ok=True)
+    boiler = "the quick brown fox jumps over the lazy dog again " * 5
+    rows = [
+        (1, boiler, "en", "src_x", len(boiler)),
+        (2, boiler, "en", "src_x", len(boiler)),
+        (3, boiler, "en", "src_y", len(boiler)),
+        (4, "completely unrelated content about gardens and tea", "en",
+         "src_y", 50),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = {
+        ((r.src_a, r.src_b)): r
+        for r in dedup_source_flow_matrix(spark, sf).collect()
+    }
+    intra = out[("src_x", "src_x")]
+    cross = out[("src_x", "src_y")]
+    assert intra.n_pairs == 1 and intra.cross_source is False
+    assert cross.n_pairs == 2 and cross.cross_source is True
+    assert intra.mean_jaccard == 1.0 and cross.mean_jaccard == 1.0
+    assert all(r.src_a <= r.src_b for r in out.values())
+
+
+def test_doremi_weights_invariants(spark):
+    """pipeline_doremi_weights on the generated corpus: weights are a
+    floor-divided probability vector (sum within k of 1e6, all > 0),
+    excess is non-negative with at least one zero (the at-or-below-
+    mean domains), the max-excess domain carries the max raw weight
+    (exponentiated gradient is monotone), and every domain's epoch
+    multiplier is positive."""
+    from duckdb_gsheets_spark.operators.pipeline import (
+        pipeline_doremi_weights,
+    )
+
+    rows = pipeline_doremi_weights(spark, "/root/testdata/sf0.001").collect()
+    k = len(rows)
+    assert k >= 2
+    w_sum = sum(r.weight_micro for r in rows)
+    assert 1_000_000 - k <= w_sum <= 1_000_000
+    sm_sum = sum(r.weight_smoothed_micro for r in rows)
+    assert 1_000_000 - 2 * k <= sm_sum <= 1_000_000
+    assert all(r.excess_micro >= 0 for r in rows)
+    assert any(r.excess_micro == 0 for r in rows)
+    mx = max(rows, key=lambda r: r.excess_micro)
+    assert mx.weight_micro == max(r.weight_micro for r in rows)
+    assert all(r.epochs_micro > 0 for r in rows)
