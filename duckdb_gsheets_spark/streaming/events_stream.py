@@ -963,6 +963,90 @@ def dsir_row_scorer(spark: SparkSession, sf_dir: str):
     return score
 
 
+def doremi_row_gate(spark: SparkSession, sf_dir: str):
+    """Build the STATELESS per-row DoReMi ingest gate: fit the domain
+    mixture once from the static corpus
+    (operators.pipeline.pipeline_doremi_weights — the persisted
+    artifact a production intake loads), ship the ≤|domains|-row
+    ``lang → epochs_micro`` table into the stream as a map literal,
+    and give every arriving document a deterministic sampling verdict
+    — kept iff its md5 hash-uniform falls under the domain's
+    acceptance rate ``min(1, epochs)`` (an over-represented domain
+    with ``epochs < 1`` down-samples to its mixture share; an
+    up-sampled domain keeps everything on a single pass — its > 1
+    epochs mean REPETITION, which is the trainer's loop, not the
+    gate's). The hash-Bernoulli device is the corpus_resample /
+    CCNet-tail rule: first 8 md5 hex digits of doc_id as a 32-bit
+    uniform, compared against ``min(epochs_micro, 1e6)·2³² div 1e6``
+    in exact long arithmetic — replayable on checkpoint resume, and
+    identical in the batch twin (the batch-equality test pins it).
+    Returns a transform ``documents-shaped DF → (doc_id, lang,
+    source, n_tokens, epochs_micro, kept)``."""
+    from duckdb_gsheets_spark.operators.curation import _doc_tokens
+    from duckdb_gsheets_spark.operators.pipeline import (
+        pipeline_doremi_weights,
+    )
+
+    mix = pipeline_doremi_weights(spark, sf_dir).collect()
+    ep_map = F.map_from_arrays(
+        F.lit([r.lang for r in mix]).cast("array<string>"),
+        F.lit([int(r.epochs_micro) for r in mix]).cast("array<bigint>"),
+    )
+
+    def gate(docs: DataFrame) -> DataFrame:
+        h32 = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return (
+            _doc_tokens(docs)
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                "n_tokens",
+                F.element_at(ep_map, F.col("lang")).alias("epochs_micro"),
+                h32.alias("_h32"),
+            )
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                "n_tokens",
+                "epochs_micro",
+                F.expr(
+                    "_h32 < (least(epochs_micro, 1000000L) * 4294967296L)"
+                    " div 1000000L"
+                ).alias("kept"),
+            )
+        )
+
+    return gate
+
+
+def streaming_doremi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static twin of the DoReMi mixture as an INGEST GATE:
+    per-language ledger of documents/tokens seen vs kept under the
+    fitted mixture's deterministic sampling rule (see
+    :func:`doremi_row_gate`). One complete-mode aggregation; the
+    verdict itself is stateless per row — no stream-side shuffle
+    before the |domains|-row rollup."""
+    gate = doremi_row_gate(spark, sf_dir)
+    verdicts = gate(read_documents_stream(spark, sf_dir))
+    ledger = verdicts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(F.col("n_tokens").cast("long")).alias("tokens_seen"),
+        F.sum(
+            F.when(F.col("kept"), F.col("n_tokens").cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("tokens_kept"),
+    )
+    return run_to_memory(ledger, output_mode="complete")
+
+
 def with_cdc_lineage(stream: DataFrame) -> DataFrame:
     """Attach file lineage to a file-source stream BEFORE the sink:
     ``_mt`` (modification time) and ``_src`` (path) projected from the

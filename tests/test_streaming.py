@@ -1534,3 +1534,59 @@ def test_cdc_merge_mixed_flat_and_dir_layouts_order_by_set_number(
     assert final.count() == 1
     row = final.collect()[0]
     assert (row.text, row.source) == ("a-second change", "cdc1")
+
+
+def test_streaming_doremi_gate_matches_batch(spark):
+    """streaming_doremi_gate's per-language ledger must equal the
+    batch application of the same fitted gate to the same corpus
+    (deterministic md5 hash-Bernoulli — nothing to drift), and the
+    gate's semantics must hold: a domain whose epoch multiplier is
+    >= 1 (under-represented vs its mixture weight) keeps EVERYTHING,
+    while any down-sampled domain keeps a strict, nonzero subset."""
+    import pyspark.sql.functions as F
+
+    from duckdb_gsheets_spark.plans.catalog import load_table
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        doremi_row_gate,
+        streaming_doremi_gate,
+    )
+
+    got = {
+        r.lang: (r.n_seen, r.n_kept, r.tokens_seen, r.tokens_kept)
+        for r in streaming_doremi_gate(spark, SF).collect()
+    }
+    gate = doremi_row_gate(spark, SF)
+    batch = {
+        r.lang: (r.n_seen, r.n_kept, r.tokens_seen, r.tokens_kept)
+        for r in gate(load_table(spark, SF, "documents"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(F.col("n_tokens").cast("long")).alias("tokens_seen"),
+            F.sum(
+                F.when(
+                    F.col("kept"), F.col("n_tokens").cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("tokens_kept"),
+        )
+        .collect()
+    }
+    assert got == batch
+    assert len(got) > 1
+
+    from duckdb_gsheets_spark.operators.pipeline import (
+        pipeline_doremi_weights,
+    )
+
+    eps = {
+        r.lang: r.epochs_micro
+        for r in pipeline_doremi_weights(spark, SF).collect()
+    }
+    full_keep = [l for l, e in eps.items() if e >= 1_000_000]
+    down = [l for l, e in eps.items() if e < 1_000_000]
+    assert full_keep and down  # the fixture has both regimes
+    for lang in full_keep:
+        assert got[lang][1] == got[lang][0]
+    for lang in down:
+        assert 0 < got[lang][1] < got[lang][0]
