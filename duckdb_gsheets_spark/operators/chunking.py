@@ -400,17 +400,32 @@ def bloom_artifact(
         bench, _ = _contam_gram_frames(spark, sf_dir)
         # single consumer below — no checkpoint needed on this path
         bench_grams = bench.select("gram").distinct()
-    hash_rows = bench_grams.select(
-        *[_bloom_hash60(F.col("gram"), s).alias(f"h{s}") for s in range(BLOOM_K)]
-    ).collect()
-    m = max(BLOOM_MIN_M, bits_per_item * len(hash_rows))
-    if m > BLOOM_MAX_M:
-        raise ValueError(
-            f"bloom filter needs {m} bits (> BLOOM_MAX_M {BLOOM_MAX_M}): "
-            "a mask past 2^30 bits exceeds the one-row broadcast budget "
-            "— shard the filter (partition the benchmark gram space) "
-            "for a suite this large"
+    # The collect is LIMIT-bounded at one row past the largest suite
+    # the mask budget admits (BLOOM_MAX_M / bits_per_item grams), so
+    # an oversized benchmark hits the friendly ValueError below — the
+    # same guard the pre-fusion shape ran as a separate count job —
+    # instead of an unbounded driver collect, and a legal fit still
+    # pays exactly ONE action.
+    max_items = BLOOM_MAX_M // bits_per_item
+    hash_rows = (
+        bench_grams.select(
+            *[
+                _bloom_hash60(F.col("gram"), s).alias(f"h{s}")
+                for s in range(BLOOM_K)
+            ]
         )
+        .limit(max_items + 1)
+        .collect()
+    )
+    if len(hash_rows) > max_items:
+        raise ValueError(
+            f"bloom filter needs > BLOOM_MAX_M {BLOOM_MAX_M} bits "
+            f"(more than {max_items} distinct benchmark grams at "
+            f"{bits_per_item} bits/item): a mask past 2^30 bits exceeds "
+            "the one-row broadcast budget — shard the filter (partition "
+            "the benchmark gram space) for a suite this large"
+        )
+    m = max(BLOOM_MIN_M, bits_per_item * len(hash_rows))
     words = [0] * ((m + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS)
     for r in hash_rows:
         for s in range(BLOOM_K):
@@ -586,10 +601,30 @@ def bloom_artifact_sharded(
         bench, _ = _contam_gram_frames(spark, sf_dir)
         # single consumer below — no checkpoint needed on this path
         bench_grams = bench.select("gram").distinct()
-    hash_rows = bench_grams.select(
-        _bloom_shard_of(F.col("gram")).alias("shard"),
-        *[_bloom_hash60(F.col("gram"), s).alias(f"h{s}") for s in range(BLOOM_K)],
-    ).collect()
+    # LIMIT-bounded like bloom_artifact's fit: the sharded budget is
+    # BLOOM_SHARDS × the single-mask item cap, and any suite past it
+    # gets the friendly error before the driver holds more than one
+    # row over that bound (per-shard skew past BLOOM_MAX_M is still
+    # caught by the per-shard sizing check below).
+    max_items = BLOOM_SHARDS * (BLOOM_MAX_M // bits_per_item)
+    hash_rows = (
+        bench_grams.select(
+            _bloom_shard_of(F.col("gram")).alias("shard"),
+            *[
+                _bloom_hash60(F.col("gram"), s).alias(f"h{s}")
+                for s in range(BLOOM_K)
+            ],
+        )
+        .limit(max_items + 1)
+        .collect()
+    )
+    if len(hash_rows) > max_items:
+        raise ValueError(
+            f"sharded bloom: suite exceeds {max_items} distinct grams "
+            f"(BLOOM_SHARDS {BLOOM_SHARDS} × BLOOM_MAX_M {BLOOM_MAX_M} "
+            f"at {bits_per_item} bits/item) — raise BLOOM_SHARDS for a "
+            "suite this large"
+        )
     counts: dict[int, int] = {}
     for r in hash_rows:
         counts[int(r.shard)] = counts.get(int(r.shard), 0) + 1

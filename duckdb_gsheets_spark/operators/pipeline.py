@@ -709,6 +709,18 @@ GROUP BY lang, bucket
 #: micro-unit integer arithmetic.
 DOREMI_SMOOTH_DEN = 100
 
+#: Saturation cap on the excess-loss signal, in micro-nats (8 nats).
+#: The EG weight rides ``es = round(exp(excess)·1e9)`` and the mixture
+#: share is ``es·1e6 div Σes`` — without a cap, int64 overflows once a
+#: domain's excess passes ~9.1 nats (``es·1e6 > 2^63``), and Spark's
+#: non-ANSI wrap would silently diverge from DuckDB's out-of-range
+#: error. At 8 nats the capped domain already takes ≥ 99.97% of the
+#: softmax against any runner-up at the corpus mean (e^8 ≈ 2981), so
+#: the clamp costs < 0.04% of mixture mass in the regime where it
+#: binds — a saturated hard-domain signal, not a different answer.
+#: Bound check: es ≤ e^8·1e9 < 2.99e12, es·1e6 < 2.99e18 < 2^63.
+DOREMI_EXCESS_CAP_MICRO = 8_000_000
+
 
 def pipeline_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style DOMAIN MIXTURE REWEIGHTING (Xie et al., NeurIPS
@@ -734,7 +746,12 @@ def pipeline_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny-frame algebra — two 1-row broadcasts over the ≤|domains|-row
     table. Token tallies stay int64 here (micro-products bounded by
     1e12); a trillion-token corpus moves the share product to
-    DECIMAL(38,0), the same note as the graph-stats moments.
+    DECIMAL(38,0), the same note as the graph-stats moments. The
+    excess signal saturates at ``DOREMI_EXCESS_CAP_MICRO`` (8 nats)
+    so ``es·1e6`` provably fits int64 — an outlier rare-token domain
+    on a huge corpus can sit tens of nats over the mean, and without
+    the cap Spark would wrap where DuckDB raises (see the constant's
+    note for the < 0.04% mass cost at the bind point).
     """
     from duckdb_gsheets_spark.operators.curation import _doc_xent
 
@@ -773,7 +790,10 @@ def pipeline_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(r.n_docs),
                 int(r.n_tokens),
                 int(r.sxm) // int(r.n_docs),
-                max(0, int(r.sxm) // int(r.n_docs) - gmean),
+                min(
+                    max(0, int(r.sxm) // int(r.n_docs) - gmean),
+                    DOREMI_EXCESS_CAP_MICRO,
+                ),
             )
             for r in dom_rows
         ],
@@ -824,6 +844,7 @@ def _doremi_oracle() -> str:
     from duckdb_gsheets_spark.operators.curation import _xent_core_sql
 
     den = DOREMI_SMOOTH_DEN
+    cap = DOREMI_EXCESS_CAP_MICRO
     return f"""
 WITH {_xent_core_sql()},
 dm_doc AS (
@@ -844,10 +865,12 @@ dm_doc AS (
 ), dm_es AS (
   SELECT d.lang, d.n_docs, d.n_tokens, t.tt, t.k,
          d.sxm // d.n_docs AS mean_xent_micro,
-         GREATEST(CAST(0 AS BIGINT),
-                  d.sxm // d.n_docs - t.sx // t.nn) AS excess_micro,
-         CAST(ROUND(EXP(CAST(GREATEST(CAST(0 AS BIGINT),
-                    d.sxm // d.n_docs - t.sx // t.nn) AS DOUBLE) / 1e6)
+         LEAST(GREATEST(CAST(0 AS BIGINT),
+                        d.sxm // d.n_docs - t.sx // t.nn),
+               CAST({cap} AS BIGINT)) AS excess_micro,
+         CAST(ROUND(EXP(CAST(LEAST(GREATEST(CAST(0 AS BIGINT),
+                    d.sxm // d.n_docs - t.sx // t.nn),
+                    CAST({cap} AS BIGINT)) AS DOUBLE) / 1e6)
                     * 1e9) AS BIGINT) AS es
   FROM dm_dom d, dm_tot t
 ), dm_se AS (

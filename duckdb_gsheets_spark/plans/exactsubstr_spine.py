@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _SPINE_SUBDIR = "lrs_spine"
 _EXT_SUBDIR = "lrs_ext"
+_META_SUBDIR = "lrs_meta"
 
 
 def _paths(artifact_dir: str) -> tuple[str, str]:
@@ -46,6 +47,17 @@ def _paths(artifact_dir: str) -> tuple[str, str]:
         os.path.join(artifact_dir, _SPINE_SUBDIR),
         os.path.join(artifact_dir, _EXT_SUBDIR),
     )
+
+
+def _corpus_stamp(spark: SparkSession, sf_dir: str) -> tuple[str, float]:
+    """The corpus identity the artifact is stamped with — the same
+    ``(path, mtime)`` pair the family's session memo keys on
+    (``operators.dedup._lrs_cache_key``), so stamp equality IS memo-key
+    equality minus the session id."""
+    from duckdb_gsheets_spark.operators import dedup as D
+
+    _app, path, mtime = D._lrs_cache_key(spark, sf_dir)
+    return path, float(mtime)
 
 
 def write_lrs_spine(
@@ -64,6 +76,18 @@ def write_lrs_spine(
     spine_path, ext_path = _paths(artifact_dir)
     ranged.write.mode("overwrite").parquet(spine_path)
     ext.write.mode("overwrite").parquet(ext_path)
+    # Stamp the corpus identity the spine was built FROM (path +
+    # mtime, the memo key's corpus half) so register_lrs_spine can
+    # refuse a stale artifact loudly — the sharded-Bloom loader's
+    # fingerprint pattern. One tiny parquet row keeps the artifact
+    # self-describing on any filesystem the spine itself lives on.
+    path, mtime = _corpus_stamp(spark, sf_dir)
+    spark.createDataFrame(
+        [("lrs-spine-v1", path, mtime)],
+        "version string, corpus_path string, corpus_mtime double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(artifact_dir, _META_SUBDIR)
+    )
     return spine_path, ext_path
 
 
@@ -86,8 +110,25 @@ def register_lrs_spine(
     for ``sf_dir``: every subsequent family query loads the artifact
     instead of running the distributed suffix sort. The memo key
     includes the corpus mtime, so a corpus rewritten AFTER
-    registration naturally stops matching and rebuilds fresh."""
+    registration naturally stops matching and rebuilds fresh; a spine
+    written BEFORE a corpus rewrite is refused here by the stamped
+    corpus fingerprint (registering it under the current mtime key
+    would silently serve stale suffix tables — the same loud-refusal
+    contract as ``chunking.load_bloom_artifact_sharded``)."""
     from duckdb_gsheets_spark.operators import dedup as D
 
+    live_path, live_mtime = _corpus_stamp(spark, sf_dir)
+    meta = spark.read.parquet(
+        os.path.join(artifact_dir, _META_SUBDIR)
+    ).collect()
+    stamped = {(r.version, r.corpus_path, float(r.corpus_mtime)) for r in meta}
+    if stamped != {("lrs-spine-v1", live_path, live_mtime)}:
+        raise ValueError(
+            f"LRS spine artifact at {artifact_dir!r} was built from a "
+            f"different corpus state (stamped {sorted(stamped)!r}, live "
+            f"{('lrs-spine-v1', live_path, live_mtime)!r}) — the corpus "
+            "changed since the spine was written; rebuild with "
+            "write_lrs_spine"
+        )
     key = D._lrs_cache_key(spark, sf_dir)
     D._lrs_cache_put(key, load_lrs_spine(spark, artifact_dir))

@@ -980,8 +980,12 @@ def doremi_row_gate(spark: SparkSession, sf_dir: str):
     uniform, compared against ``min(epochs_micro, 1e6)·2³² div 1e6``
     in exact long arithmetic — replayable on checkpoint resume, and
     identical in the batch twin (the batch-equality test pins it).
-    Returns a transform ``documents-shaped DF → (doc_id, lang,
-    source, n_tokens, epochs_micro, kept)``."""
+    A domain the fitted mixture has never seen defaults to exactly
+    1.0 epochs (keep-all): the fit carries no evidence to down-sample
+    it, and the explicit default guarantees every arriving row a
+    defined boolean verdict (a NULL epochs would make the row neither
+    kept nor dropped). Returns a transform ``documents-shaped DF →
+    (doc_id, lang, source, n_tokens, epochs_micro, kept)``."""
     from duckdb_gsheets_spark.operators.curation import _doc_tokens
     from duckdb_gsheets_spark.operators.pipeline import (
         pipeline_doremi_weights,
@@ -1006,7 +1010,16 @@ def doremi_row_gate(spark: SparkSession, sf_dir: str):
                 "lang",
                 "source",
                 "n_tokens",
-                F.element_at(ep_map, F.col("lang")).alias("epochs_micro"),
+                # A domain ABSENT from the fitted mixture (appeared
+                # after the fit) coalesces to exactly 1.0 epochs —
+                # keep-all. element_at alone would return NULL, giving
+                # the row a NULL verdict that a downstream WHERE kept
+                # silently discards without hitting any drop tally;
+                # every arriving row must get a defined boolean.
+                F.coalesce(
+                    F.element_at(ep_map, F.col("lang")),
+                    F.lit(1_000_000).cast("bigint"),
+                ).alias("epochs_micro"),
                 h32.alias("_h32"),
             )
             .select(

@@ -7379,3 +7379,42 @@ def test_doremi_weights_invariants(spark):
     mx = max(rows, key=lambda r: r.excess_micro)
     assert mx.weight_micro == max(r.weight_micro for r in rows)
     assert all(r.epochs_micro > 0 for r in rows)
+    # overflow saturation: excess is clamped to the documented cap,
+    # and the cap provably keeps es·1e6 (the weight numerator) inside
+    # int64 — without it Spark wraps where DuckDB raises
+    import math
+
+    from duckdb_gsheets_spark.operators.pipeline import (
+        DOREMI_EXCESS_CAP_MICRO,
+    )
+
+    assert all(r.excess_micro <= DOREMI_EXCESS_CAP_MICRO for r in rows)
+    assert math.exp(DOREMI_EXCESS_CAP_MICRO / 1e6) * 1e9 * 1e6 < 2**63
+
+
+def test_bloom_fit_oversized_suite_refuses_before_collect(spark):
+    """The Bloom fits' one-action collect is LIMIT-bounded: a suite
+    past the mask budget raises the friendly sizing ValueError after
+    holding at most max_items+1 rows on the driver (an unbounded
+    collect of an oversized benchmark would OOM before the old
+    post-collect guard ran). bits_per_item=BLOOM_MAX_M admits exactly
+    1 gram (4 sharded), so 8 grams must refuse."""
+    import pytest
+
+    from duckdb_gsheets_spark.operators.chunking import (
+        BLOOM_MAX_M,
+        bloom_artifact,
+        bloom_artifact_sharded,
+    )
+
+    grams = spark.createDataFrame(
+        [(f"guard-gram-{i}",) for i in range(8)], "gram string"
+    )
+    with pytest.raises(ValueError, match="one-row broadcast budget"):
+        bloom_artifact(
+            spark, SF, bench_grams=grams, bits_per_item=BLOOM_MAX_M
+        )
+    with pytest.raises(ValueError, match="raise BLOOM_SHARDS"):
+        bloom_artifact_sharded(
+            spark, SF, bench_grams=grams, bits_per_item=BLOOM_MAX_M
+        )

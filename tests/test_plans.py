@@ -1283,3 +1283,34 @@ def test_lrs_spine_artifact_reuse_identical_and_no_rebuild(spark, tmp_path):
     assert reused_scrub == fresh_scrub
     # leave no prebuilt spine behind for other tests
     D._LRS_SPINE_CACHE.clear()
+
+
+def test_lrs_spine_artifact_stale_corpus_refused(spark, tmp_path):
+    """A spine written BEFORE a corpus rewrite must be REFUSED by
+    register_lrs_spine (the stamped corpus fingerprint disagrees with
+    the live corpus), not silently installed under the current mtime
+    key — the load_bloom_artifact_sharded loud-refusal contract. The
+    rewrite is simulated by perturbing the stamped mtime (testdata is
+    read-only)."""
+    import os
+
+    import pytest
+
+    from duckdb_gsheets_spark.operators import dedup as D
+    from duckdb_gsheets_spark.plans import exactsubstr_spine as S
+
+    art = str(tmp_path / "lrs_art_stale")
+    S.write_lrs_spine(spark, SF, art)
+    meta_path = os.path.join(art, S._META_SUBDIR)
+    rows = spark.read.parquet(meta_path).collect()
+    spark.createDataFrame(
+        [
+            (r.version, r.corpus_path, float(r.corpus_mtime) - 1.0)
+            for r in rows
+        ],
+        "version string, corpus_path string, corpus_mtime double",
+    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    D._LRS_SPINE_CACHE.clear()
+    with pytest.raises(ValueError, match="different corpus state"):
+        S.register_lrs_spine(spark, SF, art)
+    D._LRS_SPINE_CACHE.clear()

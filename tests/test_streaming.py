@@ -1590,3 +1590,30 @@ def test_streaming_doremi_gate_matches_batch(spark):
         assert got[lang][1] == got[lang][0]
     for lang in down:
         assert 0 < got[lang][1] < got[lang][0]
+
+
+def test_doremi_gate_unseen_lang_keeps_all(spark):
+    """A domain ABSENT from the fitted mixture must get a DEFINED
+    keep-all verdict — epochs_micro exactly 1.0 epochs and kept=True
+    — never a NULL epochs whose NULL verdict a downstream WHERE kept
+    would silently discard without hitting any drop tally."""
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        doremi_row_gate,
+    )
+
+    gate = doremi_row_gate(spark, SF)
+    docs = spark.createDataFrame(
+        [
+            (
+                "unseen-dom-doc-1",
+                "zz-never-fitted",
+                "src_test",
+                "some tokens that were never in the fitted corpus",
+            )
+        ],
+        "doc_id string, lang string, source string, text string",
+    )
+    rows = gate(docs).collect()
+    assert len(rows) == 1
+    assert rows[0].epochs_micro == 1_000_000
+    assert rows[0].kept is True
