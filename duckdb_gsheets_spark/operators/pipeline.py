@@ -722,6 +722,34 @@ DOREMI_SMOOTH_DEN = 100
 DOREMI_EXCESS_CAP_MICRO = 8_000_000
 
 
+def _doremi_dom_rows(spark: SparkSession, sf_dir: str) -> list:
+    """The per-domain xent tally both DoReMi operators share — the
+    bounded artifact (≤|langs| rows): ONE action collects it, the
+    corpus totals fold to exact Python integer sums, and the table
+    re-enters the plan as a LOCAL relation — re-referencing the
+    grouped frame lazily would re-expand the whole corpus xent
+    subtree into every downstream branch (a first cut of the
+    single-step operator planned 12 scans). All driver arithmetic on
+    these rows is floor division of non-negative exact integers —
+    identical to Spark ``div`` and DuckDB ``//``."""
+    from duckdb_gsheets_spark.operators.curation import _doc_xent
+
+    per_doc = _doc_xent(load_table(spark, sf_dir, "documents")).select(
+        "lang",
+        "n_tokens",
+        F.round(F.col("unigram_xent") * 1e6).cast("long").alias("xm"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+            F.sum("xm").alias("sxm"),
+        )
+        .collect()
+    )
+
+
 def pipeline_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style DOMAIN MIXTURE REWEIGHTING (Xie et al., NeurIPS
     2023), the deterministic analytics half: per language-domain,
@@ -753,32 +781,7 @@ def pipeline_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap Spark would wrap where DuckDB raises (see the constant's
     note for the < 0.04% mass cost at the bind point).
     """
-    from duckdb_gsheets_spark.operators.curation import _doc_xent
-
-    per_doc = _doc_xent(load_table(spark, sf_dir, "documents")).select(
-        "lang",
-        "n_tokens",
-        F.round(F.col("unigram_xent") * 1e6).cast("long").alias("xm"),
-    )
-    # The per-domain tally is the bounded artifact (≤|langs| rows):
-    # ONE action collects it, the corpus totals fold to exact Python
-    # integer sums, and the table re-enters the plan as a LOCAL
-    # relation — re-referencing the grouped frame lazily would
-    # re-expand the whole corpus xent subtree into every downstream
-    # branch (a first cut of this operator planned 12 scans). All
-    # driver arithmetic is floor division of non-negative exact
-    # integers — identical to Spark `div` and DuckDB `//` — and the
-    # one transcendental (exp) stays a JVM expression over the local
-    # relation, so the cross-engine grid contract is untouched.
-    dom_rows = (
-        per_doc.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
-            F.sum("xm").alias("sxm"),
-        )
-        .collect()
-    )
+    dom_rows = _doremi_dom_rows(spark, sf_dir)
     nn = sum(int(r.n_docs) for r in dom_rows)
     tt = sum(int(r.n_tokens) for r in dom_rows)
     gmean = sum(int(r.sxm) for r in dom_rows) // nn
@@ -887,6 +890,180 @@ SELECT lang, n_docs, n_tokens, mean_xent_micro, excess_micro,
             ELSE CAST(0 AS BIGINT) END AS epochs_micro
 FROM dm_es, dm_se
 """
+
+
+#: Unrolled exponentiated-gradient rounds of the FULL DoReMi loop
+#: (Xie et al. 2023, Algorithm 1). 4 rounds is where the sf-corpus
+#: mixture visibly converges (the round-4 reference loss moves < 1%
+#: of round 1's step); the unrolled-CTE oracle grows linearly in T.
+DOREMI_EG_ROUNDS = 4
+
+
+def pipeline_doremi_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain reweighting, the FULL multi-round exponentiated-
+    gradient loop (Xie et al., NeurIPS 2023, Algorithm 1) — where
+    :func:`pipeline_doremi_weights` takes ONE EG step against the
+    fixed corpus-mean reference, this runs ``DOREMI_EG_ROUNDS``
+    unrolled rounds with a PER-ROUND REFERENCE UPDATE: round t's
+    excess loss for a domain is its mean xent above the
+    CURRENT-MIXTURE-WEIGHTED corpus loss ``Σ w_{t-1}(d)·xent(d)``
+    (the paper's reference model re-evaluated under the evolving
+    mixture; here the corpus's own unigram LM, so the loop is exact
+    and oracle-checkable), then ``w_t ∝ w_{t-1}·exp(excess_t)`` with
+    per-round uniform smoothing (eq. 3). The iteration is a fixed
+    point toward EQUALIZED domain losses: as mass shifts onto hard
+    domains the weighted reference rises and their excess shrinks —
+    the minimax behavior one step cannot express.
+
+    Determinism: same micro-unit grid as the single-step operator —
+    every round is integer arithmetic on the ≤|domains|-row tally
+    except ONE exp per domain per round, which both engines evaluate
+    as their native double exp and snap to the 1e9 grid (the proven
+    single-step device); the raw update ``(w·mult) div 1e9`` floor-
+    quantizes before the normalizing sum so every intermediate fits
+    int64 under the ``DOREMI_EXCESS_CAP_MICRO`` saturation (w ≤ 1e6,
+    mult ≤ e^8·1e9 < 3e12 → w·mult < 3e18 < 2^63).
+
+    Shapes, sized for 100 TB: the corpus is touched ONCE (the shared
+    ``_doremi_dom_rows`` tally); every EG round is bounded MODEL
+    STATE the driver legitimately holds (the kmeans_lloyd /
+    bpe_merge_iterative pattern) — exact Python big-int folds plus
+    one k-row JVM exp snap per round — and the finished mixture
+    re-enters Spark as a local relation. Rounds never rescan data,
+    so T scales the tiny state loop, not the corpus cost. Oracle:
+    generated round-for-round CTE replay (MATERIALIZED hints keep
+    DuckDB 1.0 from re-inlining the corpus subtree 2^T times).
+    """
+    dom_rows = _doremi_dom_rows(spark, sf_dir)
+    k = len(dom_rows)
+    tt = sum(int(r.n_tokens) for r in dom_rows)
+    den = DOREMI_SMOOTH_DEN
+    cap = DOREMI_EXCESS_CAP_MICRO
+    langs = sorted(r.lang for r in dom_rows)
+    xm = {r.lang: int(r.sxm) // int(r.n_docs) for r in dom_rows}
+    info = {r.lang: (int(r.n_docs), int(r.n_tokens)) for r in dom_rows}
+    w = {lang: 1_000_000 // k for lang in langs}
+    ref = ex = None
+    for _ in range(DOREMI_EG_ROUNDS):
+        ref = sum(w[d] * xm[d] for d in langs) // sum(w[d] for d in langs)
+        ex = {d: min(max(0, xm[d] - ref), cap) for d in langs}
+        mult = _exp_snap_1e9(spark, set(ex.values()))
+        raw = {d: (w[d] * mult[ex[d]]) // 1_000_000_000 for d in langs}
+        sraw = sum(raw.values())
+        w = {
+            d: ((den - 1) * (raw[d] * 1_000_000 // sraw)) // den
+            + 1_000_000 // (den * k)
+            for d in langs
+        }
+    out = []
+    for d in langs:
+        n_docs, n_tokens = info[d]
+        share = n_tokens * 1_000_000 // tt
+        out.append(
+            (
+                d,
+                n_docs,
+                n_tokens,
+                xm[d],
+                ref,
+                ex[d],
+                w[d],
+                (w[d] * 1_000_000 // share) if share > 0 else 0,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "lang string, n_docs long, n_tokens long, mean_xent_micro long, "
+        "ref_micro long, excess_micro long, weight_micro long, "
+        "epochs_micro long",
+    )
+
+
+def _exp_snap_1e9(spark: SparkSession, micros) -> dict[int, int]:
+    """Engine-evaluated ``round(exp(x/1e6)·1e9)`` for a bounded set of
+    micro-nat values — the one transcendental in the DoReMi loop stays
+    a JVM expression (not Python libm) so it snaps to the SAME 1e9
+    grid the DuckDB oracle's EXP snaps to."""
+    rows = (
+        spark.createDataFrame([(int(m),) for m in micros], "x long")
+        .select(
+            "x",
+            F.round(
+                F.exp(F.col("x").cast("double") / F.lit(1e6)) * 1e9
+            )
+            .cast("long")
+            .alias("e"),
+        )
+        .collect()
+    )
+    return {int(r.x): int(r.e) for r in rows}
+
+
+def _doremi_iterative_oracle() -> str:
+    """Round-for-round CTE replay of the unrolled EG loop. Every
+    multi-referenced CTE is MATERIALIZED — DuckDB 1.0 re-inlines
+    otherwise, and through T rounds the corpus xent subtree would
+    re-expand 2^T times (the neardup-triangles lesson)."""
+    from duckdb_gsheets_spark.operators.curation import _xent_core_sql
+
+    den = DOREMI_SMOOTH_DEN
+    cap = DOREMI_EXCESS_CAP_MICRO
+    parts = [
+        f"""WITH {_xent_core_sql()},
+dm_doc AS (
+  SELECT lang, n_tokens,
+         CAST(ROUND(unigram_xent * 1e6) AS BIGINT) AS xm
+  FROM xent
+), dm_dom AS MATERIALIZED (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(xm) AS BIGINT) AS sxm
+  FROM dm_doc GROUP BY lang
+), dm_tot AS MATERIALIZED (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt, COUNT(*) AS k
+  FROM dm_dom
+), w0 AS MATERIALIZED (
+  SELECT d.lang, d.n_docs, d.n_tokens, t.tt, t.k,
+         d.sxm // d.n_docs AS xm,
+         CAST(1000000 AS BIGINT) // t.k AS w
+  FROM dm_dom d, dm_tot t
+)"""
+    ]
+    for t in range(1, DOREMI_EG_ROUNDS + 1):
+        p = f"w{t - 1}"
+        parts.append(
+            f""", r{t}a AS MATERIALIZED (
+  SELECT lang, n_docs, n_tokens, tt, k, xm, w,
+         (SELECT CAST(SUM(w * xm) AS BIGINT)
+            // CAST(SUM(w) AS BIGINT) FROM {p}) AS ref
+  FROM {p}
+), r{t}b AS MATERIALIZED (
+  SELECT lang, n_docs, n_tokens, tt, k, xm, ref,
+         LEAST(GREATEST(CAST(0 AS BIGINT), xm - ref),
+               CAST({cap} AS BIGINT)) AS ex,
+         (w * CAST(ROUND(EXP(CAST(LEAST(GREATEST(CAST(0 AS BIGINT),
+                xm - ref), CAST({cap} AS BIGINT)) AS DOUBLE) / 1e6)
+                * 1e9) AS BIGINT)) // 1000000000 AS raw
+  FROM r{t}a
+), w{t} AS MATERIALIZED (
+  SELECT lang, n_docs, n_tokens, tt, k, xm, ref, ex,
+         ({den - 1} * (raw * 1000000
+                       // (SELECT CAST(SUM(raw) AS BIGINT) FROM r{t}b))) // {den}
+           + 1000000 // ({den} * k) AS w
+  FROM r{t}b
+)"""
+        )
+    parts.append(
+        f"""
+SELECT lang, n_docs, n_tokens, xm AS mean_xent_micro,
+       ref AS ref_micro, ex AS excess_micro, w AS weight_micro,
+       CASE WHEN n_tokens * 1000000 // tt > 0
+            THEN w * 1000000 // (n_tokens * 1000000 // tt)
+            ELSE CAST(0 AS BIGINT) END AS epochs_micro
+FROM w{DOREMI_EG_ROUNDS}
+ORDER BY lang"""
+    )
+    return "".join(parts)
 
 
 #: DSIR selection rate: keep NUM/DEN of the candidate (non-target)
@@ -1263,5 +1440,14 @@ QUERIES: list[QueryDef] = [
         "DoReMi domain-mixture reweighting: excess-xent signal -> "
         "exponentiated-gradient weights (exact micro-unit integers) -> "
         "per-domain training-epoch multipliers",
+    ),
+    # -- round-13 additions --
+    QueryDef(
+        "pipeline_doremi_iterative",
+        pipeline_doremi_iterative,
+        _doremi_iterative_oracle(),
+        "DoReMi full multi-round EG loop (Xie et al. Alg. 1): per-round "
+        "mixture-weighted reference update, unrolled "
+        f"{DOREMI_EG_ROUNDS} rounds on the exact micro-unit grid",
     ),
 ]

@@ -988,10 +988,13 @@ def doremi_row_gate(spark: SparkSession, sf_dir: str):
     (doc_id, lang, source, n_tokens, epochs_micro, kept)``."""
     from duckdb_gsheets_spark.operators.curation import _doc_tokens
     from duckdb_gsheets_spark.operators.pipeline import (
-        pipeline_doremi_weights,
+        pipeline_doremi_iterative,
     )
 
-    mix = pipeline_doremi_weights(spark, sf_dir).collect()
+    # The gate consumes the ROUND-T mixture of the full EG loop —
+    # the converged minimax weights, not the single-step signal
+    # (pipeline_doremi_weights) that seeded it in round 12.
+    mix = pipeline_doremi_iterative(spark, sf_dir).collect()
     ep_map = F.map_from_arrays(
         F.lit([r.lang for r in mix]).cast("array<string>"),
         F.lit([int(r.epochs_micro) for r in mix]).cast("array<bigint>"),

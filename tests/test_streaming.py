@@ -1575,13 +1575,14 @@ def test_streaming_doremi_gate_matches_batch(spark):
     assert got == batch
     assert len(got) > 1
 
+    # the gate consumes the round-T mixture of the full EG loop
     from duckdb_gsheets_spark.operators.pipeline import (
-        pipeline_doremi_weights,
+        pipeline_doremi_iterative,
     )
 
     eps = {
         r.lang: r.epochs_micro
-        for r in pipeline_doremi_weights(spark, SF).collect()
+        for r in pipeline_doremi_iterative(spark, SF).collect()
     }
     full_keep = [l for l, e in eps.items() if e >= 1_000_000]
     down = [l for l, e in eps.items() if e < 1_000_000]
