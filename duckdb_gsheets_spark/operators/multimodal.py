@@ -584,6 +584,389 @@ GROUP BY format, shard_id
 """
 
 
+#: Perceptual near-dup constants. The signature is a 60-bit SimHash
+#: over CONTENT-DEFINED CHUNKS of the payload byte stream (LBFS/rsync
+#: anchoring: a chunk boundary wherever the byte bigram ≡ 0 mod
+#: PHASH_ANCHOR_MOD, ~61-byte average chunks), banded 4×15 bits for
+#: LSH blocking exactly like operators.dedup.dedup_simhash.
+#:
+#: Why not a POSITIONAL aHash/dHash grid (mean-thresholded fixed
+#: cells)? Measured on this corpus: a byte-insertion shifts every
+#: downstream byte, so fixed-position cells decorrelate — known
+#: near-dup pairs landed at Hamming 16–42 of 60, indistinguishable
+#: from the background's 25–34. Content-defined anchors re-align
+#: after any local edit (the rsync trick), so an edit perturbs only
+#: the chunks it touches; SimHash over the surviving chunk set moves
+#: ≤ a few bits. For REAL media the signature slot is where a
+#: PIL-backed aHash plugs in (pixel grids are alignment-stable, the
+#: positional device works there); the banding / verification /
+#: calibration layers below are signature-agnostic.
+PHASH_BITS = 60
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 6
+PHASH_ANCHOR_MOD = 61
+PHASH_MIN_BYTES = 60
+
+
+def _pband_val(sig: F.Column, b: int) -> F.Column:
+    """Band ``b``'s 15-bit slice of the 60-bit perceptual signature."""
+    width = PHASH_BITS // PHASH_BANDS
+    mask = (1 << width) - 1
+    return F.shiftrightunsigned(sig, b * width).bitwiseAND(F.lit(mask))
+
+
+def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, format, pmd5, sig): 60-bit perceptual signature per
+    payload (see the PHASH constant block for the design rationale).
+
+    Shape: per-byte hex explode (the payload_entropy device — all
+    JVM), anchor filter (~1/PHASH_ANCHOR_MOD of positions survive), a
+    per-doc lag window over the sparse anchor rows to cut chunk
+    spans, one md5 per chunk, and a single groupBy(doc) with 60 vote
+    sums — the simhash_signatures assembly. Every gated doc gets a
+    signature: the payload tail past the last anchor is always a
+    chunk (docs with no anchors hash as one whole-payload chunk).
+    Docs under PHASH_MIN_BYTES are excluded (too short for a stable
+    signature; byte-identical dedup still covers them). Eagerly
+    localCheckpoint'ed — the pair query consumes it 4+ times.
+    """
+    media = media_table(spark, sf_dir).where(F.col("payload").isNotNull())
+    base = media.select(
+        "doc_id",
+        "format",
+        F.hex("payload").alias("h"),
+        F.md5("payload").alias("pmd5"),
+        F.expr("length(hex(payload)) div 2").cast("long").alias("n"),
+    ).where(F.col("n") >= PHASH_MIN_BYTES)
+    idx = base.select(
+        "doc_id",
+        "format",
+        "h",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n") - 2)
+        ).alias("i"),
+    )
+    anchors = idx.where(
+        F.conv(F.expr("substring(h, cast(i * 2 + 1 as int), 4)"), 16, 10)
+        .cast("long")
+        % PHASH_ANCHOR_MOD
+        == 0
+    ).select("doc_id", "format", "h", "n", "i")
+    # chunk END positions: every anchor plus the unconditional final
+    # byte (n−1 is never an anchor position — anchors live in
+    # 0..n−2), so the spans disjointly cover the payload and an
+    # anchor-less payload yields exactly one whole-payload chunk.
+    ends = anchors.unionAll(
+        base.select(
+            "doc_id", "format", "h", "n", (F.col("n") - 1).alias("i")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = ends.select(
+        "doc_id",
+        "format",
+        "h",
+        "i",
+        F.lag("i", 1, -1).over(w).alias("prev"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        "format",
+        F.expr(
+            "substring(h, cast((prev + 1) * 2 + 1 as int), "
+            "cast((i - prev) * 2 as int))"
+        ).alias("ck"),
+    )
+    from duckdb_gsheets_spark.functions import portable_hash as PH
+
+    hashed = chunks.select(
+        "doc_id", "format", PH.tok_hash60(F.col("ck")).alias("hc")
+    )
+    votes = hashed.groupBy("doc_id", "format").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("hc"), k).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{k}")
+            for k in range(PHASH_BITS)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for k in range(PHASH_BITS):
+        sig = sig + F.expr(f"shiftleft(cast(v{k} > 0 as long), {k})")
+    out = votes.select("doc_id", "format", sig.alias("sig")).join(
+        base.select("doc_id", "pmd5"), "doc_id"
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL near-dup pairs over the media payloads — the layer
+    byte-identical dedup (:func:`multimodal_payload_dedup`) cannot
+    see: payloads that differ in a few bytes but share almost all
+    content chunks. Same-format pairs only (comparing a png to a wav
+    perceptually is meaningless), Hamming ≤ PHASH_MAX_HAMMING.
+
+    Plan shape is dedup_simhash's collapsed form — NEVER all-pairs:
+    identical signatures pair through a (format, sig) equality
+    self-join; the band join runs over DISTINCT (format, sig) rows
+    with first-matching-band exactly-once emission; doc pairs fan
+    back out through two sig→doc joins (output-bound). Output:
+    (doc_a, doc_b, format, hamming, byte_identical) — the
+    byte_identical flag is what the calibration audit splits on
+    (byte-identical payloads always hash to the same signature, so
+    every hamming > 0 pair is by construction perceptual-only).
+    """
+    sigs = phash_signatures(spark, sf_dir)
+    within = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.format") == F.col("b.format")),
+        )
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.format").alias("format"),
+            F.lit(0).alias("hamming"),
+            (F.col("a.pmd5") == F.col("b.pmd5")).cast("int").alias(
+                "byte_identical"
+            ),
+        )
+    )
+    distinct_sigs = sigs.select("format", "sig").distinct()
+    bands = distinct_sigs.select(
+        "format",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        _pband_val(F.col("sig"), b).alias("band_val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("format", "sig", "band.band_idx", "band.band_val")
+    no_earlier_match = F.lit(True)
+    for b in range(1, PHASH_BANDS):
+        earlier_differs = F.lit(True)
+        for i in range(b):
+            earlier_differs = earlier_differs & (
+                _pband_val(F.col("a.sig"), i)
+                != _pband_val(F.col("b.sig"), i)
+            )
+        no_earlier_match = F.when(
+            F.col("band_idx") == b, earlier_differs
+        ).otherwise(no_earlier_match)
+    sig_pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["format", "band_idx", "band_val"])
+        .where((F.col("a.sig") < F.col("b.sig")) & no_earlier_match)
+        .select(
+            "format",
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    close_sigs = sig_pairs.select(
+        "format", "sig_a", "sig_b", hamming.alias("hamming")
+    ).where(
+        (F.col("hamming") > 0) & (F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+    across = (
+        close_sigs.join(
+            sigs.select(
+                F.col("format").alias("format"),
+                F.col("sig").alias("sig_a"),
+                F.col("doc_id").alias("da"),
+            ),
+            ["format", "sig_a"],
+        )
+        .join(
+            sigs.select(
+                F.col("format").alias("format"),
+                F.col("sig").alias("sig_b"),
+                F.col("doc_id").alias("db"),
+            ),
+            ["format", "sig_b"],
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "format",
+            "hamming",
+            # hamming > 0 ⇒ different payload bytes by construction
+            F.lit(0).alias("byte_identical"),
+        )
+    )
+    return within.unionAll(across)
+
+
+def multimodal_phash_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration audit of perceptual vs BYTE-IDENTICAL dedup: per
+    Hamming distance over the emitted near-dup pairs, how many pairs
+    byte dedup would also have caught (``n_byte_identical``) vs the
+    near-dups ONLY the perceptual hash sees (``n_perceptual_only`` —
+    the added recall that justifies running the perceptual pass).
+    ≤ PHASH_MAX_HAMMING+1 rows; reuses the registered pair query so
+    it audits exactly what runs."""
+    pairs = multimodal_phash_neardup(spark, sf_dir)
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("byte_identical").alias("n_byte_identical"),
+            (F.count(F.lit(1)) - F.sum("byte_identical")).alias(
+                "n_perceptual_only"
+            ),
+        )
+        .orderBy("hamming")
+    )
+
+
+def _phash_pairs_sql() -> str:
+    """DuckDB CTE chain mirroring phash_signatures → band blocking →
+    Hamming verification (the _simhash_pairs_sql pattern, applied to
+    the payload-chunk signature)."""
+    from duckdb_gsheets_spark.functions import portable_hash as PH
+
+    width = PHASH_BITS // PHASH_BANDS
+    mask = (1 << width) - 1
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (hc >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(PHASH_BITS)
+    )
+    terms = "\n     + ".join(
+        f"CASE WHEN v{k} > 0 THEN CAST({1 << k} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for k in range(PHASH_BITS)
+    )
+    band_rows = ", ".join(f"({b})" for b in range(PHASH_BANDS))
+
+    def bv(side: str, i: int) -> str:
+        return f"(({side}.sig >> {width * i}) & {mask})"
+
+    first_band = []
+    for b in range(PHASH_BANDS):
+        if b == 0:
+            cond = "TRUE"
+        else:
+            cond = " AND ".join(
+                f"{bv('a', i)} != {bv('b', i)}" for i in range(b)
+            )
+        first_band.append(f"WHEN a.band_idx = {b} THEN ({cond})")
+    no_earlier = "CASE " + " ".join(first_band) + " END"
+    return f"""
+mmp_base AS MATERIALIZED (
+  SELECT doc_id,
+         ['png', 'jpeg', 'wav'][CAST(doc_id % {len(FORMATS)} AS INTEGER) + 1]
+           AS format,
+         hex(encode(text)) AS h,
+         md5(text) AS pmd5,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {PHASH_MIN_BYTES}
+), mmp_idx AS (
+  SELECT doc_id, format, h, n,
+         unnest(range(0, n - 1)) AS i
+  FROM mmp_base
+), mmp_anchor AS (
+  SELECT doc_id, format, h, n, i FROM mmp_idx
+  WHERE CAST('0x' || substring(h, CAST(i * 2 + 1 AS INTEGER), 4) AS BIGINT)
+        % {PHASH_ANCHOR_MOD} = 0
+), mmp_ends AS (
+  SELECT doc_id, format, h, n, i FROM mmp_anchor
+  UNION ALL
+  SELECT doc_id, format, h, n, n - 1 AS i FROM mmp_base
+), mmp_span AS (
+  SELECT doc_id, format, h, i,
+         LAG(i, 1, CAST(-1 AS BIGINT))
+           OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM mmp_ends
+), mmp_chunk AS (
+  SELECT doc_id, format,
+         substring(h, CAST((prev + 1) * 2 + 1 AS INTEGER),
+                   CAST((i - prev) * 2 AS INTEGER)) AS ck
+  FROM mmp_span
+), mmp_hashed AS (
+  SELECT doc_id, format, {PH.oracle_tok_hash60("ck")} AS hc
+  FROM mmp_chunk
+), mmp_votes AS (
+  SELECT doc_id, format,
+    {votes}
+  FROM mmp_hashed GROUP BY doc_id, format
+), mmp_sigs AS MATERIALIZED (
+  SELECT v.doc_id, v.format,
+    ({terms}) AS sig,
+    b.pmd5
+  FROM mmp_votes v JOIN mmp_base b USING (doc_id)
+), mmp_within AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.format AS format,
+         0 AS hamming,
+         CAST(a.pmd5 = b.pmd5 AS INTEGER) AS byte_identical
+  FROM mmp_sigs a JOIN mmp_sigs b
+    ON a.sig = b.sig AND a.format = b.format AND a.doc_id < b.doc_id
+), mmp_distinct AS (
+  SELECT DISTINCT format, sig FROM mmp_sigs
+), mmp_bands AS MATERIALIZED (
+  SELECT format, sig, band_idx,
+         (sig >> ({width} * band_idx)) & {mask} AS band_val
+  FROM mmp_distinct CROSS JOIN (VALUES {band_rows}) bs(band_idx)
+), mmp_sig_pairs AS (
+  SELECT a.format AS format, a.sig AS sig_a, b.sig AS sig_b,
+         CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+  FROM mmp_bands a JOIN mmp_bands b
+    ON a.format = b.format AND a.band_idx = b.band_idx
+   AND a.band_val = b.band_val AND a.sig < b.sig
+  WHERE {no_earlier}
+), mmp_close AS MATERIALIZED (
+  SELECT format, sig_a, sig_b, hamming FROM mmp_sig_pairs
+  WHERE hamming > 0 AND hamming <= {PHASH_MAX_HAMMING}
+), mmp_across AS (
+  SELECT LEAST(da.doc_id, db.doc_id) AS doc_a,
+         GREATEST(da.doc_id, db.doc_id) AS doc_b,
+         c.format AS format, c.hamming,
+         0 AS byte_identical
+  FROM mmp_close c
+  JOIN mmp_sigs da ON da.sig = c.sig_a AND da.format = c.format
+  JOIN mmp_sigs db ON db.sig = c.sig_b AND db.format = c.format
+), mmp_pairs AS (
+  SELECT * FROM mmp_within UNION ALL SELECT * FROM mmp_across
+)"""
+
+
+MULTIMODAL_PHASH_ORACLE = f"""
+WITH {_phash_pairs_sql()}
+SELECT doc_a, doc_b, format, hamming, byte_identical FROM mmp_pairs
+"""
+
+
+MULTIMODAL_PHASH_CALIBRATION_ORACLE = f"""
+WITH {_phash_pairs_sql()}
+SELECT hamming,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(byte_identical) AS BIGINT) AS n_byte_identical,
+       COUNT(*) - CAST(SUM(byte_identical) AS BIGINT)
+         AS n_perceptual_only
+FROM mmp_pairs
+GROUP BY hamming
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("multimodal_metadata", multimodal_metadata, MULTIMODAL_META_ORACLE, "binary+struct metadata"),
     QueryDef("pipeline_media_corpus", pipeline_media_corpus, PIPELINE_MEDIA_ORACLE, "composed media build: payload dedup feeding byte-budget shards"),
@@ -593,4 +976,19 @@ QUERIES: list[QueryDef] = [
     QueryDef("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_ORACLE, "mapInPandas resize planning"),
     QueryDef("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE, "one-to-many frame sampling"),
     QueryDef("multimodal_payload_entropy", multimodal_payload_entropy, PAYLOAD_ENTROPY_ORACLE, "decode-free byte-entropy corruption screen (JVM hex chunking)"),
+    # -- round-13 additions --
+    QueryDef(
+        "multimodal_phash_neardup",
+        multimodal_phash_neardup,
+        MULTIMODAL_PHASH_ORACLE,
+        "perceptual media near-dup pairs: SimHash over content-defined "
+        "payload chunks, Hamming-banded LSH (never all-pairs)",
+    ),
+    QueryDef(
+        "multimodal_phash_calibration",
+        multimodal_phash_calibration,
+        MULTIMODAL_PHASH_CALIBRATION_ORACLE,
+        "perceptual-vs-byte-dedup calibration: per Hamming distance, "
+        "pairs byte dedup would miss",
+    ),
 ]

@@ -7356,6 +7356,66 @@ def test_source_flow_matrix_planted_and_invariants(spark, tmp_path):
     assert all(r.src_a <= r.src_b for r in out.values())
 
 
+def test_phash_neardup_planted_edit(spark, tmp_path):
+    """Perceptual near-dup on a PLANTED corpus: a single-character
+    edit (which shifts NO bytes but changes one content-defined
+    chunk) must pair with its original at 0 < hamming <=
+    PHASH_MAX_HAMMING and byte_identical=0 — the pair byte dedup
+    misses — while an exact copy pairs at hamming 0 with
+    byte_identical=1 and an unrelated same-format payload pairs with
+    nothing. doc_ids are all ≡ 0 (mod 3) so every doc is the same
+    'png' format."""
+    import os
+    import random
+
+    from duckdb_gsheets_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        multimodal_phash_calibration,
+        multimodal_phash_neardup,
+    )
+
+    rng = random.Random(7)
+    words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+    base = " ".join(rng.choice(words) for _ in range(1200))
+    edited = base[:900] + ("Q" if base[900] != "Q" else "Z") + base[901:]
+    other = " ".join(rng.choice(words) for _ in range(1200))
+    sf = str(tmp_path / "phash_sf")
+    os.makedirs(sf, exist_ok=True)
+    rows = [
+        (3, base, "en", "s", len(base)),
+        (6, edited, "en", "s", len(edited)),
+        (9, base, "en", "s", len(base)),
+        (12, other, "en", "s", len(other)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    pairs = {
+        (r.doc_a, r.doc_b): r
+        for r in multimodal_phash_neardup(spark, sf).collect()
+    }
+    assert pairs[(3, 9)].hamming == 0
+    assert pairs[(3, 9)].byte_identical == 1
+    for pair in ((3, 6), (6, 9)):
+        assert 0 < pairs[pair].hamming <= PHASH_MAX_HAMMING
+        assert pairs[pair].byte_identical == 0
+    assert pairs[(3, 6)].hamming == pairs[(6, 9)].hamming
+    assert not any(12 in p for p in pairs)
+
+    cal = {r.hamming: r for r in multimodal_phash_calibration(spark, sf).collect()}
+    assert cal[0].n_byte_identical == 1
+    assert sum(r.n_perceptual_only for r in cal.values()) == 2
+    assert all(
+        r.n_pairs == r.n_byte_identical + r.n_perceptual_only
+        for r in cal.values()
+    )
+
+
 def test_doremi_weights_invariants(spark):
     """pipeline_doremi_weights on the generated corpus: weights are a
     floor-divided probability vector (sum within k of 1e6, all > 0),
