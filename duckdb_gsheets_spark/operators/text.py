@@ -1366,6 +1366,18 @@ def bpe_merge_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated round-for-round CTE replay, argmax via scalar
     subqueries, same tiebreak.
     """
+    return spark.createDataFrame(
+        _bpe_learn(spark, sf_dir),
+        "round int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The BPE training loop shared by :func:`bpe_merge_iterative`
+    (which returns the merge table itself) and
+    :func:`tokenizer_fertility` (which APPLIES the learned merges):
+    returns ``[(round, left, right, pair_count), ...]`` — bounded
+    model state, one row per round."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.where(F.col("text").isNotNull())
@@ -1414,9 +1426,7 @@ def bpe_merge_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"({top.l}{top.r})"),
             ),
         )
-    return spark.createDataFrame(
-        out_rows, "round int, left_sym string, right_sym string, pair_count bigint"
-    )
+    return out_rows
 
 
 def _bpe_iter_oracle() -> str:
@@ -1468,6 +1478,179 @@ def _bpe_iter_oracle() -> str:
         for r in range(1, BPE_ITER_ROUNDS + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language TOKENIZER FERTILITY under the fitted BPE merges —
+    the standard multilingual-tokenizer equity audit (see e.g. Rust
+    et al. 2021, "How Good is Your Tokenizer?"): languages whose
+    words fragment into more subword tokens pay more sequence length
+    per sentence, so a trainer reading this table sees which domains
+    the shared vocabulary under-serves. Composes the battery's two
+    tokenizer halves: the merges LEARNED by
+    :func:`bpe_merge_iterative` (same ``_bpe_learn`` loop — the
+    numbers here audit exactly the trainer that runs) APPLIED to
+    every in-scope corpus word.
+
+    Output per language: words/chars/BPE-token totals, ``fertility
+    = bpe_tokens / words`` and ``bpe_tokens / chars``, both as exact
+    micro-unit floor divisions. Scope is the trainer's own
+    (lowercased ``^[a-z]+$`` words, length ≥ 2) — punctuation and
+    digits are pre-tokenization concerns, not vocab equity.
+
+    Shapes, sized for 100 TB: the learn loop touches the corpus once
+    (word-frequency collapse, memo'd via localCheckpoint) and each
+    round rescans only the vocab table; the apply side collapses the
+    corpus to DISTINCT (lang, word) counts first — merges then run
+    as 3 literal replaces over the bounded vocab-per-lang table, not
+    per token occurrence. In production the merge table is a
+    persisted artifact (the spine/Bloom pattern) and the learn phase
+    drops out entirely.
+    """
+    merges = _bpe_learn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("word"),
+        )
+        .where(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sym = F.regexp_replace(F.col("word"), "(.)", "($1)")
+    for _rnd, left, right, _cnt in merges:
+        sym = F.replace(
+            sym, F.lit(f"({left})({right})"), F.lit(f"({left}{right})")
+        )
+    per_word = words.select(
+        "lang",
+        "cnt",
+        F.length("word").cast("long").alias("wlen"),
+        # symbol count = number of '(' wrappers after the merges
+        (F.length(sym) - F.length(F.replace(sym, F.lit("(") , F.lit(""))))
+        .cast("long")
+        .alias("n_sym"),
+    )
+    return (
+        per_word.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("wlen") * F.col("cnt")).alias("n_chars"),
+            F.sum(F.col("n_sym") * F.col("cnt")).alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.expr("n_bpe_tokens * 1000000 div n_words").alias(
+                "fertility_micro"
+            ),
+            F.expr("n_bpe_tokens * 1000000 div n_chars").alias(
+                "tokens_per_char_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _tokenizer_fertility_oracle() -> str:
+    """Merge-learning replay (the _bpe_iter_oracle chain, with
+    MATERIALIZED hints — the apply side references each round's
+    argmax 4× and DuckDB 1.0 would re-inline the whole learn chain
+    per reference) followed by the per-language apply + rollup."""
+    learn = [
+        """bpe0 AS MATERIALIZED (
+  SELECT REGEXP_REPLACE(word, '(.)', '(\\1)', 'g') AS sym,
+         word_freq
+  FROM (
+    SELECT word, COUNT(*) AS word_freq
+    FROM (
+      SELECT unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS word
+      FROM documents WHERE text IS NOT NULL
+    )
+    WHERE REGEXP_MATCHES(word, '^[a-z]+$') AND LENGTH(word) >= 2
+    GROUP BY word
+  )
+)"""
+    ]
+    for r in range(1, BPE_ITER_ROUNDS + 1):
+        prev = f"bpe{r - 1}"
+        learn.append(f"""bp{r}_syms AS (
+  SELECT string_split(sym[2:LENGTH(sym) - 1], ')(') AS s, word_freq
+  FROM {prev}
+), bp{r}_idx AS (
+  SELECT s, word_freq, unnest(range(1, len(s))) AS i FROM bp{r}_syms
+), bp{r}_pairs AS (
+  SELECT s[i] AS l, s[i + 1] AS r, SUM(word_freq) AS pair_count
+  FROM bp{r}_idx
+  GROUP BY 1, 2
+), bp{r}_top AS MATERIALIZED (
+  SELECT l, r, pair_count FROM bp{r}_pairs
+  ORDER BY pair_count DESC, l, r LIMIT 1
+), bpe{r} AS MATERIALIZED (
+  SELECT REPLACE(sym,
+                 '(' || (SELECT l FROM bp{r}_top) || ')(' ||
+                       (SELECT r FROM bp{r}_top) || ')',
+                 '(' || (SELECT l FROM bp{r}_top) ||
+                       (SELECT r FROM bp{r}_top) || ')') AS sym,
+         word_freq
+  FROM {prev}
+)""")
+    apply = [
+        """ft_words AS MATERIALIZED (
+  SELECT lang, word, COUNT(*) AS cnt,
+         CAST(LENGTH(word) AS BIGINT) AS wlen
+  FROM (
+    SELECT lang,
+           unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS word
+    FROM documents WHERE text IS NOT NULL
+  )
+  WHERE REGEXP_MATCHES(word, '^[a-z]+$') AND LENGTH(word) >= 2
+  GROUP BY lang, word
+), ft_sym0 AS (
+  SELECT lang, cnt, wlen,
+         REGEXP_REPLACE(word, '(.)', '(\\1)', 'g') AS sym
+  FROM ft_words
+)"""
+    ]
+    for r in range(1, BPE_ITER_ROUNDS + 1):
+        apply.append(f"""ft_sym{r} AS (
+  SELECT lang, cnt, wlen,
+         REPLACE(sym,
+                 '(' || (SELECT l FROM bp{r}_top) || ')(' ||
+                       (SELECT r FROM bp{r}_top) || ')',
+                 '(' || (SELECT l FROM bp{r}_top) ||
+                       (SELECT r FROM bp{r}_top) || ')') AS sym
+  FROM ft_sym{r - 1}
+)""")
+    tail = f"""ft_n AS (
+  SELECT lang, cnt, wlen,
+         CAST(LENGTH(sym) - LENGTH(REPLACE(sym, '(', '')) AS BIGINT)
+           AS n_sym
+  FROM ft_sym{BPE_ITER_ROUNDS}
+)
+SELECT lang,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(wlen * cnt) AS BIGINT) AS n_chars,
+       CAST(SUM(n_sym * cnt) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(n_sym * cnt) AS BIGINT) * 1000000
+         // CAST(SUM(cnt) AS BIGINT) AS fertility_micro,
+       CAST(SUM(n_sym * cnt) AS BIGINT) * 1000000
+         // CAST(SUM(wlen * cnt) AS BIGINT) AS tokens_per_char_micro
+FROM ft_n
+GROUP BY lang
+ORDER BY lang"""
+    return (
+        "WITH "
+        + ",\n".join(learn)
+        + ",\n"
+        + ",\n".join(apply)
+        + ",\n"
+        + tail
+    )
 
 
 #: Kneser-Ney absolute discount, exact as the rational 3/4 — all
@@ -1603,6 +1786,13 @@ QUERIES: list[QueryDef] = [
     QueryDef("text_kneser_ney_bigram", text_kneser_ney_bigram, TEXT_KN_ORACLE, "interpolated Kneser-Ney bigram LM (exact 3/4-discount rationals) vs MLE"),
     QueryDef("text_lang_confidence_margin", text_lang_confidence_margin, TEXT_LANG_MARGIN_ORACLE, "lang-ID top-2 score margin bands vs declared-label agreement (confidence gate audit)"),
     QueryDef("bpe_merge_iterative", bpe_merge_iterative, _bpe_iter_oracle(), "iterative BPE training: 3 unrolled merge rounds with applied merges (learned merge table)"),
+    QueryDef(
+        "tokenizer_fertility",
+        tokenizer_fertility,
+        _tokenizer_fertility_oracle(),
+        "per-language tokenizer fertility (BPE tokens per word/char) "
+        "under the fitted merges - the multilingual vocab-equity audit",
+    ),
     QueryDef("text_language_id", text_language_id, TEXT_LANG_ORACLE, "marker-word lang-ID"),
     QueryDef("text_lang_confusion", text_lang_confusion, TEXT_LANG_CONFUSION_ORACLE, "declared-vs-detected language confusion matrix"),
     QueryDef("text_quality_score", text_quality_score, TEXT_QUALITY_ORACLE, "quality heuristic"),

@@ -7356,6 +7356,24 @@ def test_source_flow_matrix_planted_and_invariants(spark, tmp_path):
     assert all(r.src_a <= r.src_b for r in out.values())
 
 
+def test_tokenizer_fertility_invariants(spark):
+    """tokenizer_fertility: every word is at least 1 and at most
+    len(word) BPE symbols, so per language n_words <= n_bpe_tokens <=
+    n_chars, tokens-per-char <= 1.0, and — since only 3 merges are
+    learned and every in-scope word is >= 2 chars — fertility stays
+    above 1 token/word. The merges must COMPRESS somewhere: at least
+    one language's n_bpe_tokens < n_chars strictly."""
+    from duckdb_gsheets_spark.operators.text import tokenizer_fertility
+
+    rows = tokenizer_fertility(spark, SF).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars
+        assert r.tokens_per_char_micro <= 1_000_000
+        assert r.fertility_micro > 1_000_000
+    assert any(r.n_bpe_tokens < r.n_chars for r in rows)
+
+
 def test_phash_neardup_planted_edit(spark, tmp_path):
     """Perceptual near-dup on a PLANTED corpus: a single-character
     edit (which shifts NO bytes but changes one content-defined
