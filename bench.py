@@ -120,6 +120,65 @@ def _warm_page_cache(sf_dir: str) -> None:
             pass
 
 
+#: Bounded outlier-retry (round-12 verdict ask #2): a query whose
+#: recorded wall exceeds OUTLIER_FACTOR × its median across the
+#: stamped bench_runs/ history gets ONE re-run, and the minimum is
+#: recorded (both values land in the detail sidecar). Round 12's
+#: driver run read dedup_longest_substring at 21.1 s where three
+#: same-code quiet runs read 5.8–8.7 s — pure box state; the warm
+#: pass made the DuckDB denominator boring, this makes the Spark side
+#: (and, symmetrically, a DuckDB spike) self-defending. Sub-second
+#: rows are exempt (OUTLIER_MIN_S): doubling 0.3 s→0.6 s is JVM
+#: session noise, not an outlier worth a retry.
+OUTLIER_FACTOR = 2.0
+OUTLIER_MIN_S = 1.0
+
+
+def _stamped_medians(
+    repo: str, sf: float
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query median walls across the stamped bench_runs/ history
+    (up to the 10 most recent runs AT THE SAME SCALE FACTOR): the
+    reference that defines an outlier. Returns (spark_canonical,
+    duckdb). Queries with fewer than 2 recorded walls get no
+    reference — no retry without a believable median."""
+    import statistics
+
+    runs_dir = os.path.join(repo, "bench_runs")
+    try:
+        stamps = sorted(os.listdir(runs_dir))[-10:]
+    except OSError:
+        return {}, {}
+    spark_hist: dict[str, list[float]] = {}
+    duck_hist: dict[str, list[float]] = {}
+    for fn in stamps:
+        try:
+            with open(os.path.join(runs_dir, fn)) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if d.get("sf") != sf:
+            continue
+        for name, wall in (d.get("queries") or {}).items():
+            spark_hist.setdefault(name, []).append(float(wall))
+        for name, rs in (d.get("duckdb_baseline") or {}).items():
+            w = rs[0] if isinstance(rs, list) else rs
+            duck_hist.setdefault(name, []).append(float(w))
+    return (
+        {n: statistics.median(v) for n, v in spark_hist.items() if len(v) >= 2},
+        {n: statistics.median(v) for n, v in duck_hist.items() if len(v) >= 2},
+    )
+
+
+def _is_outlier(wall: float, ref: float | None) -> bool:
+    return (
+        ref is not None
+        and wall > OUTLIER_MIN_S
+        and wall > OUTLIER_FACTOR * ref
+        and not os.environ.get("SPARK_GRAFT_BENCH_NO_RETRY")
+    )
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -129,8 +188,12 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def run_spark(
-    sf_dir: str, names: tuple[str, ...]
-) -> tuple[dict[str, list[float]], dict[str, list[float]]]:
+    sf_dir: str,
+    names: tuple[str, ...],
+    ref_medians: dict[str, float] | None = None,
+) -> tuple[
+    dict[str, list[float]], dict[str, list[float]], dict[str, dict]
+]:
     from duckdb_gsheets_spark.operators import all_queries
     from duckdb_gsheets_spark.plans.session import get_spark
 
@@ -177,6 +240,7 @@ def run_spark(
     ).write.format("noop").mode("overwrite").save()
     timings: dict[str, list[float]] = {}
     exec_timings: dict[str, list[float]] = {}
+    retries: dict[str, dict] = {}
     for name in names:
         # Best-of-3: the first execution pays one-time whole-stage
         # codegen + parquet-footer/file-listing costs that amortize to
@@ -231,14 +295,39 @@ def run_spark(
             df.write.format("noop").mode("overwrite").save()
             runs_exec.append(time.perf_counter() - t0)
         exec_timings[name] = runs_exec
-    return timings, exec_timings
+        # Bounded outlier-retry: if the wall this pass would record
+        # is >2× the query's stamped-history median, the box state is
+        # suspect — ONE full re-run (fresh build, same hygiene), keep
+        # the min, record both in the detail sidecar.
+        picked = runs[0] if runs[0] > LONG_RUN_CUTOFF_S else min(runs)
+        ref = (ref_medians or {}).get(name)
+        if _is_outlier(picked, ref):
+            clear_plan_caches()
+            df = None
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            df = qs[name].spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            retry_wall = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            retry_exec = time.perf_counter() - t0
+            retries[name] = {
+                "original": round(picked, 3),
+                "retry": round(retry_wall, 3),
+                "retry_exec": round(retry_exec, 3),
+                "ref_median": round(ref, 3),
+            }
+    return timings, exec_timings, retries
 
 
 def run_duckdb(
     sf_dir: str,
     names: tuple[str, ...],
     force_single: frozenset[str] = frozenset(),
-) -> dict[str, list[float]]:
+    ref_medians: dict[str, float] | None = None,
+) -> tuple[dict[str, list[float]], dict[str, dict]]:
     """Diagnostic-only local baseline: same oracle SQL, DuckDB engine.
 
     Best-of-3 per query, SYMMETRIC with the Spark clock (round-8
@@ -260,6 +349,7 @@ def run_duckdb(
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs = all_queries()
     timings: dict[str, list[float]] = {}
+    retries: dict[str, dict] = {}
     for name in names:
         oracle = qs[name].oracle
         if oracle is None:
@@ -272,13 +362,30 @@ def run_duckdb(
             if runs[0] > LONG_RUN_CUTOFF_S:
                 break  # own-side early stop; main() applies shared rule
         timings[name] = runs
-    return timings
+        # Symmetric outlier-retry (same rule as the Spark pass): the
+        # denominator defends itself against a box-state spike too.
+        picked = runs[0] if runs[0] > LONG_RUN_CUTOFF_S else min(runs)
+        ref = (ref_medians or {}).get(name)
+        if _is_outlier(picked, ref):
+            t0 = time.perf_counter()
+            con.execute(oracle).fetchall()
+            retry_wall = time.perf_counter() - t0
+            retries[name] = {
+                "original": round(picked, 3),
+                "retry": round(retry_wall, 3),
+                "ref_median": round(ref, 3),
+            }
+    return timings, retries
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    spark_ref, duck_ref = _stamped_medians(repo, _sf_from_dir(sf_dir))
     _warm_page_cache(sf_dir)
-    spark_runs, exec_runs = run_spark(sf_dir, HEADLINE)
+    spark_runs, exec_runs, spark_retries = run_spark(
+        sf_dir, HEADLINE, ref_medians=spark_ref
+    )
     from duckdb_gsheets_spark.operators import all_queries
 
     with_oracle = {n for n, qd in all_queries().items() if qd.oracle is not None}
@@ -286,8 +393,11 @@ def main() -> None:
         n for n, rs in spark_runs.items() if rs[0] > LONG_RUN_CUTOFF_S
     )
     duck_runs: dict[str, list[float]] = {}
+    duck_retries: dict[str, dict] = {}
     if "--no-duckdb" not in sys.argv:
-        duck_runs = run_duckdb(sf_dir, HEADLINE, force_single=spark_long)
+        duck_runs, duck_retries = run_duckdb(
+            sf_dir, HEADLINE, force_single=spark_long, ref_medians=duck_ref
+        )
     # SHARED long-run rule: a query is long when EITHER engine's first
     # run tripped the cutoff; both engines then record their FIRST run
     # (single-shot accounting), otherwise both record best-of-N. This
@@ -305,6 +415,14 @@ def main() -> None:
     timings = {n: _pick(rs, n) for n, rs in spark_runs.items()}
     exec_timings = {n: _pick(rs, n) for n, rs in exec_runs.items()}
     duck = {n: _pick(rs, n) for n, rs in duck_runs.items()}
+    # Apply the outlier-retries: the recorded wall is the MIN of the
+    # original pick and the retry (both preserved in the sidecar's
+    # outlier_retries block for attribution).
+    for n, r in spark_retries.items():
+        timings[n] = round(min(timings[n], r["retry"]), 3)
+        exec_timings[n] = round(min(exec_timings[n], r["retry_exec"]), 3)
+    for n, r in duck_retries.items():
+        duck[n] = round(min(duck[n], r["retry"]), 3)
     result = {
         "metric": "headline_query_wall_clock",
         "value": round(sum(timings.values()), 3),
@@ -329,6 +447,11 @@ def main() -> None:
     }
     detail = dict(result)
     detail["queries_exec_only"] = exec_timings
+    if spark_retries or duck_retries:
+        detail["outlier_retries"] = {
+            "spark": spark_retries,
+            "duckdb": duck_retries,
+        }
     # The DuckDB twin runs BY DEFAULT so every recorded bench artifact
     # carries its own same-box baseline (pass --no-duckdb to skip);
     # "--duckdb" is accepted for backward compatibility.

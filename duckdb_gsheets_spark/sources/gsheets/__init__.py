@@ -1,6 +1,7 @@
 from duckdb_gsheets_spark.sources.gsheets.api import (
     read_gsheet,
     register,
+    register_sheet_catalog,
     sheets,
     sheets_sql,
     write_gsheet,
@@ -12,6 +13,7 @@ __all__ = [
     "GSheetsDataSource",
     "read_gsheet",
     "register",
+    "register_sheet_catalog",
     "sheets",
     "sheets_sql",
     "write_gsheet",

@@ -249,6 +249,82 @@ def sheets(spark: SparkSession, url_or_id: str, **options) -> DataFrame:
     )
 
 
+def _catalog_ident(raw: str) -> str:
+    """A SQL-safe identifier fragment: lowercase, every non-alnum run
+    collapsed to ``_``, never empty, never digit-leading."""
+    ident = re.sub(r"[^a-z0-9]+", "_", raw.lower()).strip("_") or "sheet"
+    return ("t_" + ident) if ident[0].isdigit() else ident
+
+
+def register_sheet_catalog(
+    spark: SparkSession,
+    url_or_id: str,
+    name: str | None = None,
+    **options,
+) -> DataFrame:
+    """SQL-only surface for the spreadsheet-as-catalog: register every
+    tab of a spreadsheet as a GLOBAL temp view plus one listing view,
+    so a user who never touches Python enumerates and reads tabs with
+    plain SQL qualified identifiers::
+
+        register_sheet_catalog(spark, url, name="mybook")
+        spark.sql("SHOW TABLES IN global_temp")          -- tab views
+        spark.sql("SELECT * FROM global_temp.mybook")    -- the catalog
+        spark.sql("SELECT * FROM global_temp.mybook_cities")
+
+    Stock PySpark exposes no Python hook for a DataSourceV2
+    TableCatalog plugin (``spark.sql.catalog.*`` requires a JVM
+    class), so this is the documented temp-view-registrar form of the
+    same capability: ``global_temp`` is the qualifying database, the
+    listing view ``<name>`` is the C6/C7 metadata table
+    (:func:`sheets` plus a ``view_name`` column), and each
+    ``<name>_<tab>`` view is a registered-connector read of that tab.
+    Registration binds each tab's schema eagerly (one values fetch
+    per tab — the reference's replacement scan pays the same bind per
+    referenced table); ``name`` defaults to a sanitized form of the
+    spreadsheet id. Returns the listing DataFrame.
+    """
+    from duckdb_gsheets_spark.sources.gsheets.urls import (
+        extract_spreadsheet_id,
+    )
+
+    tabs = sheets(spark, url_or_id, **options).collect()
+    base = _catalog_ident(
+        name
+        if name is not None
+        else "gsheet_" + extract_spreadsheet_id(url_or_id)
+    )
+    used: set[str] = set()
+    rows = []
+    for t in tabs:
+        view = f"{base}_{_catalog_ident(t.title)}"
+        n = 2
+        while view in used:
+            view = f"{base}_{_catalog_ident(t.title)}_{n}"
+            n += 1
+        used.add(view)
+        # Read by GID, not title: a title containing '!' (legal in
+        # Sheets) would be A1-split by the sheet parameter's P1
+        # semantics; the gid path has no parsing surface at all.
+        sid = extract_spreadsheet_id(url_or_id)
+        read_gsheet(
+            spark,
+            f"https://docs.google.com/spreadsheets/d/{sid}/edit"
+            f"?gid={t.gid}#gid={t.gid}",
+            **options,
+        ).createOrReplaceGlobalTempView(view)
+        rows.append(
+            (t.gid, t.title, t.sheet_index, t.sheet_type, view)
+        )
+    listing = spark.createDataFrame(
+        rows,
+        "gid long, title string, sheet_index int, sheet_type string, "
+        "view_name string",
+    )
+    listing.createOrReplaceGlobalTempView(base)
+    return listing
+
+
 def write_gsheet(
     df: DataFrame,
     url_or_id: str,

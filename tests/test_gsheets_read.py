@@ -231,3 +231,55 @@ def test_sheets_catalog_lists_tabs_and_reads_each_way(
         **opts(sheets_server),
     )
     assert sorted(r.name for r in by_gid.collect()) == ["Alice", "Bob"]
+
+
+def test_register_sheet_catalog_sql_only_surface(spark, sheets_server):
+    """SQL-only catalog surface: register_sheet_catalog() registers
+    one global temp view per tab plus a listing view, so tab
+    enumeration (SHOW TABLES IN global_temp / SELECT FROM the listing
+    view) and tab reads (qualified global_temp identifiers) need no
+    further Python. Title sanitization must keep odd tab names
+    SQL-addressable and collisions deduplicated."""
+    from duckdb_gsheets_spark.sources.gsheets import (
+        register_sheet_catalog,
+    )
+
+    store = sheets_server.new_spreadsheet("sql-catalog")
+    store.add_sheet("People", [["name"], ["Alice"], ["Bob"]])
+    store.add_sheet("City Stats!", [["city"], ["Toronto"]])
+    store.add_sheet("City-Stats", [["city"], ["Berlin"]])
+
+    listing = register_sheet_catalog(
+        spark, url_for("sql-catalog"), name="book", **opts(sheets_server)
+    )
+    names = [r.view_name for r in listing.collect()]
+    assert names == ["book_people", "book_city_stats", "book_city_stats_2"]
+
+    shown = {
+        r.tableName
+        for r in spark.sql("SHOW TABLES IN global_temp").collect()
+    }
+    assert {"book", *names} <= shown
+
+    # the listing view IS the catalog table, queryable in plain SQL
+    cat = spark.sql(
+        "SELECT title, view_name FROM global_temp.book ORDER BY sheet_index"
+    ).collect()
+    assert [(r.title, r.view_name) for r in cat] == [
+        ("People", "book_people"),
+        ("City Stats!", "book_city_stats"),
+        ("City-Stats", "book_city_stats_2"),
+    ]
+    # a tab read through its qualified identifier, no Python reader
+    assert [
+        r.name
+        for r in spark.sql(
+            "SELECT name FROM global_temp.book_people ORDER BY name"
+        ).collect()
+    ] == ["Alice", "Bob"]
+    assert [
+        r.city
+        for r in spark.sql(
+            "SELECT city FROM global_temp.book_city_stats_2"
+        ).collect()
+    ] == ["Berlin"]

@@ -1285,6 +1285,61 @@ def test_lrs_spine_artifact_reuse_identical_and_no_rebuild(spark, tmp_path):
     D._LRS_SPINE_CACHE.clear()
 
 
+def test_production_session_recipe(spark, tmp_path):
+    """The README's 'production session' path, end to end: write the
+    persisted index artifacts once (LRS spine + sharded Bloom), then
+    simulate a fresh session (memos cleared), register/load
+    everything, and run the ExactSubstr and contamination families —
+    with inputFiles proving the spine frames read ONLY artifact
+    parquet, and the loaded-filter screen matching the in-session fit
+    row for row."""
+    from duckdb_gsheets_spark.operators import dedup as D
+    from duckdb_gsheets_spark.operators.chunking import (
+        contamination_bloom_sharded,
+        load_bloom_artifact_sharded,
+        write_bloom_artifact_sharded,
+    )
+    from duckdb_gsheets_spark.plans.exactsubstr_spine import (
+        register_lrs_spine,
+        write_lrs_spine,
+    )
+
+    # -- ingest time: write both artifacts --
+    spine_dir = str(tmp_path / "spine")
+    bloom_dir = str(tmp_path / "bloom")
+    spine_path, ext_path = write_lrs_spine(spark, SF, spine_dir)
+    write_bloom_artifact_sharded(spark, SF, bloom_dir)
+    fit_rows = sorted(
+        map(tuple, contamination_bloom_sharded(spark, SF).collect())
+    )
+    fresh_lrs = sorted(
+        map(tuple, D.dedup_longest_substring(spark, SF).collect())
+    )
+
+    # -- fresh session: clear memos, register/load, query --
+    D._LRS_SPINE_CACHE.clear()
+    register_lrs_spine(spark, SF, spine_dir)
+    shards = load_bloom_artifact_sharded(spark, bloom_dir)
+
+    ranged, ext = D._lrs_tables(spark, SF)
+    assert ranged.inputFiles() and all(
+        spine_path in f for f in ranged.inputFiles()
+    )
+    assert ext.inputFiles() and all(ext_path in f for f in ext.inputFiles())
+    assert (
+        sorted(map(tuple, D.dedup_longest_substring(spark, SF).collect()))
+        == fresh_lrs
+    )
+    loaded_rows = sorted(
+        map(
+            tuple,
+            contamination_bloom_sharded(spark, SF, shards=shards).collect(),
+        )
+    )
+    assert loaded_rows == fit_rows
+    D._LRS_SPINE_CACHE.clear()
+
+
 def test_lrs_spine_artifact_stale_corpus_refused(spark, tmp_path):
     """A spine written BEFORE a corpus rewrite must be REFUSED by
     register_lrs_spine (the stamped corpus fingerprint disagrees with
