@@ -2915,8 +2915,18 @@ def _lrs_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     cached = _LRS_SPINE_CACHE.get(key)
     if cached is None:
         docs = load_table(spark, sf_dir, "documents")
-        ranged = _lrs_suffix_table_from(docs)
-        cached = (ranged, _lrs_ext_from(ranged, docs))
+        # ONE tokenize pass feeds both artifacts (round-13 fusion):
+        # the suffix build consumes the token table twice on its own
+        # (repartitionByRange's sampling job + the materialization)
+        # and the extension build a third time — un-fused, each
+        # consumption re-ran scan+regex-tokenize over the corpus.
+        # Checkpointing the token table trades one corpus-sized write
+        # for three tokenize passes (measured A/B in BASELINE.md; the
+        # curation.py:314 lesson cuts the other way only when the
+        # duplicated work is a lightweight agg, not a regex explode).
+        toks = _lrs_toks(docs).localCheckpoint(eager=True)
+        ranged = _lrs_suffix_from_toks(toks)
+        cached = (ranged, _lrs_ext_from_toks(ranged, toks))
         _lrs_cache_put(key, cached)
     return cached
 
@@ -2944,14 +2954,23 @@ def _lrs_cache_put(key, tables) -> None:
     _LRS_SPINE_CACHE[key] = tables
 
 
+def _lrs_toks(docs: DataFrame) -> DataFrame:
+    """The shared ``(doc_id, toks)`` token table both spine artifacts
+    derive from."""
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+
+
 def _lrs_suffix_table_from(docs: DataFrame) -> DataFrame:
     """Suffix-table builder over any ``(doc_id, text)``-shaped frame —
     split out so pytest can drive the suffix/LCP machinery with
     adversarial corpora (empty strings, single tokens, unicode,
     whole-doc repeats) that the generated tables never contain."""
-    toks = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", T.tokens(F.col("text")).alias("toks")
-    )
+    return _lrs_suffix_from_toks(_lrs_toks(docs))
+
+
+def _lrs_suffix_from_toks(toks: DataFrame) -> DataFrame:
     sfx = (
         toks.select(
             "doc_id",
@@ -2986,9 +3005,10 @@ def _lrs_ext_from(ranged: DataFrame, docs: DataFrame) -> DataFrame:
     exact LCPs the capped pass truncated. Eagerly checkpointed — the
     candidate builder reads it twice (same-key + adjacency) and the
     occurrence probe once more."""
-    toks = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", T.tokens(F.col("text")).alias("toks")
-    )
+    return _lrs_ext_from_toks(ranged, _lrs_toks(docs))
+
+
+def _lrs_ext_from_toks(ranged: DataFrame, toks: DataFrame) -> DataFrame:
     # Duplicated-key detection is groupBy + join, NOT a count-over-
     # window: the window form funnels every occurrence of each
     # duplicated 12-gram into ONE task (a single-partition hotspot on
