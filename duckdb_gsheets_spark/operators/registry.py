@@ -40,98 +40,98 @@ class QueryDef:
 #: Queries promoted into the driver's checked window. The driver's
 #: CORRECTNESS harness verifies the FIRST 50 registry entries only, so
 #: membership in the first 50 is a grading surface (order within the
-#: window is not). Round-12 composition — every slot can turn or stay
+#: window is not). Round-13 composition — every slot can turn or stay
 #: green (no oracle-less entry wastes a slot):
 #:
-#: * 2 NEW round-12 queries (first driver rows — a new query outranks
-#:   any stale-green re-check): ``pipeline_doremi_weights`` (DoReMi
-#:   domain-mixture reweighting) and ``dedup_source_flow_matrix``
-#:   (cross-source near-duplication flow);
-#: * 7 rows with ROUND-12 plan or oracle changes (a changed row
-#:   outranks any stale-green re-check): ``contamination_bloom`` +
-#:   ``contamination_bloom_sharded`` (artifact fit fused to one
-#:   collect of raw 60-bit hashes), ``pipeline_dsir_corpus`` +
-#:   ``dsir_importance_weights`` (llr artifact collected once and
-#:   re-entered as a local relation; the gate's rank offsets and
-#:   candidate total fused into one broadcast), and
-#:   ``neardup_triangles`` / ``neardup_graph_stats`` /
-#:   ``contrastive_negatives`` (oracles rewritten to the bounded
-#:   group-collapsed PPJoin chain — the former sf0.1-sweep exclusions,
-#:   retired this round);
-#: * the 14 named round-12 rotation-queue rows (r6-latest, queued by
-#:   the round-11 verdict): ``window_rank``, ``window_running_sum``,
-#:   ``window_lag_lead``, ``topk_orders``, ``distinct_projection``,
-#:   ``agg_distinct``, ``setop_union_all``, ``setop_intersect``,
-#:   ``setop_except``, ``join_semi``, ``join_anti``, ``join_outer``,
-#:   ``join_full_outer``, ``join_cross`` — with these green the r6
-#:   rotation tail is fully retired;
-#: * 27 of the 43 round-7-latest rows (the next-oldest cohort).
+#: * 4 NEW round-13 queries (first driver rows — a new query outranks
+#:   any stale-green re-check): ``pipeline_doremi_iterative`` (full
+#:   multi-round EG loop), ``multimodal_phash_neardup`` +
+#:   ``multimodal_phash_calibration`` (perceptual media near-dup via
+#:   CDC-chunk SimHash + its byte-dedup calibration), and
+#:   ``tokenizer_fertility`` (per-language BPE vocab-equity audit);
+#: * 8 rows with ROUND-13 plan or oracle changes:
+#:   ``pipeline_doremi_weights`` (int64-safe excess cap, both
+#:   engines), the ExactSubstr family ``dedup_longest_substring`` /
+#:   ``dedup_substring_scrub`` / ``pipeline_exactsubstr_corpus`` /
+#:   ``pipeline_exactsubstr_apply`` (spine build fused to ONE shared
+#:   tokenize checkpoint — 22.1→6.8 s at sf0.1), ``contamination_bloom``
+#:   + ``contamination_bloom_sharded`` (fit collect now LIMIT-bounded
+#:   by the mask budget), and ``bpe_merge_iterative`` (learn loop
+#:   refactored into the shared ``_bpe_learn`` helper);
+#: * the 16 named round-13 rotation-queue rows (r7-latest, queued by
+#:   the round-12 verdict) — with these green the r7 tail is fully
+#:   retired and the whole registry has turned over since r8;
+#: * 22 of the 46 round-8-latest rows (the next-oldest cohort,
+#:   alphabetical first 22).
 #:
-#: The 16 round-7-latest rows that did NOT fit —
-#: ``text_corpus_by_lang``, ``text_fingerprint``,
-#: ``text_gopher_quality``, ``text_kneser_ney_bigram``,
-#: ``text_lang_confidence_margin``, ``text_language_id``,
-#: ``text_pii_scrub``, ``text_quality_score``,
-#: ``text_repetition_ratio``, ``text_tfidf_top_terms``,
-#: ``text_top_terms``, ``text_topk_per_lang``, ``udtf_sentences``,
-#: ``window_moving_avg``, ``window_percent_rank``,
-#: ``window_range_frame`` — lead the ROUND-13 ROTATION QUEUE and stay
-#: covered by the full-registry sf0.1 parity sweep every round.
+#: The 24 round-8-latest rows that did NOT fit —
+#: ``events_sessionize``, ``minhash_calibration``,
+#: ``multimodal_decode_features``, ``multimodal_resize``,
+#: ``orders_rfm_segments``, ``pack_sequences``,
+#: ``pipeline_curated_corpus``, ``pipeline_training_corpus``,
+#: ``q1_pricing_summary``, ``q3_shipping_priority``,
+#: ``quality_deciles``, ``quality_funnel``, ``sample_bottom_k``,
+#: ``scalar_functions``, ``segment_dedup_stats``,
+#: ``simhash_calibration``, ``source_unigram_drift``,
+#: ``text_bigram_topk``, ``text_lang_confusion``, ``text_stats``,
+#: ``vocab_growth_curve``, ``vocab_oov_rate``, ``window_first_last``,
+#: ``window_share_of_total`` — lead the ROUND-14 ROTATION QUEUE and
+#: stay covered by the full-registry sf0.1 parity sweep every round.
 _WINDOW: tuple[str, ...] = (
-    # -- new round-12 queries (first driver rows) --
+    # -- new round-13 queries (first driver rows) --
+    "pipeline_doremi_iterative",
+    "multimodal_phash_neardup",
+    "multimodal_phash_calibration",
+    "tokenizer_fertility",
+    # -- round-13 plan/oracle changes --
     "pipeline_doremi_weights",
-    "dedup_source_flow_matrix",
-    # -- round-12 plan/oracle changes --
+    "dedup_longest_substring",
+    "dedup_substring_scrub",
+    "pipeline_exactsubstr_corpus",
+    "pipeline_exactsubstr_apply",
     "contamination_bloom",
     "contamination_bloom_sharded",
-    "pipeline_dsir_corpus",
-    "dsir_importance_weights",
-    "neardup_triangles",
-    "neardup_graph_stats",
-    "contrastive_negatives",
-    # -- the named round-12 rotation queue (r6-latest) --
-    "window_rank",
-    "window_running_sum",
-    "window_lag_lead",
-    "topk_orders",
-    "distinct_projection",
-    "agg_distinct",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "join_semi",
-    "join_anti",
-    "join_outer",
-    "join_full_outer",
-    "join_cross",
-    # -- longest-unchecked rotation (latest driver rows are round-7) --
-    "ann_cosine_topk",
     "bpe_merge_iterative",
-    "corpus_upsert",
-    "embedding_neardup_pairs",
-    "events_anomaly_zscore",
-    "events_asof_join",
-    "events_funnel",
-    "events_gapfill_locf",
-    "events_histogram",
-    "events_json_extract",
-    "events_ols_trend",
-    "events_pivot",
-    "events_retention",
-    "events_sliding_window",
-    "events_value_quantiles",
-    "grouping_sets_sales",
-    "multimodal_metadata",
-    "pipeline_fineweb_corpus",
-    "q21_waiting_suppliers",
-    "q22_global_customers",
-    "q2_min_cost_supplier",
-    "quality_score_calibration",
-    "quality_signal_correlation",
-    "sample_stratified",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "split_leakage_semantic",
+    # -- the named round-13 rotation queue (r7-latest) --
+    "text_corpus_by_lang",
+    "text_fingerprint",
+    "text_gopher_quality",
+    "text_kneser_ney_bigram",
+    "text_lang_confidence_margin",
+    "text_language_id",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_tfidf_top_terms",
+    "text_top_terms",
+    "text_topk_per_lang",
+    "udtf_sentences",
+    "window_moving_avg",
+    "window_percent_rank",
+    "window_range_frame",
+    # -- longest-unchecked rotation (latest driver rows are round-8) --
+    "ann_lsh_topk",
+    "ann_matryoshka_recall",
+    "ann_prefix_ivf_recall",
+    "array_functions",
+    "bm25_search",
+    "contamination_ngram",
+    "corpus_mix_weights",
+    "corpus_resample",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_simhash",
+    "doc_chunk_tokens",
+    "embedding_quantize",
+    "embedding_stats",
+    "events_ab_test",
+    "events_asof_nearest",
+    "events_audience_overlap",
+    "events_corr_value_hour",
+    "events_did",
+    "events_hourly_agg",
+    "events_power_analysis",
+    "events_profile",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and
