@@ -52,7 +52,14 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Schema: (doc_id, payload binary, format string, meta struct).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return media_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+def media_from_docs(docs: DataFrame) -> DataFrame:
+    """The media projection over any documents-shaped frame —
+    streaming readers and planted pytest corpora route through the
+    same mapping as the batch table (format by doc_id, payload =
+    text bytes)."""
     return docs.select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),
@@ -630,7 +637,16 @@ def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature; byte-identical dedup still covers them). Eagerly
     localCheckpoint'ed — the pair query consumes it 4+ times.
     """
-    media = media_table(spark, sf_dir).where(F.col("payload").isNotNull())
+    return _phash_sigs_from_media(
+        media_table(spark, sf_dir)
+    ).localCheckpoint(eager=True)
+
+
+def _phash_sigs_from_media(media: DataFrame) -> DataFrame:
+    """Signature builder over any media-shaped frame (the streaming
+    gate feeds it the static corpus slice; pytest feeds it planted
+    payloads). No checkpoint here — callers decide."""
+    media = media.where(F.col("payload").isNotNull())
     base = media.select(
         "doc_id",
         "format",
@@ -699,10 +715,76 @@ def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = F.lit(0).cast("long")
     for k in range(PHASH_BITS):
         sig = sig + F.expr(f"shiftleft(cast(v{k} > 0 as long), {k})")
-    out = votes.select("doc_id", "format", sig.alias("sig")).join(
+    return votes.select("doc_id", "format", sig.alias("sig")).join(
         base.select("doc_id", "pmd5"), "doc_id"
     )
-    return out.localCheckpoint(eager=True)
+
+
+#: Per-row (no explode, no shuffle) form of the SAME signature, for
+#: streaming frames where the batch builder's posexplode + window +
+#: groupBy are unavailable: content-defined chunk ends via
+#: filter-over-sequence, chunk spans via zip_with against the
+#: shifted ends array, and the 60 SimHash votes folded through ONE
+#: aggregate whose accumulator is the vote array. Interpreted HOF
+#: lambdas (the portable_hash cost note) — fine for an ingest gate's
+#: per-row arrival rate; the batch builder stays the bulk path. The
+#: batch-equality test pins this formulation bit-identical to
+#: phash_signatures.
+_PHASH_ROW_SIG_SQL = f"""
+aggregate(
+  transform(
+    aggregate(
+      zip_with(
+        _pends,
+        concat(array(-1L), slice(_pends, 1, size(_pends) - 1)),
+        (e, p) -> cast(conv(substring(md5(
+            substring(h, cast((p + 1) * 2 + 1 as int),
+                      cast((e - p) * 2 as int))
+          ), 1, 15), 16, 10) as long)
+      ),
+      array_repeat(0L, {PHASH_BITS}),
+      (acc, hc) -> transform(
+        acc, (v, k) -> v + if((shiftright(hc, k) & 1) = 1, 1L, -1L)
+      )
+    ),
+    (v, k) -> if(v > 0, shiftleft(1L, k), 0L)
+  ),
+  0L, (a, x) -> a + x
+)
+"""
+
+_PHASH_ROW_ENDS_SQL = f"""
+concat(
+  filter(
+    sequence(0L, n - 2),
+    i -> cast(conv(substring(h, cast(i * 2 + 1 as int), 4), 16, 10)
+              as long) % {PHASH_ANCHOR_MOD} = 0
+  ),
+  array(n - 1)
+)
+"""
+
+
+def phash_row_signatures(media: DataFrame) -> DataFrame:
+    """(doc_id, format, sig) via the per-row HOF signature — works on
+    STREAMING frames (stateless projection). Same gating as the batch
+    builder: NULL payloads and payloads under PHASH_MIN_BYTES drop."""
+    return (
+        media.where(F.col("payload").isNotNull())
+        .select(
+            "doc_id",
+            "format",
+            F.hex("payload").alias("h"),
+            F.expr("length(hex(payload)) div 2").cast("long").alias("n"),
+        )
+        .where(F.col("n") >= PHASH_MIN_BYTES)
+        .withColumn("_pends", F.expr(_PHASH_ROW_ENDS_SQL))
+        .select(
+            "doc_id",
+            "format",
+            F.expr(_PHASH_ROW_SIG_SQL).alias("sig"),
+        )
+    )
 
 
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1063,6 +1063,96 @@ def streaming_doremi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(ledger, output_mode="complete")
 
 
+def phash_gate_ledger(
+    spark: SparkSession, sf_dir: str, delta_media: DataFrame
+) -> DataFrame:
+    """Shared core of the perceptual near-dup INGEST GATE (stream and
+    batch twins): the corpus's perceptual signatures are the static
+    index (fit once — the persisted-artifact role), the arriving
+    delta's signatures come from the PER-ROW HOF formulation
+    (multimodal.phash_row_signatures — bit-identical to the batch
+    builder, test-pinned, and legal on a streaming frame because it
+    is a stateless projection), candidates block through the same
+    4×15-bit band join as multimodal_phash_neardup, and the ledger is
+    one rollup: per flagged delta doc, how many corpus payloads sit
+    within PHASH_MAX_HAMMING and the closest distance. A doc with no
+    perceptual match never enters the sink (the incremental-dedup
+    twin's flagged-only contract)."""
+    from duckdb_gsheets_spark.operators.dedup import DELTA_SOURCE
+    from duckdb_gsheets_spark.operators.multimodal import (
+        PHASH_BANDS,
+        _pband_val,
+        _phash_sigs_from_media,
+        media_table,
+        phash_row_signatures,
+        PHASH_MAX_HAMMING,
+    )
+
+    corpus = media_table(spark, sf_dir).where(
+        F.col("meta.origin") != DELTA_SOURCE
+    )
+    c_sigs = _phash_sigs_from_media(corpus).localCheckpoint(eager=True)
+
+    def bands(frame: DataFrame, sig_col: str) -> DataFrame:
+        return frame.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            _pband_val(F.col(sig_col), b).alias("band_val"),
+                        )
+                        for b in range(PHASH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select(*frame.columns, "band.band_idx", "band.band_val")
+
+    c_bands = bands(
+        c_sigs.select(
+            "format",
+            F.col("doc_id").alias("c_id"),
+            F.col("sig").alias("c_sig"),
+        ),
+        "c_sig",
+    )
+    b_bands = bands(
+        phash_row_signatures(delta_media), "sig"
+    )
+    hamming = F.bit_count(F.col("sig").bitwiseXOR(F.col("c_sig")))
+    return (
+        b_bands.join(c_bands, ["format", "band_idx", "band_val"])
+        .dropDuplicates(["doc_id", "c_id"])
+        .select("doc_id", "format", hamming.alias("hamming"))
+        .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .groupBy("doc_id", "format")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
+
+
+def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static twin of the perceptual media near-dup family
+    (multimodal_phash_neardup) as an INGEST GATE: delta payloads
+    arrive as a stream, the corpus signature index is static, every
+    arriving payload gets its 60-bit CDC-chunk SimHash from a
+    stateless per-row projection and probes the index through the
+    banded join — no all-pairs stage anywhere. Stateful pieces are
+    exactly the incremental-dedup twin's: one dropDuplicates on the
+    (delta, corpus) candidate pair and one complete-mode rollup."""
+    from duckdb_gsheets_spark.operators.dedup import DELTA_SOURCE
+    from duckdb_gsheets_spark.operators.multimodal import media_from_docs
+
+    delta = read_documents_stream(spark, sf_dir).where(
+        F.col("source") == DELTA_SOURCE
+    )
+    ledger = phash_gate_ledger(spark, sf_dir, media_from_docs(delta))
+    return run_to_memory(ledger, output_mode="complete")
+
+
 def with_cdc_lineage(stream: DataFrame) -> DataFrame:
     """Attach file lineage to a file-source stream BEFORE the sink:
     ``_mt`` (modification time) and ``_src`` (path) projected from the

@@ -1593,6 +1593,58 @@ def test_streaming_doremi_gate_matches_batch(spark):
         assert 0 < got[lang][1] < got[lang][0]
 
 
+def test_streaming_phash_gate_matches_batch(spark):
+    """streaming_phash_gate (twin #29): the streamed delta's
+    perceptual near-dup ledger must equal the batch application of
+    the same gate core to the same delta slice, the per-row HOF
+    signature must be bit-identical to the batch signature builder
+    (formulation equivalence), and the fixture must actually flag a
+    perceptual match within threshold."""
+    import pyspark.sql.functions as F
+
+    from duckdb_gsheets_spark.operators.dedup import DELTA_SOURCE
+    from duckdb_gsheets_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        media_from_docs,
+        media_table,
+        phash_row_signatures,
+        phash_signatures,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        phash_gate_ledger,
+        streaming_phash_gate,
+    )
+
+    got = {
+        r.doc_id: (r.format, r.n_matches, r.min_hamming)
+        for r in streaming_phash_gate(spark, SF).collect()
+    }
+    delta = load_table(spark, SF, "documents").where(
+        F.col("source") == DELTA_SOURCE
+    )
+    batch = {
+        r.doc_id: (r.format, r.n_matches, r.min_hamming)
+        for r in phash_gate_ledger(
+            spark, SF, media_from_docs(delta)
+        ).collect()
+    }
+    assert got == batch
+    assert got  # the fixture's delta contains a perceptual near-dup
+    assert all(v[2] <= PHASH_MAX_HAMMING for v in got.values())
+
+    # formulation equivalence: per-row HOF signature == batch builder
+    b = {
+        r.doc_id: (r.format, r.sig)
+        for r in phash_signatures(spark, SF).collect()
+    }
+    rw = {
+        r.doc_id: (r.format, r.sig)
+        for r in phash_row_signatures(media_table(spark, SF)).collect()
+    }
+    assert b == rw
+
+
 def test_doremi_gate_unseen_lang_keeps_all(spark):
     """A domain ABSENT from the fitted mixture must get a DEFINED
     keep-all verdict — epochs_micro exactly 1.0 epochs and kept=True
