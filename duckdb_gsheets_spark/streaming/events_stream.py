@@ -1064,7 +1064,10 @@ def streaming_doremi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def phash_gate_ledger(
-    spark: SparkSession, sf_dir: str, delta_media: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    delta_media: DataFrame,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared core of the perceptual near-dup INGEST GATE (stream and
     batch twins): the corpus's perceptual signatures are the static
@@ -1077,7 +1080,16 @@ def phash_gate_ledger(
     one rollup: per flagged delta doc, how many corpus payloads sit
     within PHASH_MAX_HAMMING and the closest distance. A doc with no
     perceptual match never enters the sink (the incremental-dedup
-    twin's flagged-only contract)."""
+    twin's flagged-only contract).
+
+    ``corpus_sigs`` lets a production session pass the PERSISTED
+    signature index (``plans.phash_index.load_phash_index``) instead
+    of rebuilding it — the delta gate then reads only the delta
+    payloads and the bounded index parquet. The loaded frame must
+    carry corpus signatures ONLY (the loader builds over the whole
+    documents table; this core filters the delta slice out by
+    doc_id anti-join so the gate never matches a delta doc against
+    itself)."""
     from duckdb_gsheets_spark.operators.dedup import DELTA_SOURCE
     from duckdb_gsheets_spark.operators.multimodal import (
         PHASH_BANDS,
@@ -1088,10 +1100,20 @@ def phash_gate_ledger(
         PHASH_MAX_HAMMING,
     )
 
-    corpus = media_table(spark, sf_dir).where(
-        F.col("meta.origin") != DELTA_SOURCE
-    )
-    c_sigs = _phash_sigs_from_media(corpus).localCheckpoint(eager=True)
+    if corpus_sigs is None:
+        corpus = media_table(spark, sf_dir).where(
+            F.col("meta.origin") != DELTA_SOURCE
+        )
+        c_sigs = _phash_sigs_from_media(corpus).localCheckpoint(eager=True)
+    else:
+        # the persisted index covers the WHOLE documents table; drop
+        # the delta slice so a delta doc never matches itself
+        delta_ids = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("source") == DELTA_SOURCE)
+            .select("doc_id")
+        )
+        c_sigs = corpus_sigs.join(delta_ids, "doc_id", "left_anti")
 
     def bands(frame: DataFrame, sig_col: str) -> DataFrame:
         return frame.select(

@@ -1340,6 +1340,83 @@ def test_production_session_recipe(spark, tmp_path):
     D._LRS_SPINE_CACHE.clear()
 
 
+def test_phash_index_artifact_roundtrip_and_refusals(spark, tmp_path):
+    """Persisted perceptual-signature index: load equals the
+    in-session build row for row; the delta ingest gate fed the
+    LOADED index (reading only artifact parquet on the corpus side)
+    produces the identical ledger; and both staleness guards refuse
+    loudly — a tampered config fingerprint and a corpus rewritten
+    after the write."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from duckdb_gsheets_spark.operators.dedup import DELTA_SOURCE
+    from duckdb_gsheets_spark.operators.multimodal import (
+        media_from_docs,
+        phash_signatures,
+    )
+    from duckdb_gsheets_spark.plans import phash_index as PI
+    from duckdb_gsheets_spark.plans.catalog import load_table
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        phash_gate_ledger,
+    )
+
+    art = str(tmp_path / "phash_art")
+    sigs_path = PI.write_phash_index(spark, SF, art)
+    loaded = PI.load_phash_index(spark, SF, art)
+    assert loaded.inputFiles() and all(
+        sigs_path in f for f in loaded.inputFiles()
+    )
+    assert sorted(map(tuple, loaded.collect())) == sorted(
+        map(tuple, phash_signatures(spark, SF).collect())
+    )
+
+    delta = media_from_docs(
+        load_table(spark, SF, "documents").where(
+            F.col("source") == DELTA_SOURCE
+        )
+    )
+    inline = sorted(
+        map(tuple, phash_gate_ledger(spark, SF, delta).collect())
+    )
+    from_index = sorted(
+        map(
+            tuple,
+            phash_gate_ledger(
+                spark, SF, delta, corpus_sigs=loaded
+            ).collect(),
+        )
+    )
+    assert from_index == inline and inline  # non-degenerate fixture
+
+    # corpus rewritten after the write → refuse (simulated by
+    # perturbing the stamped mtime; testdata is read-only)
+    meta_path = os.path.join(art, PI._META_SUBDIR)
+    meta = spark.read.parquet(meta_path).collect()
+    spark.createDataFrame(
+        [
+            (r.fingerprint, r.corpus_path, float(r.corpus_mtime) - 1.0)
+            for r in meta
+        ],
+        "fingerprint string, corpus_path string, corpus_mtime double",
+    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    with pytest.raises(ValueError, match="rebuild with write_phash_index"):
+        PI.load_phash_index(spark, SF, art)
+
+    # config drift → refuse
+    spark.createDataFrame(
+        [
+            ("0" * 32, r.corpus_path, float(r.corpus_mtime))
+            for r in meta
+        ],
+        "fingerprint string, corpus_path string, corpus_mtime double",
+    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    with pytest.raises(ValueError, match="rebuild with write_phash_index"):
+        PI.load_phash_index(spark, SF, art)
+
+
 def test_lrs_spine_artifact_stale_corpus_refused(spark, tmp_path):
     """A spine written BEFORE a corpus rewrite must be REFUSED by
     register_lrs_spine (the stamped corpus fingerprint disagrees with
