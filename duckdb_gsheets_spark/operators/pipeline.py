@@ -937,24 +937,10 @@ def pipeline_doremi_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     dom_rows = _doremi_dom_rows(spark, sf_dir)
     k = len(dom_rows)
     tt = sum(int(r.n_tokens) for r in dom_rows)
-    den = DOREMI_SMOOTH_DEN
-    cap = DOREMI_EXCESS_CAP_MICRO
     langs = sorted(r.lang for r in dom_rows)
     xm = {r.lang: int(r.sxm) // int(r.n_docs) for r in dom_rows}
     info = {r.lang: (int(r.n_docs), int(r.n_tokens)) for r in dom_rows}
-    w = {lang: 1_000_000 // k for lang in langs}
-    ref = ex = None
-    for _ in range(DOREMI_EG_ROUNDS):
-        ref = sum(w[d] * xm[d] for d in langs) // sum(w[d] for d in langs)
-        ex = {d: min(max(0, xm[d] - ref), cap) for d in langs}
-        mult = _exp_snap_1e9(spark, set(ex.values()))
-        raw = {d: (w[d] * mult[ex[d]]) // 1_000_000_000 for d in langs}
-        sraw = sum(raw.values())
-        w = {
-            d: ((den - 1) * (raw[d] * 1_000_000 // sraw)) // den
-            + 1_000_000 // (den * k)
-            for d in langs
-        }
+    _t, ref, ex, w = _doremi_eg_trajectory(spark, langs, xm)[-1]
     out = []
     for d in langs:
         n_docs, n_tokens = info[d]
@@ -979,6 +965,63 @@ def pipeline_doremi_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doremi_eg_trajectory(
+    spark: SparkSession, langs: list[str], xm: dict[str, int]
+) -> list[tuple]:
+    """The unrolled EG loop shared by :func:`pipeline_doremi_iterative`
+    (which outputs the final round) and
+    :func:`pipeline_doremi_trajectory` (which outputs every round):
+    ``[(t, ref_micro, {lang: excess}, {lang: weight}), ...]`` for
+    t = 1..DOREMI_EG_ROUNDS. Pure exact-integer driver arithmetic on
+    the bounded ≤|domains|-row state except the per-round engine exp
+    snap (see the iterative operator's determinism note)."""
+    k = len(langs)
+    den = DOREMI_SMOOTH_DEN
+    cap = DOREMI_EXCESS_CAP_MICRO
+    w = {lang: 1_000_000 // k for lang in langs}
+    out = []
+    for t in range(1, DOREMI_EG_ROUNDS + 1):
+        ref = sum(w[d] * xm[d] for d in langs) // sum(w[d] for d in langs)
+        ex = {d: min(max(0, xm[d] - ref), cap) for d in langs}
+        mult = _exp_snap_1e9(spark, set(ex.values()))
+        raw = {d: (w[d] * mult[ex[d]]) // 1_000_000_000 for d in langs}
+        sraw = sum(raw.values())
+        w = {
+            d: ((den - 1) * (raw[d] * 1_000_000 // sraw)) // den
+            + 1_000_000 // (den * k)
+            for d in langs
+        }
+        out.append((t, ref, dict(ex), dict(w)))
+    return out
+
+
+def pipeline_doremi_trajectory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EG loop's FULL TRAJECTORY — one row per (round, domain)
+    with that round's reference loss, excess and post-smoothing
+    weight. This is the convergence evidence a mixture report ships:
+    the reference loss rises monotonically toward the hard domains'
+    level and per-domain weights settle (round-over-round deltas
+    shrink), which a single final-round table cannot show. Same
+    determinism contract and bounded driver state as
+    :func:`pipeline_doremi_iterative`; the corpus is still touched
+    exactly once."""
+    dom_rows = _doremi_dom_rows(spark, sf_dir)
+    langs = sorted(r.lang for r in dom_rows)
+    xm = {r.lang: int(r.sxm) // int(r.n_docs) for r in dom_rows}
+    rows = [
+        (t, d, ref, ex[d], w[d])
+        for t, ref, ex, w in _doremi_eg_trajectory(spark, langs, xm)
+        for d in langs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round int, lang string, ref_micro long, excess_micro long, "
+        "weight_micro long",
+    )
+
+
 def _exp_snap_1e9(spark: SparkSession, micros) -> dict[int, int]:
     """Engine-evaluated ``round(exp(x/1e6)·1e9)`` for a bounded set of
     micro-nat values — the one transcendental in the DoReMi loop stays
@@ -999,11 +1042,13 @@ def _exp_snap_1e9(spark: SparkSession, micros) -> dict[int, int]:
     return {int(r.x): int(r.e) for r in rows}
 
 
-def _doremi_iterative_oracle() -> str:
-    """Round-for-round CTE replay of the unrolled EG loop. Every
-    multi-referenced CTE is MATERIALIZED — DuckDB 1.0 re-inlines
-    otherwise, and through T rounds the corpus xent subtree would
-    re-expand 2^T times (the neardup-triangles lesson)."""
+def _doremi_unrolled_with_sql() -> str:
+    """Shared WITH body of the unrolled EG-loop oracles (the
+    iterative operator's final-round read and the trajectory's
+    every-round union). Every multi-referenced CTE is MATERIALIZED —
+    DuckDB 1.0 re-inlines otherwise, and through T rounds the corpus
+    xent subtree would re-expand 2^T times (the neardup-triangles
+    lesson)."""
     from duckdb_gsheets_spark.operators.curation import _xent_core_sql
 
     den = DOREMI_SMOOTH_DEN
@@ -1053,8 +1098,13 @@ dm_doc AS (
   FROM r{t}b
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _doremi_iterative_oracle() -> str:
+    return (
+        _doremi_unrolled_with_sql()
+        + f"""
 SELECT lang, n_docs, n_tokens, xm AS mean_xent_micro,
        ref AS ref_micro, ex AS excess_micro, w AS weight_micro,
        CASE WHEN n_tokens * 1000000 // tt > 0
@@ -1063,7 +1113,20 @@ SELECT lang, n_docs, n_tokens, xm AS mean_xent_micro,
 FROM w{DOREMI_EG_ROUNDS}
 ORDER BY lang"""
     )
-    return "".join(parts)
+
+
+def _doremi_trajectory_oracle() -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INTEGER) AS round, lang, ref AS ref_micro, "
+        f"ex AS excess_micro, w AS weight_micro FROM w{t}"
+        for t in range(1, DOREMI_EG_ROUNDS + 1)
+    )
+    return (
+        _doremi_unrolled_with_sql()
+        + "\n"
+        + union
+        + "\nORDER BY round, lang"
+    )
 
 
 #: DSIR selection rate: keep NUM/DEN of the candidate (non-target)
@@ -1449,5 +1512,12 @@ QUERIES: list[QueryDef] = [
         "DoReMi full multi-round EG loop (Xie et al. Alg. 1): per-round "
         "mixture-weighted reference update, unrolled "
         f"{DOREMI_EG_ROUNDS} rounds on the exact micro-unit grid",
+    ),
+    QueryDef(
+        "pipeline_doremi_trajectory",
+        pipeline_doremi_trajectory,
+        _doremi_trajectory_oracle(),
+        "DoReMi EG loop trajectory: per-(round, domain) reference loss, "
+        "excess and weight - the convergence evidence",
     ),
 ]

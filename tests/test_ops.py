@@ -7356,6 +7356,41 @@ def test_source_flow_matrix_planted_and_invariants(spark, tmp_path):
     assert all(r.src_a <= r.src_b for r in out.values())
 
 
+def test_doremi_trajectory_invariants(spark):
+    """pipeline_doremi_trajectory: T×k rows, the weighted reference
+    loss is NON-DECREASING over rounds (mass shifts toward hard
+    domains, raising the mixture-weighted mean — the EG fixed-point
+    direction), every round's smoothed weights sum to 1e6 within
+    rounding, and the final round matches pipeline_doremi_iterative's
+    ref/excess/weight columns."""
+    from duckdb_gsheets_spark.operators.pipeline import (
+        DOREMI_EG_ROUNDS,
+        pipeline_doremi_iterative,
+        pipeline_doremi_trajectory,
+    )
+
+    rows = pipeline_doremi_trajectory(spark, SF).collect()
+    k = len({r.lang for r in rows})
+    assert len(rows) == DOREMI_EG_ROUNDS * k
+    refs = sorted({(r.round, r.ref_micro) for r in rows})
+    assert all(
+        refs[i][1] <= refs[i + 1][1] for i in range(len(refs) - 1)
+    )
+    for t in range(1, DOREMI_EG_ROUNDS + 1):
+        sm = sum(r.weight_micro for r in rows if r.round == t)
+        assert 1_000_000 - 2 * k <= sm <= 1_000_000
+    fin = {
+        r.lang: (r.ref_micro, r.excess_micro, r.weight_micro)
+        for r in rows
+        if r.round == DOREMI_EG_ROUNDS
+    }
+    it = {
+        r.lang: (r.ref_micro, r.excess_micro, r.weight_micro)
+        for r in pipeline_doremi_iterative(spark, SF).collect()
+    }
+    assert fin == it
+
+
 def test_tokenizer_fertility_invariants(spark):
     """tokenizer_fertility: every word is at least 1 and at most
     len(word) BPE symbols, so per language n_words <= n_bpe_tokens <=
