@@ -43,9 +43,10 @@ class QueryDef:
 #: window is not). Round-13 composition — every slot can turn or stay
 #: green (no oracle-less entry wastes a slot):
 #:
-#: * 4 NEW round-13 queries (first driver rows — a new query outranks
+#: * 5 NEW round-13 queries (first driver rows — a new query outranks
 #:   any stale-green re-check): ``pipeline_doremi_iterative`` (full
-#:   multi-round EG loop), ``multimodal_phash_neardup`` +
+#:   multi-round EG loop), ``pipeline_doremi_trajectory`` (its
+#:   per-round convergence table), ``multimodal_phash_neardup`` +
 #:   ``multimodal_phash_calibration`` (perceptual media near-dup via
 #:   CDC-chunk SimHash + its byte-dedup calibration), and
 #:   ``tokenizer_fertility`` (per-language BPE vocab-equity audit);
@@ -61,11 +62,11 @@ class QueryDef:
 #: * the 16 named round-13 rotation-queue rows (r7-latest, queued by
 #:   the round-12 verdict) — with these green the r7 tail is fully
 #:   retired and the whole registry has turned over since r8;
-#: * 22 of the 46 round-8-latest rows (the next-oldest cohort,
-#:   alphabetical first 22).
+#: * 21 of the 46 round-8-latest rows (the next-oldest cohort,
+#:   alphabetical first 21).
 #:
-#: The 24 round-8-latest rows that did NOT fit —
-#: ``events_sessionize``, ``minhash_calibration``,
+#: The 25 round-8-latest rows that did NOT fit —
+#: ``events_profile``, ``events_sessionize``, ``minhash_calibration``,
 #: ``multimodal_decode_features``, ``multimodal_resize``,
 #: ``orders_rfm_segments``, ``pack_sequences``,
 #: ``pipeline_curated_corpus``, ``pipeline_training_corpus``,
@@ -80,6 +81,7 @@ class QueryDef:
 _WINDOW: tuple[str, ...] = (
     # -- new round-13 queries (first driver rows) --
     "pipeline_doremi_iterative",
+    "pipeline_doremi_trajectory",
     "multimodal_phash_neardup",
     "multimodal_phash_calibration",
     "tokenizer_fertility",
@@ -131,7 +133,6 @@ _WINDOW: tuple[str, ...] = (
     "events_did",
     "events_hourly_agg",
     "events_power_analysis",
-    "events_profile",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and
