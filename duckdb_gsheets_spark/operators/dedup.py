@@ -3595,8 +3595,107 @@ FROM pa_docs d LEFT JOIN pa_agg a USING (doc_id)
 
 
 
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE dedup survivor selection — the FineWeb/RefinedWeb
+    upgrade over keep-lowest-doc_id: within each exact-duplicate
+    group, keep the HIGHEST-quality copy (quality micro-score
+    descending, doc_id ascending tiebreak — a total order, so both
+    engines elect the same survivor). Duplicate copies often differ
+    in extraction quality (boilerplate, truncation); electing the
+    best copy moves corpus quality for free, and this ledger is the
+    evidence: per source, docs seen / survivors kept / copies
+    dropped, plus the exact micro-mean quality of kept vs dropped
+    rows.
+
+    Shapes, sized for 100 TB: one fingerprint-partitioned window
+    (the same fp hash shuffle every exact-dedup pass pays; groups are
+    duplicate-multiplicity-sized) then one per-source rollup. The
+    quality score rides the scan as a JVM expression; the scaled-long
+    micro grid makes the ordering and the means exact in both
+    engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        T.fingerprint(F.col("text")).alias("fp"),
+        F.round(T.quality_score(F.col("text")) * 1e6)
+        .cast("long")
+        .alias("qm"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("qm"), "doc_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    kept = F.when(F.col("rk") == 1, 1).otherwise(0)
+    dropped = F.when(F.col("rk") > 1, 1).otherwise(0)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_survivors"),
+            F.sum(dropped).alias("n_dropped"),
+            F.sum(F.when(F.col("rk") == 1, F.col("qm")).otherwise(0)).alias(
+                "_kq"
+            ),
+            F.sum(F.when(F.col("rk") > 1, F.col("qm")).otherwise(0)).alias(
+                "_dq"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_survivors",
+            "n_dropped",
+            F.expr("_kq div n_survivors").alias("kept_quality_micro"),
+            F.expr(
+                "CASE WHEN n_dropped > 0 THEN _dq div n_dropped "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("dropped_quality_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_QUALITY_SURVIVOR_ORACLE = f"""
+WITH qs_scored AS (
+  SELECT doc_id, source,
+         {T.oracle_fingerprint()} AS fp,
+         CAST(ROUND({T.oracle_quality_score()} * 1e6) AS BIGINT) AS qm
+  FROM documents WHERE text IS NOT NULL
+), qs_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY fp ORDER BY qm DESC, doc_id) AS rk
+  FROM qs_scored
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN rk = 1 THEN qm ELSE 0 END) AS BIGINT)
+         // CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_quality_micro,
+       CASE WHEN SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) > 0
+            THEN CAST(SUM(CASE WHEN rk > 1 THEN qm ELSE 0 END) AS BIGINT)
+                 // CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS dropped_quality_micro
+FROM qs_ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES: list[QueryDef] = [
     QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact fingerprint dedup"),
+    QueryDef(
+        "dedup_quality_survivor",
+        dedup_quality_survivor,
+        DEDUP_QUALITY_SURVIVOR_ORACLE,
+        "quality-aware dedup survivor election (best copy per exact-dup "
+        "group) with kept-vs-dropped quality ledger",
+    ),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "token Jaccard pairs"),
     QueryDef("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE, "asymmetric token-containment pairs"),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "MinHash LSH near-dup"),

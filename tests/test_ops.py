@@ -7356,6 +7356,43 @@ def test_source_flow_matrix_planted_and_invariants(spark, tmp_path):
     assert all(r.src_a <= r.src_b for r in out.values())
 
 
+def test_quality_survivor_planted(spark, tmp_path):
+    """dedup_quality_survivor on a PLANTED corpus: two copies that
+    normalize to the same fingerprint (whitespace-noise variants —
+    the real extraction-noise case) but score differently must elect
+    exactly one survivor, and the ledger's kept mean must strictly
+    exceed the dropped mean; a unique doc is its own survivor with a
+    zero dropped mean."""
+    import os
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        dedup_quality_survivor,
+    )
+
+    # punctuation matters: the punct/chars component is what makes
+    # the whitespace-noise copy score differently
+    base = "the quick brown fox, jumps over the lazy dog. again, again."
+    noisy = base.replace(" ", "   ")  # same fingerprint, other score
+    sf = str(tmp_path / "qs_sf")
+    os.makedirs(sf, exist_ok=True)
+    rows = [
+        (1, base, "en", "src_a", len(base)),
+        (2, noisy, "en", "src_a", len(noisy)),
+        (3, "a totally different unique document", "en", "src_b", 35),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = {r.source: r for r in dedup_quality_survivor(spark, sf).collect()}
+    a = out["src_a"]
+    assert (a.n_docs, a.n_survivors, a.n_dropped) == (2, 1, 1)
+    assert a.kept_quality_micro > a.dropped_quality_micro
+    b = out["src_b"]
+    assert (b.n_survivors, b.n_dropped, b.dropped_quality_micro) == (1, 0, 0)
+
+
 def test_doremi_trajectory_invariants(spark):
     """pipeline_doremi_trajectory: T×k rows, the weighted reference
     loss is NON-DECREASING over rounds (mass shifts toward hard
