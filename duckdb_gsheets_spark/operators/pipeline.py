@@ -1129,6 +1129,110 @@ def _doremi_trajectory_oracle() -> str:
     )
 
 
+#: Curated-tier sources for the quality-classifier training-set
+#: builder — the deterministic stand-in for "Wikipedia/books/ref
+#: corpora" in the generated fixture's generic source namespace; a
+#: production run passes its own curated list.
+CLASSIFIER_CURATED_SOURCES = ("src0", "src5", "src10", "src15")
+
+
+def pipeline_classifier_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-CLASSIFIER training-set builder — the fastText-style
+    corpus every web-scale pipeline trains its quality gate on (the
+    GPT-3 / CCNet recipe: POSITIVES = documents from curated-tier
+    sources, NEGATIVES = the rest of the web crawl, downsampled to
+    class balance): curated docs all keep the ``pos`` label; the
+    majority negative class hash-downsamples to ≈ the positive count
+    via the corpus's deterministic md5-Bernoulli device (keep iff
+    ``h32·N < P·2^32`` in exact integer arithmetic — replayable, and
+    if the curated tier is somehow the majority the gate keeps every
+    negative rather than inventing upsampling). Output is the
+    training-set LEDGER per (label, lang): docs, token volume, and
+    the exact micro-mean heuristic quality — the table that shows the
+    label separation (curated sources should score higher) before
+    anyone spends a training run on it.
+
+    Shapes, sized for 100 TB: one corpus scan (label, hash, quality
+    ride the scan as JVM expressions), ONE 1-row class-count
+    aggregate broadcast back as the sampling threshold, one
+    (label, lang) rollup. ``h32·N`` stays int64 up to ~2·10⁹
+    negatives; past that the product moves to DECIMAL(38,0) (the
+    graph-stats moments note).
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    c = F.col("text")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("source")
+        .isin(*CLASSIFIER_CURATED_SOURCES)
+        .alias("is_pos"),
+        F.round(T.quality_score(c) * 1e6).cast("long").alias("qm"),
+        T.token_count(c).cast("long").alias("n_tokens"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("h32"),
+    )
+    tot = base.agg(
+        F.sum(F.col("is_pos").cast("long")).alias("p_cnt"),
+        F.sum((~F.col("is_pos")).cast("long")).alias("n_cnt"),
+    )
+    kept = (
+        base.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("is_pos")
+            | (F.expr("h32 * n_cnt") < F.expr("p_cnt * 4294967296L"))
+        )
+    )
+    return (
+        kept.groupBy(
+            F.when(F.col("is_pos"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("label"),
+            "lang",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.expr("sum(qm) div count(1)").alias("mean_quality_micro"),
+        )
+        .orderBy("label", "lang")
+    )
+
+
+def _classifier_corpus_oracle() -> str:
+    srcs = ", ".join(f"'{s}'" for s in CLASSIFIER_CURATED_SOURCES)
+    return f"""
+WITH qc_base AS (
+  SELECT doc_id, lang,
+         source IN ({srcs}) AS is_pos,
+         CAST(ROUND({T.oracle_quality_score()} * 1e6) AS BIGINT) AS qm,
+         CAST(len({T.oracle_tokens()}) AS BIGINT) AS n_tokens,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS h32
+  FROM documents WHERE text IS NOT NULL
+), qc_tot AS (
+  SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt,
+         CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS n_cnt
+  FROM qc_base
+), qc_kept AS (
+  SELECT b.* FROM qc_base b, qc_tot t
+  WHERE b.is_pos OR b.h32 * t.n_cnt < t.p_cnt * 4294967296
+)
+SELECT CASE WHEN is_pos THEN 'pos' ELSE 'neg' END AS label, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(qm) AS BIGINT) // COUNT(*) AS mean_quality_micro
+FROM qc_kept
+GROUP BY 1, 2
+ORDER BY label, lang
+"""
+
+
 #: DSIR selection rate: keep NUM/DEN of the candidate (non-target)
 #: corpus by Gumbel-perturbed importance weight.
 DSIR_KEEP_NUM = 1
@@ -1519,5 +1623,13 @@ QUERIES: list[QueryDef] = [
         _doremi_trajectory_oracle(),
         "DoReMi EG loop trajectory: per-(round, domain) reference loss, "
         "excess and weight - the convergence evidence",
+    ),
+    QueryDef(
+        "pipeline_classifier_corpus",
+        pipeline_classifier_corpus,
+        _classifier_corpus_oracle(),
+        "fastText-style quality-classifier training set: curated-tier "
+        "positives, hash-balanced negative downsample, per-(label, lang) "
+        "ledger with quality separation",
     ),
 ]

@@ -43,15 +43,17 @@ class QueryDef:
 #: window is not). Round-13 composition — every slot can turn or stay
 #: green (no oracle-less entry wastes a slot):
 #:
-#: * 6 NEW round-13 queries (first driver rows — a new query outranks
+#: * 7 NEW round-13 queries (first driver rows — a new query outranks
 #:   any stale-green re-check): ``pipeline_doremi_iterative`` (full
 #:   multi-round EG loop), ``pipeline_doremi_trajectory`` (its
 #:   per-round convergence table), ``multimodal_phash_neardup`` +
 #:   ``multimodal_phash_calibration`` (perceptual media near-dup via
 #:   CDC-chunk SimHash + its byte-dedup calibration), and
 #:   ``tokenizer_fertility`` (per-language BPE vocab-equity audit),
-#:   and ``dedup_quality_survivor`` (quality-aware dedup survivor
-#:   election with the kept-vs-dropped quality ledger);
+#:   ``dedup_quality_survivor`` (quality-aware dedup survivor
+#:   election with the kept-vs-dropped quality ledger), and
+#:   ``pipeline_classifier_corpus`` (fastText-style quality-classifier
+#:   training set: curated positives, hash-balanced negatives);
 #: * 8 rows with ROUND-13 plan or oracle changes:
 #:   ``pipeline_doremi_weights`` (int64-safe excess cap, both
 #:   engines), the ExactSubstr family ``dedup_longest_substring`` /
@@ -64,11 +66,12 @@ class QueryDef:
 #: * the 16 named round-13 rotation-queue rows (r7-latest, queued by
 #:   the round-12 verdict) — with these green the r7 tail is fully
 #:   retired and the whole registry has turned over since r8;
-#: * 20 of the 46 round-8-latest rows (the next-oldest cohort,
-#:   alphabetical first 20).
+#: * 19 of the 46 round-8-latest rows (the next-oldest cohort,
+#:   alphabetical first 19).
 #:
-#: The 26 round-8-latest rows that did NOT fit —
-#: ``events_power_analysis``, ``events_profile``, ``events_sessionize``, ``minhash_calibration``,
+#: The 27 round-8-latest rows that did NOT fit —
+#: ``events_hourly_agg``, ``events_power_analysis``, ``events_profile``,
+#: ``events_sessionize``, ``minhash_calibration``,
 #: ``multimodal_decode_features``, ``multimodal_resize``,
 #: ``orders_rfm_segments``, ``pack_sequences``,
 #: ``pipeline_curated_corpus``, ``pipeline_training_corpus``,
@@ -88,6 +91,7 @@ _WINDOW: tuple[str, ...] = (
     "multimodal_phash_calibration",
     "tokenizer_fertility",
     "dedup_quality_survivor",
+    "pipeline_classifier_corpus",
     # -- round-13 plan/oracle changes --
     "pipeline_doremi_weights",
     "dedup_longest_substring",
@@ -134,7 +138,6 @@ _WINDOW: tuple[str, ...] = (
     "events_audience_overlap",
     "events_corr_value_hour",
     "events_did",
-    "events_hourly_agg",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and

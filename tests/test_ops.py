@@ -7356,6 +7356,39 @@ def test_source_flow_matrix_planted_and_invariants(spark, tmp_path):
     assert all(r.src_a <= r.src_b for r in out.values())
 
 
+def test_classifier_corpus_balance_and_labels(spark):
+    """pipeline_classifier_corpus: both labels present, every curated
+    positive kept (pos count == curated doc count), and the
+    hash-downsampled negative class lands within binomial noise of
+    the positive count — the class balance the classifier recipe
+    exists to produce."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from duckdb_gsheets_spark.operators.pipeline import (
+        CLASSIFIER_CURATED_SOURCES,
+        pipeline_classifier_corpus,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    rows = pipeline_classifier_corpus(spark, SF).collect()
+    pos = sum(r.n_docs for r in rows if r.label == "pos")
+    neg = sum(r.n_docs for r in rows if r.label == "neg")
+    assert pos > 0 and neg > 0
+    curated = (
+        load_table(spark, SF, "documents")
+        .where(
+            F.col("text").isNotNull()
+            & F.col("source").isin(*CLASSIFIER_CURATED_SOURCES)
+        )
+        .count()
+    )
+    assert pos == curated
+    assert abs(neg - pos) <= 4 * math.sqrt(pos) + 10
+    assert all(r.mean_quality_micro > 0 for r in rows)
+
+
 def test_quality_survivor_planted(spark, tmp_path):
     """dedup_quality_survivor on a PLANTED corpus: two copies that
     normalize to the same fingerprint (whitespace-noise variants —
