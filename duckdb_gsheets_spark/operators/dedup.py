@@ -3647,7 +3647,14 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_survivors",
             "n_dropped",
-            F.expr("_kq div n_survivors").alias("kept_quality_micro"),
+            # Guarded like the dropped branch: a source whose every doc
+            # loses its cross-source duplicate election has zero
+            # survivors, and the ledger should read an explicit 0, not
+            # a NULL that happens to match the oracle's NULL.
+            F.expr(
+                "CASE WHEN n_survivors > 0 THEN _kq div n_survivors "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("kept_quality_micro"),
             F.expr(
                 "CASE WHEN n_dropped > 0 THEN _dq div n_dropped "
                 "ELSE CAST(0 AS BIGINT) END"
@@ -3674,9 +3681,10 @@ SELECT source,
          AS n_survivors,
        CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dropped,
-       CAST(SUM(CASE WHEN rk = 1 THEN qm ELSE 0 END) AS BIGINT)
-         // CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS kept_quality_micro,
+       CASE WHEN SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) > 0
+            THEN CAST(SUM(CASE WHEN rk = 1 THEN qm ELSE 0 END) AS BIGINT)
+                 // CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS kept_quality_micro,
        CASE WHEN SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) > 0
             THEN CAST(SUM(CASE WHEN rk > 1 THEN qm ELSE 0 END) AS BIGINT)
                  // CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)

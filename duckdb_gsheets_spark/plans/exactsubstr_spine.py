@@ -118,9 +118,19 @@ def register_lrs_spine(
     from duckdb_gsheets_spark.operators import dedup as D
 
     live_path, live_mtime = _corpus_stamp(spark, sf_dir)
-    meta = spark.read.parquet(
-        os.path.join(artifact_dir, _META_SUBDIR)
-    ).collect()
+    try:
+        meta = spark.read.parquet(
+            os.path.join(artifact_dir, _META_SUBDIR)
+        ).collect()
+    except Exception as exc:  # pre-meta artifact: missing subdir reads
+        # as a raw AnalysisException — surface the same friendly
+        # rebuild contract as a stale stamp instead.
+        raise ValueError(
+            f"LRS spine artifact at {artifact_dir!r} has no readable "
+            f"corpus-stamp metadata ({type(exc).__name__}) — it predates "
+            "the stamped-artifact format or is incomplete; rebuild with "
+            "write_lrs_spine"
+        ) from exc
     stamped = {(r.version, r.corpus_path, float(r.corpus_mtime)) for r in meta}
     if stamped != {("lrs-spine-v1", live_path, live_mtime)}:
         raise ValueError(

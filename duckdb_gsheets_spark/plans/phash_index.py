@@ -59,10 +59,18 @@ def _phash_fingerprint() -> str:
 
 
 def _corpus_stamp(sf_dir: str) -> tuple[str, float]:
+    # An unreadable corpus must fail HERE, not round-trip: mapping
+    # OSError to a sentinel would stamp the same sentinel at write and
+    # load time, so two unreadable states would compare equal and the
+    # staleness guard would silently pass.
     try:
         mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
-    except OSError:
-        mtime = -1.0
+    except OSError as exc:
+        raise ValueError(
+            f"cannot stamp corpus at {sf_dir!r}: documents.parquet is "
+            f"missing or unreadable ({exc}) — the phash index must be "
+            "written and loaded against a readable corpus"
+        ) from exc
     return sf_dir, float(mtime)
 
 
