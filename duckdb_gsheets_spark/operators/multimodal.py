@@ -716,7 +716,7 @@ def _phash_sigs_from_media(media: DataFrame) -> DataFrame:
     for k in range(PHASH_BITS):
         sig = sig + F.expr(f"shiftleft(cast(v{k} > 0 as long), {k})")
     return votes.select("doc_id", "format", sig.alias("sig")).join(
-        base.select("doc_id", "pmd5"), "doc_id"
+        base.select("doc_id", "pmd5", F.col("n").alias("n_bytes")), "doc_id"
     )
 
 
@@ -804,25 +804,16 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (byte-identical payloads always hash to the same signature, so
     every hamming > 0 pair is by construction perceptual-only).
     """
-    sigs = phash_signatures(spark, sf_dir)
-    within = (
-        sigs.alias("a")
-        .join(
-            sigs.alias("b"),
-            (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.format") == F.col("b.format")),
-        )
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.format").alias("format"),
-            F.lit(0).alias("hamming"),
-            (F.col("a.pmd5") == F.col("b.pmd5")).cast("int").alias(
-                "byte_identical"
-            ),
-        )
-    )
+    return _phash_pairs(phash_signatures(spark, sf_dir))
+
+
+def _phash_close_sig_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded LSH candidates over DISTINCT (format, sig) rows with
+    first-matching-band exactly-once emission, Hamming-verified to
+    (format, sig_a, sig_b, hamming) with 0 < hamming ≤
+    PHASH_MAX_HAMMING. Shared by the pair query (which fans doc pairs
+    back out) and the cluster labeling (which keeps the collapsed
+    sig-level edges — never quadratic in copy count)."""
     distinct_sigs = sigs.select("format", "sig").distinct()
     bands = distinct_sigs.select(
         "format",
@@ -861,11 +852,36 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    close_sigs = sig_pairs.select(
+    return sig_pairs.select(
         "format", "sig_a", "sig_b", hamming.alias("hamming")
     ).where(
         (F.col("hamming") > 0) & (F.col("hamming") <= PHASH_MAX_HAMMING)
     )
+
+
+def _phash_pairs(sigs: DataFrame) -> DataFrame:
+    """Doc-level near-dup pairs over a signature frame — the
+    registered query's body, parameterized so the persisted signature
+    index (plans.phash_index) can feed it directly."""
+    within = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.format") == F.col("b.format")),
+        )
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.format").alias("format"),
+            F.lit(0).alias("hamming"),
+            (F.col("a.pmd5") == F.col("b.pmd5")).cast("int").alias(
+                "byte_identical"
+            ),
+        )
+    )
+    close_sigs = _phash_close_sig_pairs(sigs)
     across = (
         close_sigs.join(
             sigs.select(
@@ -916,6 +932,127 @@ def multimodal_phash_calibration(
             ),
         )
         .orderBy("hamming")
+    )
+
+
+def _phash_cluster_labels(sigs: DataFrame) -> DataFrame:
+    """(doc_id, format, n_bytes, comp) — transitive perceptual
+    near-dup labels over the banded pair graph, with the
+    identical-signature COLLAPSE the lexical family uses
+    (dedup._minhash_cluster_labels): payloads sharing a (format, sig)
+    form a clique by construction, so min-label propagation runs over
+    one REPRESENTATIVE per signature group (min doc_id) and members
+    inherit the rep's component — the edge set stays linear in
+    distinct signatures, never quadratic in copy count. The labeling
+    equals the full doc-graph closure exactly: a group is always one
+    cluster, rep edges exist iff the member edges exist (same
+    signatures), and each rep is already its group's minimum so comp
+    stays the cluster-wide min doc_id."""
+    from duckdb_gsheets_spark.operators.dedup import connected_components
+
+    groups = sigs.groupBy("format", "sig").agg(F.min("doc_id").alias("gid"))
+    members = sigs.select("doc_id", "format", "n_bytes", "sig").join(
+        groups, ["format", "sig"]
+    )
+    edges = (
+        _phash_close_sig_pairs(sigs)
+        .join(
+            groups.select(
+                "format",
+                F.col("sig").alias("sig_a"),
+                F.col("gid").alias("doc_a"),
+            ),
+            ["format", "sig_a"],
+        )
+        .join(
+            groups.select(
+                "format",
+                F.col("sig").alias("sig_b"),
+                F.col("gid").alias("doc_b"),
+            ),
+            ["format", "sig_b"],
+        )
+        .select("doc_a", "doc_b")
+    )
+    comp_reps = connected_components(
+        edges, groups.select(F.col("gid").alias("doc_id"))
+    )
+    return members.join(
+        comp_reps.withColumnRenamed("doc_id", "gid"), "gid"
+    ).select("doc_id", "format", "n_bytes", "comp")
+
+
+def multimodal_phash_clusters(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
+) -> DataFrame:
+    """Transitive perceptual near-dup CLUSTERS over the media
+    payloads — the pair query emits edges; real media dedup collapses
+    A≈B≈C into one component even when A and C never band-collide.
+    Output: every signature-bearing payload with its cluster id
+    (= min doc_id in the component), the cluster size, and the
+    structural-representative flag. ``sigs`` lets a production
+    session ride the persisted signature index
+    (plans.phash_index.load_phash_index) instead of rebuilding.
+    Payloads under PHASH_MIN_BYTES have no signature and are absent
+    by design — byte-identical dedup still covers them."""
+    if sigs is None:
+        sigs = phash_signatures(spark, sf_dir)
+    labels = _phash_cluster_labels(sigs)
+    sizes = labels.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "comp").select(
+        "doc_id",
+        "format",
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("comp")).alias("is_rep"),
+    )
+
+
+def multimodal_phash_survivor(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
+) -> DataFrame:
+    """Best-copy ELECTION over the perceptual clusters — the media
+    twin of dedup_quality_survivor: within each transitive component,
+    keep the copy with the MOST payload bytes (the decode-free
+    fidelity proxy: among perceptual near-dups, the longest payload
+    is the least-truncated/highest-bitrate copy), doc_id ascending
+    tiebreak — a total order, so both engines elect the same
+    survivor. Ledger per format: payloads seen, survivors kept,
+    copies dropped, and the exact bytes kept vs dropped — the
+    storage-savings evidence a media dedup pass ships with.
+
+    Shapes, sized for 100 TB: the component window partitions on the
+    cluster label (groups are duplicate-multiplicity-sized) and the
+    rollup is |formats| rows; everything else is the cluster
+    labeling's collapsed graph. Rides the persisted signature index
+    via ``sigs`` like the cluster query."""
+    if sigs is None:
+        sigs = phash_signatures(spark, sf_dir)
+    from pyspark.sql import Window
+
+    labels = _phash_cluster_labels(sigs)
+    w = Window.partitionBy("comp").orderBy(F.desc("n_bytes"), "doc_id")
+    ranked = labels.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias(
+                "n_survivors"
+            ),
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+            F.sum(
+                F.when(F.col("rk") == 1, F.col("n_bytes")).otherwise(0)
+            ).alias("kept_bytes"),
+            F.sum(
+                F.when(F.col("rk") > 1, F.col("n_bytes")).otherwise(0)
+            ).alias("dropped_bytes"),
+        )
+        .orderBy("format")
     )
 
 
@@ -994,7 +1131,7 @@ mmp_base AS MATERIALIZED (
 ), mmp_sigs AS MATERIALIZED (
   SELECT v.doc_id, v.format,
     ({terms}) AS sig,
-    b.pmd5
+    b.pmd5, b.n
   FROM mmp_votes v JOIN mmp_base b USING (doc_id)
 ), mmp_within AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.format AS format,
@@ -1037,6 +1174,63 @@ SELECT doc_a, doc_b, format, hamming, byte_identical FROM mmp_pairs
 """
 
 
+#: Shared recursive min-label closure over the emitted pair set (the
+#: dedup family's cc_walk device). The doc-level walk over mmp_pairs
+#: equals the Spark side's rep-collapsed propagation exactly: within
+#: pairs connect each identical-signature clique, across pairs carry
+#: the same close-sig adjacency the rep edges carry.
+_PHASH_CC_SQL = """pc_sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mmp_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mmp_pairs
+), pc_walk(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM mmp_sigs
+  UNION
+  SELECT s.src, w.comp FROM pc_sym s JOIN pc_walk w ON s.dst = w.doc_id
+), pc_labels AS (
+  SELECT doc_id, MIN(comp) AS comp FROM pc_walk GROUP BY doc_id
+)"""
+
+
+MULTIMODAL_PHASH_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_phash_pairs_sql()},
+{_PHASH_CC_SQL},
+pc_sizes AS (
+  SELECT comp, COUNT(*) AS cluster_size FROM pc_labels GROUP BY comp
+)
+SELECT l.doc_id, g.format, l.comp AS cluster_id, z.cluster_size,
+       l.doc_id = l.comp AS is_rep
+FROM pc_labels l
+JOIN mmp_sigs g ON g.doc_id = l.doc_id
+JOIN pc_sizes z ON z.comp = l.comp
+"""
+
+
+MULTIMODAL_PHASH_SURVIVOR_ORACLE = f"""
+WITH RECURSIVE {_phash_pairs_sql()},
+{_PHASH_CC_SQL},
+ps_ranked AS (
+  SELECT g.doc_id, g.format, g.n, l.comp,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.comp ORDER BY g.n DESC, g.doc_id) AS rk
+  FROM pc_labels l JOIN mmp_sigs g ON g.doc_id = l.doc_id
+)
+SELECT format,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN rk = 1 THEN n ELSE 0 END) AS BIGINT)
+         AS kept_bytes,
+       CAST(SUM(CASE WHEN rk > 1 THEN n ELSE 0 END) AS BIGINT)
+         AS dropped_bytes
+FROM ps_ranked
+GROUP BY format
+ORDER BY format
+"""
+
+
 MULTIMODAL_PHASH_CALIBRATION_ORACLE = f"""
 WITH {_phash_pairs_sql()}
 SELECT hamming,
@@ -1072,5 +1266,20 @@ QUERIES: list[QueryDef] = [
         MULTIMODAL_PHASH_CALIBRATION_ORACLE,
         "perceptual-vs-byte-dedup calibration: per Hamming distance, "
         "pairs byte dedup would miss",
+    ),
+    # -- round-14 additions --
+    QueryDef(
+        "multimodal_phash_clusters",
+        multimodal_phash_clusters,
+        MULTIMODAL_PHASH_CLUSTERS_ORACLE,
+        "transitive perceptual near-dup components over the banded "
+        "pair graph (identical-signature collapse, min-label closure)",
+    ),
+    QueryDef(
+        "multimodal_phash_survivor",
+        multimodal_phash_survivor,
+        MULTIMODAL_PHASH_SURVIVOR_ORACLE,
+        "best-copy election per perceptual cluster (most payload "
+        "bytes) with the kept-vs-dropped byte ledger",
     ),
 ]

@@ -51,8 +51,11 @@ def _phash_fingerprint() -> str:
         PHASH_MIN_BYTES,
     )
 
+    # v2: the signature frame gained the n_bytes fidelity column the
+    # survivor election reads — a v1 artifact must refuse, not serve a
+    # frame the cluster/survivor consumers would fail on mid-query.
     tag = (
-        f"phash-v1|bits={PHASH_BITS}|bands={PHASH_BANDS}"
+        f"phash-v2|bits={PHASH_BITS}|bands={PHASH_BANDS}"
         f"|anchor={PHASH_ANCHOR_MOD}|min_bytes={PHASH_MIN_BYTES}"
     )
     return hashlib.md5(tag.encode()).hexdigest()

@@ -7539,6 +7539,64 @@ def test_phash_neardup_planted_edit(spark, tmp_path):
     )
 
 
+def test_phash_clusters_and_survivor_planted(spark, tmp_path):
+    """Transitive clusters + best-copy election on a planted corpus:
+    an original, its one-char edit, and its exact copy must collapse
+    into ONE component (cluster_id = min doc_id, size 3) while an
+    unrelated payload stays a singleton; the survivor election keeps
+    one copy per component by (bytes desc, doc_id asc) — here all
+    three copies tie on bytes, so the ledger must kept the lowest
+    doc_id and charge the other two as dropped bytes."""
+    import os
+    import random
+
+    from duckdb_gsheets_spark.operators.multimodal import (
+        multimodal_phash_clusters,
+        multimodal_phash_survivor,
+    )
+
+    rng = random.Random(7)
+    words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+    base = " ".join(rng.choice(words) for _ in range(1200))
+    edited = base[:900] + ("Q" if base[900] != "Q" else "Z") + base[901:]
+    other = " ".join(rng.choice(words) for _ in range(1200))
+    sf = str(tmp_path / "phash_cl_sf")
+    os.makedirs(sf, exist_ok=True)
+    rows = [
+        (3, base, "en", "s", len(base)),
+        (6, edited, "en", "s", len(edited)),
+        (9, base, "en", "s", len(base)),
+        (12, other, "en", "s", len(other)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_rep)
+        for r in multimodal_phash_clusters(spark, sf).collect()
+    }
+    assert got == {
+        3: (3, 3, True),
+        6: (3, 3, False),
+        9: (3, 3, False),
+        12: (12, 1, True),
+    }
+
+    led = {
+        r.format: r for r in multimodal_phash_survivor(spark, sf).collect()
+    }
+    assert set(led) == {"png"}  # doc_ids ≡ 0 (mod 3)
+    r = led["png"]
+    assert (r.n_docs, r.n_survivors, r.n_dropped) == (4, 2, 2)
+    assert r.kept_bytes == len(base) + len(other)
+    assert r.dropped_bytes == len(edited) + len(base)
+
+
 def test_doremi_weights_invariants(spark):
     """pipeline_doremi_weights on the generated corpus: weights are a
     floor-divided probability vector (sum within k of 1e6, all > 0),

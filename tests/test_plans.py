@@ -1288,39 +1288,79 @@ def test_lrs_spine_artifact_reuse_identical_and_no_rebuild(spark, tmp_path):
 
 def test_production_session_recipe(spark, tmp_path):
     """The README's 'production session' path, end to end: write the
-    persisted index artifacts once (LRS spine + sharded Bloom), then
-    simulate a fresh session (memos cleared), register/load
-    everything, and run the ExactSubstr and contamination families —
-    with inputFiles proving the spine frames read ONLY artifact
-    parquet, and the loaded-filter screen matching the in-session fit
-    row for row."""
+    persisted index artifacts once (LRS spine + sharded Bloom +
+    perceptual-signature index), then simulate a fresh session (memos
+    cleared), register/load everything, and run the ExactSubstr,
+    contamination, and perceptual-dedup families — with inputFiles
+    proving the spine and signature frames read ONLY artifact
+    parquet, and every loaded-artifact screen matching the in-session
+    fit row for row."""
     from duckdb_gsheets_spark.operators import dedup as D
     from duckdb_gsheets_spark.operators.chunking import (
         contamination_bloom_sharded,
         load_bloom_artifact_sharded,
         write_bloom_artifact_sharded,
     )
+    from duckdb_gsheets_spark.operators.multimodal import (
+        multimodal_phash_clusters,
+        multimodal_phash_survivor,
+    )
+    from duckdb_gsheets_spark.plans import phash_index as PI
     from duckdb_gsheets_spark.plans.exactsubstr_spine import (
         register_lrs_spine,
         write_lrs_spine,
     )
 
-    # -- ingest time: write both artifacts --
+    # -- ingest time: write all three trained artifacts --
     spine_dir = str(tmp_path / "spine")
     bloom_dir = str(tmp_path / "bloom")
+    phash_dir = str(tmp_path / "phash")
     spine_path, ext_path = write_lrs_spine(spark, SF, spine_dir)
     write_bloom_artifact_sharded(spark, SF, bloom_dir)
+    phash_sigs_path = PI.write_phash_index(spark, SF, phash_dir)
     fit_rows = sorted(
         map(tuple, contamination_bloom_sharded(spark, SF).collect())
     )
     fresh_lrs = sorted(
         map(tuple, D.dedup_longest_substring(spark, SF).collect())
     )
+    fresh_clusters = sorted(
+        map(tuple, multimodal_phash_clusters(spark, SF).collect())
+    )
+    fresh_survivor = sorted(
+        map(tuple, multimodal_phash_survivor(spark, SF).collect())
+    )
 
     # -- fresh session: clear memos, register/load, query --
     D._LRS_SPINE_CACHE.clear()
     register_lrs_spine(spark, SF, spine_dir)
     shards = load_bloom_artifact_sharded(spark, bloom_dir)
+    phash_sigs = PI.load_phash_index(spark, SF, phash_dir)
+    assert phash_sigs.inputFiles() and all(
+        phash_sigs_path in f for f in phash_sigs.inputFiles()
+    )
+    assert (
+        sorted(
+            map(
+                tuple,
+                multimodal_phash_clusters(
+                    spark, SF, sigs=phash_sigs
+                ).collect(),
+            )
+        )
+        == fresh_clusters
+    )
+    assert (
+        sorted(
+            map(
+                tuple,
+                multimodal_phash_survivor(
+                    spark, SF, sigs=phash_sigs
+                ).collect(),
+            )
+        )
+        == fresh_survivor
+    )
 
     ranged, ext = D._lrs_tables(spark, SF)
     assert ranged.inputFiles() and all(
