@@ -2460,19 +2460,14 @@ def dsir_bucket_llr(
     )
 
 
-def _dsir_core_sql(raw_excludes_target: bool = False) -> str:
-    """Shared CTE chain replaying :func:`_dsir_weights` in DuckDB —
-    ends at ``dw(doc_id, lang, source, n_tokens, n_feats, w_scaled)``.
-    Reused by the audit and the selection gate so the oracles cannot
-    drift. ``raw_excludes_target`` mirrors the engine flag: the
-    ``dllr`` CTE fits ``p_raw`` on ``r_cnt - t_cnt`` over
-    ``r_tot - t_tot`` when set."""
+def _dsir_feat_sql() -> str:
+    """The hashed-feature CTE prefix (``ddocs`` → ``dfeat`` →
+    ``dbuck``) replaying :func:`_dsir_feats` — shared by
+    :func:`_dsir_core_sql` and the quality-classifier gate oracle
+    (pipeline._classifier_gate_oracle), which consumes the same
+    bucketed feature stream."""
     from duckdb_gsheets_spark.functions import portable_hash as PH
 
-    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
-    b = DSIR_BUCKETS
-    raw_c = "(r_cnt - t_cnt)" if raw_excludes_target else "r_cnt"
-    raw_t = "(r_tot - t_tot)" if raw_excludes_target else "r_tot"
     return f"""ddocs AS (
   SELECT doc_id, lang, source,
          regexp_split_to_array(TRIM(text), '\\s+') AS toks,
@@ -2491,9 +2486,23 @@ def _dsir_core_sql(raw_excludes_target: bool = False) -> str:
   )
 ), dbuck AS (
   SELECT doc_id, lang, source, n_tokens,
-         ({PH.oracle_tok_hash60("feat")} % {b}) AS bucket
+         ({PH.oracle_tok_hash60("feat")} % {DSIR_BUCKETS}) AS bucket
   FROM dfeat
-), dcnt AS (
+)"""
+
+
+def _dsir_core_sql(raw_excludes_target: bool = False) -> str:
+    """Shared CTE chain replaying :func:`_dsir_weights` in DuckDB —
+    ends at ``dw(doc_id, lang, source, n_tokens, n_feats, w_scaled)``.
+    Reused by the audit and the selection gate so the oracles cannot
+    drift. ``raw_excludes_target`` mirrors the engine flag: the
+    ``dllr`` CTE fits ``p_raw`` on ``r_cnt - t_cnt`` over
+    ``r_tot - t_tot`` when set."""
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    b = DSIR_BUCKETS
+    raw_c = "(r_cnt - t_cnt)" if raw_excludes_target else "r_cnt"
+    raw_t = "(r_tot - t_tot)" if raw_excludes_target else "r_tot"
+    return f"""{_dsir_feat_sql()}, dcnt AS (
   SELECT bucket, COUNT(*) AS r_cnt,
          SUM(CASE WHEN source IN ({tgt}) THEN 1 ELSE 0 END) AS t_cnt
   FROM dbuck GROUP BY bucket

@@ -1136,6 +1136,40 @@ def _doremi_trajectory_oracle() -> str:
 CLASSIFIER_CURATED_SOURCES = ("src0", "src5", "src10", "src15")
 
 
+def _classifier_training_set(docs: DataFrame) -> DataFrame:
+    """The class-balanced quality-classifier TRAINING SLICE —
+    ``(doc_id, lang, is_pos, qm, n_tokens, h32)`` with curated
+    positives all kept and the majority negative class
+    hash-downsampled to ≈ the positive count via the exact-integer
+    md5-Bernoulli device (keep iff ``h32·N < P·2³²``). Shared by the
+    training-set ledger (:func:`pipeline_classifier_corpus`) and the
+    probe fit (:func:`_classifier_fit`) so the two cannot drift; the
+    oracle twin is :func:`_classifier_kept_sql`."""
+    c = F.col("text")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("source")
+        .isin(*CLASSIFIER_CURATED_SOURCES)
+        .alias("is_pos"),
+        F.round(T.quality_score(c) * 1e6).cast("long").alias("qm"),
+        T.token_count(c).cast("long").alias("n_tokens"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("h32"),
+    )
+    tot = base.agg(
+        F.sum(F.col("is_pos").cast("long")).alias("p_cnt"),
+        F.sum((~F.col("is_pos")).cast("long")).alias("n_cnt"),
+    )
+    return base.crossJoin(F.broadcast(tot)).where(
+        F.col("is_pos")
+        | (F.expr("h32 * n_cnt") < F.expr("p_cnt * 4294967296L"))
+    )
+
+
 def pipeline_classifier_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUALITY-CLASSIFIER training-set builder — the fastText-style
     corpus every web-scale pipeline trains its quality gate on (the
@@ -1162,32 +1196,7 @@ def pipeline_classifier_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    c = F.col("text")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.col("source")
-        .isin(*CLASSIFIER_CURATED_SOURCES)
-        .alias("is_pos"),
-        F.round(T.quality_score(c) * 1e6).cast("long").alias("qm"),
-        T.token_count(c).cast("long").alias("n_tokens"),
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        )
-        .cast("long")
-        .alias("h32"),
-    )
-    tot = base.agg(
-        F.sum(F.col("is_pos").cast("long")).alias("p_cnt"),
-        F.sum((~F.col("is_pos")).cast("long")).alias("n_cnt"),
-    )
-    kept = (
-        base.crossJoin(F.broadcast(tot))
-        .where(
-            F.col("is_pos")
-            | (F.expr("h32 * n_cnt") < F.expr("p_cnt * 4294967296L"))
-        )
-    )
+    kept = _classifier_training_set(docs)
     return (
         kept.groupBy(
             F.when(F.col("is_pos"), F.lit("pos"))
@@ -1204,10 +1213,12 @@ def pipeline_classifier_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _classifier_corpus_oracle() -> str:
+def _classifier_kept_sql() -> str:
+    """Shared CTE chain replaying :func:`_classifier_training_set` in
+    DuckDB — ends at ``qc_kept`` — reused by the training-set ledger
+    and the gate oracle so the two cannot drift."""
     srcs = ", ".join(f"'{s}'" for s in CLASSIFIER_CURATED_SOURCES)
-    return f"""
-WITH qc_base AS (
+    return f"""qc_base AS (
   SELECT doc_id, lang,
          source IN ({srcs}) AS is_pos,
          CAST(ROUND({T.oracle_quality_score()} * 1e6) AS BIGINT) AS qm,
@@ -1222,7 +1233,12 @@ WITH qc_base AS (
 ), qc_kept AS (
   SELECT b.* FROM qc_base b, qc_tot t
   WHERE b.is_pos OR b.h32 * t.n_cnt < t.p_cnt * 4294967296
-)
+)"""
+
+
+def _classifier_corpus_oracle() -> str:
+    return f"""
+WITH {_classifier_kept_sql()}
 SELECT CASE WHEN is_pos THEN 'pos' ELSE 'neg' END AS label, lang,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
@@ -1231,6 +1247,403 @@ FROM qc_kept
 GROUP BY 1, 2
 ORDER BY label, lang
 """
+
+
+#: Quality-classifier GATE hyperparameters. The probe is a logistic
+#: regression over the DSIR hashed unigram+bigram buckets (the GPT-3
+#: recipe's "classifier trained to distinguish curated corpora from
+#: raw Common Crawl" — Brown et al. 2020, appendix A, with fastText's
+#: hashed bag-of-n-grams feature space, Joulin et al. 2017), fit by
+#: full-batch gradient descent with exact scaled-long weight state so
+#: the trajectory is bit-identical across engines (the logreg_probe
+#: device). Three unrolled iterations keep the generated oracle
+#: tractable while moving the weights enough to separate the classes
+#: (the separation is asserted in pytest, not assumed).
+CLS_GATE_ITERS = 3
+CLS_GATE_LR = 4.0
+
+#: GPT-3's Pareto re-sampling shape: a document is KEPT iff
+#: ``score > 1 − x`` with ``x ~ Pareto(α=9)`` — high-scoring docs are
+#: near-certain keeps while low scorers survive with small
+#: probability, preserving tail diversity. ``np.random.pareto``'s
+#: Lomax draw is replayed deterministically: the md5-uniform
+#: ``u = (h32+1)/2³²`` inverts through ``x = u^(−1/α) − 1``.
+CLS_PARETO_ALPHA = 9
+
+#: The scaled-long grids of the probe state: weights on the 1e-9
+#: grid, per-doc residuals and scores on the 1e-6 grid (each float
+#: expression is grid-snapped in BOTH engines; libm drift ≤ 1 ulp ≪
+#: grid — the DSIR ln contract).
+_CLS_Z_SQL = "CAST(num AS DOUBLE) / (CAST(nf AS DOUBLE) * 1e9)"
+_CLS_R_MICRO_SQL = (
+    f"CAST(ROUND((1.0 / (1.0 + EXP(-({_CLS_Z_SQL}))) - CAST(y AS DOUBLE))"
+    " * 1e6) AS BIGINT)"
+)
+_CLS_SCORE_MICRO_SQL = (
+    f"CAST(ROUND((1.0 / (1.0 + EXP(-({_CLS_Z_SQL})))) * 1e6) AS BIGINT)"
+)
+_CLS_GRAD_TERM_SQL = (
+    "CAST(ROUND(CAST(r_micro * cnt AS DOUBLE) / CAST(nf AS DOUBLE)) "
+    "AS BIGINT)"
+)
+_CLS_DRAW_MICRO_SQL = (
+    "CAST(ROUND((POWER((ph32 + 1.0) / 4294967296.0, "
+    f"-1.0 / {CLS_PARETO_ALPHA}.0) - 1.0) * 1e6) AS BIGINT)"
+)
+
+
+def _classifier_feature_counts(docs: DataFrame) -> DataFrame:
+    """``(doc_id, bucket, cnt, nf)`` — per-document counts over the
+    DSIR hashed unigram+bigram buckets, plus one synthetic BIAS row
+    per document (``bucket = −1, cnt = nf``): with the bias treated
+    as a feature whose count equals the feature total, the single
+    normalized dot product ``Σ cnt·w / nf`` yields exactly
+    ``Σ x·w + b`` — one join shape serves weights and bias.
+    Eagerly checkpointed: every GD iteration and the final scoring
+    pass re-read this frame instead of re-tokenizing the corpus (the
+    DSIR materialize-once pattern)."""
+    from duckdb_gsheets_spark.operators.curation import _dsir_feats
+
+    cnts = (
+        _dsir_feats(docs)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nf = cnts.groupBy("doc_id").agg(F.sum("cnt").alias("nf"))
+    return (
+        cnts.join(nf, "doc_id")
+        .unionByName(
+            nf.select(
+                "doc_id",
+                F.lit(-1).cast("long").alias("bucket"),
+                F.col("nf").alias("cnt"),
+                "nf",
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _classifier_fit(
+    spark: SparkSession, docs: DataFrame, fc: DataFrame | None = None
+) -> tuple[dict[int, int], int]:
+    """Fit the hashed-feature logistic probe on the class-balanced
+    training slice: ``CLS_GATE_ITERS`` full-batch GD steps, each one
+    pass over the checkpointed feature frame — per iteration the
+    residuals come from a broadcast join against the ≤1025-row weight
+    table, the gradient rolls up map-side-combined to ≤1025 rows, and
+    ONE collect ships them to the driver (kilobytes — the
+    parameter-server shape of ml.logreg_probe, at 100 TB each
+    iteration is a scan-speed pass over the bucketed counts).
+
+    Exact state: weights (incl. the bucket −1 bias) are scaled longs
+    on the 1e-9 grid; residuals and per-(doc, bucket) gradient terms
+    snap to grids in-plan, and the driver applies the update with the
+    oracle's exact float expression (``LR·g/N·1000`` left to right,
+    half-away rounding), so the trajectory replays bit-identically in
+    the unrolled-CTE oracle. Returns ``(weights, n_train)``."""
+    import math
+
+    from duckdb_gsheets_spark.operators.curation import DSIR_BUCKETS
+    from duckdb_gsheets_spark.operators.determinism import round_half_away
+
+    if fc is None:
+        fc = _classifier_feature_counts(docs)
+    train = _classifier_training_set(docs).select(
+        "doc_id", F.col("is_pos").cast("long").alias("y")
+    )
+    tfeat = fc.join(train, "doc_id").localCheckpoint(eager=True)
+    cls = tfeat.where(F.col("bucket") == -1).agg(
+        F.sum("y").alias("n_pos"), F.count(F.lit(1)).alias("n_tr")
+    ).collect()[0]
+    n_train, n_pos = int(cls.n_tr), int(cls.n_pos)
+    # NB INITIALIZATION (the NBSVM trick, Wang & Manning 2012): three
+    # GD steps from zero cannot grow discriminative weights, but the
+    # multinomial Naive-Bayes log-odds ARE the closed-form linear
+    # classifier for this feature space — one ≤1024-row tally collect
+    # seeds w₀ with the smoothed per-bucket ln p(b|pos) − ln p(b|neg)
+    # (the DSIR lnp device, each ln snapped to the 1e-9 grid) and the
+    # class-prior log-odds as the bias; GD then calibrates the
+    # logistic loss around it.
+    tally = {
+        int(r.bucket): (int(r.pc), int(r.nc))
+        for r in tfeat.where(F.col("bucket") >= 0)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("cnt")).otherwise(0)).alias(
+                "pc"
+            ),
+            F.sum(F.when(F.col("y") == 0, F.col("cnt")).otherwise(0)).alias(
+                "nc"
+            ),
+        )
+        .collect()
+    }
+    tp = sum(pc for pc, _ in tally.values())
+    tn = sum(nc for _, nc in tally.values())
+
+    def lnp9(cnt: int, tot: int, dom: int) -> int:
+        # identical float ops to the oracle's
+        # ROUND(LN((cnt + 1.0) / CAST(tot + dom AS DOUBLE)) * 1e9)
+        return int(
+            round_half_away(
+                math.log((cnt + 1.0) / float(tot + dom)) * 1e9, 0
+            )
+        )
+
+    w: dict[int, int] = {}
+    for b in range(DSIR_BUCKETS):
+        pc, nc = tally.get(b, (0, 0))
+        w[b] = lnp9(pc, tp, DSIR_BUCKETS) - lnp9(nc, tn, DSIR_BUCKETS)
+    w[-1] = lnp9(n_pos, n_train, 2) - lnp9(n_train - n_pos, n_train, 2)
+    for _ in range(CLS_GATE_ITERS):
+        w_df = spark.createDataFrame(
+            [(int(b), int(ws)) for b, ws in sorted(w.items())],
+            "bucket long, ws long",
+        )
+        scored = (
+            tfeat.join(F.broadcast(w_df), "bucket", "left")
+            .groupBy("doc_id", "y", "nf")
+            .agg(
+                F.sum(
+                    F.col("cnt") * F.coalesce(F.col("ws"), F.lit(0))
+                ).alias("num")
+            )
+        )
+        g_rows = (
+            scored.select(
+                "doc_id", F.expr(_CLS_R_MICRO_SQL).alias("r_micro")
+            )
+            .join(tfeat.select("doc_id", "bucket", "cnt", "nf"), "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.expr(_CLS_GRAD_TERM_SQL)).alias("g"))
+            .collect()
+        )
+        for row in g_rows:
+            delta = int(
+                round_half_away(
+                    CLS_GATE_LR * float(row.g) / float(n_train) * 1000.0, 0
+                )
+            )
+            w[int(row.bucket)] = w.get(int(row.bucket), 0) - delta
+    return w, n_train
+
+
+def pipeline_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-CLASSIFIER GATE — the second half of the GPT-3/CCNet
+    recipe that :func:`pipeline_classifier_corpus` builds the
+    training set for: fit the hashed-feature logistic probe on the
+    curated-vs-crawl labels (:func:`_classifier_fit`), score EVERY
+    document, and keep via the Pareto-threshold importance-sampling
+    rule (``score > 1 − Pareto(α)``, replayed deterministically from
+    the doc's md5 uniform). Output is the per-source gate ledger:
+    docs seen / kept, tokens kept, and the exact micro-mean score of
+    all vs kept rows — the table that shows the gate preferring
+    curated-like sources while the Pareto tail keeps low scorers
+    alive.
+
+    Shapes, sized for 100 TB: the corpus tokenizes ONCE into the
+    checkpointed bucket-count frame; each GD iteration and the final
+    scoring pass are broadcast joins against a ≤1025-row weight
+    table plus map-side-combined rollups; driver state is kilobytes
+    per iteration (the logreg parameter-server shape). No
+    corpus-sized shuffle other than the (doc_id) count rollup the
+    feature build pays once."""
+    from duckdb_gsheets_spark.operators.curation import _doc_tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    fc = _classifier_feature_counts(docs)
+    w, _n = _classifier_fit(spark, docs, fc=fc)
+    w_df = spark.createDataFrame(
+        [(int(b), int(ws)) for b, ws in sorted(w.items())],
+        "bucket long, ws long",
+    )
+    scored = (
+        fc.join(F.broadcast(w_df), "bucket", "left")
+        .groupBy("doc_id", "nf")
+        .agg(
+            F.sum(F.col("cnt") * F.coalesce(F.col("ws"), F.lit(0))).alias(
+                "num"
+            )
+        )
+        .select("doc_id", F.expr(_CLS_SCORE_MICRO_SQL).alias("score_micro"))
+    )
+    meta = _doc_tokens(docs).select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    verdicts = (
+        meta.join(scored, "doc_id")
+        .withColumn(
+            "ph32",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pareto|"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .withColumn("draw_micro", F.expr(_CLS_DRAW_MICRO_SQL))
+        .withColumn(
+            "kept", F.col("score_micro") + F.col("draw_micro") > 1000000
+        )
+    )
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)
+            ).alias("kept_tokens"),
+            F.sum("score_micro").alias("_ss"),
+            F.sum(F.when(F.col("kept"), F.col("score_micro")).otherwise(0)).alias(
+                "_ks"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "kept_tokens",
+            F.expr("_ss div n_docs").alias("mean_score_micro"),
+            F.expr(
+                "CASE WHEN n_kept > 0 THEN _ks div n_kept "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("kept_score_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+def _classifier_gate_oracle() -> str:
+    """DuckDB oracle for :func:`pipeline_classifier_gate`: the
+    bucket-count frame, the shared training-slice chain, and every GD
+    step unroll into generated CTEs (long-form ``w{t}(bucket, ws)``
+    weight state over all 1024 buckets + the −1 bias; missing
+    gradient rows COALESCE to zero exactly like the sparse driver
+    dict). All CTEs MATERIALIZED — the multiply-referenced count
+    frame and weight tables must evaluate once (the ml._materialize_
+    ctes lesson)."""
+    from duckdb_gsheets_spark.operators.curation import (
+        DSIR_BUCKETS,
+        _dsir_feat_sql,
+    )
+
+    lr = repr(float(CLS_GATE_LR))
+    parts = [
+        f"""{_dsir_feat_sql()}, {_classifier_kept_sql()},
+cg_cnt0 AS MATERIALIZED (
+  SELECT doc_id, bucket, COUNT(*) AS cnt FROM dbuck
+  GROUP BY doc_id, bucket
+), cg_nf AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS nf FROM cg_cnt0
+  GROUP BY doc_id
+), cg_cnt AS MATERIALIZED (
+  SELECT c.doc_id, c.bucket, c.cnt, f.nf
+  FROM cg_cnt0 c JOIN cg_nf f USING (doc_id)
+  UNION ALL
+  SELECT doc_id, CAST(-1 AS BIGINT) AS bucket, nf AS cnt, nf FROM cg_nf
+), cg_train AS MATERIALIZED (
+  SELECT doc_id, CAST(is_pos AS BIGINT) AS y FROM qc_kept
+), cg_n AS MATERIALIZED (
+  SELECT COUNT(*) AS n FROM cg_train
+), cg_cls AS MATERIALIZED (
+  SELECT CAST(SUM(y) AS BIGINT) AS n_pos, CAST(COUNT(*) AS BIGINT) AS n_tr
+  FROM cg_train
+), cg_tal AS MATERIALIZED (
+  SELECT c.bucket,
+         CAST(SUM(CASE WHEN t.y = 1 THEN c.cnt ELSE 0 END) AS BIGINT) AS pc,
+         CAST(SUM(CASE WHEN t.y = 0 THEN c.cnt ELSE 0 END) AS BIGINT) AS nc
+  FROM cg_cnt c JOIN cg_train t USING (doc_id)
+  WHERE c.bucket >= 0
+  GROUP BY c.bucket
+), cg_tot AS MATERIALIZED (
+  SELECT CAST(SUM(pc) AS BIGINT) AS tp, CAST(SUM(nc) AS BIGINT) AS tn
+  FROM cg_tal
+), w0 AS MATERIALIZED (
+  SELECT g.bucket,
+         CASE WHEN g.bucket = -1 THEN
+           CAST(ROUND(LN((s.n_pos + 1.0)
+                / CAST(s.n_tr + 2 AS DOUBLE)) * 1e9) AS BIGINT)
+           - CAST(ROUND(LN((s.n_tr - s.n_pos + 1.0)
+                / CAST(s.n_tr + 2 AS DOUBLE)) * 1e9) AS BIGINT)
+         ELSE
+           CAST(ROUND(LN((COALESCE(t.pc, 0) + 1.0)
+                / CAST(o.tp + {DSIR_BUCKETS} AS DOUBLE)) * 1e9) AS BIGINT)
+           - CAST(ROUND(LN((COALESCE(t.nc, 0) + 1.0)
+                / CAST(o.tn + {DSIR_BUCKETS} AS DOUBLE)) * 1e9) AS BIGINT)
+         END AS ws
+  FROM (SELECT CAST(unnest(generate_series(-1, {DSIR_BUCKETS - 1}))
+               AS BIGINT) AS bucket) g
+  LEFT JOIN cg_tal t ON t.bucket = g.bucket
+  CROSS JOIN cg_tot o CROSS JOIN cg_cls s
+)"""
+    ]
+    for t in range(CLS_GATE_ITERS):
+        parts.append(
+            f"""z{t} AS MATERIALIZED (
+  SELECT c.doc_id, t.y, c.nf, CAST(SUM(c.cnt * w.ws) AS BIGINT) AS num
+  FROM cg_cnt c
+  JOIN cg_train t USING (doc_id)
+  JOIN w{t} w ON w.bucket = c.bucket
+  GROUP BY c.doc_id, t.y, c.nf
+), r{t} AS MATERIALIZED (
+  SELECT doc_id, {_CLS_R_MICRO_SQL} AS r_micro FROM z{t}
+), g{t} AS MATERIALIZED (
+  SELECT c.bucket, CAST(SUM({_CLS_GRAD_TERM_SQL}) AS BIGINT) AS g
+  FROM r{t} r JOIN cg_cnt c USING (doc_id)
+  GROUP BY c.bucket
+), w{t + 1} AS MATERIALIZED (
+  SELECT w.bucket,
+         w.ws - CAST(ROUND({lr} * CAST(COALESCE(g.g, 0) AS DOUBLE)
+                           / CAST(n.n AS DOUBLE) * 1000.0) AS BIGINT) AS ws
+  FROM w{t} w LEFT JOIN g{t} g ON g.bucket = w.bucket CROSS JOIN cg_n n
+)"""
+        )
+    T_ = CLS_GATE_ITERS
+    parts.append(
+        f"""cg_fs AS MATERIALIZED (
+  SELECT c.doc_id, c.nf, CAST(SUM(c.cnt * w.ws) AS BIGINT) AS num
+  FROM cg_cnt c JOIN w{T_} w ON w.bucket = c.bucket
+  GROUP BY c.doc_id, c.nf
+), cg_sc AS MATERIALIZED (
+  SELECT d.doc_id, d.source, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+         {_CLS_SCORE_MICRO_SQL} AS score_micro,
+         {_CLS_DRAW_MICRO_SQL} AS draw_micro
+  FROM (SELECT doc_id, source, n_tokens,
+               CAST('0x' || substring(md5('pareto|'
+                    || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS ph32
+        FROM ddocs) d
+  JOIN cg_fs f USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN score_micro + draw_micro > 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN score_micro + draw_micro > 1000000
+                     THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(SUM(score_micro) AS BIGINT) // COUNT(*) AS mean_score_micro,
+       CASE WHEN SUM(CASE WHEN score_micro + draw_micro > 1000000
+                          THEN 1 ELSE 0 END) > 0
+            THEN CAST(SUM(CASE WHEN score_micro + draw_micro > 1000000
+                               THEN score_micro ELSE 0 END) AS BIGINT)
+                 // CAST(SUM(CASE WHEN score_micro + draw_micro > 1000000
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS kept_score_micro
+FROM cg_sc
+GROUP BY source
+ORDER BY source"""
+    )
+    return "WITH " + ",\n".join(parts)
 
 
 #: DSIR selection rate: keep NUM/DEN of the candidate (non-target)
@@ -1631,5 +2044,13 @@ QUERIES: list[QueryDef] = [
         "fastText-style quality-classifier training set: curated-tier "
         "positives, hash-balanced negative downsample, per-(label, lang) "
         "ledger with quality separation",
+    ),
+    QueryDef(
+        "pipeline_classifier_gate",
+        pipeline_classifier_gate,
+        _classifier_gate_oracle(),
+        "GPT-3 quality gate closed end to end: hashed-feature logistic "
+        "probe fit by exact unrolled GD, every doc scored, "
+        "Pareto-threshold importance-sampling keep, per-source ledger",
     ),
 ]

@@ -1175,6 +1175,252 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(ledger, output_mode="complete")
 
 
+def quality_survivor_scorer(spark: SparkSession, sf_dir: str):
+    """Build the stateless QUALITY-SURVIVOR ingest gate (the
+    stream–static twin of operators.dedup.dedup_quality_survivor): the
+    static side is the corpus's ``fingerprint → incumbent`` index —
+    per exact-dup fingerprint, the election winner under the batch
+    family's exact total order (quality micro desc, doc_id asc) over
+    the NON-delta corpus — the persisted artifact a production intake
+    loads. The returned transform gives every documents-shaped row a
+    deterministic verdict: an arrival is KEPT iff its fingerprint is
+    NEW to the corpus or its quality beats the incumbent under the
+    same total order (higher qm, or equal qm with lower doc_id). One
+    stream–static left join, no stream-side state — replayable on
+    checkpoint resume."""
+    from duckdb_gsheets_spark.functions import text as T
+    from duckdb_gsheets_spark.operators.dedup import DELTA_SOURCE
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .where(F.col("source") != DELTA_SOURCE)
+    )
+    scored = corpus.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        F.round(T.quality_score(F.col("text")) * 1e6)
+        .cast("long")
+        .alias("qm"),
+    )
+    # max of (qm, −doc_id) is lexicographic: highest quality first,
+    # lowest doc_id on ties — the batch window's exact election.
+    incumbents = (
+        scored.groupBy("fp")
+        .agg(
+            F.max(
+                F.struct(F.col("qm"), (-F.col("doc_id")).alias("nid"))
+            ).alias("b")
+        )
+        .select(
+            "fp",
+            F.col("b.qm").alias("inc_qm"),
+            (-F.col("b.nid")).alias("inc_id"),
+        )
+    )
+
+    def gate(docs: DataFrame) -> DataFrame:
+        d = docs.where(F.col("text").isNotNull()).select(
+            "doc_id",
+            "lang",
+            "source",
+            T.fingerprint(F.col("text")).alias("fp"),
+            F.round(T.quality_score(F.col("text")) * 1e6)
+            .cast("long")
+            .alias("qm"),
+        )
+        return d.join(incumbents, "fp", "left").withColumn(
+            "kept",
+            F.col("inc_id").isNull()
+            | (F.col("qm") > F.col("inc_qm"))
+            | (
+                (F.col("qm") == F.col("inc_qm"))
+                & (F.col("doc_id") < F.col("inc_id"))
+            ),
+        )
+
+    return gate
+
+
+def streaming_quality_survivor_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream–static twin #30: arriving delta documents run the
+    quality-survivor election against the corpus incumbent index
+    (:func:`quality_survivor_scorer`) and ONE complete-mode rollup
+    keeps the per-source ingest ledger — arrivals seen, kept, split
+    into new-fingerprint keeps vs incumbent-beating wins, and the
+    exact micro-mean quality of kept arrivals (zero-kept sources read
+    an explicit 0, the batch family's guard)."""
+    from duckdb_gsheets_spark.operators.dedup import DELTA_SOURCE
+
+    gate = quality_survivor_scorer(spark, sf_dir)
+    delta = read_documents_stream(spark, sf_dir).where(
+        F.col("source") == DELTA_SOURCE
+    )
+    ledger = quality_survivor_ledger(gate(delta))
+    return run_to_memory(ledger, output_mode="complete")
+
+
+def quality_survivor_ledger(verdicts: DataFrame) -> DataFrame:
+    """Per-source rollup of the survivor-gate verdict frame — shared
+    by the streaming twin and its batch-equality test so the two
+    cannot drift."""
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(
+                (F.col("kept") & F.col("inc_id").isNull()).cast("long")
+            ).alias("n_new_fp"),
+            F.sum(
+                (F.col("kept") & F.col("inc_id").isNotNull()).cast("long")
+            ).alias("n_wins"),
+            F.sum(F.when(F.col("kept"), F.col("qm")).otherwise(0)).alias(
+                "_kq"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "n_new_fp",
+            "n_wins",
+            F.expr(
+                "CASE WHEN n_kept > 0 THEN _kq div n_kept "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("kept_quality_micro"),
+        )
+    )
+
+
+def classifier_row_scorer(spark: SparkSession, sf_dir: str):
+    """Build the stateless per-row QUALITY-CLASSIFIER scorer: fit the
+    hashed-feature logistic probe once from the static corpus
+    (operators.pipeline._classifier_fit — the frozen artifact a
+    production gate loads), ship the 1025 scaled-long weights into
+    the stream as a map literal, and score each arriving document
+    with a JVM ``transform``+``aggregate`` fold over its hashed
+    unigram+bigram buckets — the fold reproduces the batch plan's
+    ``Σ cnt·w`` exactly (one weight added per feature occurrence, the
+    bias riding as ``nf·w₋₁``), so score, Pareto draw, and verdict
+    are bit-identical to pipeline_classifier_gate (the batch-equality
+    test pins the full ledger). No explode, no join, no state."""
+    from duckdb_gsheets_spark.functions import portable_hash as PH
+    from duckdb_gsheets_spark.operators.curation import (
+        DSIR_BUCKETS,
+        _doc_tokens,
+        dsir_feat_array,
+    )
+    from duckdb_gsheets_spark.operators.pipeline import (
+        _CLS_DRAW_MICRO_SQL,
+        _CLS_SCORE_MICRO_SQL,
+        _classifier_fit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    w, _n = _classifier_fit(spark, docs)
+    bias = int(w.pop(-1, 0))
+    items = sorted(w.items())
+    w_map = F.map_from_arrays(
+        F.lit([b for b, _ in items]).cast("array<bigint>"),
+        F.lit([ws for _, ws in items]).cast("array<bigint>"),
+    )
+
+    def score(frame: DataFrame) -> DataFrame:
+        feats = dsir_feat_array()
+        buckets = F.transform(
+            feats, lambda f: PH.tok_hash60(f) % DSIR_BUCKETS
+        )
+        return (
+            _doc_tokens(frame)
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.size(feats).cast("bigint").alias("nf"),
+                (
+                    F.aggregate(
+                        buckets,
+                        F.lit(0).cast("bigint"),
+                        lambda acc, b: acc
+                        + F.coalesce(
+                            F.element_at(w_map, b),
+                            F.lit(0).cast("bigint"),
+                        ),
+                    )
+                    + F.size(feats).cast("bigint") * F.lit(bias)
+                ).alias("num"),
+            )
+            .withColumn("score_micro", F.expr(_CLS_SCORE_MICRO_SQL))
+            .withColumn(
+                "ph32",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("pareto|"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+            .withColumn("draw_micro", F.expr(_CLS_DRAW_MICRO_SQL))
+            .withColumn(
+                "kept",
+                F.col("score_micro") + F.col("draw_micro") > 1000000,
+            )
+        )
+
+    return score
+
+
+def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static twin #31: the full corpus arrives as a stream,
+    every document scores itself against the FROZEN classifier probe
+    (:func:`classifier_row_scorer`) and one complete-mode rollup
+    keeps the per-source gate ledger — identical row for row to the
+    batch pipeline_classifier_gate output, since the stream covers
+    the same corpus the batch query scores."""
+    scorer = classifier_row_scorer(spark, sf_dir)
+    scored = scorer(read_documents_stream(spark, sf_dir))
+    ledger = (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)
+            ).alias("kept_tokens"),
+            F.sum("score_micro").alias("_ss"),
+            F.sum(
+                F.when(F.col("kept"), F.col("score_micro")).otherwise(0)
+            ).alias("_ks"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "kept_tokens",
+            F.expr("_ss div n_docs").alias("mean_score_micro"),
+            F.expr(
+                "CASE WHEN n_kept > 0 THEN _ks div n_kept "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("kept_score_micro"),
+        )
+    )
+    return run_to_memory(ledger, output_mode="complete")
+
+
 def with_cdc_lineage(stream: DataFrame) -> DataFrame:
     """Attach file lineage to a file-source stream BEFORE the sink:
     ``_mt`` (modification time) and ``_src`` (path) projected from the

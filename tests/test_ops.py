@@ -7659,3 +7659,74 @@ def test_bloom_fit_oversized_suite_refuses_before_collect(spark):
         bloom_artifact_sharded(
             spark, SF, bench_grams=grams, bits_per_item=BLOOM_MAX_M
         )
+
+
+def test_classifier_gate_ledger_invariants(spark):
+    """pipeline_classifier_gate on the generated corpus: per-source
+    kept ≤ seen with kept_tokens 0 iff nothing kept; scores live on
+    the micro grid; the curated sources' doc-weighted mean score
+    exceeds the rest (the probe learns the label signal it was
+    trained on); and the Pareto tail keeps a nonzero but minority
+    slice overall."""
+    from duckdb_gsheets_spark.operators.pipeline import (
+        CLASSIFIER_CURATED_SOURCES,
+        pipeline_classifier_gate,
+    )
+
+    rows = pipeline_classifier_gate(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+        assert (r.n_kept == 0) == (r.kept_tokens == 0)
+        assert 0 <= r.mean_score_micro <= 1_000_000
+        assert (r.n_kept == 0) == (r.kept_score_micro == 0)
+    pos = [r for r in rows if r.source in CLASSIFIER_CURATED_SOURCES]
+    neg = [r for r in rows if r.source not in CLASSIFIER_CURATED_SOURCES]
+    pos_mean = sum(r.mean_score_micro * r.n_docs for r in pos) / sum(
+        r.n_docs for r in pos
+    )
+    neg_mean = sum(r.mean_score_micro * r.n_docs for r in neg) / sum(
+        r.n_docs for r in neg
+    )
+    assert pos_mean > neg_mean
+    n_kept = sum(r.n_kept for r in rows)
+    n_docs = sum(r.n_docs for r in rows)
+    assert 0 < n_kept < n_docs // 2
+
+
+def test_classifier_fit_separates_planted_vocab(spark, tmp_path):
+    """On a corpus where the curated tier uses a DISJOINT vocabulary,
+    the NB-initialized probe must separate the classes decisively:
+    every curated-source doc scores far above every crawl doc (the
+    hashed-feature space keeps the signal; three GD steps must not
+    destroy it)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from duckdb_gsheets_spark.operators.pipeline import (
+        pipeline_classifier_gate,
+    )
+
+    sf = str(tmp_path / "cls_sf")
+    os.makedirs(sf, exist_ok=True)
+    good = "wiki prose citation paragraph reference footnote"
+    junk = "click spam buy casino pills winner"
+    rows = [
+        (i, f"{good} {good} sentence {i % 7}", "en", "src0", 60)
+        for i in range(0, 40)
+    ] + [
+        (i, f"{junk} {junk} offer {i % 7}", "en", "src1", 60)
+        for i in range(40, 80)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    led = {r.source: r for r in pipeline_classifier_gate(spark, sf).collect()}
+    assert set(led) == {"src0", "src1"}
+    assert led["src0"].mean_score_micro > 900_000
+    assert led["src1"].mean_score_micro < 100_000
+    # decisive scores survive the Pareto tail asymmetrically
+    assert led["src0"].n_kept > led["src1"].n_kept

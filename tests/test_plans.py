@@ -890,6 +890,7 @@ def test_no_accidental_cartesian_across_entire_registry(spark):
         "ann_ivf_balance_report",   # 1-row total broadcast
         "pipeline_doremi_weights",  # 1-row exp-sum broadcast over the |domains|-row local relation
         "pipeline_classifier_corpus",  # 1-row class-count broadcast (sampling threshold)
+        "pipeline_classifier_gate",  # composes the corpus's 1-row class-count broadcast (probe fit)
         "rollup_incremental_refresh",  # 1-row max-hour broadcast
         "ann_mmr_rerank",           # 1-query broadcast + ≤MMR_POOL² pool sims
         "contrastive_negatives",    # 1-row max-id broadcast

@@ -1670,3 +1670,114 @@ def test_doremi_gate_unseen_lang_keeps_all(spark):
     assert len(rows) == 1
     assert rows[0].epochs_micro == 1_000_000
     assert rows[0].kept is True
+
+
+def test_streaming_quality_survivor_gate_matches_batch(spark):
+    """Twin #30 batch equality: the streaming per-source survivor
+    ledger must equal the shared rollup applied to the static delta
+    slice, and the fixture must be non-degenerate — some arrivals
+    kept (new fingerprints and/or incumbent-beating wins), the
+    kept split exactly n_new_fp + n_wins."""
+    import pyspark.sql.functions as F
+
+    from duckdb_gsheets_spark.operators.dedup import DELTA_SOURCE
+    from duckdb_gsheets_spark.plans.catalog import load_table
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        quality_survivor_ledger,
+        quality_survivor_scorer,
+        streaming_quality_survivor_gate,
+    )
+
+    got = sorted(
+        map(tuple, streaming_quality_survivor_gate(spark, SF).collect())
+    )
+    gate = quality_survivor_scorer(spark, SF)
+    delta = load_table(spark, SF, "documents").where(
+        F.col("source") == DELTA_SOURCE
+    )
+    expected = sorted(
+        map(tuple, quality_survivor_ledger(gate(delta)).collect())
+    )
+    assert got == expected and got
+    for row in streaming_quality_survivor_gate(spark, SF).collect():
+        assert row.n_kept == row.n_new_fp + row.n_wins
+        assert 0 <= row.n_kept <= row.n_docs
+    assert sum(r[2] for r in got) > 0  # n_kept somewhere
+
+
+def test_streaming_classifier_gate_matches_batch(spark):
+    """Twin #31 batch equality: the whole corpus streamed through the
+    frozen classifier probe must land the EXACT per-source ledger the
+    batch pipeline_classifier_gate computes — same scores, same
+    Pareto verdicts, same integer means."""
+    from duckdb_gsheets_spark.operators.pipeline import (
+        pipeline_classifier_gate,
+    )
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        streaming_classifier_gate,
+    )
+
+    got = sorted(map(tuple, streaming_classifier_gate(spark, SF).collect()))
+    expected = sorted(
+        map(tuple, pipeline_classifier_gate(spark, SF).collect())
+    )
+    assert got == expected and got
+    assert sum(r[2] for r in got) > 0  # the Pareto tail keeps some docs
+
+
+def test_streaming_quality_survivor_checkpoint_resume(spark, tmp_path):
+    """Checkpoint-resume for the stateless survivor gate: half the
+    delta lands, the verdict stream drains to parquet with a
+    checkpoint, the second half lands, the SAME checkpoint resumes —
+    only new arrivals append (no re-verdicts), and the final verdict
+    set equals the batch gate on the full delta."""
+    import pyspark.sql.functions as F
+
+    from duckdb_gsheets_spark.operators.dedup import DELTA_SOURCE
+    from duckdb_gsheets_spark.plans.catalog import load_table
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        quality_survivor_scorer,
+    )
+
+    delta = load_table(spark, SF, "documents").where(
+        F.col("source") == DELTA_SOURCE
+    )
+    ids = sorted(r.doc_id for r in delta.select("doc_id").collect())
+    assert len(ids) >= 2
+    cut = ids[len(ids) // 2]
+    src = str(tmp_path / "delta_src")
+    half1 = delta.where(delta.doc_id <= cut)
+    half2 = delta.where(delta.doc_id > cut)
+    half1.write.parquet(src)
+
+    gate = quality_survivor_scorer(spark, SF)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "verdicts")
+
+    def run_once():
+        stream = spark.readStream.schema(delta.schema).parquet(src)
+        q = (
+            gate(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "availableNow drain timed out"
+        return spark.read.parquet(out)
+
+    n1 = half1.where(half1.text.isNotNull()).count()
+    n_all = delta.where(delta.text.isNotNull()).count()
+    first = run_once()
+    assert first.count() == n1
+
+    half2.write.mode("append").parquet(src)
+    second = run_once()
+    assert second.count() == n_all
+    assert second.select("doc_id").distinct().count() == n_all
+
+    got = {r.doc_id: (r.kept, r.qm) for r in second.collect()}
+    expected = {r.doc_id: (r.kept, r.qm) for r in gate(delta).collect()}
+    assert got == expected
