@@ -297,26 +297,35 @@ def run_spark(
         exec_timings[name] = runs_exec
         # Bounded outlier-retry: if the wall this pass would record
         # is >2× the query's stamped-history median, the box state is
-        # suspect — ONE full re-run (fresh build, same hygiene), keep
-        # the min, record both in the detail sidecar.
+        # suspect — a full re-run (fresh build, same hygiene), keep
+        # the min, record every reading in the detail sidecar. If the
+        # FIRST retry still exceeds the trigger, ONE more retry runs
+        # (round-13's ann_pq_adc_topk landed both readings on busy-box
+        # spikes; two consecutive elevated retries are then evidence
+        # of a real slowdown, not scheduling).
         picked = runs[0] if runs[0] > LONG_RUN_CUTOFF_S else min(runs)
         ref = (ref_medians or {}).get(name)
         if _is_outlier(picked, ref):
-            clear_plan_caches()
-            df = None
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            df = qs[name].spark_fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            retry_wall = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            retry_exec = time.perf_counter() - t0
+            retry_walls: list[float] = []
+            retry_execs: list[float] = []
+            for _ in range(2):
+                clear_plan_caches()
+                df = None
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                df = qs[name].spark_fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                retry_walls.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                retry_execs.append(time.perf_counter() - t0)
+                if not _is_outlier(retry_walls[-1], ref):
+                    break
             retries[name] = {
                 "original": round(picked, 3),
-                "retry": round(retry_wall, 3),
-                "retry_exec": round(retry_exec, 3),
+                "retries": [round(w, 3) for w in retry_walls],
+                "retries_exec": [round(w, 3) for w in retry_execs],
                 "ref_median": round(ref, 3),
             }
     return timings, exec_timings, retries
@@ -362,17 +371,22 @@ def run_duckdb(
             if runs[0] > LONG_RUN_CUTOFF_S:
                 break  # own-side early stop; main() applies shared rule
         timings[name] = runs
-        # Symmetric outlier-retry (same rule as the Spark pass): the
-        # denominator defends itself against a box-state spike too.
+        # Symmetric outlier-retry (same rule as the Spark pass,
+        # including the second-retry escalation): the denominator
+        # defends itself against a box-state spike too.
         picked = runs[0] if runs[0] > LONG_RUN_CUTOFF_S else min(runs)
         ref = (ref_medians or {}).get(name)
         if _is_outlier(picked, ref):
-            t0 = time.perf_counter()
-            con.execute(oracle).fetchall()
-            retry_wall = time.perf_counter() - t0
+            retry_walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(oracle).fetchall()
+                retry_walls.append(time.perf_counter() - t0)
+                if not _is_outlier(retry_walls[-1], ref):
+                    break
             retries[name] = {
                 "original": round(picked, 3),
-                "retry": round(retry_wall, 3),
+                "retries": [round(w, 3) for w in retry_walls],
                 "ref_median": round(ref, 3),
             }
     return timings, retries
@@ -415,14 +429,22 @@ def main() -> None:
     timings = {n: _pick(rs, n) for n, rs in spark_runs.items()}
     exec_timings = {n: _pick(rs, n) for n, rs in exec_runs.items()}
     duck = {n: _pick(rs, n) for n, rs in duck_runs.items()}
-    # Apply the outlier-retries: the recorded wall is the MIN of the
-    # original pick and the retry (both preserved in the sidecar's
-    # outlier_retries block for attribution).
+    # Apply the outlier-retries AFTER the shared long-run rule has
+    # resolved the recorded pick, and only when that RESOLVED pick is
+    # itself an outlier: a query the shared rule flipped to
+    # single-shot accounting keeps its single-shot value unless that
+    # value trips the trigger too — the retry min never mixes
+    # best-of and single-shot accounting (every reading stays in the
+    # sidecar's outlier_retries block for attribution).
     for n, r in spark_retries.items():
-        timings[n] = round(min(timings[n], r["retry"]), 3)
-        exec_timings[n] = round(min(exec_timings[n], r["retry_exec"]), 3)
+        if _is_outlier(timings[n], spark_ref.get(n)):
+            timings[n] = round(min(timings[n], *r["retries"]), 3)
+            exec_timings[n] = round(
+                min(exec_timings[n], *r["retries_exec"]), 3
+            )
     for n, r in duck_retries.items():
-        duck[n] = round(min(duck[n], r["retry"]), 3)
+        if _is_outlier(duck[n], duck_ref.get(n)):
+            duck[n] = round(min(duck[n], *r["retries"]), 3)
     result = {
         "metric": "headline_query_wall_clock",
         "value": round(sum(timings.values()), 3),
@@ -464,10 +486,14 @@ def main() -> None:
             result["ratio_exec_only_vs_duckdb"] = round(
                 result["value_exec_only"] / result["duckdb_total"], 3
             )
-        # Per-query DuckDB timings stay OFF the stdout summary line —
-        # round 7's 38-query headline pushed the two-dict line past
-        # the driver's tail-capture window and BENCH_r07.json recorded
-        # "parsed": null. Full detail goes to the sidecar file instead.
+        # Per-query DuckDB walls ride the stdout line COMPACTLY as a
+        # parallel array in "queries" key order ("dw", null = no
+        # oracle), so the driver-recorded BENCH_r{N}.json carries its
+        # own per-query baseline without a join against bench_runs/.
+        # A second NAMED dict is what round 7 proved pushes the line
+        # past the driver's 2000-char tail-capture window ("parsed":
+        # null) — the named mapping stays in the sidecar.
+        result["dw"] = [duck.get(n) for n in timings]
         detail.update(result)
         detail["duckdb_baseline"] = duck
     # Every run writes an IMMUTABLE timestamped sidecar next to the
@@ -488,7 +514,16 @@ def main() -> None:
         json.dump(detail, fh, indent=1)
     with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
-    print(json.dumps(result))
+    # Slim stdout copy: 2-decimal per-query values keep the one-line
+    # record comfortably inside the tail-capture window (sidecars keep
+    # full precision).
+    slim = dict(result)
+    slim["queries"] = {n: round(v, 2) for n, v in timings.items()}
+    if "dw" in slim:
+        slim["dw"] = [
+            None if v is None else round(v, 2) for v in slim["dw"]
+        ]
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":

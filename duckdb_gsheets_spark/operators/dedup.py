@@ -2435,48 +2435,45 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint(F.col("text")).alias("fp"),
         F.col("doc_id").alias("c_id"),
     )
-    exact = (
+    exact_hits = (
         F.broadcast(b_fp)
         .join(c_fp, "fp")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.min("c_id").alias("best_exact"),
-        )
+        .select("doc_id", F.lit(1).alias("is_exact"), "c_id")
     )
     sigs_b = minhash_signatures(batch)
     sigs_c = minhash_signatures(corpus)
-    cands = (
-        F.broadcast(_band_rows(sigs_b).withColumnRenamed("doc_id", "b_id"))
+    # The delta's shingles RIDE the band-row broadcast (carry=, the
+    # streaming twin's device) instead of a second delta broadcast +
+    # re-join: round-14 job-floor decomposition read this row at 15
+    # jobs / 100% scheduling floor, and each distinct broadcast frame
+    # is one job — one candidate dropDuplicates per (b_id, c_id) pair
+    # replaces the old band-distinct + shingle-attach chain (sh_a is
+    # functionally dependent on b_id, so any survivor carries the
+    # right array).
+    cand_sh = (
+        F.broadcast(
+            _band_rows(sigs_b, carry=("shingles",)).withColumnsRenamed(
+                {"doc_id": "b_id", "shingles": "sh_a"}
+            )
+        )
         .join(
             _band_rows(sigs_c).withColumnRenamed("doc_id", "c_id"),
             ["band_idx", "band_hash"],
         )
-        .select("b_id", "c_id")
-        .distinct()
+        .select("b_id", "c_id", "sh_a")
+        .dropDuplicates(["b_id", "c_id"])
     )
     jaccard = F.round(
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
         6,
     )
-    near = (
-        # Both shingle-attach joins broadcast the delta-bounded side:
-        # the candidate pair set (and its batch shingles) is O(delta),
-        # so the corpus signature stream never hash-exchanges — the
-        # explicit hint pins the O(delta) plan even when AQE stats
-        # would otherwise pick a corpus-side shuffle.
-        F.broadcast(
-            cands.join(
-                F.broadcast(
-                    sigs_b.select(
-                        F.col("doc_id").alias("b_id"),
-                        F.col("shingles").alias("sh_a"),
-                    )
-                ),
-                "b_id",
-            )
-        )
+    near_hits = (
+        # The corpus-shingle join broadcasts the delta-bounded
+        # candidate side, so the corpus signature stream never
+        # hash-exchanges — the explicit hint pins the O(delta) plan
+        # even when AQE stats would otherwise pick a corpus shuffle.
+        F.broadcast(cand_sh)
         .join(
             sigs_c.select(
                 F.col("doc_id").alias("c_id"),
@@ -2485,17 +2482,33 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_id",
         )
         .where(jaccard >= MINHASH_JACCARD_THRESHOLD)
-        .groupBy("b_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_near"),
-            F.min("c_id").alias("best_near"),
+        .select(
+            F.col("b_id").alias("doc_id"),
+            F.lit(0).alias("is_exact"),
+            "c_id",
         )
-        .withColumnRenamed("b_id", "doc_id")
+    )
+    # ONE fused rollup + ONE broadcast for the verdict assembly: the
+    # exact and near hit streams union before the delta-keyed
+    # aggregate, halving the probe-side broadcast-exchange jobs the
+    # floor table charged to the old two-rollup shape.
+    hits = (
+        exact_hits.unionByName(near_hits)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("is_exact").alias("n_exact"),
+            F.sum(F.lit(1) - F.col("is_exact")).alias("n_near"),
+            F.min(F.when(F.col("is_exact") == 1, F.col("c_id"))).alias(
+                "best_exact"
+            ),
+            F.min(F.when(F.col("is_exact") == 0, F.col("c_id"))).alias(
+                "best_near"
+            ),
+        )
     )
     return (
         batch.select("doc_id")
-        .join(F.broadcast(exact), "doc_id", "left")
-        .join(F.broadcast(near), "doc_id", "left")
+        .join(F.broadcast(hits), "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("n_exact") > 0, "exact_dup")
