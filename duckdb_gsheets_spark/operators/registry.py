@@ -40,104 +40,105 @@ class QueryDef:
 #: Queries promoted into the driver's checked window. The driver's
 #: CORRECTNESS harness verifies the FIRST 50 registry entries only, so
 #: membership in the first 50 is a grading surface (order within the
-#: window is not). Round-13 composition — every slot can turn or stay
+#: window is not). Round-14 composition — every slot can turn or stay
 #: green (no oracle-less entry wastes a slot):
 #:
-#: * 7 NEW round-13 queries (first driver rows — a new query outranks
-#:   any stale-green re-check): ``pipeline_doremi_iterative`` (full
-#:   multi-round EG loop), ``pipeline_doremi_trajectory`` (its
-#:   per-round convergence table), ``multimodal_phash_neardup`` +
-#:   ``multimodal_phash_calibration`` (perceptual media near-dup via
-#:   CDC-chunk SimHash + its byte-dedup calibration), and
-#:   ``tokenizer_fertility`` (per-language BPE vocab-equity audit),
-#:   ``dedup_quality_survivor`` (quality-aware dedup survivor
-#:   election with the kept-vs-dropped quality ledger), and
-#:   ``pipeline_classifier_corpus`` (fastText-style quality-classifier
-#:   training set: curated positives, hash-balanced negatives);
-#: * 8 rows with ROUND-13 plan or oracle changes:
-#:   ``pipeline_doremi_weights`` (int64-safe excess cap, both
-#:   engines), the ExactSubstr family ``dedup_longest_substring`` /
-#:   ``dedup_substring_scrub`` / ``pipeline_exactsubstr_corpus`` /
-#:   ``pipeline_exactsubstr_apply`` (spine build fused to ONE shared
-#:   tokenize checkpoint — 22.1→6.8 s at sf0.1), ``contamination_bloom``
-#:   + ``contamination_bloom_sharded`` (fit collect now LIMIT-bounded
-#:   by the mask budget), and ``bpe_merge_iterative`` (learn loop
-#:   refactored into the shared ``_bpe_learn`` helper);
-#: * the 16 named round-13 rotation-queue rows (r7-latest, queued by
-#:   the round-12 verdict) — with these green the r7 tail is fully
-#:   retired and the whole registry has turned over since r8;
-#: * 19 of the 46 round-8-latest rows (the next-oldest cohort,
-#:   alphabetical first 19).
+#: * 3 NEW round-14 queries (first driver rows — a new query outranks
+#:   any stale-green re-check): ``pipeline_classifier_gate`` (the
+#:   GPT-3 quality gate closed end to end: NB-initialized
+#:   hashed-feature logistic probe, exact unrolled GD, Pareto keep),
+#:   ``multimodal_phash_clusters`` + ``multimodal_phash_survivor``
+#:   (perceptual dedup last mile: transitive components + best-copy
+#:   election over the banded pair graph);
+#: * 5 rows with ROUND-14 plan or oracle changes:
+#:   ``dedup_quality_survivor`` (kept-mean zero-survivor guard, both
+#:   engines), ``dedup_incremental_batch`` (probe fused 15→12 jobs:
+#:   shingles ride the band broadcast, one hit rollup),
+#:   ``pipeline_classifier_corpus`` (training slice + oracle chain
+#:   extracted for the gate to share), and ``multimodal_phash_neardup``
+#:   + ``multimodal_phash_calibration`` (the signature frame now
+#:   carries n_bytes for the survivor election);
+#: * the 27 named round-14 rotation-queue rows (r8-latest, queued by
+#:   the round-13 verdict) — with these green the r8 tail is fully
+#:   retired;
+#: * 15 of the 46 round-9-latest rows (the next-oldest cohort,
+#:   alphabetical first 15, including the two rows this round's floor
+#:   tables re-measured: ``ann_pq_adc_topk`` and — via the
+#:   changed-plan slot above — ``dedup_incremental_batch``).
 #:
-#: The 27 round-8-latest rows that did NOT fit —
-#: ``events_hourly_agg``, ``events_power_analysis``, ``events_profile``,
-#: ``events_sessionize``, ``minhash_calibration``,
-#: ``multimodal_decode_features``, ``multimodal_resize``,
-#: ``orders_rfm_segments``, ``pack_sequences``,
-#: ``pipeline_curated_corpus``, ``pipeline_training_corpus``,
-#: ``q1_pricing_summary``, ``q3_shipping_priority``,
-#: ``quality_deciles``, ``quality_funnel``, ``sample_bottom_k``,
-#: ``scalar_functions``, ``segment_dedup_stats``,
-#: ``simhash_calibration``, ``source_unigram_drift``,
-#: ``text_bigram_topk``, ``text_lang_confusion``, ``text_stats``,
-#: ``vocab_growth_curve``, ``vocab_oov_rate``, ``window_first_last``,
-#: ``window_share_of_total`` — lead the ROUND-14 ROTATION QUEUE and
-#: stay covered by the full-registry sf0.1 parity sweep every round.
+#: The 30 round-9-latest rows that did NOT fit —
+#: ``events_attribution``, ``events_bounce_rate``,
+#: ``events_cohort_ltv``, ``events_forecast_baseline``,
+#: ``events_interarrival_quantiles``, ``events_markov_transitions``,
+#: ``events_path_topk``, ``events_seasonality_profile``,
+#: ``fk_integrity_report``, ``kmeans_lloyd``,
+#: ``label_centroid_similarity``, ``lang_char_trigram_profile``,
+#: ``logreg_probe``, ``multimodal_frame_sample``,
+#: ``multimodal_payload_dedup``, ``multimodal_shard_manifest``,
+#: ``neardup_pagerank``, ``pca_power_topcomp``,
+#: ``pipeline_split_corpus``, ``range_join_shipments``,
+#: ``sample_weighted_topk``, ``semantic_neardup_pairs``,
+#: ``source_overlap_matrix``, ``split_contamination_winnowing``,
+#: ``split_leakage_check``, ``text_bigram_xent``,
+#: ``text_pmi_collocations``, ``vocab_coverage_curve``,
+#: ``vocab_tokenize_ids``, ``winnowing_fingerprints`` — lead the
+#: ROUND-15 ROTATION QUEUE and stay covered by the full-registry
+#: sf0.1 parity sweep every round.
 _WINDOW: tuple[str, ...] = (
-    # -- new round-13 queries (first driver rows) --
-    "pipeline_doremi_iterative",
-    "pipeline_doremi_trajectory",
+    # -- new round-14 queries (first driver rows) --
+    "pipeline_classifier_gate",
+    "multimodal_phash_clusters",
+    "multimodal_phash_survivor",
+    # -- round-14 plan/oracle changes --
+    "dedup_quality_survivor",
+    "dedup_incremental_batch",
+    "pipeline_classifier_corpus",
     "multimodal_phash_neardup",
     "multimodal_phash_calibration",
-    "tokenizer_fertility",
-    "dedup_quality_survivor",
-    "pipeline_classifier_corpus",
-    # -- round-13 plan/oracle changes --
-    "pipeline_doremi_weights",
-    "dedup_longest_substring",
-    "dedup_substring_scrub",
-    "pipeline_exactsubstr_corpus",
-    "pipeline_exactsubstr_apply",
-    "contamination_bloom",
-    "contamination_bloom_sharded",
-    "bpe_merge_iterative",
-    # -- the named round-13 rotation queue (r7-latest) --
-    "text_corpus_by_lang",
-    "text_fingerprint",
-    "text_gopher_quality",
-    "text_kneser_ney_bigram",
-    "text_lang_confidence_margin",
-    "text_language_id",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_tfidf_top_terms",
-    "text_top_terms",
-    "text_topk_per_lang",
-    "udtf_sentences",
-    "window_moving_avg",
-    "window_percent_rank",
-    "window_range_frame",
-    # -- longest-unchecked rotation (latest driver rows are round-8) --
-    "ann_lsh_topk",
-    "ann_matryoshka_recall",
-    "ann_prefix_ivf_recall",
-    "array_functions",
-    "bm25_search",
-    "contamination_ngram",
-    "corpus_mix_weights",
-    "corpus_resample",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_simhash",
-    "doc_chunk_tokens",
-    "embedding_quantize",
-    "embedding_stats",
-    "events_ab_test",
-    "events_asof_nearest",
-    "events_audience_overlap",
-    "events_corr_value_hour",
-    "events_did",
+    # -- the named round-14 rotation queue (r8-latest) --
+    "events_hourly_agg",
+    "events_power_analysis",
+    "events_profile",
+    "events_sessionize",
+    "minhash_calibration",
+    "multimodal_decode_features",
+    "multimodal_resize",
+    "orders_rfm_segments",
+    "pack_sequences",
+    "pipeline_curated_corpus",
+    "pipeline_training_corpus",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "quality_deciles",
+    "quality_funnel",
+    "sample_bottom_k",
+    "scalar_functions",
+    "segment_dedup_stats",
+    "simhash_calibration",
+    "source_unigram_drift",
+    "text_bigram_topk",
+    "text_lang_confusion",
+    "text_stats",
+    "vocab_growth_curve",
+    "vocab_oov_rate",
+    "window_first_last",
+    "window_share_of_total",
+    # -- longest-unchecked rotation (latest driver rows are round-9) --
+    "ann_pq_adc_topk",
+    "bpe_merge_candidates",
+    "corpus_scd2_history",
+    "dataset_datasheet",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_quality_interaction",
+    "dedup_savings_report",
+    "dedup_threshold_sweep",
+    "dedup_upweight_manifest",
+    "doc_length_histogram",
+    "doc_ngram_novelty",
+    "embedding_doc_coverage",
+    "embedding_outliers",
+    "events_active_users",
 )
 
 #: The remaining oracle-less queries (iterative algorithms and
