@@ -1429,7 +1429,9 @@ def _classifier_fit(
     return w, n_train
 
 
-def pipeline_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_classifier_gate(
+    spark: SparkSession, sf_dir: str, weights: dict[int, int] | None = None
+) -> DataFrame:
     """QUALITY-CLASSIFIER GATE — the second half of the GPT-3/CCNet
     recipe that :func:`pipeline_classifier_corpus` builds the
     training set for: fit the hashed-feature logistic probe on the
@@ -1448,14 +1450,19 @@ def pipeline_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     table plus map-side-combined rollups; driver state is kilobytes
     per iteration (the logreg parameter-server shape). No
     corpus-sized shuffle other than the (doc_id) count rollup the
-    feature build pays once."""
+    feature build pays once. ``weights`` lets a production session
+    pass the PERSISTED probe (plans.classifier_probe) and skip the
+    fit entirely — the gate then costs one scoring scan."""
     from duckdb_gsheets_spark.operators.curation import _doc_tokens
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
     fc = _classifier_feature_counts(docs)
-    w, _n = _classifier_fit(spark, docs, fc=fc)
+    if weights is None:
+        w, _n = _classifier_fit(spark, docs, fc=fc)
+    else:
+        w = weights
     w_df = spark.createDataFrame(
         [(int(b), int(ws)) for b, ws in sorted(w.items())],
         "bucket long, ws long",

@@ -1295,11 +1295,17 @@ def quality_survivor_ledger(verdicts: DataFrame) -> DataFrame:
     )
 
 
-def classifier_row_scorer(spark: SparkSession, sf_dir: str):
+def classifier_row_scorer(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: dict[int, int] | None = None,
+):
     """Build the stateless per-row QUALITY-CLASSIFIER scorer: fit the
     hashed-feature logistic probe once from the static corpus
-    (operators.pipeline._classifier_fit — the frozen artifact a
-    production gate loads), ship the 1025 scaled-long weights into
+    (operators.pipeline._classifier_fit), or consume a PERSISTED
+    probe via ``weights`` (plans.classifier_probe.load_classifier_
+    probe — the production path), and ship the 1025 scaled-long
+    weights into
     the stream as a map literal, and score each arriving document
     with a JVM ``transform``+``aggregate`` fold over its hashed
     unigram+bigram buckets — the fold reproduces the batch plan's
@@ -1319,10 +1325,13 @@ def classifier_row_scorer(spark: SparkSession, sf_dir: str):
         _classifier_fit,
     )
 
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-    )
-    w, _n = _classifier_fit(spark, docs)
+    if weights is None:
+        docs = load_table(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull()
+        )
+        w, _n = _classifier_fit(spark, docs)
+    else:
+        w = dict(weights)
     bias = int(w.pop(-1, 0))
     items = sorted(w.items())
     w_map = F.map_from_arrays(

@@ -1290,12 +1290,13 @@ def test_lrs_spine_artifact_reuse_identical_and_no_rebuild(spark, tmp_path):
 def test_production_session_recipe(spark, tmp_path):
     """The README's 'production session' path, end to end: write the
     persisted index artifacts once (LRS spine + sharded Bloom +
-    perceptual-signature index), then simulate a fresh session (memos
-    cleared), register/load everything, and run the ExactSubstr,
-    contamination, and perceptual-dedup families — with inputFiles
-    proving the spine and signature frames read ONLY artifact
-    parquet, and every loaded-artifact screen matching the in-session
-    fit row for row."""
+    perceptual-signature index + classifier probe), then simulate a
+    fresh session (memos cleared), register/load everything, and run
+    the ExactSubstr, contamination, perceptual-dedup, and
+    quality-gate families — with inputFiles proving the spine and
+    signature frames read ONLY artifact parquet, and every
+    loaded-artifact screen matching the in-session fit row for
+    row."""
     from duckdb_gsheets_spark.operators import dedup as D
     from duckdb_gsheets_spark.operators.chunking import (
         contamination_bloom_sharded,
@@ -1306,19 +1307,25 @@ def test_production_session_recipe(spark, tmp_path):
         multimodal_phash_clusters,
         multimodal_phash_survivor,
     )
+    from duckdb_gsheets_spark.operators.pipeline import (
+        pipeline_classifier_gate,
+    )
+    from duckdb_gsheets_spark.plans import classifier_probe as CP
     from duckdb_gsheets_spark.plans import phash_index as PI
     from duckdb_gsheets_spark.plans.exactsubstr_spine import (
         register_lrs_spine,
         write_lrs_spine,
     )
 
-    # -- ingest time: write all three trained artifacts --
+    # -- ingest time: write all four trained artifacts --
     spine_dir = str(tmp_path / "spine")
     bloom_dir = str(tmp_path / "bloom")
     phash_dir = str(tmp_path / "phash")
+    probe_dir = str(tmp_path / "probe")
     spine_path, ext_path = write_lrs_spine(spark, SF, spine_dir)
     write_bloom_artifact_sharded(spark, SF, bloom_dir)
     phash_sigs_path = PI.write_phash_index(spark, SF, phash_dir)
+    CP.write_classifier_probe(spark, SF, probe_dir)
     fit_rows = sorted(
         map(tuple, contamination_bloom_sharded(spark, SF).collect())
     )
@@ -1331,12 +1338,27 @@ def test_production_session_recipe(spark, tmp_path):
     fresh_survivor = sorted(
         map(tuple, multimodal_phash_survivor(spark, SF).collect())
     )
+    fresh_gate = sorted(
+        map(tuple, pipeline_classifier_gate(spark, SF).collect())
+    )
 
     # -- fresh session: clear memos, register/load, query --
     D._LRS_SPINE_CACHE.clear()
     register_lrs_spine(spark, SF, spine_dir)
     shards = load_bloom_artifact_sharded(spark, bloom_dir)
     phash_sigs = PI.load_phash_index(spark, SF, phash_dir)
+    probe_w = CP.load_classifier_probe(spark, SF, probe_dir)
+    assert (
+        sorted(
+            map(
+                tuple,
+                pipeline_classifier_gate(
+                    spark, SF, weights=probe_w
+                ).collect(),
+            )
+        )
+        == fresh_gate
+    )
     assert phash_sigs.inputFiles() and all(
         phash_sigs_path in f for f in phash_sigs.inputFiles()
     )
@@ -1488,3 +1510,75 @@ def test_lrs_spine_artifact_stale_corpus_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="different corpus state"):
         S.register_lrs_spine(spark, SF, art)
     D._LRS_SPINE_CACHE.clear()
+
+
+def test_classifier_probe_artifact_roundtrip_and_refusals(spark, tmp_path):
+    """Persisted classifier probe: the loaded weight dict reproduces
+    the in-session fit exactly (batch gate AND streaming row scorer
+    fed the artifact match their fit-fresh twins row for row), and
+    both staleness guards refuse loudly — a tampered config
+    fingerprint and a corpus rewritten after the write."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from duckdb_gsheets_spark.operators.pipeline import (
+        _classifier_fit,
+        pipeline_classifier_gate,
+    )
+    from duckdb_gsheets_spark.plans import classifier_probe as CP
+    from duckdb_gsheets_spark.plans.catalog import load_table
+    from duckdb_gsheets_spark.streaming.events_stream import (
+        classifier_row_scorer,
+    )
+
+    art = str(tmp_path / "probe_art")
+    CP.write_classifier_probe(spark, SF, art)
+    loaded = CP.load_classifier_probe(spark, SF, art)
+    docs = load_table(spark, SF, "documents").where(
+        F.col("text").isNotNull()
+    )
+    fit_w, _n = _classifier_fit(spark, docs)
+    assert loaded == fit_w
+
+    fresh = sorted(map(tuple, pipeline_classifier_gate(spark, SF).collect()))
+    from_art = sorted(
+        map(
+            tuple,
+            pipeline_classifier_gate(spark, SF, weights=loaded).collect(),
+        )
+    )
+    assert from_art == fresh
+
+    score_fresh = classifier_row_scorer(spark, SF)
+    score_art = classifier_row_scorer(spark, SF, weights=loaded)
+    a = sorted(map(tuple, score_fresh(docs).collect()))
+    b = sorted(map(tuple, score_art(docs).collect()))
+    assert a == b and a
+
+    # corpus rewritten after the write → refuse (simulated by
+    # perturbing the stamped mtime; testdata is read-only)
+    meta_path = os.path.join(art, CP._META_SUBDIR)
+    meta = spark.read.parquet(meta_path).collect()
+    spark.createDataFrame(
+        [
+            (r.fingerprint, r.corpus_path, float(r.corpus_mtime) - 10.0,
+             int(r.n_train))
+            for r in meta
+        ],
+        "fingerprint string, corpus_path string, corpus_mtime double, "
+        "n_train long",
+    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    with pytest.raises(ValueError, match="does not match this session"):
+        CP.load_classifier_probe(spark, SF, art)
+
+    # tampered config fingerprint → refuse
+    spark.createDataFrame(
+        [("not-the-fingerprint", meta[0].corpus_path,
+          float(meta[0].corpus_mtime), int(meta[0].n_train))],
+        "fingerprint string, corpus_path string, corpus_mtime double, "
+        "n_train long",
+    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    with pytest.raises(ValueError, match="does not match this session"):
+        CP.load_classifier_probe(spark, SF, art)
