@@ -47,6 +47,37 @@ SIMHASH_MAX_HAMMING = 3
 #: Unigram-Jaccard near-dup threshold for the oracle-checked query.
 NGRAM_JACCARD_THRESHOLD = 0.75
 
+#: Prefix-postings document frequency above which a token's PPJoin
+#: self-join branch is SALTED (split into defaultParallelism sub-keys
+#: with the posting list replicated across them — guide §2.5 hot-key
+#: handling). Below the bar a single key's pair work is ≤ df² ≤ 65k
+#: filter evaluations — milliseconds — so plain per-token keys spread
+#: fine; above it one key would own df²-sized work no partitioning of
+#: whole keys can split. Replication cost is paid only by lists this
+#: hot (near-stopwords at real scale; the whole 21-token testdata
+#: vocabulary locally).
+PPJOIN_HOT_DF = 256
+
+
+def _default_parallelism(df: DataFrame) -> int:
+    """The session's scheduler width — the scale-adaptive partition
+    count for explicitly-widened exchanges (cluster: total executor
+    cores; local[N]: N)."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _wide(df: DataFrame, *cols: str) -> DataFrame:
+    """Keyed repartition with an EXPLICIT partition count, sized from
+    the scheduler width. AQE's partition coalescing folds exchanges by
+    input bytes and is blind to multiplicative join fan-out or
+    compute-dense rows, so a small frame feeding an exploding join
+    lands on 1-2 tasks; a user-numbered repartition is exempt from
+    coalescing by contract (REPARTITION_BY_NUM) and keeps the stage at
+    cluster width. Use ONLY in front of output-exploding or
+    compute-dense exchanges — everywhere else AQE's sizing is
+    correct."""
+    return df.repartition(_default_parallelism(df), *cols)
+
 #: Token-set containment threshold (|A∩B| / |A|) for the asymmetric
 #: near-dup query.
 CONTAINMENT_THRESHOLD = 0.8
@@ -200,11 +231,19 @@ def _jaccard_pairs_from(toks_arr: DataFrame) -> DataFrame:
     )
     dfs = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    # Eagerly checkpointed: FOUR join branches below (rare a/b, hot
+    # a/b) read this frame — unmaterialized, each would re-run the
+    # tokenize + postings explode + df join + row_number window
+    # subtree (the round-14 first cut did exactly that and the plan
+    # quadrupled). The frame is (1−t)·|postings| rows of 5 narrow
+    # columns — index-sized, the same materialize-once pattern as
+    # _token_set_groups.
     prefix = (
         postings.join(dfs, "tok")
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= F.col("n_tokens") - F.ceil(F.col("n_tokens") * t) + 1)
-        .select("doc_id", "n_tokens", "tok", "pos")
+        .select("doc_id", "n_tokens", "tok", "pos", "df")
+        .localCheckpoint(eager=True)
     )
     # PPJoin positional filter (Xiao et al. 2008): a shared prefix
     # token at df-order positions (pa, pb) bounds the overlap from
@@ -230,23 +269,73 @@ def _jaccard_pairs_from(toks_arr: DataFrame) -> DataFrame:
         )
         + 1
     )
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "tok")
-        .where(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            # J ≥ t ⇒ the smaller set is ≥ t × the larger one.
-            & (
-                F.least("a.n_tokens", "b.n_tokens")
-                >= F.greatest("a.n_tokens", "b.n_tokens") * t
-            )
-            & (ubound >= alpha)
+    # The candidate self-join is OUTPUT-EXPLODING: a few MB of prefix
+    # postings fan out to millions of pair rows, and every row pays
+    # the PPJoin length/positional filters. AQE's partition coalescing
+    # sizes post-shuffle partitions by INPUT bytes, so it folded this
+    # join (and the verify stage behind it) onto 1-2 tasks — measured
+    # 18.8 s end-to-end at sf0.1 with 30 of 32 cores idle vs 5.4 s
+    # with coalescing off (round-14 probe). The structural fix keeps
+    # coalescing on (it is right for every non-exploding exchange)
+    # and pins THIS join's width with user-numbered repartitions,
+    # which AQE never coalesces (REPARTITION_BY_NUM contract):
+    #
+    # * tokens with prefix-df ≤ PPJOIN_HOT_DF join plain, keyed and
+    #   sized by _wide() — per-key pair work is ≤ HOT_DF², bounded;
+    # * hotter tokens (a handful of near-stopwords at any scale; the
+    #   WHOLE tiny-vocab testdata) are SALTED (guide §2.5): the left
+    #   side gets a deterministic doc-hash salt in [0, P), the right
+    #   side replicates each row P ways, and the join key becomes
+    #   (tok, salt) — per-key work drops to df·(df/P) and the
+    #   replication cost is paid ONLY by the hot lists.
+    #
+    # The union of the two joins is row-for-row the original join's
+    # candidate multiset (each (a-occurrence, b-occurrence) match
+    # meets in exactly one branch and exactly one salt), so the
+    # .distinct() output — and everything downstream — is unchanged.
+    filt = (
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        # J ≥ t ⇒ the smaller set is ≥ t × the larger one.
+        & (
+            F.least("a.n_tokens", "b.n_tokens")
+            >= F.greatest("a.n_tokens", "b.n_tokens") * t
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+        & (ubound >= alpha)
     )
+    sel = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    ]
+    n_salt = _default_parallelism(toks_arr)
+    rare = prefix.where(F.col("df") <= PPJOIN_HOT_DF)
+    hot = prefix.where(F.col("df") > PPJOIN_HOT_DF)
+    rare_cand = (
+        _wide(rare, "tok")
+        .alias("a")
+        .join(_wide(rare, "tok").alias("b"), "tok")
+        .where(filt)
+        .select(*sel)
+    )
+    hot_a = hot.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int")
+    )
+    hot_b = hot.withColumn(
+        "salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>")
+        ),
+    )
+    hot_cand = (
+        _wide(hot_a, "tok", "salt")
+        .alias("a")
+        .join(_wide(hot_b, "tok", "salt").alias("b"), ["tok", "salt"])
+        .where(filt)
+        .select(*sel)
+    )
+    # Explicit width for the distinct + verify stages too: the pair
+    # frame is small in bytes but each row pays the bitmask/int-array
+    # overlap compute, so an AQE-folded exchange serializes it.
+    cand = _wide(rare_cand.unionByName(hot_cand), "doc_a", "doc_b").distinct()
     # Vocab-adaptive verify. SMALL vocabularies (≤ BITMASK_MAX_VOCAB
     # distinct tokens corpus-wide) verify with fixed-width BITMASKS:
     # each token set becomes ⌈|vocab|/64⌉ longs, and the per-pair
@@ -486,7 +575,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _distinct_tokens(F.col("text")).alias("toks"),
     ).withColumn("n_tokens", F.size("toks"))
     members, groups, reps = _token_set_groups(toks_arr)
-    rep_pairs = _jaccard_pairs_from(reps)
+    # Eagerly checkpointed: ``dir_pairs`` below reads this frame TWICE
+    # (once per direction), and unmaterialized each branch re-executes
+    # the whole candidate+verify subtree — the most expensive stages
+    # of the query, racing as two concurrent copies under AQE (the
+    # round-14 instability: identical runs swung 15–42 s with the
+    # double execution, 8–11 s materialized). The frame is the
+    # J ≥ t pair set over DISTINCT-token-set representatives — the
+    # collapsed grain every downstream consumer (clusters, PageRank,
+    # triangles) already banks on being index-sized.
+    rep_pairs = _jaccard_pairs_from(reps).localCheckpoint(eager=True)
 
     # K+1 smallest member ids per group (K matches even after
     # excluding the doc itself).

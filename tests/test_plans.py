@@ -971,9 +971,10 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "dedup_substring_scrub",  # same |pids|-row boundary seam (shared spine)
         "pipeline_exactsubstr_corpus",  # same boundary seam (shared chain)
         "pipeline_exactsubstr_apply",  # same boundary seam (shared chain)
-        # dense bit positions over the ≤BITMASK_MAX_VOCAB-row
-        # materialized dictionary (small-vocab bitmask verify)
-        "dedup_ngram_jaccard",
+        # dedup_ngram_jaccard's bitmask-dictionary window (dense bit
+        # positions over the ≤BITMASK_MAX_VOCAB-row vocab) is sealed
+        # behind the round-14 rep_pairs checkpoint and no longer
+        # appears in the registered plan.
     }
     # privacy_k_anonymity's total-share broadcast is over the ≤3-row
     # band table — covered by bnlj_ok below, no window involved.
