@@ -3190,8 +3190,8 @@ def _lrs_candidates(ranged: DataFrame, ext: DataFrame) -> DataFrame:
     separator). Such a token can split a repeat cluster and
     under-report that repeat's length; engine and oracle share the
     order, so parity holds even then."""
-    # ONE ascending window definition: the inner lag and the firsts
-    # extraction MUST share the exact order the seam relies on.
+    # ONE ascending window definition: the inner lag MUST share the
+    # exact order the seam relies on.
     w_local = Window.partitionBy("pid").orderBy("ks", "doc_id", "pos")
     inner = (
         ranged.select(
@@ -3199,25 +3199,29 @@ def _lrs_candidates(ranged: DataFrame, ext: DataFrame) -> DataFrame:
         )
         .where(F.col("pk").isNotNull())
     )
-    w_last = Window.partitionBy("pid").orderBy(
-        F.desc("ks"), F.desc("doc_id"), F.desc("pos")
-    )
-    firsts = (
-        ranged.withColumn("rn", F.row_number().over(w_local))
-        .where(F.col("rn") == 1)
-        .select("pid", "key")
-    )
-    lasts = (
-        ranged.withColumn("rn", F.row_number().over(w_last))
-        .where(F.col("rn") == 1)
-        .select("pid", F.col("key").alias("lkey"))
+    # Per-partition first/last rows come from ONE min/max-struct
+    # aggregate, not two more row_number windows: (ks, doc_id, pos)
+    # is a unique total order identical to w_local (struct comparison
+    # is field-by-field; the trailing key column is never reached),
+    # and a groupBy gets MAP-SIDE partial aggregation — the exchange
+    # moves one row per (pid, mapper) instead of re-shuffling and
+    # re-sorting the whole spine per window (the round-13 shape paid
+    # the spine exchange + sort three times per candidate build; this
+    # leaves only the inner lag's, which genuinely needs the order).
+    extremes = ranged.groupBy("pid").agg(
+        F.min(F.struct("ks", "doc_id", "pos", "key")).alias("fst"),
+        F.max(F.struct("ks", "doc_id", "pos", "key")).alias("lst"),
     )
     # |pids|-row seam: unpartitioned lag over a bounded frame
     # (allowlisted pattern — one row per non-empty partition).
     w_pid = Window.orderBy("pid")
     seam = (
-        lasts.withColumn("pk", F.lag("lkey").over(w_pid))
-        .join(firsts, "pid")
+        extremes.select(
+            "pid",
+            F.col("fst.key").alias("key"),
+            F.col("lst.key").alias("lkey"),
+        )
+        .withColumn("pk", F.lag("lkey").over(w_pid))
         .where(F.col("pk").isNotNull())
         .select("key", "pk")
     )
@@ -3262,6 +3266,13 @@ def _lrs_candidates(ranged: DataFrame, ext: DataFrame) -> DataFrame:
             ),
         )
     )
+    # Eagerly checkpointed: the ≤LRS_TOPK-row candidate table is
+    # consumed by TWO broadcast probes in _lrs_occurrences (the ≤cap
+    # and >cap splits) and unmaterialized each broadcast re-executes
+    # this whole chain — the spine window + extension aggregation,
+    # the most expensive stages after the suffix sort itself — as two
+    # racing copies per action (the same double-execution defect the
+    # round-14 PPJoin fix closed for rep_pairs).
     return (
         capped.unionByName(same)
         .unionByName(adj)
@@ -3269,6 +3280,7 @@ def _lrs_candidates(ranged: DataFrame, ext: DataFrame) -> DataFrame:
         .orderBy(F.desc("l"), "substring")
         .limit(LRS_TOPK)
         .withColumn("sub_arr", F.split("substring", " "))
+        .localCheckpoint(eager=True)
     )
 
 

@@ -2239,10 +2239,21 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the shared positional-unnest CTE with ``i <= w`` (DuckDB
     subscripts are 1-based, matching the kernel's prefix view).
     """
-    full = _exact_baseline_ckpt(spark, sf_dir)
-    trunc = _prefix_cosine_topk(spark, sf_dir, MATRYOSHKA_WIDTHS).select(
-        "width", "vec_a", "vec_b"
-    )
+    # The exact-baseline checkpoint build and the truncated-retrieval
+    # side (driver-side query slicing + kernel construction) are
+    # INDEPENDENT until the rollup join — overlap them (guide §2.6:
+    # actions are only sequential because the driver calls them
+    # sequentially), so the baseline's job chain back-fills the cores
+    # the trunc-side driver work leaves idle. One worker thread: just
+    # enough to hide the chain, not enough to fight for executors.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_exact_baseline_ckpt, spark, sf_dir)
+        trunc = _prefix_cosine_topk(spark, sf_dir, MATRYOSHKA_WIDTHS).select(
+            "width", "vec_a", "vec_b"
+        )
+        full = fut.result()
     return _width_recall_rollup(spark, full, trunc)
 
 
@@ -2535,10 +2546,17 @@ def ann_prefix_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain — the same deterministic strided quantizer replayed in SQL
     at each width.
     """
-    full = _exact_baseline_ckpt(spark, sf_dir)
-    trunc = _prefix_ivf_topk(spark, sf_dir, MATRYOSHKA_WIDTHS).select(
-        "width", "vec_a", "vec_b"
-    )
+    # Same §2.6 overlap as ann_matryoshka_recall: the baseline
+    # checkpoint build runs concurrently with the IVF input collects
+    # + per-width quantizer prep (independent until the rollup join).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_exact_baseline_ckpt, spark, sf_dir)
+        trunc = _prefix_ivf_topk(spark, sf_dir, MATRYOSHKA_WIDTHS).select(
+            "width", "vec_a", "vec_b"
+        )
+        full = fut.result()
     return _width_recall_rollup(spark, full, trunc)
 
 
