@@ -381,8 +381,23 @@ def _jaccard_expr(overlap: Column) -> Column:
 def _verify_int_arrays(
     cand: DataFrame, postings: DataFrame, tok_ids: DataFrame
 ) -> DataFrame:
-    """General-vocabulary verify: per-doc sorted int-id arrays,
-    overlap = size(array_intersect) per candidate pair."""
+    """General-vocabulary Jaccard verify over the shared overlap
+    core."""
+    return _overlap_int_arrays(cand, postings, tok_ids).select(
+        "doc_a",
+        "doc_b",
+        _jaccard_expr(F.col("overlap")).alias("jaccard"),
+    )
+
+
+def _overlap_int_arrays(
+    cand: DataFrame, postings: DataFrame, tok_ids: DataFrame
+) -> DataFrame:
+    """General-vocabulary overlap core: per-doc sorted int-id arrays,
+    ``(doc_a, doc_b, na, nb, overlap)`` with overlap =
+    size(array_intersect) per candidate pair — shared by the Jaccard
+    and containment verifies (the measures differ only in the final
+    ratio)."""
     itoks = (
         postings.join(tok_ids, "tok")
         .groupBy("doc_id", "n_tokens")
@@ -402,14 +417,27 @@ def _verify_int_arrays(
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select("doc_a", "doc_b", _jaccard_expr(overlap).alias("jaccard"))
+        .select("doc_a", "doc_b", "na", "nb", overlap.alias("overlap"))
     )
 
 
 def _verify_bitmask(
     cand: DataFrame, postings: DataFrame, tok_ids: DataFrame
 ) -> DataFrame:
-    """Small-vocabulary verify: token sets as ⌈|vocab|/64⌉-long
+    """Small-vocabulary Jaccard verify over the shared bitmask
+    overlap core."""
+    return _overlap_bitmask(cand, postings, tok_ids).select(
+        "doc_a",
+        "doc_b",
+        _jaccard_expr(F.col("overlap")).alias("jaccard"),
+    )
+
+
+def _overlap_bitmask(
+    cand: DataFrame, postings: DataFrame, tok_ids: DataFrame
+) -> DataFrame:
+    """Small-vocabulary overlap core ``(doc_a, doc_b, na, nb,
+    overlap)``: token sets as ⌈|vocab|/64⌉-long
     bitmask arrays, overlap = Σ popcount(a AND b) per block. The
     dense bit positions come from a row_number over the MATERIALIZED
     ≤``BITMASK_MAX_VOCAB``-row vocab frame (any frame with a ``tok``
@@ -471,7 +499,7 @@ def _verify_bitmask(
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select("doc_a", "doc_b", _jaccard_expr(overlap).alias("jaccard"))
+        .select("doc_a", "doc_b", "na", "nb", overlap.alias("overlap"))
     )
 
 
@@ -695,52 +723,79 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _containment_pairs_from(toks_arr: DataFrame) -> DataFrame:
     """A-prefix-indexed exact containment pairs over a (doc_id, toks,
     n_tokens) frame — shared by the all-pairs pytest oracle and the
-    group-collapsed registered rollup."""
+    group-collapsed registered rollup.
+
+    Round-14 optimization (same treatment as the Jaccard PPJoin, and
+    the round's largest single find: this row ran 131 s exec-only at
+    sf0.1 off-headline): the prefix⋈postings candidate join is
+    output-exploding and was AQE-folded onto 1-2 tasks, and the
+    verify was a per-pair STRING ``array_intersect`` — the exact cost
+    the Jaccard family already retired with the vocab-adaptive
+    bitmask/int-dictionary overlap cores. Now: the candidate join is
+    hot/rare split + salted + explicitly widened (`_wide`), and the
+    verify reuses `_overlap_bitmask` / `_overlap_int_arrays` — the
+    measures differ only in the final ratio (overlap/|A| here)."""
     t = CONTAINMENT_THRESHOLD
     postings = toks_arr.select(
         "doc_id", "n_tokens", F.explode("toks").alias("tok")
     )
     dfs = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # Checkpointed once: the prefix/posting branches below read the
+    # df-joined stream four ways (rare/hot × a/b); unmaterialized,
+    # each re-runs the explode + df join subtree.
+    post_df = postings.join(dfs, "tok").localCheckpoint(eager=True)
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     prefix = (
-        postings.join(dfs, "tok")
-        .withColumn("pos", F.row_number().over(w))
+        post_df.withColumn("pos", F.row_number().over(w))
         .where(
             F.col("pos")
             <= F.col("n_tokens") - F.ceil(F.col("n_tokens") * t) + 1
         )
-        .select(F.col("doc_id").alias("doc_a"), "tok")
+        .select(F.col("doc_id").alias("doc_a"), "tok", "df")
+    )
+    posts_b = post_df.select(F.col("doc_id").alias("doc_b"), "tok", "df")
+    n_salt = _default_parallelism(toks_arr)
+    rare_cand = _wide(prefix.where(F.col("df") <= PPJOIN_HOT_DF), "tok").join(
+        _wide(posts_b.where(F.col("df") <= PPJOIN_HOT_DF), "tok"), "tok"
+    )
+    hot_a = prefix.where(F.col("df") > PPJOIN_HOT_DF).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_a"), F.lit(n_salt)).cast("int")
+    )
+    hot_b = posts_b.where(F.col("df") > PPJOIN_HOT_DF).withColumn(
+        "salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>")
+        ),
+    )
+    hot_cand = _wide(hot_a, "tok", "salt").join(
+        _wide(hot_b, "tok", "salt"), ["tok", "salt"]
     )
     cand = (
-        prefix.join(
-            postings.select(F.col("doc_id").alias("doc_b"), "tok"), "tok"
-        )
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    ta = toks_arr.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("n_tokens").alias("n_tokens_a"),
-    )
-    tb = toks_arr.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("n_tokens").alias("n_tokens_b"),
-    )
-    overlap = F.size(F.array_intersect("toks_a", "toks_b"))
-    containment = F.round(
-        overlap.cast("double") / F.col("n_tokens_a").cast("double"), 6
-    )
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
+        _wide(
+            rare_cand.select("doc_a", "doc_b")
+            .unionByName(hot_cand.select("doc_a", "doc_b"))
+            .where(F.col("doc_a") != F.col("doc_b")),
             "doc_a",
             "doc_b",
-            "n_tokens_a",
-            "n_tokens_b",
+        )
+        .distinct()
+    )
+    vocab = dfs.select("tok").localCheckpoint(eager=True)
+    if vocab.count() <= BITMASK_MAX_VOCAB:
+        overlapped = _overlap_bitmask(cand, postings, vocab)
+    else:
+        overlapped = _overlap_int_arrays(
+            cand, postings, _token_dictionary(dfs)
+        )
+    containment = F.round(
+        F.col("overlap").cast("double") / F.col("na").cast("double"), 6
+    )
+    return (
+        overlapped.select(
+            "doc_a",
+            "doc_b",
+            F.col("na").alias("n_tokens_a"),
+            F.col("nb").alias("n_tokens_b"),
             containment.alias("containment"),
         )
         .where(F.col("containment") >= t)
