@@ -722,14 +722,25 @@ def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "active" window [l_shipdate, l_shipdate + l_quantity days].
 
     A naive range join is a nested-loop cross product (Spark plans raw
-    ``BETWEEN`` joins as BroadcastNestedLoop). This uses the standard
-    interval-binning rewrite: explode each interval to the calendar
-    months it overlaps (bounded fan-out — spans are ≤ 50 days, so ≤ 3
-    rows), equi-join month buckets, then apply the exact BETWEEN as a
-    residual filter. Each probe row has exactly one bucket, so no pair
-    can match twice — no dedup stage needed. At 100 TB this is one
-    hash-partitioned equi-join on the bucket key; bucket granularity
-    trades fan-out against join selectivity.
+    ``BETWEEN`` joins as BroadcastNestedLoop). Round 14 (guide §8 —
+    decide with small rows): the month-bucket equi-join this ran
+    through round 13 still ENUMERATED every matching (order, lineitem)
+    pair — ~10⁸ rows at sf0.1 fanned ×3 again by the two-countDistinct
+    Expand, 33 s exec-only. But every output counts only through
+    DAY-level aggregates, so no pair is ever materialized now:
+
+    - ``n_pairs``  = Σ_day  n_orders(day) · n_intervals_covering(day),
+    - ``n_orders`` = Σ over covered days of n_orders(day)
+      (o_orderkey is unique, and an order joins iff ≥1 interval
+      covers its date),
+    - ``n_shipments`` = COUNT(DISTINCT l_orderkey) over interval-day
+      rows that land on an order-bearing day.
+
+    The ≤|days-in-1995| order histogram broadcasts onto the bounded
+    interval-day explode (spans are ≤ 51 days); the exact BETWEEN is
+    structural (an interval-day row IS a day inside [d0, d1]). At
+    100 TB: one narrow bounded explode, one broadcast join, two
+    map-side-combining aggregates — no shuffle ever carries a pair.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -743,32 +754,29 @@ def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d1"),
         )
     )
-    li_binned = li.withColumn(
-        "bucket",
-        F.explode(
-            F.sequence(
-                F.trunc("d0", "MM"), F.trunc("d1", "MM"), F.expr("INTERVAL 1 MONTH")
-            )
-        ),
-    )
-    orders = (
+    day_hist = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
-        .select(
-            "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("o_date"),
-            F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("bucket"),
-        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_ord"))
     )
-    return (
-        orders.join(li_binned, "bucket")
-        .where(F.col("o_date").between(F.col("d0"), F.col("d1")))
-        .groupBy(F.date_format("o_date", "yyyy-MM").alias("order_month"))
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.countDistinct("l_orderkey").alias("n_shipments"),
-        )
+    hits = li.withColumn(
+        "day",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))),
+    ).join(F.broadcast(day_hist), "day")
+    month = F.date_format("day", "yyyy-MM").alias("order_month")
+    pair_ship = hits.groupBy(month).agg(
+        F.sum("n_ord").alias("n_pairs"),
+        F.countDistinct("l_orderkey").alias("n_shipments"),
+    )
+    ord_agg = (
+        hits.select("day", "n_ord")
+        .distinct()
+        .groupBy(month)
+        .agg(F.sum("n_ord").alias("n_orders"))
+    )
+    return pair_ship.join(ord_agg, "order_month").select(
+        "order_month", "n_pairs", "n_orders", "n_shipments"
     )
 
 

@@ -124,8 +124,10 @@ def test_neardup_pairs_no_cross_join(spark):
 
 
 def test_range_join_is_binned_equi_join(spark):
-    """The interval join must go through month-bucket equi-joins —
-    never the BroadcastNestedLoop a raw BETWEEN join plans to."""
+    """The interval join must go through the day-histogram equi-join
+    (round 14: broadcast day counts onto the bounded interval-day
+    explode) — never the BroadcastNestedLoop a raw BETWEEN join
+    plans to."""
     plan = _plan(spark, "range_join_shipments")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
