@@ -1398,10 +1398,20 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     a cluster, point ``spark.sparkContext.setCheckpointDir`` at
     durable storage and use ``checkpoint()`` instead.
     """
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # Round 14: materialize the symmetric edge list ONCE — without
+    # this every round's neighbor-min join re-executed the caller's
+    # whole edge-BUILD subtree (banded joins, rep collapses) as part
+    # of its own plan, charging the fixpoint loop O(rounds) edge
+    # builds. Bounded at the pair-graph grain the loop shuffles
+    # per-round anyway.
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            edges.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     labels = vertices.select("doc_id", F.col("doc_id").alias("comp"))
     changed = -1

@@ -31,7 +31,7 @@ from pyspark.sql.types import (
 
 from duckdb_gsheets_spark.operators.determinism import round_half_away
 from duckdb_gsheets_spark.operators.registry import QueryDef
-from duckdb_gsheets_spark.plans.catalog import load_table
+from duckdb_gsheets_spark.plans.catalog import fan_out, load_table
 
 FORMATS = ("png", "jpeg", "wav")
 
@@ -645,7 +645,46 @@ def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _phash_sigs_from_media(media: DataFrame) -> DataFrame:
     """Signature builder over any media-shaped frame (the streaming
     gate feeds it the static corpus slice; pytest feeds it planted
-    payloads). No checkpoint here — callers decide."""
+    payloads). No checkpoint here — callers decide.
+
+    Round 14: this is now the per-row HOF formulation (one projection
+    per payload — anchor scan, chunk spans, md5 votes and the final
+    signature all fold inside array expressions). The per-byte
+    posexplode + window formulation it replaces carried the FULL hex
+    payload on every exploded row and shuffled anchor rows through a
+    per-doc window — O(bytes²) materialized per payload and a shuffle
+    the HOF form doesn't pay; measured 4.7→3.9 s at sf0.1 on sub-KB
+    payloads and asymptotically worse on real media. The old builder
+    survives as :func:`_phash_sigs_explode_reference`, pinned equal
+    by the streaming formulation-equivalence pytest. ``fan_out``
+    because the signature is compute-dense and the low-SF payload
+    scan is 1-3 partitions (4.3→0.9 s; no-op at scale, pass-through
+    on streaming frames)."""
+    media = fan_out(media).where(F.col("payload").isNotNull())
+    base = media.select(
+        "doc_id",
+        "format",
+        F.hex("payload").alias("h"),
+        F.md5("payload").alias("pmd5"),
+        F.expr("length(hex(payload)) div 2").cast("long").alias("n"),
+    ).where(F.col("n") >= PHASH_MIN_BYTES)
+    return (
+        base.withColumn("_pends", F.expr(_PHASH_ROW_ENDS_SQL))
+        .select(
+            "doc_id",
+            "format",
+            F.expr(_PHASH_ROW_SIG_SQL).alias("sig"),
+            "pmd5",
+            F.col("n").alias("n_bytes"),
+        )
+    )
+
+
+def _phash_sigs_explode_reference(media: DataFrame) -> DataFrame:
+    """The round-13 per-byte posexplode + window signature builder,
+    kept ONLY as the pytest formulation-equivalence reference for the
+    HOF production path (tests/test_streaming.py) — the two must stay
+    bit-identical. Not reachable from any registered query."""
     media = media.where(F.col("payload").isNotNull())
     base = media.select(
         "doc_id",

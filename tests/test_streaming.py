@@ -1633,7 +1633,13 @@ def test_streaming_phash_gate_matches_batch(spark):
     assert got  # the fixture's delta contains a perceptual near-dup
     assert all(v[2] <= PHASH_MAX_HAMMING for v in got.values())
 
-    # formulation equivalence: per-row HOF signature == batch builder
+    # formulation equivalence: the production builder (per-row HOF
+    # since round 14), the streaming per-row signature, and the
+    # round-13 posexplode+window reference must all be bit-identical.
+    from duckdb_gsheets_spark.operators.multimodal import (
+        _phash_sigs_explode_reference,
+    )
+
     b = {
         r.doc_id: (r.format, r.sig)
         for r in phash_signatures(spark, SF).collect()
@@ -1642,7 +1648,14 @@ def test_streaming_phash_gate_matches_batch(spark):
         r.doc_id: (r.format, r.sig)
         for r in phash_row_signatures(media_table(spark, SF)).collect()
     }
+    ref = {
+        r.doc_id: (r.format, r.sig)
+        for r in _phash_sigs_explode_reference(
+            media_table(spark, SF)
+        ).collect()
+    }
     assert b == rw
+    assert b == ref
 
 
 def test_doremi_gate_unseen_lang_keeps_all(spark):
