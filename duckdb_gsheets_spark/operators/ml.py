@@ -172,8 +172,15 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by numpy recomputation in pytest.
     """
     centroids = _init_centroids(sf_dir, spark)
+    # No fan_out: parameter-server loops pay per-TASK Python-UDF
+    # round-trip overhead EVERY iteration, so widening a tiny frame
+    # to core-count partitions triples the per-iteration wall
+    # (measured 6.2 vs 2.1 s/iter at sf0.1). The scan's own
+    # partitioning is the scale-adaptive width — at 100 TB the file
+    # splits already exceed core count. Exact-long partial sums are
+    # partition-count invariant, so results are unchanged.
     emb = (
-        fan_out(load_table(spark, sf_dir, "embeddings"))
+        load_table(spark, sf_dir, "embeddings")
         .select("vec_id", to_double(F.col("embedding")).alias("emb"))
         .persist()
     )
@@ -257,8 +264,9 @@ def pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bar). Also pinned by an identical-recipe numpy recomputation in
     pytest.
     """
+    # No fan_out — the kmeans_lloyd per-iteration-overhead note.
     emb = (
-        fan_out(load_table(spark, sf_dir, "embeddings"))
+        load_table(spark, sf_dir, "embeddings")
         .select(to_double(F.col("embedding")).alias("emb"))
         .persist()
     )
@@ -272,21 +280,22 @@ def pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
             [mrow[f"s{d}"] for d in range(DIM)], dtype=np.float64
         ) / (n * float(EMB_SCALE))
         v = np.ones(DIM) / np.sqrt(DIM)
+        # Round 14: the 64 per-dimension sums are built as ONE
+        # selectExpr string batch instead of nested Column objects —
+        # each iteration re-plans, and composing 64 round/cast trees
+        # object-by-object cost ~1 s of py4j round-trips PER
+        # ITERATION (measured 1.4 vs 0.55 s/iter, values identical;
+        # m is loop-invariant so the strings build once). Same SQL
+        # semantics: round() is F.round, bigint is long.
+        proj_exprs = [
+            f"sum(cast(round(s * (element_at(emb, {d + 1}) - "
+            f"{float(m[d])!r}) * {EMB_SCALE}) as bigint)) as s{d}"
+            for d in range(DIM)
+        ]
         for _ in range(PCA_ITERS):
             zrow = (
                 emb.withColumn("s", _proj_np(m, v)("emb"))
-                .agg(
-                    *[
-                        F.sum(
-                            F.round(
-                                F.col("s")
-                                * (F.element_at("emb", d + 1) - float(m[d]))
-                                * EMB_SCALE
-                            ).cast("long")
-                        ).alias(f"s{d}")
-                        for d in range(DIM)
-                    ]
-                )
+                .selectExpr(*proj_exprs)
                 .collect()[0]
             )
             z = np.array(
@@ -432,8 +441,9 @@ def logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles). Also pinned by an exact-shape numpy recompute in
     pytest.
     """
+    # No fan_out — the kmeans_lloyd per-iteration-overhead note.
     emb = (
-        fan_out(load_table(spark, sf_dir, "embeddings"))
+        load_table(spark, sf_dir, "embeddings")
         .select(
             "vec_id",
             (F.col("label") % 2).cast("double").alias("y"),
@@ -446,16 +456,20 @@ def logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = np.zeros(DIM)
         b = 0.0
         denom = n * float(EMB_SCALE)
+        # String-built gradient aggregate — the pca_power_topcomp
+        # py4j-chatter note; identical SQL semantics.
+        grad_exprs = [
+            f"sum(cast(round(r * {EMB_SCALE}) as bigint)) as gb"
+        ] + [
+            f"sum(cast(round((element_at(emb, {d + 1}) * r) * "
+            f"{EMB_SCALE}) as bigint)) as s{d}"
+            for d in range(DIM)
+        ]
         for _ in range(LOGREG_ITERS):
             scored = emb.withColumn(
                 "r", _resid_np(w, b)(F.col("emb"), F.col("y"))
             )
-            row = scored.agg(
-                F.sum(F.round(F.col("r") * EMB_SCALE).cast("long")).alias(
-                    "gb"
-                ),
-                *_dim_scaled_sums(weight=F.col("r")),
-            ).collect()[0]
+            row = scored.selectExpr(*grad_exprs).collect()[0]
             # Exact scaled-long gradient state; ×2 and the single
             # division are correctly rounded, so w/b are bit-equal to
             # the oracle's replay.

@@ -1353,22 +1353,19 @@ def _classifier_fit(
         "doc_id", F.col("is_pos").cast("long").alias("y")
     )
     tfeat = fc.join(train, "doc_id").localCheckpoint(eager=True)
-    cls = tfeat.where(F.col("bucket") == -1).agg(
-        F.sum("y").alias("n_pos"), F.count(F.lit(1)).alias("n_tr")
-    ).collect()[0]
-    n_train, n_pos = int(cls.n_tr), int(cls.n_pos)
     # NB INITIALIZATION (the NBSVM trick, Wang & Manning 2012): three
     # GD steps from zero cannot grow discriminative weights, but the
     # multinomial Naive-Bayes log-odds ARE the closed-form linear
-    # classifier for this feature space — one ≤1024-row tally collect
+    # classifier for this feature space — one ≤1025-row tally collect
     # seeds w₀ with the smoothed per-bucket ln p(b|pos) − ln p(b|neg)
     # (the DSIR lnp device, each ln snapped to the 1e-9 grid) and the
     # class-prior log-odds as the bias; GD then calibrates the
-    # logistic loss around it.
-    tally = {
-        int(r.bucket): (int(r.pc), int(r.nc))
-        for r in tfeat.where(F.col("bucket") >= 0)
-        .groupBy("bucket")
+    # logistic loss around it. Round 14: the class counts ride the
+    # SAME grouped collect via the bucket −1 rows (one row per doc:
+    # n_rows there = n_train, Σy there = n_pos) — the separate
+    # class-count job this used to run first is fused away.
+    tally_rows = (
+        tfeat.groupBy("bucket")
         .agg(
             F.sum(F.when(F.col("y") == 1, F.col("cnt")).otherwise(0)).alias(
                 "pc"
@@ -1376,8 +1373,17 @@ def _classifier_fit(
             F.sum(F.when(F.col("y") == 0, F.col("cnt")).otherwise(0)).alias(
                 "nc"
             ),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("y").alias("ys"),
         )
         .collect()
+    )
+    bias_row = next(r for r in tally_rows if int(r.bucket) == -1)
+    n_train, n_pos = int(bias_row.n_rows), int(bias_row.ys)
+    tally = {
+        int(r.bucket): (int(r.pc), int(r.nc))
+        for r in tally_rows
+        if int(r.bucket) >= 0
     }
     tp = sum(pc for pc, _ in tally.values())
     tn = sum(nc for _, nc in tally.values())

@@ -197,12 +197,20 @@ def neardup_pairs_blocked(emb: DataFrame) -> DataFrame:
     argument already underwrites HOF-vs-DuckDB matching — neither
     engine guarantees bitwise-identical accumulation).
     """
-    with_buckets = _with_lsh_buckets(emb)
-    # (vec_id, table, bucket) rows — one equi-join key per hash table.
+    from duckdb_gsheets_spark.operators.dedup import _wide
+
+    # Round 14 (guide §8 / §2.3): the bucket self-join used to carry
+    # BOTH 64-dim arrays on every candidate row (≤ LSH_TABLES
+    # duplicate scorings per pair) and AQE folded the exploding join
+    # onto 1-2 tasks — exec-only swung 6.8-62 s at sf0.1. Now the
+    # join moves (vec_id, tbl, bkt) METADATA only and is explicitly
+    # widened; candidates dedup to distinct id pairs BEFORE the
+    # embeddings attach, so each pair is scored exactly once and the
+    # arrays cross exactly one join. The GEMM/bucket frame is
+    # checkpointed once for its three consumers.
+    with_buckets = _with_lsh_buckets(emb).localCheckpoint(eager=True)
     bucket_rows = with_buckets.select(
         "vec_id",
-        "emb",
-        "nrm",
         F.explode(
             F.array(
                 *[
@@ -213,29 +221,40 @@ def neardup_pairs_blocked(emb: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "emb", "nrm", "tb.tbl", "tb.bkt")
-    left = bucket_rows.select(
+    ).select("vec_id", "tb.tbl", "tb.bkt")
+    cand = (
+        _wide(
+            _wide(bucket_rows.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt"), "tbl", "bkt")
+            .join(
+                _wide(
+                    bucket_rows.select(
+                        F.col("vec_id").alias("vec_b"), "tbl", "bkt"
+                    ),
+                    "tbl",
+                    "bkt",
+                ),
+                ["tbl", "bkt"],
+            )
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b"),
+            "vec_a",
+            "vec_b",
+        )
+        .distinct()
+    )
+    ea = with_buckets.select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("emb_a"),
         F.col("nrm").alias("norm_a"),
-        "tbl",
-        "bkt",
     )
-    right = bucket_rows.select(
+    eb = with_buckets.select(
         F.col("vec_id").alias("vec_b"),
         F.col("emb").alias("emb_b"),
         F.col("nrm").alias("norm_b"),
-        "tbl",
-        "bkt",
     )
-    # Score every candidate row (≤ LSH_TABLES duplicates per pair — the
-    # batched GEMM makes redundant scoring cheaper than pre-dedup),
-    # filter, THEN dedup: the distinct shuffle carries only surviving
-    # near-dup pairs as three scalar columns, not every candidate with
-    # its two 64-dim arrays.
     return (
-        left.join(right, ["tbl", "bkt"])
-        .where(F.col("vec_a") < F.col("vec_b"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -246,7 +265,6 @@ def neardup_pairs_blocked(emb: DataFrame) -> DataFrame:
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= NEARDUP_COSINE_THRESHOLD)
-        .distinct()
     )
 
 
