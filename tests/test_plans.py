@@ -969,14 +969,21 @@ def test_no_unpartitioned_corpus_window_across_entire_registry(spark):
         "minhash_auc_report",  # cumulates the ≤PERMS+1-row estimate grid
         "pipeline_dsir_corpus",  # pid-offset table of the prefix-sum tiling
         "quality_score_calibration",  # cumulates the ≤1e6-value score grid
-        "dedup_longest_substring",  # |pids|-row boundary-seam lag window
-        "dedup_substring_scrub",  # same |pids|-row boundary seam (shared spine)
-        "pipeline_exactsubstr_corpus",  # same boundary seam (shared chain)
-        "pipeline_exactsubstr_apply",  # same boundary seam (shared chain)
+        # The LRS family's |pids|-row boundary-seam lag windows are
+        # sealed behind the round-14 candidate checkpoint (the
+        # min/max-struct aggregate rebuild) and no longer appear in
+        # the registered plans.
         # dedup_ngram_jaccard's bitmask-dictionary window (dense bit
         # positions over the ≤BITMASK_MAX_VOCAB-row vocab) is sealed
         # behind the round-14 rep_pairs checkpoint and no longer
         # appears in the registered plan.
+        # dedup_containment routes through the same bitmask overlap
+        # core since round 14: its dictionary window ranks the
+        # CHECKPOINTED ≤BITMASK_MAX_VOCAB-row vocab frame (bounded
+        # independent of corpus size — the guarded branch falls back
+        # to the int-dictionary core past that cap), and its final
+        # plan is not checkpoint-sealed, so the window is visible.
+        "dedup_containment",
     }
     # privacy_k_anonymity's total-share broadcast is over the ≤3-row
     # band table — covered by bnlj_ok below, no window involved.
