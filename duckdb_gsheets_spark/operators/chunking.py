@@ -504,48 +504,53 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             _bloom_bit(F.col("gram"), s, m), F.col("bloom_words")
         )
         contained = hit if contained is None else (contained & hit)
-    flagged = (
-        corpus.crossJoin(F.broadcast(mask_df))
-        .where(contained)
-        .select("doc_id")
-        .distinct()
-        .withColumn("bloom_hit", F.lit(1))
+    corpus_hit = corpus.crossJoin(F.broadcast(mask_df)).select(
+        "doc_id", "gram", contained.alias("bloom_hit_gram")
     )
-    return _contam_screen_report(spark, sf_dir, corpus, bench_grams, flagged)
+    return _contam_screen_report(spark, sf_dir, corpus_hit, bench_grams)
 
 
 def _contam_screen_report(
-    spark, sf_dir: str, corpus: DataFrame, bench_grams: DataFrame,
-    flagged: DataFrame,
+    spark, sf_dir: str, corpus_hit: DataFrame, bench_grams: DataFrame,
 ) -> DataFrame:
     """Shared acceptance-report tail for the Bloom screens: per
     source, screened/bloom-flagged/exact-flagged/false-positive doc
-    counts. ``flagged`` is the screen's positive-doc frame; the exact
-    side is the broadcast containment join both audits compare to."""
-    exact = (
-        corpus.join(F.broadcast(bench_grams), "gram")
-        .select("doc_id")
-        .distinct()
-        .withColumn("exact_hit", F.lit(1))
+    counts. ``corpus_hit`` is the corpus gram stream ``(doc_id, gram,
+    bloom_hit_gram)`` with the screen's per-gram Bloom verdict already
+    attached; the exact side is a broadcast left join against the
+    (checkpointed) benchmark gram set.
+
+    ONE pass over the corpus explode: the round-13 shape consumed the
+    corpus gram subtree through THREE separate frames (flagged /
+    exact / screened), each re-executing the tokenize+explode chain
+    per action — the dominant exec cost of both Bloom rows. Folding
+    all three flags into one per-doc aggregate (map-side combined, so
+    the exchange carries doc-grain rows, never the gram stream) keeps
+    the results bit-identical while scanning the corpus once."""
+    per_doc = (
+        corpus_hit.join(
+            F.broadcast(bench_grams.withColumn("exact_g", F.lit(1))),
+            "gram",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("bloom_hit_gram"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("bloom_hit"),
+            F.max(F.coalesce(F.col("exact_g"), F.lit(0))).alias("exact_hit"),
+        )
     )
-    screened = corpus.select("doc_id").distinct()
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return (
-        screened.join(flagged, "doc_id", "left")
-        .join(exact, "doc_id", "left")
-        .join(src, "doc_id")
+        per_doc.join(src, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs_screened"),
-            F.sum(F.coalesce(F.col("bloom_hit"), F.lit(0))).alias(
-                "n_bloom_flagged"
-            ),
-            F.sum(F.coalesce(F.col("exact_hit"), F.lit(0))).alias(
-                "n_exact_flagged"
-            ),
+            F.sum("bloom_hit").alias("n_bloom_flagged"),
+            F.sum("exact_hit").alias("n_exact_flagged"),
             F.sum(
-                F.coalesce(F.col("bloom_hit"), F.lit(0))
-                * (1 - F.coalesce(F.col("exact_hit"), F.lit(0)))
+                F.col("bloom_hit") * (1 - F.col("exact_hit"))
             ).alias("n_false_positives"),
         )
         .orderBy("source")
@@ -761,15 +766,20 @@ def contamination_bloom_sharded(
             _bloom_bit(F.col("gram"), s, F.col("m")), F.col("bloom_words")
         )
         contained = hit if contained is None else (contained & hit)
-    flagged = (
+    # LEFT join: a shard with no benchmark grams has no filter row
+    # (definitionally not contained), but its corpus grams must still
+    # reach the one-pass screened/exact rollup — coalesce(NULL-probe,
+    # false) keeps the verdict identical to the old filtered branch.
+    corpus_hit = (
         corpus.withColumn("shard", _bloom_shard_of(F.col("gram")))
-        .join(shard_df, "shard")
-        .where(contained)
-        .select("doc_id")
-        .distinct()
-        .withColumn("bloom_hit", F.lit(1))
+        .join(shard_df, "shard", "left")
+        .select(
+            "doc_id",
+            "gram",
+            F.coalesce(contained, F.lit(False)).alias("bloom_hit_gram"),
+        )
     )
-    return _contam_screen_report(spark, sf_dir, corpus, bench_grams, flagged)
+    return _contam_screen_report(spark, sf_dir, corpus_hit, bench_grams)
 
 
 _BLOOM_GRAM_CTE = f"""

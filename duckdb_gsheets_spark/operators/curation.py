@@ -2172,30 +2172,32 @@ def quality_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("len_vs_wordlen", "rank_len", "rank_wordlen"),
         ("diversity_vs_wordlen", "rank_diversity", "rank_wordlen"),
     ]
+    # ONE aggregate computes every pair's co-moments in a single pass
+    # over the rank frame (the round-13 shape ran one full aggregate
+    # PER PAIR — three executions of the rank-ensemble tail per
+    # action; round-14 one-pass fold). The 1-row moment table is
+    # eagerly checkpointed so the three report rows read materialized
+    # sums instead of re-running the aggregate each. Every per-pair
+    # sum is the same exact integer the per-pair aggregates produced.
+    sig = {"rank_len": "l", "rank_diversity": "d", "rank_wordlen": "w"}
+    col = {s: F.col(c).cast("long") for c, s in sig.items()}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(col[s]).alias(f"s_{s}") for s in ("l", "d", "w")]
+    aggs += [
+        F.sum(col[a] * col[b]).alias(f"s_{a}{b}")
+        for a, b in ("ll", "dd", "ww", "ld", "lw", "dw")
+    ]
+    m = ranks.agg(*aggs).localCheckpoint(eager=True)
     out = None
     for label, cx, cy in pairs:
-        x = F.col(cx).cast("long")
-        y = F.col(cy).cast("long")
-        m = ranks.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(x).alias("sx"),
-            F.sum(y).alias("sy"),
-            F.sum(x * x).alias("sxx"),
-            F.sum(y * y).alias("syy"),
-            F.sum(x * y).alias("sxy"),
-        )
-        num = (
-            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-        ).cast("double")
+        a, b = sig[cx], sig[cy]
+        sx, sy = F.col(f"s_{a}"), F.col(f"s_{b}")
+        sxx, syy = F.col(f"s_{a}{a}"), F.col(f"s_{b}{b}")
+        sxy = F.col(f"s_{''.join(sorted((a, b), key='ldw'.index))}")
+        num = (F.col("n") * sxy - sx * sy).cast("double")
         den = F.sqrt(
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                "double"
-            )
-        ) * F.sqrt(
-            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-                "double"
-            )
-        )
+            (F.col("n") * sxx - sx * sx).cast("double")
+        ) * F.sqrt((F.col("n") * syy - sy * sy).cast("double"))
         row = m.select(
             F.lit(label).alias("signal_pair"),
             F.col("n").alias("n_docs"),

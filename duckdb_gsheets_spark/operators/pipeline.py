@@ -1888,14 +1888,21 @@ def pipeline_fineweb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint(c).alias("fp"),
     )
     surv = F.col("q_pass") * F.col("c4_pass")
-    canon = (
-        staged.where(surv == 1)
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_id"))
-    )
+    # Canonical-doc election as ONE fp-partitioned window min instead
+    # of the round-13 groupBy + join-back (which re-executed the
+    # tokenize+gopher+fingerprint scan subtree on both join sides —
+    # two corpus passes per action, and at scale two fp shuffles).
+    # min(doc_id over survivors of the fp group) is exactly the old
+    # canon frame's keep_id, NULL when the group has no survivor —
+    # the kept predicate then evaluates identically.
     kept = (surv == 1) & (F.col("doc_id") == F.col("keep_id"))
     return (
-        staged.join(canon, "fp", "left")
+        staged.withColumn(
+            "keep_id",
+            F.min(F.when(surv == 1, F.col("doc_id"))).over(
+                Window.partitionBy("fp")
+            ),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

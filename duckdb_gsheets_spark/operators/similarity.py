@@ -2854,21 +2854,26 @@ def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     use the house (−sim, vec_b) total order; stage-1 ties resolve on
     the 1e-6 sq_sim grid identically in both engines.
     """
-    cut, queries = _sq8_rerank_cut(spark, sf_dir)
+    cut, queries = _sq8_rerank_cut(spark, sf_dir, materialize=False)
     return _sq8_rerank_from(spark, sf_dir, cut, queries)
 
 
 def _sq8_rerank_cut(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, materialize: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """Stage 1 once: the R-deep SQ8 candidate cut ``(vec_a, vec_b,
-    r1)`` as an eagerly-checkpointed R·|queries|-row frame (bounded
-    regardless of corpus size — the trained-candidate artifact), plus
-    the query batch. One corpus scoring pass feeds BOTH the rerank
-    and — because the flat index's top-k is by construction the first
-    k rows of the same (−sq_sim, vec_b) ranking — the flat-SQ8 side
-    of the recovery report, which previously re-ran the corpus
-    scoring through ann_sq8_topk a second time."""
+    r1)`` — an R·|queries|-row frame (bounded regardless of corpus
+    size — the trained-candidate artifact), plus the query batch.
+    ``materialize`` eagerly checkpoints the cut for MULTI-consumer
+    callers: the recovery report reads it twice (the rerank side and
+    — because the flat index's top-k is by construction the first k
+    rows of the same (−sq_sim, vec_b) ranking — the flat-SQ8 side,
+    which previously re-ran the corpus scoring through ann_sq8_topk).
+    The plain two-stage query consumes the cut exactly once (inside
+    its stage-2 broadcast build), so it passes ``materialize=False``
+    and saves the checkpoint round-trip — the scoring subtree then
+    runs inside the broadcast-exchange job of the one action
+    (round-14 job-floor cut)."""
     scored, queries = _sq8_scored_frame(spark, sf_dir)
     w1 = Window.partitionBy("vec_a").orderBy(
         F.desc("sq_sim"), F.col("vec_b")
@@ -2877,8 +2882,9 @@ def _sq8_rerank_cut(
         scored.withColumn("r1", F.row_number().over(w1))
         .where(F.col("r1") <= SQ8_RERANK_R)
         .select("vec_a", "vec_b", "r1")
-        .localCheckpoint(eager=True)
     )
+    if materialize:
+        cut = cut.localCheckpoint(eager=True)
     return cut, queries
 
 

@@ -1702,7 +1702,18 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # Eagerly checkpointed: FOUR consumers (left, cont, nbig and the
+    # final join) read the bigram TYPE table — unmaterialized, each
+    # re-executes the corpus tokenize+explode+count subtree per
+    # action (the round-14 plan audit read 4 document scans for this
+    # query; exec-only was 5× the DuckDB twin). The frame is
+    # |observed bigram types| rows of two words + a long —
+    # vocabulary-sized, never corpus-sized.
+    c12 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     left = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"),
         F.count(F.lit(1)).alias("n1p_fw"),
