@@ -2094,7 +2094,13 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the (slim) edge list once — otherwise every
     # iteration's lineage re-executes the whole shingle→band→verify
     # chain. Same localCheckpoint practice as connected_components;
-    # on a cluster, checkpoint() to durable storage.
+    # on a cluster, checkpoint() to durable storage. The out-DEGREE
+    # is loop-invariant, so it rides the same checkpoint as a window
+    # count over the src key (identical value to the former groupBy
+    # tally) — the round-13 shape re-joined a degree aggregate inside
+    # EVERY unrolled round, one exchange per round that this fold
+    # deletes (round-14 job-floor cut: 21 warm jobs read at 100%
+    # scheduling-floor share).
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -2102,15 +2108,18 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
+        .withColumn(
+            "degree",
+            F.count(F.lit(1)).over(Window.partitionBy("src")),
+        )
         .localCheckpoint(eager=True)
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    deg = sym.groupBy("src").agg(F.max("degree").alias("degree"))
     verts = docs.select("doc_id")
     pr = verts.withColumn("pr_s", F.lit(PR_SCALE).cast("long"))
     for _ in range(PR_ITERS):
         inflow = (
             sym.join(pr.withColumnRenamed("doc_id", "src"), "src")
-            .join(deg, "src")
             .select("dst", F.expr("pr_s div degree").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("m"))
