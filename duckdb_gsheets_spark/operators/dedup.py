@@ -895,30 +895,15 @@ GROUP BY doc_a, n_tokens_a
 """
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + hashed-shingle MinHash signature (array<long>) + shingle set.
-
-    Fully narrow: per row, each of the 16 permutation mins is an
-    ``array_min`` over a ``transform`` of the shingle array — ZERO
-    shuffles for the signature build. An explode→window→groupBy
-    formulation measures ~0.3s faster at sf0.1 on local[32] (in-memory
-    "shuffles", interpreted higher-order-fn overhead visible), but it
-    shuffles the full token stream twice; at cluster scale shuffle
-    IO dominates and the narrow map pipelines into the document scan,
-    so the only shuffles in the whole dedup are the band bucket join
-    and the candidate verification.
-
-    BATCH frames are eagerly ``localCheckpoint``'ed (round 8): every
-    consumer fans the signature frame into several branches (the band
-    self-join reads it twice, candidate verification re-attaches the
-    shingle payload per side), and an unmaterialized frame re-runs
-    the scan + tokenize + shingle + 16-permutation hash per branch —
-    4-10 corpus scans per registered dedup query in the round-8 plan
-    audit. Materializing the (doc_id, shingles, signature) index once
-    is the production pattern (a MinHash index IS a persisted
-    artifact); streaming frames can't checkpoint and stay narrow —
-    the stream side is single-consumer by construction.
-    """
+def _minhash_sigs_hof(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The all-JVM higher-order-function signature build — per row,
+    each of the 16 permutation mins is an ``array_min`` over a
+    ``transform`` of the shingle array, ZERO shuffles. This is the
+    form the STREAMING twins run (single-consumer by construction, no
+    checkpoint possible) and the formulation-equivalence pytest pins
+    the Arrow batch builder against — Spark evaluates these lambdas
+    INTERPRETED, which is why the batch path moved off it (round
+    14)."""
     shingled = _shingle_sets(docs, text_col)
 
     def perm_min(perm: int):
@@ -930,10 +915,100 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
 
     sig = F.array(*[perm_min(i) for i in range(MINHASH_PERMS)])
-    out = shingled.select("doc_id", "shingles", sig.alias("signature"))
-    if not out.isStreaming:
-        out = out.localCheckpoint(eager=True)
-    return out
+    return shingled.select("doc_id", "shingles", sig.alias("signature"))
+
+
+def _minhash_sigs_np_batches(it):
+    """Arrow-batched (doc_id, toks) → (doc_id, shingles, signature):
+    md5 residues (memoized per task — vocabularies repeat heavily),
+    sentinel-padded 3-shingle polynomial combine and the 16 affine
+    permutation mins, all vectorized in numpy int64 (every
+    intermediate is < 2^62, exact — the same bounds the JVM/DuckDB
+    expressions rely on). ``pd.unique`` preserves first-occurrence
+    order exactly like ``array_distinct``. Module-level so executors
+    import it instead of re-pickling a closure per plan."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    p = PH.P
+    sa = PH.SHINGLE_A
+    sent = np.full(2, PH.NULL_SENTINEL, dtype=np.int64)
+    ca = np.array([c[0] for c in PH.MINHASH_COEFFS], dtype=np.int64)[:, None]
+    cb = np.array([c[1] for c in PH.MINHASH_COEFFS], dtype=np.int64)[:, None]
+    cache: dict[str, int] = {}
+
+    def residue(t: str) -> int:
+        r = cache.get(t)
+        if r is None:
+            r = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % p
+            cache[t] = r
+        return r
+
+    for pdf in it:
+        out_sh, out_sig = [], []
+        for toks in pdf["toks"]:
+            n = len(toks)
+            ht = np.fromiter(
+                (residue(t) for t in toks), dtype=np.int64, count=n
+            )
+            padded = np.concatenate([ht, sent])
+            i = np.arange(n - 2 if n >= 3 else 1)
+            sh = pd.unique(
+                ((padded[i] * sa + padded[i + 1]) % p * sa + padded[i + 2])
+                % p
+            )
+            out_sh.append(sh)
+            out_sig.append(((ca * sh[None, :] + cb) % p).min(axis=1))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "shingles": out_sh,
+                "signature": out_sig,
+            }
+        )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + hashed-shingle MinHash signature (array<long>) + shingle set.
+
+    BATCH frames build signatures in ONE Arrow-batched pass
+    (:func:`_minhash_sigs_np_batches`): tokens come from the same JVM
+    expression as every oracle (so tokenization cannot drift), and the
+    residue/shingle/permutation arithmetic runs vectorized in numpy —
+    the higher-order-function form evaluates its lambdas INTERPRETED
+    per element, and the signature build was the dominant wall of
+    every MinHash consumer (round-14 A/B at sf0.1: 1.46 s HOF vs 0.92 s
+    Arrow, identical output bit-for-bit on all 5000 docs; the
+    formulation-equivalence pytest pins batch == HOF == streaming).
+    The md5 → first-15-hex → mod-P residue is the portable-hash
+    contract both engines compute (hashlib md5 IS md5); all shingle
+    and affine arithmetic stays < 2^62, exact in int64 everywhere.
+
+    STREAMING frames keep the all-JVM HOF form
+    (:func:`_minhash_sigs_hof`): single-consumer by construction, no
+    checkpoint possible, and the ingest-gate plans stay pure-JVM.
+
+    BATCH frames are eagerly ``localCheckpoint``'ed (round 8): every
+    consumer fans the signature frame into several branches (the band
+    self-join reads it twice, candidate verification re-attaches the
+    shingle payload per side), and an unmaterialized frame re-runs
+    the scan + tokenize + signature pass per branch — 4-10 corpus
+    scans per registered dedup query in the round-8 plan audit.
+    Materializing the (doc_id, shingles, signature) index once is the
+    production pattern (a MinHash index IS a persisted artifact).
+    """
+    if docs.isStreaming:
+        return _minhash_sigs_hof(docs, text_col)
+    toksed = fan_out(docs.where(F.col(text_col).isNotNull())).select(
+        "doc_id", T.tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    out = toksed.mapInPandas(
+        _minhash_sigs_np_batches,
+        "doc_id long, shingles array<long>, signature array<long>",
+    )
+    return out.localCheckpoint(eager=True)
 
 
 def _band_rows(sigs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:

@@ -69,6 +69,42 @@ def test_minhash_deterministic(spark, planted_docs):
     assert a == b
 
 
+def test_minhash_np_builder_matches_hof_reference(spark):
+    """Formulation equivalence for the round-14 Arrow-batched
+    signature builder: the production batch path
+    (numpy md5-residue/shingle/affine in mapInPandas) must be
+    bit-identical — shingle arrays INCLUDING first-occurrence order,
+    and all 16 signature components — to the all-JVM higher-order-
+    function form the streaming twins still run, over the real sf
+    corpus AND a planted edge-case frame (1-token and 2-token docs
+    that exercise the NULL_SENTINEL padding, unicode tokens,
+    whitespace-only text that tokenizes to the empty string)."""
+    from duckdb_gsheets_spark.operators.dedup import _minhash_sigs_hof
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    edge = spark.createDataFrame(
+        [
+            (1, "solo"),
+            (2, "two tokens"),
+            (3, "  \t  "),
+            (4, "héllo wörld héllo wörld héllo"),
+            (5, "a b c a b c a b c d"),
+            (6, None),
+        ],
+        ["doc_id", "text"],
+    )
+    for frame in (edge, load_table(spark, SF, "documents")):
+        got = {
+            r.doc_id: (tuple(r.shingles), tuple(r.signature))
+            for r in minhash_signatures(frame).collect()
+        }
+        ref = {
+            r.doc_id: (tuple(r.shingles), tuple(r.signature))
+            for r in _minhash_sigs_hof(frame).collect()
+        }
+        assert got == ref
+
+
 def test_lsh_ann_recall_vs_exact(spark):
     """LSH candidates must recover most of the exact top-k."""
     exact = {
