@@ -1465,10 +1465,11 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
 
     Each round every vertex adopts the minimum label among itself and
     its neighbors; fixpoint = every component labeled by its minimum
-    doc_id. Per round: one join edges→labels, one min-combine groupBy,
-    one left join back — all hash-shuffles on doc_id-shaped keys, no
-    collect of vertex/edge data. The driver loop only reads a changed
-    COUNT per round (legitimate iterative-algorithm control flow);
+    doc_id. Per round: one join edges→labels, then ONE min-combine
+    groupBy over the tagged union of self + neighbor labels — all
+    hash-shuffles on doc_id-shaped keys, no collect of vertex/edge
+    data. The driver loop only reads a changed COUNT per round
+    (legitimate iterative-algorithm control flow);
     ``localCheckpoint`` truncates the growing lineage each round — on
     a cluster, point ``spark.sparkContext.setCheckpointDir`` at
     durable storage and use ``checkpoint()`` instead.
@@ -1491,28 +1492,38 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     labels = vertices.select("doc_id", F.col("doc_id").alias("comp"))
     changed = -1
     for _ in range(CC_MAX_ITERS):
-        nbr_min = (
-            sym.join(labels, sym["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
+        # ONE tagged union + ONE min-combine per round (round 14): the
+        # self label rides the same aggregate as the neighbor labels
+        # (min over {own} ∪ {neighbors} ≡ the former least(own,
+        # coalesce(nbr_min, own)) — the left join back is deleted),
+        # and the per-doc CHANGED flag (own min > overall min) is
+        # computed inside the same pass and materialized with the
+        # checkpoint, so the convergence count reads checkpointed
+        # blocks instead of re-joining old vs new labels — the
+        # round-13 loop paid a groupBy + a left join + a join-count
+        # (≈3 extra exchanges and one extra join) per round.
+        nbr = sym.join(labels, sym["dst"] == labels["doc_id"]).select(
+            F.col("src").alias("doc_id"),
+            "comp",
+            F.lit(0).alias("own"),
         )
         new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
-            .select(
-                labels["doc_id"],
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
+            labels.select("doc_id", "comp", F.lit(1).alias("own"))
+            .unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(
+                F.min("comp").alias("comp"),
+                (
+                    F.min(F.when(F.col("own") == 1, F.col("comp")))
+                    > F.min("comp")
+                )
+                .cast("int")
+                .alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("chg") == 1).count()
+        labels = new_labels.select("doc_id", "comp")
         if changed == 0:
             break
     if changed != 0:
