@@ -2319,31 +2319,65 @@ def _dsir_weights(docs: DataFrame, raw_excludes_target: bool = False) -> DataFra
     per-bucket log-ratio and every per-document sum are exact integer
     arithmetic in both engines.
 
-    Shapes, sized for 100 TB: the slim bucketed feature stream
-    (``feat`` string dropped — 4 narrow dims + one int per row) is
-    materialized ONCE via eager ``localCheckpoint`` (the "persist
-    the tokenized projection once" production pattern; block-manager
-    storage spills to local disk). Its two consumers — the
-    ≤ DSIR_BUCKETS-row bucket LM fit (broadcast back) and the
-    per-document rollup — then read materialized blocks instead of
+    Shapes, sized for 100 TB: the tokenized projection is
+    materialized ONCE via eager ``localCheckpoint`` as PER-DOCUMENT
+    bucket ARRAYS (round 15; the round-14 shape checkpointed the
+    exploded per-feature stream — |features| rows of 5 columns — and
+    then paid a (doc_id)-keyed rollup shuffle to undo the explode).
+    Its two consumers — the ≤ DSIR_BUCKETS-row bucket LM fit and the
+    per-document scorer — read materialized blocks instead of
     re-tokenizing the corpus (round 7 paid three tokenize+explode
-    passes here and benched 5.4× its DuckDB twin). Zero corpus-sized
-    shuffles: the only wide exchange is the (doc_id)-keyed rollup
-    whose partial aggregates combine map-side.
+    passes here and benched 5.4× its DuckDB twin). The per-document
+    weight is now a PROJECTION, not an aggregation: the fitted
+    ≤ DSIR_BUCKETS-row llr table is folded into a constant array
+    literal (the same fitted-artifact-as-literal device the streaming
+    scorer uses) and each document sums its own bucket array with one
+    ``aggregate`` HOF — ZERO shuffles and zero joins after the fit
+    (guide §2.4; the exact integer sum is unchanged: same per-bucket
+    longs, integer addition in any order).
     """
+    from duckdb_gsheets_spark.functions import portable_hash as PH
+
     feats = (
-        _dsir_feats(docs)
-        .select("doc_id", "lang", "source", "n_tokens", "bucket")
+        _doc_tokens(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.transform(
+                dsir_feat_array(),
+                lambda f: PH.tok_hash60(f) % DSIR_BUCKETS,
+            ).alias("barr"),
+        )
         .localCheckpoint(eager=True)
     )
-    llr = dsir_bucket_llr(feats, raw_excludes_target=raw_excludes_target)
-    return (
-        feats.join(F.broadcast(llr), "bucket")
-        .groupBy("doc_id", "lang", "source", "n_tokens")
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("llr").alias("w_scaled"),
-        )
+    exploded = feats.select("source", F.explode("barr").alias("bucket"))
+    llr = dsir_bucket_llr(exploded, raw_excludes_target=raw_excludes_target)
+    # The llr frame is a LOCAL relation (the tally was already
+    # collected inside dsir_bucket_llr); collecting it evaluates the
+    # JVM ln/round expressions driver-side — the exact 1e-9-grid
+    # contract is untouched, no Python math.log enters. Unobserved
+    # buckets keep 0: every scorable feature maps to an observed
+    # bucket by construction (the scored slice IS the fitting corpus),
+    # so the slot is never read — it only keeps the array dense.
+    lut_vals = [0] * DSIR_BUCKETS
+    for r in llr.collect():
+        lut_vals[int(r.bucket)] = int(r.llr)
+    lut = F.expr(
+        "array(" + ",".join(f"{v}L" for v in lut_vals) + ")"
+    )
+    return feats.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.size("barr").cast("long").alias("n_feats"),
+        F.aggregate(
+            "barr",
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(lut, (b + 1).cast("int")),
+        ).alias("w_scaled"),
     )
 
 

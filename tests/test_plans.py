@@ -1175,23 +1175,24 @@ def test_ccnet_pipeline_tiles_the_rank_window(spark):
 
 
 def test_dsir_weights_broadcast_the_bucket_lm(spark):
-    """dsir_importance_weights: the ≤DSIR_BUCKETS-row log-ratio table
-    BROADCASTS back onto the feature stream (no sort-merge join of
-    the exploded corpus against anything), the final plan roots on
-    the ONE materialized feature checkpoint (round 8: the slim
-    bucketed stream is localCheckpoint'ed so the LM fit and the
-    rollup share a single tokenize+explode pass), and the only
-    corpus-keyed exchange is the per-document rollup. The bucket
+    """dsir_importance_weights: the fitted ≤DSIR_BUCKETS-row log-ratio
+    table folds into a constant array LITERAL so the per-document
+    weight is a pure PROJECTION over the one materialized per-document
+    bucket-array checkpoint — NO join of any strategy, NO aggregation
+    and NO exchange after the fit (round 15; round 14 still broadcast
+    the llr table onto an exploded per-feature stream and paid a
+    (doc_id)-keyed rollup shuffle to undo the explode). The bucket
     hash itself (md5 → conv, no Python UDF) is pinned on the
     PRE-checkpoint feature-stream subtree, where it runs."""
     plan = _plan(spark, "dsir_importance_weights")
     physical = plan.split("== Physical Plan ==")[-1]
-    assert "SortMergeJoin" not in physical
-    assert "BroadcastHashJoin" in physical  # llr ⋈ feature stream
+    assert "Join" not in physical  # llr is a literal, not a relation
+    assert "Exchange" not in physical  # zero post-fit shuffles
+    assert "HashAggregate" not in physical  # scorer is a projection
     assert "ExistingRDD" in physical or "LogicalRDD" in physical  # ckpt root
     assert "Scan parquet" not in physical  # no post-ckpt corpus rescan
     assert "PythonUDF" not in physical.replace("MapInPandas", "")
-    assert "hashpartitioning(doc_id" in physical  # the one wide rollup
+    assert "aggregate(" in physical  # the per-row HOF sum over barr
 
     from duckdb_gsheets_spark.operators.curation import _dsir_feats
     from duckdb_gsheets_spark.plans.catalog import load_table
