@@ -136,6 +136,15 @@ def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for buf in p:
             a = np.frombuffer(buf, dtype=np.uint8)
             n = int(a.size)
+            if n == 0:
+                # Defensive only: the caller filters zero-length
+                # payloads (the oracle's byte-unnest emits no rows for
+                # them, so they have no output row on either engine);
+                # an empty histogram here must not divide by zero.
+                out_n.append(0)
+                out_d.append(0)
+                out_e.append(0.0)
+                continue
             c = np.bincount(a)
             c = c[c > 0].astype(np.int64)
             t = np.log(c / n) * 1e9
@@ -150,7 +159,9 @@ def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = fan_out(media_table(spark, sf_dir))
     return (
-        media.where(F.col("payload").isNotNull())
+        media.where(
+            F.col("payload").isNotNull() & (F.length("payload") > 0)
+        )
         .select("doc_id", "format", ent(F.col("payload")).alias("e"))
         .select(
             "doc_id",

@@ -1378,8 +1378,14 @@ def _classifier_fit(
         )
         .collect()
     )
-    bias_row = next(r for r in tally_rows if int(r.bucket) == -1)
-    n_train, n_pos = int(bias_row.n_rows), int(bias_row.ys)
+    # Empty training slice ⇒ no bucket −1 rows at all: degrade to
+    # n_train = n_pos = 0 like the pre-fusion separate-agg shape did
+    # instead of raising an uncaught StopIteration (ADVICE r14 #2).
+    bias_row = next(
+        (r for r in tally_rows if int(r.bucket) == -1), None
+    )
+    n_train = int(bias_row.n_rows) if bias_row is not None else 0
+    n_pos = int(bias_row.ys) if bias_row is not None else 0
     tally = {
         int(r.bucket): (int(r.pc), int(r.nc))
         for r in tally_rows

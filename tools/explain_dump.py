@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") for named queries to plans/r14/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/r15/<q>_<tag>.txt.
 
 The optimization-round evidence trail: the judge cannot run Spark, so
-every plan claim in OPTIMIZATION_r14.md points at one of these files.
+every plan claim in OPTIMIZATION_r15.md points at one of these files.
 
 Usage: python tools/explain_dump.py <tag> <sf_dir> <query> [query ...]
        python tools/explain_dump.py <tag> <sf_dir> --headline
@@ -12,7 +12,10 @@ from __future__ import annotations
 import os
 import sys
 
-REPO = __file__.rsplit("/", 2)[0]
+# abspath first: invoked via a relative path (python tools/explain_dump.py)
+# the old rsplit resolved REPO to 'tools' and wrote dumps under the wrong
+# directory (ADVICE r14 #4).
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
@@ -29,7 +32,7 @@ def main() -> None:
 
         names = list(bench.HEADLINE)
 
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain_dump")
     qs = all_queries()
