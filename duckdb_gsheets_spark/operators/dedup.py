@@ -1533,6 +1533,11 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     # dst can then never exist for the nbr join to find (ADVICE r14
     # #3). One hash join inside the one-time edge materialization —
     # the per-round loop is untouched.
+    # LAZY checkpoint (round 15): the blocks materialize inside round
+    # 1's changed-count action instead of paying a separate eager job
+    # — same materialize-once guarantee (every later round reads
+    # blocks), one fewer sequential job in the ladder. Safe because
+    # the first action references sym exactly once (the nbr join).
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -1545,7 +1550,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
             "src",
             "left_semi",
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = vertices.select("doc_id", F.col("doc_id").alias("comp"))
     changed = -1
@@ -1565,6 +1570,12 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
             "comp",
             F.lit(0).alias("own"),
         )
+        # LAZY checkpoint + count (round 15): the changed-count action
+        # itself materializes the round's label blocks — ONE job per
+        # round where the eager shape paid two (materialize, then
+        # count over the blocks). The count's filter sits ABOVE the
+        # checkpoint node, so the stored blocks are the full label
+        # rows, exactly as before.
         new_labels = (
             labels.select("doc_id", "comp", F.lit(1).alias("own"))
             .unionByName(nbr)
@@ -1578,7 +1589,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
                 .cast("int")
                 .alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where(F.col("chg") == 1).count()
         labels = new_labels.select("doc_id", "comp")
@@ -3233,12 +3244,17 @@ def _lrs_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     """The two eagerly-checkpointed ExactSubstr index artifacts,
     memoized per (session, corpus) — see ``_LRS_SPINE_CACHE``:
 
-    * the range-partitioned capped suffix table ``(doc_id, pos, key,
-      ks, pid)`` — one row per token position, global suffix order =
-      (pid asc, within-partition (ks, doc_id, pos));
-    * the tied-rows extension table ``(gk, doc_id, pos, ek, eks)`` —
+    * the range-partitioned capped suffix table ``(doc_id, pos, ks,
+      nk, pid)`` — one row per token position, the capped suffix
+      carried as its space-joined string ``ks`` plus token count
+      ``nk`` (bijective with the token array for whitespace-split
+      tokens; the array is re-derived by split only where the LCP
+      needs it), global suffix order = (pid asc, within-partition
+      (ks, doc_id, pos));
+    * the tied-rows extension table ``(gk, doc_id, pos, eks)`` —
       only positions whose full-width capped key duplicates, with the
-      suffix re-sliced to ``LRS_EXT_CAP`` tokens.
+      suffix re-sliced to ``LRS_EXT_CAP`` tokens and carried as the
+      joined string ``eks``.
     """
     key = _lrs_cache_key(spark, sf_dir)
     cached = _LRS_SPINE_CACHE.get(key)
@@ -3300,6 +3316,16 @@ def _lrs_suffix_table_from(docs: DataFrame) -> DataFrame:
 
 
 def _lrs_suffix_from_toks(toks: DataFrame) -> DataFrame:
+    # SLIM SPINE (round 15, guide §2.3 applied to the materialization):
+    # the checkpoint carries the space-joined key STRING ``ks`` plus
+    # its token count ``nk`` — NOT the 12-token ``key`` array it used
+    # to duplicate. ks ↔ key is bijective for whitespace-split tokens
+    # (the same inversion _lrs_candidates already banks on for eks),
+    # so every consumer either works on the string directly (ordering,
+    # grouping, the occurrence prefix probe) or re-derives the array
+    # with one split() (the adjacent-LCP pass). Halving the spine row
+    # cuts the checkpoint write AND the candidate pass's pid exchange
+    # — the dominant bytes of the whole ExactSubstr family.
     sfx = (
         toks.select(
             "doc_id",
@@ -3315,7 +3341,12 @@ def _lrs_suffix_from_toks(toks: DataFrame) -> DataFrame:
         )
     )
     return (
-        sfx.withColumn("ks", F.concat_ws(" ", "key"))
+        sfx.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", "key").alias("ks"),
+            F.size("key").cast("int").alias("nk"),
+        )
         .repartitionByRange("ks", "doc_id", "pos")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
@@ -3323,7 +3354,7 @@ def _lrs_suffix_from_toks(toks: DataFrame) -> DataFrame:
 
 
 def _lrs_ext_from(ranged: DataFrame, docs: DataFrame) -> DataFrame:
-    """Tied-rows extension table ``(gk, doc_id, pos, ek, eks)``: the
+    """Tied-rows extension table ``(gk, doc_id, pos, eks)``: the
     positions whose FULL-width capped key duplicates somewhere in the
     corpus (the only positions that can start a repeat ≥ the spine
     cap — both sides of a capped-at-``LRS_CAP`` adjacent pair share
@@ -3347,7 +3378,7 @@ def _lrs_ext_from_toks(ranged: DataFrame, toks: DataFrame) -> DataFrame:
     # (ks, count) row per distinct key per mapper, and the re-join
     # back to the full-width rows is an ordinary co-partitioned hash
     # join with no per-group serialization point.
-    full = ranged.where(F.size("key") == LRS_CAP)
+    full = ranged.where(F.col("nk") == LRS_CAP)
     dup_keys = (
         full.groupBy("ks")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -3357,17 +3388,23 @@ def _lrs_ext_from_toks(ranged: DataFrame, toks: DataFrame) -> DataFrame:
     tied = full.join(dup_keys, "ks").select(
         F.col("ks").alias("gk"), "doc_id", "pos"
     )
+    # SLIM (round 15): only the space-joined ``eks`` string is
+    # materialized — the up-to-LRS_EXT_CAP-token ``ek`` array nearly
+    # doubled every row of this checkpoint, and both consumers
+    # already work from the string (_lrs_candidates re-splits the
+    # aggregated distinct keys; the occurrence probe is a
+    # token-boundary string-prefix test).
     return (
         tied.join(toks, "doc_id")
         .select(
             "gk",
             "doc_id",
             "pos",
-            F.slice(F.col("toks"), F.col("pos"), F.lit(LRS_EXT_CAP)).alias(
-                "ek"
-            ),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("toks"), F.col("pos"), F.lit(LRS_EXT_CAP)),
+            ).alias("eks"),
         )
-        .withColumn("eks", F.concat_ws(" ", "ek"))
         .localCheckpoint(eager=True)
     )
 
@@ -3411,9 +3448,14 @@ def _lrs_candidates(ranged: DataFrame, ext: DataFrame) -> DataFrame:
     # ONE ascending window definition: the inner lag MUST share the
     # exact order the seam relies on.
     w_local = Window.partitionBy("pid").orderBy("ks", "doc_id", "pos")
+    # The lag moves only the slim (pid, ks, doc_id, pos) row through
+    # the window exchange; the token arrays the LCP needs are
+    # re-derived AFTER the lag with one split per side (round 15 —
+    # the old shape shuffled the 12-token key array alongside its own
+    # string join).
     inner = (
         ranged.select(
-            "key", F.lag("key").over(w_local).alias("pk")
+            "ks", F.lag("ks").over(w_local).alias("pk")
         )
         .where(F.col("pk").isNotNull())
     )
@@ -3427,8 +3469,8 @@ def _lrs_candidates(ranged: DataFrame, ext: DataFrame) -> DataFrame:
     # the spine exchange + sort three times per candidate build; this
     # leaves only the inner lag's, which genuinely needs the order).
     extremes = ranged.groupBy("pid").agg(
-        F.min(F.struct("ks", "doc_id", "pos", "key")).alias("fst"),
-        F.max(F.struct("ks", "doc_id", "pos", "key")).alias("lst"),
+        F.min(F.struct("ks", "doc_id", "pos")).alias("fst"),
+        F.max(F.struct("ks", "doc_id", "pos")).alias("lst"),
     )
     # |pids|-row seam: unpartitioned lag over a bounded frame
     # (allowlisted pattern — one row per non-empty partition).
@@ -3436,15 +3478,22 @@ def _lrs_candidates(ranged: DataFrame, ext: DataFrame) -> DataFrame:
     seam = (
         extremes.select(
             "pid",
-            F.col("fst.key").alias("key"),
-            F.col("lst.key").alias("lkey"),
+            F.col("fst.ks").alias("ks"),
+            F.col("lst.ks").alias("lks"),
         )
-        .withColumn("pk", F.lag("lkey").over(w_pid))
+        .withColumn("pk", F.lag("lks").over(w_pid))
         .where(F.col("pk").isNotNull())
-        .select("key", "pk")
+        .select("ks", "pk")
     )
+    # split() inverts concat_ws exactly for whitespace-free tokens
+    # (the documented bijectivity this module already relies on for
+    # eks), so the LCP sees the identical token arrays the spine used
+    # to carry.
     pairs = inner.unionByName(seam).select(
-        _token_lcp(F.col("key"), F.col("pk")).alias("l"), "key"
+        _token_lcp(
+            F.split("ks", " "), F.split("pk", " ")
+        ).alias("l"),
+        "ks",
     )
     # Capped-pass candidates stop BELOW the cap: an LCP == LRS_CAP
     # means both suffixes share the full capped key, i.e. the pair
@@ -3455,9 +3504,9 @@ def _lrs_candidates(ranged: DataFrame, ext: DataFrame) -> DataFrame:
         (F.col("l") >= LRS_MIN_MATCH) & (F.col("l") < LRS_CAP)
     ).select(
         "l",
-        F.concat_ws(" ", F.slice(F.col("key"), 1, F.col("l"))).alias(
-            "substring"
-        ),
+        # first l space-separated fields ≡ concat_ws of the first l
+        # tokens — one string op instead of split + slice + re-join
+        F.expr("substring_index(ks, ' ', l)").alias("substring"),
     )
     # Extension pass: aggregate identical extended keys, then
     # same-key + adjacent-distinct-key candidates per group. ek is
@@ -3515,13 +3564,25 @@ def _lrs_occurrences(
     starting a ≥cap-length repeat has a duplicated capped key and is
     therefore in the extension table. Both probes are a ≤K-row
     broadcast over one pass of a checkpointed artifact."""
+    # Token-boundary prefix test on the slim string spine: the first
+    # l tokens of ks equal sub_arr ⟺ ks IS the substring (l == nk)
+    # or ks continues past it with a space at exactly the token
+    # boundary (l < nk). A too-long candidate (l > nk) matches
+    # neither branch, same as the old length-mismatched array
+    # equality. Bijectivity of the space join for whitespace-free
+    # tokens makes the string test exact.
+    def _prefix_match(key_str: str):
+        return (F.col(key_str) == F.col("substring")) | F.col(
+            key_str
+        ).startswith(F.concat(F.col("substring"), F.lit(" ")))
+
     short = ranged.join(
         F.broadcast(cands.where(F.col("l") <= LRS_CAP)),
-        F.slice(F.col("key"), F.lit(1), F.col("l")) == F.col("sub_arr"),
+        _prefix_match("ks"),
     ).select("doc_id", "pos", "l", "substring")
     long_ = ext.join(
         F.broadcast(cands.where(F.col("l") > LRS_CAP)),
-        F.slice(F.col("ek"), F.lit(1), F.col("l")) == F.col("sub_arr"),
+        _prefix_match("eks"),
     ).select("doc_id", "pos", "l", "substring")
     return short.unionByName(long_)
 

@@ -1041,6 +1041,51 @@ def test_lrs_repeat_beyond_ext_cap_reports_ceiling(spark):
     assert max(l for l, _ in got) == LRS_EXT_CAP
 
 
+def test_lrs_occurrence_probe_respects_token_boundaries(spark):
+    """The slim string spine probes candidate occurrences with a
+    token-boundary prefix test (ks == substring OR ks startswith
+    substring + ' '). A boundary-less startswith would falsely count
+    a suffix whose next token merely EXTENDS the candidate's last
+    token character-wise ('... c4 ab ...' matching candidate
+    '... c4 a') — this corpus plants exactly that trap and pins the
+    full occurrence/document counts."""
+    from pyspark.sql import functions as F
+
+    from duckdb_gsheets_spark.operators.dedup import (
+        _lrs_candidates,
+        _lrs_ext_from,
+        _lrs_occurrences,
+        _lrs_suffix_table_from,
+    )
+
+    texts = [
+        (1, "c1 c2 c3 c4 a u1 u2"),
+        (2, "v1 c1 c2 c3 c4 a"),
+        (3, "c1 c2 c3 c4 ab w1"),  # 'ab' must NOT count as 'a'
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    ranged = _lrs_suffix_table_from(docs)
+    ext = _lrs_ext_from(ranged, docs)
+    cands = _lrs_candidates(ranged, ext)
+    got = sorted(
+        map(
+            tuple,
+            _lrs_occurrences(ranged, ext, cands)
+            .groupBy("l", "substring")
+            .agg(
+                F.count(F.lit(1)).alias("n_occ"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            )
+            .collect(),
+        )
+    )
+    assert got == [
+        (4, "c1 c2 c3 c4", 3, 3),
+        (4, "c2 c3 c4 a", 2, 2),
+        (5, "c1 c2 c3 c4 a", 2, 2),
+    ]
+
+
 def test_lrs_table_cache_keeps_latest_per_sf_dir(spark, tmp_path):
     """The (session, corpus) memo for the suffix spine + extension
     table evicts stale entries for the same sf_dir on insert: after
