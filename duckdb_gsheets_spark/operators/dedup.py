@@ -390,7 +390,7 @@ def _jaccard_pairs_from(toks_arr: DataFrame) -> DataFrame:
     # its sole consumer: the bitmask path derives dense bit positions
     # from this same vocab frame and never touches tid.
     if n_vocab <= BITMASK_MAX_VOCAB:
-        verified = _verify_bitmask(cand, postings, vocab)
+        verified = _verify_bitmask(cand, postings, vocab, n_vocab)
     else:
         verified = _verify_int_arrays(
             cand, postings, _token_dictionary(vocab)
@@ -458,11 +458,14 @@ def _overlap_int_arrays(
 
 
 def _verify_bitmask(
-    cand: DataFrame, postings: DataFrame, tok_ids: DataFrame
+    cand: DataFrame,
+    postings: DataFrame,
+    tok_ids: DataFrame,
+    n_vocab: int | None = None,
 ) -> DataFrame:
     """Small-vocabulary Jaccard verify over the shared bitmask
     overlap core."""
-    return _overlap_bitmask(cand, postings, tok_ids).select(
+    return _overlap_bitmask(cand, postings, tok_ids, n_vocab).select(
         "doc_a",
         "doc_b",
         _jaccard_expr(F.col("overlap")).alias("jaccard"),
@@ -470,7 +473,10 @@ def _verify_bitmask(
 
 
 def _overlap_bitmask(
-    cand: DataFrame, postings: DataFrame, tok_ids: DataFrame
+    cand: DataFrame,
+    postings: DataFrame,
+    tok_ids: DataFrame,
+    n_vocab: int | None = None,
 ) -> DataFrame:
     """Small-vocabulary overlap core ``(doc_a, doc_b, na, nb,
     overlap)``: token sets as ⌈|vocab|/64⌉-long
@@ -480,8 +486,11 @@ def _overlap_bitmask(
     column; bounded single-task window — allowlisted in
     tests/test_plans.py), and each token's (block, bit value) is
     precomputed in that tiny frame so the per-posting work is one
-    broadcast-join lookup + a bit_or aggregate."""
-    n_vocab = tok_ids.count()
+    broadcast-join lookup + a bit_or aggregate. ``n_vocab`` lets the
+    PPJoin callers pass the count their fused vocab action already
+    measured instead of paying one more driver-sequenced job here."""
+    if n_vocab is None:
+        n_vocab = tok_ids.count()
     nblocks = max(1, (n_vocab + 63) // 64)
     dense = (
         tok_ids.select("tok")
@@ -826,7 +835,7 @@ def _containment_pairs_from(toks_arr: DataFrame) -> DataFrame:
         .distinct()
     )
     if n_vocab <= BITMASK_MAX_VOCAB:
-        overlapped = _overlap_bitmask(cand, postings, vocab)
+        overlapped = _overlap_bitmask(cand, postings, vocab, n_vocab)
     else:
         overlapped = _overlap_int_arrays(
             cand, postings, _token_dictionary(vocab)
