@@ -2280,7 +2280,22 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = sym.groupBy("src").agg(F.max("degree").alias("degree"))
     verts = docs.select("doc_id")
-    pr = verts.withColumn("pr_s", F.lit(PR_SCALE).cast("long"))
+    # Round 15: iterate over the CONNECTED spine only. The edge set is
+    # symmetric, so has-in-edges ⟺ has-out-edges ⟺ appears as a src —
+    # an isolated document never receives inflow and never contributes
+    # any, and its rank is the closed form PR_BASE from round 1 on
+    # (base + 85·0 div 100). Restricting the ledger to the src spine
+    # is therefore EXACT for every round ≥ 1 (PR_ITERS ≥ 1), and the
+    # inflow aggregate's key set is exactly that spine, so each round
+    # is join + map-side-combined sum + a projection — the round-14
+    # shape additionally re-scanned the documents table and paid a
+    # vertex left-join exchange PER UNROLLED ROUND just to re-attach
+    # the constant. Isolated docs re-enter once, in the final output
+    # coalesce.
+    pr = deg.select(
+        F.col("src").alias("doc_id"),
+        F.lit(PR_SCALE).cast("long").alias("pr_s"),
+    )
     for _ in range(PR_ITERS):
         inflow = (
             sym.join(pr.withColumnRenamed("doc_id", "src"), "src")
@@ -2288,22 +2303,21 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("contrib").alias("m"))
         )
-        pr = verts.join(
-            inflow.withColumnRenamed("dst", "doc_id"), "doc_id", "left"
-        ).select(
-            "doc_id",
-            (
-                F.lit(PR_BASE)
-                + F.expr(f"(85 * coalesce(m, 0L)) div 100")
-            ).cast("long").alias("pr_s"),
+        pr = inflow.select(
+            F.col("dst").alias("doc_id"),
+            (F.lit(PR_BASE) + F.expr("(85 * m) div 100"))
+            .cast("long")
+            .alias("pr_s"),
         )
     return (
         verts.join(deg.withColumnRenamed("src", "doc_id"), "doc_id", "left")
-        .join(pr, "doc_id")
+        .join(pr, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("degree", F.lit(0).cast("long")).alias("degree"),
-            F.col("pr_s").alias("pagerank_micro"),
+            F.coalesce("pr_s", F.lit(PR_BASE).cast("long")).alias(
+                "pagerank_micro"
+            ),
         )
     )
 
