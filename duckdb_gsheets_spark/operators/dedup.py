@@ -748,9 +748,11 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full postings — but because prefixes hold each document's RAREST
     tokens, a corpus-wide hot token contributes ~zero prefix rows, so
     join size is Σ_tok prefix_count(tok)·df(tok), not df².  There is
-    no length filter (a superset B can be arbitrarily long — that is
-    the point of containment). Verification is per candidate pair via
-    ``array_intersect`` — exact, no re-join of postings.
+    no upper length filter (a superset B can be arbitrarily long —
+    that is the point of containment), but each candidate occurrence
+    row passes the PPJoin positional bound before the distinct (see
+    :func:`_containment_pairs_from`). Verification is exact via the
+    vocab-adaptive bitmask/int-array overlap cores.
 
     Shuffle ledger: DF agg + join (vocab-sized), one window by doc_id,
     prefix⋈postings join, candidate verify joins — all linear in
@@ -779,7 +781,14 @@ def _containment_pairs_from(toks_arr: DataFrame) -> DataFrame:
     bitmask/int-dictionary overlap cores. Now: the candidate join is
     hot/rare split + salted + explicitly widened (`_wide`), and the
     verify reuses `_overlap_bitmask` / `_overlap_int_arrays` — the
-    measures differ only in the final ratio (overlap/|A| here)."""
+    measures differ only in the final ratio (overlap/|A| here).
+
+    Round-15: the candidate occurrence rows additionally pass the
+    PPJoin POSITIONAL filter (both join sides now carry their
+    df-order position from the one checkpointed window) before the
+    distinct — the same candidate-space cut the Jaccard core has had
+    since round 14, previously missing here because the B side
+    carried no position."""
     t = CONTAINMENT_THRESHOLD
     postings = toks_arr.select(
         "doc_id", "n_tokens", F.explode("toks").alias("tok")
@@ -795,22 +804,66 @@ def _containment_pairs_from(toks_arr: DataFrame) -> DataFrame:
     ).first()
     n_vocab = int(vstats.n_vocab)
     n_salt = _salt_width(toks_arr, vstats.max_df or 0)
-    # Checkpointed once: the prefix/posting branches below read the
-    # df-joined stream four ways (rare/hot × a/b); unmaterialized,
-    # each re-runs the explode + df join subtree.
-    post_df = postings.join(vocab, "tok").localCheckpoint(eager=True)
+    # Checkpointed once WITH the per-document df-order position: the
+    # prefix/posting branches below read the frame four ways
+    # (rare/hot × a/b); unmaterialized, each re-ran the explode + df
+    # join subtree — and the round-14 shape additionally re-ran the
+    # row_number window once per PREFIX branch while the B side
+    # carried no position at all. Folding the window into the
+    # checkpoint runs it exactly once and gives both join sides the
+    # position the PPJoin positional filter below needs (guide §3 —
+    # prune the exploding join's output before the distinct/verify).
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    prefix = (
-        post_df.withColumn("pos", F.row_number().over(w))
-        .where(
-            F.col("pos")
-            <= F.col("n_tokens") - F.ceil(F.col("n_tokens") * t) + 1
-        )
-        .select(F.col("doc_id").alias("doc_a"), "tok", "df")
+    pos_df = (
+        postings.join(vocab, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .localCheckpoint(eager=True)
     )
-    posts_b = post_df.select(F.col("doc_id").alias("doc_b"), "tok", "df")
-    rare_cand = _wide(prefix.where(F.col("df") <= PPJOIN_HOT_DF), "tok").join(
-        _wide(posts_b.where(F.col("df") <= PPJOIN_HOT_DF), "tok"), "tok"
+    prefix = pos_df.where(
+        F.col("pos") <= F.col("n_tokens") - F.ceil(F.col("n_tokens") * t) + 1
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_tokens").alias("na"),
+        "tok",
+        "df",
+        F.col("pos").alias("pa"),
+    )
+    posts_b = pos_df.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_tokens").alias("nb"),
+        "tok",
+        "df",
+        F.col("pos").alias("pb"),
+    )
+    # PPJoin positional filter adapted to containment (Xiao et al.
+    # 2008, same device as _jaccard_pairs_from): C(A→B) ≥ t needs
+    # overlap ≥ α = ⌈t·na⌉, a shared token at df-order positions
+    # (pa, pb) bounds the overlap by 1 + min(na − pa, nb − pb), and B
+    # must hold at least α tokens at all. For a TRUE pair the FIRST
+    # common token in df order satisfies both bounds (every matching
+    # token sits at or after it on both sides), so filtering each
+    # candidate OCCURRENCE row keeps at least that row per true pair
+    # — the .distinct() pair set the exact verify then scores loses
+    # only false candidates (sf0.1: 54M occurrence rows → 37M, 15.1M
+    # distinct pairs → 11.3M before the bitmask verify). The 1e-9
+    # nudge mirrors the Jaccard core: float ε at an exact integer
+    # boundary must not round α up past a true pair.
+    alpha = F.ceil(F.col("na") * F.lit(t) - F.lit(1e-9))
+    filt = (
+        (F.col("doc_a") != F.col("doc_b"))
+        & (F.col("nb") >= alpha)
+        & (
+            F.least(
+                F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+            )
+            + 1
+            >= alpha
+        )
+    )
+    rare_cand = (
+        _wide(prefix.where(F.col("df") <= PPJOIN_HOT_DF), "tok")
+        .join(_wide(posts_b.where(F.col("df") <= PPJOIN_HOT_DF), "tok"), "tok")
+        .where(filt)
     )
     hot_a = prefix.where(F.col("df") > PPJOIN_HOT_DF).withColumn(
         "salt", F.pmod(F.xxhash64("doc_a"), F.lit(n_salt)).cast("int")
@@ -821,14 +874,15 @@ def _containment_pairs_from(toks_arr: DataFrame) -> DataFrame:
             F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>")
         ),
     )
-    hot_cand = _wide(hot_a, "tok", "salt").join(
-        _wide(hot_b, "tok", "salt"), ["tok", "salt"]
+    hot_cand = (
+        _wide(hot_a, "tok", "salt")
+        .join(_wide(hot_b, "tok", "salt"), ["tok", "salt"])
+        .where(filt)
     )
     cand = (
         _wide(
             rare_cand.select("doc_a", "doc_b")
-            .unionByName(hot_cand.select("doc_a", "doc_b"))
-            .where(F.col("doc_a") != F.col("doc_b")),
+            .unionByName(hot_cand.select("doc_a", "doc_b")),
             "doc_a",
             "doc_b",
         )

@@ -482,6 +482,59 @@ def test_prefix_filtered_containment_equals_all_pairs(spark):
     assert any((y, x) not in pair_set for (x, y) in pair_set)
 
 
+def test_containment_positional_filter_keeps_threshold_pairs(
+    spark, tmp_path
+):
+    """The round-15 PPJoin positional filter on the containment
+    candidate join must never drop a TRUE pair — pinned on a planted
+    corpus whose qualifying pairs sit EXACTLY at the ⌈t·na⌉ overlap
+    boundary (the case a mis-nudged ceil would prune): C = 4/5 = 0.8
+    with t = 0.8, where the bound min(na−pa, nb−pb)+1 must still
+    admit the pair's first common token row."""
+    from duckdb_gsheets_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        _distinct_tokens,
+        containment_pairs,
+    )
+    from duckdb_gsheets_spark.plans.catalog import load_table
+
+    assert CONTAINMENT_THRESHOLD == 0.8  # the boundary the corpus plants
+    docs = spark.createDataFrame(
+        [
+            (1, "u1 a b c d"),           # C(1→2) = 4/5 = 0.8: boundary
+            (2, "a b c d e f g h w x y z"),
+            (3, "u2 u3 a b q"),          # C(3→·) = 2/5: below threshold
+            (4, "a b c d"),              # C(4→1) = C(4→2) = 1.0
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in containment_pairs(spark, str(tmp_path)).collect()
+    }
+    a = load_table(spark, str(tmp_path), "documents").select(
+        "doc_id", _distinct_tokens(F.col("text")).alias("toks")
+    )
+    ov = F.size(F.array_intersect("ta", "tb"))
+    cont = F.round(ov.cast("double") / F.size("ta").cast("double"), 6)
+    naive = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in a.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+        .crossJoin(
+            a.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .collect()
+    }
+    assert got == naive
+    assert (1, 2, 0.8) in got      # the exact-boundary pair survived
+    assert (4, 1, 1.0) in got and (4, 2, 1.0) in got
+    assert all(d != 3 for (d, _, _) in got)  # below-threshold A pruned
+
+
 def test_bigram_topk_matches_positional_join(spark):
     """The narrow HOF bigram build must agree with an independent
     formulation: posexplode the token stream and self-join adjacent
